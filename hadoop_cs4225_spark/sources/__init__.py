@@ -1,0 +1,3 @@
+from hadoop_cs4225_spark.sources.tables import TABLES, load_all, load_table
+
+__all__ = ["TABLES", "load_all", "load_table"]

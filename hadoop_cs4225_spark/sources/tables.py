@@ -1,0 +1,68 @@
+"""Parquet loaders for the testdata star schema + extension tables.
+
+Replaces the reference's only source — line-oriented text via Hadoop
+``TextInputFormat`` (``WordCount.java:60``, ``TopkCommonWords.java:172-173``)
+— with schema-carrying Parquet scans. Text sources for the golden replay
+live in ``operators/wordcount.py`` (``spark.read.text``).
+
+Scale notes: Parquet scans get column pruning + predicate pushdown from
+Catalyst for free; at 100 TB the same loaders apply to a partitioned
+table layout (e.g. ``events`` partitioned by date) where partition
+pruning kicks in on ``ts`` filters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_cs4225_spark.session import apply_runtime_confs
+
+#: All driver-generated tables (TESTDATA.md).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` with ``ts`` as a proper timestamp.
+
+    The file stores ``ts`` as parquet TIMESTAMP(NANOS,false), which
+    Spark's reader rejects ([PARQUET_TYPE_ILLEGAL]). With
+    ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as
+    nanos-since-epoch (long); convert to microsecond timestamps —
+    the same truncation DuckDB applies, so oracle comparisons agree.
+    """
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(_path(sf_dir, "events"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    apply_runtime_confs(spark)
+    return spark.read.parquet(_path(sf_dir, name))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

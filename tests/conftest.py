@@ -1,0 +1,72 @@
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from hadoop_cs4225_spark.session import get_spark
+from hadoop_cs4225_spark.sources.tables import TABLES
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.001"  # unit tests stay fast; the driver runs sf0.01
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="spark-graft-tests", master="local[4]", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    """DuckDB connection with views registered like the driver's oracle."""
+    con = duckdb.connect()
+    for name in TABLES:
+        con.sql(
+            f"CREATE VIEW {name} AS SELECT * "
+            f"FROM read_parquet('{SF_ORACLE}/{name}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(value):
+    """Canonical form for cross-engine value comparison."""
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        # Round to 9 significant-ish decimals; queries are expected to
+        # round their own float outputs (the driver hashes exactly), so
+        # this only smooths representation noise, not semantics.
+        return f"{value:.9g}"
+    if isinstance(value, bool):
+        return str(int(value))
+    if isinstance(value, list):
+        return tuple(_normalize(v) for v in value)
+    return str(value)
+
+
+def assert_frames_match(spark_df, duck_rel, name=""):
+    """Mimic the driver's compare: row-count + order-insensitive values
+    with columns sorted by name."""
+    sp_cols = sorted(spark_df.columns)
+    du_cols = sorted(duck_rel.columns)
+    assert sp_cols == du_cols, f"{name}: column names differ: {sp_cols} vs {du_cols}"
+    sp_rows = [
+        tuple(_normalize(row[c]) for c in sp_cols) for row in spark_df.collect()
+    ]
+    du_df = duck_rel.df()
+    du_rows = [
+        tuple(_normalize(v) for v in row)
+        for row in du_df[du_cols].itertuples(index=False, name=None)
+    ]
+    assert len(sp_rows) == len(du_rows), (
+        f"{name}: row count {len(sp_rows)} vs oracle {len(du_rows)}"
+    )
+    sp_sorted, du_sorted = sorted(sp_rows), sorted(du_rows)
+    mismatches = [
+        (a, b) for a, b in zip(sp_sorted, du_sorted) if a != b
+    ][:5]
+    assert sp_sorted == du_sorted, f"{name}: value mismatch, first diffs: {mismatches}"

@@ -1,0 +1,31 @@
+"""Local replica of the driver's correctness gate.
+
+For every registered query that has an oracle, run the Spark DataFrame
+and the DuckDB SQL on the same parquet and compare (row count + columns +
+order-insensitive values). The driver does this at sf0.01; here sf0.001
+keeps the suite fast — semantics are scale-invariant.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_cs4225_spark import registry
+from tests.conftest import SF_ORACLE, assert_frames_match
+
+registry.load_all()
+_NAMES = sorted(registry.ORACLES)
+
+
+@pytest.mark.parametrize("name", _NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    spark_df = registry.QUERIES[name](spark, SF_ORACLE)
+    duck_rel = duck.sql(registry.ORACLES[name])
+    assert_frames_match(spark_df, duck_rel, name=name)
+
+
+def test_all_queries_return_rows_or_schema(spark):
+    """Queries without an oracle still must run and have a stable schema."""
+    for name, fn in registry.QUERIES.items():
+        df = fn(spark, SF_ORACLE)
+        assert df.columns, f"{name}: no columns"

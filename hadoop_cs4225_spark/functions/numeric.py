@@ -1,0 +1,50 @@
+"""Cross-engine-stable floating aggregates.
+
+Raw double SUM/AVG/STDDEV differ between Spark and DuckDB in the last
+ulp because summation order (partial aggregation, SIMD) reassociates
+floating addition. The driver's value-hash is exact, so every float
+aggregate must be *identical* on both sides.
+
+Policy: round each SUM once (that single round absorbs the ulp noise —
+empirically stable at 2 decimals for money-scale values), then derive
+avg/stddev from the rounded sums with plain IEEE arithmetic, which is
+bit-deterministic across engines for identical inputs. Never round an
+engine-computed AVG/STDDEV directly — its quantization step can sit on
+a rounding boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def rsum(col: Column | str, scale: int = 2) -> Column:
+    """Rounded SUM — the only place cross-engine noise is absorbed."""
+    return F.round(F.sum(col), scale)
+
+
+def ravg(col: Column | str, scale: int = 6, sum_scale: int = 2) -> Column:
+    """AVG as round(round(sum, s)/count, scale): deterministic both sides."""
+    return F.round(rsum(col, sum_scale) / F.count(F.lit(1)), scale)
+
+
+def rstddev(col: Column | str, scale: int = 4, sum_scale: int = 2) -> Column:
+    """Sample stddev from rounded sum and rounded sum-of-squares."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.count(F.lit(1)).cast("double")
+    s1 = rsum(c, sum_scale)
+    s2 = F.round(F.sum(c * c), sum_scale)
+    return F.round(F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0))), scale)
+
+
+def ravg_sql(expr: str, scale: int = 6, sum_scale: int = 2) -> str:
+    return f"ROUND(ROUND(SUM({expr}), {sum_scale}) / COUNT(*), {scale})"
+
+
+def rstddev_sql(expr: str, scale: int = 4, sum_scale: int = 2) -> str:
+    s1 = f"ROUND(SUM({expr}), {sum_scale})"
+    s2 = f"ROUND(SUM(({expr}) * ({expr})), {sum_scale})"
+    return (
+        f"ROUND(SQRT(({s2} - {s1} * {s1} / COUNT(*)) / (COUNT(*) - 1.0)), {scale})"
+    )

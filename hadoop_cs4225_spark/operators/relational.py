@@ -1,0 +1,521 @@
+"""Relational core over the star schema (SURVEY.md §2.2, milestone M2).
+
+The reference's relational repertoire is scan/tokenize/filter/agg/top-k
+(WordCount.java, TopkCommonWords.java); this module provides the full
+relational algebra a user of a query engine expects — projections,
+filters, every join type, aggregation, having, set ops, sort/limit —
+expressed declaratively so Catalyst supplies pushdown, column pruning,
+join selection, partial aggregation and AQE for free (SURVEY.md §4).
+
+Scale posture per query family:
+- Dim joins (region/nation/customer/supplier/part) are broadcast — at
+  100 TB the fact table never shuffles for them.
+- Fact-fact joins (orders⋈lineitem) shuffle on the join key; both sides
+  are key-partitioned by Catalyst, and AQE handles skewed order keys.
+- Top-k is TakeOrderedAndProject (per-partition heap + k-row merge).
+- Floating aggregates are rounded identically in Spark and oracle SQL —
+  cross-engine reassociation makes raw double sums ulp-unstable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_cs4225_spark.functions.numeric import (
+    ravg,
+    ravg_sql,
+    rstddev,
+    rstddev_sql,
+)
+from hadoop_cs4225_spark.registry import register
+from hadoop_cs4225_spark.sources.tables import load_table
+
+
+def _d(col: Column) -> Column:
+    """Render a timestamp as yyyy-MM-dd (oracle: strftime '%Y-%m-%d')."""
+    return F.date_format(col, "yyyy-MM-dd")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style aggregation / join / top-k queries
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       {ravg_sql("l_quantity")}                                     AS avg_qty,
+       {ravg_sql("l_extendedprice")}                                AS avg_price,
+       {ravg_sql("l_discount")}                                     AS avg_disc,
+       COUNT(*)                                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-like pricing summary: scan-filter-agg, fully pushed down.
+
+    .explain: single scan with PushedFilters on l_shipdate + partial/final
+    HashAggregate — zero joins, one shuffle on the (flag,status) keys.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            ravg("l_quantity").alias("avg_qty"),
+            ravg("l_extendedprice").alias("avg_price"),
+            ravg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-06-30 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-like: broadcast dim join + fact-fact join + agg + top-k.
+
+    customer is broadcast (small dim); orders⋈lineitem shuffles on the
+    order key. Total order (revenue desc, l_orderkey asc) ⇒ deterministic
+    limit.
+    """
+    cutoff = F.lit("1998-06-30 00:00:00").cast("timestamp_ntz")
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", _d(F.col("o_orderdate")).alias("orderdate"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              JOIN nation   ON s_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-like: 6-table join chain, all dims broadcast.
+
+    Only orders⋈lineitem is a shuffle join; supplier/nation/region/
+    customer ride along as BroadcastHashJoins, so the plan is one
+    shuffle + one agg regardless of fact-table size.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "q6_revenue_forecast",
+    oracle="""
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 25
+""",
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-like: pure filter+global agg — the pushdown showcase.
+
+    All four predicates reach the parquet scan (PushedFilters); no
+    shuffle at all (partial aggs merge to a single row).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-like: EXISTS → left-semi join with an extra predicate."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+SELECT c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       ROUND(o.o_totalprice, 2) AS totalprice,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM customer
+JOIN orders o ON c_custkey = o.o_custkey
+JOIN lineitem ON o.o_orderkey = l_orderkey
+GROUP BY c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+HAVING SUM(l_quantity) > 250
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-like: join + group-by + HAVING + top-k."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+        .select(
+            "c_name",
+            "o_orderkey",
+            _d(F.col("o_orderdate")).alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-type coverage
+# ---------------------------------------------------------------------------
+
+@register(
+    "customer_order_counts",
+    oracle="""
+SELECT c_custkey,
+       COUNT(o_orderkey) AS order_cnt,
+       ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+ORDER BY c_custkey
+""",
+)
+def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
+ORDER BY c_custkey
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (the reference's stopword filter shape, O4).
+
+    Anti-joins against 250k+ orders so the result is non-empty at every
+    SF (at sf0.01 every customer has *some* order).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "big_spender_customers",
+    oracle="""
+SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+ORDER BY c_custkey
+""",
+)
+def big_spender_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: customers with at least one 400k+ order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "region_status_grid",
+    oracle="""
+SELECT r_name, o_orderstatus
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+ORDER BY r_name, o_orderstatus
+""",
+)
+def region_status_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS join of two tiny inputs (grid expansion)."""
+    region = load_table(spark, sf_dir, "region")
+    status = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return (
+        region.select("r_name")
+        .crossJoin(status)
+        .orderBy("r_name", "o_orderstatus")
+    )
+
+
+@register(
+    "supplier_nation_full_join",
+    oracle="""
+SELECT n_name,
+       COALESCE(cnt, 0) AS supplier_cnt
+FROM nation
+FULL JOIN (SELECT s_nationkey, COUNT(*) AS cnt FROM supplier GROUP BY s_nationkey) s
+  ON n_nationkey = s_nationkey
+ORDER BY n_name
+""",
+)
+def supplier_nation_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: every nation with its supplier count (or 0)."""
+    nation = load_table(spark, sf_dir, "nation")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        nation.join(supp, nation.n_nationkey == supp.s_nationkey, "full")
+        .select("n_name", F.coalesce("cnt", F.lit(0)).alias("supplier_cnt"))
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations + aggregation coverage
+# ---------------------------------------------------------------------------
+
+@register(
+    "nation_presence_setops",
+    oracle="""
+WITH cust_n AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+     supp_n AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+SELECT 'both' AS side, nk FROM (SELECT nk FROM cust_n INTERSECT SELECT nk FROM supp_n)
+UNION ALL
+SELECT 'cust_only' AS side, nk FROM (SELECT nk FROM cust_n EXCEPT SELECT nk FROM supp_n)
+UNION ALL
+SELECT 'supp_only' AS side, nk FROM (SELECT nk FROM supp_n EXCEPT SELECT nk FROM cust_n)
+ORDER BY side, nk
+""",
+)
+def nation_presence_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL in one labeled result."""
+    cust_n = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").cast("int").alias("nk"))
+        .distinct()
+    )
+    supp_n = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").cast("int").alias("nk"))
+        .distinct()
+    )
+    both = cust_n.intersect(supp_n).withColumn("side", F.lit("both"))
+    cust_only = cust_n.exceptAll(supp_n).withColumn("side", F.lit("cust_only"))
+    supp_only = supp_n.exceptAll(cust_n).withColumn("side", F.lit("supp_only"))
+    return (
+        both.unionByName(cust_only)
+        .unionByName(supp_only)
+        .select("side", "nk")
+        .orderBy("side", "nk")
+    )
+
+
+@register(
+    "segment_account_stats",
+    oracle=f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_cust,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       {ravg_sql("c_acctbal")} AS avg_bal,
+       ROUND(MIN(c_acctbal), 2) AS min_bal,
+       ROUND(MAX(c_acctbal), 2) AS max_bal,
+       {rstddev_sql("c_acctbal")} AS sd_bal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def segment_account_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation coverage: count / countDistinct / avg / min / max / stddev."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            ravg("c_acctbal").alias("avg_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            rstddev("c_acctbal").alias("sd_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "brand_revenue",
+    oracle="""
+SELECT p_brand,
+       COUNT(DISTINCT p.p_partkey) AS n_parts,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       ROUND(SUM(l_quantity), 2) AS total_qty
+FROM lineitem JOIN part p ON l_partkey = p.p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+)
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim with broadcast + multi-agg per brand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("p_partkey").alias("n_parts"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register("approx_distinct_parts")  # no oracle: HLL sketches differ per engine
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — the 100 TB cardinality-estimate path.
+
+    No DuckDB oracle: both engines implement HLL but with different
+    hash/bias internals, so estimates differ by design. The adjacent
+    exact count is in `brand_revenue`/`segment_account_stats`.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("approx_supps"),
+    )

@@ -38,6 +38,27 @@ def rstddev(col: Column | str, scale: int = 4, sum_scale: int = 2) -> Column:
     return F.round(F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0))), scale)
 
 
+def quant(col: Column | str, scale: int = 2) -> Column:
+    """Deterministic cross-engine quantizer: ``floor(x*10^s + 0.5)/10^s``.
+
+    Use instead of ``round`` on *computed* doubles (divisions, sqrt/ln)
+    whose decimal expansion can sit exactly on a ``.xx5`` boundary:
+    Spark rounds via the exact binary expansion (BigDecimal HALF_UP),
+    DuckDB via scaled multiply — they disagree on boundaries. floor/mul/
+    add are IEEE-deterministic, so identical inputs give identical
+    outputs in both engines. (Half-values round toward +inf, also for
+    negatives — consistent, slightly different from HALF_UP there.)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    p = float(10**scale)
+    return F.floor(c * p + 0.5) / p
+
+
+def quant_sql(expr: str, scale: int = 2) -> str:
+    p = float(10**scale)
+    return f"(floor(({expr}) * {p} + 0.5) / {p})"
+
+
 def ravg_sql(expr: str, scale: int = 6, sum_scale: int = 2) -> str:
     return f"ROUND(ROUND(SUM({expr}), {sum_scale}) / COUNT(*), {scale})"
 

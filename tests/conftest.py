@@ -37,10 +37,9 @@ def _normalize(value):
     if isinstance(value, float):
         if math.isnan(value):
             return "NaN"
-        # Round to 9 significant-ish decimals; queries are expected to
-        # round their own float outputs (the driver hashes exactly), so
-        # this only smooths representation noise, not semantics.
-        return f"{value:.9g}"
+        # Shortest-roundtrip repr: identical doubles → identical strings,
+        # and float 4.0 stays distinct from int 4 (type drift must fail).
+        return repr(value)
     if isinstance(value, bool):
         return str(int(value))
     if isinstance(value, list):
@@ -57,10 +56,10 @@ def assert_frames_match(spark_df, duck_rel, name=""):
     sp_rows = [
         tuple(_normalize(row[c]) for c in sp_cols) for row in spark_df.collect()
     ]
-    du_df = duck_rel.df()
+    du_col_order = [duck_rel.columns.index(c) for c in du_cols]
     du_rows = [
-        tuple(_normalize(v) for v in row)
-        for row in du_df[du_cols].itertuples(index=False, name=None)
+        tuple(_normalize(row[i]) for i in du_col_order)
+        for row in duck_rel.fetchall()
     ]
     assert len(sp_rows) == len(du_rows), (
         f"{name}: row count {len(sp_rows)} vs oracle {len(du_rows)}"

@@ -1,0 +1,311 @@
+"""Deduplication operators over ``documents`` (driver-mandated, M4).
+
+Four families a training-data pipeline needs:
+
+- exact dedup — hash-groupBy on (normalized) content;
+- MinHash — per-doc signatures over 3-token shingles + LSH banding for
+  candidate generation, then exact Jaccard verification;
+- SimHash — 16-bit per-doc fingerprint from token-hash bit votes;
+- n-gram Jaccard — exact token-set similarity join (the brute-force
+  baseline the LSH path approximates).
+
+Scale story: signatures/fingerprints are per-row array math (map-only).
+LSH candidate generation is an equi-join on (band, band-hash) — i.e. a
+shuffle keyed on buckets, which is exactly how it distributes at 100 TB
+(no all-pairs comparison; AQE splits hot buckets). Exact verification
+only touches candidate pairs. All hashes are the cross-engine
+:func:`hash60` with explicit seeds ⇒ DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_cs4225_spark.functions.hashing import (
+    hash60,
+    hash60_seeded,
+    hash60_seeded_sql,
+    hash60_sql,
+)
+from hadoop_cs4225_spark.functions.numeric import quant, quant_sql
+from hadoop_cs4225_spark.registry import register
+from hadoop_cs4225_spark.sources.tables import load_table
+
+_TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+#: MinHash permutation seeds (4 signatures, 1-row bands → 4 LSH bands).
+MINHASH_SEEDS: tuple[int, ...] = (101, 202, 303, 404)
+
+#: SimHash width in bits.
+SIMHASH_BITS = 16
+
+
+def _toks() -> Column:
+    return F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+
+
+def _shingles(toks_col: str = "toks") -> Column:
+    """3-token shingle strings from a token-array column (per-row)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks_col) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks_col, i + 1),
+            F.element_at(toks_col, i + 2),
+            F.element_at(toks_col, i + 3),
+        ),
+    )
+
+
+_SHINGLES_SQL = (
+    "list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+)
+
+
+@register(
+    "dedup_exact_summary",
+    oracle="""
+SELECT lang,
+       COUNT(*)                                   AS n_docs,
+       COUNT(DISTINCT text)                       AS n_distinct_texts,
+       COUNT(DISTINCT array_to_string(
+           list_sort(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')),
+           ' '))                                  AS n_distinct_bags
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + bag-of-words dedup cardinality per language.
+
+    ``n_distinct_bags`` counts docs distinct up to token reordering —
+    the cheap canonicalization step before hashing at scale (dedup key =
+    hash of the sorted token bag, grouped in one shuffle).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bag = F.array_join(F.array_sort(_toks()), " ")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text").alias("n_distinct_texts"),
+            F.countDistinct(bag).alias("n_distinct_bags"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _minhash_cols() -> list[Column]:
+    sh = _shingles()
+    return [
+        F.array_min(F.transform(sh, lambda s: hash60_seeded(s, seed))).alias(
+            f"mh{i}"
+        )
+        for i, seed in enumerate(MINHASH_SEEDS)
+    ]
+
+
+def _minhash_sql_cols() -> str:
+    shingle_hash = "{h}"
+    cols = []
+    for i, seed in enumerate(MINHASH_SEEDS):
+        inner = hash60_seeded_sql("s", seed)
+        cols.append(
+            f"list_min(list_transform({_SHINGLES_SQL}, s -> {inner})) AS mh{i}"
+        )
+    return ",\n       ".join(cols)
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+SELECT doc_id,
+       {_minhash_sql_cols()}
+FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t
+WHERE len(toks) >= 3
+ORDER BY doc_id
+""",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature (4 permutations over 3-token shingles).
+
+    min-over-hashes is computed per row inside ``transform``/``array_min``
+    — the signature stage is embarrassingly parallel.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _toks().alias("toks")).where(F.size("toks") >= 3)
+    return d.select("doc_id", *_minhash_cols()).orderBy("doc_id")
+
+
+@register(
+    "minhash_lsh_dup_pairs",
+    oracle=f"""
+WITH sigs AS (
+  SELECT doc_id, toks,
+         {_minhash_sql_cols()}
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t
+  WHERE len(toks) >= 3
+), shingle_sets AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM
+    (SELECT doc_id, toks FROM sigs) q
+), bands AS (
+  SELECT doc_id, b.band, CASE b.band
+           WHEN 0 THEN mh0 WHEN 1 THEN mh1 WHEN 2 THEN mh2 ELSE mh3 END AS bh
+  FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+  FROM bands a JOIN bands c ON a.band = c.band AND a.bh = c.bh
+  WHERE a.doc_id < c.doc_id
+)
+SELECT d1, d2,
+       {quant_sql("CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) / "
+                  "(len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))", 6)}
+         AS jaccard
+FROM cand
+JOIN shingle_sets s1 ON s1.doc_id = d1
+JOIN shingle_sets s2 ON s2.doc_id = d2
+WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
+      (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) >= 0.05
+ORDER BY jaccard DESC, d1, d2
+""",
+)
+def minhash_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pipeline: band → bucket-join → exact verify.
+
+    4 bands of 1 signature row each; candidates = pairs agreeing on any
+    band. Verification computes exact shingle-set Jaccard only for
+    candidates. The band join keys the shuffle on (band, hash) buckets —
+    the 100 TB-safe plan (never all-pairs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.select("doc_id", _toks().alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(_shingles()).alias("sh"),
+            *_minhash_cols(),
+        )
+    )
+    sigs = d.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), F.col(f"mh{i}").alias("bh"))
+                for i in range(len(MINHASH_SEEDS))
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+    a, c = sigs.alias("a"), sigs.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.bh") == F.col("c.bh"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("c.doc_id").alias("d2"))
+        .distinct()
+    )
+    s1 = d.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    s2 = d.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = F.size("sh1") + F.size("sh2") - F.size(F.array_intersect("sh1", "sh2"))
+    jac = inter / union
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .where(jac >= 0.05)
+        .select("d1", "d2", quant(jac, 6).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "d1", "d2")
+    )
+
+
+def _simhash_fp(hashes_col) -> Column:
+    """16-bit SimHash from an array of token hashes (per-row bit votes)."""
+    n = F.size(hashes_col)
+    fp = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        ones = F.size(
+            F.filter(hashes_col, lambda h: F.shiftright(h, b).bitwiseAND(1) == 1)
+        )
+        bit = F.when(ones * 2 > n, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = fp + bit * F.lit(1 << b).cast("long")
+    return fp
+
+
+def _simhash_fp_sql() -> str:
+    terms = []
+    for b in range(SIMHASH_BITS):
+        ones = f"len(list_filter(hs, h -> (h >> {b}) & 1 = 1))"
+        terms.append(f"(CASE WHEN {ones} * 2 > len(hs) THEN {1 << b} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=f"""
+SELECT doc_id, {_simhash_fp_sql()} AS simhash
+FROM (
+  SELECT doc_id,
+         list_transform({_TOKS_SQL}, x -> {hash60_sql("x")}) AS hs
+  FROM documents
+) t
+ORDER BY doc_id
+""",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per doc: majority vote per bit over token hashes.
+
+    Near-dup docs differ in few bits (compare via hamming distance =
+    bit_count(xor)); per-row computation, map-only at scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hs = F.transform(_toks(), lambda x: hash60(x))
+    return (
+        docs.select("doc_id", hs.alias("hs"))
+        .select("doc_id", _simhash_fp("hs").alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "ngram_jaccard_topk",
+    oracle=f"""
+WITH sets AS (
+  SELECT doc_id, list_distinct({_TOKS_SQL}) AS s
+  FROM documents WHERE doc_id <= 80
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       {quant_sql("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+                  "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))", 6)}
+         AS jaccard
+FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+ORDER BY jaccard DESC, d1, d2
+LIMIT 10
+""",
+)
+def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force token-set Jaccard top-10 pairs (bounded input slice).
+
+    The exact baseline the MinHash-LSH path approximates. All-pairs is
+    O(n²) by construction — bounded here to doc_id ≤ 80; at scale this
+    exists only as a verification tool on samples.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 80)
+    sets = docs.select("doc_id", F.array_distinct(_toks()).alias("s"))
+    a = sets.select(F.col("doc_id").alias("d1"), F.col("s").alias("s1"))
+    b = sets.select(F.col("doc_id").alias("d2"), F.col("s").alias("s2"))
+    inter = F.size(F.array_intersect("s1", "s2")).cast("double")
+    union = F.size("s1") + F.size("s2") - F.size(F.array_intersect("s1", "s2"))
+    return (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select("d1", "d2", quant(inter / union, 6).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "d1", "d2")
+        .limit(10)
+    )

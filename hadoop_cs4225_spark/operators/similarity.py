@@ -1,0 +1,223 @@
+"""Embedding similarity search over ``embeddings`` (driver-mandated, M4).
+
+- brute-force cosine top-k — the exact baseline: broadcast the query
+  vector, per-row fold for the dot product, TakeOrderedAndProject top-k;
+- random-hyperplane LSH — the scale path: 8 deterministic ±1 planes
+  bucket the vectors; queries only scan their own bucket (an equi-join
+  on bucket id instead of a full scan).
+
+No UDFs: dot products are ``zip_with`` + ``aggregate`` folds (JVM-side).
+Both Spark's ``aggregate`` and DuckDB's ``list_reduce`` fold strictly
+left-to-right, and the elements are cast to double first, so the sums
+are bit-identical across engines (cosines are additionally quantized).
+
+The hyperplanes are ±1 per dimension derived from md5 parity in plain
+Python (seeded, reproducible) and embedded as literals in BOTH the Spark
+plan and the oracle SQL — no engine-specific randomness anywhere.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_cs4225_spark.functions.numeric import quant, quant_sql
+from hadoop_cs4225_spark.registry import register
+from hadoop_cs4225_spark.sources.tables import load_table
+
+EMB_DIM = 64
+N_PLANES = 8
+
+
+def _plane(p: int) -> list[float]:
+    """Deterministic ±1 hyperplane: sign = parity of md5("plane:p:d")."""
+    return [
+        1.0 if hashlib.md5(f"plane:{p}:{d}".encode()).digest()[0] % 2 == 0 else -1.0
+        for d in range(EMB_DIM)
+    ]
+
+
+PLANES: list[list[float]] = [_plane(p) for p in range(N_PLANES)]
+
+
+def _dot(a: Column | str, b: Column | str) -> Column:
+    """Left-to-right double fold of the elementwise product."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+        "p -> p[1]::DOUBLE * p[2]::DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _cos(a: Column | str, b: Column | str) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_dot_sql(a, b)} / "
+        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+    )
+
+
+def _plane_sql(p: int) -> str:
+    return "[" + ", ".join(str(v) for v in PLANES[p]) + "]::DOUBLE[]"
+
+
+def _bucket_col(emb: str) -> Column:
+    """LSH bucket id: one sign bit per hyperplane."""
+    bucket = F.lit(0).cast("long")
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(v) for v in PLANES[p]])
+        bit = F.when(_dot(emb, plane) > 0, F.lit(1 << p)).otherwise(0)
+        bucket = bucket + bit.cast("long")
+    return bucket
+
+
+def _bucket_sql(emb: str) -> str:
+    terms = [
+        f"(CASE WHEN {_dot_sql(emb, _plane_sql(p))} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "cosine_topk_brute",
+    oracle=f"""
+SELECT e.vec_id, e.label,
+       {quant_sql(_cos_sql("e.embedding", "q.embedding"), 6)} AS cos_sim
+FROM embeddings e
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+""",
+)
+def cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec 0 (brute-force baseline).
+
+    The query vector rides in as a broadcast 1-row cross join; the scan
+    side streams — at 100 TB this is one pass + a k-row heap merge.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            quant(_cos("embedding", "qv"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <= 150)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       {quant_sql(_cos_sql("a.embedding", "b.embedding"), 6)} AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.3
+ORDER BY cos_sim DESC, v1, v2
+""",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (bounded slice, cos ≥ 0.3).
+
+    All-pairs on a bounded slice; the unbounded version routes through
+    ``ann_lsh_buckets`` (bucket-join) exactly like MinHash-LSH dedup.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") <= 150)
+    a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    cos = _cos("e1", "e2")
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .where(cos >= 0.3)
+        .select("v1", "v2", quant(cos, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "v1", "v2")
+    )
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle=f"""
+SELECT {_bucket_sql("embedding")} AS bucket,
+       COUNT(*) AS n_vecs,
+       COUNT(DISTINCT label) AS n_labels
+FROM embeddings
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket histogram (the ANN index layout).
+
+    At scale this bucket id is the partition/bucketBy key of the vector
+    table: an ANN query computes its own bucket and probes one partition
+    (plus optional multi-probe neighbors) instead of scanning all rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(_bucket_col("embedding").alias("bucket"), "label")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "ann_lsh_query_topk",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, label, embedding, {_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+), q AS (SELECT embedding, bucket FROM b WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+       {quant_sql(_cos_sql("e.embedding", "q.embedding"), 6)} AS cos_sim
+FROM b e CROSS JOIN q
+WHERE e.bucket = q.bucket AND e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 5
+""",
+)
+def ann_lsh_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN query via LSH: scan only the query's bucket, then exact cosine.
+
+    The approximate counterpart of ``cosine_topk_brute`` — candidate set
+    is ~1/2^8 of the table (one bucket), which is the entire point at
+    100 TB. Recall is tunable via planes/multi-probe; results here are
+    deterministic either way.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "label", "embedding", _bucket_col("embedding").alias("bucket")
+    )
+    q = F.broadcast(
+        b.where(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+        )
+    )
+    return (
+        b.crossJoin(q)
+        .where((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != 0))
+        .select("vec_id", "label", quant(_cos("embedding", "qv"), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(5)
+    )

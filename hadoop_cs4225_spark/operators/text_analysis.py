@@ -1,0 +1,280 @@
+"""Text analytics over ``documents`` (driver-mandated extension, M4).
+
+The large-scale-training-pipeline text operators: token counting,
+quality scoring, language-ID heuristic, document fingerprinting, and
+TF-IDF. All are built from array higher-order functions
+(``split``/``filter``/``transform``/``aggregate``) — JVM-side, codegen'd,
+no Python UDFs — so a 100 TB corpus streams through scan→project with
+no shuffle except where an aggregation genuinely needs one (TF-IDF's
+document-frequency join).
+
+Cross-engine determinism: token arrays come from the same regex split in
+Spark and DuckDB; hashes are the shared md5-based :func:`hash60`;
+floating scores use the :func:`quant` quantizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_cs4225_spark.functions.hashing import hash60, hash60_sql
+from hadoop_cs4225_spark.functions.numeric import quant, quant_sql
+from hadoop_cs4225_spark.registry import register
+from hadoop_cs4225_spark.sources.tables import load_table
+
+#: Marker words per language for the n-gram/stopword language-ID
+#: heuristic. Checked in alphabetical key order on ties.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht"),
+    "en": ("the", "a", "and", "of", "is"),
+    "es": ("el", "los", "las", "una", "es"),
+    "fr": ("le", "les", "des", "une", "est"),
+    "zh": ("de5", "shi4", "le5", "bu4", "wo3"),
+}
+
+#: Stopwords for the quality score (reuses the wordcount list semantics).
+QUALITY_STOPWORDS: tuple[str, ...] = ("a", "the", "and", "of", "to", "in", "is", "it")
+
+
+def _toks(text_col: str = "text") -> Column:
+    """Token array with StringTokenizer semantics (no empty tokens)."""
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+
+
+_TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+SELECT doc_id, n_chars,
+       CAST(len(toks) AS BIGINT)                         AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT)          AS n_distinct,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+                                                         AS n_bpe_tokens,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS token_chars,
+       {quant_sql("CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)"
+                  " / len(toks)", 6)}                    AS avg_token_len,
+       {quant_sql("CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)", 6)}
+                                                         AS distinct_ratio
+FROM (SELECT doc_id, n_chars, text, {_TOKS_SQL} AS toks FROM documents) t
+ORDER BY doc_id
+""",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens + ratios.
+
+    Pure per-row array math — at 100 TB this is a map-only stage with
+    full column pruning (only doc_id/text/n_chars read).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    token_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            n_tokens.cast("long").alias("n_tokens"),
+            n_distinct.cast("long").alias("n_distinct"),
+            F.regexp_count("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+            token_chars.alias("token_chars"),
+            quant(token_chars.cast("double") / n_tokens, 6).alias("avg_token_len"),
+            quant(n_distinct.cast("double") / n_tokens, 6).alias("distinct_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SW_ARR = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+
+
+@register(
+    "doc_quality_scores",
+    oracle=f"""
+SELECT doc_id, lang,
+       CAST(len(list_filter(toks, x -> x IN ({_SW_ARR}))) AS BIGINT) AS n_stopwords,
+       {quant_sql(f"CAST(len(list_filter(toks, x -> x IN ({_SW_ARR}))) AS DOUBLE)"
+                  " / len(toks)", 6)} AS stopword_ratio,
+       {quant_sql("0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))"
+                  " + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> x IN ("
+                  + _SW_ARR + "))) AS DOUBLE) / len(toks))"
+                  " + 0.3 * least(n_chars / 1000.0, 1.0)", 6)} AS quality
+FROM (SELECT doc_id, lang, n_chars, {_TOKS_SQL} AS toks FROM documents) t
+ORDER BY doc_id
+""",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio + lexical diversity + length norm."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tokens = F.size(toks).cast("double")
+    n_sw = F.size(F.filter(toks, lambda x: x.isin(*QUALITY_STOPWORDS)))
+    sw_ratio = n_sw.cast("double") / n_tokens
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    length_norm = F.least(F.col("n_chars") / 1000.0, F.lit(1.0))
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            n_sw.cast("long").alias("n_stopwords"),
+            quant(sw_ratio, 6).alias("stopword_ratio"),
+            quant(0.4 * diversity + 0.3 * (1.0 - sw_ratio) + 0.3 * length_norm, 6)
+            .alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _marker_count(toks: Column, lang: str) -> Column:
+    return F.size(F.filter(toks, lambda x: x.isin(*LANG_MARKERS[lang]))).cast("long")
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=(
+        "SELECT doc_id, lang AS actual, "
+        + ", ".join(
+            f"CAST(len(list_filter(toks, x -> x IN "
+            f"({', '.join(repr(w) for w in LANG_MARKERS[lg])}))) AS BIGINT) AS s_{lg}"
+            for lg in sorted(LANG_MARKERS)
+        )
+        + ", CASE "
+        + " ".join(
+            f"WHEN s_{lg} = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN '{lg}'"
+            for lg in sorted(LANG_MARKERS)
+        )
+        + " END AS predicted "
+        f"FROM (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents) t "
+        "ORDER BY doc_id"
+    ),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by marker-word scoring; argmax with alphabetical ties.
+
+    The production version of this operator swaps the marker lists for
+    per-language character-n-gram frequency tables (same shape: per-row
+    array scoring, no shuffle).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks_col = _toks()
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("actual"),
+        *[_marker_count(toks_col, lg).alias(f"s_{lg}") for lg in sorted(LANG_MARKERS)],
+    )
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in sorted(LANG_MARKERS)])
+    pred = None
+    for lg in sorted(LANG_MARKERS):
+        cond = F.col(f"s_{lg}") == best
+        pred = F.when(cond, lg) if pred is None else pred.when(cond, lg)
+    return scored.withColumn("predicted", pred).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(toks) - 2 AS BIGINT) AS n_shingles,
+       list_min(list_transform(range(1, len(toks) - 1),
+                i -> {hash60_sql("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}))
+         AS fp_min,
+       list_max(list_transform(range(1, len(toks) - 1),
+                i -> {hash60_sql("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}))
+         AS fp_max
+FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t
+WHERE len(toks) >= 3
+ORDER BY doc_id
+""",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint: min/max hash over 3-token shingles.
+
+    The winnowing primitive: per-row shingle→hash→extremum, no explode,
+    no shuffle. ``fp_min`` doubles as a 1-permutation MinHash.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    d = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") >= 3)
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 3),
+        lambda i: hash60(
+            F.concat_ws(
+                " ",
+                F.element_at("toks", i + 1),
+                F.element_at("toks", i + 2),
+                F.element_at("toks", i + 3),
+            )
+        ),
+    )
+    return (
+        d.select(
+            "doc_id",
+            (F.size("toks") - 2).cast("long").alias("n_shingles"),
+            F.array_min(shingle_hashes).alias("fp_min"),
+            F.array_max(shingle_hashes).alias("fp_max"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word
+), df AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY word
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.word,
+         {quant_sql("tf * ln((n_docs + 1.0) / (df + 1.0))", 6)} AS tfidf
+  FROM tf JOIN df USING (word) CROSS JOIN n
+)
+SELECT doc_id, word, tfidf, rn FROM (
+  SELECT doc_id, word, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, word) AS rn
+  FROM scored
+) x
+WHERE rn <= 3 AND doc_id <= 50
+ORDER BY doc_id, rn
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-lite: per-doc top-3 terms.
+
+    Two shuffles (tf groupBy, df groupBy) + broadcast of the df side
+    (vocabulary ≪ corpus) + windowed top-k. At 100 TB the df table is
+    the only global state and is vocabulary-sized.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_toks()).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; at scale use a broadcast scalar subquery
+    scored = tf.join(F.broadcast(df), "word").select(
+        "doc_id",
+        "word",
+        quant(
+            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") <= 3) & (F.col("doc_id") <= 50))
+        .select("doc_id", "word", "tfidf", "rn")
+        .orderBy("doc_id", "rn")
+    )

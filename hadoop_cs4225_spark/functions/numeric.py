@@ -25,8 +25,14 @@ def rsum(col: Column | str, scale: int = 2) -> Column:
 
 
 def ravg(col: Column | str, scale: int = 6, sum_scale: int = 2) -> Column:
-    """AVG as round(round(sum, s)/count, scale): deterministic both sides."""
-    return F.round(rsum(col, sum_scale) / F.count(F.lit(1)), scale)
+    """AVG as quant(round(sum, s)/count, scale): deterministic both sides.
+
+    The outer step MUST be the floor-quantizer, not round: divisions by
+    powers of two terminate exactly on decimal half-boundaries (e.g.
+    sum/32 = 65.6534375) where the engines' round() implementations
+    disagree. quant of an identical double is identical.
+    """
+    return quant(rsum(col, sum_scale) / F.count(F.lit(1)), scale)
 
 
 def rstddev(col: Column | str, scale: int = 4, sum_scale: int = 2) -> Column:
@@ -35,7 +41,7 @@ def rstddev(col: Column | str, scale: int = 4, sum_scale: int = 2) -> Column:
     n = F.count(F.lit(1)).cast("double")
     s1 = rsum(c, sum_scale)
     s2 = F.round(F.sum(c * c), sum_scale)
-    return F.round(F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0))), scale)
+    return quant(F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0))), scale)
 
 
 def quant(col: Column | str, scale: int = 2) -> Column:
@@ -60,12 +66,12 @@ def quant_sql(expr: str, scale: int = 2) -> str:
 
 
 def ravg_sql(expr: str, scale: int = 6, sum_scale: int = 2) -> str:
-    return f"ROUND(ROUND(SUM({expr}), {sum_scale}) / COUNT(*), {scale})"
+    return quant_sql(f"ROUND(SUM({expr}), {sum_scale}) / COUNT(*)", scale)
 
 
 def rstddev_sql(expr: str, scale: int = 4, sum_scale: int = 2) -> str:
     s1 = f"ROUND(SUM({expr}), {sum_scale})"
     s2 = f"ROUND(SUM(({expr}) * ({expr})), {sum_scale})"
-    return (
-        f"ROUND(SQRT(({s2} - {s1} * {s1} / COUNT(*)) / (COUNT(*) - 1.0)), {scale})"
+    return quant_sql(
+        f"SQRT(({s2} - {s1} * {s1} / COUNT(*)) / (COUNT(*) - 1.0))", scale
     )

@@ -1,0 +1,232 @@
+"""Event-time windowing over ``events`` — batch-equivalent form (M5).
+
+Streaming semantics (SURVEY.md §7): every windowed operator is
+implemented twice with identical event-time semantics —
+
+1. here, as a *batch* DataFrame query using the same ``window()`` /
+   ``session_window()`` expressions, which DuckDB can oracle-check;
+2. in ``hadoop_cs4225_spark/streaming/streams.py`` as a Structured
+   Streaming query (``readStream`` + watermark), smoke-tested against
+   the batch result (a stream cannot be oracle'd by DuckDB).
+
+Window alignment notes: Spark's ``window(ts, size, slide)`` starts are
+epoch-aligned multiples of the slide — identical to DuckDB
+``time_bucket``. Session windows are [min(ts), max(ts)+gap) per merged
+group, reproduced in SQL with the lag/cumsum sessionization idiom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_cs4225_spark.functions.numeric import quant
+from hadoop_cs4225_spark.registry import register
+from hadoop_cs4225_spark.sources.tables import load_table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_SQL = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "events_tumbling_counts",
+    oracle=f"""
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_TS_FMT_SQL}') AS w_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts per event type.
+
+    The batch twin of the streaming tumbling aggregation; one shuffle on
+    (window, type). At 100 TB ``events`` is date-partitioned so the scan
+    prunes to the queried range before windowing.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("w_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("w_start", "event_type")
+    )
+
+
+@register(
+    "events_sliding_avg",
+    oracle=f"""
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour' AS w_start, value
+  FROM events
+)
+SELECT strftime(w_start, '{_TS_FMT_SQL}') AS w_start,
+       COUNT(*) AS n_events,
+       (floor((ROUND(SUM(value), 2) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0)
+         AS avg_value
+FROM assigned
+GROUP BY w_start
+ORDER BY w_start
+""",
+)
+def events_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding by 1 hour (each event lands in 2 windows).
+
+    The oracle models Spark's window replication as a 2-branch UNION ALL
+    on the two epoch-aligned starts covering each event.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            quant(F.round(F.sum("value"), 2) / F.count(F.lit(1)), 6).alias(
+                "avg_value"
+            ),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("w_start"),
+            "n_events",
+            "avg_value",
+        )
+        .orderBy("w_start")
+    )
+
+
+@register(
+    "events_session_windows",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE user_id <= 50
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       strftime(MIN(ts), '{_TS_FMT_SQL}') AS session_start,
+       strftime(MAX(ts) + INTERVAL '30 minutes', '{_TS_FMT_SQL}') AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user via ``session_window``.
+
+    Spark merges events whose gaps are < 30 min; window end is
+    ``last_event + gap``. The oracle reproduces the merge with the
+    lag/cumsum sessionization idiom — same semantics, pure SQL.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 50)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT).alias("session_start"),
+            F.date_format("w.end", _TS_FMT).alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "events_dedup_latest",
+    oracle=f"""
+SELECT user_id, event_type,
+       strftime(ts, '{_TS_FMT_SQL}') AS latest_ts,
+       event_id
+FROM (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE user_id <= 100
+) t
+WHERE rn = 1
+ORDER BY user_id, event_type
+""",
+)
+def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest dedup per (user, event_type) — the batch twin of
+    streaming ``dropDuplicates`` with watermark (streams.py)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 100)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("ts", _TS_FMT).alias("latest_ts"),
+            "event_id",
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@register(
+    "events_daily_rollup",
+    oracle=f"""
+SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
+         AS purchase_value
+FROM events
+GROUP BY day
+ORDER BY day
+""",
+)
+def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup with conditional aggregation (hypertable-rollup shape).
+
+    At scale this materializes as an incremental aggregate maintained by
+    the streaming twin; in batch it's a single windowed groupBy.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                        0.0
+                    )
+                ),
+                2,
+            ).alias("purchase_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "n_users",
+            "purchase_value",
+        )
+        .orderBy("day")
+    )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hadoop_cs4225_spark.functions.numeric import ravg_sql, rsum
+from hadoop_cs4225_spark.functions.numeric import quant, ravg_sql, rsum
 from hadoop_cs4225_spark.registry import register
 from hadoop_cs4225_spark.sources.tables import load_table
 
@@ -154,7 +154,7 @@ def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            F.round(rsum("c_acctbal") / F.count(F.lit(1)), 6).alias("avg_bal"),
+            quant(rsum("c_acctbal") / F.count(F.lit(1)), 6).alias("avg_bal"),
         )
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("region"),

@@ -1,0 +1,126 @@
+"""Structured Streaming twins of the batch event-time queries (M5).
+
+Each builder takes a *streaming* DataFrame of events (same schema as the
+batch table) and applies identical event-time logic to its batch twin in
+``operators/events_windows.py``. DuckDB cannot oracle a stream, so
+correctness comes from the twin: replaying the events parquet through
+the stream with ``trigger(availableNow=True)`` must reproduce the batch
+result (tests/test_streaming.py).
+
+Watermarks bound state: aggregation state for windows older than
+(max event time − delay) is dropped, and late rows beyond the watermark
+are discarded — that is the knob that keeps state finite on an unbounded
+100 TB/day stream. ``foreachBatch`` is the sink adapter for parquet/
+upsert targets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_cs4225_spark.functions.numeric import quant
+from hadoop_cs4225_spark.session import apply_runtime_confs
+from hadoop_cs4225_spark.sources.tables import load_events
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet (file-source replay).
+
+    The file source needs an explicit schema; reuse the batch loader's
+    (including the ns→µs timestamp conversion — the raw file stores
+    TIMESTAMP(NANOS) which arrives as a long under nanosAsLong).
+    """
+    apply_runtime_confs(spark)
+    batch = load_events(spark, sf_dir)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The file stream source requires a directory; glob-filter down to
+    # the events file inside the sf_dir.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    # Align column order/types with the batch twin.
+    return stream.select(*[F.col(f.name) for f in batch.schema.fields])
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of ``events_tumbling_counts``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_avg_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ``events_sliding_avg``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            quant(F.round(F.sum("value"), 2) / F.count(F.lit(1)), 6).alias(
+                "avg_value"
+            ),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def session_windows_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming twin of ``events_session_windows`` (stateful merge)."""
+    return (
+        events.where(F.col("user_id") <= 50)
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming exactly-once dedup on event_id within the watermark.
+
+    State = one entry per event_id seen in the last ``watermark`` of
+    event time; the watermark bounds it (the infinite-retention variant
+    is ``dropDuplicates`` without watermark — refuse it at scale).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> None:
+    """Replay a bounded stream to a memory sink (test/smoke harness)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)

@@ -1,0 +1,45 @@
+"""Streaming twins must reproduce their batch-equivalent results when the
+bounded events table is replayed as a stream (SURVEY.md §7 M5: the
+batch query is the oracle; DuckDB cannot check a stream)."""
+
+from __future__ import annotations
+
+from hadoop_cs4225_spark import registry
+from hadoop_cs4225_spark.sources.tables import load_events
+from hadoop_cs4225_spark.streaming import streams
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+
+
+def _rows(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+def test_tumbling_stream_matches_batch(spark):
+    ev = streams.read_events_stream(spark, SF_SMOKE)
+    assert ev.isStreaming
+    streams.run_to_memory(
+        streams.tumbling_counts_stream(ev), "t_tumbling", "complete"
+    )
+    got = _rows(spark.sql("SELECT * FROM t_tumbling"))
+    want = _rows(registry.QUERIES["events_tumbling_counts"](spark, SF_SMOKE))
+    assert got == want
+
+
+def test_session_stream_matches_batch(spark):
+    ev = streams.read_events_stream(spark, SF_SMOKE)
+    streams.run_to_memory(
+        streams.session_windows_stream(ev), "t_sessions", "complete"
+    )
+    got = _rows(spark.sql("SELECT * FROM t_sessions"))
+    want = _rows(registry.QUERIES["events_session_windows"](spark, SF_SMOKE))
+    assert got == want
+
+
+def test_dedup_stream_counts(spark):
+    ev = streams.read_events_stream(spark, SF_SMOKE)
+    streams.run_to_memory(streams.dedup_stream(ev), "t_dedup", "append")
+    got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM t_dedup").first()
+    batch = load_events(spark, SF_SMOKE)
+    assert got.n == got.d == batch.select("event_id").distinct().count()

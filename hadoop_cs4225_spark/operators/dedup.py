@@ -24,8 +24,6 @@ from pyspark.sql import functions as F
 
 from hadoop_cs4225_spark.functions.hashing import (
     hash60,
-    hash60_seeded,
-    hash60_seeded_sql,
     hash60_sql,
 )
 from hadoop_cs4225_spark.functions.numeric import quant, quant_sql
@@ -34,8 +32,11 @@ from hadoop_cs4225_spark.sources.tables import load_table
 
 _TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
-#: MinHash permutation seeds (4 signatures, 1-row bands → 4 LSH bands).
-MINHASH_SEEDS: tuple[int, ...] = (101, 202, 303, 404)
+#: Number of MinHash permutations (1-row bands → 4 LSH bands).
+N_PERMS = 4
+
+#: Permutation combiner modulus (2^60, the hash60 value range).
+_PERM_MOD = 1 << 60
 
 #: SimHash width in bits.
 SIMHASH_BITS = 16
@@ -98,59 +99,81 @@ def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_cols() -> list[Column]:
-    sh = _shingles()
-    return [
-        F.array_min(F.transform(sh, lambda s: hash60_seeded(s, seed))).alias(
-            f"mh{i}"
-        )
-        for i, seed in enumerate(MINHASH_SEEDS)
-    ]
+def _minhash_sigs(docs: DataFrame) -> DataFrame:
+    """Per-doc MinHash signatures: ONE md5 per shingle.
+
+    md5 dominates MinHash cost. Explode shingles, hash each exactly once,
+    split the 128-bit digest into two 60-bit halves (h1, h2), and derive
+    every permutation with the standard combiner
+    ``perm_i = (h1 + i*h2) mod 2^60`` inside a map-side-combined
+    ``groupBy(doc_id).min(...)``. (Computing the N mins as N array
+    expressions over a shared hash array looks cheaper but re-inlines
+    the md5 transform per output column — measured 2x slower.)
+
+    This is also the 100 TB shape: shingling is a flatMap, the signature
+    is a partial-aggregated shuffle keyed on doc_id.
+    """
+    d = docs.select("doc_id", _toks().alias("toks")).where(F.size("toks") >= 3)
+    hx = d.select("doc_id", F.explode(_shingles()).alias("s")).select(
+        "doc_id", F.md5("s").alias("x")
+    )
+    pairs = hx.select(
+        "doc_id",
+        F.conv(F.substring("x", 1, 15), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring("x", 17, 15), 16, 10).cast("long").alias("h2"),
+    )
+    return pairs.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(_PERM_MOD)).alias(
+                f"mh{i}"
+            )
+            for i in range(N_PERMS)
+        ]
+    )
 
 
-def _minhash_sql_cols() -> str:
-    shingle_hash = "{h}"
-    cols = []
-    for i, seed in enumerate(MINHASH_SEEDS):
-        inner = hash60_seeded_sql("s", seed)
-        cols.append(
-            f"list_min(list_transform({_SHINGLES_SQL}, s -> {inner})) AS mh{i}"
-        )
-    return ",\n       ".join(cols)
+def _minhash_sigs_sql() -> str:
+    mins = ",\n         ".join(
+        f"MIN((h1 + {i} * h2) % {_PERM_MOD}) AS mh{i}" for i in range(N_PERMS)
+    )
+    return f"""
+  SELECT doc_id, {mins}
+  FROM (
+    SELECT doc_id,
+           ('0x' || substr(x, 1, 15))::BIGINT AS h1,
+           ('0x' || substr(x, 17, 15))::BIGINT AS h2
+    FROM (
+      SELECT doc_id, md5(unnest({_SHINGLES_SQL})) AS x
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t0
+      WHERE len(toks) >= 3
+    ) t1
+  ) t2
+  GROUP BY doc_id
+"""
 
 
 @register(
     "minhash_signatures",
     oracle=f"""
-SELECT doc_id,
-       {_minhash_sql_cols()}
-FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t
-WHERE len(toks) >= 3
+SELECT doc_id, mh0, mh1, mh2, mh3
+FROM ({_minhash_sigs_sql()}) s
 ORDER BY doc_id
 """,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signature (4 permutations over 3-token shingles).
-
-    min-over-hashes is computed per row inside ``transform``/``array_min``
-    — the signature stage is embarrassingly parallel.
-    """
+    """Per-doc MinHash signature (4 permutations over 3-token shingles)."""
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select("doc_id", _toks().alias("toks")).where(F.size("toks") >= 3)
-    return d.select("doc_id", *_minhash_cols()).orderBy("doc_id")
+    return _minhash_sigs(docs).orderBy("doc_id")
 
 
 @register(
     "minhash_lsh_dup_pairs",
     oracle=f"""
-WITH sigs AS (
-  SELECT doc_id, toks,
-         {_minhash_sql_cols()}
-  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t
-  WHERE len(toks) >= 3
+WITH sigs AS ({_minhash_sigs_sql()}
 ), shingle_sets AS (
   SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM
-    (SELECT doc_id, toks FROM sigs) q
+    (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) q
+  WHERE len(toks) >= 3
 ), bands AS (
   SELECT doc_id, b.band, CASE b.band
            WHEN 0 THEN mh0 WHEN 1 THEN mh1 WHEN 2 THEN mh2 ELSE mh3 END AS bh
@@ -184,18 +207,14 @@ def minhash_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         docs.select("doc_id", _toks().alias("toks"))
         .where(F.size("toks") >= 3)
-        .select(
-            "doc_id",
-            F.array_distinct(_shingles()).alias("sh"),
-            *_minhash_cols(),
-        )
+        .select("doc_id", F.array_distinct(_shingles()).alias("sh"))
     )
-    sigs = d.select(
+    sigs = _minhash_sigs(docs).select(
         "doc_id",
         F.explode(
             F.array(*[
                 F.struct(F.lit(i).alias("band"), F.col(f"mh{i}").alias("bh"))
-                for i in range(len(MINHASH_SEEDS))
+                for i in range(N_PERMS)
             ])
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bh")

@@ -1,0 +1,73 @@
+"""Registered queries over the multimodal (binary) pipeline (M6).
+
+``media_metadata_stats`` stays in pure built-in expressions (oracle-able
+— DuckDB computes the same byte lengths with ``encode``); the
+Pandas-UDF feature path (``media_byte_features``) has no SQL equivalent
+and registers as a rows-only query; its numeric correctness is pinned by
+tests/test_multimodal.py against a Python reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_cs4225_spark.functions.multimodal import (
+    extract_media_features,
+    media_from_documents,
+)
+from hadoop_cs4225_spark.registry import register
+from hadoop_cs4225_spark.sources.tables import load_table
+
+
+@register(
+    "media_metadata_stats",
+    oracle="""
+SELECT media_type,
+       COUNT(*) AS n_items,
+       SUM(content_len) AS total_bytes,
+       MAX(CAST(ceil(content_len / 256.0) AS INT)) AS max_frames
+FROM (
+  SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS content_len
+  FROM documents
+) m
+GROUP BY media_type
+ORDER BY media_type
+""",
+)
+def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata aggregation over binary payloads (no decode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    return (
+        media.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("content_len").alias("total_bytes"),
+            F.max(F.ceil(F.col("content_len") / 256.0).cast("int")).alias(
+                "max_frames"
+            ),
+        )
+        .orderBy("media_type")
+    )
+
+
+@register("media_byte_features")  # Pandas-UDF path: no SQL oracle (rows-only)
+def media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched byte-histogram features via ``mapInPandas``.
+
+    The decode step is the documented stub; the Spark plumbing (schema,
+    batch iteration, 1:1 row mapping, array output column) is real.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 100)
+    media = media_from_documents(docs)
+    feats = extract_media_features(media)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "content_len",
+        "n_frames",
+        F.element_at("byte_hist", 8).alias("hist_bin7"),
+    ).orderBy("doc_id")

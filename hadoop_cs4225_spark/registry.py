@@ -38,6 +38,7 @@ _OPERATOR_MODULES = (
     "hadoop_cs4225_spark.operators.dedup",
     "hadoop_cs4225_spark.operators.similarity",
     "hadoop_cs4225_spark.operators.events_windows",
+    "hadoop_cs4225_spark.operators.multimodal_ops",
 )
 
 _loaded = False

@@ -1,0 +1,80 @@
+"""Physical-plan assertions: the scale posture is part of correctness.
+
+Each flagship query must compile to the plan we would want on a
+1000-executor cluster — pushdown at the scan, broadcast for dims,
+distributed top-k — not merely any plan that returns the right rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_cs4225_spark import registry
+from hadoop_cs4225_spark.plans.explain import audit_plan, plan_string
+from tests.conftest import SF_ORACLE
+
+registry.load_all()
+
+
+def _df(spark, name):
+    return registry.QUERIES[name](spark, SF_ORACLE)
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    plan = plan_string(_df(spark, "q6_revenue_forecast"))
+    assert "PushedFilters: [" in plan
+    # The shipdate range + quantity predicates must reach parquet.
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    assert "l_quantity" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q3_broadcasts_customer_dim(spark):
+    plan = plan_string(_df(spark, "q3_shipping_priority"))
+    assert "BroadcastHashJoin" in plan
+    # Global top-k must be the distributed heap, not a full sort.
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_all_dims_broadcast(spark):
+    plan = plan_string(_df(spark, "q5_local_supplier_volume"))
+    # 4 broadcast joins (customer, supplier, nation, region);
+    # orders⋈lineitem may be SMJ/SHJ — but never a cartesian.
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_is_distributed_heap(spark):
+    plan = plan_string(_df(spark, "topk_common_words_max"))
+    assert "TakeOrderedAndProject" in plan
+    # Stopword filter must be a broadcast anti-join.
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_wordcount_partial_aggregation(spark):
+    plan = plan_string(_df(spark, "word_count"))
+    # Partial (map-side) + final aggregation: two HashAggregate levels.
+    assert plan.count("HashAggregate") >= 2
+    # AQE's formatted plan hides codegen markers pre-execution; the
+    # codegen-mode explain shows the compiled subtrees.
+    assert "WholeStageCodegen" in plan_string(_df(spark, "word_count"), "codegen")
+
+
+def test_scan_prunes_columns(spark):
+    plan = plan_string(_df(spark, "word_count"))
+    # documents has 5 columns; the scan must read only `text`.
+    readschema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in readschema
+    for col in ("doc_id", "lang", "source", "n_chars"):
+        assert col not in readschema
+
+
+def test_lsh_join_is_equi_join_not_cartesian(spark):
+    plan = plan_string(_df(spark, "minhash_lsh_dup_pairs"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_audit_helper_reports_violations(spark):
+    df = _df(spark, "q6_revenue_forecast")
+    assert audit_plan(df, require=("PushedFilters",)) == []
+    assert audit_plan(df, require=("NoSuchOperator",)) == ["missing: NoSuchOperator"]

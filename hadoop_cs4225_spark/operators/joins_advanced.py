@@ -1,0 +1,198 @@
+"""As-of and range joins — operators Spark lacks as primitives (M7).
+
+SURVEY.md §2.2 "Joins": implemented as compositions of built-in
+DataFrame ops (option (a) of the custom-operator policy — no Pandas UDF
+needed):
+
+- **as-of join** via the union + ``last(ignorenulls)`` window pattern:
+  one shuffle on the partition key, no join explosion. This is the
+  100 TB-correct plan — the naive join+filter form materializes every
+  (left, candidate) pair before ranking.
+- **range/interval join** via an equi-join on the key plus range
+  predicates; Catalyst plans key-partitioned SMJ with the range as a
+  post-join filter, AQE splitting hot users.
+
+Also array/map scalar coverage over ``embeddings``/``events.props``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_cs4225_spark.functions.numeric import quant, quant_sql
+from hadoop_cs4225_spark.registry import register
+from hadoop_cs4225_spark.sources.tables import load_table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_SQL = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "events_asof_join",
+    oracle=f"""
+WITH tagged AS (
+  SELECT event_id, user_id, ts, event_type,
+         LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS asof_view_ts
+  FROM events WHERE user_id <= 100
+)
+SELECT event_id, user_id,
+       strftime(ts, '{_TS_FMT_SQL}') AS purchase_ts,
+       strftime(asof_view_ts, '{_TS_FMT_SQL}') AS last_view_ts,
+       CAST(floor(epoch(ts)) - floor(epoch(asof_view_ts)) AS BIGINT)
+         AS secs_since_view
+FROM tagged
+WHERE event_type = 'purchase'
+ORDER BY event_id
+""",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: each purchase ↔ latest view at-or-before it.
+
+    Union-free formulation: a single window pass carries the last
+    non-null view timestamp forward per user; purchases read it in
+    place. One shuffle on user_id, state = one timestamp per partition
+    row — contrast with join-then-rank, which is quadratic in events
+    per user.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 100)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    tagged = ev.withColumn("asof_view_ts", F.last(view_ts, ignorenulls=True).over(w))
+    return (
+        tagged.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+            F.date_format("asof_view_ts", _TS_FMT).alias("last_view_ts"),
+            (
+                F.unix_timestamp(F.col("ts").cast("timestamp"))
+                - F.unix_timestamp(F.col("asof_view_ts").cast("timestamp"))
+            ).alias("secs_since_view"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "events_range_join",
+    oracle=f"""
+SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id,
+       CAST(floor(epoch(e.ts)) - floor(epoch(c.ts)) AS BIGINT) AS secs_between
+FROM events c
+JOIN events e
+  ON c.user_id = e.user_id
+ AND e.ts > c.ts
+ AND e.ts <= c.ts + INTERVAL '5 minutes'
+WHERE c.event_type = 'click' AND e.event_type = 'error' AND c.user_id <= 50
+ORDER BY click_id, error_id
+""",
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: errors within 5 minutes after a click.
+
+    Equi-key (user_id) + time-range predicate: the shuffle is keyed on
+    user only; the range is a post-join filter. For key-free interval
+    joins at scale, bucket ts into interval-sized bins and equi-join on
+    the bin (same rewrite as the LSH bucket joins).
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 50)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    return (
+        clicks.join(
+            errors,
+            (F.col("user_id") == F.col("e_user"))
+            & (F.col("e_ts") > F.col("c_ts"))
+            & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .select(
+            "click_id",
+            "error_id",
+            "user_id",
+            (
+                F.unix_timestamp(F.col("e_ts").cast("timestamp"))
+                - F.unix_timestamp(F.col("c_ts").cast("timestamp"))
+            ).alias("secs_between"),
+        )
+        .orderBy("click_id", "error_id")
+    )
+
+
+@register(
+    "embedding_array_features",
+    oracle=f"""
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       list_transform(embedding[1:4], x -> {quant_sql("x::DOUBLE", 6)}) AS head4,
+       {quant_sql("list_reduce(list_prepend(0.0, list_transform(embedding,"
+                  " x -> abs(x::DOUBLE))), (a, b) -> a + b)", 6)} AS l1_norm,
+       {quant_sql("list_sort(list_transform(embedding, x -> x::DOUBLE), 'DESC')[1]", 6)}
+         AS max_dim
+FROM embeddings
+WHERE vec_id <= 200
+ORDER BY vec_id
+""",
+)
+def embedding_array_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function coverage: slice/transform/aggregate/sort_array."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") <= 200)
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.transform(
+                F.slice("embedding", 1, 4), lambda x: quant(x.cast("double"), 6)
+            ).alias("head4"),
+            quant(
+                F.aggregate(as_double, F.lit(0.0), lambda a, x: a + F.abs(x)), 6
+            ).alias("l1_norm"),
+            quant(
+                F.element_at(F.sort_array(as_double, asc=False), 1), 6
+            ).alias("max_dim"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "event_props_map",
+    oracle="""
+SELECT event_id,
+       array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+       CAST(len(json_keys(props)) AS INT) AS n_keys,
+       CAST(json_extract_string(props, 'k') AS INT) AS k_val
+FROM events
+WHERE event_id <= 1000
+ORDER BY event_id
+""",
+)
+def event_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type coverage: ``from_json`` → MapType → map_keys/element_at."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") <= 1000)
+    m = F.from_json("props", "map<string,int>")
+    return (
+        ev.select(
+            "event_id",
+            F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_csv"),
+            F.size(F.map_keys(m)).alias("n_keys"),
+            F.element_at(m, "k").alias("k_val"),
+        )
+        .orderBy("event_id")
+    )

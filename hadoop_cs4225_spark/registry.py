@@ -39,6 +39,7 @@ _OPERATOR_MODULES = (
     "hadoop_cs4225_spark.operators.similarity",
     "hadoop_cs4225_spark.operators.events_windows",
     "hadoop_cs4225_spark.operators.multimodal_ops",
+    "hadoop_cs4225_spark.operators.joins_advanced",
 )
 
 _loaded = False

@@ -1,0 +1,46 @@
+"""Sinks (SURVEY.md §2.2): Parquet + the reference's text-KV format.
+
+Reference parity: Hadoop ``TextOutputFormat`` writes ``key TAB value``
+lines and fails when the output directory exists (``WordCount.java:61``,
+``TopkCommonWords.java:174``); ``mode("error")`` reproduces the
+exists-check, ``write_text_kv`` the format (TopkCommonWords emits
+``count TAB word`` — key=count, ``TopkCommonWords.java:149``).
+
+Scale: ``write_partitioned`` is the 100 TB layout primitive — partition
+columns become directory pruning keys for every downstream scan
+(e.g. ``events`` by day, ``documents`` by lang/source).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "error") -> None:
+    """Parquet sink; default errors if the path exists (Hadoop parity)."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: tuple[str, ...], mode: str = "error"
+) -> None:
+    """Partitioned Parquet layout (directory-pruning keys at scale)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_text_kv(
+    df: DataFrame, path: str, key_col: str, value_col: str, mode: str = "error"
+) -> None:
+    """Hadoop TextOutputFormat-style ``key TAB value`` lines.
+
+    ``coalesce(1)`` keeps the reference's single-file shape for
+    golden-comparable outputs; drop it for large results (one file per
+    partition, like part-r-NNNNN).
+    """
+    out = df.select(
+        F.concat_ws("\t", F.col(key_col).cast("string"), F.col(value_col).cast("string")).alias(
+            "value"
+        )
+    )
+    out.coalesce(1).write.mode(mode).text(path)

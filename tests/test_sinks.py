@@ -1,0 +1,56 @@
+"""Sink roundtrips + Hadoop exists-check parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.errors import AnalysisException
+
+from hadoop_cs4225_spark import registry
+from hadoop_cs4225_spark.sources import sinks
+from hadoop_cs4225_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    df = registry.QUERIES["q1_pricing_summary"](spark, SF_SMOKE)
+    out = str(tmp_path / "q1")
+    sinks.write_parquet(df, out)
+    back = spark.read.parquet(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # Parquet roundtrips may flip nullability flags; names/types must hold.
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in df.schema.fields
+    ]
+
+
+def test_write_fails_if_exists(spark, tmp_path):
+    df = load_table(spark, SF_SMOKE, "region")
+    out = str(tmp_path / "dup")
+    sinks.write_parquet(df, out)
+    with pytest.raises(AnalysisException):
+        sinks.write_parquet(df, out)  # Hadoop exists-check parity
+
+
+def test_partitioned_layout(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "bylang")
+    sinks.write_partitioned(docs, out, ("lang",))
+    langs = {d.name for d in (tmp_path / "bylang").iterdir() if d.is_dir()}
+    assert {"lang=en", "lang=fr"} <= langs
+    # Partition pruning: reading one partition returns only that lang.
+    en = spark.read.parquet(out).where("lang = 'en'")
+    assert en.select("lang").distinct().collect()[0].lang == "en"
+
+
+def test_text_kv_matches_reference_format(spark, tmp_path):
+    df = registry.QUERIES["topk_common_words_max"](spark, SF_SMOKE)
+    out = str(tmp_path / "topk")
+    # TopkCommonWords emits count TAB word (key=count).
+    sinks.write_text_kv(df, out, "score", "word")
+    lines = spark.read.text(out).collect()
+    rows = df.collect()
+    got = {r.value for r in lines}
+    want = {f"{r.score}\t{r.word}" for r in rows}
+    assert got == want and len(lines) == len(rows)

@@ -219,6 +219,45 @@ def event_type_prop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "string_edit_distance",
+    oracle="""
+SELECT n_name,
+       levenshtein(n_name, 'GERMANY')            AS dist_germany,
+       lcase(n_name)                             AS name_lower,
+       lpad(n_name, 15, '.')                     AS name_padded,
+       trim(concat('  ', n_name, '  '))          AS name_trimmed,
+       reverse(n_name)                           AS name_rev,
+       left(n_name, 3)                           AS name_left3,
+       contains(n_name, 'AN')                    AS has_an,
+       starts_with(n_name, 'A')                  AS starts_a,
+       ends_with(n_name, 'A')                    AS ends_a
+FROM nation
+ORDER BY n_name
+""",
+)
+def string_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """levenshtein + pad/trim/reverse/left/contains/startswith/endswith."""
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.select(
+            "n_name",
+            F.levenshtein("n_name", F.lit("GERMANY")).alias("dist_germany"),
+            F.lower("n_name").alias("name_lower"),
+            F.lpad("n_name", 15, ".").alias("name_padded"),
+            F.trim(F.concat(F.lit("  "), F.col("n_name"), F.lit("  "))).alias(
+                "name_trimmed"
+            ),
+            F.reverse("n_name").alias("name_rev"),
+            F.substring("n_name", 1, 3).alias("name_left3"),
+            F.contains("n_name", F.lit("AN")).alias("has_an"),
+            F.startswith("n_name", F.lit("A")).alias("starts_a"),
+            F.endswith("n_name", F.lit("A")).alias("ends_a"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
     "conditional_expr_coverage",
     oracle="""
 SELECT o_orderkey,

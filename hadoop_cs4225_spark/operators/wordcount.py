@@ -205,6 +205,49 @@ def topk_common_words_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_docs(spark, sf_dir, "min")
 
 
+@register(
+    "topk_words_per_lang",
+    oracle=f"""
+WITH tok AS (
+  SELECT lang, unnest(string_split_regex(text, '\\s+')) AS word FROM documents
+), counts AS (
+  SELECT lang, word, COUNT(*) AS cnt
+  FROM tok WHERE word <> '' AND word NOT IN ({{sw}})
+  GROUP BY lang, word
+)
+SELECT lang, word, cnt, rn FROM (
+  SELECT lang, word, cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, word DESC) AS rn
+  FROM counts
+) t
+WHERE rn <= 5
+ORDER BY lang, rn
+""".format(sw=", ".join(f"'{w}'" for w in DEFAULT_STOPWORDS)),
+)
+def topk_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: the reference's global top-k (O10) generalized to
+    per-language via a ranking window — the distributed replacement for
+    its rekey-to-one-reducer gather, one shuffle on (lang, word) + one
+    on lang."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = tokenize(docs.select("lang", "text"), keep=("lang",))
+    sw = spark.createDataFrame([(w,) for w in DEFAULT_STOPWORDS], "word string")
+    counts = (
+        tokens.join(F.broadcast(sw), "word", "left_anti")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.desc("word"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("lang", "word", "cnt", "rn")
+        .orderBy("lang", "rn")
+    )
+
+
 def format_tsv(df: DataFrame, cols: tuple[str, str]) -> str:
     """Render rows as Hadoop TextOutputFormat would: ``key TAB value``.
 

@@ -63,22 +63,27 @@ def _score(mode: str, col: str) -> Column:
     raise ValueError(f"mode must be 'max' or 'min', got {mode!r}")
 
 
-def topk_common_words_frame(
-    corpus1: DataFrame,
-    corpus2: DataFrame,
+def literal_words_df(spark: SparkSession, words: tuple[str, ...]) -> DataFrame:
+    """Tiny in-plan word list: ``explode(array(...))`` instead of
+    ``createDataFrame`` — avoids the Python-RDD scan (an extra Python
+    job + UnknownPartitioning node) that showed up in the plan audit."""
+    return spark.range(1).select(
+        F.explode(F.array(*[F.lit(w) for w in words])).alias("word")
+    )
+
+
+def topk_common_words_tagged(
+    tagged: DataFrame,
     stopwords: DataFrame,
     mode: str = "max",
     k: int = 20,
-    text_col: str = "text",
 ) -> DataFrame:
-    """Core pipeline over two pre-loaded corpora.
+    """Core tail over a ``(src int, text string)`` tagged corpus.
 
     Columns out: ``word string, score long`` ordered (score desc, word
     desc) — the verified golden tie order (G4). ``word`` is unique after
     the groupBy, so the ordering is total ⇒ deterministic ``limit``.
     """
-    tagged = corpus1.select(F.lit(1).alias("src"), F.col(text_col).alias("text")) \
-        .unionByName(corpus2.select(F.lit(2).alias("src"), F.col(text_col).alias("text")))
     tokens = tokenize(tagged, keep=("src",))
     # DistributedCache stopword set -> broadcast anti-join (O4). The
     # stopword side is tiny; broadcast keeps the token stream shuffle-free
@@ -95,6 +100,20 @@ def topk_common_words_frame(
         .orderBy(F.desc("score"), F.desc("word"))
         .limit(k)
     )
+
+
+def topk_common_words_frame(
+    corpus1: DataFrame,
+    corpus2: DataFrame,
+    stopwords: DataFrame,
+    mode: str = "max",
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Two-corpus form (golden replay path: two separate text files)."""
+    tagged = corpus1.select(F.lit(1).alias("src"), F.col(text_col).alias("text")) \
+        .unionByName(corpus2.select(F.lit(2).alias("src"), F.col(text_col).alias("text")))
+    return topk_common_words_tagged(tagged, stopwords, mode=mode, k=k)
 
 
 # ---------------------------------------------------------------------------
@@ -163,14 +182,13 @@ def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _topk_docs(spark: SparkSession, sf_dir: str, mode: str, k: int = 20) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     l1, l2 = CORPUS_LANGS
-    sw = spark.createDataFrame([(w,) for w in DEFAULT_STOPWORDS], "word string")
-    return topk_common_words_frame(
-        docs.where(F.col("lang") == l1),
-        docs.where(F.col("lang") == l2),
-        sw,
-        mode=mode,
-        k=k,
+    sw = literal_words_df(spark, DEFAULT_STOPWORDS)
+    # Single scan with an in-row source tag (the two-corpus union form
+    # would scan documents.parquet twice).
+    tagged = docs.where(F.col("lang").isin(l1, l2)).select(
+        F.when(F.col("lang") == l1, 1).otherwise(2).alias("src"), "text"
     )
+    return topk_common_words_tagged(tagged, sw, mode=mode, k=k)
 
 
 def _topk_oracle(agg: str) -> str:
@@ -233,7 +251,7 @@ def topk_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tokens = tokenize(docs.select("lang", "text"), keep=("lang",))
-    sw = spark.createDataFrame([(w,) for w in DEFAULT_STOPWORDS], "word string")
+    sw = literal_words_df(spark, DEFAULT_STOPWORDS)
     counts = (
         tokens.join(F.broadcast(sw), "word", "left_anti")
         .groupBy("lang", "word")

@@ -1,0 +1,111 @@
+"""Queries expressed through the SQL front-end (``spark.sql``).
+
+The engine's second public surface: temp views over the same loaders,
+ANSI SQL in, DataFrame out — same Catalyst plans as the DataFrame API
+(verified by the shared oracle harness). Covers constructs that are
+SQL-first: GROUPING SETS, correlated NOT EXISTS, exact percentiles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_cs4225_spark.registry import register
+from hadoop_cs4225_spark.sources.tables import load_table
+
+
+def _view(spark: SparkSession, sf_dir: str, name: str) -> None:
+    # Per-sf_dir view names are unnecessary: each query registers the
+    # views it needs immediately before running.
+    load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+@register(
+    "revenue_grouping_sets",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+       COALESCE(l_linestatus, 'ALL') AS lstatus,
+       COUNT(*) AS n_lines,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY rflag, lstatus
+""",
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL front-end (one Expand pass)."""
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+               COALESCE(l_linestatus, 'ALL') AS lstatus,
+               COUNT(*) AS n_lines,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY rflag, lstatus
+    """)
+
+
+@register(
+    "parts_never_shipped",
+    oracle="""
+SELECT p_partkey, p_name
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45
+)
+ORDER BY p_partkey
+LIMIT 200
+""",
+)
+def parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS (→ left-anti join in the physical plan)."""
+    _view(spark, sf_dir, "part")
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql("""
+        SELECT p_partkey, p_name
+        FROM part p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45
+        )
+        ORDER BY p_partkey
+        LIMIT 200
+    """)
+
+
+@register(
+    "order_value_percentiles",
+    oracle="""
+SELECT o_orderstatus,
+       (floor(quantile_cont(o_totalprice, 0.5) * 100.0 + 0.5) / 100.0) AS p50,
+       (floor(quantile_cont(o_totalprice, 0.9) * 100.0 + 0.5) / 100.0) AS p90,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (SQL ``percentile`` ≙ DuckDB
+    ``quantile_cont`` — both linear interpolation over the sorted set;
+    identical stored doubles ⇒ identical results, quantized).
+
+    At 100 TB exact percentiles require a full sort per group — the
+    scale path swaps in ``approx_percentile`` (KLL/GK sketch), kept out
+    of the oracle set for the same reason as approx_count_distinct.
+    """
+    _view(spark, sf_dir, "orders")
+    # NB: Spark SQL parses bare decimal literals as DECIMAL (DuckDB as
+    # DOUBLE) — `100d` keeps the whole expression in double like the
+    # DataFrame-side quantizer.
+    return spark.sql("""
+        SELECT o_orderstatus,
+               (floor(percentile(o_totalprice, 0.5) * 100d + 0.5d) / 100d) AS p50,
+               (floor(percentile(o_totalprice, 0.9) * 100d + 0.5d) / 100d) AS p90,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """)

@@ -40,6 +40,7 @@ _OPERATOR_MODULES = (
     "hadoop_cs4225_spark.operators.events_windows",
     "hadoop_cs4225_spark.operators.multimodal_ops",
     "hadoop_cs4225_spark.operators.joins_advanced",
+    "hadoop_cs4225_spark.operators.sql_frontend",
 )
 
 _loaded = False

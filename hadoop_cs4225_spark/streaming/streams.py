@@ -112,6 +112,63 @@ def dedup_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def user_activity_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``.
+
+    Per-user running activity state (event count + value sum) kept in
+    the state store across micro-batches, emitting the updated totals
+    for every user seen in a batch. The pattern behind custom
+    sessionization/feature accumulation when ``session_window`` /
+    built-in aggs can't express the state transition. Arrow-batched:
+    state values are plain tuples, rows never cross Py4J row-by-row.
+
+    Not oracle-able (stateful streaming has no SQL twin) — equivalence
+    with the batch groupBy is asserted in tests/test_streaming.py.
+    """
+    import pandas as pd  # local import keeps the module importable sans Arrow
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("v", DoubleType())]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [v]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> None:

@@ -37,6 +37,29 @@ def test_session_stream_matches_batch(spark):
     assert got == want
 
 
+def test_stateful_operator_matches_batch_totals(spark):
+    """applyInPandasWithState running totals == batch groupBy after a
+    full bounded replay (single batch ⇒ one final update per user)."""
+    from pyspark.sql import functions as F
+
+    ev = streams.read_events_stream(spark, SF_SMOKE)
+    streams.run_to_memory(streams.user_activity_stateful(ev), "t_state", "update")
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 2))
+        for r in spark.sql("SELECT * FROM t_state").collect()
+    }
+    batch = (
+        load_events(spark, SF_SMOKE)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("v"),
+        )
+    )
+    want = {r.user_id: (r.n, r.v) for r in batch.collect()}
+    assert got == want
+
+
 def test_dedup_stream_counts(spark):
     ev = streams.read_events_stream(spark, SF_SMOKE)
     streams.run_to_memory(streams.dedup_stream(ev), "t_dedup", "append")

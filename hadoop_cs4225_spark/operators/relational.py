@@ -506,6 +506,50 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "skew_salted_agg",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       ROUND(SUM(l_quantity), 2) AS total_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salting recipe for skewed aggregation keys, made explicit.
+
+    ``l_returnflag`` has 3 values — a worst-case skew key (3 reducers do
+    all the work in a naive plan). Stage 1 salts the key with
+    ``pmod(hash(row-id), 16)`` and partially aggregates on
+    (key, salt) — 48 evenly-sized groups; stage 2 merges the partials
+    per key. COUNT/SUM are decomposable, so the result is provably equal
+    to the direct groupBy (which is what the oracle computes).
+
+    At 100 TB this is the manual fallback when AQE skew-splitting can't
+    help (single giant *group*, not a join); Spark's own partial
+    aggregation does the same thing implicitly, which is why the salted
+    plan adds only one extra (tiny) shuffle stage.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(16))
+    )
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("l_quantity").alias("pq"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("pn").alias("n_lines"),
+            F.round(F.sum("pq"), 2).alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @register("approx_distinct_parts")  # no oracle: HLL sketches differ per engine
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — the 100 TB cardinality-estimate path.

@@ -44,6 +44,19 @@ def test_partitioned_layout(spark, tmp_path):
     assert en.select("lang").distinct().collect()[0].lang == "en"
 
 
+def test_csv_json_source_roundtrip(spark, tmp_path):
+    """CSV + JSON sources (SURVEY §2.2 scans: utility formats)."""
+    df = load_table(spark, SF_SMOKE, "nation")
+    csv_path, json_path = str(tmp_path / "n.csv"), str(tmp_path / "n.json")
+    df.write.option("header", True).csv(csv_path)
+    df.write.json(json_path)
+    back_csv = spark.read.option("header", True).option("inferSchema", True).csv(csv_path)
+    back_json = spark.read.json(json_path)
+    want = sorted((r.n_nationkey, r.n_name, r.n_regionkey) for r in df.collect())
+    assert sorted((r.n_nationkey, r.n_name, r.n_regionkey) for r in back_csv.collect()) == want
+    assert sorted((r.n_nationkey, r.n_name, r.n_regionkey) for r in back_json.collect()) == want
+
+
 def test_text_kv_matches_reference_format(spark, tmp_path):
     df = registry.QUERIES["topk_common_words_max"](spark, SF_SMOKE)
     out = str(tmp_path / "topk")

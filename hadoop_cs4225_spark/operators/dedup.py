@@ -30,7 +30,7 @@ from hadoop_cs4225_spark.functions.numeric import quant, quant_sql
 from hadoop_cs4225_spark.registry import register
 from hadoop_cs4225_spark.sources.tables import load_table
 
-_TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+_TOKS_SQL = "list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> x <> '')"
 
 #: Number of MinHash permutations (1-row bands → 4 LSH bands).
 N_PERMS = 4
@@ -43,7 +43,9 @@ SIMHASH_BITS = 16
 
 
 def _toks() -> Column:
-    return F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    from hadoop_cs4225_spark.operators.wordcount import TOKEN_DELIM_RE
+
+    return F.filter(F.split(F.col("text"), TOKEN_DELIM_RE), lambda x: x != "")
 
 
 def _shingles(toks_col: str = "toks") -> Column:
@@ -72,7 +74,7 @@ SELECT lang,
        COUNT(*)                                   AS n_docs,
        COUNT(DISTINCT text)                       AS n_distinct_texts,
        COUNT(DISTINCT array_to_string(
-           list_sort(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')),
+           list_sort(list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> x <> '')),
            ' '))                                  AS n_distinct_bags
 FROM documents
 GROUP BY lang

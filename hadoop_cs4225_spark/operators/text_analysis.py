@@ -39,10 +39,12 @@ QUALITY_STOPWORDS: tuple[str, ...] = ("a", "the", "and", "of", "to", "in", "is",
 
 def _toks(text_col: str = "text") -> Column:
     """Token array with StringTokenizer semantics (no empty tokens)."""
-    return F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    from hadoop_cs4225_spark.operators.wordcount import TOKEN_DELIM_RE
+
+    return F.filter(F.split(F.col(text_col), TOKEN_DELIM_RE), lambda x: x != "")
 
 
-_TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+_TOKS_SQL = "list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> x <> '')"
 
 
 @register(

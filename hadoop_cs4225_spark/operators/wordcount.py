@@ -41,17 +41,24 @@ DEFAULT_STOPWORDS: tuple[str, ...] = ("a", "the", "and", "of", "to", "in", "is",
 #: Languages that play the role of the two corpora on ``documents``.
 CORPUS_LANGS: tuple[str, str] = ("en", "fr")
 
+#: StringTokenizer's EXACT default delimiter set as a regex class.
+#: Not ``\s+``: Java's ``\s`` includes vertical tab (\x0b), which
+#: StringTokenizer does NOT treat as a delimiter — and RE2 (DuckDB)
+#: disagrees with Java about ``\s`` membership. The explicit class is
+#: identical in both engines (found by tests/test_tokenizer_property.py).
+TOKEN_DELIM_RE = r"[ \t\n\r\f]+"
+
 
 def tokenize(df: DataFrame, text_col: str = "text", word_col: str = "word",
              keep: tuple[str, ...] = ()) -> DataFrame:
     """Whitespace tokenization with StringTokenizer semantics (G1).
 
-    ``split`` on ``\\s+`` emits an empty leading token for lines starting
-    with whitespace; filter them like StringTokenizer never emitting
+    ``split`` emits an empty leading token for lines starting with
+    whitespace; filter them like StringTokenizer never emitting
     empties. Stays in whole-stage codegen (explode of a split — no UDF).
     """
     cols = [F.col(c) for c in keep]
-    cols.append(F.explode(F.split(F.col(text_col), r"\s+")).alias(word_col))
+    cols.append(F.explode(F.split(F.col(text_col), TOKEN_DELIM_RE)).alias(word_col))
     return df.select(*cols).where(F.col(word_col) != "")
 
 
@@ -151,7 +158,7 @@ def topk_common_words_text(
 # ---------------------------------------------------------------------------
 
 _TOK_SQL = (
-    "SELECT {extra} unnest(string_split_regex(text, '\\s+')) AS word "
+    "SELECT {extra} unnest(string_split_regex(text, '[ \\t\\n\\r\\f]+')) AS word "
     "FROM documents{where}"
 )
 
@@ -196,7 +203,7 @@ def _topk_oracle(agg: str) -> str:
     return f"""
 WITH tok AS (
   SELECT CASE WHEN lang = '{l1}' THEN 1 ELSE 2 END AS src,
-         unnest(string_split_regex(text, '\\s+')) AS word
+         unnest(string_split_regex(text, '[ \\t\\n\\r\\f]+')) AS word
   FROM documents WHERE lang IN ('{l1}', '{l2}')
 ), filtered AS (
   SELECT * FROM tok WHERE word <> '' AND word NOT IN ({_sw_list()})
@@ -227,7 +234,7 @@ def topk_common_words_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     "topk_words_per_lang",
     oracle=f"""
 WITH tok AS (
-  SELECT lang, unnest(string_split_regex(text, '\\s+')) AS word FROM documents
+  SELECT lang, unnest(string_split_regex(text, '[ \\t\\n\\r\\f]+')) AS word FROM documents
 ), counts AS (
   SELECT lang, word, COUNT(*) AS cnt
   FROM tok WHERE word <> '' AND word NOT IN ({{sw}})

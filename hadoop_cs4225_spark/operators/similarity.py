@@ -152,6 +152,47 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("cosine_topk_pandas")  # Arrow-UDF variant: no SQL oracle (rows-only)
+def cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cosine_topk_brute`` via a vectorized Pandas UDF.
+
+    The Arrow escape hatch for vector math the built-ins can't express
+    (here they can — ``cosine_topk_brute`` is the production path; this
+    variant exists to keep the UDF surface exercised and benchmarked).
+    Batch semantics: one numpy matmul per Arrow batch, no per-row
+    Python. Equivalence with the JVM fold is pinned to 4 decimals in
+    tests/test_similarity_udf.py (numpy reassociates the sum, so the
+    last ulp differs by design).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = np.array(
+        emb.where(F.col("vec_id") == 0).select("embedding").first().embedding,
+        dtype=np.float64,
+    )
+    qn = float(np.sqrt(qv @ qv))
+    bqv = spark.sparkContext.broadcast(qv)
+
+    @pandas_udf("double")
+    def cos_sim(batch):  # (pd.Series) -> pd.Series; hints confuse the
+        # signature parser when pd is imported function-locally.
+        m = np.array(batch.tolist(), dtype=np.float64)
+        dots = m @ bqv.value
+        norms = np.sqrt((m * m).sum(axis=1)) * qn
+        return pd.Series(dots / norms)
+
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", "label", cos_sim("embedding").alias("cos_raw"))
+        .select("vec_id", "label", quant("cos_raw", 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
 @register(
     "ann_lsh_buckets",
     oracle=f"""

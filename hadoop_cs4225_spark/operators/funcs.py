@@ -266,7 +266,9 @@ SELECT o_orderkey,
             ELSE 'low' END                          AS price_band,
        COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_display,
        CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_final,
-       IFNULL(NULL, o_orderpriority)                AS priority
+       IFNULL(NULL, o_orderpriority)                AS priority,
+       regexp_matches(o_orderpriority, '^[12]-')    AS is_urgent_re,
+       (o_orderstatus IS NOT DISTINCT FROM 'F')     AS null_safe_f
 FROM orders
 WHERE o_orderkey <= 1000
 ORDER BY o_orderkey
@@ -289,6 +291,8 @@ def conditional_expr_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ifnull(F.lit(None).cast("string"), F.col("o_orderpriority")).alias(
                 "priority"
             ),
+            F.col("o_orderpriority").rlike(r"^[12]-").alias("is_urgent_re"),
+            F.col("o_orderstatus").eqNullSafe(F.lit("F")).alias("null_safe_f"),
         )
         .orderBy("o_orderkey")
     )

@@ -230,6 +230,72 @@ def returnflag_qty_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "nation_customer_lists",
+    oracle="""
+SELECT c_nationkey AS nk,
+       list_sort(list(c_custkey))           AS custkeys,
+       list_sort(list(DISTINCT c_mktsegment)) AS segments
+FROM customer
+WHERE c_custkey <= 60
+GROUP BY c_nationkey
+ORDER BY nk
+""",
+)
+def nation_customer_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / collect_set made deterministic via sort_array.
+
+    Raw collect_list order is partition-dependent (never expose it);
+    sorting inside the row restores determinism — same rule DuckDB's
+    ``list()`` needs.
+    """
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 60)
+    return (
+        cust.groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.sort_array(F.collect_list("c_custkey")).alias("custkeys"),
+            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        )
+        .orderBy("nk")
+    )
+
+
+@register(
+    "customer_30day_window_spend",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL '30 days' PRECEDING AND CURRENT ROW), 2)
+         AS spend_30d
+FROM orders
+WHERE o_custkey <= 100
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def customer_30day_window_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: trailing-30-day spend per customer.
+
+    A range frame sums every order whose date falls in (current−30d,
+    current] — peers with equal order dates share the same value, so the
+    result is deterministic without a unique tiebreaker.
+    """
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, Window.currentRow)
+    )
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 100)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
     "order_quartiles",
     oracle="""
 SELECT o_custkey, o_orderkey,

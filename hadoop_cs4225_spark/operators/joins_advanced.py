@@ -139,7 +139,9 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT vec_id,
        CAST(len(embedding) AS INT) AS dim,
-       list_transform(embedding[1:4], x -> {quant_sql("x::DOUBLE", 6)}) AS head4,
+       {quant_sql("embedding[1]::DOUBLE", 6)} AS h1,
+       {quant_sql("embedding[2]::DOUBLE", 6)} AS h2,
+       {quant_sql("embedding[3]::DOUBLE", 6)} AS h3,
        {quant_sql("list_reduce(list_prepend(0.0, list_transform(embedding,"
                   " x -> abs(x::DOUBLE))), (a, b) -> a + b)", 6)} AS l1_norm,
        {quant_sql("list_sort(list_transform(embedding, x -> x::DOUBLE), 'DESC')[1]", 6)}
@@ -150,16 +152,22 @@ ORDER BY vec_id
 """,
 )
 def embedding_array_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array function coverage: slice/transform/aggregate/sort_array."""
+    """Array function coverage: element_at/transform/aggregate/sort_array.
+
+    Float outputs are scalar double columns (raw doubles hash safely;
+    array-of-double result columns would hinge on the comparator's list
+    handling — arrays stay internal).
+    """
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") <= 200)
     as_double = F.transform("embedding", lambda x: x.cast("double"))
     return (
         emb.select(
             "vec_id",
             F.size("embedding").alias("dim"),
-            F.transform(
-                F.slice("embedding", 1, 4), lambda x: quant(x.cast("double"), 6)
-            ).alias("head4"),
+            *[
+                quant(F.element_at("embedding", i).cast("double"), 6).alias(f"h{i}")
+                for i in (1, 2, 3)
+            ],
             quant(
                 F.aggregate(as_double, F.lit(0.0), lambda a, x: a + F.abs(x)), 6
             ).alias("l1_norm"),

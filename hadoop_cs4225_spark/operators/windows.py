@@ -233,8 +233,8 @@ def returnflag_qty_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_customer_lists",
     oracle="""
 SELECT c_nationkey AS nk,
-       list_sort(list(c_custkey))           AS custkeys,
-       list_sort(list(DISTINCT c_mktsegment)) AS segments
+       array_to_string(list_sort(list(c_custkey)), ',')             AS custkeys,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments
 FROM customer
 WHERE c_custkey <= 60
 GROUP BY c_nationkey
@@ -245,15 +245,20 @@ def nation_customer_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list / collect_set made deterministic via sort_array.
 
     Raw collect_list order is partition-dependent (never expose it);
-    sorting inside the row restores determinism — same rule DuckDB's
-    ``list()`` needs.
+    sorting inside the row restores determinism. Emitted as CSV strings:
+    integer/string formatting is engine-identical, whereas array-typed
+    result columns depend on the comparator's list representation.
     """
     cust = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 60)
     return (
         cust.groupBy(F.col("c_nationkey").alias("nk"))
         .agg(
-            F.sort_array(F.collect_list("c_custkey")).alias("custkeys"),
-            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.array_join(F.sort_array(F.collect_list("c_custkey")), ",").alias(
+                "custkeys"
+            ),
+            F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            ),
         )
         .orderBy("nk")
     )

@@ -181,3 +181,30 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination(120)
+
+
+def run_foreach_batch_parquet(
+    df: DataFrame, path: str, checkpoint: str, output_mode: str = "update"
+) -> None:
+    """Production sink adapter: ``foreachBatch`` appending each
+    micro-batch to parquet.
+
+    ``foreachBatch`` hands every micro-batch to ordinary batch-writer
+    code — the idiom for sinks Structured Streaming lacks natively
+    (upserts, JDBC, dual writes). The checkpoint dir carries offsets, so
+    a restarted query resumes exactly-once per batch id.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(path)
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)

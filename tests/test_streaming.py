@@ -37,6 +37,26 @@ def test_session_stream_matches_batch(spark):
     assert got == want
 
 
+def test_sliding_stream_matches_batch(spark):
+    ev = streams.read_events_stream(spark, SF_SMOKE)
+    streams.run_to_memory(streams.sliding_avg_stream(ev), "t_sliding", "complete")
+    got = _rows(spark.sql("SELECT * FROM t_sliding"))
+    want = _rows(registry.QUERIES["events_sliding_avg"](spark, SF_SMOKE))
+    assert got == want
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    ev = streams.read_events_stream(spark, SF_SMOKE)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    streams.run_foreach_batch_parquet(
+        streams.dedup_stream(ev), out, ckpt, output_mode="append"
+    )
+    back = spark.read.parquet(out)
+    n_expected = load_events(spark, SF_SMOKE).select("event_id").distinct().count()
+    assert back.count() == n_expected
+    assert "batch_id" in back.columns
+
+
 def test_stateful_operator_matches_batch_totals(spark):
     """applyInPandasWithState running totals == batch groupBy after a
     full bounded replay (single batch ⇒ one final update per user)."""

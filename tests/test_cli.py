@@ -1,0 +1,34 @@
+"""CLI drop-in parity: the reference's job invocations must work here.
+
+Runs in a subprocess (the CLI owns its SparkSession lifecycle) on the
+small smoke fixtures to keep it fast; the full-corpus byte-exact replay
+is covered by tests/test_golden_replay.py through the same pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+
+def test_wordcount_cli(tmp_path):
+    out = tmp_path / "wc"
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2")
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "hadoop_cs4225_spark.cli", "wordcount",
+            "/root/reference/input/file01.txt",
+            "/root/reference/input/file02.txt",
+            str(out),
+        ],
+        capture_output=True, text=True, timeout=240, env=env,
+        cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr[-800:]
+    lines = sorted(
+        line
+        for f in out.glob("part-*.txt")
+        for line in f.read_text().splitlines()
+    )
+    assert lines == ["Bye\t1", "Goodbye\t1", "Hadoop\t2", "Hello\t2", "World\t2"]

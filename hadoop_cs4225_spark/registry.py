@@ -41,6 +41,7 @@ _OPERATOR_MODULES = (
     "hadoop_cs4225_spark.operators.multimodal_ops",
     "hadoop_cs4225_spark.operators.joins_advanced",
     "hadoop_cs4225_spark.operators.sql_frontend",
+    "hadoop_cs4225_spark.operators.tpch_more",
 )
 
 _loaded = False

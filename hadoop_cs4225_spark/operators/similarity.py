@@ -152,6 +152,54 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("label_centroid_stats")  # grouped-map Pandas path: rows-only
+def label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid statistics via ``applyInPandas`` (grouped map).
+
+    The grouped-map Arrow surface: each label's vectors arrive as one
+    pandas DataFrame; output is one summary row per group (centroid norm
+    + mean/max distance to centroid). Vector-reduce ops like this are
+    where grouped-map genuinely beats expression trees. No SQL oracle
+    (numpy reassociates sums); pinned against a driver-side numpy
+    reference in tests/test_similarity_udf.py.
+
+    Scale note: groups must fit in one worker's memory — fine for
+    per-label reductions (vectors stream per group); for giant groups,
+    pre-aggregate partial sums with expressions first.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def stats(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        c = m.mean(axis=0)
+        d = np.sqrt(((m - c) ** 2).sum(axis=1))
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vecs": [len(pdf)],
+                "centroid_norm": [float(np.sqrt(c @ c))],
+                "mean_dist": [float(d.mean())],
+                "max_dist": [float(d.max())],
+            }
+        )
+
+    out = emb.groupBy("label").applyInPandas(
+        stats,
+        schema="label int, n_vecs long, centroid_norm double, "
+        "mean_dist double, max_dist double",
+    )
+    return out.select(
+        "label",
+        "n_vecs",
+        quant("centroid_norm", 6).alias("centroid_norm"),
+        quant("mean_dist", 6).alias("mean_dist"),
+        quant("max_dist", 6).alias("max_dist"),
+    ).orderBy("label")
+
+
 @register("cosine_topk_pandas")  # Arrow-UDF variant: no SQL oracle (rows-only)
 def cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``cosine_topk_brute`` via a vectorized Pandas UDF.

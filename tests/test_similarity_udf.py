@@ -9,6 +9,30 @@ from tests.conftest import SF_SMOKE
 registry.load_all()
 
 
+def test_grouped_map_centroids_match_numpy_reference(spark):
+    import numpy as np
+
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    got = {
+        r.label: r
+        for r in registry.QUERIES["label_centroid_stats"](spark, SF_SMOKE).collect()
+    }
+    rows = load_table(spark, SF_SMOKE, "embeddings").collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r.embedding)
+    assert set(got) == set(by_label)
+    for label, vecs in by_label.items():
+        m = np.array(vecs, dtype=np.float64)
+        c = m.mean(axis=0)
+        d = np.sqrt(((m - c) ** 2).sum(axis=1))
+        assert got[label].n_vecs == len(vecs)
+        assert abs(got[label].centroid_norm - float(np.sqrt(c @ c))) < 1e-4
+        assert abs(got[label].mean_dist - float(d.mean())) < 1e-4
+        assert abs(got[label].max_dist - float(d.max())) < 1e-4
+
+
 def test_pandas_udf_cosine_matches_jvm(spark):
     jvm = registry.QUERIES["cosine_topk_brute"](spark, SF_SMOKE).collect()
     arrow = registry.QUERIES["cosine_topk_pandas"](spark, SF_SMOKE).collect()

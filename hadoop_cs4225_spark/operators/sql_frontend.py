@@ -109,3 +109,22 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
     """)
+
+
+@register("order_value_percentiles_approx")  # sketch-based: no cross-engine oracle
+def order_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_percentile`` — the 100 TB percentile path (KLL/GK sketch,
+    mergeable across partitions, no global sort). Engine-specific sketch
+    internals ⇒ rows-only check; the exact twin is
+    ``order_value_percentiles``."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.approx_percentile("o_totalprice", 0.5, 10000).alias("p50_approx"),
+            F.approx_percentile("o_totalprice", 0.9, 10000).alias("p90_approx"),
+        )
+        .orderBy("o_orderstatus")
+    )

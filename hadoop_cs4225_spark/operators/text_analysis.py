@@ -227,6 +227,26 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_positions",
+    oracle=f"""
+SELECT doc_id, CAST(t.i - 1 AS INT) AS pos, t.word
+FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE doc_id <= 10) d,
+     LATERAL (SELECT unnest(toks) AS word,
+                     generate_subscripts(toks, 1) AS i) t
+ORDER BY doc_id, pos
+""",
+)
+def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: token stream with positions (the ordered-UDTF shape
+    n-gram/window features build on)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 10)
+    return (
+        docs.select("doc_id", F.posexplode(_toks()).alias("pos", "word"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+@register(
     "tfidf_top_terms",
     oracle=f"""
 WITH tok AS (

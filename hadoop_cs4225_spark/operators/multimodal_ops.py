@@ -54,6 +54,60 @@ def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "media_frame_chunks",
+    oracle="""
+SELECT doc_id, CAST(g.f AS INT) AS frame_no,
+       CAST(least(256, content_len - 256 * g.f) AS INT) AS frame_len,
+       substr(decode(content), 1 + 256 * g.f, 8) AS frame_head
+FROM (
+  SELECT doc_id, encode(text) AS content,
+         CAST(octet_length(encode(text)) AS BIGINT) AS content_len
+  FROM documents WHERE doc_id <= 20
+) m, LATERAL (SELECT unnest(range(0, CAST(ceil(content_len / 256.0) AS BIGINT))) AS f) g
+ORDER BY doc_id, frame_no
+""",
+)
+def media_frame_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: split each blob into 256-byte
+    frames (1 row per frame) with per-frame offsets/lengths and the
+    frame's leading bytes.
+
+    Pure expressions — ``sequence``+``posexplode`` replicate the row, and
+    binary ``substring`` slices the payload; a real video pipeline swaps
+    the slice for a Pandas-UDF decoder but keeps this exact exploded
+    shape (frame rows partition evenly across executors).
+    """
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 20)
+    media = media_from_documents(docs)
+    frames = media.select(
+        "doc_id",
+        "content",
+        "content_len",
+        F.posexplode(
+            F.sequence(
+                F.lit(0),
+                (F.ceil(F.col("content_len") / 256.0) - 1).cast("long"),
+            )
+        ).alias("frame_no", "f"),
+    )
+    return (
+        frames.select(
+            "doc_id",
+            F.col("frame_no").cast("int").alias("frame_no"),
+            F.least(
+                F.lit(256).cast("long"), F.col("content_len") - 256 * F.col("f")
+            )
+            .cast("int")
+            .alias("frame_len"),
+            F.expr("CAST(substring(content, 1 + 256 * f, 8) AS STRING)").alias(
+                "frame_head"
+            ),
+        )
+        .orderBy("doc_id", "frame_no")
+    )
+
+
 @register("media_byte_features")  # Pandas-UDF path: no SQL oracle (rows-only)
 def media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched byte-histogram features via ``mapInPandas``.

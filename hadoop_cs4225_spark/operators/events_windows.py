@@ -189,6 +189,94 @@ def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel_conversion",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)     AS first_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END)    AS first_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS viewed,
+       SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                THEN 1 ELSE 0 END) AS clicked_after_view,
+       SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                AND first_purchase > first_click THEN 1 ELSE 0 END)
+         AS purchased_after_click
+FROM firsts
+""",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analytics: view → click → purchase ordered-step conversion.
+
+    Per-user first-touch timestamps via conditional MIN (one shuffle on
+    user_id), then ordered-step predicates — the standard funnel rewrite
+    that avoids per-step self-joins (at 100 TB, k-step funnels as
+    k-way joins explode; conditional aggregation stays one pass).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_of = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    firsts = ev.groupBy("user_id").agg(
+        first_of("view").alias("first_view"),
+        first_of("click").alias("first_click"),
+        first_of("purchase").alias("first_purchase"),
+    )
+    viewed = F.col("first_view").isNotNull()
+    clicked = viewed & (F.col("first_click") > F.col("first_view"))
+    purchased = clicked & (F.col("first_purchase") > F.col("first_click"))
+    as_int = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        as_int(viewed).alias("viewed"),
+        as_int(clicked).alias("clicked_after_view"),
+        as_int(purchased).alias("purchased_after_click"),
+    )
+
+
+@register(
+    "events_rolling_active_users",
+    oracle="""
+WITH daily AS (
+  SELECT DISTINCT time_bucket(INTERVAL '1 day', ts) AS day, user_id FROM events
+), days AS (SELECT DISTINCT day FROM daily)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT u.user_id) AS active_7d
+FROM days d
+JOIN daily u ON u.day > d.day - INTERVAL '7 days' AND u.day <= d.day
+GROUP BY d.day
+ORDER BY day
+""",
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day.
+
+    Distinct-count over a sliding window can't use a window-function
+    frame (COUNT(DISTINCT) OVER RANGE is unsupported in both engines);
+    the scalable rewrite is dedup-to-(day,user) then a small range join
+    on the day spine — the fact table is touched once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    days = daily.select("day").distinct().withColumnRenamed("day", "d")
+    return (
+        days.join(
+            daily,
+            (F.col("day") > F.col("d") - F.expr("INTERVAL 7 DAYS"))
+            & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "active_7d")
+        .orderBy("day")
+    )
+
+
+@register(
     "events_daily_rollup",
     oracle=f"""
 SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,

@@ -152,6 +152,63 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_lsh_multiprobe_topk",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, label, embedding, {_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+), q AS (SELECT embedding, bucket FROM b WHERE vec_id = 0),
+probes AS (
+  SELECT q.bucket AS pb FROM q
+  UNION ALL
+  SELECT xor(q.bucket, CAST(p.x AS BIGINT)) AS pb
+  FROM q, (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128]) AS x) p
+)
+SELECT e.vec_id, e.label,
+       {quant_sql(_cos_sql("e.embedding", "q.embedding"), 6)} AS cos_sim
+FROM b e CROSS JOIN q
+WHERE e.bucket IN (SELECT pb FROM probes) AND e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 5
+""",
+)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: probe the query bucket plus its 8 Hamming-1
+    neighbors (each sign bit flipped once).
+
+    The standard recall fix for hyperplane LSH — vectors near a plane
+    land across the boundary, and flipping that plane's bit finds them.
+    Candidate set grows 9x but stays ~9/256 of the table; the probe-set
+    membership join is still an equi-join on bucket id.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "label", "embedding", _bucket_col("embedding").alias("bucket")
+    )
+    q = F.broadcast(
+        b.where(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+        )
+    )
+    probe_set = F.array(
+        F.col("qbucket"),
+        *[
+            F.col("qbucket").bitwiseXOR(F.lit(1 << p).cast("long"))
+            for p in range(N_PLANES)
+        ],
+    )
+    return (
+        b.crossJoin(q)
+        .where(
+            F.array_contains(probe_set, F.col("bucket")) & (F.col("vec_id") != 0)
+        )
+        .select("vec_id", "label", quant(_cos("embedding", "qv"), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(5)
+    )
+
+
 @register("label_centroid_stats")  # grouped-map Pandas path: rows-only
 def label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid statistics via ``applyInPandas`` (grouped map).

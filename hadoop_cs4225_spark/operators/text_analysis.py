@@ -227,6 +227,74 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "clean_corpus_stats",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         {quant_sql("0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))"
+                    " + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> x IN ("
+                    + _SW_ARR + "))) AS DOUBLE) / len(toks))"
+                    " + 0.3 * least(n_chars / 1000.0, 1.0)", 6)} AS quality
+  FROM (SELECT doc_id, lang, n_chars, text, {_TOKS_SQL} AS toks FROM documents) t
+), keepers AS (
+  SELECT lang, text, MIN(doc_id) AS keeper_id, MAX(quality) AS quality
+  FROM scored WHERE quality >= 0.5 GROUP BY lang, text
+)
+SELECT lang,
+       COUNT(*) AS n_clean_docs,
+       {quant_sql("ROUND(SUM(quality), 2) / COUNT(*)", 6)} AS avg_quality,
+       MIN(keeper_id) AS first_keeper
+FROM keepers
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data cleaning pipeline in one plan:
+    quality-score → threshold filter → exact dedup (keep lowest doc_id
+    per distinct text) → per-language corpus stats.
+
+    The composition the individual operators exist for; at 100 TB it is
+    score (map-only) → one dedup shuffle on the text hash → one small
+    agg — no pass reads the corpus twice.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tokens = F.size(toks).cast("double")
+    sw_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*QUALITY_STOPWORDS))).cast("double")
+        / n_tokens
+    )
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    quality = quant(
+        0.4 * diversity
+        + 0.3 * (1.0 - sw_ratio)
+        + 0.3 * F.least(F.col("n_chars") / 1000.0, F.lit(1.0)),
+        6,
+    )
+    scored = docs.select("doc_id", "lang", "text", quality.alias("quality"))
+    keepers = (
+        scored.where(F.col("quality") >= 0.5)
+        .groupBy("lang", "text")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.max("quality").alias("quality"),
+        )
+    )
+    return (
+        keepers.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_clean_docs"),
+            quant(F.round(F.sum("quality"), 2) / F.count(F.lit(1)), 6).alias(
+                "avg_quality"
+            ),
+            F.min("keeper_id").alias("first_keeper"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "token_positions",
     oracle=f"""
 SELECT doc_id, CAST(t.i - 1 AS INT) AS pos, t.word

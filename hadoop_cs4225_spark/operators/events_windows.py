@@ -262,13 +262,23 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.select(
         F.date_trunc("day", "ts").alias("day"), "user_id"
     ).distinct()
+    # Range-join rewrite: each (day, user) row contributes to the 7
+    # window-days [day, day+6], so explode it into those days and
+    # equi-join — a plain shuffle instead of a nested-loop range join
+    # (guarded by tests/test_plans.py::test_no_unbounded_cartesian_anywhere).
+    contrib = daily.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d"),
+        "user_id",
+    )
     days = daily.select("day").distinct().withColumnRenamed("day", "d")
     return (
-        days.join(
-            daily,
-            (F.col("day") > F.col("d") - F.expr("INTERVAL 7 DAYS"))
-            & (F.col("day") <= F.col("d")),
-        )
+        contrib.join(F.broadcast(days), "d", "left_semi")
         .groupBy("d")
         .agg(F.countDistinct("user_id").alias("active_7d"))
         .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "active_7d")

@@ -74,6 +74,34 @@ def test_lsh_join_is_equi_join_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+#: Queries that intentionally use a non-equi or cross join on a BOUNDED
+#: slice (all-pairs baselines, grid expansion, 1-row broadcast query
+#: vectors). Everything else must never plan a cartesian/nested-loop.
+_BOUNDED_ALLPAIRS = {
+    "region_status_grid",
+    "ngram_jaccard_topk",
+    "embedding_near_dup_pairs",
+    "cosine_topk_brute",
+    "cosine_topk_pandas",
+    "ann_lsh_buckets",
+    "ann_lsh_query_topk",
+    "ann_lsh_multiprobe_topk",
+    "q22_idle_rich_customers",  # broadcast scalar-avg cross join (1 row)
+}
+
+
+def test_no_unbounded_cartesian_anywhere(spark):
+    violations = []
+    for name, fn in registry.QUERIES.items():
+        if name in _BOUNDED_ALLPAIRS:
+            continue
+        plan = plan_string(fn(spark, SF_ORACLE))
+        for op in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            if op in plan:
+                violations.append(f"{name}: {op}")
+    assert not violations, violations
+
+
 def test_audit_helper_reports_violations(spark):
     df = _df(spark, "q6_revenue_forecast")
     assert audit_plan(df, require=("PushedFilters",)) == []

@@ -507,6 +507,40 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decimal_exact_revenue",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+         AS revenue_exact,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+         AS qty_exact
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def decimal_exact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecimalType aggregation: money sums with EXACT cross-engine
+    equality — fixed-point addition is associative, so no rounding
+    discipline (functions/numeric.py) is needed.
+
+    The trade: decimal aggregation runs outside some codegen fast paths
+    (~2-3x slower than double), which is why the float+quantizer scheme
+    is the default and decimal the audit/finance path.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(d("l_extendedprice")).cast("decimal(38,2)").alias("revenue_exact"),
+            F.sum(d("l_quantity")).cast("decimal(38,2)").alias("qty_exact"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "skew_salted_agg",
     oracle="""
 SELECT l_returnflag,

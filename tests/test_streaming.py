@@ -80,6 +80,33 @@ def test_stateful_operator_matches_batch_totals(spark):
     assert got == want
 
 
+def test_append_mode_emits_only_watermark_closed_windows(spark):
+    """Append mode + watermark: only windows the final watermark has
+    passed are emitted — the late-data-drop contract. Every emitted row
+    must match its batch twin, and the withheld rows must be exactly the
+    windows within the watermark horizon of max event time."""
+    ev = streams.read_events_stream(spark, SF_SMOKE)
+    streams.run_to_memory(
+        streams.tumbling_counts_stream(ev, watermark="2 hours"),
+        "t_append",
+        "append",
+    )
+    got = _rows(spark.sql("SELECT * FROM t_append"))
+    batch = _rows(registry.QUERIES["events_tumbling_counts"](spark, SF_SMOKE))
+    assert set(got) <= set(batch)
+    withheld = set(batch) - set(got)
+    assert withheld, "some trailing windows must be withheld by the watermark"
+    # All withheld windows sit within 2h+1-window of the max event time.
+    from hadoop_cs4225_spark.sources.tables import load_events
+    import datetime as dt
+
+    max_ts = load_events(spark, SF_SMOKE).agg({"ts": "max"}).first()[0]
+    horizon = max_ts - dt.timedelta(hours=3)
+    for row in withheld:
+        w_start = dt.datetime.strptime(row[0], "%Y-%m-%d %H:%M:%S")
+        assert w_start >= horizon, (row, max_ts)
+
+
 def test_dedup_stream_counts(spark):
     ev = streams.read_events_stream(spark, SF_SMOKE)
     streams.run_to_memory(streams.dedup_stream(ev), "t_dedup", "append")

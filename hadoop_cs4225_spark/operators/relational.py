@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_cs4225_spark.functions.numeric import (
+    quant,
+    quant_sql,
     ravg,
     ravg_sql,
     rstddev,
@@ -47,8 +49,10 @@ def _d(col: Column) -> Column:
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
        ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(SUM({quant_sql("l_extendedprice * (1 - l_discount)", 2)}), 2)
+                                                                    AS sum_disc_price,
+       ROUND(SUM({quant_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 2)}), 2)
+                                                                    AS sum_charge,
        {ravg_sql("l_quantity")}                                     AS avg_qty,
        {ravg_sql("l_extendedprice")}                                AS avg_price,
        {ravg_sql("l_discount")}                                     AS avg_disc,
@@ -73,8 +77,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            # Addends quantized per-row to cents BEFORE summing: the
+            # full-table charge sum (~4.5e9 at sf0.1) has 6-decimal
+            # addends whose exact sum exceeds double's 2^53 quanta, so
+            # no post-sum rounding can be cross-engine stable. Cent
+            # addends keep the sum exactly representable at any SF.
+            F.round(F.sum(quant(disc_price, 2)), 2).alias("sum_disc_price"),
+            F.round(F.sum(quant(disc_price * (1 + F.col("l_tax")), 2)), 2).alias(
+                "sum_charge"
+            ),
             ravg("l_quantity").alias("avg_qty"),
             ravg("l_extendedprice").alias("avg_price"),
             ravg("l_discount").alias("avg_disc"),
@@ -88,7 +99,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
 SELECT l_orderkey,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
        strftime(o_orderdate, '%Y-%m-%d') AS orderdate
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
@@ -119,7 +130,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
         )
         .select("l_orderkey", "revenue", _d(F.col("o_orderdate")).alias("orderdate"))
@@ -132,7 +143,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
 SELECT n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
 FROM customer JOIN orders   ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
               JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -174,7 +185,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "n_name")
@@ -184,7 +195,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_revenue_forecast",
     oracle="""
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -208,7 +219,7 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 25)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_lines"),
@@ -481,7 +492,7 @@ def segment_account_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT p_brand,
        COUNT(DISTINCT p.p_partkey) AS n_parts,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
        ROUND(SUM(l_quantity), 2) AS total_qty
 FROM lineitem JOIN part p ON l_partkey = p.p_partkey
 GROUP BY p_brand
@@ -498,7 +509,7 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("p_partkey").alias("n_parts"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue"),
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         )

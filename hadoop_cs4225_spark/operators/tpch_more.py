@@ -58,7 +58,7 @@ def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
 SELECT c.c_custkey, c.c_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
        n.n_name
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -83,7 +83,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "n_name")
@@ -131,8 +131,8 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT {quant_sql(
         "100.0 * ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%' "
-        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) / "
-        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)", 6)}
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 4) / "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)", 6)}
          AS promo_pct,
        COUNT(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -151,7 +151,7 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
     return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
         quant(
-            100.0 * F.round(F.sum(promo), 2) / F.round(F.sum(rev), 2), 6
+            100.0 * F.round(F.sum(promo), 4) / F.round(F.sum(rev), 4), 6
         ).alias("promo_pct"),
         F.count(F.lit(1)).alias("n_lines"),
     )
@@ -160,7 +160,7 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_predicates",
     oracle="""
-SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
@@ -196,7 +196,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.where(c1 | c2 | c3).agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
@@ -207,7 +207,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        year(l.l_shipdate) AS ship_year,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -253,7 +253,7 @@ def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "ship_year")
@@ -275,7 +275,7 @@ WITH all_rev AS (
   GROUP BY order_year
 )
 SELECT order_year,
-       {quant_sql("ROUND(nation3, 2) / ROUND(total, 2)", 6)} AS mkt_share
+       {quant_sql("ROUND(nation3, 4) / ROUND(total, 4)", 6)} AS mkt_share
 FROM all_rev
 ORDER BY order_year
 """,
@@ -294,7 +294,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
-            quant(F.round(F.sum(n3), 2) / F.round(F.sum(rev), 2), 6).alias(
+            quant(F.round(F.sum(n3), 4) / F.round(F.sum(rev), 4), 6).alias(
                 "mkt_share"
             )
         )
@@ -306,8 +306,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     oracle="""
 SELECT n.n_name AS nation, year(o.o_orderdate) AS order_year,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
-                 - p.p_retailprice * l.l_quantity * 0.1), 2) AS profit
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+         - ROUND(SUM(p.p_retailprice * l.l_quantity), 2) * 0.1 AS profit
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
 JOIN part p     ON l.l_partkey = p.p_partkey
@@ -330,9 +330,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity") * 0.1
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cost = F.col("p_retailprice") * F.col("l_quantity")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -342,7 +341,16 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("order_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        # Each component sum is rounded separately BEFORE the 0.1 cost
+        # scaling: cost*0.1 has exact .xx5 three-decimal values whose
+        # sums sit on round() boundaries where the engines diverge; the
+        # unscaled cost sum is 2-decimal-safe, and the subsequent *0.1
+        # and subtraction are deterministic on identical doubles.
+        .agg(
+            (F.round(F.sum(rev), 4) - F.round(F.sum(cost), 2) * 0.1).alias(
+                "profit"
+            )
+        )
         .orderBy("nation", F.desc("order_year"))
     )
 
@@ -424,7 +432,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -450,7 +458,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("total_revenue")
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("m"))

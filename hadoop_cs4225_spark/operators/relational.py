@@ -521,10 +521,10 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decimal_exact_revenue",
     oracle="""
 SELECT l_returnflag,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-         AS revenue_exact,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
-         AS qty_exact
+       CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) / 100.0
+                     AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue_exact,
+       CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) / 100.0
+                     AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty_exact
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -533,14 +533,21 @@ ORDER BY l_returnflag
 def decimal_exact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DecimalType aggregation: money sums with EXACT cross-engine
     equality — fixed-point addition is associative, so no rounding
-    discipline (functions/numeric.py) is needed.
+    discipline (functions/numeric.py) is needed for the SUM itself.
+
+    The addends ARE quantized (quant, floor-based) before the decimal
+    cast: a raw ``double -> DECIMAL(18,2)`` cast rounds HALF_UP in Spark
+    (BigDecimal) but half-to-even in DuckDB, so stored values landing
+    exactly on a ``.xx5`` boundary diverge by one cent pre-sum (surfaced
+    at sf0.01; sf0.001 has no boundary values). After quant the double
+    is within an ulp of a 2-decimal value, so both casts agree.
 
     The trade: decimal aggregation runs outside some codegen fast paths
     (~2-3x slower than double), which is why the float+quantizer scheme
     is the default and decimal the audit/finance path.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    d = lambda c: quant(F.col(c), 2).cast("decimal(18,2)")  # noqa: E731
     return (
         li.groupBy("l_returnflag")
         .agg(

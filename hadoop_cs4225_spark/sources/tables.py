@@ -51,9 +51,9 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     df = spark.read.parquet(_path(sf_dir, "events"))
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # Integer division, NOT `/1000` + cast: the double round-trip has
+        # ulp 256ns above 2^53, which lands ~1.5% of rows 1µs low.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

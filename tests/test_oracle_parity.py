@@ -29,3 +29,29 @@ def test_all_queries_return_rows_or_schema(spark):
     for name, fn in registry.QUERIES.items():
         df = fn(spark, SF_ORACLE)
         assert df.columns, f"{name}: no columns"
+
+
+# Scale-surfaced parity pins. sf0.001 misses bugs that only appear when
+# values land on rounding boundaries or sums approach 2^53 (both found
+# at sf0.1 in round 1); these few queries re-verify at the larger SFs.
+_SCALE_PINNED = ["decimal_exact_revenue", "q1_pricing_summary"]
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("name", _SCALE_PINNED)
+def test_scale_pinned_parity(spark, name, sf_dir):
+    import duckdb
+
+    from hadoop_cs4225_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * "
+                f"FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        spark_df = registry.QUERIES[name](spark, sf_dir)
+        assert_frames_match(spark_df, con.sql(registry.ORACLES[name]), name=f"{name}@{sf_dir}")
+    finally:
+        con.close()

@@ -8,8 +8,13 @@ expressed declaratively so Catalyst supplies pushdown, column pruning,
 join selection, partial aggregation and AQE for free (SURVEY.md §4).
 
 Scale posture per query family:
-- Dim joins (region/nation/customer/supplier/part) are broadcast — at
-  100 TB the fact table never shuffles for them.
+- Genuinely bounded dims (region: 5 rows, nation: 25 rows) carry an
+  explicit broadcast hint. Scale-proportional relations (customer,
+  supplier, part, per-key aggregates) carry NO hint: a forced hint
+  bypasses autoBroadcastJoinThreshold and OOMs executors once the
+  relation outgrows memory at large SF. AQE broadcasts them at runtime
+  while they are small and degrades gracefully to shuffle joins at
+  100 TB — the plan adapts to scale instead of asserting it.
 - Fact-fact joins (orders⋈lineitem) shuffle on the join key; both sides
   are key-partitioned by Catalyst, and AQE handles skewed order keys.
 - Top-k is TakeOrderedAndProject (per-partition heap + k-row merge).
@@ -112,11 +117,12 @@ LIMIT 10
 """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-like: broadcast dim join + fact-fact join + agg + top-k.
+    """TPC-H Q3-like: dim join + fact-fact join + agg + top-k.
 
-    customer is broadcast (small dim); orders⋈lineitem shuffles on the
-    order key. Total order (revenue desc, l_orderkey asc) ⇒ deterministic
-    limit.
+    customer carries no broadcast hint — it grows with SF; AQE
+    broadcasts it at runtime while small and shuffle-joins at 100 TB.
+    orders⋈lineitem shuffles on the order key. Total order
+    (revenue desc, l_orderkey asc) ⇒ deterministic limit.
     """
     cutoff = F.lit("1998-06-30 00:00:00").cast("timestamp_ntz")
     cust = load_table(spark, sf_dir, "customer").where(
@@ -126,7 +132,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -157,11 +163,12 @@ ORDER BY revenue DESC, n_name
 """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-like: 6-table join chain, all dims broadcast.
+    """TPC-H Q5-like: 6-table join chain, bounded dims broadcast.
 
-    Only orders⋈lineitem is a shuffle join; supplier/nation/region/
-    customer ride along as BroadcastHashJoins, so the plan is one
-    shuffle + one agg regardless of fact-table size.
+    nation/region carry broadcast hints (25/5 rows, size-invariant);
+    customer/supplier do not — AQE broadcasts them at runtime while
+    they fit, and falls back to shuffle joins at SFs where a forced
+    hint would OOM. orders⋈lineitem always shuffles on the order key.
     """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").where(
@@ -174,9 +181,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -280,7 +287,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
         .where(F.col("sum_qty") > 250)
@@ -504,7 +511,7 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.countDistinct("p_partkey").alias("n_parts"),

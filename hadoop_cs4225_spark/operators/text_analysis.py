@@ -354,7 +354,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()  # scalar; at scale use a broadcast scalar subquery
-    scored = tf.join(F.broadcast(df), "word").select(
+    scored = tf.join(df, "word").select(
         "doc_id",
         "word",
         quant(

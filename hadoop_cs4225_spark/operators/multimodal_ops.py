@@ -57,6 +57,11 @@ def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "media_frame_chunks",
     oracle="""
+-- NOTE: substr(decode(..)) slices CHARACTERS while Spark slices the
+-- binary BYTE-wise; they agree only because this corpus is ASCII
+-- (verified: octet_length = length for every document). This DuckDB
+-- build cannot slice BLOBs directly, so the oracle leans on that
+-- invariant; non-ASCII payloads would need a byte-based oracle.
 SELECT doc_id, CAST(g.f AS INT) AS frame_no,
        CAST(least(256, content_len - 256 * g.f) AS INT) AS frame_len,
        substr(decode(content), 1 + 256 * g.f, 8) AS frame_head

@@ -1,0 +1,79 @@
+"""Partitioned-layout demo: the 100 TB `events` story, substantiated.
+
+At scale, `events` lives date-partitioned (`.../event_date=YYYY-MM-DD/`)
+so every time-ranged scan prunes to the queried days at the *directory*
+level — the scan never opens files outside the range. This module
+derives that layout once per scale factor (under ``.derived/``, relative
+to the repo root) and registers a query whose physical plan must show
+``PartitionFilters`` doing the pruning (asserted in tests/test_plans.py).
+
+The oracle reads the *raw* events table — proving the partitioned
+layout is a pure re-organization, not a semantic change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_cs4225_spark.registry import register
+from hadoop_cs4225_spark.sources.sinks import write_partitioned
+from hadoop_cs4225_spark.sources.tables import load_events
+
+#: Repo-local root for derived layouts (gitignored; rebuilt on demand).
+_DERIVED_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".derived")
+
+
+def events_by_day_path(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_DERIVED_ROOT, tag, "events_by_day")
+
+
+def ensure_events_by_day(spark: SparkSession, sf_dir: str) -> str:
+    """Write the date-partitioned copy of ``events`` if absent.
+
+    Idempotent: a ``_SUCCESS`` marker means the layout is complete
+    (Spark writes it last); a partial dir from an interrupted run is
+    overwritten.
+    """
+    path = events_by_day_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev = load_events(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
+        write_partitioned(ev, path, ("event_date",), mode="overwrite")
+    return path
+
+
+@register(
+    "events_partition_pruned_day",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_partition_pruned_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-day aggregate over the date-partitioned layout.
+
+    The filter is on the PARTITION column, so the scan's
+    ``PartitionFilters`` prunes to a single ``event_date=`` directory —
+    at 100 TB that is the difference between reading ~1/30th of a month
+    and a full-table scan. The oracle computes the same answer from the
+    unpartitioned table (layout is transparent to semantics).
+    """
+    path = ensure_events_by_day(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return (
+        ev.where(F.col("event_date") == F.lit("2024-01-15").cast("date"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

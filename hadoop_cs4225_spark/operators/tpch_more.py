@@ -666,3 +666,58 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nk")
     )
+
+
+@register(
+    "q11_important_part_values",
+    oracle=f"""
+WITH german AS (
+  SELECT l_partkey,
+         {quant_sql("l_extendedprice * (1 - l_discount)", 2)} AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'GERMANY'
+)
+SELECT l_partkey, ROUND(SUM(val), 2) AS part_value
+FROM german
+GROUP BY l_partkey
+HAVING ROUND(SUM(val), 2) >
+       (SELECT ROUND(SUM(val), 2) * 0.001 FROM german)
+ORDER BY part_value DESC, l_partkey
+""",
+)
+def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: per-key value share vs a GLOBAL scalar threshold.
+
+    TPC-H Q11 sums partsupp value per partkey and keeps parts above a
+    fraction of the national total; with no partsupp in this schema the
+    analogue values parts by their German-supplied lineitem revenue.
+    The scalar total is a 1-row aggregate broadcast into the HAVING
+    filter (bounded — the hint is safe); the per-part aggregation is one
+    partial-agg shuffle keyed on l_partkey. Addends are quantized to
+    cents so per-part and global sums hash identically cross-engine.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "GERMANY")
+    german = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "l_partkey",
+            quant(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "val"
+            ),
+        )
+    )
+    per_part = german.groupBy("l_partkey").agg(
+        F.round(F.sum("val"), 2).alias("part_value")
+    )
+    total = german.agg((F.round(F.sum("val"), 2) * 0.001).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )

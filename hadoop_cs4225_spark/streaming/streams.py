@@ -180,7 +180,18 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_bounded(q, name)
+
+
+def _await_bounded(q, name: str, timeout_s: int = 120) -> None:
+    """Wait for an availableNow replay; a timeout means the sink is only
+    partially populated — fail loudly rather than let an equivalence
+    test compare against incomplete results."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream {name!r} still active after {timeout_s}s; sink incomplete"
+        )
 
 
 def run_foreach_batch_parquet(
@@ -207,4 +218,4 @@ def run_foreach_batch_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_bounded(q, f"foreachBatch->{path}")

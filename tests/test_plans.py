@@ -122,6 +122,7 @@ _BOUNDED_ALLPAIRS = {
     "ann_lsh_query_topk",
     "ann_lsh_multiprobe_topk",
     "q22_idle_rich_customers",  # broadcast scalar-avg cross join (1 row)
+    "q11_important_part_values",  # broadcast scalar-threshold cross join (1 row)
 }
 
 
@@ -141,3 +142,13 @@ def test_audit_helper_reports_violations(spark):
     df = _df(spark, "q6_revenue_forecast")
     assert audit_plan(df, require=("PushedFilters",)) == []
     assert audit_plan(df, require=("NoSuchOperator",)) == ["missing: NoSuchOperator"]
+
+
+def test_partitioned_events_scan_prunes(spark):
+    """The date filter must prune at the DIRECTORY level (PartitionFilters),
+    not merely as a row-group/data filter — the central 100 TB claim for
+    the events layout."""
+    plan = plan_string(_df(spark, "events_partition_pruned_day"))
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "event_date" in pf and "2024-01-15" in pf

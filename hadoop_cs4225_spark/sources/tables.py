@@ -39,6 +39,21 @@ def _path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: Memoized logical plans: (applicationId, sf_dir, table) -> DataFrame.
+#: A DataFrame is an immutable plan, so reuse is always semantically
+#: safe; it skips the repeated file-listing + footer-schema job that
+#: otherwise costs ~0.1-0.2 s per spark.read.parquet call (half the
+#: fixed per-query overhead in the bench suite). Keyed by applicationId
+#: so a new SparkSession never sees another session's plans. The
+#: testdata is immutable; call ``clear_table_cache`` if a path's
+#: contents are ever rewritten mid-session.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def clear_table_cache() -> None:
+    _DF_CACHE.clear()
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``events`` with ``ts`` as a proper timestamp.
 
@@ -48,20 +63,31 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     nanos-since-epoch (long); convert to microsecond timestamps —
     the same truncation DuckDB applies, so oracle comparisons agree.
     """
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir), "events")
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     apply_runtime_confs(spark)
     df = spark.read.parquet(_path(sf_dir, "events"))
     if dict(df.dtypes).get("ts") == "bigint":
         # Integer division, NOT `/1000` + cast: the double round-trip has
         # ulp 256ns above 2^53, which lands ~1.5% of rows 1µs low.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _DF_CACHE[key] = df
     return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return load_events(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir), name)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     apply_runtime_confs(spark)
-    return spark.read.parquet(_path(sf_dir, name))
+    df = spark.read.parquet(_path(sf_dir, name))
+    _DF_CACHE[key] = df
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -169,6 +169,119 @@ def user_activity_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def sessionize_batch(
+    ts_sorted: list[int], open_session: tuple[int, int, int] | None, gap_us: int
+) -> list[list[int]]:
+    """Pure session-merge transition used by :func:`user_sessions_tws`.
+
+    Takes a sorted list of event times (µs), the carried-over open
+    session ``(start, last_event, n)`` or None, and returns the merged
+    ``[start, last_event, n]`` triples. Same ``[start, last+gap)`` rule
+    as ``session_window``: an event exactly at ``last+gap`` starts a new
+    session. Unit-testable without a state store (the streaming runtime
+    for transformWithState needs protobuf, absent in some containers).
+    """
+    sessions: list[list[int]] = [list(open_session)] if open_session else []
+    for t in ts_sorted:
+        if sessions and t - sessions[-1][1] < gap_us:
+            sessions[-1][1] = max(sessions[-1][1], t)
+            sessions[-1][2] += 1
+        else:
+            sessions.append([t, t, 1])
+    return sessions
+
+
+def user_sessions_tws(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization via ``transformWithStateInPandas`` — the Spark 4.x
+    arbitrary-state API (StatefulProcessor) succeeding
+    ``applyInPandasWithState``.
+
+    Semantics mirror the batch ``events_session_windows`` query: per
+    user, events merge into one session while consecutive gaps are
+    < ``gap_minutes``; the session window is
+    ``[first_event, last_event + gap)``. State = the still-open trailing
+    session (start, last-event, count) as a ValueState row, merged with
+    the next micro-batch's events; every batch re-emits its affected
+    sessions in update mode (the memory-sink harness replays bounded
+    input as ONE batch, so the final emission equals the batch result —
+    asserted in tests/test_streaming.py).
+
+    Requires the RocksDB state-store provider (transformWithState's
+    backing store); the test sets
+    ``spark.sql.streaming.stateStore.providerClass``.
+
+    Not oracle-able (no SQL twin of a stateful stream); scale posture:
+    one shuffle keyed on user_id, Arrow-batched state transitions,
+    state bounded at one open session per user.
+    """
+    import pandas as pd  # local import keeps the module importable sans Arrow
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", StringType()),
+            StructField("session_end", StringType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+
+    def _fmt(us: int) -> str:
+        return pd.Timestamp(us, unit="us").strftime("%Y-%m-%d %H:%M:%S")
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._open = handle.getValueState(
+                "open_session", "start BIGINT, last BIGINT, n BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            ts: list[int] = []
+            for pdf in rows:
+                ts.extend(
+                    pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
+                )
+            ts.sort()
+            prev = tuple(self._open.get()) if self._open.exists() else None
+            sessions = sessionize_batch(ts, prev, gap_us)
+            if not sessions:
+                return
+            self._open.update(tuple(sessions[-1]))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(sessions),
+                    "session_start": [_fmt(s[0]) for s in sessions],
+                    "session_end": [_fmt(s[1] + gap_us) for s in sessions],
+                    "n_events": [s[2] for s in sessions],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.where(F.col("user_id") <= 50)
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> None:

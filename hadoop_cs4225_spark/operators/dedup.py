@@ -19,7 +19,7 @@ only touches candidate pairs. All hashes are the cross-engine
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_cs4225_spark.functions.hashing import (
@@ -418,4 +418,103 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", quant(inter / union, 6).alias("jaccard"))
         .orderBy(F.desc("jaccard"), "d1", "d2")
         .limit(10)
+    )
+
+
+def _lsh_pairs_cte() -> str:
+    """Shared CTE body producing verified near-dup pairs (d1 < d2) —
+    the same pipeline as ``minhash_lsh_dup_pairs`` without the final
+    projection, reused by the clustering oracle."""
+    return f"""sigs AS ({_minhash_sigs_sql()}
+), shingle_sets AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM
+    (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) q
+  WHERE len(toks) >= 3
+), bands AS (
+  SELECT doc_id, b.band, CASE b.band
+           WHEN 0 THEN mh0 WHEN 1 THEN mh1 WHEN 2 THEN mh2 ELSE mh3 END AS bh
+  FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+  FROM bands a JOIN bands c ON a.band = c.band AND a.bh = c.bh
+  WHERE a.doc_id < c.doc_id
+), verified AS (
+  SELECT d1, d2
+  FROM cand
+  JOIN shingle_sets s1 ON s1.doc_id = d1
+  JOIN shingle_sets s2 ON s2.doc_id = d2
+  WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
+        (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) >= 0.05
+)"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_lsh_pairs_cte()},
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM verified
+  UNION ALL
+  SELECT d2 AS a, d1 AS b FROM verified
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id,
+       MIN(lab) AS cluster_id,
+       (SELECT COUNT(DISTINCT r2.node) FROM reach r2
+        WHERE r2.lab = (SELECT MIN(lab) FROM reach r3 WHERE r3.node = r.node))
+         AS cluster_size
+FROM reach r
+GROUP BY node
+ORDER BY doc_id
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    MinHash-LSH pair graph (iterative min-label propagation).
+
+    The step a real dedup pipeline runs after pair generation — picking
+    one canonical doc per duplicate *group*, which transitive pairs
+    alone can't do. Spark side iterates `label <- min(label, neighbor
+    labels)` to a fixpoint: each round is one shuffle keyed on doc_id,
+    and the iteration count is the component diameter (tiny for dup
+    clusters; bounded at 20 defensively). The DuckDB oracle computes the
+    same closure with a recursive CTE — Spark's loop IS the scalable
+    reformulation of that recursion (per-round localCheckpoint would
+    truncate lineage on a real cluster; omitted at test scale).
+    """
+    pairs = minhash_lsh_dup_pairs(spark, sf_dir).select("d1", "d2")
+    edges = pairs.union(pairs.select(F.col("d2"), F.col("d1"))).toDF("a", "b")
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("lab", F.col("doc_id"))
+    )
+    for _ in range(20):
+        prop = (
+            edges.join(labels, edges.a == labels.doc_id)
+            .select(F.col("b").alias("doc_id"), F.col("lab"))
+        )
+        merged = (
+            labels.select("doc_id", "lab")
+            .union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("lab").alias("new_lab"))
+        )
+        joined = labels.join(merged, "doc_id")
+        if joined.where(F.col("new_lab") < F.col("lab")).isEmpty():
+            break
+        labels = merged.select("doc_id", F.col("new_lab").alias("lab"))
+    w = Window.partitionBy("lab")
+    return (
+        labels.select(
+            "doc_id",
+            F.col("lab").alias("cluster_id"),
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+        )
+        .orderBy("doc_id")
     )

@@ -1,0 +1,116 @@
+"""Source-format independence: CSV and JSON-lines scans.
+
+The engine's queries are layout-agnostic: the same aggregation over
+``orders`` must produce identical results whether the table arrives as
+Parquet, CSV or JSON lines. This module derives CSV/JSONL copies once
+per scale factor (under ``.derived/``), reads them back with EXPLICIT
+schemas (schema inference over 100 TB of text is a full extra scan —
+never do it at scale), and registers queries whose DuckDB oracle reads
+the original Parquet — proving the format round-trip is lossless for
+the queried columns.
+
+Scale notes: CSV/JSONL are splittable by line, so they parallelize, but
+they are row-oriented (no column pruning, no predicate pushdown, ~5-10×
+the bytes of Parquet). The queries exist to prove the connector surface;
+the docstrings say what the plan gives up vs the Parquet scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_cs4225_spark.operators.partitioned import _DERIVED_ROOT
+from hadoop_cs4225_spark.registry import register
+from hadoop_cs4225_spark.sources.tables import load_table
+
+#: Columns exported to text formats (timestamps rendered as strings so
+#: the round-trip is bit-exact and engine-neutral).
+_ORDERS_TEXT_SCHEMA = (
+    "o_orderkey bigint, o_custkey bigint, o_totalprice double, "
+    "o_orderstatus string, o_orderpriority string, o_orderdate_s string"
+)
+
+
+def _derived(sf_dir: str, leaf: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_DERIVED_ROOT, tag, leaf)
+
+
+def _orders_text_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+    )
+
+
+def ensure_orders_csv(spark: SparkSession, sf_dir: str) -> str:
+    path = _derived(sf_dir, "orders_csv")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _orders_text_df(spark, sf_dir).write.mode("overwrite").option(
+            "header", True
+        ).csv(path)
+    return path
+
+
+def ensure_orders_jsonl(spark: SparkSession, sf_dir: str) -> str:
+    path = _derived(sf_dir, "orders_jsonl")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _orders_text_df(spark, sf_dir).write.mode("overwrite").json(path)
+    return path
+
+
+_ORDERS_ROLLUP_ORACLE = """
+SELECT o_orderstatus,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY o_orderstatus, order_month
+ORDER BY o_orderstatus, order_month
+"""
+
+
+def _orders_rollup(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy(
+            "o_orderstatus",
+            F.substring("o_orderdate_s", 1, 7).alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus", "order_month")
+    )
+
+
+@register("orders_csv_scan_rollup", oracle=_ORDERS_ROLLUP_ORACLE)
+def orders_csv_scan_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month×status rollup over the CSV copy of ``orders``.
+
+    Explicit schema (no inference scan). The oracle reads the Parquet
+    original — equal hashes prove the CSV round-trip is lossless. The
+    CSV scan parallelizes by line-splits but reads every byte of every
+    row; the Parquet twin prunes to 3 columns (why Parquet is the
+    resting format at 100 TB and CSV only an ingest format).
+    """
+    path = ensure_orders_csv(spark, sf_dir)
+    df = spark.read.schema(_ORDERS_TEXT_SCHEMA).option("header", True).csv(path)
+    return _orders_rollup(df)
+
+
+@register("orders_jsonl_scan_rollup", oracle=_ORDERS_ROLLUP_ORACLE)
+def orders_jsonl_scan_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same rollup over JSON-lines — the ingest format of most event
+    feeds. Explicit schema: JSON inference costs a full scan AND types
+    drift per-file; a 100 TB pipeline pins the schema at the boundary."""
+    path = ensure_orders_jsonl(spark, sf_dir)
+    df = spark.read.schema(_ORDERS_TEXT_SCHEMA).json(path)
+    return _orders_rollup(df)

@@ -71,13 +71,42 @@ def _plane_sql(p: int) -> str:
 
 
 def _bucket_col(emb: str) -> Column:
-    """LSH bucket id: one sign bit per hyperplane."""
-    bucket = F.lit(0).cast("long")
-    for p in range(N_PLANES):
-        plane = F.array(*[F.lit(v) for v in PLANES[p]])
-        bit = F.when(_dot(emb, plane) > 0, F.lit(1 << p)).otherwise(0)
-        bucket = bucket + bit.cast("long")
-    return bucket
+    """LSH bucket id: one sign bit per hyperplane — ONE array pass.
+
+    All 8 plane dot products fold together through a struct accumulator
+    (zip each dimension with its 8 ±1 coefficients, fold once, read the
+    8 signs in the finish lambda). Two wins over the naive 8×(zip+fold):
+
+    - runtime: one walk of the 64-dim array instead of 8 (Catalyst does
+      not CSE repeated subtrees across when-branches);
+    - plan-build: the whole expression is ONE ``F.expr`` string — the
+      per-literal Column construction (8×64 lits) costs ~0.5 s of py4j
+      round-trips per query otherwise.
+
+    Per-plane addition order is unchanged (acc_p + x_d·c_pd in dimension
+    order), so bucket ids are bit-identical to the DuckDB oracle's
+    per-plane ``list_reduce`` folds.
+    """
+    coefs = ", ".join(
+        "named_struct("
+        + ", ".join(f"'c{p}', {PLANES[p][d]}D" for p in range(N_PLANES))
+        + ")"
+        for d in range(EMB_DIM)
+    )
+    prod_fields = ", ".join(
+        f"'s{p}', CAST(x AS DOUBLE) * c.c{p}" for p in range(N_PLANES)
+    )
+    zero = ", ".join(f"'s{p}', 0.0D" for p in range(N_PLANES))
+    merge_fields = ", ".join(f"'s{p}', a.s{p} + x.s{p}" for p in range(N_PLANES))
+    bits = " + ".join(
+        f"(CASE WHEN a.s{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(N_PLANES)
+    )
+    return F.expr(
+        f"aggregate(zip_with({emb}, array({coefs}), (x, c) -> named_struct({prod_fields})), "
+        f"named_struct({zero}), "
+        f"(a, x) -> named_struct({merge_fields}), "
+        f"a -> CAST({bits} AS BIGINT))"
+    )
 
 
 def _bucket_sql(emb: str) -> str:
@@ -363,6 +392,162 @@ def ann_lsh_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         b.crossJoin(q)
         .where((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != 0))
+        .select("vec_id", "label", quant(_cos("embedding", "qv"), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse-quantizer partitioning
+# ---------------------------------------------------------------------------
+
+#: Number of IVF coarse centroids.
+N_CENTROIDS = 16
+
+
+def _centroid(k: int) -> list[float]:
+    """Deterministic pseudo-centroid in [-1, 1]^64 from md5 bytes.
+
+    A production IVF trains these with k-means; the *engine* mechanics —
+    assignment, inverted lists, probe-limited search — are identical,
+    and deterministic centroids make the query DuckDB-oracle-checkable.
+    """
+    return [
+        round(hashlib.md5(f"centroid:{k}:{d}".encode()).digest()[0] / 127.5 - 1.0, 6)
+        for d in range(EMB_DIM)
+    ]
+
+
+CENTROIDS: list[list[float]] = [_centroid(k) for k in range(N_CENTROIDS)]
+
+#: 0.5·‖c_k‖² terms of the argmin-L2 ⇒ argmax(v·c_k − ½‖c_k‖²) rewrite,
+#: rounded so the literal embeds identically in both engines.
+_HALF_NORMS: list[float] = [
+    round(0.5 * sum(v * v for v in c), 6) for c in CENTROIDS
+]
+
+
+def _centroid_scores_fold(emb: str, render_finish) -> str:
+    """One-pass fold computing all 16 centroid scores (shared skeleton
+    of the Spark expression and the DuckDB oracle is NOT possible —
+    DuckDB lacks 4-arg aggregate — so this renders Spark SQL only;
+    the oracle uses per-centroid list_reduce folds, which add in the
+    same dimension order and are therefore bit-identical)."""
+    ks = range(N_CENTROIDS)
+    coefs = ", ".join(
+        "named_struct("
+        + ", ".join(f"'c{k}', {CENTROIDS[k][d]}D" for k in ks)
+        + ")"
+        for d in range(EMB_DIM)
+    )
+    prods = ", ".join(f"'s{k}', CAST(x AS DOUBLE) * c.c{k}" for k in ks)
+    zero = ", ".join(f"'s{k}', 0.0D" for k in ks)
+    merge = ", ".join(f"'s{k}', a.s{k} + x.s{k}" for k in ks)
+    return (
+        f"aggregate(zip_with({emb}, array({coefs}), (x, c) -> named_struct({prods})), "
+        f"named_struct({zero}), (a, x) -> named_struct({merge}), "
+        f"a -> {render_finish('a')})"
+    )
+
+
+def _ivf_assign_col(emb: str) -> Column:
+    """Nearest-centroid id: argmax_k (v·c_k − ½‖c_k‖²) in one array pass;
+    ties resolve to the lowest k (CASE order) in both engines."""
+
+    def finish(a: str) -> str:
+        scores = [f"({a}.s{k} - {_HALF_NORMS[k]}D)" for k in range(N_CENTROIDS)]
+        g = "greatest(" + ", ".join(scores) + ")"
+        cases = " ".join(
+            f"WHEN {scores[k]} = {g} THEN {k}" for k in range(N_CENTROIDS)
+        )
+        return f"CAST(CASE {cases} END AS INT)"
+
+    return F.expr(_centroid_scores_fold(emb, finish))
+
+
+def _centroid_sql(k: int) -> str:
+    return "[" + ", ".join(str(v) for v in CENTROIDS[k]) + "]::DOUBLE[]"
+
+
+def _ivf_assign_sql(emb: str) -> str:
+    scores = [
+        f"({_dot_sql(emb, _centroid_sql(k))} - {_HALF_NORMS[k]})"
+        for k in range(N_CENTROIDS)
+    ]
+    g = "greatest(" + ", ".join(scores) + ")"
+    cases = " ".join(f"WHEN {scores[k]} = {g} THEN {k}" for k in range(N_CENTROIDS))
+    return f"CAST(CASE {cases} END AS INT)"
+
+
+@register(
+    "ivf_inverted_lists",
+    oracle=f"""
+SELECT {_ivf_assign_sql("embedding")} AS centroid_id,
+       COUNT(*) AS n_vecs,
+       COUNT(DISTINCT label) AS n_labels
+FROM embeddings
+GROUP BY centroid_id
+ORDER BY centroid_id
+""",
+)
+def ivf_inverted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index layout: inverted-list sizes per coarse centroid.
+
+    At 100 TB the centroid id is the partition key of the vector table
+    (``write.partitionBy("centroid_id")``) — each ANN query reads only
+    its probed lists' directories, the IVF analogue of the LSH bucket
+    layout demonstrated by ``events_partition_pruned_day``.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(_ivf_assign_col("embedding").alias("centroid_id"), "label")
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+@register(
+    "ivf_ann_query_topk",
+    oracle=f"""
+WITH assigned AS (
+  SELECT vec_id, label, embedding,
+         {_ivf_assign_sql("embedding")} AS centroid_id
+  FROM embeddings
+), q AS (SELECT embedding, centroid_id FROM assigned WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+       {quant_sql(_cos_sql("e.embedding", "q.embedding"), 6)} AS cos_sim
+FROM assigned e CROSS JOIN q
+WHERE e.centroid_id = q.centroid_id AND e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 5
+""",
+)
+def ivf_ann_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN query (nprobe=1): exact cosine ranking within the query
+    vector's own inverted list.
+
+    Complements the LSH family: IVF candidate lists follow the data
+    distribution (clustered regions share a list), where LSH buckets
+    are data-independent. The probe is an equi-join on centroid_id —
+    at scale a partition-pruned directory read, never a full scan.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = emb.select(
+        "vec_id", "label", "embedding", _ivf_assign_col("embedding").alias("centroid_id")
+    )
+    q = F.broadcast(
+        assigned.where(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv"), F.col("centroid_id").alias("qc")
+        )
+    )
+    return (
+        assigned.crossJoin(q)
+        .where((F.col("centroid_id") == F.col("qc")) & (F.col("vec_id") != 0))
         .select("vec_id", "label", quant(_cos("embedding", "qv"), 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(5)

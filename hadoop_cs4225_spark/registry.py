@@ -43,6 +43,9 @@ _OPERATOR_MODULES = (
     "hadoop_cs4225_spark.operators.joins_advanced",
     "hadoop_cs4225_spark.operators.sql_frontend",
     "hadoop_cs4225_spark.operators.tpch_more",
+    "hadoop_cs4225_spark.operators.sketches",
+    "hadoop_cs4225_spark.operators.udtf_ops",
+    "hadoop_cs4225_spark.operators.formats",
 )
 
 _loaded = False

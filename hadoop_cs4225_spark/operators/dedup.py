@@ -484,15 +484,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the iteration count is the component diameter (tiny for dup
     clusters; bounded at 20 defensively). The DuckDB oracle computes the
     same closure with a recursive CTE — Spark's loop IS the scalable
-    reformulation of that recursion (per-round localCheckpoint would
-    truncate lineage on a real cluster; omitted at test scale).
+    reformulation of that recursion.
+
+    Iteration hygiene (matters at every scale): the verified-pair graph
+    is localCheckpointed ONCE so the 20-stage LSH pipeline behind it is
+    never re-executed by the loop, and each round's labels are
+    localCheckpointed so lineage stays one round deep; without this the
+    plan doubles every iteration and the LSH scan re-runs per round. On
+    a multi-executor cluster swap localCheckpoint for checkpoint (HDFS)
+    to also survive executor loss.
     """
-    pairs = minhash_lsh_dup_pairs(spark, sf_dir).select("d1", "d2")
+    pairs = (
+        minhash_lsh_dup_pairs(spark, sf_dir).select("d1", "d2").localCheckpoint()
+    )
     edges = pairs.union(pairs.select(F.col("d2"), F.col("d1"))).toDF("a", "b")
     labels = (
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("lab", F.col("doc_id"))
+        .localCheckpoint()
     )
     for _ in range(20):
         prop = (
@@ -500,15 +510,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("b").alias("doc_id"), F.col("lab"))
         )
         merged = (
-            labels.select("doc_id", "lab")
-            .union(prop)
+            labels.union(prop)
             .groupBy("doc_id")
             .agg(F.min("lab").alias("new_lab"))
+            .join(labels, "doc_id")
+            .localCheckpoint()
         )
-        joined = labels.join(merged, "doc_id")
-        if joined.where(F.col("new_lab") < F.col("lab")).isEmpty():
-            break
+        converged = merged.where(F.col("new_lab") < F.col("lab")).isEmpty()
         labels = merged.select("doc_id", F.col("new_lab").alias("lab"))
+        if converged:
+            break
     w = Window.partitionBy("lab")
     return (
         labels.select(

@@ -114,3 +114,20 @@ def orders_jsonl_scan_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ensure_orders_jsonl(spark, sf_dir)
     df = spark.read.schema(_ORDERS_TEXT_SCHEMA).json(path)
     return _orders_rollup(df)
+
+
+def ensure_orders_orc(spark: SparkSession, sf_dir: str) -> str:
+    path = _derived(sf_dir, "orders_orc")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _orders_text_df(spark, sf_dir).write.mode("overwrite").orc(path)
+    return path
+
+
+@register("orders_orc_scan_rollup", oracle=_ORDERS_ROLLUP_ORACLE)
+def orders_orc_scan_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same rollup over an ORC copy — the second columnar resting
+    format (Hive-ecosystem interchange). Unlike the text formats, the
+    ORC scan keeps column pruning and predicate pushdown, so the plan
+    is equivalent to the Parquet one at any scale."""
+    path = ensure_orders_orc(spark, sf_dir)
+    return _orders_rollup(spark.read.orc(path))

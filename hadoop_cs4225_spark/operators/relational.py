@@ -622,3 +622,45 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", 0.01).alias("approx_supps"),
     )
+
+
+@register(
+    "nation_metrics_unpivot",
+    oracle="""
+WITH wide AS (
+  SELECT n.n_name,
+         CAST(COUNT(*) AS DOUBLE)                    AS n_customers,
+         ROUND(SUM(c.c_acctbal), 2)                  AS total_balance,
+         CAST(MAX(c.c_acctbal) AS DOUBLE)            AS max_balance
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name, metric, value
+FROM wide UNPIVOT (value FOR metric IN (n_customers, total_balance, max_balance))
+ORDER BY n_name, metric
+""",
+)
+def nation_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape: per-nation metrics unpivoted to (name, metric,
+    value) rows — ``DataFrame.unpivot`` (melt), the inverse of pivot.
+
+    Unpivot is a per-row flatMap (each input row emits one row per value
+    column) — no shuffle beyond the upstream aggregation; at 100 TB the
+    reshape itself is free, which is why long-form is the standard
+    interchange layout for metric stores.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    wide = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+            F.max("c_acctbal").cast("double").alias("max_balance"),
+        )
+    )
+    return wide.unpivot(
+        ["n_name"], ["n_customers", "total_balance", "max_balance"],
+        "metric", "value",
+    ).orderBy("n_name", "metric")

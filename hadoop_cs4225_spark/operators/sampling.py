@@ -1,0 +1,133 @@
+"""Deterministic sampling & split assignment — training-data pipeline ops.
+
+Random `df.sample()` is useless for a reproducible corpus: resampling
+on retry/backfill yields a different subset, and train/test membership
+must be stable across runs, engines, and cluster sizes. The idiom at
+any scale is HASH-based assignment: `hash(key) % N < k` is a pure
+per-row predicate — map-only, partition-pruning-friendly, identical on
+1 or 1000 executors, and joinable (the same doc always lands in the
+same split). Hash is the cross-engine md5-based ``hash60``
+(functions/hashing.py), so the DuckDB oracle reproduces membership
+bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_cs4225_spark.functions.hashing import hash60, hash60_sql
+from hadoop_cs4225_spark.functions.numeric import quant, quant_sql
+from hadoop_cs4225_spark.registry import register
+from hadoop_cs4225_spark.sources.tables import load_table
+
+#: Percent of documents kept by the 10% sample.
+SAMPLE_PCT = 10
+#: Train share of the 90/10 split.
+TRAIN_PCT = 90
+
+
+@register(
+    "documents_hash_sample",
+    oracle=f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {hash60_sql("CAST(doc_id AS VARCHAR)")} % 100 < {SAMPLE_PCT}
+ORDER BY doc_id
+""",
+)
+def documents_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% document sample by content-stable hash.
+
+    A pure filter — no shuffle, no state, no seed bookkeeping; the same
+    doc_id is in (or out) forever, on any engine or cluster layout.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.where(
+            hash60(F.col("doc_id").cast("string")) % 100 < SAMPLE_PCT
+        )
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "documents_split_stats",
+    oracle=f"""
+SELECT CASE WHEN {hash60_sql("CAST(doc_id AS VARCHAR)")} % 100 < {TRAIN_PCT}
+            THEN 'train' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       {quant_sql("CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)", 6)} AS avg_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY split
+ORDER BY split
+""",
+)
+def documents_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 90/10 train/test split with per-split corpus stats.
+
+    Split assignment is a deterministic per-row expression, so the
+    aggregation is one partial-agg shuffle over 2 keys; downstream
+    jobs re-derive membership from doc_id alone (no split table to
+    join or keep consistent).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        hash60(F.col("doc_id").cast("string")) % 100 < TRAIN_PCT, "train"
+    ).otherwise("test")
+    return (
+        docs.select(split.alias("split"), "n_chars", "lang")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            quant(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "documents_stratified_sample",
+    oracle=f"""
+WITH rates(lang, pct) AS (VALUES ('en', 5), ('de', 20), ('fr', 20),
+                                 ('es', 50), ('zh', 50))
+SELECT d.lang, COUNT(*) AS n_sampled, SUM(d.n_chars) AS sampled_chars
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE {hash60_sql("CAST(d.doc_id AS VARCHAR)")} % 100 < r.pct
+GROUP BY d.lang
+ORDER BY d.lang
+""",
+)
+def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sampling (downsample the head language,
+    keep more of the tail) — the class-rebalancing step of corpus
+    curation, still fully deterministic.
+
+    The per-stratum rate table is a broadcast join (bounded: one row
+    per language); the sample predicate stays a map-side filter, so the
+    only shuffle is the final tiny per-language rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rates = F.broadcast(
+        spark.createDataFrame(
+            [("en", 5), ("de", 20), ("fr", 20), ("es", 50), ("zh", 50)],
+            "lang string, pct int",
+        )
+    )
+    return (
+        docs.join(rates, "lang")
+        .where(hash60(F.col("doc_id").cast("string")) % 100 < F.col("pct"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )

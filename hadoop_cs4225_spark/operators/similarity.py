@@ -552,3 +552,52 @@ def ivf_ann_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(5)
     )
+
+
+@register(
+    "embedding_near_dup_lsh",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS v1, c.vec_id AS v2,
+       {quant_sql(_cos_sql("a.embedding", "c.embedding"), 6)} AS cos_sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE {_cos_sql("a.embedding", "c.embedding")} >= 0.3
+ORDER BY cos_sim DESC, v1, v2
+""",
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, UNBOUNDED — the scale path.
+
+    The LSH-bucketed version of ``embedding_near_dup_pairs``: candidate
+    pairs come from an equi-join on the 8-plane hyperplane bucket
+    (vectors with cos >= 0.3 agree on most plane signs, so true near-dups
+    land in one bucket with high probability), then the exact cosine
+    filter verifies. The shuffle is keyed on bucket id — at 100 TB each
+    of the 256 buckets is an independent partition-local all-pairs,
+    never a global cartesian; skewed buckets split under AQE. Same
+    candidate-generation → exact-verify shape as MinHash-LSH dedup
+    (``dedup.py``).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", "embedding", _bucket_col("embedding").alias("bucket"))
+    a = b.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("e1"),
+        "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("e2"),
+        "bucket",
+    )
+    cos = _cos("e1", "e2")
+    return (
+        a.join(c, "bucket")
+        .where(F.col("v1") < F.col("v2"))
+        .where(cos >= 0.3)
+        .select("v1", "v2", quant(cos, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "v1", "v2")
+    )

@@ -46,6 +46,7 @@ _OPERATOR_MODULES = (
     "hadoop_cs4225_spark.operators.sketches",
     "hadoop_cs4225_spark.operators.udtf_ops",
     "hadoop_cs4225_spark.operators.formats",
+    "hadoop_cs4225_spark.operators.sampling",
 )
 
 _loaded = False
@@ -129,7 +130,7 @@ _PRIORITY = (
     "cosine_topk_brute",
     "ann_lsh_query_topk",
     "ann_lsh_multiprobe_topk",
-    "embedding_near_dup_pairs",
+    "embedding_near_dup_lsh",
     "ivf_ann_query_topk",
     # events: windowing, sessionization, funnel, as-of/range joins,
     # partition-pruned layout
@@ -147,6 +148,8 @@ _PRIORITY = (
     # non-parquet sources + Python UDTF surface
     "orders_csv_scan_rollup",
     "doc_sentences_udtf",
+    # deterministic sampling / split (training-pipeline family)
+    "documents_stratified_sample",
     # TPC-H analogue sweep (q2, q7-q22 shapes; histogram/ratio/
     # correlated-avg/disjunctive variants q13/q14/q17/q19 yield their
     # slot to the families above — q8 covers ratio-of-sums, q2/q20
@@ -158,7 +161,6 @@ _PRIORITY = (
     "q10_returned_items",
     "q11_important_part_values",
     "q15_top_supplier",
-    "q16_supplier_part_counts",
     "q20_part_stock_suppliers",
     "q21_waiting_suppliers",
 )

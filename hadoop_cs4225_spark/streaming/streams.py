@@ -112,6 +112,53 @@ def dedup_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def interval_join_stream(events: DataFrame) -> DataFrame:
+    """Stream-stream INTERVAL JOIN: errors within 5 minutes after a
+    click, per user — the streaming twin of ``events_range_join``
+    (joins_advanced.py), same filters and output columns.
+
+    Both sides carry a watermark and the join condition bounds event
+    time in BOTH directions, so the state store can expire rows: a
+    click is held at most watermark + 5 minutes, an error at most the
+    watermark. An unbounded condition would grow state forever — Spark
+    rejects it in append mode, and so should any 100 TB design review.
+    The shuffle is keyed on user_id on both sides (co-partitioned
+    stateful join), exactly like the batch plan.
+    """
+    clicks = (
+        events.where((F.col("event_type") == "click") & (F.col("user_id") <= 50))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    errors = (
+        events.where((F.col("event_type") == "error") & (F.col("user_id") <= 50))
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    return clicks.join(
+        errors,
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") > F.col("c_ts"))
+        & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 5 MINUTES")),
+    ).select(
+        "click_id",
+        "error_id",
+        "user_id",
+        (
+            F.unix_timestamp(F.col("e_ts").cast("timestamp"))
+            - F.unix_timestamp(F.col("c_ts").cast("timestamp"))
+        ).alias("secs_between"),
+    )
+
+
 def user_activity_stateful(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``.
 

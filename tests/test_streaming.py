@@ -197,3 +197,14 @@ def test_sessionize_batch_transition_logic(spark):
         for r in batch
     )
     assert got_trunc == want
+
+
+def test_interval_join_stream_matches_batch(spark):
+    """Stream-stream interval join replays to exactly the batch
+    events_range_join result (append mode; availableNow drains the
+    whole file, watermark passes end-of-input so all pairs emit)."""
+    ev = streams.read_events_stream(spark, SF_SMOKE)
+    streams.run_to_memory(streams.interval_join_stream(ev), "t_ivjoin", "append")
+    got = _rows(spark.sql("SELECT * FROM t_ivjoin"))
+    want = _rows(registry.QUERIES["events_range_join"](spark, SF_SMOKE))
+    assert sorted(got) == sorted(want)

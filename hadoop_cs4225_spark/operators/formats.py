@@ -131,3 +131,29 @@ def orders_orc_scan_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is equivalent to the Parquet one at any scale."""
     path = ensure_orders_orc(spark, sf_dir)
     return _orders_rollup(spark.read.orc(path))
+
+
+def ensure_orders_xml(spark: SparkSession, sf_dir: str) -> str:
+    path = _derived(sf_dir, "orders_xml")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _orders_text_df(spark, sf_dir).write.mode("overwrite").format(
+            "xml"
+        ).option("rowTag", "order").save(path)
+    return path
+
+
+@register("orders_xml_scan_rollup", oracle=_ORDERS_ROLLUP_ORACLE)
+def orders_xml_scan_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same rollup over XML (Spark 4 native source) — the legacy-feed
+    ingest case. Explicit schema again; XML is the least splittable of
+    the text formats (records span lines, the reader must find rowTag
+    boundaries), so at scale it exists strictly at the ingest boundary,
+    converted to Parquet in the first pass."""
+    path = ensure_orders_xml(spark, sf_dir)
+    df = (
+        spark.read.schema(_ORDERS_TEXT_SCHEMA)
+        .format("xml")
+        .option("rowTag", "order")
+        .load(path)
+    )
+    return _orders_rollup(df)

@@ -115,10 +115,12 @@ def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shuffle is the final tiny per-language rollup.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # Inline VALUES relation: stays JVM-side (a createDataFrame of the
+    # same 5 rows costs a Python-RDD conversion + ~1 s of py4j).
     rates = F.broadcast(
-        spark.createDataFrame(
-            [("en", 5), ("de", 20), ("fr", 20), ("es", 50), ("zh", 50)],
-            "lang string, pct int",
+        spark.sql(
+            "SELECT * FROM VALUES ('en', 5), ('de', 20), ('fr', 20), "
+            "('es', 50), ('zh', 50) AS rates(lang, pct)"
         )
     )
     return (
@@ -130,4 +132,58 @@ def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sampled_chars"),
         )
         .orderBy("lang")
+    )
+
+
+@register(
+    "curated_split_manifest",
+    oracle=f"""
+WITH keepers AS (
+  SELECT lang, text, MIN(doc_id) AS keeper_id,
+         MIN(n_chars) AS n_chars
+  FROM documents
+  WHERE n_chars >= 200
+  GROUP BY lang, text
+)
+SELECT CASE WHEN {hash60_sql("CAST(keeper_id AS VARCHAR)")} % 100 < {TRAIN_PCT}
+            THEN 'train' ELSE 'test' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars
+FROM keepers
+GROUP BY split, lang
+ORDER BY split, lang
+""",
+)
+def curated_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain in ONE plan: length filter → exact dedup
+    (keep lowest doc_id per distinct text) → deterministic 90/10 split →
+    per split×lang manifest.
+
+    One corpus scan, one dedup shuffle keyed on (lang, text), one tiny
+    rollup — split membership is computed from the surviving keeper_id,
+    so re-running after upstream changes moves a doc between splits
+    ONLY if its canonical representative changed. This is the manifest
+    a 100 TB pretraining run is launched from.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = (
+        docs.where(F.col("n_chars") >= 200)
+        .groupBy("lang", "text")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.min("n_chars").alias("n_chars"),
+        )
+    )
+    split = F.when(
+        hash60(F.col("keeper_id").cast("string")) % 100 < TRAIN_PCT, "train"
+    ).otherwise("test")
+    return (
+        keepers.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
     )

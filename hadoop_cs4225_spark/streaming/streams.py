@@ -112,6 +112,37 @@ def dedup_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def enrich_join_stream(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """Stream-STATIC join: enrich the event stream with a small static
+    dimension (event_type -> category/weight).
+
+    The static side is planned once and broadcast to every micro-batch
+    — no state store at all (contrast with ``interval_join_stream``):
+    the canonical shape for dimension enrichment at any scale. The dim
+    here is an inline VALUES relation; in production it is a Parquet/
+    Delta dim table re-read per batch.
+    """
+    dim = F.broadcast(
+        spark.sql(
+            "SELECT * FROM VALUES "
+            "('click', 'engagement', 1.0D), ('view', 'engagement', 0.5D), "
+            "('purchase', 'revenue', 10.0D), ('signup', 'growth', 5.0D), "
+            "('error', 'health', 0.0D) AS dim(event_type, category, weight)"
+        )
+    )
+    return (
+        events.join(dim, "event_type")
+        .withWatermark("ts", "1 hour")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 2).alias(
+                "weighted_value"
+            ),
+        )
+    )
+
+
 def interval_join_stream(events: DataFrame) -> DataFrame:
     """Stream-stream INTERVAL JOIN: errors within 5 minutes after a
     click, per user — the streaming twin of ``events_range_join``

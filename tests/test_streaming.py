@@ -208,3 +208,33 @@ def test_interval_join_stream_matches_batch(spark):
     got = _rows(spark.sql("SELECT * FROM t_ivjoin"))
     want = _rows(registry.QUERIES["events_range_join"](spark, SF_SMOKE))
     assert sorted(got) == sorted(want)
+
+
+def test_enrich_join_stream_matches_batch(spark):
+    """Stream-static broadcast enrichment replays to the same per-
+    category totals as the equivalent batch join+agg."""
+    from pyspark.sql import functions as F
+
+    ev = streams.read_events_stream(spark, SF_SMOKE)
+    streams.run_to_memory(
+        streams.enrich_join_stream(spark, ev), "t_enrich", "complete"
+    )
+    got = _rows(spark.sql("SELECT * FROM t_enrich"))
+    dim = spark.sql(
+        "SELECT * FROM VALUES "
+        "('click', 'engagement', 1.0D), ('view', 'engagement', 0.5D), "
+        "('purchase', 'revenue', 10.0D), ('signup', 'growth', 5.0D), "
+        "('error', 'health', 0.0D) AS dim(event_type, category, weight)"
+    )
+    batch = (
+        load_events(spark, SF_SMOKE)
+        .join(dim, "event_type")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 2).alias(
+                "weighted_value"
+            ),
+        )
+    )
+    assert sorted(got) == sorted(_rows(batch))

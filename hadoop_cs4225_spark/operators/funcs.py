@@ -296,3 +296,47 @@ def conditional_expr_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "event_props_variant",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, 'k') AS BIGINT)) AS sum_k,
+       COUNT(DISTINCT CAST(json_extract_string(props, 'k') AS BIGINT) % 10)
+         AS k_mod_card
+FROM events
+WHERE CAST(json_extract_string(props, 'k') AS BIGINT) IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through the VARIANT type (Spark 4):
+    ``parse_json`` once into an open-schema value, typed
+    ``variant_get`` paths downstream.
+
+    VARIANT is the 100 TB answer when props schemas DRIFT: unlike
+    ``from_json`` (fixed struct, silent nulls on drift), the variant
+    keeps every field; unlike raw JSON strings, it is a binary encoding
+    with per-path typed access (no re-parse per expression). The oracle
+    reads the same paths with DuckDB's JSON functions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+    )
+    return (
+        v.where(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct(F.col("k") % 10).alias("k_mod_card"),
+        )
+        .orderBy("event_type")
+    )

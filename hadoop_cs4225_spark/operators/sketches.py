@@ -45,3 +45,52 @@ def sketch_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
         F.hll_sketch_estimate("u").alias("approx_users"),
     )
     return typed.unionByName(total).orderBy("event_type")
+
+
+@register("topk_users_approx")  # no oracle: tie order inside the sketch merge
+def topk_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters per event type via ``approx_top_k``.
+
+    The streaming-friendly top-k: each partition tracks a bounded
+    item->count map (maxItemsTracked=10000), maps merge associatively
+    — one partial-agg shuffle, constant memory, no global sort. Below
+    the tracking bound the counts are exact; only the tie order at the
+    k-boundary is engine-specific (hence rows-only; exactness vs a full
+    groupBy is pinned in tests/test_sketches.py).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.expr("approx_top_k(user_id, 3, 10000)").alias("top"))
+        .select(
+            "event_type",
+            F.expr(
+                "transform(top, x -> named_struct('user_id', x.item, 'n', x.count))"
+            ).alias("top_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register("event_freq_cms")  # no oracle: sketch bytes are engine-specific
+def event_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch per event type (eps=1%, conf=95%).
+
+    The CMS answers "how often does key X occur" with bounded memory
+    and +eps*N one-sided error; adds are commutative sums so the
+    merged sketch bytes are deterministic for a fixed seed regardless
+    of partitioning. Store the blob per day/type, merge for any range
+    — same mergeability story as the HLL rollup. Point estimates are
+    asserted against exact counts in tests/test_sketches.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("hex(count_min_sketch(user_id, 0.01d, 0.95d, 42))").alias(
+                "cms_hex"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

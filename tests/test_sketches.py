@@ -32,3 +32,39 @@ def test_sketch_estimates_within_bounds(spark):
     for k, est in got.items():
         # lgK=12 relative standard error ~1.6%; allow 5% (3 sigma).
         assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_approx_topk_counts_are_exact_below_tracking_bound(spark):
+    rows = registry.QUERIES["topk_users_approx"](spark, SF_SMOKE).collect()
+    ev = load_table(spark, SF_SMOKE, "events")
+    for r in rows:
+        exact = {
+            (x.user_id): x.n
+            for x in ev.where(F.col("event_type") == r.event_type)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        kth = sorted(exact.values(), reverse=True)[len(r.top_users) - 1]
+        for item in r.top_users:
+            # every reported count is the true count, and every reported
+            # item is a legitimate top-k member (>= the kth true count)
+            assert exact[item.user_id] == item.n
+            assert item.n >= kth
+
+
+def test_count_min_sketch_deterministic_and_bounded(spark):
+    df1 = registry.QUERIES["event_freq_cms"](spark, SF_SMOKE)
+    # determinism across partitioning layouts (commutative adds)
+    ev = load_table(spark, SF_SMOKE, "events").repartition(13)
+    df2 = (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("hex(count_min_sketch(user_id, 0.01d, 0.95d, 42))").alias(
+                "cms_hex"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+    assert [r.cms_hex for r in df1.collect()] == [r.cms_hex for r in df2.collect()]

@@ -101,8 +101,33 @@ def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sigs(docs: DataFrame) -> DataFrame:
-    """Per-doc MinHash signatures: ONE md5 per shingle.
+def _shingle_sets(docs: DataFrame) -> DataFrame:
+    """``(doc_id, sh)`` with ``sh`` = the DISTINCT 3-token shingle set.
+
+    MUST be materialized (persist/localCheckpoint) before exploding
+    ``sh`` downstream: a generator over an aliased computed array gets
+    the building lambda collapsed INTO the generate operator and
+    re-evaluated per emitted element — measured 10.2s vs 0.6s at sf0.1.
+    Fuse ``explode(array_distinct(...))`` into one select (see
+    :func:`minhash_signatures`) when no reuse is needed.
+    """
+    return (
+        docs.select("doc_id", _toks().alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", F.array_distinct(_shingles()).alias("sh"))
+    )
+
+
+def _minhash_sigs_from_sets(sets: DataFrame) -> DataFrame:
+    """Signatures from a MATERIALIZED shingle-set frame (see above)."""
+    return _minhash_sigs_from_exploded(
+        sets.select("doc_id", F.explode("sh").alias("s"))
+    )
+
+
+def _minhash_sigs_from_exploded(sh_rows: DataFrame) -> DataFrame:
+    """Per-doc MinHash signatures from ``(doc_id, s)`` shingle rows: ONE
+    md5 per distinct shingle.
 
     md5 dominates MinHash cost. Explode shingles, hash each exactly once,
     split the 128-bit digest into two 60-bit halves (h1, h2), and derive
@@ -112,13 +137,15 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
     expressions over a shared hash array looks cheaper but re-inlines
     the md5 transform per output column — measured 2x slower.)
 
+    MIN is duplicate-insensitive, so signatures over the distinct set
+    equal signatures over raw shingles — which lets the LSH pipeline
+    share ONE tokenize+shingle pass between signature generation and
+    exact-Jaccard verification instead of scanning ``documents`` twice.
+
     This is also the 100 TB shape: shingling is a flatMap, the signature
     is a partial-aggregated shuffle keyed on doc_id.
     """
-    d = docs.select("doc_id", _toks().alias("toks")).where(F.size("toks") >= 3)
-    hx = d.select("doc_id", F.explode(_shingles()).alias("s")).select(
-        "doc_id", F.md5("s").alias("x")
-    )
+    hx = sh_rows.select("doc_id", F.md5("s").alias("x"))
     pairs = hx.select(
         "doc_id",
         F.conv(F.substring("x", 1, 15), 16, 10).cast("long").alias("h1"),
@@ -165,7 +192,14 @@ ORDER BY doc_id
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature (4 permutations over 3-token shingles)."""
     docs = load_table(spark, sf_dir, "documents")
-    return _minhash_sigs(docs).orderBy("doc_id")
+    d0 = docs.select("doc_id", _toks().alias("toks")).where(F.size("toks") >= 3)
+    # One fused select: explode(array_distinct(shingles)) — aliasing the
+    # array first and exploding in a second select re-runs the shingle
+    # lambda per element (measured 10x).
+    sh_rows = d0.select(
+        "doc_id", F.explode(F.array_distinct(_shingles())).alias("s")
+    )
+    return _minhash_sigs_from_exploded(sh_rows).orderBy("doc_id")
 
 
 @register(
@@ -204,14 +238,15 @@ def minhash_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band. Verification computes exact shingle-set Jaccard only for
     candidates. The band join keys the shuffle on (band, hash) buckets —
     the 100 TB-safe plan (never all-pairs).
+
+    The shingle-set frame feeds BOTH the signature branch and the two
+    verify joins; persisting it makes tokenize+shingle+distinct run once
+    instead of three times (at cluster scale use StorageLevel
+    MEMORY_AND_DISK — the frame is one row per doc).
     """
     docs = load_table(spark, sf_dir, "documents")
-    d = (
-        docs.select("doc_id", _toks().alias("toks"))
-        .where(F.size("toks") >= 3)
-        .select("doc_id", F.array_distinct(_shingles()).alias("sh"))
-    )
-    sigs = _minhash_sigs(docs).select(
+    d = _shingle_sets(docs).persist()
+    sigs = _minhash_sigs_from_sets(d).select(
         "doc_id",
         F.explode(
             F.array(*[

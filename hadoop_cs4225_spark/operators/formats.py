@@ -157,3 +157,56 @@ def orders_xml_scan_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
     )
     return _orders_rollup(df)
+
+
+def ensure_docs_bin(spark: SparkSession, sf_dir: str) -> str:
+    """Derive one ``doc_<id>.bin`` file per document (doc_id < 32) —
+    the on-disk shape multimodal corpora arrive in (an object store of
+    raw media blobs). Driver-side writer is fixture derivation only,
+    bounded at 32 tiny files; real pipelines read pre-existing blobs."""
+    path = _derived(sf_dir, "docs_bin")
+    marker = os.path.join(path, ".done")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 32)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(os.path.join(path, f"doc_{r['doc_id']:04d}.bin"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+@register(
+    "binaryfile_docs_scan",
+    oracle="""
+SELECT COUNT(*) AS n_files,
+       SUM(n_chars) AS total_bytes,
+       COUNT(DISTINCT md5(text)) AS n_distinct_blobs
+FROM documents WHERE doc_id < 32
+""",
+)
+def binaryfile_docs_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source: ingest a directory of opaque blobs as
+    (path, modificationTime, length, content) rows — the standard Spark
+    entry point for image/audio corpora at scale.
+
+    The aggregate proves the round-trip: byte length and content md5
+    over the blobs match the originating rows (corpus is ASCII, so
+    bytes == n_chars). Scale notes: binaryFile parallelizes per-file
+    (maxPartitionBytes packs small files), content is NOT splittable —
+    fine for media where one blob = one record; set
+    `spark.sql.files.ignoreCorruptFiles` policy deliberately in prod.
+    """
+    path = ensure_docs_bin(spark, sf_dir)
+    blobs = spark.read.format("binaryFile").load(path)
+    return blobs.where(~F.col("path").endswith(".done")).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("length").alias("total_bytes"),
+        F.countDistinct(F.md5("content")).alias("n_distinct_blobs"),
+    )

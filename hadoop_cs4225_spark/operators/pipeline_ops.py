@@ -1,0 +1,415 @@
+"""Training-data pipeline operators beyond dedup/similarity: benchmark
+decontamination, repetition-quality signals, dataset profiling, time-spine
+gap-fill, and batch upsert/merge.
+
+These are the remaining first-class ops a 100 TB pretraining-data build
+runs between raw ingest and tokenization:
+
+- **decontamination** — remove benchmark/eval text from the training
+  corpus by n-gram overlap (the standard contamination check: shingle
+  both sides, join on shingle, score overlap per training doc);
+- **repetition signals** — Gopher-style quality heuristics (top-token
+  fraction, type-token ratio, top-bigram fraction) that flag
+  boilerplate/spam docs;
+- **profiling** — per-column null/distinct/min/max report over a table
+  (the data-quality gate before a run);
+- **gap-fill** — calendar-spine left join so time-bucketed rollups emit
+  zero rows for empty buckets (hypertable-rollup semantics);
+- **upsert/merge** — latest-version-wins batch merge (the engine-level
+  pattern under storage MERGE INTO).
+
+Scale notes per query docstring. No reference analogue (the reference
+is two MapReduce jobs — `WordCount.java`, `TopkCommonWords.java`);
+these extend the driver-mandated LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_cs4225_spark.functions.numeric import quant, quant_sql, rsum
+from hadoop_cs4225_spark.operators.dedup import (
+    _SHINGLES_SQL,
+    _TOKS_SQL,
+    _shingles,
+    _toks,
+)
+from hadoop_cs4225_spark.registry import register
+from hadoop_cs4225_spark.sources.tables import load_events, load_table
+
+#: Every 97th doc plays the "benchmark/eval set" role in the
+#: decontamination check (deterministic, schema-free stand-in for the
+#: external eval corpora a real pipeline loads as a side input).
+_PROBE_MOD = 97
+
+
+@register(
+    "decontamination_overlap",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS s
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t0
+  WHERE len(toks) >= 3
+),
+probe AS (SELECT DISTINCT s FROM sh WHERE doc_id % {_PROBE_MOD} = 0),
+corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % {_PROBE_MOD} <> 0),
+stats AS (
+  SELECT c.doc_id,
+         COUNT(*) AS n_shingles,
+         COUNT(p.s) AS n_overlap
+  FROM corpus c LEFT JOIN probe p ON c.s = p.s
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_shingles, n_overlap,
+       {quant_sql('CAST(n_overlap AS DOUBLE) / n_shingles', 4)} AS overlap_frac
+FROM stats
+WHERE n_overlap > 0
+ORDER BY overlap_frac DESC, doc_id
+LIMIT 100
+""",
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-doc distinct-3-gram overlap with a
+    probe ("eval") document set, top contaminated docs first.
+
+    Plan at 100 TB: shingling is a flatMap; the overlap is ONE
+    shuffle-join keyed on the shingle string between the corpus
+    (doc_id, shingle) rows and the probe shingle set, followed by a
+    partial-aggregated groupBy(doc_id). Real eval suites are tiny and
+    fixed-size, so the probe side is broadcast-able in production — here
+    it is derived from the same table (grows with SF), so the join is
+    left un-hinted and AQE picks the strategy. Hot shingles (stopword
+    runs) are AQE-skew-split; n-gram length 3 keeps selectivity high.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", _toks().alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("s"))
+    )
+    probe = sh.where(F.col("doc_id") % _PROBE_MOD == 0).select("s").distinct()
+    corpus = sh.where(F.col("doc_id") % _PROBE_MOD != 0)
+    hits = (
+        corpus.join(probe.withColumn("hit", F.lit(1)), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_overlap"),
+        )
+    )
+    return (
+        hits.where(F.col("n_overlap") > 0)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            quant(F.col("n_overlap").cast("double") / F.col("n_shingles"), 4).alias(
+                "overlap_frac"
+            ),
+        )
+        .orderBy(F.desc("overlap_frac"), "doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "doc_repetition_signals",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(toks) AS t
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t0
+  WHERE len(toks) >= 2
+),
+uni AS (
+  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_types, MAX(c) AS top_cnt
+  FROM (SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY doc_id, t) u
+  GROUP BY doc_id
+),
+big AS (
+  SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_big_cnt
+  FROM (
+    SELECT doc_id, b, COUNT(*) AS c
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS b
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t0
+      WHERE len(toks) >= 2
+    ) g
+    GROUP BY doc_id, b
+  ) gb
+  GROUP BY doc_id
+)
+SELECT u.doc_id,
+       u.n_tokens,
+       {quant_sql('CAST(u.n_types AS DOUBLE) / u.n_tokens', 4)} AS type_token_ratio,
+       {quant_sql('CAST(u.top_cnt AS DOUBLE) / u.n_tokens', 4)} AS top_token_frac,
+       {quant_sql('CAST(b.top_big_cnt AS DOUBLE) / b.n_bigrams', 4)} AS top_bigram_frac
+FROM uni u JOIN big b ON u.doc_id = b.doc_id
+ORDER BY u.doc_id
+""",
+)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals per document: type-token
+    ratio, most-frequent-token fraction, most-frequent-bigram fraction.
+
+    Filtering rule of thumb from the Gopher/MassiveText paper: drop docs
+    whose top 2-gram exceeds ~20% of the text or whose TTR collapses.
+    Plan: two partial-aggregated shuffles keyed on (doc_id, gram) then
+    (doc_id) — both map-side combined, no row ever leaves its doc's
+    partition twice. At 100 TB this is the same two-shuffle shape per
+    signal family; signals join 1:1 on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _toks().alias("toks")).where(F.size("toks") >= 2)
+    uni = (
+        base.select("doc_id", F.explode("toks").alias("t"))
+        .groupBy("doc_id", "t")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.max("count").alias("top_cnt"),
+        )
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("toks", i + 1), F.element_at("toks", i + 2)
+        ),
+    )
+    big = (
+        base.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.sum("count").alias("n_bigrams"), F.max("count").alias("top_big_cnt"))
+    )
+    return (
+        uni.join(big, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            quant(F.col("n_types").cast("double") / F.col("n_tokens"), 4).alias(
+                "type_token_ratio"
+            ),
+            quant(F.col("top_cnt").cast("double") / F.col("n_tokens"), 4).alias(
+                "top_token_frac"
+            ),
+            quant(
+                F.col("top_big_cnt").cast("double") / F.col("n_bigrams"), 4
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: (column, kind) pairs for the orders profile; kind picks the
+#: cross-engine-stable string rendering of min/max.
+_PROFILE_COLS = (
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_totalprice", "num"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+    ("o_orderdate", "date"),
+)
+
+
+def _render(col: str, kind: str) -> F.Column:
+    c = F.col(col)
+    if kind == "num":
+        return F.format_string("%.2f", c)
+    if kind == "date":
+        return F.date_format(c, "yyyy-MM-dd")
+    return c.cast("string")
+
+
+def _render_sql(expr: str, kind: str) -> str:
+    if kind == "num":
+        return f"printf('%.2f', {expr})"
+    if kind == "date":
+        return f"strftime({expr}, '%Y-%m-%d')"
+    return f"CAST({expr} AS VARCHAR)"
+
+
+@register(
+    "orders_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""
+SELECT '{col}' AS column_name,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({col}) AS n_null,
+       COUNT(DISTINCT {col}) AS n_distinct,
+       {_render_sql(f"MIN({col})", kind)} AS min_s,
+       {_render_sql(f"MAX({col})", kind)} AS max_s
+FROM orders"""
+        for col, kind in _PROFILE_COLS
+    )
+    + "\nORDER BY column_name",
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling: one row per column with null count, distinct
+    count, and min/max — the pre-training data-quality report.
+
+    Computed in ONE scan: a single wide aggregate produces every
+    column's six stats, then `stack` pivots them to long form on the
+    1-row result (driver-side-free: stack is a projection). The oracle
+    is the readable per-column UNION ALL — same values, 6 scans; the
+    engine side is the shape you run at 100 TB. COUNT(DISTINCT) over
+    many columns in one pass expands rows |cols|x before partial agg
+    (Spark `expand`); swap to approx_count_distinct when exactness is
+    not required at scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for col, kind in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{col}__rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__null"),
+            F.countDistinct(col).alias(f"{col}__distinct"),
+            F.min(col).alias(f"{col}__min_raw"),
+            F.max(col).alias(f"{col}__max_raw"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = []
+    for col, kind in _PROFILE_COLS:
+        stack_args += [
+            F.lit(col),
+            F.col(f"{col}__rows"),
+            F.col(f"{col}__null"),
+            F.col(f"{col}__distinct"),
+            _render(f"{col}__min_raw", kind),
+            _render(f"{col}__max_raw", kind),
+        ]
+    n = len(_PROFILE_COLS)
+    return (
+        wide.select(
+            F.stack(
+                F.lit(n),
+                *stack_args,
+            ).alias("column_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
+        )
+        .orderBy("column_name")
+    )
+
+
+@register(
+    "events_gapfill_daily",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         COUNT(*) AS n_events,
+         ROUND(SUM(value), 2) AS total_value
+  FROM events GROUP BY 1
+),
+spine AS (
+  SELECT unnest(generate_series(
+           (SELECT MIN(day) FROM daily),
+           (SELECT MAX(day) FROM daily),
+           INTERVAL 1 DAY))::DATE AS day
+)
+SELECT s.day,
+       COALESCE(d.n_events, 0) AS n_events,
+       COALESCE(d.total_value, 0.0) AS total_value
+FROM spine s LEFT JOIN daily d ON s.day = d.day
+ORDER BY s.day
+""",
+)
+def events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style daily rollup with calendar gap-fill: every day
+    between min and max emits a row, zero-filled when no events landed.
+
+    Plan: the rollup is one partial-aggregated shuffle keyed on day; the
+    spine is `sequence(min_day, max_day)` exploded from the rollup's own
+    1-row bounds aggregate — O(days) rows, broadcast side of the final
+    left join. At 100 TB the rollup side stays the only big shuffle; a
+    calendar spine never grows with data volume, only with time range.
+    """
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        rsum("value").alias("total_value"),
+    )
+    bounds = daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "orders_upsert_merge",
+    oracle="""
+WITH updates AS (
+  SELECT o_orderkey, o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice, 2 AS version
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+unioned AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, version FROM updates
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+    FROM unioned
+  ) WHERE rn = 1
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       SUM(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS n_updated,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM latest
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def orders_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch upsert (MERGE/SCD latest-version-wins) as an engine
+    pattern: union base + changes, keep ROW_NUMBER()=1 per key by
+    descending version, then aggregate the merged state.
+
+    This is what a storage-layer MERGE INTO lowers to without a
+    transactional table format: one shuffle keyed on the merge key for
+    the window dedup, then the usual agg. At 100 TB the win is
+    pre-bucketing base and updates on o_orderkey so the window runs
+    shuffle-free (see tests/test_bucketing.py for the bucketed-join
+    twin of this layout).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.withColumn("version", F.lit(1))
+    updates = (
+        orders.where(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("version", F.lit(2))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    latest = (
+        base.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return (
+        latest.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("version") == 2, 1).otherwise(0)).alias("n_updated"),
+            rsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -601,3 +601,69 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("v1", "v2", quant(cos, 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "v1", "v2")
     )
+
+
+@register(
+    "embedding_int8_quant",
+    oracle=f"""
+WITH q AS (
+  SELECT label,
+         list_max(list_transform(embedding,
+             v -> abs(CAST(v AS DOUBLE)))) / 127.0 AS scale,
+         embedding
+  FROM embeddings
+),
+err AS (
+  SELECT label,
+         list_max(list_transform(embedding,
+             v -> abs(CAST(v AS DOUBLE)
+                      - floor(CAST(v AS DOUBLE) / scale + 0.5) * scale)))
+           AS max_err
+  FROM q WHERE scale > 0
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       {quant_sql("ROUND(SUM(max_err), 6) / COUNT(*)", 9)} AS avg_max_err,
+       MAX(max_err) AS worst_err
+FROM err
+GROUP BY label
+ORDER BY label
+""",
+)
+def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization audit: per-vector scale =
+    max|x|/127, reconstruct, report worst-case absolute error per label.
+
+    The compression step before shipping embeddings to an ANN index
+    (4x smaller, dot products in int8). Entirely JVM array expressions
+    (transform/array_max) — map-only per row, one partial-aggregated
+    shuffle on label; no UDF, so it whole-stage-codegens and scales
+    linearly. floor(x+0.5) is the cross-engine round (both engines'
+    round() disagree on half-boundaries).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vd = lambda v: v.cast("double")  # noqa: E731 — float32 -> exact double
+    scale = F.array_max(F.transform("embedding", lambda v: F.abs(vd(v)))) / 127.0
+    with_scale = emb.select("label", "embedding", scale.alias("scale")).where(
+        F.col("scale") > 0
+    )
+    err = F.array_max(
+        F.transform(
+            "embedding",
+            lambda v: F.abs(
+                vd(v) - F.floor(vd(v) / F.col("scale") + 0.5) * F.col("scale")
+            ),
+        )
+    )
+    return (
+        with_scale.select("label", err.alias("max_err"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            quant(F.round(F.sum("max_err"), 6) / F.count(F.lit(1)), 9).alias(
+                "avg_max_err"
+            ),
+            F.max("max_err").alias("worst_err"),
+        )
+        .orderBy("label")
+    )

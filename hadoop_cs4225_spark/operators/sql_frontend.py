@@ -128,3 +128,40 @@ def order_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "lateral_top_customers",
+    oracle="""
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 3
+) t
+ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+""",
+)
+def lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-3 customers by balance per
+    nation, via the SQL front-end.
+
+    Catalyst decorrelates `JOIN LATERAL ... ORDER BY ... LIMIT k` into
+    the same window-rank plan the DataFrame twin
+    (`top_orders_per_customer`) builds by hand — one shuffle keyed on
+    the correlation key, no per-nation re-scan of customer. The nested
+    re-execution a naive reading implies does NOT survive optimization;
+    that is the point of expressing it declaratively.
+    """
+    _view(spark, sf_dir, "nation")
+    _view(spark, sf_dir, "customer")
+    return spark.sql("""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n
+        JOIN LATERAL (
+          SELECT c_name, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 3
+        ) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+    """)

@@ -47,6 +47,7 @@ _OPERATOR_MODULES = (
     "hadoop_cs4225_spark.operators.udtf_ops",
     "hadoop_cs4225_spark.operators.formats",
     "hadoop_cs4225_spark.operators.sampling",
+    "hadoop_cs4225_spark.operators.pipeline_ops",
 )
 
 _loaded = False
@@ -150,18 +151,22 @@ _PRIORITY = (
     "doc_sentences_udtf",
     # deterministic sampling / split (training-pipeline family)
     "documents_stratified_sample",
-    # TPC-H analogue sweep (q2, q7-q22 shapes; histogram/ratio/
-    # correlated-avg/disjunctive variants q13/q14/q17/q19 yield their
-    # slot to the families above — q8 covers ratio-of-sums, q2/q20
-    # cover correlated subqueries, and all four stay oracle-verified
-    # by tests/test_oracle_parity.py)
+    # pipeline ops added in round 2: decontamination, quality signals,
+    # profiling, upsert/merge — new FAMILIES, so they take window slots
+    # from TPC-H variants whose shape stays covered (q2 correlated
+    # subquery, q8 ratio-of-sums, q11 scalar-subquery HAVING, q21
+    # semi/anti self-join); the displaced q7/q10/q15/q20 plus gap-fill,
+    # LATERAL, binaryFile and int8-quant stay oracle-verified by
+    # tests/test_oracle_parity.py
+    "decontamination_overlap",
+    "doc_repetition_signals",
+    "orders_profile",
+    "orders_upsert_merge",
+    # TPC-H analogue sweep (q2-q22 shapes; the variants outside the
+    # window remain oracle-verified locally)
     "q2_min_balance_supplier",
-    "q7_nation_volume_shipping",
     "q8_market_share",
-    "q10_returned_items",
     "q11_important_part_values",
-    "q15_top_supplier",
-    "q20_part_stock_suppliers",
     "q21_waiting_suppliers",
 )
 

@@ -80,5 +80,8 @@ def test_priority_window_integrity():
         "events_partition_pruned_day",  # partition pruning
         "weighted_minhash_signatures",  # weighted dedup
         "q21_waiting_suppliers",      # q7-q22 sweep
+        "decontamination_overlap",    # benchmark decontamination
+        "orders_profile",             # dataset profiling
+        "orders_upsert_merge",        # batch MERGE/SCD
     ):
         assert anchor in names[:50], anchor

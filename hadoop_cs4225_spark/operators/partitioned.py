@@ -77,3 +77,57 @@ def events_partition_pruned_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def events_nested_path(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_DERIVED_ROOT, tag, "events_nested")
+
+
+def ensure_events_nested(spark: SparkSession, sf_dir: str) -> str:
+    """Write a nested-struct copy of ``events``: everything except the
+    key folded into ``meta struct<etype,k,value,day>`` — the shape
+    event logs arrive in when ingested from JSON at scale."""
+    path = events_nested_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev = load_events(spark, sf_dir)
+        nested = ev.select(
+            "event_id",
+            F.struct(
+                F.col("event_type").alias("etype"),
+                F.get_json_object("props", "$.k").cast("int").alias("k"),
+                F.col("value").alias("value"),
+                F.to_date("ts").alias("day"),
+            ).alias("meta"),
+        )
+        nested.write.mode("overwrite").parquet(path)
+    return path
+
+
+@register(
+    "nested_struct_pruned_rollup",
+    oracle="""
+SELECT event_type AS etype,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY etype
+""",
+)
+def nested_struct_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup touching ONE subfield of a nested struct column.
+
+    Catalyst's nested-schema pruning must narrow the parquet ReadSchema
+    to ``meta.etype`` alone (asserted in tests/test_plans.py) — at
+    100 TB with wide event envelopes, reading one subfield instead of
+    the whole struct is a column-store win identical to top-level
+    column pruning. The oracle reads the flat table: layout-transparent
+    semantics, like the date-partitioned twin above.
+    """
+    path = ensure_events_nested(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return (
+        ev.groupBy(F.col("meta.etype").alias("etype"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("etype")
+    )

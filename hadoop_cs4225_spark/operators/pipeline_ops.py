@@ -413,3 +413,149 @@ def orders_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+)
+SELECT c.cohort_day,
+       date_diff('day', c.cohort_day, a.day) AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM activity a JOIN cohorts c USING (user_id)
+WHERE date_diff('day', c.cohort_day, a.day) <= 14
+GROUP BY c.cohort_day, day_offset
+ORDER BY c.cohort_day, day_offset
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, active
+    user counts per day-offset for two weeks.
+
+    The standard product-analytics rollup. Plan: one distinct shuffle on
+    (user, day), one partial-agg shuffle on user for cohort assignment,
+    one shuffle-join back on user (both sides already partitioned by
+    user after the first two — at scale co-partitioning makes the join
+    local), final partial-agg on (cohort, offset). countDistinct here is
+    exact; at 100 TB swap for approx_count_distinct per cell.
+    """
+    ev = load_events(spark, sf_dir)
+    activity = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(cohorts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+            "user_id",
+        )
+        .where(F.col("day_offset") <= 14)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+#: Document-frequency band for the sparse-similarity postings join:
+#: df=1 shingles cannot co-occur (dropped from the join, kept in norms);
+#: df>20 shingles are boilerplate whose postings-list square blows up the
+#: join (the Bayardo all-pairs prune) and whose idf carries no signal.
+_SIM_DF_MAX = 20
+
+
+@register(
+    "shingle_idf_similarity_topk",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS s
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t0
+  WHERE len(toks) >= 3
+),
+dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+w AS (
+  SELECT sh.doc_id, sh.s, dfreq.df,
+         {quant_sql("ln((n_docs + 1.0) / (df + 1.0))", 6)} AS w
+  FROM sh JOIN dfreq USING (s) CROSS JOIN n
+  WHERE dfreq.df <= {_SIM_DF_MAX}
+),
+norms AS (
+  SELECT doc_id, SQRT(ROUND(SUM(w * w), 6)) AS nrm FROM w GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, ROUND(SUM(a.w * b.w), 6) AS dot
+  FROM (SELECT * FROM w WHERE df >= 2) a
+  JOIN (SELECT * FROM w WHERE df >= 2) b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2, {quant_sql("dot / (n1.nrm * n2.nrm)", 6)} AS cos_sim
+FROM dots
+JOIN norms n1 ON n1.doc_id = d1
+JOIN norms n2 ON n2.doc_id = d2
+WHERE {quant_sql("dot / (n1.nrm * n2.nrm)", 6)} >= 0.3
+ORDER BY cos_sim DESC, d1, d2
+LIMIT 50
+""",
+)
+def shingle_idf_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse all-pairs document similarity: idf-weighted cosine over
+    distinct-3-gram vectors, via a postings-list self-join on shingle.
+
+    The sparse counterpart to the dense ANN family: no signatures, no
+    buckets — candidates come from the inverted index itself, with the
+    Bayardo-style df prune making the join sum(df^2)-bounded instead of
+    n^2 (shingles with df=1 cannot produce a pair; df>{df_max} shingles
+    are boilerplate with ~zero idf — both dropped from the join, norms
+    keep the full df<= {df_max} space). Plan: tokenize flatMap, df
+    partial-agg, postings equi-join keyed on shingle (AQE splits hot
+    shingles), pair partial-agg, two 1:1 norm joins, distributed top-k.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", _toks().alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("s"))
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # scalar; at scale a broadcast scalar subquery
+    w = (
+        sh.join(dfreq, "s")
+        .where(F.col("df") <= _SIM_DF_MAX)
+        .select(
+            "doc_id",
+            "s",
+            "df",
+            quant(F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.round(F.sum(F.col("w") * F.col("w")), 6)).alias("nrm")
+    )
+    kept = w.where(F.col("df") >= 2)
+    a = kept.select(F.col("doc_id").alias("d1"), "s", F.col("w").alias("w1"))
+    b = kept.select(F.col("doc_id").alias("d2"), "s", F.col("w").alias("w2"))
+    dots = (
+        a.join(b, "s")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.round(F.sum(F.col("w1") * F.col("w2")), 6).alias("dot"))
+    )
+    n1 = norms.select(F.col("doc_id").alias("d1"), F.col("nrm").alias("nrm1"))
+    n2 = norms.select(F.col("doc_id").alias("d2"), F.col("nrm").alias("nrm2"))
+    cos = quant(F.col("dot") / (F.col("nrm1") * F.col("nrm2")), 6)
+    return (
+        dots.join(n1, "d1")
+        .join(n2, "d2")
+        .where(cos >= 0.3)
+        .select("d1", "d2", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "d1", "d2")
+        .limit(50)
+    )

@@ -44,3 +44,33 @@ def write_text_kv(
         )
     )
     out.coalesce(1).write.mode(mode).text(path)
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_rows_per_file: int,
+    total_rows: int | None = None,
+    mode: str = "error",
+) -> None:
+    """Small-file-safe Parquet sink: bound file count AND file size.
+
+    The two small-file levers, composed:
+    - ``repartition(ceil(n / target))`` sets the number of write tasks
+      (without it, a 2000-task shuffle output writes 2000 files even
+      when 10 would do — the classic metastore/namenode killer);
+    - ``maxRecordsPerFile`` caps any single file so one skewed write
+      task cannot emit a multi-GB file.
+
+    ``total_rows`` avoids a count() job when the caller already knows
+    the cardinality; at scale pass an estimate (row count from the
+    shuffle stage, or bytes/avg-row-size).
+    """
+    n = total_rows if total_rows is not None else df.count()
+    nfiles = max(1, -(-n // max(1, target_rows_per_file)))
+    (
+        df.repartition(nfiles)
+        .write.option("maxRecordsPerFile", target_rows_per_file)
+        .mode(mode)
+        .parquet(path)
+    )

@@ -152,3 +152,84 @@ def test_partitioned_events_scan_prunes(spark):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters")[1][:200]
     assert "event_date" in pf and "2024-01-15" in pf
+
+
+def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
+    """At 100 TB, a selective dim/fact filter should cut the other join
+    side's shuffle via Catalyst's runtime bloom-filter injection
+    (InjectRuntimeFilter). Cluster-default thresholds (creation side
+    >= 10MB scan) never trigger at test SF, so thresholds are lowered
+    here to prove the plan shape the production config produces."""
+    from pyspark.sql import functions as F
+
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_ORACLE, "lineitem")
+        orders = load_table(spark, SF_ORACLE, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Skewed fact keys must not serialize one reducer: AQE's runtime
+    skew-join split (SortMergeJoin(skew=true)) is the no-code-change
+    path at 100 TB (the explicit salting recipe in relational.py is the
+    fallback for non-join aggs). Thresholds are lowered to make the
+    tiny test shuffle register as skewed; cluster defaults (256MB
+    advisory) produce the same split on real skew."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 201000).select(
+            F.when(F.col("id") < 200000, 0)
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = big.join(dim, "k").groupBy().agg(F.count(F.lit(1)).alias("n"))
+        assert j.collect()[0]["n"] == 201000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_nested_schema_pruning_narrows_read(spark):
+    """The nested rollup must scan struct<etype> ONLY — not k/value/day."""
+    plan = plan_string(_df(spark, "nested_struct_pruned_rollup"))
+    rs = plan.split("ReadSchema")[1][:300]
+    assert "etype" in rs, rs
+    for dropped in ("value", "day", '"k"', "k:int"):
+        assert dropped not in rs, (dropped, rs)

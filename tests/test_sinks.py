@@ -67,3 +67,25 @@ def test_text_kv_matches_reference_format(spark, tmp_path):
     got = {r.value for r in lines}
     want = {f"{r.score}\t{r.word}" for r in rows}
     assert got == want and len(lines) == len(rows)
+
+
+def test_write_compacted_bounds_file_count_and_size(spark, tmp_path):
+    """1000 rows at 250/file -> exactly 4 parquet files, none over cap,
+    and a lossless round-trip."""
+    import glob
+
+    from hadoop_cs4225_spark.sources.sinks import write_compacted
+
+    df = spark.range(1000).selectExpr("id", "id % 7 AS g")
+    out = str(tmp_path / "compacted")
+    write_compacted(df, out, target_rows_per_file=250)
+    files = glob.glob(out + "/*.parquet")
+    # repartition's round-robin split is near- but not exactly-even, so
+    # maxRecordsPerFile may split one task's output: 4 or 5 files, never
+    # the 1000 an unmanaged write could produce.
+    assert 4 <= len(files) <= 5, files
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    import pyarrow.parquet as pq
+
+    assert max(pq.ParquetFile(f).metadata.num_rows for f in files) <= 250

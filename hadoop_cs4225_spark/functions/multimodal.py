@@ -122,3 +122,57 @@ def extract_media_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
             )
 
     return media.mapInPandas(_extract, schema=FEATURES_SCHEMA)
+
+
+def extract_media_features_arrow(media: DataFrame, n_bins: int = 16) -> DataFrame:
+    """``mapInArrow`` twin of :func:`extract_media_features` — the last
+    of Spark's Arrow execution modes (pandas_udf / applyInPandas /
+    mapInPandas / applyInPandasWithState / UDTF are covered elsewhere).
+
+    Operating on raw ``pyarrow.RecordBatch`` skips the Arrow->pandas
+    conversion entirely — for binary payloads that conversion is a
+    per-row Python ``bytes`` copy, so the Arrow path is the one to use
+    when the per-batch kernel is already numpy/pyarrow-vectorized (here:
+    ``np.bincount`` over a zero-copy ``frombuffer`` view).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("media_type", pa.string()),
+            pa.field("content_len", pa.int64()),
+            pa.field("byte_hist", pa.list_(pa.int32())),
+            pa.field("n_frames", pa.int32()),
+        ]
+    )
+
+    def _extract(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            d = batch.to_pydict()
+            payloads = [
+                decode_media(p, t) for p, t in zip(d["content"], d["media_type"])
+            ]
+            hists = [
+                np.bincount(
+                    (np.frombuffer(p, dtype=np.uint8).astype(np.int64) * n_bins)
+                    // 256,
+                    minlength=n_bins,
+                )
+                .astype(np.int32)
+                .tolist()
+                for p in payloads
+            ]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": d["doc_id"],
+                    "media_type": d["media_type"],
+                    "content_len": d["content_len"],
+                    "byte_hist": hists,
+                    "n_frames": [-(-len(p) // FRAME_BYTES) for p in payloads],
+                },
+                schema=out_schema,
+            )
+
+    return media.mapInArrow(_extract, schema=FEATURES_SCHEMA)

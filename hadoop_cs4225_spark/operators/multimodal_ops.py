@@ -130,3 +130,24 @@ def media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         F.element_at("byte_hist", 8).alias("hist_bin7"),
     ).orderBy("doc_id")
+
+
+@register("media_byte_features_arrow")  # mapInArrow path: no SQL oracle
+def media_byte_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` byte-histogram features — numerically identical to
+    `media_byte_features` (pinned in tests/test_multimodal.py) without
+    the Arrow->pandas bytes-copy per row."""
+    from hadoop_cs4225_spark.functions.multimodal import (
+        extract_media_features_arrow,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 100)
+    media = media_from_documents(docs)
+    feats = extract_media_features_arrow(media)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "content_len",
+        "n_frames",
+        F.element_at("byte_hist", 8).alias("hist_bin7"),
+    ).orderBy("doc_id")

@@ -165,3 +165,47 @@ def lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
     """)
+
+
+_RCTE_SQL = """
+WITH RECURSIVE nxt AS (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders WHERE o_custkey % 50 = 0
+), chain (o_custkey, o_orderkey, rn, depth) AS (
+  SELECT o_custkey, o_orderkey, rn, 1 FROM nxt WHERE rn = 1
+  UNION ALL
+  SELECT n.o_custkey, n.o_orderkey, n.rn, c.depth + 1
+  FROM chain c JOIN nxt n
+    ON n.o_custkey = c.o_custkey AND n.rn = c.rn + 1
+  WHERE c.depth < 12
+)
+SELECT depth,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM chain
+GROUP BY depth
+ORDER BY depth
+"""
+
+
+@register("recursive_order_chain", oracle=_RCTE_SQL)
+def recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4.x): walk each customer's order history as
+    a linked list — seed = first order, step = join to the next rank —
+    and histogram the reached depths.
+
+    Identical SQL runs on both engines (the oracle IS the query). Each
+    recursion level is one join over the frontier, so cost scales with
+    the LONGEST chain, not total rows — fine for bounded-depth recursion
+    (hierarchies, graph frontiers); for per-key sequence numbering at
+    100 TB the window-function formulation (`customer_running_spend`)
+    is the single-shuffle path. Spark caps levels at
+    spark.sql.cteRecursionLevelLimit (default 100) — raise it for
+    deeper graphs. The `% 50` subset keeps the demo's frontier small
+    and `depth < 12` bounds the level count (cost per level is a full
+    join job); both appear in the oracle SQL, so parity is exact.
+    """
+    _view(spark, sf_dir, "orders")
+    return spark.sql(_RCTE_SQL)

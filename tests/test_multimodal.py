@@ -51,3 +51,13 @@ def test_decode_stub_rejects_real_media():
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16, "image")
     assert decode_media(b"plain text payload", "image") == b"plain text payload"
+
+
+def test_arrow_and_pandas_feature_paths_identical(spark):
+    """mapInArrow and mapInPandas extractors must agree bit-for-bit."""
+    from hadoop_cs4225_spark import registry
+
+    registry.load_all()
+    a = registry.QUERIES["media_byte_features"](spark, SF_SMOKE).collect()
+    b = registry.QUERIES["media_byte_features_arrow"](spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

@@ -200,12 +200,13 @@ WITH firsts AS (
   GROUP BY user_id
 )
 SELECT COUNT(*) AS n_users,
-       SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS viewed,
-       SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
-                THEN 1 ELSE 0 END) AS clicked_after_view,
-       SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+       CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS viewed,
+       CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+       CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
                 AND first_purchase > first_click THEN 1 ELSE 0 END)
-         AS purchased_after_click
+         AS BIGINT) AS purchased_after_click
 FROM firsts
 """,
 )

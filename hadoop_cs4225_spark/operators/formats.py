@@ -186,7 +186,7 @@ def ensure_docs_bin(spark: SparkSession, sf_dir: str) -> str:
     "binaryfile_docs_scan",
     oracle="""
 SELECT COUNT(*) AS n_files,
-       SUM(n_chars) AS total_bytes,
+       CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
        COUNT(DISTINCT md5(text)) AS n_distinct_blobs
 FROM documents WHERE doc_id < 32
 """,

@@ -303,7 +303,8 @@ def conditional_expr_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(json_extract_string(props, 'k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, 'k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
        COUNT(DISTINCT CAST(json_extract_string(props, 'k') AS BIGINT) % 10)
          AS k_mod_card
 FROM events

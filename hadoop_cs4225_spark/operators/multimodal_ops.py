@@ -25,7 +25,7 @@ from hadoop_cs4225_spark.sources.tables import load_table
     oracle="""
 SELECT media_type,
        COUNT(*) AS n_items,
-       SUM(content_len) AS total_bytes,
+       CAST(SUM(content_len) AS BIGINT) AS total_bytes,
        MAX(CAST(ceil(content_len / 256.0) AS INT)) AS max_frames
 FROM (
   SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

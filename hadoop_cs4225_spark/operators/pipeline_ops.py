@@ -142,7 +142,7 @@ big AS (
   GROUP BY doc_id
 )
 SELECT u.doc_id,
-       u.n_tokens,
+       CAST(u.n_tokens AS BIGINT) AS n_tokens,
        {quant_sql('CAST(u.n_types AS DOUBLE) / u.n_tokens', 4)} AS type_token_ratio,
        {quant_sql('CAST(u.top_cnt AS DOUBLE) / u.n_tokens', 4)} AS top_token_frac,
        {quant_sql('CAST(b.top_big_cnt AS DOUBLE) / b.n_bigrams', 4)} AS top_bigram_frac
@@ -370,7 +370,8 @@ latest AS (
 )
 SELECT o_orderstatus,
        COUNT(*) AS n_orders,
-       SUM(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS n_updated,
+       CAST(SUM(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_updated,
        ROUND(SUM(o_totalprice), 2) AS total_price
 FROM latest
 GROUP BY o_orderstatus

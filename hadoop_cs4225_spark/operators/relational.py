@@ -528,10 +528,12 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decimal_exact_revenue",
     oracle="""
 SELECT l_returnflag,
-       CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) / 100.0
-                     AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue_exact,
-       CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) / 100.0
-                     AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty_exact
+       CAST(CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) / 100.0
+                     AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR)
+         AS revenue_exact,
+       CAST(CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) / 100.0
+                     AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR)
+         AS qty_exact
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -552,14 +554,28 @@ def decimal_exact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     The trade: decimal aggregation runs outside some codegen fast paths
     (~2-3x slower than double), which is why the float+quantizer scheme
     is the default and decimal the audit/finance path.
+
+    The RESULT columns are emitted as strings on both sides: DuckDB's
+    pandas conversion degrades DECIMAL(38,2) to float64 (1234.50 ->
+    1234.5) while Spark keeps Decimal objects, so a decimal-typed
+    output can never value-hash-match even when equal. Rendering the
+    final (already-aggregated) decimals as text ("1234.50" both
+    engines) keeps the DecimalType arithmetic inside the query while
+    making the output representation engine-portable.
     """
     li = load_table(spark, sf_dir, "lineitem")
     d = lambda c: quant(F.col(c), 2).cast("decimal(18,2)")  # noqa: E731
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.sum(d("l_extendedprice")).cast("decimal(38,2)").alias("revenue_exact"),
-            F.sum(d("l_quantity")).cast("decimal(38,2)").alias("qty_exact"),
+            F.sum(d("l_extendedprice"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("revenue_exact"),
+            F.sum(d("l_quantity"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("qty_exact"),
         )
         .orderBy("l_returnflag")
     )

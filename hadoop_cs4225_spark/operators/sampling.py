@@ -58,7 +58,7 @@ def documents_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CASE WHEN {hash60_sql("CAST(doc_id AS VARCHAR)")} % 100 < {TRAIN_PCT}
             THEN 'train' ELSE 'test' END AS split,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        {quant_sql("CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)", 6)} AS avg_chars,
        COUNT(DISTINCT lang) AS n_langs
 FROM documents
@@ -98,7 +98,8 @@ def documents_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH rates(lang, pct) AS (VALUES ('en', 5), ('de', 20), ('fr', 20),
                                  ('es', 50), ('zh', 50))
-SELECT d.lang, COUNT(*) AS n_sampled, SUM(d.n_chars) AS sampled_chars
+SELECT d.lang, COUNT(*) AS n_sampled,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sampled_chars
 FROM documents d JOIN rates r ON d.lang = r.lang
 WHERE {hash60_sql("CAST(d.doc_id AS VARCHAR)")} % 100 < r.pct
 GROUP BY d.lang
@@ -149,7 +150,7 @@ SELECT CASE WHEN {hash60_sql("CAST(keeper_id AS VARCHAR)")} % 100 < {TRAIN_PCT}
             THEN 'train' ELSE 'test' END AS split,
        lang,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM keepers
 GROUP BY split, lang
 ORDER BY split, lang

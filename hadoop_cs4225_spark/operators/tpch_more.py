@@ -96,10 +96,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_shipmode_priority",
     oracle="""
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
@@ -677,30 +677,41 @@ WITH german AS (
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation   ON s_nationkey = n_nationkey
-  WHERE n_name = 'GERMANY'
+  WHERE n_name = 'NATION_19'
+),
+per_part AS (
+  SELECT l_partkey, ROUND(SUM(val), 2) AS part_value
+  FROM german GROUP BY l_partkey
 )
-SELECT l_partkey, ROUND(SUM(val), 2) AS part_value
-FROM german
-GROUP BY l_partkey
-HAVING ROUND(SUM(val), 2) >
-       (SELECT ROUND(SUM(val), 2) * 0.001 FROM german)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > (SELECT ROUND(2.0 * AVG(part_value), 2) FROM per_part)
 ORDER BY part_value DESC, l_partkey
 """,
 )
 def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q11 shape: per-key value share vs a GLOBAL scalar threshold.
+    """Q11 shape: per-key value vs a GLOBAL scalar threshold.
 
     TPC-H Q11 sums partsupp value per partkey and keeps parts above a
-    fraction of the national total; with no partsupp in this schema the
-    analogue values parts by their German-supplied lineitem revenue.
-    The scalar total is a 1-row aggregate broadcast into the HAVING
-    filter (bounded — the hint is safe); the per-part aggregation is one
-    partial-agg shuffle keyed on l_partkey. Addends are quantized to
-    cents so per-part and global sums hash identically cross-engine.
+    global scalar; with no partsupp in this schema the analogue values
+    parts by their NATION_19-supplied lineitem revenue (nation names in
+    testdata are NATION_0..24 — the round-2 'GERMANY' predicate matched
+    nothing, making the green row vacuous at 0 rows on both sides). The
+    original fixed-fraction-of-total threshold is also inherently
+    scale-vacuous: per-part share shrinks as the part count grows, so
+    0.1% of total exceeds every part at sf>=0.01. A multiple of the
+    AVERAGE per-part value is scale-invariant (2.0x avg keeps ~7-9% of
+    parts at sf0.001/0.01/0.1 alike). The scalar is a 1-row aggregate
+    broadcast into the filter (bounded — the hint is safe); the per-part
+    aggregation is one partial-agg shuffle keyed on l_partkey. Addends
+    are cent-quantized and the threshold rounded to cents so the
+    boundary compare is deterministic cross-engine.
     """
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "GERMANY")
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_19"
+    )
     german = (
         li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -714,9 +725,11 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = german.groupBy("l_partkey").agg(
         F.round(F.sum("val"), 2).alias("part_value")
     )
-    total = german.agg((F.round(F.sum("val"), 2) * 0.001).alias("threshold"))
+    threshold = per_part.agg(
+        F.round(2.0 * F.avg("part_value"), 2).alias("threshold")
+    )
     return (
-        per_part.join(F.broadcast(total))
+        per_part.join(F.broadcast(threshold))
         .where(F.col("part_value") > F.col("threshold"))
         .select("l_partkey", "part_value")
         .orderBy(F.desc("part_value"), "l_partkey")

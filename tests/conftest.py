@@ -47,9 +47,32 @@ def _normalize(value):
     return str(value)
 
 
+# DuckDB output types whose pandas conversion diverges from Spark's
+# collected Python values: HUGEINT/UHUGEINT and DECIMAL become float64
+# in `rel.df()` (3 -> 3.0, 1234.50 -> 1234.5), so the driver's
+# value-hash can never match Spark's bigint/Decimal even when the
+# values are equal. Every oracle must CAST these away (SUM over ints ->
+# CAST(... AS BIGINT); decimal outputs -> VARCHAR on both sides).
+FORBIDDEN_ORACLE_TYPES = ("HUGEINT", "DECIMAL")
+
+
+def assert_oracle_types_safe(duck_rel, name=""):
+    bad = [
+        (c, str(t))
+        for c, t in zip(duck_rel.columns, duck_rel.types)
+        if any(f in str(t).upper() for f in FORBIDDEN_ORACLE_TYPES)
+    ]
+    assert not bad, (
+        f"{name}: oracle emits driver-hostile DuckDB types (pandas "
+        f"renders them float64, breaking the value hash): {bad} — "
+        f"CAST integer SUMs to BIGINT / decimals to VARCHAR"
+    )
+
+
 def assert_frames_match(spark_df, duck_rel, name=""):
     """Mimic the driver's compare: row-count + order-insensitive values
     with columns sorted by name."""
+    assert_oracle_types_safe(duck_rel, name=name)
     sp_cols = sorted(spark_df.columns)
     du_cols = sorted(duck_rel.columns)
     assert sp_cols == du_cols, f"{name}: column names differ: {sp_cols} vs {du_cols}"

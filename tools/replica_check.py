@@ -37,6 +37,18 @@ def _normalize(value):
 
 
 def compare(spark_df, duck_rel):
+    # The driver reads the oracle side via pandas, where DuckDB
+    # HUGEINT/DECIMAL degrade to float64 and can never hash-match
+    # Spark's bigint/Decimal — fail fast on those types (round-2
+    # post-mortem: 6 red rows were exactly this, invisible to the
+    # old fetchall() path which yields exact Python ints).
+    bad = [
+        (c, str(t))
+        for c, t in zip(duck_rel.columns, duck_rel.types)
+        if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()
+    ]
+    if bad:
+        return f"oracle emits driver-hostile types (pandas->float64): {bad}"
     sp_cols = sorted(spark_df.columns)
     du_cols = sorted(duck_rel.columns)
     if sp_cols != du_cols:

@@ -37,7 +37,12 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark(app_name="spark-graft-bench")
     queries = registry.get_queries()
-    headline = set(list(queries)[:50])
+    # Headline = the driver's correctness window; the shared constant +
+    # assert keep this split pinned to registry._PRIORITY (if _PRIORITY
+    # drifts, tests/test_oracle_parity.py::test_priority_window_integrity
+    # and this assert both fire rather than silently diverging).
+    assert len(registry._PRIORITY) == registry.PRIORITY_WINDOW
+    headline = set(list(queries)[: registry.PRIORITY_WINDOW])
 
     # Warmup: touch the session + parquet footers once.
     queries["word_count"](spark, sf_dir).limit(1).collect()
@@ -51,6 +56,10 @@ def main() -> None:
         except Exception as e:  # a broken query should not zero the bench
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             timings[name] = -1.0
+        # Drop caches a query persisted for intra-plan reuse (e.g. the
+        # LSH shingle-set frame) so blocks never accumulate across the
+        # 120+ query run and timings stay independent.
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
@@ -59,20 +68,33 @@ def main() -> None:
     other = round(
         sum(t for n, t in timings.items() if t >= 0 and n not in headline), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": {n: t for n, t in timings.items() if n in headline},
-                "sf": sf,
-                "n_queries": len(timings),
-                "other_sec": other,
-            },
-            separators=(",", ":"),
-        )
+
+    # Emit ONE JSON line, hard-capped under the driver's 2000-char stdout
+    # capture. Start from the headline window sorted slowest-first and
+    # drop the fastest entries until the line fits — `value` always
+    # covers the full suite and BENCH_DETAIL.json always has every
+    # query, so truncation loses only per-query display, not data.
+    shown = sorted(
+        ((n, t) for n, t in timings.items() if n in headline),
+        key=lambda kv: -kv[1],
     )
+    while True:
+        payload = {
+            "metric": "suite_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": dict(shown),
+            "sf": sf,
+            "n_queries": len(timings),
+            "other_sec": other,
+        }
+        if len(shown) < len(headline):
+            payload["queries_omitted"] = len(headline) - len(shown)
+        line = json.dumps(payload, separators=(",", ":"))
+        if len(line) <= 1900 or not shown:
+            break
+        shown = shown[:-1]
+    print(line)
     spark.stop()
 
 

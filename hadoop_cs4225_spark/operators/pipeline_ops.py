@@ -235,41 +235,16 @@ def _render_sql(expr: str, kind: str) -> str:
     return f"CAST({expr} AS VARCHAR)"
 
 
-@register(
-    "orders_profile",
-    oracle="\nUNION ALL\n".join(
-        f"""
-SELECT '{col}' AS column_name,
-       COUNT(*) AS n_rows,
-       COUNT(*) - COUNT({col}) AS n_null,
-       COUNT(DISTINCT {col}) AS n_distinct,
-       {_render_sql(f"MIN({col})", kind)} AS min_s,
-       {_render_sql(f"MAX({col})", kind)} AS max_s
-FROM orders"""
-        for col, kind in _PROFILE_COLS
-    )
-    + "\nORDER BY column_name",
-)
-def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dataset profiling: one row per column with null count, distinct
-    count, and min/max — the pre-training data-quality report.
-
-    Computed in ONE scan: a single wide aggregate produces every
-    column's six stats, then `stack` pivots them to long form on the
-    1-row result (driver-side-free: stack is a projection). The oracle
-    is the readable per-column UNION ALL — same values, 6 scans; the
-    engine side is the shape you run at 100 TB. COUNT(DISTINCT) over
-    many columns in one pass expands rows |cols|x before partial agg
-    (Spark `expand`); swap to approx_count_distinct when exactness is
-    not required at scale.
-    """
-    orders = load_table(spark, sf_dir, "orders")
+def _profile_plan(orders: DataFrame, distinct_agg) -> DataFrame:
+    """Shared one-scan profile shape: a single wide aggregate computes
+    every column's stats, then `stack` pivots the 1-row result to long
+    form (stack is a projection — no extra job, nothing driver-side)."""
     aggs = []
     for col, kind in _PROFILE_COLS:
         aggs += [
             F.count(F.lit(1)).alias(f"{col}__rows"),
             (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__null"),
-            F.countDistinct(col).alias(f"{col}__distinct"),
+            distinct_agg(col).alias(f"{col}__distinct"),
             F.min(col).alias(f"{col}__min_raw"),
             F.max(col).alias(f"{col}__max_raw"),
         ]
@@ -294,6 +269,56 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+@register("orders_profile")  # no oracle: HLL estimates are engine-specific;
+# accuracy is rsd-pinned against the exact twin in tests/test_pipeline_profile.py
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling: one row per column with null count, distinct
+    count (approximate), and min/max — the pre-training data-quality
+    report, in ONE scan.
+
+    This is the registered 100 TB default: ``approx_count_distinct``
+    (HyperLogLog++, rsd 0.05) keeps the multi-column aggregate a plain
+    one-pass partial agg. The exact variant (``orders_profile_exact``)
+    needs Spark's `expand` — the scan is replicated once per DISTINCT
+    column (6x rows into the shuffle here), which round-2 benchmarks
+    showed dominating the suite (8.45 s, 2.3x the runner-up) — so exact
+    is the bounded audit twin, not the default. n_distinct is an
+    estimate; the rsd bound is pinned in tests against the exact twin.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return _profile_plan(
+        orders, lambda c: F.approx_count_distinct(c, rsd=0.05)
+    )
+
+
+@register(
+    "orders_profile_exact",
+    oracle="\nUNION ALL\n".join(
+        f"""
+SELECT '{col}' AS column_name,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({col}) AS n_null,
+       COUNT(DISTINCT {col}) AS n_distinct,
+       {_render_sql(f"MIN({col})", kind)} AS min_s,
+       {_render_sql(f"MAX({col})", kind)} AS max_s
+FROM orders"""
+        for col, kind in _PROFILE_COLS
+    )
+    + "\nORDER BY column_name",
+)
+def orders_profile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-distinct audit twin of ``orders_profile``.
+
+    Same one-scan wide-aggregate + stack shape, but COUNT(DISTINCT) over
+    many columns in one pass expands rows |cols|x before partial agg
+    (Spark `expand`) — run it when exactness matters and the input is
+    bounded, not as the recurring profile job. The oracle is the
+    readable per-column UNION ALL — same values, 6 scans.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return _profile_plan(orders, F.countDistinct)
 
 
 @register(
@@ -526,15 +551,21 @@ def shingle_idf_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("s"))
     )
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.count()  # scalar; at scale a broadcast scalar subquery
+    # The corpus size enters the idf as a broadcast 1-row aggregate
+    # (bounded — the hint is safe), NOT a driver-side .count(): a scalar
+    # count would run an extra job per invocation and serialize the DAG.
+    n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
     w = (
         sh.join(dfreq, "s")
+        .join(n_docs)
         .where(F.col("df") <= _SIM_DF_MAX)
         .select(
             "doc_id",
             "s",
             "df",
-            quant(F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6).alias("w"),
+            quant(
+                F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("w"),
         )
     )
     norms = w.groupBy("doc_id").agg(

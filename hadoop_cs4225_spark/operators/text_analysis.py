@@ -353,12 +353,17 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(_toks()).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()  # scalar; at scale use a broadcast scalar subquery
-    scored = tf.join(df, "word").select(
+    # Corpus size as a broadcast 1-row aggregate (bounded hint), not a
+    # driver-side .count() — a scalar count adds a job per invocation
+    # and serializes the DAG before the real plan starts.
+    n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+    scored = tf.join(df, "word").join(n_docs).select(
         "doc_id",
         "word",
         quant(
-            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+            F.col("tf")
+            * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+            6,
         ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))

@@ -52,6 +52,12 @@ _OPERATOR_MODULES = (
 
 _loaded = False
 
+#: Size of the driver's correctness window — the first N queries in
+#: ``queries()`` iteration order get driver CORRECTNESS rows. Shared by
+#: bench.py (headline split) and tests/test_oracle_parity.py so the two
+#: can never silently diverge from ``_PRIORITY``.
+PRIORITY_WINDOW = 50
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: add ``fn`` to the registry under ``name``."""
@@ -127,18 +133,19 @@ _PRIORITY = (
     "simhash_fingerprints",
     "weighted_minhash_signatures",
     "dedup_clusters",
-    # similarity / ANN family (hyperplane-LSH and IVF paradigms)
+    # similarity / ANN family (hyperplane-LSH and IVF paradigms);
+    # multiprobe yielded its slot in round 3 (same bucket-join shape as
+    # ann_lsh_query_topk) to the sparse-all-pairs shape below
     "cosine_topk_brute",
     "ann_lsh_query_topk",
-    "ann_lsh_multiprobe_topk",
     "embedding_near_dup_lsh",
     "ivf_ann_query_topk",
     # events: windowing, sessionization, funnel, as-of/range joins,
-    # partition-pruned layout
+    # partition-pruned layout. sliding (sibling of tumbling) and
+    # dedup-latest (same keep-latest window shape as orders_upsert_merge)
+    # yielded their round-3 slots to cohort retention and recursion
     "events_tumbling_counts",
-    "events_sliding_avg",
     "events_session_windows",
-    "events_dedup_latest",
     "events_funnel_conversion",
     "events_partition_pruned_day",
     "events_asof_join",
@@ -160,8 +167,15 @@ _PRIORITY = (
     # tests/test_oracle_parity.py
     "decontamination_overlap",
     "doc_repetition_signals",
-    "orders_profile",
+    "orders_profile",  # rows-only by design: approx-distinct default
+    # (HLL estimates have no cross-engine oracle); accuracy pinned vs the
+    # oracle-verified exact twin in tests/test_pipeline_profile.py
     "orders_upsert_merge",
+    # round-3 rotation: new SHAPES (sparse idf-cosine all-pairs, cohort
+    # matrix, recursive CTE) promoted from local-only verification
+    "shingle_idf_similarity_topk",
+    "events_cohort_retention",
+    "recursive_order_chain",
     # TPC-H analogue sweep (q2-q22 shapes; the variants outside the
     # window remain oracle-verified locally)
     "q2_min_balance_supplier",

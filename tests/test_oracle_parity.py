@@ -61,13 +61,23 @@ def test_priority_window_integrity():
     """The driver records correctness rows for the first 50 queries in
     iteration order; every slot must exist, carry an oracle, and the
     window must cover each SURVEY §2.2 category's flagship family."""
-    from hadoop_cs4225_spark.registry import _PRIORITY, get_oracles, get_queries
+    from hadoop_cs4225_spark.registry import (
+        _PRIORITY,
+        PRIORITY_WINDOW,
+        get_oracles,
+        get_queries,
+    )
 
     names = list(get_queries())
     oracles = get_oracles()
-    assert len(_PRIORITY) == 50
+    assert len(_PRIORITY) == PRIORITY_WINDOW == 50
     assert tuple(names[:50]) == _PRIORITY
-    missing_oracle = [n for n in names[:50] if n not in oracles]
+    # rows-only-by-design exceptions: engine-specific estimates with no
+    # cross-engine oracle; each must carry a pytest accuracy pin instead
+    rows_only_ok = {"orders_profile"}  # pinned in test_pipeline_profile.py
+    missing_oracle = [
+        n for n in names[:50] if n not in oracles and n not in rows_only_ok
+    ]
     assert not missing_oracle, missing_oracle
     # one representative per category family (spot anchors)
     for anchor in (
@@ -83,5 +93,8 @@ def test_priority_window_integrity():
         "decontamination_overlap",    # benchmark decontamination
         "orders_profile",             # dataset profiling
         "orders_upsert_merge",        # batch MERGE/SCD
+        "shingle_idf_similarity_topk",  # sparse all-pairs similarity
+        "events_cohort_retention",    # cohort matrix
+        "recursive_order_chain",      # recursive CTE
     ):
         assert anchor in names[:50], anchor

@@ -65,7 +65,10 @@ _NO_FORCED_HINT = [
     "q14_promo_revenue_ratio",
     "q17_small_quantity_revenue",
     "q19_disjunctive_predicates",
-    "tfidf_top_terms",
+    # tfidf_top_terms left this list in round 3: its only hint is now the
+    # bounded 1-row corpus-count broadcast (replacing a driver-side
+    # .count()), same pattern as q22/q11 which are also not listed; its
+    # df-side join still carries no hint.
 ]
 
 
@@ -123,6 +126,8 @@ _BOUNDED_ALLPAIRS = {
     "ann_lsh_multiprobe_topk",
     "q22_idle_rich_customers",  # broadcast scalar-avg cross join (1 row)
     "q11_important_part_values",  # broadcast scalar-threshold cross join (1 row)
+    "tfidf_top_terms",  # broadcast 1-row corpus-count cross join
+    "shingle_idf_similarity_topk",  # broadcast 1-row corpus-count cross join
 }
 
 

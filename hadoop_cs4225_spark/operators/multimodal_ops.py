@@ -57,16 +57,17 @@ def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "media_frame_chunks",
     oracle="""
--- NOTE: substr(decode(..)) slices CHARACTERS while Spark slices the
--- binary BYTE-wise; they agree only because this corpus is ASCII
--- (verified: octet_length = length for every document). This DuckDB
--- build cannot slice BLOBs directly, so the oracle leans on that
--- invariant; non-ASCII payloads would need a byte-based oracle.
+-- Byte-based frame oracle: DuckDB 1.0 cannot slice BLOBs, but
+-- hex(encode(text)) renders the payload's BYTES as a hex string where
+-- character slicing IS byte slicing (2 chars per byte) — so the
+-- 8-byte frame head is the 16-hex-char slice at offset 512*f. This
+-- holds for arbitrary (non-ASCII) payloads, unlike the former
+-- substr(decode(..)) character-sliced oracle.
 SELECT doc_id, CAST(g.f AS INT) AS frame_no,
        CAST(least(256, content_len - 256 * g.f) AS INT) AS frame_len,
-       substr(decode(content), 1 + 256 * g.f, 8) AS frame_head
+       substr(hex(encode(text)), 1 + 512 * g.f, 16) AS frame_head_hex
 FROM (
-  SELECT doc_id, encode(text) AS content,
+  SELECT doc_id, text,
          CAST(octet_length(encode(text)) AS BIGINT) AS content_len
   FROM documents WHERE doc_id <= 20
 ) m, LATERAL (SELECT unnest(range(0, CAST(ceil(content_len / 256.0) AS BIGINT))) AS f) g
@@ -76,7 +77,7 @@ ORDER BY doc_id, frame_no
 def media_frame_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads: split each blob into 256-byte
     frames (1 row per frame) with per-frame offsets/lengths and the
-    frame's leading bytes.
+    frame's leading 8 bytes (hex-rendered, byte-exact cross-engine).
 
     Pure expressions — ``sequence``+``posexplode`` replicate the row, and
     binary ``substring`` slices the payload; a real video pipeline swaps
@@ -105,8 +106,8 @@ def media_frame_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("int")
             .alias("frame_len"),
-            F.expr("CAST(substring(content, 1 + 256 * f, 8) AS STRING)").alias(
-                "frame_head"
+            F.hex(F.expr("substring(content, 1 + 256 * f, 8)")).alias(
+                "frame_head_hex"
             ),
         )
         .orderBy("doc_id", "frame_no")

@@ -591,3 +591,232 @@ def shingle_idf_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "d1", "d2")
         .limit(50)
     )
+
+
+@register(
+    "pii_redaction_scrub",
+    oracle="""
+WITH cards AS (
+  SELECT c_mktsegment,
+         'user ' || c_name || ' email c' || CAST(c_custkey AS VARCHAR)
+           || '@example.com phone 555-'
+           || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+           || ' segment ' || c_mktsegment AS card
+  FROM customer
+),
+scrubbed AS (
+  SELECT c_mktsegment, card,
+         len(regexp_extract_all(card, '[a-z0-9]+@[a-z]+\\.com')) AS n_email,
+         len(regexp_extract_all(card, '555-[0-9]{4}')) AS n_phone,
+         regexp_replace(
+           regexp_replace(card, '[a-z0-9]+@[a-z]+\\.com', '<EMAIL>', 'g'),
+           '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+  FROM cards
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_cards,
+       CAST(SUM(n_email) AS BIGINT) AS emails_found,
+       CAST(SUM(n_phone) AS BIGINT) AS phones_found,
+       CAST(SUM(CASE WHEN redacted LIKE '%@%'
+                       OR redacted LIKE '%555-%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS leaks_after_scrub,
+       MIN(redacted) AS sample_redacted
+FROM scrubbed
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def pii_redaction_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction sweep: detect + scrub email/phone patterns, then
+    audit that nothing leaked through — the privacy-filtering pass a
+    training-data pipeline runs before anything ships.
+
+    The synthetic corpus has no natural PII (word-salad text, digitless
+    — a pattern scan over it would be the vacuous-green trap q11 fell
+    into in round 2), so the query first CONSTRUCTS deterministic
+    contact cards from `customer` (identical expression both engines),
+    then runs the real scrubber: `regexp_count` per pattern and chained
+    `regexp_replace` — all JVM-side codegen'd expressions, zero UDFs.
+    The leak audit (`LIKE` over the redacted text) must be 0 — asserted
+    by value, not just by shape. At 100 TB this is a pure map stage:
+    no shuffle except the final per-segment rollup.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    card = F.concat(
+        F.lit("user "), F.col("c_name"),
+        F.lit(" email c"), F.col("c_custkey").cast("string"),
+        F.lit("@example.com phone 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" segment "), F.col("c_mktsegment"),
+    )
+    email_pat = r"[a-z0-9]+@[a-z]+\.com"
+    phone_pat = r"555-[0-9]{4}"
+    scrubbed = cust.select(
+        "c_mktsegment",
+        card.alias("card"),
+        F.regexp_count(card, F.lit(email_pat)).alias("n_email"),
+        F.regexp_count(card, F.lit(phone_pat)).alias("n_phone"),
+        F.regexp_replace(
+            F.regexp_replace(card, email_pat, "<EMAIL>"),
+            phone_pat,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+    leak = (
+        F.col("redacted").like("%@%") | F.col("redacted").like("%555-%")
+    ).cast("long")
+    return (
+        scrubbed.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cards"),
+            F.sum("n_email").alias("emails_found"),
+            F.sum("n_phone").alias("phones_found"),
+            F.sum(leak).alias("leaks_after_scrub"),
+            F.min("redacted").alias("sample_redacted"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "source_mixture_weights",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY source
+),
+shared AS (
+  SELECT source, n_docs, total_chars,
+         {quant_sql("CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER ()", 6)} AS share,
+         POW(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 0.7) AS raw_w
+  FROM per_source
+)
+SELECT source, n_docs, total_chars, share,
+       {quant_sql("raw_w / SUM(raw_w) OVER ()", 6)} AS mix_weight
+FROM shared
+ORDER BY source
+""",
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling weights: temperature-reweighted source
+    proportions (share^0.7, renormalized) — the mixing step that decides
+    how much of each domain a pretraining run samples (upweights tail
+    domains relative to raw frequency, as in multilingual/multi-corpus
+    training recipes).
+
+    Plan: one partial-agg shuffle to per-source counts, then TWO global
+    normalizations computed as unpartitioned window sums over the
+    aggregate — safe at any corpus scale because the windowed relation
+    has one row per SOURCE (dozens), not per document; the single-
+    partition window never sees raw data.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    w_all = Window.partitionBy()
+    share = F.col("n_docs").cast("double") / F.sum("n_docs").over(w_all)
+    shared = per_source.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        quant(share, 6).alias("share"),
+        F.pow(share, 0.7).alias("raw_w"),
+    )
+    return (
+        shared.select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "share",
+            quant(F.col("raw_w") / F.sum("raw_w").over(w_all), 6).alias(
+                "mix_weight"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+#: Sequence-packing geometry: chunk length and stride in TOKENS.
+_CHUNK_LEN = 64
+_CHUNK_STRIDE = 48
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks,
+         len({_TOKS_SQL}) AS n_tokens
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, n_tokens, CAST(g.k AS INT) AS chunk_no,
+         toks AS tk
+  FROM toks, LATERAL (
+    SELECT unnest(range(0,
+      1 + CAST(ceil(greatest(0, n_tokens - {_CHUNK_LEN}) / {_CHUNK_STRIDE}.0)
+          AS BIGINT))) AS k) g
+)
+SELECT doc_id, chunk_no,
+       CAST(least({_CHUNK_LEN}, n_tokens - {_CHUNK_STRIDE} * chunk_no) AS INT)
+         AS chunk_len,
+       array_to_string(
+         list_slice(tk, {_CHUNK_STRIDE} * chunk_no + 1,
+                    {_CHUNK_STRIDE} * chunk_no + 3), ' ') AS head3
+FROM chunks
+ORDER BY doc_id, chunk_no
+""",
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: split each document's token stream into
+    fixed-length training windows ({_CHUNK_LEN} tokens) with stride
+    {_CHUNK_STRIDE} (16-token overlap) — the chunking step between
+    curation and tokenized-example writing in a pretraining pipeline.
+
+    Pure expressions: `sequence`+`posexplode` replicate each doc row
+    once per window and `slice` cuts the token array — no UDF, no
+    shuffle except the output sort; window rows distribute evenly
+    across executors regardless of document length skew (the token-
+    level analogue of media_frame_chunks' byte framing).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", _toks().alias("tk"), F.size(_toks()).alias("n_tokens")
+    )
+    n_chunks = (
+        F.ceil(
+            F.greatest(F.lit(0), F.col("n_tokens") - _CHUNK_LEN)
+            / float(_CHUNK_STRIDE)
+        ).cast("long")
+        + 1
+    )
+    chunks = toks.select(
+        "doc_id",
+        "n_tokens",
+        "tk",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_no", "k"),
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            F.col("chunk_no").cast("int").alias("chunk_no"),
+            F.least(
+                F.lit(_CHUNK_LEN),
+                F.col("n_tokens") - _CHUNK_STRIDE * F.col("k"),
+            )
+            .cast("int")
+            .alias("chunk_len"),
+            F.array_join(
+                F.slice(
+                    F.col("tk"),
+                    _CHUNK_STRIDE * F.col("k") + 1,
+                    3,
+                ),
+                " ",
+            ).alias("head3"),
+        )
+        .orderBy("doc_id", "chunk_no")
+    )

@@ -218,13 +218,16 @@ _PROFILE_COLS = (
 )
 
 
-def _render(col: str, kind: str) -> F.Column:
-    c = F.col(col)
+def _render_agg(c: F.Column, kind: str) -> F.Column:
     if kind == "num":
         return F.format_string("%.2f", c)
     if kind == "date":
         return F.date_format(c, "yyyy-MM-dd")
     return c.cast("string")
+
+
+def _render(col: str, kind: str) -> F.Column:
+    return _render_agg(F.col(col), kind)
 
 
 def _render_sql(expr: str, kind: str) -> str:
@@ -311,14 +314,47 @@ FROM orders"""
 def orders_profile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-distinct audit twin of ``orders_profile``.
 
-    Same one-scan wide-aggregate + stack shape, but COUNT(DISTINCT) over
-    many columns in one pass expands rows |cols|x before partial agg
-    (Spark `expand`) — run it when exactness matters and the input is
-    bounded, not as the recurring profile job. The oracle is the
-    readable per-column UNION ALL — same values, 6 scans.
+    Round-2 bench showed the naive shape — COUNT(DISTINCT) over six
+    columns in ONE aggregate — is the wrong exact plan at scale: Spark
+    rewrites it to an `expand` that replicates every scan row 6x into
+    the shuffle (8.45 s, 2.3x the suite runner-up). This version unions
+    six per-column branches instead; each branch scans ONLY its column
+    (parquet column pruning), does a map-side-combined groupBy(col), and
+    folds the grouped counts into the profile row:
+
+        n_rows = SUM(cnt), n_null = SUM(cnt) WHERE col IS NULL,
+        n_distinct = COUNT(col)  (non-null group keys),
+        min/max over the group keys (pre-deduped, tiny).
+
+    Six pruned single-column scans replace one full-width scan expanded
+    6x — strictly less shuffle volume, and each branch is an independent
+    stage a scheduler can overlap. ``orders_profile`` (HLL, one pass)
+    stays the wide-table 100 TB default; this is the exact audit run.
     """
     orders = load_table(spark, sf_dir, "orders")
-    return _profile_plan(orders, F.countDistinct)
+    parts = []
+    for col, kind in _PROFILE_COLS:
+        grouped = (
+            orders.select(col)
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        parts.append(
+            grouped.agg(
+                F.lit(col).alias("column_name"),
+                F.sum("cnt").alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col(col).isNull(), F.col("cnt"))), F.lit(0)
+                ).alias("n_null"),
+                F.count(col).alias("n_distinct"),
+                _render_agg(F.min(col), kind).alias("min_s"),
+                _render_agg(F.max(col), kind).alias("max_s"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("column_name")
 
 
 @register(

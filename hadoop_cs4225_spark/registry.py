@@ -167,9 +167,13 @@ _PRIORITY = (
     # tests/test_oracle_parity.py
     "decontamination_overlap",
     "doc_repetition_signals",
-    "orders_profile",  # rows-only by design: approx-distinct default
-    # (HLL estimates have no cross-engine oracle); accuracy pinned vs the
-    # oracle-verified exact twin in tests/test_pipeline_profile.py
+    # Profiling: the window slot holds the ORACLE-VERIFIED exact variant
+    # (rewritten round 4 as per-column pruned scans — no `expand`, scale-
+    # sane). The HLL approx twin `orders_profile` stays registered as the
+    # wide-table 100 TB default outside the window (rows-only: HLL
+    # estimates have no cross-engine oracle; accuracy is rsd-pinned vs
+    # this exact twin in tests/test_pipeline_profile.py).
+    "orders_profile_exact",
     "orders_upsert_merge",
     # round-3 rotation: new SHAPES (sparse idf-cosine all-pairs, cohort
     # matrix, recursive CTE) promoted from local-only verification

@@ -41,10 +41,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         # Integer division (see sources/tables.py): `/1000` promotes the
         # ~1.7e18 long to double whose ulp (256ns) shifts ~1.5% of rows.
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (LTZ) [EVENT_TIME_IS_NOT_ON_
+        # TIMESTAMP_TYPE]. Session tz is pinned to UTC (session.py), so
+        # the NTZ->LTZ cast is value-identical and the batch twins (which
+        # keep NTZ) render the same wall-clock strings.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     # Align column order/types with the batch twin.
     return stream.select(*[F.col(f.name) for f in batch.schema.fields])
 

@@ -160,7 +160,7 @@ def test_sessionize_batch_transition_logic(spark):
     ev = (
         load_events(spark, SF_SMOKE)
         .where(F.col("user_id") <= 50)
-        .select("user_id", F.unix_micros("ts").alias("us"))
+        .select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
         .collect()
     )
     per_user = defaultdict(list)

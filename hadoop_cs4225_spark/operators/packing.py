@@ -1,0 +1,110 @@
+"""Sequence packing: lay documents into fixed token-budget context
+windows (bins) — the step between curation and tokenization in an LLM
+pretraining pipeline.
+
+Semantics: concat-and-chunk (the standard pretraining packing). Within
+each ``source`` stream, documents are concatenated in deterministic
+``doc_id`` order; the token stream is cut every ``PACK_BUDGET`` tokens.
+A document belongs to the bin its first token lands in; a document whose
+span crosses a cut is flagged (``n_straddle``) — those are the docs a
+real tokenizer would split across contexts.
+
+Scale: ONE window (cumulative sum partitioned by ``source``) + one
+group-by — no self-joins, no iteration. At 100 TB a single ``source``
+stream can exceed one task's range-partition; the production layout
+sub-shards the window key to ``(source, hash(doc_id) % K)`` which keeps
+bins deterministic per shard and the window state bounded. The whole
+operator is JVM-side built-ins (no UDFs).
+
+No reference analogue (reference = two MapReduce jobs); this extends the
+driver-mandated LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_cs4225_spark.operators.dedup import _TOKS_SQL, _toks
+from hadoop_cs4225_spark.registry import register
+from hadoop_cs4225_spark.sources.tables import load_table
+
+#: Tokens per packed context window. Small enough that sf0.01's ~500
+#: docs spread over many bins (the interesting regime), large enough
+#: that multi-doc bins and straddles both occur.
+PACK_BUDGET = 2048
+
+
+@register(
+    "sequence_pack_bins",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, len({_TOKS_SQL}) AS n_tokens
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS off
+  FROM toks
+)
+SELECT source,
+       CAST(off // {PACK_BUDGET} AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       CAST(SUM(CASE WHEN (off + n_tokens - 1) // {PACK_BUDGET}
+                       > off // {PACK_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_straddle,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM placed
+GROUP BY source, bin_id
+ORDER BY source, bin_id
+""",
+)
+def sequence_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, bin) packing manifest: how many docs landed in each
+    context window, its fill, and how many docs straddle a cut.
+
+    Plan shape: scan -> project(token count) -> window cumsum keyed on
+    ``source`` -> hash-agg on (source, bin_id). The window and the agg
+    share the ``source`` partitioning, so Catalyst reuses one exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(_toks()).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = docs.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("off"),
+    )
+    bin_id = F.expr(f"off div {PACK_BUDGET}")
+    end_bin = F.expr(f"(off + n_tokens - 1) div {PACK_BUDGET}")
+    return (
+        placed.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            bin_id.cast("bigint").alias("bin_id"),
+            (end_bin > bin_id).cast("int").alias("straddle"),
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+            F.sum("straddle").cast("bigint").alias("n_straddle"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "bin_id")
+    )

@@ -742,34 +742,36 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     training recipes).
 
     Plan: one partial-agg shuffle to per-source counts, then TWO global
-    normalizations computed as unpartitioned window sums over the
-    aggregate — safe at any corpus scale because the windowed relation
-    has one row per SOURCE (dozens), not per document; the single-
-    partition window never sees raw data.
+    normalizations. Each normalizer is a broadcast 1-row aggregate
+    joined back in — NOT an unpartitioned window, which would force the
+    per-source relation through a single-partition exchange (and spam
+    `WindowExec: No Partition Defined` even when provably tiny). The
+    oracle says `OVER ()` purely for SQL brevity; on rows-per-source
+    (dozens) the two formulations are value-identical.
     """
     docs = load_table(spark, sf_dir, "documents")
     per_source = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
-    w_all = Window.partitionBy()
-    share = F.col("n_docs").cast("double") / F.sum("n_docs").over(w_all)
-    shared = per_source.select(
+    tot_docs = per_source.agg(F.sum("n_docs").alias("all_docs"))
+    share = F.col("n_docs").cast("double") / F.col("all_docs")
+    shared = per_source.crossJoin(F.broadcast(tot_docs)).select(
         "source",
         "n_docs",
         "total_chars",
         quant(share, 6).alias("share"),
         F.pow(share, 0.7).alias("raw_w"),
     )
+    tot_w = shared.agg(F.sum("raw_w").alias("all_w"))
     return (
-        shared.select(
+        shared.crossJoin(F.broadcast(tot_w))
+        .select(
             "source",
             "n_docs",
             "total_chars",
             "share",
-            quant(F.col("raw_w") / F.sum("raw_w").over(w_all), 6).alias(
-                "mix_weight"
-            ),
+            quant(F.col("raw_w") / F.col("all_w"), 6).alias("mix_weight"),
         )
         .orderBy("source")
     )

@@ -373,3 +373,106 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "word", "tfidf", "rn")
         .orderBy("doc_id", "rn")
     )
+
+
+@register(
+    "doc_unigram_entropy",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+),
+cnt AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM tok GROUP BY doc_id, word
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_types,
+       {quant_sql("LN(CAST(SUM(c) AS DOUBLE))"
+                  " - SUM(c * LN(CAST(c AS DOUBLE))) / SUM(c)", 4)}
+         AS entropy_nats
+FROM cnt
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def doc_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the unigram distribution (nats)
+    — the quality signal that separates natural prose (high entropy)
+    from boilerplate/keyword-stuffed spam (low entropy).
+
+    Algebra: H = ln(n) - sum(c*ln(c))/n over per-doc token counts c —
+    one pass over the counts, no per-token division. Plan: explode ->
+    two map-side-combined shuffles (doc,word) then (doc), both hash
+    partitioned by doc_id prefix so AQE coalesces them back-to-back. At
+    100 TB this is the same two-shuffle shape as the repetition-signal
+    query; ln() of identical integer-valued doubles is engine-stable
+    and the final quantizer absorbs summation-order ulps.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("doc_id", F.explode(_toks()).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            quant(
+                F.log(F.sum("c").cast("double"))
+                - F.sum(F.col("c") * F.log(F.col("c").cast("double")))
+                / F.sum("c"),
+                4,
+            ).alias("entropy_nats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "token_length_histogram",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents
+)
+SELECT CAST(LENGTH(CAST(n_tokens AS VARCHAR)) AS BIGINT) AS n_digits,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens
+FROM toks
+GROUP BY n_digits
+ORDER BY n_digits
+""",
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length histogram in decade buckets (1-9, 10-99, ... token
+    docs) — the one-glance shape check before sizing packing budgets
+    and context windows.
+
+    The bucket key is the DIGIT COUNT of the token count — integer-exact
+    in both engines (float log10/log2 of a near-power boundary value
+    rounds differently across libms, so it is deliberately avoided).
+    One projection + one tiny aggregation; nothing scales with corpus
+    width.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.size(_toks()).cast("bigint").alias("n_tokens")
+    )
+    return (
+        docs.select(
+            "n_tokens",
+            F.length(F.col("n_tokens").cast("string")).cast("bigint").alias(
+                "n_digits"
+            ),
+        )
+        .groupBy("n_digits")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("n_digits")
+    )

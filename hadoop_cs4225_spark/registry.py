@@ -48,6 +48,8 @@ _OPERATOR_MODULES = (
     "hadoop_cs4225_spark.operators.formats",
     "hadoop_cs4225_spark.operators.sampling",
     "hadoop_cs4225_spark.operators.pipeline_ops",
+    "hadoop_cs4225_spark.operators.packing",
+    "hadoop_cs4225_spark.operators.graph",
 )
 
 _loaded = False
@@ -131,7 +133,9 @@ _PRIORITY = (
     "minhash_signatures",
     "minhash_lsh_dup_pairs",
     "simhash_fingerprints",
-    "weighted_minhash_signatures",
+    # round-4 rotation: weighted_minhash_signatures (4th signature
+    # variant of an in-window family) yielded its slot to the new
+    # sequence-packing family; it stays oracle-verified locally.
     "dedup_clusters",
     # similarity / ANN family (hyperplane-LSH and IVF paradigms);
     # multiprobe yielded its slot in round 3 (same bucket-join shape as
@@ -149,7 +153,9 @@ _PRIORITY = (
     "events_funnel_conversion",
     "events_partition_pruned_day",
     "events_asof_join",
-    "events_range_join",
+    # round-4 rotation: events_range_join (2-row result; the as-of row
+    # above already holds the §2.2 as-of/range slot) yielded to the new
+    # iterative-PageRank family; it stays oracle-verified locally.
     # media / multimodal
     "media_metadata_stats",
     "media_frame_chunks",
@@ -180,6 +186,10 @@ _PRIORITY = (
     "shingle_idf_similarity_topk",
     "events_cohort_retention",
     "recursive_order_chain",
+    # round-4 additions: sequence packing (window-cumsum bin layout) and
+    # damped power-iteration PageRank — two new operator FAMILIES
+    "sequence_pack_bins",
+    "pagerank_trade_network",
     # TPC-H analogue sweep (q2-q22 shapes; the variants outside the
     # window remain oracle-verified locally)
     "q2_min_balance_supplier",

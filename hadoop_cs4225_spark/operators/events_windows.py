@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from hadoop_cs4225_spark.functions.numeric import quant
 from hadoop_cs4225_spark.registry import register
-from hadoop_cs4225_spark.sources.tables import load_table
+from hadoop_cs4225_spark.sources.tables import load_events, load_table
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 _TS_FMT_SQL = "%Y-%m-%d %H:%M:%S"
@@ -328,4 +328,96 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_value",
         )
         .orderBy("day")
+    )
+
+
+@register(
+    "user_state_scd2",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = LAG(event_type) OVER w
+              THEN 0 ELSE 1 END AS chg
+  FROM events WHERE user_id <= 30
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM seq
+),
+grouped AS (
+  SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+         MIN(event_type) AS state,
+         MIN(ts) AS vf, COUNT(*) AS n_events
+  FROM runs GROUP BY user_id, run_id
+)
+SELECT user_id, run_id, state,
+       strftime(vf, '{_TS_FMT_SQL}') AS valid_from,
+       COALESCE(strftime(LEAD(vf) OVER (PARTITION BY user_id ORDER BY run_id),
+                         '{_TS_FMT_SQL}'), 'current') AS valid_to,
+       n_events,
+       CASE WHEN LEAD(vf) OVER (PARTITION BY user_id ORDER BY run_id)
+            IS NULL THEN 1 ELSE 0 END AS is_current
+FROM grouped
+ORDER BY user_id, run_id
+""",
+)
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history of each user's
+    event_type "state": contiguous runs become [valid_from, valid_to)
+    rows, the last run per user flagged current — the gaps-and-islands
+    shape (change detection via lag, run ids via conditional cumsum)
+    that builds SCD2 tables from event streams.
+
+    Three window passes share ONE partitioning (user_id) and ordering,
+    so Catalyst plans a single sort+exchange feeding lag -> running sum
+    -> (after the run-level agg) lead. At 100 TB the shuffle is keyed
+    on user_id — the natural key of the output — and per-run state is
+    one row, so the post-agg lead runs on collapsed data. LAG-based
+    change detection beats a self-join on (user, seq-1) by an entire
+    shuffle. (`user_id <= 30` bounds the demo output only.)
+    """
+    ev = load_events(spark, sf_dir).where(F.col("user_id") <= 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_type") == F.lag("event_type").over(w), F.lit(0)
+        )
+        .otherwise(F.lit(1))
+        .alias("chg"),
+    )
+    runs = seq.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_id"),
+    )
+    grouped = runs.groupBy("user_id", F.col("run_id").cast("bigint").alias("run_id")).agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("vf"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("run_id")
+    nxt = F.lead("vf").over(wr)
+    return (
+        grouped.select(
+            "user_id",
+            "run_id",
+            "state",
+            F.date_format("vf", _TS_FMT).alias("valid_from"),
+            F.coalesce(F.date_format(nxt, _TS_FMT), F.lit("current")).alias(
+                "valid_to"
+            ),
+            "n_events",
+            nxt.isNull().cast("int").alias("is_current"),
+        )
+        .orderBy("user_id", "run_id")
     )

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from hadoop_cs4225_spark.operators.partitioned import _DERIVED_ROOT
 from hadoop_cs4225_spark.registry import register
+from hadoop_cs4225_spark.sources.sinks import derived_is_fresh
 from hadoop_cs4225_spark.sources.tables import load_table
 
 #: Columns exported to text formats (timestamps rendered as strings so
@@ -39,6 +40,14 @@ def _derived(sf_dir: str, leaf: str) -> str:
     return os.path.join(_DERIVED_ROOT, tag, leaf)
 
 
+def _stale(path: str, sf_dir: str, table: str = "orders", marker: str = "_SUCCESS") -> bool:
+    """Derived copy missing OR older than its source parquet (the
+    driver regenerates testdata between rounds; see derived_is_fresh)."""
+    return not derived_is_fresh(
+        os.path.join(path, marker), os.path.join(sf_dir, f"{table}.parquet")
+    )
+
+
 def _orders_text_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -52,7 +61,7 @@ def _orders_text_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ensure_orders_csv(spark: SparkSession, sf_dir: str) -> str:
     path = _derived(sf_dir, "orders_csv")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    if _stale(path, sf_dir):
         _orders_text_df(spark, sf_dir).write.mode("overwrite").option(
             "header", True
         ).csv(path)
@@ -61,7 +70,7 @@ def ensure_orders_csv(spark: SparkSession, sf_dir: str) -> str:
 
 def ensure_orders_jsonl(spark: SparkSession, sf_dir: str) -> str:
     path = _derived(sf_dir, "orders_jsonl")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    if _stale(path, sf_dir):
         _orders_text_df(spark, sf_dir).write.mode("overwrite").json(path)
     return path
 
@@ -118,7 +127,7 @@ def orders_jsonl_scan_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ensure_orders_orc(spark: SparkSession, sf_dir: str) -> str:
     path = _derived(sf_dir, "orders_orc")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    if _stale(path, sf_dir):
         _orders_text_df(spark, sf_dir).write.mode("overwrite").orc(path)
     return path
 
@@ -135,7 +144,7 @@ def orders_orc_scan_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ensure_orders_xml(spark: SparkSession, sf_dir: str) -> str:
     path = _derived(sf_dir, "orders_xml")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    if _stale(path, sf_dir):
         _orders_text_df(spark, sf_dir).write.mode("overwrite").format(
             "xml"
         ).option("rowTag", "order").save(path)
@@ -166,7 +175,7 @@ def ensure_docs_bin(spark: SparkSession, sf_dir: str) -> str:
     bounded at 32 tiny files; real pipelines read pre-existing blobs."""
     path = _derived(sf_dir, "docs_bin")
     marker = os.path.join(path, ".done")
-    if not os.path.exists(marker):
+    if _stale(path, sf_dir, table="documents", marker=".done"):
         os.makedirs(path, exist_ok=True)
         rows = (
             load_table(spark, sf_dir, "documents")

@@ -101,17 +101,24 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    # Materialize the edge list ONCE: everything downstream (degrees,
+    # |V|, initial ranks, and every iteration's join) reads it, and
+    # without this the orders⋈lineitem→distinct chain re-executes per
+    # round and the final plan nests it three deep (same hygiene as
+    # dedup_clusters; on a cluster use persist(MEMORY_AND_DISK) /
+    # checkpoint instead).
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .localCheckpoint()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     # |V| as a 1-row aggregate joined in (never a driver-side collect).
     nn = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    # Pre-divide by degree once: the loop body then only joins + sums.
+    edges_deg = edges.join(deg, "src").select("src", "dst", "d")
     ranks = deg.crossJoin(F.broadcast(nn)).select(
         F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("r")
     )
-    edges_deg = edges.join(deg, "src").select("src", "dst", "d")
     for _ in range(N_ITERS):
         ranks = (
             edges_deg.join(ranks, edges_deg.src == ranks.node)

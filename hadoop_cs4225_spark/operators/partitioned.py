@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_cs4225_spark.registry import register
-from hadoop_cs4225_spark.sources.sinks import write_partitioned
+from hadoop_cs4225_spark.sources.sinks import derived_is_fresh, write_partitioned
 from hadoop_cs4225_spark.sources.tables import load_events
 
 #: Repo-local root for derived layouts (gitignored; rebuilt on demand).
@@ -34,12 +34,15 @@ def events_by_day_path(sf_dir: str) -> str:
 def ensure_events_by_day(spark: SparkSession, sf_dir: str) -> str:
     """Write the date-partitioned copy of ``events`` if absent.
 
-    Idempotent: a ``_SUCCESS`` marker means the layout is complete
+    Idempotent: a FRESH ``_SUCCESS`` marker (newer than the source
+    parquet) means the layout is complete
     (Spark writes it last); a partial dir from an interrupted run is
     overwritten.
     """
     path = events_by_day_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    if not derived_is_fresh(
+        os.path.join(path, "_SUCCESS"), os.path.join(sf_dir, "events.parquet")
+    ):
         ev = load_events(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
         write_partitioned(ev, path, ("event_date",), mode="overwrite")
     return path
@@ -89,7 +92,9 @@ def ensure_events_nested(spark: SparkSession, sf_dir: str) -> str:
     key folded into ``meta struct<etype,k,value,day>`` — the shape
     event logs arrive in when ingested from JSON at scale."""
     path = events_nested_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    if not derived_is_fresh(
+        os.path.join(path, "_SUCCESS"), os.path.join(sf_dir, "events.parquet")
+    ):
         ev = load_events(spark, sf_dir)
         nested = ev.select(
             "event_id",

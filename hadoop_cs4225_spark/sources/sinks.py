@@ -74,3 +74,21 @@ def write_compacted(
         .mode(mode)
         .parquet(path)
     )
+
+
+def derived_is_fresh(marker: str, *sources: str) -> bool:
+    """True iff ``marker`` exists and is newer than every source file.
+
+    Guard for repo-local derived layouts (``.derived/``): the driver can
+    regenerate the testdata parquet between rounds while the derived
+    copies persist, and an existence-only check would then serve STALE
+    data silently. mtime comparison makes re-derivation automatic.
+    """
+    import os
+
+    if not os.path.exists(marker):
+        return False
+    m = os.path.getmtime(marker)
+    return all(
+        os.path.exists(s) and os.path.getmtime(s) < m for s in sources
+    )

@@ -112,11 +112,16 @@ def session_windows_stream(events: DataFrame, gap: str = "30 minutes") -> DataFr
 def dedup_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     """Streaming exactly-once dedup on event_id within the watermark.
 
-    State = one entry per event_id seen in the last ``watermark`` of
-    event time; the watermark bounds it (the infinite-retention variant
-    is ``dropDuplicates`` without watermark — refuse it at scale).
+    Uses ``dropDuplicatesWithinWatermark``: state is one entry per
+    event_id seen within the watermark delay and is EVICTED as the
+    watermark passes. Plain ``dropDuplicates(["event_id"])`` would keep
+    key state forever even under a watermark (eviction only applies
+    when the event-time column is part of the dedup key) — the classic
+    unbounded-state leak on an infinite stream; refuse it at scale.
     """
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def enrich_join_stream(spark: SparkSession, events: DataFrame) -> DataFrame:

@@ -136,3 +136,67 @@ def nested_struct_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("etype")
     )
+
+
+def events_by_user_path(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_DERIVED_ROOT, tag, "events_by_user")
+
+
+def ensure_events_by_user(spark: SparkSession, sf_dir: str) -> str:
+    """Write a user-CLUSTERED copy of ``events``: range-partitioned and
+    sorted by ``user_id``, so every parquet row group covers a narrow
+    user range and its min/max footer statistics become effective."""
+    path = events_by_user_path(sf_dir)
+    if not derived_is_fresh(
+        os.path.join(path, "_SUCCESS"), os.path.join(sf_dir, "events.parquet")
+    ):
+        ev = load_events(spark, sf_dir)
+        (
+            ev.repartitionByRange(8, "user_id")
+            .sortWithinPartitions("user_id", "ts")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+@register(
+    "events_clustered_user_scan",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+WHERE user_id BETWEEN 100 AND 120
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_clustered_user_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow user-range aggregate over the user-clustered layout —
+    the row-group data-SKIPPING story (complement of the directory-level
+    pruning in ``events_partition_pruned_day``).
+
+    The range predicate reaches the scan as ``PushedFilters``
+    (plan-asserted); because the layout is sorted by ``user_id``, the
+    parquet reader's row-group min/max statistics eliminate every group
+    outside [100, 120] without decoding it. At 100 TB, clustering on
+    the dominant filter key is the difference between touching a few
+    row groups and decompressing the whole table — the same reason
+    warehouses Z-order/cluster their fact tables. The oracle reads the
+    unclustered original: layout is transparent to semantics.
+    """
+    path = ensure_events_by_user(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return (
+        ev.where(F.col("user_id").between(100, 120))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -88,10 +88,12 @@ def test_priority_window_integrity():
         "media_frame_chunks",         # multimodal
         "revenue_grouping_sets",      # grouping sets SQL
         "events_partition_pruned_day",  # partition pruning
-        "weighted_minhash_signatures",  # weighted dedup
+        "minhash_signatures",         # minhash dedup family
         "q21_waiting_suppliers",      # q7-q22 sweep
         "decontamination_overlap",    # benchmark decontamination
-        "orders_profile",             # dataset profiling
+        "orders_profile_exact",       # dataset profiling (oracle slot)
+        "sequence_pack_bins",         # sequence packing (round 4)
+        "pagerank_trade_network",     # iterative graph (round 4)
         "orders_upsert_merge",        # batch MERGE/SCD
         "shingle_idf_similarity_topk",  # sparse all-pairs similarity
         "events_cohort_retention",    # cohort matrix

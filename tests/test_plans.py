@@ -128,6 +128,8 @@ _BOUNDED_ALLPAIRS = {
     "q11_important_part_values",  # broadcast scalar-threshold cross join (1 row)
     "tfidf_top_terms",  # broadcast 1-row corpus-count cross join
     "shingle_idf_similarity_topk",  # broadcast 1-row corpus-count cross join
+    "pagerank_trade_network",  # broadcast 1-row |V| cross join
+    "source_mixture_weights",  # broadcast 1-row normalizer cross joins
 }
 
 
@@ -157,6 +159,16 @@ def test_partitioned_events_scan_prunes(spark):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters")[1][:200]
     assert "event_date" in pf and "2024-01-15" in pf
+
+
+def test_clustered_scan_pushes_range_filter(spark):
+    """The user-range predicate must reach the parquet scan as
+    PushedFilters — with the user-sorted layout, that is what lets
+    row-group min/max stats skip everything outside the range."""
+    plan = plan_string(_df(spark, "events_clustered_user_scan"))
+    assert "PushedFilters" in plan
+    pf = plan.split("PushedFilters")[1][:250]
+    assert "user_id" in pf and ("GreaterThanOrEqual" in pf or ">=" in pf)
 
 
 def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):

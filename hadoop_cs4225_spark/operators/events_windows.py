@@ -20,7 +20,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hadoop_cs4225_spark.functions.numeric import quant
+from hadoop_cs4225_spark.functions.numeric import (
+    quant,
+    quant_sql,
+    ravg,
+    ravg_sql,
+    rstddev,
+    rstddev_sql,
+)
 from hadoop_cs4225_spark.registry import register
 from hadoop_cs4225_spark.sources.tables import load_events, load_table
 
@@ -420,4 +427,61 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             nxt.isNull().cast("int").alias("is_current"),
         )
         .orderBy("user_id", "run_id")
+    )
+
+
+@register(
+    "events_daily_anomaly",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, day
+),
+stats AS (
+  SELECT event_type,
+         {ravg_sql("cnt")} AS mu,
+         {rstddev_sql("cnt")} AS sigma
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type,
+       strftime(d.day, '%Y-%m-%d') AS day,
+       d.cnt,
+       {quant_sql("(d.cnt - s.mu) / s.sigma", 4)} AS z
+FROM daily d JOIN stats s ON d.event_type = s.event_type
+WHERE s.sigma > 0
+  AND ABS((d.cnt - s.mu) / s.sigma) >= 2.0
+ORDER BY d.event_type, day
+""",
+)
+def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: days whose per-type event count sits
+    ≥2 standard deviations from that type's daily mean — the monitoring
+    sweep a pipeline runs over ingest volumes before trusting a batch.
+
+    Two shuffles total: the daily rollup (map-side combined) and the
+    per-type moment aggregate (rows = |types|, joined back — AQE
+    broadcasts it without a hand hint, which would be wrong to hard-code
+    on a data-derived relation). Mean/stddev come from the shared
+    rounded-sum helpers so both engines quantize identically; z is
+    computed from those quantized moments with plain IEEE arithmetic.
+    """
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = daily.groupBy("event_type").agg(
+        ravg("cnt").alias("mu"),
+        rstddev("cnt").alias("sigma"),
+    )
+    z = quant((F.col("cnt") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        daily.join(stats, "event_type")
+        .where((F.col("sigma") > 0) & (F.abs((F.col("cnt") - F.col("mu")) / F.col("sigma")) >= 2.0))
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cnt",
+            z.alias("z"),
+        )
+        .orderBy("event_type", "day")
     )

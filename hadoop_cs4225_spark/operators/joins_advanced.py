@@ -20,7 +20,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hadoop_cs4225_spark.functions.numeric import quant, quant_sql
+from hadoop_cs4225_spark.functions.numeric import (
+    quant,
+    quant_sql,
+    ravg,
+    ravg_sql,
+    rstddev,
+    rstddev_sql,
+)
 from hadoop_cs4225_spark.registry import register
 from hadoop_cs4225_spark.sources.tables import load_table
 
@@ -203,4 +210,55 @@ def event_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(m, "k").alias("k_val"),
         )
         .orderBy("event_id")
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle=f"""
+WITH ex AS (
+  SELECT g.i AS dim, embedding[g.i]::DOUBLE AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) g
+)
+SELECT CAST(dim AS INT) AS dim,
+       COUNT(*) AS n_vecs,
+       {ravg_sql("x", 6, 4)} AS mean,
+       {rstddev_sql("x", 4, 4)} AS stddev,
+       {quant_sql("MIN(x)", 6)} AS min_x,
+       {quant_sql("MAX(x)", 6)} AS max_x
+FROM ex
+GROUP BY dim
+ORDER BY dim
+""",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature statistics over the embedding column —
+    the normalization/whitening pass a feature store computes before
+    serving vectors (and the sanity check before ANN indexing: a
+    dimension with collapsed variance is a red flag).
+
+    ``posexplode`` fans each vector into (dim, value) rows — d rows per
+    vector, map-side only — then ONE hash aggregation keyed on dim
+    (64 groups) computes all moments. At 100 TB this is the textbook
+    partial-agg shape: every executor reduces its shard to 64 partial
+    rows before the (tiny) shuffle. Moments derive from rounded sums
+    (functions/numeric.py) so both engines quantize identically.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "x"
+        )
+    ).select((F.col("pos") + 1).cast("int").alias("dim"), "x")
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            ravg("x", 6, 4).alias("mean"),
+            rstddev("x", 4, 4).alias("stddev"),
+            quant(F.min("x"), 6).alias("min_x"),
+            quant(F.max("x"), 6).alias("max_x"),
+        )
+        .orderBy("dim")
     )

@@ -108,3 +108,127 @@ def sequence_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin_id")
     )
+
+
+#: Number of curriculum phases (easy → hard tiers by quality score).
+N_PHASES = 3
+
+
+def _quality_sql() -> str:
+    """The shared quality-score SQL (same formula and quantization as
+    ``text_analysis.doc_quality_scores`` — one definition of "quality"
+    across the scoring and curriculum queries)."""
+    from hadoop_cs4225_spark.functions.numeric import quant_sql
+    from hadoop_cs4225_spark.operators.text_analysis import _SW_ARR
+
+    return quant_sql(
+        "0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))"
+        " + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> x IN ("
+        + _SW_ARR
+        + "))) AS DOUBLE) / len(toks))"
+        " + 0.3 * least(n_chars / 1000.0, 1.0)",
+        6,
+    )
+
+
+@register(
+    "curriculum_phase_bins",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         {_quality_sql()} AS quality
+  FROM (SELECT doc_id, n_chars, {_TOKS_SQL} AS toks FROM documents) t
+),
+phased AS (
+  SELECT doc_id, n_tokens, quality,
+         NTILE({N_PHASES}) OVER (ORDER BY quality DESC, doc_id) AS phase
+  FROM scored
+),
+placed AS (
+  SELECT phase, doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY phase ORDER BY quality DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS off
+  FROM phased
+)
+SELECT phase,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS phase_tokens,
+       CAST(MAX(off // {PACK_BUDGET}) + 1 AS BIGINT) AS n_bins,
+       MIN(doc_id) AS first_doc
+FROM placed
+GROUP BY phase
+ORDER BY phase
+""",
+)
+def curriculum_phase_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered packing: rank the corpus by quality score,
+    split it into {N_PHASES} NTILE phases (easy -> hard curriculum
+    tiers), and lay each phase out into PACK_BUDGET-token context
+    windows — the composition of quality scoring and sequence packing
+    a staged pretraining schedule runs.
+
+    The quality score is the shared formula from
+    ``text_analysis.doc_quality_scores`` (diversity + stopword +
+    length-norm mix). Plan: score is a pure projection; NTILE is ONE
+    global sort exchange over (quality, doc_id) — rows are doc-level
+    aggregates, orders of magnitude smaller than the token stream, and
+    at 100 TB the same phase split is a range-partition on the quality
+    key (sort is what `repartitionByRange` does under the hood). The
+    per-phase cumsum then reuses the phase partitioning.
+    """
+    from hadoop_cs4225_spark.operators.text_analysis import (
+        QUALITY_STOPWORDS,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tokens = F.size(toks).cast("bigint")
+    nt_d = F.size(toks).cast("double")
+    n_sw = F.size(F.filter(toks, lambda x: x.isin(*QUALITY_STOPWORDS)))
+    sw_ratio = n_sw.cast("double") / nt_d
+    diversity = F.size(F.array_distinct(toks)).cast("double") / nt_d
+    length_norm = F.least(F.col("n_chars") / 1000.0, F.lit(1.0))
+    from hadoop_cs4225_spark.functions.numeric import quant
+
+    scored = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        quant(
+            0.4 * diversity + 0.3 * (1.0 - sw_ratio) + 0.3 * length_norm, 6
+        ).alias("quality"),
+    )
+    w_rank = Window.orderBy(F.desc("quality"), "doc_id")
+    phased = scored.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        F.ntile(N_PHASES).over(w_rank).alias("phase"),
+    )
+    w_off = (
+        Window.partitionBy("phase")
+        .orderBy(F.desc("quality"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = phased.select(
+        "phase",
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w_off), F.lit(0))
+        .cast("bigint")
+        .alias("off"),
+    )
+    return (
+        placed.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("phase_tokens"),
+            (F.max(F.expr(f"off div {PACK_BUDGET}")) + 1)
+            .cast("bigint")
+            .alias("n_bins"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("phase")
+    )

@@ -1,0 +1,139 @@
+"""Distributed linear algebra over the embedding column: Gram matrix +
+power iteration (the top-principal-direction pass of PCA).
+
+The pattern (what Spark MLlib's RowMatrix/PCA does under the hood):
+the DATA-sized work is one distributed aggregation — the d×d Gram
+matrix G = Σ v vᵀ, reduced map-side per executor shard — and the
+d-sized work (eigen iteration on a 64×64 matrix) is then cheap enough
+to run anywhere. Here BOTH halves stay declarative so the DuckDB
+oracle can replay them: the Gram entries are rounded-sum aggregates
+keyed on (i, j), and two power-iteration steps are unrolled as joins
+against the tiny G relation, quantized after every floating step so
+both engines walk identical values (functions/numeric.py policy).
+
+Scale: the fan-out is d² rows per vector (64² = 4096) into a partial
+agg with d² = 4096 groups — map-side combining collapses each executor
+shard to ≤4096 partial rows, so the shuffle is constant-size no matter
+the row count. At very large d, swap the explode for a per-partition
+numpy outer-product in mapInArrow (same reduction shape, fewer rows);
+at d=64 the JVM-side explode wins on simplicity and stays off Python.
+
+No reference analogue; extends the LLM-pipeline surface (embedding
+preprocessing: PCA whitening / decorrelation before indexing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_cs4225_spark.functions.numeric import quant, quant_sql
+from hadoop_cs4225_spark.registry import register
+from hadoop_cs4225_spark.sources.tables import load_table
+
+#: Power-iteration steps (unrolled identically in the SQL oracle).
+_N_STEPS = 2
+
+
+def _gram_sql() -> str:
+    return """
+ex AS (
+  SELECT g.i AS i, embedding[g.i]::DOUBLE AS xi, embedding AS emb
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) g
+),
+gram AS (
+  SELECT CAST(p.i AS INT) AS i, CAST(q.j AS INT) AS j,
+         ROUND(SUM(p.xi * p.emb[q.j]::DOUBLE), 4) AS g
+  FROM ex p, LATERAL (SELECT unnest(range(1, len(p.emb) + 1)) AS j) q
+  GROUP BY p.i, q.j
+)"""
+
+
+def _step_sql(prev: str, cur: str) -> str:
+    """One quantized power-iteration step as two CTEs."""
+    return f"""
+{cur}_raw AS (
+  SELECT gram.i AS i, {quant_sql(f"SUM(gram.g * {prev}.v)", 8)} AS w
+  FROM gram JOIN {prev} ON gram.j = {prev}.i
+  GROUP BY gram.i
+),
+{cur} AS (
+  SELECT i, {quant_sql(f"w / (SELECT SQRT(SUM(w * w)) FROM {cur}_raw)", 8)} AS v
+  FROM {cur}_raw
+)"""
+
+
+@register(
+    "embedding_gram_topeig",
+    oracle=f"""
+WITH {_gram_sql()},
+v0 AS (SELECT i, 0.125 AS v FROM (SELECT DISTINCT i FROM gram) d)
+,{_step_sql("v0", "v1")}
+,{_step_sql("v1", "v2")}
+SELECT v2.i AS dim,
+       v2.v AS component,
+       {quant_sql(
+           "(SELECT SUM(a.v * gram.g * b.v) FROM gram"
+           " JOIN v2 a ON gram.i = a.i JOIN v2 b ON gram.j = b.i)", 4)}
+         AS rayleigh
+FROM v2
+ORDER BY dim
+LIMIT 8
+""",
+)
+def embedding_gram_topeig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 components of the (unit-norm) top principal direction
+    after two power-iteration steps, plus the Rayleigh quotient
+    vᵀGv (the top-eigenvalue estimate), computed end-to-end in the
+    engine — no driver-side matrix math.
+
+    Determinism: G entries are ROUND(SUM, 4); every iteration output
+    and the final quotient pass the shared floor-quantizer, so the two
+    engines walk identical doubles despite different summation orders.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    ex = emb.select(F.posexplode(as_double).alias("p", "xi"), as_double.alias("emb"))
+    gram = (
+        ex.select(
+            (F.col("p") + 1).cast("int").alias("i"),
+            F.posexplode("emb").alias("q", "xj"),
+            "xi",
+        )
+        .select("i", (F.col("q") + 1).cast("int").alias("j"), "xi", "xj")
+        .groupBy("i", "j")
+        .agg(F.round(F.sum(F.col("xi") * F.col("xj")), 4).alias("g"))
+    )
+    # The 64x64 Gram feeds every following step — materialize once.
+    gram = gram.localCheckpoint()
+    # v carries distinct column names (vi, v) so joins against the gram
+    # lineage it derives from stay unambiguous.
+    v = (
+        gram.select("i")
+        .distinct()
+        .select(F.col("i").alias("vi"), F.lit(0.125).alias("v"))
+    )
+    for _ in range(_N_STEPS):
+        w = (
+            gram.join(v, F.col("j") == F.col("vi"))
+            .groupBy("i")
+            .agg(quant(F.sum(F.col("g") * F.col("v")), 8).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            F.col("i").alias("vi"), quant(F.col("w") / F.col("nrm"), 8).alias("v")
+        )
+    a = v.select(F.col("vi").alias("ai"), F.col("v").alias("av"))
+    b = v.select(F.col("vi").alias("bi"), F.col("v").alias("bv"))
+    rayleigh = (
+        gram.join(a, F.col("i") == F.col("ai"))
+        .join(b, F.col("j") == F.col("bi"))
+        .agg(quant(F.sum(F.col("av") * F.col("g") * F.col("bv")), 4).alias("rayleigh"))
+    )
+    return (
+        v.crossJoin(F.broadcast(rayleigh))
+        .select(F.col("vi").alias("dim"), F.col("v").alias("component"), "rayleigh")
+        .orderBy("dim")
+        .limit(8)
+    )

@@ -50,6 +50,7 @@ _OPERATOR_MODULES = (
     "hadoop_cs4225_spark.operators.pipeline_ops",
     "hadoop_cs4225_spark.operators.packing",
     "hadoop_cs4225_spark.operators.graph",
+    "hadoop_cs4225_spark.operators.linalg",
 )
 
 _loaded = False
@@ -140,10 +141,13 @@ _PRIORITY = (
     # similarity / ANN family (hyperplane-LSH and IVF paradigms);
     # multiprobe yielded its slot in round 3 (same bucket-join shape as
     # ann_lsh_query_topk) to the sparse-all-pairs shape below
-    "cosine_topk_brute",
+    # round-4 rotation: cosine_topk_brute (the bounded all-pairs
+    # baseline; ANN stays covered by the LSH/IVF rows below) yielded its
+    # slot to the distributed-linear-algebra family
     "ann_lsh_query_topk",
     "embedding_near_dup_lsh",
     "ivf_ann_query_topk",
+    "embedding_gram_topeig",
     # events: windowing, sessionization, funnel, as-of/range joins,
     # partition-pruned layout. sliding (sibling of tumbling) and
     # dedup-latest (same keep-latest window shape as orders_upsert_merge)

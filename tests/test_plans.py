@@ -130,6 +130,7 @@ _BOUNDED_ALLPAIRS = {
     "shingle_idf_similarity_topk",  # broadcast 1-row corpus-count cross join
     "pagerank_trade_network",  # broadcast 1-row |V| cross join
     "source_mixture_weights",  # broadcast 1-row normalizer cross joins
+    "embedding_gram_topeig",  # broadcast 1-row norm/Rayleigh cross joins
 }
 
 

@@ -422,3 +422,65 @@ def run_foreach_batch_parquet(
         .start()
     )
     _await_bounded(q, f"foreachBatch->{path}")
+
+
+def run_incremental_daily_rollup(
+    spark: SparkSession, chunks_path: str, out_root: str, checkpoint: str
+) -> DataFrame:
+    """Incrementally-maintained daily rollup: each micro-batch MERGEs
+    its partial (day, event_type) aggregate into the running rollup via
+    ``foreachBatch`` — the streaming version of ``events_daily_rollup``.
+
+    Each batch writes a NEW versioned snapshot ``v{batch_id}`` (read
+    previous version → union batch partial → re-aggregate → write) —
+    commit-then-swap, the isolation discipline table formats (Delta/
+    Iceberg) formalize; overwriting a path a running plan still reads
+    is how you corrupt a rollup on task retry. Decomposable aggregates
+    (COUNT/SUM) make merge = re-aggregation of partials, the same
+    algebra as Spark's own partial+final agg. State lives in the SINK
+    (the rollup itself), not the stream — so stream-side state is zero
+    and no watermark is needed for correctness, only for bounding
+    re-merge width under late data at scale.
+
+    Returns the final rollup DataFrame (latest version).
+    """
+    import os
+
+    schema = spark.read.parquet(chunks_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks_path)
+    )
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    last_version = {"v": -1}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy(
+            F.to_date("ts").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        prev_path = os.path.join(out_root, f"v{last_version['v']}")
+        if last_version["v"] >= 0:
+            prev = batch_df.sparkSession.read.parquet(prev_path)
+            part = prev.unionByName(part)
+        merged = part.groupBy("day", "event_type").agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value").alias("total_value"),
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(out_root, f"v{batch_id}")
+        )
+        last_version["v"] = batch_id
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_bounded(q, "incremental_daily_rollup")
+    return spark.read.parquet(os.path.join(out_root, f"v{last_version['v']}"))

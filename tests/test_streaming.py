@@ -238,3 +238,36 @@ def test_enrich_join_stream_matches_batch(spark):
         )
     )
     assert sorted(got) == sorted(_rows(batch))
+
+
+def test_incremental_rollup_matches_batch(spark, tmp_path):
+    """3 micro-batches through the foreachBatch MERGE sink must produce
+    exactly the full-batch daily rollup (decomposable-aggregate merge),
+    with one versioned snapshot per batch (commit-then-swap)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    ev = load_events(spark, SF_SMOKE)
+    chunks = str(tmp_path / "chunks")
+    # 3-file copy -> maxFilesPerTrigger=1 yields 3 micro-batches.
+    ev.repartition(3).write.parquet(chunks)
+    out_root = str(tmp_path / "rollup")
+    got = streams.run_incremental_daily_rollup(
+        spark, chunks, out_root, str(tmp_path / "ckpt")
+    )
+    want = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    g = {
+        (str(r["day"]), r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+        for r in got.collect()
+    }
+    w = {
+        (str(r["day"]), r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+        for r in want.collect()
+    }
+    assert g == w
+    versions = sorted(d for d in os.listdir(out_root) if d.startswith("v"))
+    assert len(versions) == 3, versions

@@ -35,3 +35,20 @@ def audit_plan(
     problems = [f"missing: {frag}" for frag in require if frag not in plan]
     problems += [f"present: {frag}" for frag in forbid if frag in plan]
     return problems
+
+
+def observed_metrics(df: DataFrame, name: str, *metrics):
+    """Attach ``observe()`` metrics to a plan: named aggregate metrics
+    (row counts, null counts, sums) collected DURING execution — the
+    pipeline-health pattern that replaces a second validation scan.
+
+    Returns (instrumented_df, observation): run any action on the
+    instrumented frame, then read ``observation.get``. At 100 TB an
+    extra ``count()`` for data-quality checks re-reads the table;
+    observe rides along with the job for free (a ``CollectMetrics``
+    node in the plan, merged into the existing aggregation tree).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

@@ -251,3 +251,30 @@ def test_nested_schema_pruning_narrows_read(spark):
     assert "etype" in rs, rs
     for dropped in ("value", "day", '"k"', "k:int"):
         assert dropped not in rs, (dropped, rs)
+
+
+def test_observe_metrics_ride_along(spark):
+    """observe() collects data-quality metrics during the SAME job that
+    answers the query — no second scan. The CollectMetrics node must be
+    in the plan and the observed values must match an independent agg."""
+    from pyspark.sql import functions as F
+
+    from hadoop_cs4225_spark.plans.explain import observed_metrics
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_ORACLE, "orders")
+    instrumented, obs = observed_metrics(
+        orders,
+        "health",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_cust"),
+    )
+    result = (
+        instrumented.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert "CollectMetrics" in plan_string(instrumented)
+    got = obs.get
+    assert got["n_rows"] == sum(r["n"] for r in result)
+    assert got["null_cust"] == 0

@@ -188,3 +188,76 @@ def curated_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@register(
+    "mixture_weighted_sample",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+shared AS (
+  SELECT source, n_docs,
+         POW(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 0.7) AS raw_w
+  FROM per_source
+),
+rates AS (
+  SELECT source, n_docs,
+         CAST(floor({quant_sql("raw_w / SUM(raw_w) OVER ()", 6)} * 100) AS BIGINT)
+           AS rate_pct
+  FROM shared
+)
+SELECT d.source,
+       r.rate_pct,
+       r.n_docs,
+       COUNT(*) FILTER (
+         WHERE {hash60_sql("CAST(d.doc_id AS VARCHAR)")} % 100 < r.rate_pct
+       ) AS n_sampled
+FROM documents d JOIN rates r ON d.source = r.source
+GROUP BY d.source, r.rate_pct, r.n_docs
+ORDER BY d.source
+""",
+)
+def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the domain-mixture weights: temperature-reweighted
+    per-source sampling rates (share^0.7 renormalized, floored to whole
+    percent) driving the deterministic hash-sample — the step that
+    turns `source_mixture_weights` into an actual training subset.
+
+    Composition story: weights come from a tiny per-source aggregate
+    (broadcast 1-row normalizers, as in source_mixture_weights); the
+    sample membership test is the same engine-portable
+    ``hash60(doc_id) % 100 < rate`` predicate as documents_hash_sample
+    — map-side, reproducible across engines, runs, and cluster sizes.
+    One wide shuffle total (the final per-source count).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per_source.agg(F.sum("n_docs").alias("all_docs"))
+    shared = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.pow(F.col("n_docs").cast("double") / F.col("all_docs"), 0.7).alias(
+            "raw_w"
+        ),
+    )
+    tot_w = shared.agg(F.sum("raw_w").alias("all_w"))
+    rates = shared.crossJoin(F.broadcast(tot_w)).select(
+        "source",
+        "n_docs",
+        F.floor(quant(F.col("raw_w") / F.col("all_w"), 6) * 100)
+        .cast("bigint")
+        .alias("rate_pct"),
+    )
+    keep = (
+        hash60(F.col("doc_id").cast("string")) % 100 < F.col("rate_pct")
+    ).cast("long")
+    # No hand broadcast hint on the rates join: the relation is data-
+    # derived (AQE broadcasts it at runtime from its observed size —
+    # same policy as events_daily_anomaly).
+    return (
+        docs.join(rates, "source")
+        .groupBy("source", "rate_pct", "n_docs")
+        .agg(F.sum(keep).alias("n_sampled"))
+        .orderBy("source")
+    )

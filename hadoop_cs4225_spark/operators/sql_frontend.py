@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from hadoop_cs4225_spark.functions.numeric import quant_sql
 from hadoop_cs4225_spark.registry import register
 from hadoop_cs4225_spark.sources.tables import load_table
 
@@ -209,3 +210,62 @@ def recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _view(spark, sf_dir, "orders")
     return spark.sql(_RCTE_SQL)
+
+
+@register(
+    "order_value_winsorized",
+    oracle=f"""
+WITH thr AS (
+  SELECT {quant_sql("quantile_cont(o_totalprice, 0.01)", 6)} AS lo,
+         {quant_sql("quantile_cont(o_totalprice, 0.99)", 6)} AS hi
+  FROM orders
+)
+SELECT COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_lo,
+       CAST(SUM(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_hi,
+       {quant_sql("ROUND(SUM(o_totalprice), 2) / COUNT(*)", 6)} AS mean_raw,
+       {quant_sql("ROUND(SUM(LEAST(GREATEST(o_totalprice, lo), hi)), 2)"
+                  " / COUNT(*)", 6)} AS mean_winsorized
+FROM orders, thr
+""",
+)
+def order_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p01/p99-clipped) robust mean — the outlier-hardened
+    stats pass feature pipelines run before normalizing money-scale
+    columns (a single fat-finger order shifts a raw mean; the clipped
+    mean is stable).
+
+    Two passes over one pruned column: an exact-percentile aggregate
+    (1 row, broadcast back via cross join — the same bounded-scalar
+    shape as q11/q22) and the clipped re-aggregate. Thresholds are
+    QUANTIZED before the comparisons so both engines clip the same
+    rows; at 100 TB swap the exact percentile for approx_percentile and
+    keep everything else.
+    """
+    from pyspark.sql import functions as F
+
+    from hadoop_cs4225_spark.functions.numeric import quant
+
+    orders = load_table(spark, sf_dir, "orders")
+    thr = orders.agg(
+        quant(F.expr("percentile(o_totalprice, 0.01d)"), 6).alias("lo"),
+        quant(F.expr("percentile(o_totalprice, 0.99d)"), 6).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    return orders.crossJoin(F.broadcast(thr)).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum((F.col("o_totalprice") < F.col("lo")).cast("long")).alias(
+            "n_clipped_lo"
+        ),
+        F.sum((F.col("o_totalprice") > F.col("hi")).cast("long")).alias(
+            "n_clipped_hi"
+        ),
+        quant(F.round(F.sum("o_totalprice"), 2) / F.count(F.lit(1)), 6).alias(
+            "mean_raw"
+        ),
+        quant(F.round(F.sum(clipped), 2) / F.count(F.lit(1)), 6).alias(
+            "mean_winsorized"
+        ),
+    )

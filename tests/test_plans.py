@@ -131,6 +131,8 @@ _BOUNDED_ALLPAIRS = {
     "pagerank_trade_network",  # broadcast 1-row |V| cross join
     "source_mixture_weights",  # broadcast 1-row normalizer cross joins
     "embedding_gram_topeig",  # broadcast 1-row norm/Rayleigh cross joins
+    "order_value_winsorized",  # broadcast 1-row percentile-threshold cross join
+    "mixture_weighted_sample",  # broadcast 1-row normalizer cross joins
 }
 
 

@@ -683,3 +683,32 @@ def nation_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["n_name"], ["n_customers", "total_balance", "max_balance"],
         "metric", "value",
     ).orderBy("n_name", "metric")
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salt: int = 16,
+    salt_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Skew-safe fact⋈dim equi-join: replicate the dim ``n_salt``× and
+    scatter the fact over (key, salt) — the manual recipe for when a
+    low-cardinality join key would funnel the whole fact table through
+    |keys| reducers AND the dim is too big to broadcast.
+
+    ``salt_cols`` picks deterministic fact columns to derive the salt
+    from (defaults to the key itself plus a per-row hash would be
+    nondeterministic; pass row-identifying columns). Result is
+    value-identical to ``fact.join(dim, key)`` — replication only
+    changes WHERE rows meet. Prefer, in order: broadcast (small dim),
+    AQE skew-join split (uneven but high-cardinality keys), THIS
+    (low-cardinality keys + medium dim). Cost: dim inflates n_salt×,
+    shuffle keys inflate to |keys|·n_salt even buckets.
+    """
+    cols = list(salt_cols) or [key]
+    salted_fact = fact.withColumn("__salt", F.pmod(F.hash(*cols), F.lit(n_salt)))
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return salted_fact.join(salted_dim, [key, "__salt"]).drop("__salt")

@@ -280,3 +280,54 @@ def test_observe_metrics_ride_along(spark):
     got = obs.get
     assert got["n_rows"] == sum(r["n"] for r in result)
     assert got["null_cust"] == 0
+
+
+def test_salted_join_matches_direct_and_scatters_keys(spark):
+    """The salted fact-dim join must (a) produce exactly the direct
+    join's aggregate result and (b) plan a non-broadcast shuffle join
+    on (key, salt) when broadcast is disabled — |keys|*n_salt buckets
+    instead of |keys| hot reducers."""
+    from pyspark.sql import functions as F
+
+    from hadoop_cs4225_spark.operators.relational import salted_join
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    dim = li.groupBy("l_returnflag").agg(F.avg("l_quantity").alias("flag_avg"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted = salted_join(
+            li,
+            dim,
+            "l_returnflag",
+            n_salt=8,
+            salt_cols=("l_orderkey", "l_linenumber"),
+        )
+        agg = (
+            salted.groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("l_quantity") > F.col("flag_avg")).cast("long")).alias(
+                    "above_avg"
+                ),
+            )
+        )
+        got = {r["l_returnflag"]: (r["n"], r["above_avg"]) for r in agg.collect()}
+        plan = plan_string(salted)
+        assert "BroadcastHashJoin" not in plan
+        assert "__salt" in plan  # join key carries the salt
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    direct = (
+        li.join(dim, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("l_quantity") > F.col("flag_avg")).cast("long")).alias(
+                "above_avg"
+            ),
+        )
+    )
+    want = {r["l_returnflag"]: (r["n"], r["above_avg"]) for r in direct.collect()}
+    assert got == want

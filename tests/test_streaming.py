@@ -271,3 +271,24 @@ def test_incremental_rollup_matches_batch(spark, tmp_path):
     assert g == w
     versions = sorted(d for d in os.listdir(out_root) if d.startswith("v"))
     assert len(versions) == 3, versions
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Restarting a foreachBatch sink from the SAME checkpoint must not
+    reprocess already-committed batches: the offset log makes replay
+    exactly-once per batch id. A second availableNow run over unchanged
+    input appends nothing."""
+    ev = streams.read_events_stream(spark, SF_SMOKE)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    streams.run_foreach_batch_parquet(
+        streams.dedup_stream(ev), out, ckpt, output_mode="append"
+    )
+    n_first = spark.read.parquet(out).count()
+    # Same checkpoint, same source: the restarted query finds every
+    # offset already committed and writes zero new rows.
+    ev2 = streams.read_events_stream(spark, SF_SMOKE)
+    streams.run_foreach_batch_parquet(
+        streams.dedup_stream(ev2), out, ckpt, output_mode="append"
+    )
+    n_second = spark.read.parquet(out).count()
+    assert n_second == n_first, (n_first, n_second)

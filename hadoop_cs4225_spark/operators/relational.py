@@ -712,3 +712,51 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     )
     return salted_fact.join(salted_dim, [key, "__salt"]).drop("__salt")
+
+
+@register(
+    "customer_order_multiset_ops",
+    oracle="""
+WITH a AS (
+  SELECT o_custkey FROM orders
+  WHERE o_custkey <= 200 AND o_totalprice >= 100000
+),
+b AS (
+  SELECT o_custkey FROM orders
+  WHERE o_custkey <= 200 AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+),
+ea AS (SELECT 'except_all' AS op, o_custkey
+       FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) t),
+ia AS (SELECT 'intersect_all' AS op, o_custkey
+       FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) t)
+SELECT op, o_custkey, COUNT(*) AS multiplicity
+FROM (SELECT * FROM ea UNION ALL SELECT * FROM ia) u
+GROUP BY op, o_custkey
+ORDER BY op, o_custkey
+""",
+)
+def customer_order_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET set operations — ``exceptAll`` / ``intersectAll`` keep
+    duplicate multiplicity (bag semantics), unlike the distinct-set ops
+    in ``nation_presence_setops``: a customer with 5 big orders and 2
+    urgent ones survives EXCEPT ALL 3 times.
+
+    Spark lowers both to an aggregate computing per-row counts on each
+    side plus a generate (min/difference of multiplicities) — one
+    shuffle keyed on the row value, no join; same algebra DuckDB runs.
+    At 100 TB this beats the window-rank emulation a multiset-unaware
+    engine would need.
+    """
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 200)
+    a = orders.where(F.col("o_totalprice") >= 100000).select("o_custkey")
+    b = orders.where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_custkey")
+    ea = a.exceptAll(b).select(F.lit("except_all").alias("op"), "o_custkey")
+    ia = a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "o_custkey")
+    return (
+        ea.unionByName(ia)
+        .groupBy("op", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .orderBy("op", "o_custkey")
+    )

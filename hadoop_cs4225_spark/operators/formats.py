@@ -176,6 +176,14 @@ def ensure_docs_bin(spark: SparkSession, sf_dir: str) -> str:
     path = _derived(sf_dir, "docs_bin")
     marker = os.path.join(path, ".done")
     if _stale(path, sf_dir, table="documents", marker=".done"):
+        # Regeneration must start from an EMPTY directory: if the new
+        # corpus has fewer doc_id<32 documents than the stale layout,
+        # leftover doc_*.bin files would inflate the binaryFile scan's
+        # n_files/total_bytes against the oracle.
+        import shutil
+
+        if os.path.isdir(path):
+            shutil.rmtree(path)
         os.makedirs(path, exist_ok=True)
         rows = (
             load_table(spark, sf_dir, "documents")

@@ -35,8 +35,15 @@ from hadoop_cs4225_spark.functions.numeric import quant, quant_sql
 from hadoop_cs4225_spark.registry import register
 from hadoop_cs4225_spark.sources.tables import load_table
 
-#: Damping factor (the standard 0.85) and fixed iteration count.
+#: Damping factor (the standard 0.85) and fixed iteration count. Both
+#: the oracle SQL and the DataFrame body derive their literals from
+#: these two constants — editing DAMPING changes both engines in
+#: lockstep. TELEPORT is spelled out (not computed as 1 - DAMPING) so
+#: the rendered SQL constant stays a clean decimal, float artifacts
+#: like 0.15000000000000002 would poison the 9-decimal quantizer.
 DAMPING = 0.85
+TELEPORT = 0.15
+assert DAMPING + TELEPORT == 1.0
 N_ITERS = 3
 TOP_K = 20
 
@@ -59,8 +66,8 @@ def _iter_sql(prev: str, cur: str) -> str:
     return f"""
 {cur} AS (
   SELECT e.dst AS node,
-         0.15 / (SELECT n FROM nn)
-           + 0.85 * SUM({prev}.r / deg.d) AS r
+         {TELEPORT} / (SELECT n FROM nn)
+           + {DAMPING} * SUM({prev}.r / deg.d) AS r
   FROM edges e
   JOIN {prev} ON e.src = {prev}.node
   JOIN deg ON e.src = deg.src
@@ -128,7 +135,7 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(nn))
             .select(
                 F.col("dst").alias("node"),
-                (F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("s")).alias("r"),
+                (F.lit(TELEPORT) / F.col("n") + F.lit(DAMPING) * F.col("s")).alias("r"),
             )
         )
     return (

@@ -172,12 +172,28 @@ def curriculum_phase_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The quality score is the shared formula from
     ``text_analysis.doc_quality_scores`` (diversity + stopword +
-    length-norm mix). Plan: score is a pure projection; NTILE is ONE
-    global sort exchange over (quality, doc_id) — rows are doc-level
-    aggregates, orders of magnitude smaller than the token stream, and
-    at 100 TB the same phase split is a range-partition on the quality
-    key (sort is what `repartitionByRange` does under the hood). The
-    per-phase cumsum then reuses the phase partitioning.
+    length-norm mix). The oracle states the split as
+    ``NTILE(k) OVER (ORDER BY quality DESC, doc_id)``; the Spark body
+    reproduces those semantics EXACTLY (``tile(r) = (r-1)·k div n + 1``
+    over the same total order) without ever planning a partition-less
+    window over the corpus — a global NTILE single-threads every row
+    through one task, the scale-killer flagged in round 4:
+
+    1. ``qk = round(quality·1e6)``: the 6-dp-quantized score as exact
+       integer micro-units — a bijection, so (qk DESC, doc_id) is the
+       oracle's total order.
+    2. One hash-agg: docs per distinct qk. BOUNDED at 1e6+1 rows
+       regardless of corpus size, so the cumulative-offset window over
+       it (the only partition-less window left) is constant work — the
+       same bounded-frame argument as ``embedding_gram_topeig``'s
+       4096-group aggregate.
+    3. ``row_number`` within each qk (distributed across ~1e6 value
+       partitions) + broadcast bucket offset = exact global rank;
+       phase assignment is then a map-side integer formula.
+    4. No per-phase cumsum window at all: offsets grow monotonically
+       along the order, so ``MAX(off div B)`` is the LAST doc's offset
+       — ``(phase_tokens − max_by(n_tokens, grank)) div B`` — an
+       ordinary aggregate, where the oracle walks the whole phase.
     """
     from hadoop_cs4225_spark.operators.text_analysis import (
         QUALITY_STOPWORDS,
@@ -199,33 +215,46 @@ def curriculum_phase_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         quant(
             0.4 * diversity + 0.3 * (1.0 - sw_ratio) + 0.3 * length_norm, 6
         ).alias("quality"),
+    ).withColumn("qk", F.round(F.col("quality") * 1e6).cast("bigint"))
+    bstats = scored.groupBy("qk").agg(F.count(F.lit(1)).alias("cnt"))
+    w_desc = Window.orderBy(F.desc("qk"))
+    boff = bstats.select(
+        "qk",
+        F.coalesce(
+            F.sum("cnt").over(w_desc.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("boff"),
+        F.sum("cnt")
+        .over(
+            w_desc.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n_total"),
     )
-    w_rank = Window.orderBy(F.desc("quality"), "doc_id")
-    phased = scored.select(
+    w_in_bucket = Window.partitionBy("qk").orderBy("doc_id")
+    ranked = scored.join(F.broadcast(boff), "qk").select(
         "doc_id",
         "n_tokens",
-        "quality",
-        F.ntile(N_PHASES).over(w_rank).alias("phase"),
+        (F.col("boff") + F.row_number().over(w_in_bucket)).alias("grank"),
+        "n_total",
     )
-    w_off = (
-        Window.partitionBy("phase")
-        .orderBy(F.desc("quality"), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    placed = phased.select(
-        "phase",
+    # Exact NTILE semantics: the first (n mod k) tiles get ceil(n/k)
+    # rows — algebraically tile(r) = (r-1)*k div n + 1 for rank r.
+    phased = ranked.select(
         "doc_id",
         "n_tokens",
-        F.coalesce(F.sum("n_tokens").over(w_off), F.lit(0))
-        .cast("bigint")
-        .alias("off"),
+        "grank",
+        F.expr(f"(grank - 1) * {N_PHASES} div n_total + 1").alias("phase"),
     )
     return (
-        placed.groupBy("phase")
+        phased.groupBy("phase")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("phase_tokens"),
-            (F.max(F.expr(f"off div {PACK_BUDGET}")) + 1)
+            F.expr(
+                f"(sum(n_tokens) - max_by(n_tokens, grank)) div {PACK_BUDGET} + 1"
+            )
             .cast("bigint")
             .alias("n_bins"),
             F.min("doc_id").alias("first_doc"),

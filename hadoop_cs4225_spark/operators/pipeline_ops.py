@@ -591,11 +591,17 @@ def shingle_idf_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (bounded — the hint is safe), NOT a driver-side .count(): a scalar
     # count would run an extra job per invocation and serialize the DAG.
     n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
-    # persist(): the weighted-postings frame feeds THREE consumers (the
-    # norm aggregate and both sides of the pair self-join); without it
-    # the tokenize→explode→df-join chain re-executes per branch (Spark
-    # does not CSE across DataFrame branches). One row per (doc,
-    # shingle), same footprint class as the LSH shingle-set cache.
+    # localCheckpoint(): the weighted-postings frame feeds THREE
+    # consumers (the norm aggregate and both sides of the pair
+    # self-join); without it the tokenize→explode→df-join chain
+    # re-executes per branch (Spark does not CSE across DataFrame
+    # branches). One row per (doc, shingle), same footprint class as
+    # the LSH shingle-set cache. localCheckpoint over persist():
+    # persist() registers the plan in the CacheManager forever (a
+    # registered-query function has no post-action hook to unpersist),
+    # so repeated invocations in a long session would accumulate cached
+    # frames; a localCheckpointed RDD is released by the ContextCleaner
+    # once the returned DataFrame is unreachable.
     w = (
         sh.join(dfreq, "s")
         .join(n_docs)
@@ -608,7 +614,7 @@ def shingle_idf_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
             ).alias("w"),
         )
-        .persist()
+        .localCheckpoint()
     )
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.round(F.sum(F.col("w") * F.col("w")), 6)).alias("nrm")

@@ -697,17 +697,27 @@ def salted_join(
     low-cardinality join key would funnel the whole fact table through
     |keys| reducers AND the dim is too big to broadcast.
 
-    ``salt_cols`` picks deterministic fact columns to derive the salt
-    from (defaults to the key itself plus a per-row hash would be
-    nondeterministic; pass row-identifying columns). Result is
-    value-identical to ``fact.join(dim, key)`` — replication only
-    changes WHERE rows meet. Prefer, in order: broadcast (small dim),
-    AQE skew-join split (uneven but high-cardinality keys), THIS
-    (low-cardinality keys + medium dim). Cost: dim inflates n_salt×,
-    shuffle keys inflate to |keys|·n_salt even buckets.
+    ``salt_cols`` picks fact columns to derive the salt from; pass
+    row-identifying columns (an id, a timestamp) so a hot key's rows
+    spread across all ``n_salt`` buckets. When empty, the salt falls
+    back to ``monotonically_increasing_id()`` — a per-ROW value, never
+    the join key: salting by the key alone would give every row of a
+    hot key the same constant salt, i.e. zero skew mitigation while
+    still paying the n_salt× dim replication. (The id-based salt is
+    nondeterministic across task retries, which is safe here: the dim
+    side carries EVERY salt value 0..n_salt-1, so a fact row matches
+    its dim rows whatever salt it lands on.) Result is value-identical
+    to ``fact.join(dim, key)`` — replication only changes WHERE rows
+    meet. Prefer, in order: broadcast (small dim), AQE skew-join split
+    (uneven but high-cardinality keys), THIS (low-cardinality keys +
+    medium dim). Cost: dim inflates n_salt×, shuffle keys inflate to
+    |keys|·n_salt even buckets.
     """
-    cols = list(salt_cols) or [key]
-    salted_fact = fact.withColumn("__salt", F.pmod(F.hash(*cols), F.lit(n_salt)))
+    salt_src = (
+        F.hash(*salt_cols) if salt_cols
+        else F.hash(F.monotonically_increasing_id())
+    )
+    salted_fact = fact.withColumn("__salt", F.pmod(salt_src, F.lit(n_salt)))
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     )

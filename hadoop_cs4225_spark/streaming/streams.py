@@ -454,7 +454,17 @@ def run_incremental_daily_rollup(
     )
     if dict(stream.dtypes).get("ts") == "timestamp_ntz":
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    last_version = {"v": -1}
+
+    def _versions_on_disk(below: int | None = None) -> list[int]:
+        if not os.path.isdir(out_root):
+            return []
+        out = []
+        for d in os.listdir(out_root):
+            if d.startswith("v") and d[1:].isdigit():
+                v = int(d[1:])
+                if below is None or v < below:
+                    out.append(v)
+        return out
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         part = batch_df.groupBy(
@@ -463,9 +473,23 @@ def run_incremental_daily_rollup(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").alias("total_value"),
         )
-        prev_path = os.path.join(out_root, f"v{last_version['v']}")
-        if last_version["v"] >= 0:
-            prev = batch_df.sparkSession.read.parquet(prev_path)
+        # The previous snapshot is the LATEST version strictly below
+        # this batch_id, discovered from the sink itself — never from
+        # in-process state. Two failure modes this kills: (a) restart
+        # from a checkpoint replays the uncommitted batch N in a fresh
+        # process; an in-memory "last version" would start at -1 and
+        # the replay would overwrite vN with only its own partial,
+        # silently dropping every earlier batch's contribution; (b) if
+        # a crashed run already wrote vN before the checkpoint commit,
+        # reading max(all versions) would merge vN into itself —
+        # double-count. max(v < batch_id) is correct in both: the sink
+        # is versioned, so replay overwrites vN idempotently from
+        # v(N-1)'s committed state.
+        prior = _versions_on_disk(below=batch_id)
+        if prior:
+            prev = batch_df.sparkSession.read.parquet(
+                os.path.join(out_root, f"v{max(prior)}")
+            )
             part = prev.unionByName(part)
         merged = part.groupBy("day", "event_type").agg(
             F.sum("n_events").alias("n_events"),
@@ -474,7 +498,6 @@ def run_incremental_daily_rollup(
         merged.write.mode("overwrite").parquet(
             os.path.join(out_root, f"v{batch_id}")
         )
-        last_version["v"] = batch_id
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)
@@ -483,4 +506,11 @@ def run_incremental_daily_rollup(
         .start()
     )
     _await_bounded(q, "incremental_daily_rollup")
-    return spark.read.parquet(os.path.join(out_root, f"v{last_version['v']}"))
+    # No new files this run (e.g. a rerun against a drained source) —
+    # fall back to the latest committed snapshot; empty rollup if none.
+    versions = _versions_on_disk()
+    if not versions:
+        return spark.createDataFrame(
+            [], "day date, event_type string, n_events bigint, total_value double"
+        )
+    return spark.read.parquet(os.path.join(out_root, f"v{max(versions)}"))

@@ -148,6 +148,49 @@ def test_no_unbounded_cartesian_anywhere(spark):
     assert not violations, violations
 
 
+#: Queries whose partition-less Window runs over a frame BOUNDED by
+#: construction (constant size regardless of corpus rows) — the only
+#: acceptable use. Everything else must partition its windows: a
+#: partition-less Window single-threads the whole input through one
+#: task ("WindowExec: No Partition Defined" — the round-3 bench
+#: warning, and a guaranteed straggler at 100 TB).
+_BOUNDED_GLOBAL_WINDOW = {
+    # cumulative offsets over the per-quality-value count aggregate:
+    # ≤ 1e6+1 rows (6-dp quantized score) whatever the corpus size
+    "curriculum_phase_bins",
+}
+
+
+def _partitionless_windows(df) -> int:
+    """Count Window nodes with an EMPTY partitionSpec in the optimized
+    logical plan (plan-string parsing is ambiguous — the JVM tree is
+    not)."""
+    jplan = df._jdf.queryExecution().optimizedPlan()
+    n = 0
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            n += 1
+        for i in range(node.children().length()):
+            stack.append(node.children().apply(i))
+    return n
+
+
+def test_no_unbounded_global_window_anywhere(spark):
+    """No registered query may sort the full input through a single
+    task via a partition-less Window (rank/ntile/cumsum without
+    PARTITION BY). Bounded-frame exceptions are allowlisted with the
+    bound stated."""
+    violations = []
+    for name, fn in registry.QUERIES.items():
+        if name in _BOUNDED_GLOBAL_WINDOW:
+            continue
+        if _partitionless_windows(fn(spark, SF_ORACLE)):
+            violations.append(name)
+    assert not violations, violations
+
+
 def test_audit_helper_reports_violations(spark):
     df = _df(spark, "q6_revenue_forecast")
     assert audit_plan(df, require=("PushedFilters",)) == []
@@ -331,3 +374,35 @@ def test_salted_join_matches_direct_and_scatters_keys(spark):
     )
     want = {r["l_returnflag"]: (r["n"], r["above_avg"]) for r in direct.collect()}
     assert got == want
+
+
+def test_salted_join_default_salt_actually_scatters(spark):
+    """The default (no salt_cols) path must still spread a hot key's
+    rows across buckets — the whole point of salting. Deriving the
+    default salt from the join key itself would give every row of a
+    key the SAME salt (one bucket per key, zero mitigation); the
+    monotonically_increasing_id fallback must produce many distinct
+    salts per key, and the join must still match the direct join."""
+    from pyspark.sql import functions as F
+
+    from hadoop_cs4225_spark.operators.relational import salted_join
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    dim = li.groupBy("l_returnflag").agg(F.avg("l_quantity").alias("flag_avg"))
+    salted = salted_join(li.withColumn(
+        "__salt_probe",
+        F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(8)),
+    ).drop("__salt_probe"), dim, "l_returnflag", n_salt=8)
+    assert salted.count() == li.count()
+    # Re-derive the salt distribution the same way salted_join does:
+    # every l_returnflag value must occupy >1 salt bucket.
+    salts_per_key = (
+        li.withColumn(
+            "__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(8))
+        )
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("__salt").alias("n_salts"))
+        .collect()
+    )
+    assert all(r["n_salts"] > 1 for r in salts_per_key), salts_per_key

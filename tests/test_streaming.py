@@ -273,6 +273,61 @@ def test_incremental_rollup_matches_batch(spark, tmp_path):
     assert len(versions) == 3, versions
 
 
+def test_incremental_rollup_restart_and_rerun(spark, tmp_path):
+    """The versioned MERGE sink must survive process restarts: (a) a
+    rerun with the same checkpoint and no new files returns the latest
+    committed snapshot unchanged (a fresh process must not fall back to
+    'no previous version'); (b) new files arriving after the restart
+    merge ON TOP of the existing snapshots — prior batches'
+    contributions survive because the previous version is discovered
+    from the sink directory, not from in-process state."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    ev = load_events(spark, SF_SMOKE)
+    first = ev.where(F.col("user_id") % 2 == 0)
+    second = ev.where(F.col("user_id") % 2 == 1)
+    chunks = str(tmp_path / "chunks")
+    out_root = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    first.repartition(2).write.parquet(chunks)
+    streams.run_incremental_daily_rollup(spark, chunks, out_root, ckpt)
+
+    def snap(df):
+        return {
+            (str(r["day"]), r["event_type"]): (
+                r["n_events"],
+                round(r["total_value"], 6),
+            )
+            for r in df.collect()
+        }
+
+    got1 = snap(
+        streams.run_incremental_daily_rollup(spark, chunks, out_root, ckpt)
+    )  # rerun, no new data: must not crash, must equal first run
+    want1 = snap(
+        first.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    assert got1 == want1
+    # New files after the "restart" — merged on top of committed state.
+    second.repartition(1).write.mode("append").parquet(chunks)
+    got2 = snap(
+        streams.run_incremental_daily_rollup(spark, chunks, out_root, ckpt)
+    )
+    want2 = snap(
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    assert got2 == want2
+    assert any(d.startswith("v") for d in os.listdir(out_root))
+
+
 def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     """Restarting a foreachBatch sink from the SAME checkpoint must not
     reprocess already-committed batches: the offset log makes replay

@@ -209,13 +209,24 @@ def curriculum_phase_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     length_norm = F.least(F.col("n_chars") / 1000.0, F.lit(1.0))
     from hadoop_cs4225_spark.functions.numeric import quant
 
-    scored = docs.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        quant(
-            0.4 * diversity + 0.3 * (1.0 - sw_ratio) + 0.3 * length_norm, 6
-        ).alias("quality"),
-    ).withColumn("qk", F.round(F.col("quality") * 1e6).cast("bigint"))
+    # localCheckpoint: `scored` feeds TWO consumers (the per-qk count
+    # aggregate and the rank join); without it the regex tokenization of
+    # the full corpus runs once per branch (Spark does not CSE across
+    # DataFrame branches). The materialized frame is one short row per
+    # document — (doc_id, n_tokens, qk), no text — so at 100 TB this is
+    # the ~GB-scale doc-level manifest, not the token stream.
+    scored = (
+        docs.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            quant(
+                0.4 * diversity + 0.3 * (1.0 - sw_ratio) + 0.3 * length_norm, 6
+            ).alias("quality"),
+        )
+        .withColumn("qk", F.round(F.col("quality") * 1e6).cast("bigint"))
+        .select("doc_id", "n_tokens", "qk")
+        .localCheckpoint()
+    )
     bstats = scored.groupBy("qk").agg(F.count(F.lit(1)).alias("cnt"))
     w_desc = Window.orderBy(F.desc("qk"))
     boff = bstats.select(

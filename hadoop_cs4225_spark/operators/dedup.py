@@ -539,7 +539,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lab", F.col("doc_id"))
         .localCheckpoint()
     )
+    rounds = 0
     for _ in range(20):
+        rounds += 1
         prop = (
             edges.join(labels, edges.a == labels.doc_id)
             .select(F.col("b").alias("doc_id"), F.col("lab"))
@@ -555,6 +557,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = merged.select("doc_id", F.col("new_lab").alias("lab"))
         if converged:
             break
+    # Convergence telemetry: rounds == component diameter. A value near
+    # the 20-round cap means a pathological chain-shaped component (or
+    # a bad LSH threshold) — surfaced in bench/driver stderr rather
+    # than silently truncating the closure.
+    import sys
+
+    print(
+        f"dedup_clusters: converged after {rounds} rounds"
+        + (" (HIT 20-ROUND CAP — closure may be truncated)" if rounds >= 20 else ""),
+        file=sys.stderr,
+    )
     w = Window.partitionBy("lab")
     return (
         labels.select(

@@ -483,6 +483,53 @@ def _lsh_pairs_cte() -> str:
 )"""
 
 
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component labels (doc_id -> min-reachable doc_id) over
+    the verified MinHash-LSH pair graph — shared by ``dedup_clusters``
+    and ``dedup_canonical_keep``. Iteration hygiene documented on
+    ``dedup_clusters``."""
+    pairs = (
+        minhash_lsh_dup_pairs(spark, sf_dir).select("d1", "d2").localCheckpoint()
+    )
+    edges = pairs.union(pairs.select(F.col("d2"), F.col("d1"))).toDF("a", "b")
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("lab", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    rounds = 0
+    for _ in range(20):
+        rounds += 1
+        prop = (
+            edges.join(labels, edges.a == labels.doc_id)
+            .select(F.col("b").alias("doc_id"), F.col("lab"))
+        )
+        merged = (
+            labels.union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("lab").alias("new_lab"))
+            .join(labels, "doc_id")
+            .localCheckpoint()
+        )
+        converged = merged.where(F.col("new_lab") < F.col("lab")).isEmpty()
+        labels = merged.select("doc_id", F.col("new_lab").alias("lab"))
+        if converged:
+            break
+    # Convergence telemetry: rounds == component diameter. A value near
+    # the 20-round cap means a pathological chain-shaped component (or
+    # a bad LSH threshold) — surfaced in bench/driver stderr rather
+    # than silently truncating the closure.
+    import sys
+
+    print(
+        f"dedup cluster labels: converged after {rounds} rounds"
+        + (" (HIT 20-ROUND CAP — closure may be truncated)" if rounds >= 20 else ""),
+        file=sys.stderr,
+    )
+    return labels
+
+
 @register(
     "dedup_clusters",
     oracle=f"""
@@ -529,45 +576,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     a multi-executor cluster swap localCheckpoint for checkpoint (HDFS)
     to also survive executor loss.
     """
-    pairs = (
-        minhash_lsh_dup_pairs(spark, sf_dir).select("d1", "d2").localCheckpoint()
-    )
-    edges = pairs.union(pairs.select(F.col("d2"), F.col("d1"))).toDF("a", "b")
-    labels = (
-        edges.select(F.col("a").alias("doc_id"))
-        .distinct()
-        .withColumn("lab", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    rounds = 0
-    for _ in range(20):
-        rounds += 1
-        prop = (
-            edges.join(labels, edges.a == labels.doc_id)
-            .select(F.col("b").alias("doc_id"), F.col("lab"))
-        )
-        merged = (
-            labels.union(prop)
-            .groupBy("doc_id")
-            .agg(F.min("lab").alias("new_lab"))
-            .join(labels, "doc_id")
-            .localCheckpoint()
-        )
-        converged = merged.where(F.col("new_lab") < F.col("lab")).isEmpty()
-        labels = merged.select("doc_id", F.col("new_lab").alias("lab"))
-        if converged:
-            break
-    # Convergence telemetry: rounds == component diameter. A value near
-    # the 20-round cap means a pathological chain-shaped component (or
-    # a bad LSH threshold) — surfaced in bench/driver stderr rather
-    # than silently truncating the closure.
-    import sys
-
-    print(
-        f"dedup_clusters: converged after {rounds} rounds"
-        + (" (HIT 20-ROUND CAP — closure may be truncated)" if rounds >= 20 else ""),
-        file=sys.stderr,
-    )
+    labels = _cluster_labels(spark, sf_dir)
     w = Window.partitionBy("lab")
     return (
         labels.select(
@@ -576,4 +585,77 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(w).alias("cluster_size"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_canonical_keep",
+    oracle=f"""
+WITH RECURSIVE {_lsh_pairs_cte()},
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM verified
+  UNION ALL
+  SELECT d2 AS a, d1 AS b FROM verified
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+),
+labs AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+sized AS (
+  SELECT l.doc_id, l.cluster_id, d.n_chars
+  FROM labs l JOIN documents d ON l.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+  ) AS rn
+  FROM sized
+)
+SELECT cluster_id,
+       COUNT(*) AS cluster_size,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS keeper_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS keeper_chars,
+       COUNT(*) - 1 AS n_dropped
+FROM ranked
+GROUP BY cluster_id
+ORDER BY cluster_id
+""",
+)
+def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION: one canonical keeper per near-duplicate
+    cluster — the longest document (``n_chars`` DESC, ``doc_id`` tie) —
+    plus how many duplicates it displaces. This is the row a curation
+    pipeline actually writes back (keep-list + drop-count); clusters
+    and pairs are intermediates.
+
+    Plan shape: the shared label-propagation loop, one broadcast-sized
+    join against the documents manifest, then a single hash aggregation
+    per cluster — the keeper is ``max_by(doc_id, (n_chars, -doc_id))``,
+    an ordinary aggregate, NOT a per-cluster window sort (the oracle's
+    ROW_NUMBER states the same semantics declaratively). At 100 TB the
+    agg is map-side-combinable and clusters are tiny; nothing scales
+    with cluster count beyond the one shuffle.
+    """
+    labels = _cluster_labels(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sized = labels.select(F.col("doc_id"), F.col("lab").alias("cluster_id")).join(
+        docs, "doc_id"
+    )
+    keep_ord = F.struct(
+        F.col("n_chars").alias("a"), (-F.col("doc_id")).alias("b")
+    )
+    return (
+        sized.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.expr("max_by(doc_id, struct(n_chars, -doc_id))").alias("keeper_id"),
+            F.expr("max_by(n_chars, struct(n_chars, -doc_id))")
+            .cast("bigint")
+            .alias("keeper_chars"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
     )

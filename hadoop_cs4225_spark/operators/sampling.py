@@ -261,3 +261,64 @@ def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(keep).alias("n_sampled"))
         .orderBy("source")
     )
+
+
+#: Epochs and shards for the deterministic training-shard plan.
+N_EPOCHS = 3
+N_SHARDS = 8
+
+
+@register(
+    "epoch_shard_plan",
+    oracle=f"""
+SELECT e.epoch,
+       {hash60_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR)")}
+         % {N_SHARDS} AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents, LATERAL (SELECT unnest(range(0, {N_EPOCHS})) AS epoch) e
+GROUP BY epoch, shard
+ORDER BY epoch, shard
+""",
+)
+def epoch_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch shard assignment — the data-loading plan
+    a multi-epoch training run executes: every epoch re-shuffles the
+    corpus into {N_SHARDS} shards via ``hash60(doc_id:epoch)``, so each
+    epoch sees a DIFFERENT document→shard permutation (decorrelating
+    batch composition across epochs) while any worker can recompute its
+    own shard membership from the key alone — no central shuffle
+    manifest, no coordination.
+
+    Plan shape: a map-side ``explode`` replicates each manifest row
+    {N_EPOCHS}x (rows multiply inside the task — this is NOT a join),
+    the shard id is a map-side hash, and one partial-aggregated shuffle
+    on (epoch, shard) produces the plan. At 100 TB the output is
+    {N_EPOCHS}*{N_SHARDS} rows regardless of corpus size, and the same
+    predicate ``hash60(doc_id:epoch) % {N_SHARDS} = my_shard`` is the
+    worker-side filter that reads one shard with full pushdown.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    exploded = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(N_EPOCHS - 1))).alias("epoch"),
+    ).withColumn("epoch", F.col("epoch").cast("bigint"))
+    shard = hash60(
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.col("epoch").cast("string")
+        )
+    ) % N_SHARDS
+    return (
+        exploded.withColumn("shard", shard)
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("epoch", "shard")
+    )

@@ -476,3 +476,63 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_digits")
     )
+
+
+#: Top adjacent-pair count returned by ``bpe_pair_counts``.
+BPE_TOP_K = 30
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+pairs AS (
+  SELECT doc_id, toks[g.i] || ' ' || toks[g.i + 1] AS pair
+  FROM toks, LATERAL (SELECT unnest(range(1, len(toks))) AS i) g
+)
+SELECT pair,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM pairs
+GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT {BPE_TOP_K}
+""",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token-pair frequencies — the counting step of one BPE
+    merge round (a tokenizer trainer repeats exactly this scan: count
+    neighboring symbol pairs, merge the most frequent, re-count).
+
+    Plan shape: one map-side ``zip_with`` of the token array against
+    its one-shifted self (no self-join — the pair stream is produced
+    inside the row), then a partial+final hash aggregation on the pair
+    string and a distributed top-k (``TakeOrderedAndProject``). At
+    100 TB this is a single pass over the token stream with map-side
+    combine — the same cost class as word_count, which is what makes
+    per-round BPE counting tractable at corpus scale.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _toks().alias("toks")
+    )
+    pairs = docs.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1), "
+                "slice(toks, 2, size(toks) - 1), "
+                "(a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(BPE_TOP_K)
+    )

@@ -51,6 +51,7 @@ _OPERATOR_MODULES = (
     "hadoop_cs4225_spark.operators.packing",
     "hadoop_cs4225_spark.operators.graph",
     "hadoop_cs4225_spark.operators.linalg",
+    "hadoop_cs4225_spark.operators.bucketed",
 )
 
 _loaded = False

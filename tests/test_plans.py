@@ -376,6 +376,51 @@ def test_salted_join_matches_direct_and_scatters_keys(spark):
     assert got == want
 
 
+def test_bucketed_join_eliminates_shuffle(spark):
+    """Both sides of the orders⋈customer join are bucketBy+sortBy on
+    custkey with the same bucket count, so the join must plan as a
+    SortMergeJoin with ZERO Exchange operators (the shuffle was
+    pre-paid at write time) — the central bucketed-layout claim. Also
+    asserts the registered rollup matches the raw-table join (layout is
+    semantically transparent)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_cs4225_spark.operators import bucketed
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed.bucketed_join_frame(spark, SF_ORACLE)
+        plan = plan_string(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    got = {
+        r["c_mktsegment"]: (r["n_orders"], r["n_customers"], r["total_revenue"])
+        for r in bucketed.bucketed_segment_revenue(spark, SF_ORACLE).collect()
+    }
+    raw = (
+        load_table(spark, SF_ORACLE, "orders")
+        .join(
+            load_table(spark, SF_ORACLE, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+    )
+    want = {
+        r["c_mktsegment"]: (r["n_orders"], r["n_customers"], r["total_revenue"])
+        for r in raw.collect()
+    }
+    assert got == want
+
+
 def test_salted_join_default_salt_actually_scatters(spark):
     """The default (no salt_cols) path must still spread a hot key's
     rows across buckets — the whole point of salting. Deriving the

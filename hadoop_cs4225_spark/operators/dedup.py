@@ -181,6 +181,23 @@ def _minhash_sigs_sql() -> str:
 """
 
 
+def signature_frame(docs: DataFrame) -> DataFrame:
+    """MinHash signatures ``(doc_id, mh0..mh{N_PERMS - 1})`` for ANY
+    frame with (doc_id, text) columns — the reusable core of
+    :func:`minhash_signatures`, also consumed per micro-batch by
+    ``streaming.streams.run_incremental_corpus_dedup``. Docs with fewer
+    than 3 tokens carry no shingle and are excluded (they cannot
+    minhash-collide)."""
+    d0 = docs.select("doc_id", _toks().alias("toks")).where(F.size("toks") >= 3)
+    # One fused select: explode(array_distinct(shingles)) — aliasing the
+    # array first and exploding in a second select re-runs the shingle
+    # lambda per element (measured 10x).
+    sh_rows = d0.select(
+        "doc_id", F.explode(F.array_distinct(_shingles())).alias("s")
+    )
+    return _minhash_sigs_from_exploded(sh_rows)
+
+
 @register(
     "minhash_signatures",
     oracle=f"""
@@ -192,14 +209,7 @@ ORDER BY doc_id
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature (4 permutations over 3-token shingles)."""
     docs = load_table(spark, sf_dir, "documents")
-    d0 = docs.select("doc_id", _toks().alias("toks")).where(F.size("toks") >= 3)
-    # One fused select: explode(array_distinct(shingles)) — aliasing the
-    # array first and exploding in a second select re-runs the shingle
-    # lambda per element (measured 10x).
-    sh_rows = d0.select(
-        "doc_id", F.explode(F.array_distinct(_shingles())).alias("s")
-    )
-    return _minhash_sigs_from_exploded(sh_rows).orderBy("doc_id")
+    return signature_frame(docs).orderBy("doc_id")
 
 
 @register(

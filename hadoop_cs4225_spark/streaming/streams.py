@@ -424,6 +424,113 @@ def run_foreach_batch_parquet(
     _await_bounded(q, f"foreachBatch->{path}")
 
 
+def _snapshot_versions(root: str, below: int | None = None) -> list[int]:
+    """Committed snapshot versions (``v<N>`` dirs) under ``root``,
+    optionally only those strictly below a batch id — the sink-side
+    source of truth for versioned foreachBatch MERGE sinks (never track
+    the previous version in process memory: restart replay and
+    crash-written snapshots both break that, see
+    ``run_incremental_daily_rollup``)."""
+    import os
+
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in os.listdir(root):
+        if d.startswith("v") and d[1:].isdigit():
+            v = int(d[1:])
+            if below is None or v < below:
+                out.append(v)
+    return out
+
+
+def run_incremental_corpus_dedup(
+    spark: SparkSession, docs_chunks: str, index_root: str, checkpoint: str
+) -> DataFrame:
+    """Incremental corpus-level near-dup dedup: each micro-batch of new
+    documents is MinHash-signed and admitted to a persistent signature
+    INDEX only if its signature is unseen — the streaming ingest shape
+    of a training-corpus pipeline (the batch dedup queries re-scan the
+    whole corpus; an ingest feed cannot).
+
+    Per batch: (1) signatures via the shared
+    :func:`operators.dedup.signature_frame` (one md5 per distinct
+    shingle, map-side-combined); (2) within-batch collapse keeps the
+    min doc_id per signature; (3) a left-anti join against the previous
+    index snapshot drops already-indexed signatures; (4) survivors
+    append into snapshot ``v{batch_id}`` (commit-then-swap, previous
+    version discovered from the sink — restart-safe and
+    crash-idempotent exactly like ``run_incremental_daily_rollup``).
+    At 100 TB the index join is an equi-join on the 4-column signature
+    key and the index is bucketable on it; per-batch cost scales with
+    the BATCH, not the corpus.
+
+    Returns the final index: one row per distinct signature
+    ``(mh0..mh3, doc_id, n_dups_absorbed)`` where doc_id is the first
+    document that introduced the signature and n_dups_absorbed counts
+    later arrivals it suppressed (within-batch and cross-batch).
+    """
+    import os
+
+    from hadoop_cs4225_spark.operators.dedup import signature_frame
+
+    _SIG = ["mh0", "mh1", "mh2", "mh3"]
+    schema = spark.read.parquet(docs_chunks).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_chunks)
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_counts = signature_frame(batch_df).groupBy(*_SIG).agg(
+            F.count(F.lit(1)).alias("n_arrivals"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        prior = _snapshot_versions(index_root, below=batch_id)
+        if prior:
+            prev = batch_df.sparkSession.read.parquet(
+                os.path.join(index_root, f"v{max(prior)}")
+            )
+            # Full outer on the signature key: an EXISTING signature
+            # absorbs all the batch's arrivals for it; an unseen one
+            # appends, its first arrival not counted as a duplicate.
+            merged = prev.join(batch_counts, _SIG, "full").select(
+                *_SIG,
+                F.coalesce("doc_id", "first_doc").alias("doc_id"),
+                (
+                    F.coalesce("n_dups_absorbed", F.lit(0))
+                    + F.coalesce("n_arrivals", F.lit(0))
+                    - F.when(F.col("doc_id").isNull(), 1).otherwise(0)
+                ).alias("n_dups_absorbed"),
+            )
+        else:
+            merged = batch_counts.select(
+                *_SIG,
+                F.col("first_doc").alias("doc_id"),
+                (F.col("n_arrivals") - 1).alias("n_dups_absorbed"),
+            )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(index_root, f"v{batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_bounded(q, "incremental_corpus_dedup")
+    versions = _snapshot_versions(index_root)
+    if not versions:
+        return spark.createDataFrame(
+            [],
+            "mh0 long, mh1 long, mh2 long, mh3 long, "
+            "doc_id long, n_dups_absorbed long",
+        )
+    return spark.read.parquet(os.path.join(index_root, f"v{max(versions)}"))
+
+
 def run_incremental_daily_rollup(
     spark: SparkSession, chunks_path: str, out_root: str, checkpoint: str
 ) -> DataFrame:
@@ -456,15 +563,7 @@ def run_incremental_daily_rollup(
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
     def _versions_on_disk(below: int | None = None) -> list[int]:
-        if not os.path.isdir(out_root):
-            return []
-        out = []
-        for d in os.listdir(out_root):
-            if d.startswith("v") and d[1:].isdigit():
-                v = int(d[1:])
-                if below is None or v < below:
-                    out.append(v)
-        return out
+        return _snapshot_versions(out_root, below)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         part = batch_df.groupBy(

@@ -328,6 +328,56 @@ def test_incremental_rollup_restart_and_rerun(spark, tmp_path):
     assert any(d.startswith("v") for d in os.listdir(out_root))
 
 
+def test_incremental_corpus_dedup_matches_batch(spark, tmp_path):
+    """Streaming signature-index maintenance must converge to exactly
+    the full-batch dedup state: same signature set, same absorbed-dup
+    totals, keeper doc present in each signature's batch-side group.
+    A rerun over a drained source must not change the index."""
+    from pyspark.sql import functions as F
+
+    from hadoop_cs4225_spark.operators.dedup import signature_frame
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    chunks = str(tmp_path / "chunks")
+    docs.repartition(3).write.parquet(chunks)
+    index_root, ckpt = str(tmp_path / "index"), str(tmp_path / "ckpt")
+    idx = streams.run_incremental_corpus_dedup(spark, chunks, index_root, ckpt)
+
+    want = (
+        signature_frame(docs)
+        .groupBy("mh0", "mh1", "mh2", "mh3")
+        .agg(
+            F.count(F.lit(1)).alias("n_arrivals"),
+            F.collect_set("doc_id").alias("group_docs"),
+        )
+    )
+    got = {
+        (r["mh0"], r["mh1"], r["mh2"], r["mh3"]): (r["doc_id"], r["n_dups_absorbed"])
+        for r in idx.collect()
+    }
+    exp = {
+        (r["mh0"], r["mh1"], r["mh2"], r["mh3"]): (
+            set(r["group_docs"]),
+            r["n_arrivals"] - 1,
+        )
+        for r in want.collect()
+    }
+    assert set(got) == set(exp)
+    for sig, (doc_id, absorbed) in got.items():
+        group_docs, want_absorbed = exp[sig]
+        assert doc_id in group_docs, (sig, doc_id)
+        assert absorbed == want_absorbed, (sig, absorbed, want_absorbed)
+
+    # Drained-source rerun: same checkpoint, no new files -> unchanged.
+    idx2 = streams.run_incremental_corpus_dedup(spark, chunks, index_root, ckpt)
+    got2 = {
+        (r["mh0"], r["mh1"], r["mh2"], r["mh3"]): (r["doc_id"], r["n_dups_absorbed"])
+        for r in idx2.collect()
+    }
+    assert got2 == got
+
+
 def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     """Restarting a foreachBatch sink from the SAME checkpoint must not
     reprocess already-committed batches: the offset log makes replay

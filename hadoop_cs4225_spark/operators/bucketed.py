@@ -56,7 +56,18 @@ def ensure_bucketed(spark: SparkSession, sf_dir: str, table: str, key: str) -> s
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(_DERIVED_ROOT, tag, f"bucketed_{table}")
     src = os.path.join(sf_dir, f"{table}.parquet")
-    fresh = derived_is_fresh(os.path.join(path, "_SUCCESS"), src)
+    spec_path = os.path.join(path, ".bucketspec")
+    spec = f"{N_BUCKETS}:{key}"
+    # Freshness must cover the BUCKET SPEC, not just source mtimes: the
+    # bucket id→file mapping is baked into the file names, so
+    # re-registering surviving files under a different N_BUCKETS/key
+    # would give the co-located join a hash mapping the files don't
+    # satisfy — silently wrong join rows, with the Exchange still
+    # eliminated. A spec marker mismatch forces a rewrite.
+    fresh = derived_is_fresh(os.path.join(path, "_SUCCESS"), src) and (
+        os.path.exists(spec_path)
+        and open(spec_path).read().strip() == spec
+    )
     if spark.catalog.tableExists(name):
         if fresh:
             return name
@@ -70,6 +81,8 @@ def ensure_bucketed(spark: SparkSession, sf_dir: str, table: str, key: str) -> s
             .mode("overwrite")
             .saveAsTable(name)
         )
+        with open(spec_path, "w") as f:
+            f.write(spec)
         return name
     # Files are fresh but this session's catalog has no entry (new
     # SparkSession over an existing .derived) — metadata-only register.

@@ -508,7 +508,7 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lab", F.col("doc_id"))
         .localCheckpoint()
     )
-    rounds = 0
+    rounds, converged = 0, False
     for _ in range(20):
         rounds += 1
         prop = (
@@ -526,15 +526,14 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = merged.select("doc_id", F.col("new_lab").alias("lab"))
         if converged:
             break
-    # Convergence telemetry: rounds == component diameter. A value near
-    # the 20-round cap means a pathological chain-shaped component (or
-    # a bad LSH threshold) — surfaced in bench/driver stderr rather
-    # than silently truncating the closure.
+    # Convergence telemetry: rounds == component diameter. Only an exit
+    # WITHOUT an observed fixpoint means possible truncation (a loop
+    # that converges exactly on round 20 is complete).
     import sys
 
     print(
         f"dedup cluster labels: converged after {rounds} rounds"
-        + (" (HIT 20-ROUND CAP — closure may be truncated)" if rounds >= 20 else ""),
+        + ("" if converged else " (HIT 20-ROUND CAP — closure may be truncated)"),
         file=sys.stderr,
     )
     return labels
@@ -653,9 +652,6 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     sized = labels.select(F.col("doc_id"), F.col("lab").alias("cluster_id")).join(
         docs, "doc_id"
-    )
-    keep_ord = F.struct(
-        F.col("n_chars").alias("a"), (-F.col("doc_id")).alias("b")
     )
     return (
         sized.groupBy("cluster_id")

@@ -114,6 +114,25 @@ def sequence_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PHASES = 3
 
 
+def ntile_expr(rank_col: str, n_col: str, k: int) -> str:
+    """SQL expression computing ``NTILE(k)`` for a 1-based rank over n
+    rows WITHOUT a window: with q = n div k and m = n mod k, the first m
+    tiles hold q+1 rows, the rest q. (The tempting linear formula
+    ``(r-1)*k div n + 1`` is NOT NTILE — it coincides only for k <= 3;
+    for k=4, n=10 it deals sizes 3,2,3,2 where NTILE deals 3,3,2,2.
+    Pinned against SQL NTILE for a grid of (n, k) in
+    tests/test_packing.py.) The q = 0 case (n < k) never divides by
+    zero: m = n makes the first branch cover every rank."""
+    big = f"({n_col} div {k} + 1)"  # rows per tile in the first m tiles
+    return (
+        f"CASE WHEN {rank_col} <= {big} * ({n_col} % {k}) "
+        f"THEN ({rank_col} - 1) div {big} + 1 "
+        f"ELSE ({n_col} % {k}) "
+        f"  + ({rank_col} - {big} * ({n_col} % {k}) - 1) "
+        f"    div ({n_col} div {k}) + 1 END"
+    )
+
+
 def _quality_sql() -> str:
     """The shared quality-score SQL (same formula and quantization as
     ``text_analysis.doc_quality_scores`` — one definition of "quality"
@@ -250,13 +269,11 @@ def curriculum_phase_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("boff") + F.row_number().over(w_in_bucket)).alias("grank"),
         "n_total",
     )
-    # Exact NTILE semantics: the first (n mod k) tiles get ceil(n/k)
-    # rows — algebraically tile(r) = (r-1)*k div n + 1 for rank r.
     phased = ranked.select(
         "doc_id",
         "n_tokens",
         "grank",
-        F.expr(f"(grank - 1) * {N_PHASES} div n_total + 1").alias("phase"),
+        F.expr(ntile_expr("grank", "n_total", N_PHASES)).alias("phase"),
     )
     return (
         phased.groupBy("phase")

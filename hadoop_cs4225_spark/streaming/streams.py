@@ -444,6 +444,39 @@ def _snapshot_versions(root: str, below: int | None = None) -> list[int]:
     return out
 
 
+def _guard_incarnation(root: str, batch_id: int) -> None:
+    """Refuse to merge when the sink holds a snapshot NEWER than the
+    executing batch id: that means a fresh checkpoint was pointed at a
+    retained sink (batch ids restarted), and merging would overwrite
+    early versions while the final read returns the previous
+    incarnation's stale max — silent wrong results either way. (A
+    crash-replay of the latest batch legitimately sees v{batch_id}
+    itself, never anything newer, so this never fires on real replay.)
+    """
+    newer = [v for v in _snapshot_versions(root) if v > batch_id]
+    if newer:
+        raise RuntimeError(
+            f"versioned sink {root} already holds v{max(newer)}, newer than "
+            f"executing batch {batch_id}: fresh checkpoint over a retained "
+            "sink. Clear the sink directory or reuse its original checkpoint."
+        )
+
+
+def _prune_snapshots(root: str, batch_id: int) -> None:
+    """Delete snapshots <= batch_id - 2 after v{batch_id} commits.
+
+    Only the latest not-yet-checkpoint-committed batch can ever replay,
+    and its merge reads max(v < batch_id) = v{batch_id-1} — so keeping
+    the current and previous snapshot is sufficient for crash safety,
+    and disk stays O(2 snapshots) instead of O(batches)."""
+    import os
+    import shutil
+
+    for v in _snapshot_versions(root):
+        if v <= batch_id - 2:
+            shutil.rmtree(os.path.join(root, f"v{v}"), ignore_errors=True)
+
+
 def run_incremental_corpus_dedup(
     spark: SparkSession, docs_chunks: str, index_root: str, checkpoint: str
 ) -> DataFrame:
@@ -456,14 +489,22 @@ def run_incremental_corpus_dedup(
     Per batch: (1) signatures via the shared
     :func:`operators.dedup.signature_frame` (one md5 per distinct
     shingle, map-side-combined); (2) within-batch collapse keeps the
-    min doc_id per signature; (3) a left-anti join against the previous
-    index snapshot drops already-indexed signatures; (4) survivors
-    append into snapshot ``v{batch_id}`` (commit-then-swap, previous
-    version discovered from the sink — restart-safe and
-    crash-idempotent exactly like ``run_incremental_daily_rollup``).
-    At 100 TB the index join is an equi-join on the 4-column signature
-    key and the index is bucketable on it; per-batch cost scales with
-    the BATCH, not the corpus.
+    min doc_id per signature; (3) a full-outer merge with the previous
+    index snapshot on the signature key (existing signatures absorb the
+    batch's arrivals, unseen ones append); (4) the merged index commits
+    as snapshot ``v{batch_id}`` (commit-then-swap, previous version
+    discovered from the sink — restart-safe and crash-idempotent
+    exactly like ``run_incremental_daily_rollup``).
+
+    Scale honesty: signature COMPUTATION scales with the batch, but the
+    snapshot model rewrites the full index per batch — O(index) per
+    batch, fine while the index rewrites in seconds. At 100 TB the swap
+    is mechanical: store the index bucketed on the signature key and
+    replace the snapshot write with a MERGE into the bucketed table
+    (Delta/Iceberg MERGE, or a per-bucket upsert) so a batch touches
+    only the buckets its signatures hash to; the merge ALGEBRA below
+    (full-outer on the key, coalesce keeper, sum absorbed counts) is
+    exactly what that MERGE states.
 
     Returns the final index: one row per distinct signature
     ``(mh0..mh3, doc_id, n_dups_absorbed)`` where doc_id is the first
@@ -483,6 +524,7 @@ def run_incremental_corpus_dedup(
     )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _guard_incarnation(index_root, batch_id)
         batch_counts = signature_frame(batch_df).groupBy(*_SIG).agg(
             F.count(F.lit(1)).alias("n_arrivals"),
             F.min("doc_id").alias("first_doc"),
@@ -513,6 +555,7 @@ def run_incremental_corpus_dedup(
         merged.write.mode("overwrite").parquet(
             os.path.join(index_root, f"v{batch_id}")
         )
+        _prune_snapshots(index_root, batch_id)
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)
@@ -566,6 +609,7 @@ def run_incremental_daily_rollup(
         return _snapshot_versions(out_root, below)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _guard_incarnation(out_root, batch_id)
         part = batch_df.groupBy(
             F.to_date("ts").alias("day"), "event_type"
         ).agg(
@@ -597,6 +641,7 @@ def run_incremental_daily_rollup(
         merged.write.mode("overwrite").parquet(
             os.path.join(out_root, f"v{batch_id}")
         )
+        _prune_snapshots(out_root, batch_id)
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)

@@ -47,6 +47,18 @@ def test_bucketed_regenerates_on_stale_source(spark, tmp_path):
         bucketed.ensure_bucketed(spark, str(sfd), "orders", "o_custkey")
         assert spark.table(name).count() == 100
         assert os.path.getmtime(marker) == mtime
+
+        # A bucket-spec change (N_BUCKETS or key) must force a rewrite
+        # even though source mtimes are unchanged — the files' name-
+        # encoded bucket mapping no longer matches the catalog DDL.
+        spec_path = os.path.join(
+            bucketed._DERIVED_ROOT, "sfstale", "bucketed_orders", ".bucketspec"
+        )
+        with open(spec_path, "w") as f:
+            f.write("4:o_custkey")  # simulate files written under old spec
+        bucketed.ensure_bucketed(spark, str(sfd), "orders", "o_custkey")
+        assert open(spec_path).read().strip() == f"{bucketed.N_BUCKETS}:o_custkey"
+        assert os.path.getmtime(marker) > mtime  # rewritten
     finally:
         spark.sql(f"DROP TABLE IF EXISTS bkt_orders_sfstale")
         shutil.rmtree(

@@ -122,7 +122,7 @@ def test_priority_window_integrity():
         "media_byte_features",          # multimodal UDF (rows-only)
         "orders_jsonl_scan_rollup",     # non-parquet scans
         "binaryfile_docs_scan",
-        "user_state_scd2",
+        "events_clustered_user_scan",   # clustered-layout data skipping
     ):
         assert anchor in names[:50], anchor
     # and nothing already driver-checked occupies a slot

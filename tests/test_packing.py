@@ -74,3 +74,34 @@ def test_curriculum_phases_partition_corpus(spark):
     assert [r["phase"] for r in rows] == [1, 2, 3]
     for r in rows:
         assert r["n_bins"] >= 1
+
+
+def test_ntile_expr_matches_sql_ntile(spark):
+    """The window-free NTILE formula must equal SQL NTILE for a grid of
+    (n, k) including k > 3 and n < k — the linear (r-1)*k div n + 1
+    approximation coincides with NTILE only for k <= 3 (k=4, n=10:
+    linear deals 3,2,3,2 vs NTILE's 3,3,2,2), so this pin is what
+    licenses any future N_PHASES change."""
+    import duckdb
+
+    from hadoop_cs4225_spark.operators.packing import ntile_expr
+
+    con = duckdb.connect()
+    for n in (1, 2, 3, 7, 10, 11, 500, 503):
+        for k in (2, 3, 4, 5, 7):
+            want = [
+                r[0]
+                for r in con.sql(
+                    f"SELECT NTILE({k}) OVER (ORDER BY r) FROM range(1, {n + 1}) t(r) ORDER BY r"
+                ).fetchall()
+            ]
+            got = [
+                r["tile"]
+                for r in spark.sql(
+                    f"SELECT r, {ntile_expr('r', 'n', k)} AS tile "
+                    f"FROM (SELECT id + 1 AS r, {n}L AS n FROM range({n})) "
+                    f"ORDER BY r"
+                ).collect()
+            ]
+            assert got == want, (n, k, got[:20], want[:20])
+    con.close()

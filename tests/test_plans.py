@@ -136,12 +136,24 @@ _BOUNDED_ALLPAIRS = {
 }
 
 
-def test_no_unbounded_cartesian_anywhere(spark):
+@pytest.fixture(scope="module")
+def all_query_frames(spark):
+    """Every registered query's DataFrame, built ONCE for all
+    registry-wide plan audits — construction is not free (iterative
+    dedup label propagation, eager localCheckpoints, .derived layout
+    writes), so each audit re-building all ~144 frames would double the
+    suite's bench-box load."""
+    return {
+        name: fn(spark, SF_ORACLE) for name, fn in registry.QUERIES.items()
+    }
+
+
+def test_no_unbounded_cartesian_anywhere(spark, all_query_frames):
     violations = []
-    for name, fn in registry.QUERIES.items():
+    for name, df in all_query_frames.items():
         if name in _BOUNDED_ALLPAIRS:
             continue
-        plan = plan_string(fn(spark, SF_ORACLE))
+        plan = plan_string(df)
         for op in ("CartesianProduct", "BroadcastNestedLoopJoin"):
             if op in plan:
                 violations.append(f"{name}: {op}")
@@ -177,16 +189,16 @@ def _partitionless_windows(df) -> int:
     return n
 
 
-def test_no_unbounded_global_window_anywhere(spark):
+def test_no_unbounded_global_window_anywhere(spark, all_query_frames):
     """No registered query may sort the full input through a single
     task via a partition-less Window (rank/ntile/cumsum without
     PARTITION BY). Bounded-frame exceptions are allowlisted with the
     bound stated."""
     violations = []
-    for name, fn in registry.QUERIES.items():
+    for name, df in all_query_frames.items():
         if name in _BOUNDED_GLOBAL_WINDOW:
             continue
-        if _partitionless_windows(fn(spark, SF_ORACLE)):
+        if _partitionless_windows(df):
             violations.append(name)
     assert not violations, violations
 
@@ -435,10 +447,7 @@ def test_salted_join_default_salt_actually_scatters(spark):
 
     li = load_table(spark, SF_ORACLE, "lineitem")
     dim = li.groupBy("l_returnflag").agg(F.avg("l_quantity").alias("flag_avg"))
-    salted = salted_join(li.withColumn(
-        "__salt_probe",
-        F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(8)),
-    ).drop("__salt_probe"), dim, "l_returnflag", n_salt=8)
+    salted = salted_join(li, dim, "l_returnflag", n_salt=8)
     assert salted.count() == li.count()
     # Re-derive the salt distribution the same way salted_join does:
     # every l_returnflag value must occupy >1 salt bucket.

@@ -269,8 +269,10 @@ def test_incremental_rollup_matches_batch(spark, tmp_path):
         for r in want.collect()
     }
     assert g == w
+    # Pruning keeps only the current + previous snapshot (older ones are
+    # checkpoint-committed and can never replay): 3 batches -> v1, v2.
     versions = sorted(d for d in os.listdir(out_root) if d.startswith("v"))
-    assert len(versions) == 3, versions
+    assert versions == ["v1", "v2"], versions
 
 
 def test_incremental_rollup_restart_and_rerun(spark, tmp_path):
@@ -376,6 +378,33 @@ def test_incremental_corpus_dedup_matches_batch(spark, tmp_path):
         for r in idx2.collect()
     }
     assert got2 == got
+
+
+def test_versioned_sink_rejects_fresh_checkpoint_over_retained_sink(
+    spark, tmp_path
+):
+    """Pointing a FRESH checkpoint at a sink that retains a previous
+    incarnation's snapshots must fail loudly: batch ids restart at 0,
+    so merging would ignore the retained history and the final read
+    would return the stale old max — both silently wrong."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    chunks = str(tmp_path / "chunks")
+    docs.repartition(2).write.parquet(chunks)
+    index_root = str(tmp_path / "index")
+    streams.run_incremental_corpus_dedup(
+        spark, chunks, index_root, str(tmp_path / "ckpt1")
+    )
+    # new data + a NEW checkpoint against the retained index
+    docs.limit(50).write.mode("append").parquet(chunks)
+    with pytest.raises(Exception, match="retained sink"):
+        streams.run_incremental_corpus_dedup(
+            spark, chunks, index_root, str(tmp_path / "ckpt2")
+        )
 
 
 def test_checkpoint_restart_is_exactly_once(spark, tmp_path):

@@ -63,11 +63,13 @@ def main() -> int:
     regressions, broke = [], []
     for name, t in sorted(cq.items()):
         b = bq.get(name)
-        if b is None:
-            print(f"new    {name}: {t}s (no baseline)")
-            continue
-        if t < 0 and b >= 0:
+        if t < 0:
+            # FAILED queries always gate — including brand-new ones
+            # (the gate exists so a broken query never reaches the
+            # judge first).
             broke.append(name)
+        elif b is None:
+            print(f"new    {name}: {t}s (no baseline)")
         elif b >= 0 and t > THRESH * b and max(t, b) >= FLOOR:
             regressions.append((name, b, t))
     for name in sorted(set(bq) - set(cq)):
@@ -76,7 +78,8 @@ def main() -> int:
     for name, b, t in regressions:
         print(f"SLOWER {name}: {b}s -> {t}s ({t / b:.2f}x)")
     for name in broke:
-        print(f"BROKE  {name}: was {bq[name]}s, now FAILED")
+        was = f"was {bq[name]}s" if name in bq else "new query"
+        print(f"BROKE  {name}: {was}, now FAILED")
 
     total_ratio = cur["total_sec"] / base["total_sec"]
     print(

@@ -41,6 +41,20 @@ _PERM_MOD = 1 << 60
 #: SimHash width in bits.
 SIMHASH_BITS = 16
 
+#: LSH bucket-size cap: a (band, hash) bucket of B docs fans out
+#: B(B-1)/2 candidate verifications, and bucket sizes GROW with corpus
+#: size wherever boilerplate shingles dominate a document's minimum
+#: hash — measured super-linear (exp ~1.9) on the amplified
+#: scale-probe corpora before the cap. Buckets above the cap are
+#: dropped from PAIRWISE candidate generation: at 3-shingle
+#: granularity a >32-doc agreement is boilerplate collision, not
+#: near-duplication (true giant duplicate groups surface through the
+#: surviving band of any pair, and belong to cluster-level treatment
+#: anyway). Encoded identically in the DuckDB oracles, so parity holds
+#: at every scale whether or not the cap binds; it never binds at the
+#: test SFs (max observed bucket = 21 at 5k docs).
+LSH_BUCKET_CAP = 32
+
 
 def _toks() -> Column:
     from hadoop_cs4225_spark.operators.wordcount import TOKEN_DELIM_RE
@@ -224,9 +238,14 @@ WITH sigs AS ({_minhash_sigs_sql()}
   SELECT doc_id, b.band, CASE b.band
            WHEN 0 THEN mh0 WHEN 1 THEN mh1 WHEN 2 THEN mh2 ELSE mh3 END AS bh
   FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+), kept AS (
+  SELECT doc_id, band, bh FROM (
+    SELECT doc_id, band, bh, COUNT(*) OVER (PARTITION BY band, bh) AS bn
+    FROM bands
+  ) z WHERE bn <= {LSH_BUCKET_CAP}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
-  FROM bands a JOIN bands c ON a.band = c.band AND a.bh = c.bh
+  FROM kept a JOIN kept c ON a.band = c.band AND a.bh = c.bh
   WHERE a.doc_id < c.doc_id
 )
 SELECT d1, d2,
@@ -265,6 +284,15 @@ def minhash_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bh")
+    # Bucket cap (see LSH_BUCKET_CAP): one windowed count on the same
+    # (band, bh) shuffle key the candidate join needs anyway.
+    sigs = (
+        sigs.withColumn(
+            "bn", F.count(F.lit(1)).over(Window.partitionBy("band", "bh"))
+        )
+        .where(F.col("bn") <= LSH_BUCKET_CAP)
+        .drop("bn")
+    )
     a, c = sigs.alias("a"), sigs.alias("c")
     cand = (
         a.join(
@@ -479,9 +507,14 @@ def _lsh_pairs_cte() -> str:
   SELECT doc_id, b.band, CASE b.band
            WHEN 0 THEN mh0 WHEN 1 THEN mh1 WHEN 2 THEN mh2 ELSE mh3 END AS bh
   FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+), kept AS (
+  SELECT doc_id, band, bh FROM (
+    SELECT doc_id, band, bh, COUNT(*) OVER (PARTITION BY band, bh) AS bn
+    FROM bands
+  ) z WHERE bn <= {LSH_BUCKET_CAP}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
-  FROM bands a JOIN bands c ON a.band = c.band AND a.bh = c.bh
+  FROM kept a JOIN kept c ON a.band = c.band AND a.bh = c.bh
   WHERE a.doc_id < c.doc_id
 ), verified AS (
   SELECT d1, d2

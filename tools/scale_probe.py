@@ -58,6 +58,20 @@ DOC_QUERIES = (
     "doc_unigram_entropy",
 )
 
+#: embeddings-driven queries probed on amplified vector corpora. Copy i
+#: applies a deterministic per-copy sign-flip pattern across dimensions
+#: (flip dim d in copy i iff (d*31 + i*17) % 3 == 0, i > 0), which
+#: preserves every within-copy cosine relation exactly (|v| unchanged,
+#: pairwise dot products within a copy unchanged) while making
+#: cross-copy cosines incoherent — vector count grows, near-dup density
+#: stays constant.
+EMB_QUERIES = (
+    "embedding_near_dup_lsh",
+    "ann_lsh_buckets",
+    "ivf_ann_query_topk",
+    "embedding_gram_topeig",
+)
+
 #: queries probed across the real sf dirs (10x data per step).
 SF_QUERIES = (
     "q1_pricing_summary",
@@ -104,6 +118,41 @@ def ensure_amplified(spark, k: int) -> str:
     return out
 
 
+def ensure_amplified_emb(spark, k: int) -> str:
+    """x{k} vector corpus next to the x{k} documents (same dir so one
+    sf_dir serves queries that read either table)."""
+    out = os.path.join(_DERIVED_ROOT, "scaleprobe", f"x{k}")
+    marker = os.path.join(out, "embeddings.parquet", "_SUCCESS")
+    src = os.path.join(BASE_SF, "embeddings.parquet")
+    if not derived_is_fresh(marker, src):
+        emb = spark.read.parquet(src)
+        dim = len(emb.select("embedding").first()["embedding"])
+        parts = [emb]
+        for i in range(1, k):
+            signs = F.array(
+                *[
+                    F.lit(-1.0 if (d * 31 + i * 17) % 3 == 0 else 1.0)
+                    for d in range(dim)
+                ]
+            )
+            parts.append(
+                emb.select(
+                    (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
+                    "label",
+                    F.zip_with(
+                        "embedding", signs, lambda x, s: (x * s).cast("float")
+                    ).alias("embedding"),
+                )
+            )
+        amp = parts[0]
+        for p in parts[1:]:
+            amp = amp.unionByName(p)
+        amp.repartition(8).write.mode("overwrite").parquet(
+            os.path.join(out, "embeddings.parquet")
+        )
+    return out
+
+
 def timed(fn, spark, sf_dir: str) -> float:
     t0 = time.perf_counter()
     fn(spark, sf_dir).collect()
@@ -122,6 +171,17 @@ def main() -> int:
     for name in names:
         fn = registry.QUERIES[name]
         timed(fn, spark, dirs[copies[0]])  # warm: session + codegen
+        ts = {k: timed(fn, spark, dirs[k]) for k in copies}
+        k0, k1 = copies[-2], copies[-1]
+        exp = math.log(ts[k1] / ts[k0]) / math.log(k1 / k0)
+        rows.append((name, f"x{k0}->x{k1}", ts, exp))
+
+    for k in copies:
+        ensure_amplified_emb(spark, k)
+    emb_names = EMB_QUERIES[:1] if quick else EMB_QUERIES
+    for name in emb_names:
+        fn = registry.QUERIES[name]
+        timed(fn, spark, dirs[copies[0]])
         ts = {k: timed(fn, spark, dirs[k]) for k in copies}
         k0, k1 = copies[-2], copies[-1]
         exp = math.log(ts[k1] / ts[k0]) / math.log(k1 / k0)

@@ -37,6 +37,7 @@ _OPERATOR_MODULES = (
     "hadoop_cs4225_spark.operators.text_analysis",
     "hadoop_cs4225_spark.operators.dedup",
     "hadoop_cs4225_spark.operators.similarity",
+    "hadoop_cs4225_spark.operators.pq",
     "hadoop_cs4225_spark.operators.events_windows",
     "hadoop_cs4225_spark.operators.partitioned",
     "hadoop_cs4225_spark.operators.multimodal_ops",

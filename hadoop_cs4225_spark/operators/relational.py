@@ -625,6 +625,72 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_hot_key_profile",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+), tot AS (
+  SELECT SUM(n_events) AS total, COUNT(*) AS n_keys FROM counts
+)
+SELECT user_id,
+       n_events,
+       (floor((CAST(n_events AS DOUBLE) / total) * 1000000.0 + 0.5) / 1000000.0)
+         AS share,
+       (floor(((CAST(n_events AS DOUBLE) * n_keys) / total) * 10000.0 + 0.5) / 10000.0)
+         AS x_avg
+FROM counts, tot
+ORDER BY n_events DESC, user_id
+LIMIT 5
+""",
+)
+def events_hot_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew DIAGNOSTIC: the 5 hottest shuffle keys with their share of
+    all rows and their multiple of the mean per-key load.
+
+    This is the measurement that decides between the mitigation tools —
+    ``x_avg`` near 1 means the key is fine as a shuffle/join key; a key
+    carrying 100x the mean load is what makes one task straggle while
+    the rest idle, and points at ``skew_salted_agg``-style salting,
+    AQE skew-join splitting, or broadcast. Plan: one map-side-combined
+    count per key, then a broadcast 1-row totals frame (never a
+    ``.collect()``) joined back, and a distributed top-5. At 100 TB the
+    per-key count frame is the only sized intermediate — run it on a
+    deterministic sample (``documents_hash_sample`` pattern) or switch
+    to the sketch twin ``topk_users_approx`` when even that is too big.
+    """
+    from hadoop_cs4225_spark.sources.tables import load_events
+
+    counts = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    tot = F.broadcast(
+        counts.agg(
+            F.sum("n_events").alias("total"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+    )
+    return (
+        counts.crossJoin(tot)
+        .select(
+            "user_id",
+            "n_events",
+            quant(F.col("n_events").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+            quant(
+                (F.col("n_events").cast("double") * F.col("n_keys"))
+                / F.col("total"),
+                4,
+            ).alias("x_avg"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(5)
+    )
+
+
 @register("approx_distinct_parts")  # no oracle: HLL sketches differ per engine
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — the 100 TB cardinality-estimate path.

@@ -46,6 +46,11 @@ _SCALE_PINNED = [
     "order_value_winsorized",
     "sequence_pack_bins",
     "curriculum_phase_bins",
+    # round-5 additions: PQ ADC ranking (32 fold sums + lookup ratios)
+    # and the LSH recall ratio — both pure-float rankings where an ulp
+    # or quantization cliff would first appear at larger SFs
+    "pq_adc_query_topk",
+    "lsh_recall_audit",
 ]
 
 

@@ -133,6 +133,9 @@ _BOUNDED_ALLPAIRS = {
     "embedding_gram_topeig",  # broadcast 1-row norm/Rayleigh cross joins
     "order_value_winsorized",  # broadcast 1-row percentile-threshold cross join
     "mixture_weighted_sample",  # broadcast 1-row normalizer cross joins
+    "pq_adc_query_topk",  # broadcast 1-row ADC distance-table cross join
+    "lsh_recall_audit",  # id-bounded all-pairs ground truth + 1-row cross join
+    "events_hot_key_profile",  # broadcast 1-row totals cross join
 }
 
 
@@ -227,6 +230,19 @@ def test_clustered_scan_pushes_range_filter(spark):
     assert "PushedFilters" in plan
     pf = plan.split("PushedFilters")[1][:250]
     assert "user_id" in pf and ("GreaterThanOrEqual" in pf or ">=" in pf)
+
+
+def test_zorder_scan_pushes_both_dimensions(spark):
+    """BOTH the user-range and the ts-range predicates must reach the
+    parquet scan as PushedFilters — the Z-ordered layout's row groups
+    are compact in (user, day) rectangles, so min/max stats prune on
+    the conjunction. A to_date(ts) formulation would silently lose the
+    ts pushdown (function-wrapped column), which is why the query
+    states the day filter as a raw timestamp range."""
+    plan = plan_string(_df(spark, "events_zorder_scan"))
+    assert "PushedFilters" in plan
+    pf = plan.split("PushedFilters")[1][:400]
+    assert "user_id" in pf and "ts" in pf
 
 
 def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):

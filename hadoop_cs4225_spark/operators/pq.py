@@ -42,6 +42,7 @@ from hadoop_cs4225_spark.operators.similarity import (
     _cos_sql,
     _dot,
     _dot_sql,
+    _ivf_assign_sql,
 )
 from hadoop_cs4225_spark.registry import register
 from hadoop_cs4225_spark.sources.tables import load_table
@@ -301,6 +302,100 @@ def pq_adc_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         assigned.crossJoin(q)
         .where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "label",
+            quant(adc_dot / (F.col("qn") * F.sqrt(recon2)), 6).alias("adc_cos"),
+            quant(_cos("embedding", "qv"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("adc_cos"), "vec_id")
+        .limit(5)
+    )
+
+
+def _adc_sql() -> str:
+    """DuckDB: the shared ADC approximate-cosine expression over code
+    columns ``a.c0..a.c3`` and the query row ``q`` (lookup numerator /
+    (query norm x reconstruction norm))."""
+    num = " + ".join(f"q.qdp[{m + 1}][a.c{m} + 1]" for m in range(N_SUB))
+    rec = " + ".join(
+        f"list_extract({_PQ_NORMS2[m]}, a.c{m} + 1)" for m in range(N_SUB)
+    )
+    return f"({num}) / (q.qn * sqrt({rec}))"
+
+
+@register(
+    "ivf_pq_query_topk",
+    oracle=f"""
+WITH assigned AS (
+  SELECT vec_id, label, embedding,
+         {_ivf_assign_sql("embedding")} AS centroid_id,
+         {", ".join(f'{_code_sql("embedding", m)} AS c{m}' for m in range(N_SUB))}
+  FROM embeddings
+), q AS (
+  SELECT embedding AS qv, centroid_id AS qc,
+         {_qdp_sql()} AS qdp,
+         sqrt({_dot_sql("embedding", "embedding")}) AS qn
+  FROM assigned WHERE vec_id = 0
+)
+SELECT a.vec_id, a.label,
+       {quant_sql(_adc_sql(), 6)} AS adc_cos,
+       {quant_sql(_cos_sql("a.embedding", "q.qv"), 6)} AS cos_sim
+FROM assigned a CROSS JOIN q
+WHERE a.centroid_id = q.qc AND a.vec_id <> 0
+ORDER BY adc_cos DESC, a.vec_id
+LIMIT 5
+""",
+)
+def ivf_pq_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (nprobe=1): the standard billion-scale ANN layout — the
+    coarse IVF quantizer prunes the search to the query's inverted list,
+    and PQ's ADC ranks within the list from codes alone.
+
+    Composition of the two existing halves: ``ivf_ann_query_topk``'s
+    partition probe (equi-join on centroid_id — a partition-pruned
+    directory read when the code table is written
+    ``partitionBy(centroid_id)``) + ``pq_adc_query_topk``'s lookup
+    scoring. At 100 TB the probe reads ONE list's 12-bit codes — the
+    scan is |list|/|corpus| of the PQ-only plan, which itself never
+    touches raw vectors. (Production FAISS-style IVF-PQ codes the
+    RESIDUAL vector − centroid for tighter cells; same mechanics, one
+    extra subtraction before coding — kept out here so each half stays
+    independently oracle-checkable.) The exact-cosine audit column
+    reports what pruning + quantization cost for this query.
+    """
+    from hadoop_cs4225_spark.operators.similarity import _ivf_assign_col
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _ivf_assign_col("embedding").alias("centroid_id"),
+        *[_code_col("embedding", m).alias(f"c{m}") for m in range(N_SUB)],
+    )
+    q = F.broadcast(
+        assigned.where(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv"),
+            F.col("centroid_id").alias("qc"),
+            F.expr(_qdp_expr()).alias("qdp"),
+            F.sqrt(_dot("embedding", "embedding")).alias("qn"),
+        )
+    )
+    adc_dot = sum(
+        F.element_at(F.element_at("qdp", m + 1), F.col(f"c{m}") + 1)
+        for m in range(N_SUB)
+    )
+    recon2 = sum(
+        F.element_at(
+            F.expr("array(" + ", ".join(f"{v}D" for v in _PQ_NORMS2[m]) + ")"),
+            F.col(f"c{m}") + 1,
+        )
+        for m in range(N_SUB)
+    )
+    return (
+        assigned.crossJoin(q)
+        .where((F.col("centroid_id") == F.col("qc")) & (F.col("vec_id") != 0))
         .select(
             "vec_id",
             "label",

@@ -51,6 +51,7 @@ _SCALE_PINNED = [
     # or quantization cliff would first appear at larger SFs
     "pq_adc_query_topk",
     "lsh_recall_audit",
+    "ivf_pq_query_topk",
 ]
 
 

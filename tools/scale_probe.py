@@ -56,6 +56,8 @@ DOC_QUERIES = (
     "sequence_pack_bins",
     "curriculum_phase_bins",
     "doc_unigram_entropy",
+    "lsh_recall_audit",  # id-bounded truth side, LSH side scales
+    "dedup_canonical_keep",
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i
@@ -70,6 +72,8 @@ EMB_QUERIES = (
     "ann_lsh_buckets",
     "ivf_ann_query_topk",
     "embedding_gram_topeig",
+    "pq_code_histogram",
+    "ivf_pq_query_topk",
 )
 
 #: queries probed across the real sf dirs (10x data per step).
@@ -154,6 +158,13 @@ def ensure_amplified_emb(spark, k: int) -> str:
 
 
 def timed(fn, spark, sf_dir: str) -> float:
+    # The LSH family shares session-scoped materialized intermediates
+    # (dedup._MATERIALIZED) — correct for the bench/driver, but here a
+    # memo hit would time a no-op and fake a ~0 exponent. Clear before
+    # every timed run so each measurement pays its own full pipeline.
+    from hadoop_cs4225_spark.operators import dedup
+
+    dedup._MATERIALIZED.clear()
     t0 = time.perf_counter()
     fn(spark, sf_dir).collect()
     return time.perf_counter() - t0

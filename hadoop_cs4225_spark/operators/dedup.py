@@ -47,12 +47,21 @@ _MATERIALIZED: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _memo(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+    """``build`` must return an already-MATERIALIZED frame (its last op
+    a ``localCheckpoint``, or a projection over one) — the memo stores
+    it verbatim. Entries keyed under a different applicationId belong
+    to a stopped SparkContext (their checkpointed RDDs are dead); they
+    are evicted on insert so a session-restarting process never grows
+    the dict nor retains dead object graphs."""
     import os
 
-    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir), kind)
+    app = spark.sparkContext.applicationId
+    key = (app, os.path.normpath(sf_dir), kind)
     df = _MATERIALIZED.get(key)
     if df is None:
-        df = build().localCheckpoint()
+        for stale in [k for k in _MATERIALIZED if k[0] != app]:
+            del _MATERIALIZED[stale]
+        df = build()
         _MATERIALIZED[key] = df
     return df
 
@@ -347,12 +356,19 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = F.size("sh1") + F.size("sh2") - F.size(F.array_intersect("sh1", "sh2"))
     jac = inter / union
-    return (
+    out = (
         cand.join(s1, "d1")
         .join(s2, "d2")
         .where(jac >= 0.05)
         .select("d1", "d2", quant(jac, 6).alias("jaccard"))
+        # Materialize eagerly (the _memo contract), then release the
+        # shingle-set cache: after the checkpoint the persisted frame is
+        # dead weight, and leaving it registered would accumulate one
+        # cached shingle copy per (session, sf) touched.
+        .localCheckpoint()
     )
+    d.unpersist()
+    return out
 
 
 @register(
@@ -767,7 +783,9 @@ l AS (SELECT COUNT(*) AS n_lsh FROM verified
 SELECT n_true AS n_true_pairs,
        n_lsh AS n_lsh_pairs,
        n_true - n_lsh AS n_missed,
-       (floor((CAST(n_lsh AS DOUBLE) / n_true) * 1000000.0 + 0.5) / 1000000.0)
+       CASE WHEN n_true = 0 THEN NULL
+            ELSE (floor((CAST(n_lsh AS DOUBLE) / n_true) * 1000000.0 + 0.5)
+                  / 1000000.0) END
          AS recall_q
 FROM t, l
 """,
@@ -809,5 +827,10 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_true").alias("n_true_pairs"),
         F.col("n_lsh").alias("n_lsh_pairs"),
         (F.col("n_true") - F.col("n_lsh")).alias("n_missed"),
-        quant(F.col("n_lsh").cast("double") / F.col("n_true"), 6).alias("recall_q"),
+        # Explicit NULL when the slice has no true pair: Spark's x/0 is
+        # NULL but DuckDB's is inf/NaN — an agreed sentinel keeps the
+        # engines hash-identical on the degenerate corpus.
+        F.when(F.col("n_true") == 0, F.lit(None).cast("double"))
+        .otherwise(quant(F.col("n_lsh").cast("double") / F.col("n_true"), 6))
+        .alias("recall_q"),
     )

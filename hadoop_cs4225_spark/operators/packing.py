@@ -193,8 +193,11 @@ def curriculum_phase_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``text_analysis.doc_quality_scores`` (diversity + stopword +
     length-norm mix). The oracle states the split as
     ``NTILE(k) OVER (ORDER BY quality DESC, doc_id)``; the Spark body
-    reproduces those semantics EXACTLY (``tile(r) = (r-1)·k div n + 1``
-    over the same total order) without ever planning a partition-less
+    reproduces those semantics EXACTLY — via :func:`ntile_expr`'s exact
+    deal (first ``n mod k`` tiles get ``n div k + 1`` rows, the rest
+    ``n div k``; NOT the linear ``(r-1)·k div n + 1``, which diverges
+    from NTILE for k > 3) over the same total order — without ever
+    planning a partition-less
     window over the corpus — a global NTILE single-threads every row
     through one task, the scale-killer flagged in round 4:
 

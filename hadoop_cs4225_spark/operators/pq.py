@@ -43,6 +43,9 @@ from hadoop_cs4225_spark.operators.similarity import (
     _dot,
     _dot_sql,
     _ivf_assign_sql,
+    argmax_code_finish,
+    argmax_code_sql,
+    scores_fold,
 )
 from hadoop_cs4225_spark.registry import register
 from hadoop_cs4225_spark.sources.tables import load_table
@@ -95,44 +98,23 @@ def _slice_sql(emb: str, m: int) -> str:
 
 
 def _sub_scores_fold(m: int, emb: str, render_finish) -> str:
-    """One-pass Spark-SQL fold over subvector m computing all 8
-    codeword dot products at once (struct accumulator — the
-    ``similarity._centroid_scores_fold`` pattern, per subspace).
-    Addition runs in dimension order, matching the oracle's per-code
-    ``list_reduce`` folds bit-for-bit."""
-    ks = range(N_CODES)
-    coefs = ", ".join(
-        "named_struct("
-        + ", ".join(f"'c{k}', {PQ_CENTS[m][k][d]}D" for k in ks)
-        + ")"
-        for d in range(SUB_DIM)
-    )
-    prods = ", ".join(f"'s{k}', CAST(x AS DOUBLE) * c.c{k}" for k in ks)
-    zero = ", ".join(f"'s{k}', 0.0D" for k in ks)
-    merge = ", ".join(f"'s{k}', a.s{k} + x.s{k}" for k in ks)
-    return (
-        f"aggregate(zip_with({_slice(emb, m)}, array({coefs}), "
-        f"(x, c) -> named_struct({prods})), "
-        f"named_struct({zero}), (a, x) -> named_struct({merge}), "
-        f"a -> {render_finish('a')})"
-    )
+    """One-pass fold over subvector m computing all 8 codeword dot
+    products at once — the shared :func:`similarity.scores_fold`
+    instantiated with subspace m's codebook. Addition runs in dimension
+    order, matching the oracle's per-code ``list_reduce`` folds
+    bit-for-bit."""
+    return scores_fold(_slice(emb, m), PQ_CENTS[m], render_finish)
 
 
 def _code_col(emb: str, m: int) -> Column:
     """Code of subvector m: ``argmax_k (x_m·c_k − ½‖c_k‖²)`` (= argmin
-    L2), ties to the lowest k via CASE order — both engines identical."""
-
-    def finish(a: str) -> str:
-        scores = [
-            f"({a}.s{k} - {_PQ_HALF_NORMS[m][k]}D)" for k in range(N_CODES)
-        ]
-        g = "greatest(" + ", ".join(scores) + ")"
-        cases = " ".join(
-            f"WHEN {scores[k]} = {g} THEN {k}" for k in range(N_CODES)
+    L2), ties to the lowest k — the shared IVF/PQ finish
+    (:func:`similarity.argmax_code_finish`), identical both engines."""
+    return F.expr(
+        scores_fold(
+            _slice(emb, m), PQ_CENTS[m], argmax_code_finish(_PQ_HALF_NORMS[m])
         )
-        return f"CAST(CASE {cases} END AS INT)"
-
-    return F.expr(_sub_scores_fold(m, emb, finish))
+    )
 
 
 def _cent_sql(m: int, k: int) -> str:
@@ -140,13 +122,11 @@ def _cent_sql(m: int, k: int) -> str:
 
 
 def _code_sql(emb: str, m: int) -> str:
-    scores = [
-        f"({_dot_sql(_slice_sql(emb, m), _cent_sql(m, k))} - {_PQ_HALF_NORMS[m][k]})"
-        for k in range(N_CODES)
-    ]
-    g = "greatest(" + ", ".join(scores) + ")"
-    cases = " ".join(f"WHEN {scores[k]} = {g} THEN {k}" for k in range(N_CODES))
-    return f"CAST(CASE {cases} END AS INT)"
+    return argmax_code_sql(
+        _slice_sql(emb, m),
+        [_cent_sql(m, k) for k in range(N_CODES)],
+        _PQ_HALF_NORMS[m],
+    )
 
 
 def _packed_code_sql(emb: str) -> str:
@@ -282,26 +262,41 @@ def pq_adc_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = F.broadcast(
         emb.where(F.col("vec_id") == 0).select(
-            F.col("embedding").alias("qv"),
-            F.expr(_qdp_expr()).alias("qdp"),
-            F.sqrt(_dot("embedding", "embedding")).alias("qn"),
+            F.col("embedding").alias("qv"), *_q_adc_cols()
         )
     )
+    return _adc_rank_topk(assigned.crossJoin(q), F.col("vec_id") != 0)
+
+
+def _q_adc_cols() -> list[Column]:
+    """Query-row ADC columns: the broadcast distance table ``qdp`` and
+    the query norm ``qn`` — shared by the PQ-only and IVF-PQ queries."""
+    return [
+        F.expr(_qdp_expr()).alias("qdp"),
+        F.sqrt(_dot("embedding", "embedding")).alias("qn"),
+    ]
+
+
+def _adc_rank_topk(joined: DataFrame, cond: Column) -> DataFrame:
+    """The shared ADC scorer: expects ``joined`` = corpus rows (code
+    cols ``c0..c3``, ``embedding``) cross-joined with the 1-row query
+    frame (``qdp``, ``qn``, ``qv``); filters ``cond``, ranks by the
+    quantized approximate cosine, keeps top-5 with the exact-cosine
+    audit column. One definition so the PQ-only and IVF-PQ rankings can
+    never desynchronize (the oracle twin is :func:`_adc_sql`)."""
     adc_dot = sum(
         F.element_at(F.element_at("qdp", m + 1), F.col(f"c{m}") + 1)
         for m in range(N_SUB)
     )
-    norms2 = [
-        "array(" + ", ".join(f"{v}D" for v in _PQ_NORMS2[m]) + ")"
-        for m in range(N_SUB)
-    ]
     recon2 = sum(
-        F.element_at(F.expr(norms2[m]), F.col(f"c{m}") + 1)
+        F.element_at(
+            F.expr("array(" + ", ".join(f"{v}D" for v in _PQ_NORMS2[m]) + ")"),
+            F.col(f"c{m}") + 1,
+        )
         for m in range(N_SUB)
     )
     return (
-        assigned.crossJoin(q)
-        .where(F.col("vec_id") != 0)
+        joined.where(cond)
         .select(
             "vec_id",
             "label",
@@ -378,30 +373,10 @@ def ivf_pq_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.where(F.col("vec_id") == 0).select(
             F.col("embedding").alias("qv"),
             F.col("centroid_id").alias("qc"),
-            F.expr(_qdp_expr()).alias("qdp"),
-            F.sqrt(_dot("embedding", "embedding")).alias("qn"),
+            *_q_adc_cols(),
         )
     )
-    adc_dot = sum(
-        F.element_at(F.element_at("qdp", m + 1), F.col(f"c{m}") + 1)
-        for m in range(N_SUB)
-    )
-    recon2 = sum(
-        F.element_at(
-            F.expr("array(" + ", ".join(f"{v}D" for v in _PQ_NORMS2[m]) + ")"),
-            F.col(f"c{m}") + 1,
-        )
-        for m in range(N_SUB)
-    )
-    return (
-        assigned.crossJoin(q)
-        .where((F.col("centroid_id") == F.col("qc")) & (F.col("vec_id") != 0))
-        .select(
-            "vec_id",
-            "label",
-            quant(adc_dot / (F.col("qn") * F.sqrt(recon2)), 6).alias("adc_cos"),
-            quant(_cos("embedding", "qv"), 6).alias("cos_sim"),
-        )
-        .orderBy(F.desc("adc_cos"), "vec_id")
-        .limit(5)
+    return _adc_rank_topk(
+        assigned.crossJoin(q),
+        (F.col("centroid_id") == F.col("qc")) & (F.col("vec_id") != 0),
     )

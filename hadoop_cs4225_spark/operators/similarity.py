@@ -428,42 +428,66 @@ _HALF_NORMS: list[float] = [
 ]
 
 
-def _centroid_scores_fold(emb: str, render_finish) -> str:
-    """One-pass fold computing all 16 centroid scores (shared skeleton
-    of the Spark expression and the DuckDB oracle is NOT possible —
-    DuckDB lacks 4-arg aggregate — so this renders Spark SQL only;
-    the oracle uses per-centroid list_reduce folds, which add in the
-    same dimension order and are therefore bit-identical)."""
-    ks = range(N_CENTROIDS)
+def scores_fold(arr: str, cents: list[list[float]], render_finish) -> str:
+    """One-pass Spark-SQL fold computing ``x·c_k`` for every codeword in
+    ``cents`` over the array expression ``arr`` (struct accumulator —
+    one walk of the array however many codewords). Shared by the IVF
+    coarse quantizer here and the PQ subquantizers (``pq.py``); the
+    DuckDB oracles use per-codeword ``list_reduce`` folds, which add in
+    the same dimension order and are therefore bit-identical."""
+    n_k, dim = len(cents), len(cents[0])
+    ks = range(n_k)
     coefs = ", ".join(
         "named_struct("
-        + ", ".join(f"'c{k}', {CENTROIDS[k][d]}D" for k in ks)
+        + ", ".join(f"'c{k}', {cents[k][d]}D" for k in ks)
         + ")"
-        for d in range(EMB_DIM)
+        for d in range(dim)
     )
     prods = ", ".join(f"'s{k}', CAST(x AS DOUBLE) * c.c{k}" for k in ks)
     zero = ", ".join(f"'s{k}', 0.0D" for k in ks)
     merge = ", ".join(f"'s{k}', a.s{k} + x.s{k}" for k in ks)
     return (
-        f"aggregate(zip_with({emb}, array({coefs}), (x, c) -> named_struct({prods})), "
+        f"aggregate(zip_with({arr}, array({coefs}), (x, c) -> named_struct({prods})), "
         f"named_struct({zero}), (a, x) -> named_struct({merge}), "
         f"a -> {render_finish('a')})"
     )
 
 
-def _ivf_assign_col(emb: str) -> Column:
-    """Nearest-centroid id: argmax_k (v·c_k − ½‖c_k‖²) in one array pass;
-    ties resolve to the lowest k (CASE order) in both engines."""
+def argmax_code_finish(half_norms: list[float]):
+    """Finish lambda for :func:`scores_fold`: ``argmax_k (x·c_k −
+    ½‖c_k‖²)`` (= argmin L2), ties to the lowest k via CASE order —
+    identical semantics in both engines. Shared by IVF and PQ."""
 
     def finish(a: str) -> str:
-        scores = [f"({a}.s{k} - {_HALF_NORMS[k]}D)" for k in range(N_CENTROIDS)]
+        scores = [
+            f"({a}.s{k} - {half_norms[k]}D)" for k in range(len(half_norms))
+        ]
         g = "greatest(" + ", ".join(scores) + ")"
         cases = " ".join(
-            f"WHEN {scores[k]} = {g} THEN {k}" for k in range(N_CENTROIDS)
+            f"WHEN {scores[k]} = {g} THEN {k}" for k in range(len(half_norms))
         )
         return f"CAST(CASE {cases} END AS INT)"
 
-    return F.expr(_centroid_scores_fold(emb, finish))
+    return finish
+
+
+def argmax_code_sql(arr_sql: str, cents_sql: list[str], half_norms: list[float]) -> str:
+    """DuckDB twin of ``scores_fold(..., argmax_code_finish(...))``."""
+    scores = [
+        f"({_dot_sql(arr_sql, cents_sql[k])} - {half_norms[k]})"
+        for k in range(len(half_norms))
+    ]
+    g = "greatest(" + ", ".join(scores) + ")"
+    cases = " ".join(
+        f"WHEN {scores[k]} = {g} THEN {k}" for k in range(len(half_norms))
+    )
+    return f"CAST(CASE {cases} END AS INT)"
+
+
+def _ivf_assign_col(emb: str) -> Column:
+    """Nearest-centroid id: argmax_k (v·c_k − ½‖c_k‖²) in one array pass;
+    ties resolve to the lowest k (CASE order) in both engines."""
+    return F.expr(scores_fold(emb, CENTROIDS, argmax_code_finish(_HALF_NORMS)))
 
 
 def _centroid_sql(k: int) -> str:
@@ -471,13 +495,9 @@ def _centroid_sql(k: int) -> str:
 
 
 def _ivf_assign_sql(emb: str) -> str:
-    scores = [
-        f"({_dot_sql(emb, _centroid_sql(k))} - {_HALF_NORMS[k]})"
-        for k in range(N_CENTROIDS)
-    ]
-    g = "greatest(" + ", ".join(scores) + ")"
-    cases = " ".join(f"WHEN {scores[k]} = {g} THEN {k}" for k in range(N_CENTROIDS))
-    return f"CAST(CASE {cases} END AS INT)"
+    return argmax_code_sql(
+        emb, [_centroid_sql(k) for k in range(N_CENTROIDS)], _HALF_NORMS
+    )
 
 
 @register(

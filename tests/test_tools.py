@@ -1,0 +1,100 @@
+"""Tests for the round tooling and the dedup materialized-intermediate
+memo semantics (round-5 review fixes)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+
+def test_bench_compare_sf_mismatch_is_not_green(tmp_path, monkeypatch):
+    """A detail/baseline pair at different scale factors is ungateable —
+    the tool must exit nonzero (2), never read as a passing gate."""
+    from tools import bench_compare
+
+    detail = tmp_path / "BENCH_DETAIL.json"
+    base = tmp_path / "BENCH_BASELINE.json"
+    detail.write_text(json.dumps({"sf": 0.01, "total_sec": 1.0, "queries": {"q": 1.0}}))
+    base.write_text(json.dumps({"sf": 0.1, "total_sec": 1.0, "queries": {"q": 1.0}}))
+    monkeypatch.setattr(bench_compare, "DETAIL", str(detail))
+    monkeypatch.setattr(bench_compare, "BASELINE", str(base))
+    monkeypatch.setattr("sys.argv", ["bench_compare.py"])
+    assert bench_compare.main() == 2
+
+
+def test_bench_compare_regression_gates(tmp_path, monkeypatch):
+    from tools import bench_compare
+
+    detail = tmp_path / "BENCH_DETAIL.json"
+    base = tmp_path / "BENCH_BASELINE.json"
+    base.write_text(json.dumps({"sf": 0.1, "total_sec": 2.0, "queries": {"q": 1.0, "r": 1.0}}))
+    # q regressed 2x (above FLOOR), total within bounds
+    detail.write_text(json.dumps({"sf": 0.1, "total_sec": 2.5, "queries": {"q": 2.0, "r": 0.5}}))
+    monkeypatch.setattr(bench_compare, "DETAIL", str(detail))
+    monkeypatch.setattr(bench_compare, "BASELINE", str(base))
+    monkeypatch.setattr("sys.argv", ["bench_compare.py"])
+    assert bench_compare.main() == 1
+
+
+def test_materialized_memo_evicts_dead_sessions(spark):
+    """Entries keyed under another applicationId (a stopped context's
+    checkpointed frames) must be evicted when a new session inserts."""
+    from hadoop_cs4225_spark.operators import dedup
+
+    saved = dict(dedup._MATERIALIZED)
+    try:
+        dedup._MATERIALIZED.clear()
+        dead = ("app-dead-123", "/tmp/x", "lsh_pairs")
+        dedup._MATERIALIZED[dead] = "sentinel-frame"
+        built = []
+
+        def build():
+            built.append(1)
+            return spark.range(1).localCheckpoint()
+
+        out = dedup._memo(spark, "/tmp/y", "test_kind", build)
+        assert built == [1]
+        assert dead not in dedup._MATERIALIZED, "dead-session entry retained"
+        # second call is a hit — no rebuild, same frame object
+        assert dedup._memo(spark, "/tmp/y", "test_kind", build) is out
+        assert built == [1]
+    finally:
+        dedup._MATERIALIZED.clear()
+        dedup._MATERIALIZED.update(saved)
+
+
+def test_shingle_cache_released_after_pairs_build(spark, monkeypatch):
+    """_verified_pairs persists the shingle-set frame only while
+    materializing: every persist() it takes must be matched by an
+    unpersist() by the time the build returns (the round-5 review's
+    persist-accumulation finding). Spied rather than counted via
+    getPersistentRDDs — localCheckpointed RDDs are persistent too and
+    the ContextCleaner releases them nondeterministically."""
+    # Spark 4: the runtime class is the classic subclass, which
+    # overrides persist/unpersist — patching the pyspark.sql.DataFrame
+    # base would intercept nothing.
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from hadoop_cs4225_spark.operators import dedup
+
+    counts = {"persist": 0, "unpersist": 0}
+    real_persist, real_unpersist = DataFrame.persist, DataFrame.unpersist
+
+    def persist(self, *a, **kw):
+        counts["persist"] += 1
+        return real_persist(self, *a, **kw)
+
+    def unpersist(self, *a, **kw):
+        counts["unpersist"] += 1
+        return real_unpersist(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrame, "persist", persist)
+    monkeypatch.setattr(DataFrame, "unpersist", unpersist)
+    dedup._MATERIALIZED.clear()
+    try:
+        dedup._verified_pairs(spark, "/root/testdata/sf0.001")
+        assert counts["persist"] >= 1, "expected the shingle-set persist"
+        assert counts["persist"] == counts["unpersist"], counts
+    finally:
+        dedup._MATERIALIZED.clear()

@@ -53,11 +53,12 @@ def main() -> int:
     base = json.load(open(BASELINE))
     if cur["sf"] != base["sf"]:
         print(
-            f"SKIP: detail sf={cur['sf']} vs baseline sf={base['sf']} — "
+            f"INCOMPARABLE: detail sf={cur['sf']} vs baseline sf={base['sf']} — "
             "regression ratios are only meaningful at the same scale "
-            "factor; re-run bench.py at the baseline SF."
+            "factor; re-run bench.py at the baseline SF. (Exit 2: an "
+            "ungateable input must not read as a green gate.)"
         )
-        return 0
+        return 2
 
     cq, bq = cur["queries"], base["queries"]
     regressions, broke = [], []

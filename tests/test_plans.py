@@ -245,6 +245,17 @@ def test_zorder_scan_pushes_both_dimensions(spark):
     assert "user_id" in pf and "ts" in pf
 
 
+def test_ivf_pq_index_probe_prunes_partitions_dynamically(spark):
+    """The materialized IVF-PQ index is partitioned by centroid_id; the
+    probe joins a 1-row query frame against it, and Catalyst must insert
+    a dynamic-partition-pruning subquery so the scan reads only the
+    query's inverted-list directory — the physical claim the index
+    layout exists to make."""
+    df = _df(spark, "ivf_pq_index_probe")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "no DPP subquery in probe scan"
+
+
 def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
     """At 100 TB, a selective dim/fact filter should cut the other join
     side's shuffle via Catalyst's runtime bloom-filter injection

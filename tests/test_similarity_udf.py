@@ -40,3 +40,12 @@ def test_pandas_udf_cosine_matches_jvm(spark):
     for a, b in zip(jvm, arrow):
         assert abs(a.cos_sim - b.cos_sim) < 1e-4
         assert a.label == b.label
+
+
+def test_ivf_pq_index_probe_matches_inline_twin(spark):
+    """The materialized-index probe (DPP over the partitioned code
+    table) and the inline IVF-PQ query are two physical paths to the
+    SAME logical answer — rows must match exactly, codes included."""
+    inline = registry.QUERIES["ivf_pq_query_topk"](spark, SF_SMOKE).collect()
+    probe = registry.QUERIES["ivf_pq_index_probe"](spark, SF_SMOKE).collect()
+    assert inline == probe

@@ -227,3 +227,72 @@ def binaryfile_docs_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("length").alias("total_bytes"),
         F.countDistinct(F.md5("content")).alias("n_distinct_blobs"),
     )
+
+
+def ensure_orders_evolved(spark: SparkSession, sf_dir: str) -> str:
+    """Two parquet batches with EVOLVED schemas under one table root:
+    batch ``gen=1`` (the early ingest) has only (o_orderkey, o_custkey,
+    o_totalprice); batch ``gen=2`` added ``o_orderpriority`` — the way a
+    long-lived 100 TB table actually accretes columns. Split point:
+    even/odd o_orderkey (deterministic, engine-portable). A ``.done``
+    marker commits the pair atomically-enough for the mtime guard (two
+    independent _SUCCESS files could be half-stale)."""
+    path = _derived(sf_dir, "orders_evolved")
+    if _stale(path, sf_dir, marker=".done"):
+        base = load_table(spark, sf_dir, "orders")
+        (
+            base.where(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "gen=1"))
+        )
+        (
+            base.where(F.col("o_orderkey") % 2 == 1)
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "gen=2"))
+        )
+        with open(os.path.join(path, ".done"), "w"):
+            pass
+    return path
+
+
+@register(
+    "orders_schema_evolution_scan",
+    oracle="""
+SELECT COALESCE(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END,
+                '<pre-evolution>') AS priority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY priority
+ORDER BY priority
+""",
+)
+def orders_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup across parquet batches whose schemas EVOLVED: the reader
+    must union the per-file schemas (``mergeSchema=true``) and surface
+    the pre-evolution rows' missing column as NULL.
+
+    Scale notes: schema merging reads every file's footer at planning
+    time — on a 100 TB table pin the merged schema in a catalog
+    (read with an explicit schema, as the other connectors here do)
+    instead of re-deriving it per query; Spark then still fills absent
+    columns with NULL per file. The oracle reconstructs the same view
+    from the raw table (odd keys carry the evolved column, even keys
+    pre-date it) — evolution is metadata, never a rewrite of old data.
+    """
+    path = ensure_orders_evolved(spark, sf_dir)
+    ev = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        ev.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>")).alias(
+                "priority"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("priority")
+    )

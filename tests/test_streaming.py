@@ -380,6 +380,47 @@ def test_incremental_corpus_dedup_matches_batch(spark, tmp_path):
     assert got2 == got
 
 
+def test_incremental_corpus_dedup_absorbs_after_restart(spark, tmp_path):
+    """New document files arriving AFTER a restart must merge on top of
+    the committed index: signatures already present absorb the late
+    arrivals (n_dups_absorbed grows, keeper unchanged), unseen ones
+    append — and the final index equals the one-shot ground truth.
+    Splitting low/high doc_ids keeps first-arrival == global-min keeper
+    so the incremental and batch keepers are comparable exactly."""
+    from pyspark.sql import functions as F
+
+    from hadoop_cs4225_spark.operators.dedup import signature_frame
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    first = docs.where(F.col("doc_id") < 250)
+    second = docs.where(F.col("doc_id") >= 250)
+    chunks = str(tmp_path / "chunks")
+    index_root, ckpt = str(tmp_path / "index"), str(tmp_path / "ckpt")
+    # One file per phase: maxFilesPerTrigger=1 makes every FILE a
+    # micro-batch, and first-arrival keeper semantics only reduce to
+    # global-min when the low-id docs all arrive in one batch.
+    first.repartition(1).write.parquet(chunks)
+    streams.run_incremental_corpus_dedup(spark, chunks, index_root, ckpt)
+
+    # "Restart": a fresh invocation (new foreachBatch closure, no shared
+    # in-process state) over newly-arrived files.
+    second.repartition(1).write.mode("append").parquet(chunks)
+    idx = streams.run_incremental_corpus_dedup(spark, chunks, index_root, ckpt)
+
+    want = (
+        signature_frame(docs)
+        .groupBy("mh0", "mh1", "mh2", "mh3")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            (F.count(F.lit(1)) - 1).alias("n_dups_absorbed"),
+        )
+    )
+    got = sorted(tuple(r) for r in idx.collect())
+    exp = sorted(tuple(r) for r in want.collect())
+    assert got == exp
+
+
 def test_versioned_sink_rejects_fresh_checkpoint_over_retained_sink(
     spark, tmp_path
 ):

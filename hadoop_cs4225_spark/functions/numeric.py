@@ -20,8 +20,25 @@ from pyspark.sql import functions as F
 
 
 def rsum(col: Column | str, scale: int = 2) -> Column:
-    """Rounded SUM — the only place cross-engine noise is absorbed."""
-    return F.round(F.sum(col), scale)
+    """Rounded SUM — the only place cross-engine noise is absorbed.
+
+    The trailing ``+ 0.0`` normalizes signed zero: DuckDB's ROUND
+    preserves the sign of a tiny negative (``round(-0.001, 2)`` =
+    ``-0.0``) where Spark returns ``0.0``, and the driver's pandas
+    value-hash distinguishes the two BIT PATTERNS. ``-0.0 + 0.0`` is
+    ``+0.0`` in IEEE and a no-op for every other value, so adding it on
+    both sides (see :func:`rsum_sql`) makes negative-capable sums safe.
+    Inline ``ROUND(SUM(...))`` in oracle strings is only safe for
+    provably non-negative quantities (prices, counts, the events
+    ``value`` column) — use these helpers when the domain can go
+    negative. Pinned in tests/test_numeric_parity.py.
+    """
+    return F.round(F.sum(col), scale) + 0.0
+
+
+def rsum_sql(expr: str, scale: int = 2) -> str:
+    """DuckDB twin of :func:`rsum` (signed-zero-normalized)."""
+    return f"(ROUND(SUM({expr}), {scale}) + 0.0)"
 
 
 def ravg(col: Column | str, scale: int = 6, sum_scale: int = 2) -> Column:
@@ -54,15 +71,32 @@ def quant(col: Column | str, scale: int = 2) -> Column:
     add are IEEE-deterministic, so identical inputs give identical
     outputs in both engines. (Half-values round toward +inf, also for
     negatives — consistent, slightly different from HALF_UP there.)
+
+    Magnitude guard (same branch in :func:`quant_sql`): for
+    ``|x| >= 2^53/10^s`` the value passes through UNQUANTIZED. Above
+    that, the double grid spacing is >= 1/10^s, so there is no
+    sub-quantum fraction to remove — and the floor formula itself
+    diverges between engines there: Spark's ``floor`` returns LONG and
+    silently clamps at 2^63 (turning 2^52 into 922337203685477.6 at
+    scale 4), while DuckDB's stays double; the tie-to-even of ``+ 0.5``
+    at grid spacing exactly 1 also differs from the small-value
+    behavior. The guard keeps the quantizer total, exact, and
+    bit-identical across engines on every double
+    (tests/test_numeric_parity.py hits the cliffs on purpose).
     """
     c = F.col(col) if isinstance(col, str) else col
     p = float(10**scale)
-    return F.floor(c * p + 0.5) / p
+    lim = (2.0**53) / p
+    return F.when(F.abs(c) >= lim, c).otherwise(F.floor(c * p + 0.5) / p)
 
 
 def quant_sql(expr: str, scale: int = 2) -> str:
     p = float(10**scale)
-    return f"(floor(({expr}) * {p} + 0.5) / {p})"
+    lim = (2.0**53) / p
+    return (
+        f"(CASE WHEN abs({expr}) >= {lim} THEN ({expr}) "
+        f"ELSE (floor(({expr}) * {p} + 0.5) / {p}) END)"
+    )
 
 
 def ravg_sql(expr: str, scale: int = 6, sum_scale: int = 2) -> str:

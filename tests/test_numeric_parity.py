@@ -1,0 +1,116 @@
+"""Direct cross-engine parity battery for the ``quant`` primitive.
+
+Every float-producing oracle relies on ``functions.numeric.quant`` (the
+floor-multiply quantizer) producing BIT-IDENTICAL results in Spark and
+DuckDB — the round-1/round-2 scale bugs were exactly engine-divergent
+rounding. The 142 oracle comparisons test this indirectly on whatever
+values the data happens to produce; this battery hits the adversarial
+neighborhoods on purpose:
+
+- exact decimal half-boundaries (x.xx5) where round() implementations
+  disagree by design;
+- values one ulp below/above those boundaries;
+- negative halves (quant rounds toward +inf for both signs — the
+  documented, consistent-but-not-HALF-UP choice);
+- magnitudes approaching 2^53 where double loses integer resolution;
+- powers-of-two divisions (the documented ravg failure mode).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from hadoop_cs4225_spark.functions.numeric import quant, quant_sql
+
+
+def _battery() -> list[float]:
+    vals: list[float] = []
+    # exact decimal half-boundaries and their ulp neighbors, both signs
+    for base in (0.005, 0.015, 0.125, 0.335, 1.005, 12.345, 99.995):
+        for sign in (1.0, -1.0):
+            v = sign * base
+            vals += [v, math.nextafter(v, -math.inf), math.nextafter(v, math.inf)]
+    # powers-of-two divisions (65.6534375 = the documented ravg case)
+    vals += [2101.0 / 32.0, 65.6534375, 1.0 / 3.0, 2.0 / 3.0, -1.0 / 3.0]
+    # large magnitudes near 2^53
+    vals += [2.0**52 + 0.5, 2.0**53 - 1.0, -(2.0**52) - 0.5]
+    # ordinary values
+    vals += [0.0, 1.0, -1.0, 3.14159265358979, 123456.789012]
+    return vals
+
+
+@pytest.mark.parametrize("scale", [2, 4, 6, 9])
+def test_quant_bit_identical_across_engines(spark, scale, tmp_path):
+    """Values travel via parquet: SQL decimal literals are lossy in
+    DuckDB (an 18-digit literal parses through DECIMAL and drops the
+    last ulp before any CAST), which is an injection artifact — the
+    real oracles read exact doubles from parquet, so the battery must
+    too."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vals = _battery()
+    path = str(tmp_path / "battery.parquet")
+    pq.write_table(pa.table({"x": pa.array(vals, type=pa.float64())}), path)
+
+    sdf = spark.read.parquet(path).select("x", quant("x", scale).alias("q"))
+    got = {repr(r["x"]): repr(r["q"]) for r in sdf.collect()}
+    con = duckdb.connect()
+    try:
+        want = {
+            repr(x): repr(q)
+            for x, q in con.sql(
+                f"SELECT x, {quant_sql('x', scale)} AS q "
+                f"FROM read_parquet('{path}')"
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert len(got) == len(want) == len(set(map(repr, vals)))
+    for k in got:
+        assert got[k] == want[k], (k, scale, got[k], want[k])
+
+
+def test_round_signed_zero_normalization(spark, tmp_path):
+    """DuckDB ROUND preserves -0.0 on tiny negatives, Spark returns
+    0.0 — bit-distinct under the driver's pandas hash. The rsum/
+    rsum_sql helpers normalize with `+ 0.0`; this pins (a) the raw
+    divergence exists (so the guard stays motivated) and (b) the
+    normalized twins agree bit-for-bit, ties and dyadic .xx5 values
+    included."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    vals = [-0.001, -0.0049, -0.0, 0.001, 0.125, -0.125, 2.125, -2.375]
+    path = str(tmp_path / "round_battery.parquet")
+    pq.write_table(pa.table({"x": pa.array(vals, type=pa.float64())}), path)
+
+    con = duckdb.connect()
+    try:
+        # (a) raw divergence: DuckDB produces -0.0 for round(-0.001, 2)
+        raw = con.sql(
+            f"SELECT round(x, 2) FROM read_parquet('{path}') WHERE x = -0.001"
+        ).fetchall()[0][0]
+        assert repr(raw) == "-0.0"
+        # (b) normalized per-value round parity (rsum is SUM-side; the
+        # per-value probe isolates the rounding+normalization itself)
+        want = {
+            repr(x): repr(q)
+            for x, q in con.sql(
+                f"SELECT x, round(x, 2) + 0.0 FROM read_parquet('{path}')"
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    got = {
+        repr(r["x"]): repr(r["q"])
+        for r in spark.read.parquet(path)
+        .select("x", (F.round("x", 2) + 0.0).alias("q"))
+        .collect()
+    }
+    assert got == want

@@ -114,3 +114,42 @@ def test_round_signed_zero_normalization(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_hash60_bit_identical_across_engines(spark, tmp_path):
+    """hash60 underpins every MinHash/SimHash/sampling oracle; its two
+    renderings (Spark conv(md5), DuckDB '0x'||substr cast) must agree on
+    adversarial strings: empty, whitespace/control chars, combining marks,
+    non-BMP emoji, long repeats, hex-looking prefixes, and NULL."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_cs4225_spark.functions.hashing import hash60, hash60_sql
+
+    vals = [
+        "", " ", "\t\n\r\x0c", "a", "A", "0xdeadbeef", "00000000",
+        "héllo wörld", "naïve café", "日本語テキスト", "🚀🌍✨",
+        "é vs é",  # combining acute vs precomposed
+        "x" * 10_000, "word:1:suffix", "42:seeded", None,
+    ]
+    path = str(tmp_path / "hash_battery.parquet")
+    pq.write_table(pa.table({"s": pa.array(vals, type=pa.string())}), path)
+
+    got = {
+        r["s"]: r["h"]
+        for r in spark.read.parquet(path).select("s", hash60("s").alias("h")).collect()
+    }
+    con = duckdb.connect()
+    try:
+        want = {
+            s: h
+            for s, h in con.sql(
+                f"SELECT s, {hash60_sql('s')} AS h FROM read_parquet('{path}')"
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert got == want
+    assert got[None] is None
+    # non-negative 60-bit range
+    assert all(0 <= h < (1 << 60) for h in got.values() if h is not None)

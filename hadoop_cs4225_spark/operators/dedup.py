@@ -322,6 +322,16 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     d = _shingle_sets(docs).persist()
+    try:
+        return _verified_pairs_body(d)
+    finally:
+        # Release even when the eager build fails (OOM/cancel): a
+        # success-only unpersist would re-leak one cached shingle copy
+        # per retried failure.
+        d.unpersist()
+
+
+def _verified_pairs_body(d: DataFrame) -> DataFrame:
     sigs = _minhash_sigs_from_sets(d).select(
         "doc_id",
         F.explode(
@@ -356,19 +366,16 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = F.size("sh1") + F.size("sh2") - F.size(F.array_intersect("sh1", "sh2"))
     jac = inter / union
-    out = (
+    return (
         cand.join(s1, "d1")
         .join(s2, "d2")
         .where(jac >= 0.05)
         .select("d1", "d2", quant(jac, 6).alias("jaccard"))
-        # Materialize eagerly (the _memo contract), then release the
-        # shingle-set cache: after the checkpoint the persisted frame is
-        # dead weight, and leaving it registered would accumulate one
-        # cached shingle copy per (session, sf) touched.
+        # Materialize eagerly (the _memo contract); the caller's
+        # try/finally then releases the shingle-set cache — after the
+        # checkpoint the persisted frame is dead weight.
         .localCheckpoint()
     )
-    d.unpersist()
-    return out
 
 
 @register(
@@ -784,8 +791,7 @@ SELECT n_true AS n_true_pairs,
        n_lsh AS n_lsh_pairs,
        n_true - n_lsh AS n_missed,
        CASE WHEN n_true = 0 THEN NULL
-            ELSE (floor((CAST(n_lsh AS DOUBLE) / n_true) * 1000000.0 + 0.5)
-                  / 1000000.0) END
+            ELSE {quant_sql("CAST(n_lsh AS DOUBLE) / n_true", 6)} END
          AS recall_q
 FROM t, l
 """,

@@ -22,9 +22,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_cs4225_spark.operators.partitioned import _DERIVED_ROOT
 from hadoop_cs4225_spark.registry import register
-from hadoop_cs4225_spark.sources.sinks import derived_is_fresh
+from hadoop_cs4225_spark.sources.sinks import (
+    derived_path as _derived,
+    derived_stale as _stale,
+)
 from hadoop_cs4225_spark.sources.tables import load_table
 
 #: Columns exported to text formats (timestamps rendered as strings so
@@ -33,19 +35,6 @@ _ORDERS_TEXT_SCHEMA = (
     "o_orderkey bigint, o_custkey bigint, o_totalprice double, "
     "o_orderstatus string, o_orderpriority string, o_orderdate_s string"
 )
-
-
-def _derived(sf_dir: str, leaf: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(_DERIVED_ROOT, tag, leaf)
-
-
-def _stale(path: str, sf_dir: str, table: str = "orders", marker: str = "_SUCCESS") -> bool:
-    """Derived copy missing OR older than its source parquet (the
-    driver regenerates testdata between rounds; see derived_is_fresh)."""
-    return not derived_is_fresh(
-        os.path.join(path, marker), os.path.join(sf_dir, f"{table}.parquet")
-    )
 
 
 def _orders_text_df(spark: SparkSession, sf_dir: str) -> DataFrame:

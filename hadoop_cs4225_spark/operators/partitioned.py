@@ -22,8 +22,8 @@ from hadoop_cs4225_spark.registry import register
 from hadoop_cs4225_spark.sources.sinks import derived_is_fresh, write_partitioned
 from hadoop_cs4225_spark.sources.tables import load_events
 
-#: Repo-local root for derived layouts (gitignored; rebuilt on demand).
-_DERIVED_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".derived")
+#: Compat alias — the single source of truth lives in sources/sinks.py.
+from hadoop_cs4225_spark.sources.sinks import DERIVED_ROOT as _DERIVED_ROOT  # noqa: E402
 
 
 def events_by_day_path(sf_dir: str) -> str:

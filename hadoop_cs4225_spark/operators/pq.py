@@ -319,9 +319,11 @@ def _adc_sql() -> str:
     return f"({num}) / (q.qn * sqrt({rec}))"
 
 
-@register(
-    "ivf_pq_query_topk",
-    oracle=f"""
+#: The IVF-PQ semantics stated ONCE: both the inline query and the
+#: materialized-index probe register this same oracle (they are two
+#: physical paths to one logical answer — duplicating the generated SQL
+#: would let the two verifications drift).
+_IVF_PQ_ORACLE = f"""
 WITH assigned AS (
   SELECT vec_id, label, embedding,
          {_ivf_assign_sql("embedding")} AS centroid_id,
@@ -340,8 +342,10 @@ FROM assigned a CROSS JOIN q
 WHERE a.centroid_id = q.qc AND a.vec_id <> 0
 ORDER BY adc_cos DESC, a.vec_id
 LIMIT 5
-""",
-)
+"""
+
+
+@register("ivf_pq_query_topk", oracle=_IVF_PQ_ORACLE)
 def ivf_pq_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ (nprobe=1): the standard billion-scale ANN layout — the
     coarse IVF quantizer prunes the search to the query's inverted list,
@@ -382,15 +386,6 @@ def ivf_pq_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_pq_index_path(sf_dir: str) -> str:
-    import os
-
-    from hadoop_cs4225_spark.operators.partitioned import _DERIVED_ROOT
-
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(_DERIVED_ROOT, tag, "embeddings_ivf_pq")
-
-
 def ensure_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the IVF-PQ INDEX as a table: embeddings written
     ``partitionBy(centroid_id)`` with their PQ codes as stored columns.
@@ -398,15 +393,12 @@ def ensure_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
     This is the layout the query-time docstrings keep promising — one
     directory per inverted list, codes precomputed at write time so a
     probe neither rescans raw vectors for assignment nor recomputes
-    codes. mtime-guarded like every ``.derived`` layout."""
-    import os
-
+    codes. mtime-guarded via the shared ``.derived`` helpers."""
     from hadoop_cs4225_spark.operators.similarity import _ivf_assign_col
-    from hadoop_cs4225_spark.sources.sinks import derived_is_fresh
+    from hadoop_cs4225_spark.sources.sinks import derived_path, derived_stale
 
-    path = _ivf_pq_index_path(sf_dir)
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    if not derived_is_fresh(os.path.join(path, "_SUCCESS"), src):
+    path = derived_path(sf_dir, "embeddings_ivf_pq")
+    if derived_stale(path, sf_dir, table="embeddings"):
         emb = load_table(spark, sf_dir, "embeddings")
         (
             emb.select(
@@ -424,29 +416,7 @@ def ensure_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-@register(
-    "ivf_pq_index_probe",
-    oracle=f"""
-WITH assigned AS (
-  SELECT vec_id, label, embedding,
-         {_ivf_assign_sql("embedding")} AS centroid_id,
-         {", ".join(f'{_code_sql("embedding", m)} AS c{m}' for m in range(N_SUB))}
-  FROM embeddings
-), q AS (
-  SELECT embedding AS qv, centroid_id AS qc,
-         {_qdp_sql()} AS qdp,
-         sqrt({_dot_sql("embedding", "embedding")}) AS qn
-  FROM assigned WHERE vec_id = 0
-)
-SELECT a.vec_id, a.label,
-       {quant_sql(_adc_sql(), 6)} AS adc_cos,
-       {quant_sql(_cos_sql("a.embedding", "q.qv"), 6)} AS cos_sim
-FROM assigned a CROSS JOIN q
-WHERE a.centroid_id = q.qc AND a.vec_id <> 0
-ORDER BY adc_cos DESC, a.vec_id
-LIMIT 5
-""",
-)
+@register("ivf_pq_index_probe", oracle=_IVF_PQ_ORACLE)
 def ivf_pq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ probe against the MATERIALIZED index layout — the same
     answer as ``ivf_pq_query_topk`` through the physical path a

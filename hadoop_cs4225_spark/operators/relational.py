@@ -627,7 +627,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_hot_key_profile",
-    oracle="""
+    oracle=f"""
 WITH counts AS (
   SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
 ), tot AS (
@@ -635,10 +635,8 @@ WITH counts AS (
 )
 SELECT user_id,
        n_events,
-       (floor((CAST(n_events AS DOUBLE) / total) * 1000000.0 + 0.5) / 1000000.0)
-         AS share,
-       (floor(((CAST(n_events AS DOUBLE) * n_keys) / total) * 10000.0 + 0.5) / 10000.0)
-         AS x_avg
+       {quant_sql("CAST(n_events AS DOUBLE) / total", 6)} AS share,
+       {quant_sql("(CAST(n_events AS DOUBLE) * n_keys) / total", 4)} AS x_avg
 FROM counts, tot
 ORDER BY n_events DESC, user_id
 LIMIT 5

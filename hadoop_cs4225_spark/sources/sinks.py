@@ -13,8 +13,34 @@ columns become directory pruning keys for every downstream scan
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Repo-local root for derived layouts (gitignored; rebuilt on demand).
+#: Single source of truth — operators import this (directly or via the
+#: ``partitioned._DERIVED_ROOT`` alias) rather than re-deriving it.
+DERIVED_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".derived",
+)
+
+
+def derived_path(sf_dir: str, leaf: str) -> str:
+    """Canonical location of a derived layout: ``.derived/<sf-tag>/<leaf>``."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(DERIVED_ROOT, tag, leaf)
+
+
+def derived_stale(
+    path: str, sf_dir: str, table: str = "orders", marker: str = "_SUCCESS"
+) -> bool:
+    """Derived copy missing OR older than its source parquet (the driver
+    regenerates testdata between rounds; see :func:`derived_is_fresh`)."""
+    return not derived_is_fresh(
+        os.path.join(path, marker), os.path.join(sf_dir, f"{table}.parquet")
+    )
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "error") -> None:

@@ -153,3 +153,35 @@ def test_hash60_bit_identical_across_engines(spark, tmp_path):
     assert got[None] is None
     # non-negative 60-bit range
     assert all(0 <= h < (1 << 60) for h in got.values() if h is not None)
+
+
+def test_rsum_twins_agree_on_negative_sums(spark, tmp_path):
+    """rsum / rsum_sql are the mandated pattern for NEGATIVE-capable
+    rounded sums (no registry oracle needs them yet — every live sum is
+    over a non-negative domain — but the pairing must stay correct for
+    the first one that does). A sum of tiny negatives rounds to zero:
+    the normalized twins must both produce +0.0, bit-identically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_cs4225_spark.functions.numeric import rsum, rsum_sql
+
+    vals = [-0.001, -0.0005, -0.0002, 0.0003]  # sum = -0.0014 -> 0.0 at scale 2
+    path = str(tmp_path / "negsum.parquet")
+    pq.write_table(pa.table({"x": pa.array(vals, type=pa.float64())}), path)
+
+    got = spark.read.parquet(path).agg(rsum("x", 2).alias("s")).collect()[0]["s"]
+    con = duckdb.connect()
+    try:
+        want = con.sql(
+            f"SELECT {rsum_sql('x', 2)} FROM read_parquet('{path}')"
+        ).fetchall()[0][0]
+        # and the raw (unnormalized) DuckDB ROUND really does produce
+        # the divergent -0.0 here — the reason the helpers exist
+        raw = con.sql(
+            f"SELECT ROUND(SUM(x), 2) FROM read_parquet('{path}')"
+        ).fetchall()[0][0]
+    finally:
+        con.close()
+    assert repr(raw) == "-0.0"
+    assert repr(got) == repr(want) == "0.0"

@@ -89,11 +89,13 @@ def test_shingle_cache_released_after_pairs_build(spark, monkeypatch):
         counts["unpersist"] += 1
         return real_unpersist(self, *a, **kw)
 
+    from tests.conftest import SF_SMOKE
+
     monkeypatch.setattr(DataFrame, "persist", persist)
     monkeypatch.setattr(DataFrame, "unpersist", unpersist)
     dedup._MATERIALIZED.clear()
     try:
-        dedup._verified_pairs(spark, "/root/testdata/sf0.001")
+        dedup._verified_pairs(spark, SF_SMOKE)
         assert counts["persist"] >= 1, "expected the shingle-set persist"
         assert counts["persist"] == counts["unpersist"], counts
     finally:

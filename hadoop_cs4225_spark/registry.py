@@ -38,6 +38,7 @@ _OPERATOR_MODULES = (
     "hadoop_cs4225_spark.operators.dedup",
     "hadoop_cs4225_spark.operators.similarity",
     "hadoop_cs4225_spark.operators.pq",
+    "hadoop_cs4225_spark.operators.ann_audit",
     "hadoop_cs4225_spark.operators.events_windows",
     "hadoop_cs4225_spark.operators.partitioned",
     "hadoop_cs4225_spark.operators.multimodal_ops",

@@ -135,6 +135,7 @@ _BOUNDED_ALLPAIRS = {
     "mixture_weighted_sample",  # broadcast 1-row normalizer cross joins
     "pq_adc_query_topk",  # broadcast 1-row ADC distance-table cross join
     "lsh_recall_audit",  # id-bounded all-pairs ground truth + 1-row cross join
+    "ann_recall_audit",  # embeds the brute/ANN top-k plans + 1-row cross joins
     "events_hot_key_profile",  # broadcast 1-row totals cross join
 }
 

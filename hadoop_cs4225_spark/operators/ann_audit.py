@@ -60,7 +60,10 @@ def _oracle() -> str:
     )
     return f"""
 WITH brute AS (
-  SELECT vec_id, cos_sim FROM ({ORACLES["cosine_topk_brute"]}) LIMIT {K}
+  -- explicit re-ORDER: a bare LIMIT over an ordered subquery is not
+  -- guaranteed to respect the inner ordering in either engine
+  SELECT vec_id, cos_sim FROM ({ORACLES["cosine_topk_brute"]})
+  ORDER BY cos_sim DESC, vec_id LIMIT {K}
 ), bbest AS (
   SELECT MAX(cos_sim) AS bc FROM brute
 ), cand AS (
@@ -97,6 +100,8 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     brute = F.broadcast(
         cosine_topk_brute(spark, sf_dir)
+        # explicit re-ORDER before the tighter limit (see oracle note)
+        .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(K)
         .select(F.col("vec_id").alias("bv"), F.col("cos_sim").alias("bcos"))
     )

@@ -57,6 +57,13 @@ def topk_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tracking bound the counts are exact; only the tie order at the
     k-boundary is engine-specific (hence rows-only; exactness vs a full
     groupBy is pinned in tests/test_sketches.py).
+
+    Output is FLAT — one row per (event_type, rank, user_id, n) via
+    posexplode with a deterministic re-sort inside each type's top-k
+    set ((n desc, user_id) total order). The earlier array<struct>
+    shape broke the driver canonicalizer (pandas can't factorize list
+    cells); flat scalar columns are the registry-wide contract,
+    enforced by tests/test_output_shapes.py.
     """
     ev = load_table(spark, sf_dir, "events")
     return (
@@ -64,11 +71,22 @@ def topk_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("approx_top_k(user_id, 3, 10000)").alias("top"))
         .select(
             "event_type",
-            F.expr(
-                "transform(top, x -> named_struct('user_id', x.item, 'n', x.count))"
-            ).alias("top_users"),
+            F.posexplode(
+                F.expr(
+                    "array_sort(top, (a, b) -> CASE WHEN a.count > b.count THEN -1 "
+                    "WHEN a.count < b.count THEN 1 "
+                    "WHEN a.item < b.item THEN -1 "
+                    "WHEN a.item > b.item THEN 1 ELSE 0 END)"
+                )
+            ).alias("pos", "x"),
         )
-        .orderBy("event_type")
+        .select(
+            "event_type",
+            (F.col("pos") + 1).alias("rank"),
+            F.col("x.item").alias("user_id"),
+            F.col("x.count").alias("n"),
+        )
+        .orderBy("event_type", "rank")
     )
 
 

@@ -91,57 +91,64 @@ def test_priority_window_integrity():
     assert len(_PRIORITY) == PRIORITY_WINDOW == 50
     assert tuple(names[:50]) == _PRIORITY
     # rows-only-by-design exceptions: engine-specific estimates /
-    # binary-content features with no cross-engine oracle; each must
-    # carry a pytest accuracy or equivalence pin instead
+    # numpy-reassociated pandas twins with no cross-engine oracle; each
+    # must carry a pytest accuracy or equivalence pin instead
     rows_only_ok = {
-        "sketch_distinct_users_by_type",  # test_sketches.py accuracy pins
-        "topk_users_approx",
-        "event_freq_cms",
-        "media_byte_features",            # test_multimodal.py equivalence
-        "media_byte_features_arrow",
-        "order_value_percentiles_approx",  # pinned vs exact percentiles
+        "topk_users_approx",       # test_sketches.py exactness pin
+        "cosine_topk_pandas",      # test_similarity_udf.py JVM equivalence
+        "label_centroid_stats",    # test_similarity_udf.py numpy reference
     }
     missing_oracle = [
         n for n in names[:50] if n not in oracles and n not in rows_only_ok
     ]
     assert not missing_oracle, missing_oracle
-    # ROUND-5 FULL ROTATION: the window must hold exactly the 50 queries
-    # that never earned a driver CORRECTNESS row in rounds 1-4, so the
-    # cross-round union covers the whole registry. Spot anchors, one per
-    # rotated-in family:
-    for anchor in (
-        "nation_metrics_unpivot",       # unpivot
-        "customer_order_multiset_ops",  # multiset EXCEPT/INTERSECT ALL
-        "lateral_top_customers",        # LATERAL correlated top-k
-        "order_value_winsorized",       # percentile winsorize
-        "q9_product_profit",            # never-checked TPC-H sweep
-        "q22_idle_rich_customers",
-        "user_state_scd2",              # SCD2 history
-        "events_daily_anomaly",         # z-score anomaly
-        "events_gapfill_daily",         # calendar gap-fill
-        "doc_unigram_entropy",          # text-analysis signals
-        "curriculum_phase_bins",        # curriculum packing (fixed r5)
-        "mixture_weighted_sample",      # mixture-weighted sampling
-        "embedding_dim_stats",          # embedding audit
-        "embedding_int8_quant",         # quantization audit
-        "sketch_distinct_users_by_type",  # sketch family (rows-only)
-        "media_byte_features",          # multimodal UDF (rows-only)
-        "orders_jsonl_scan_rollup",     # non-parquet scans
-        "binaryfile_docs_scan",
-        "events_clustered_user_scan",   # clustered-layout data skipping
-    ):
-        assert anchor in names[:50], anchor
-    # and nothing already driver-checked occupies a slot
+    # ROUND-6 ROTATION: the window leads with every query that had no
+    # driver CORRECTNESS row after rounds 1-5 (the 13 post-r5-rotation
+    # additions + 2 pandas twins) plus the one red row from r5
+    # (topk_users_approx, output reshaped). After this round the
+    # cross-round union covers the whole registry with zero reds.
     import json
     import os
 
     seen: set[str] = set()
-    for r in (1, 2, 3, 4):
+    for r in (1, 2, 3, 4, 5):
         path = os.path.join(os.path.dirname(__file__), "..", f"CORRECTNESS_r0{r}.json")
         if os.path.exists(path):
             with open(path) as f:
                 d = json.load(f)
             seen.update(d.get("queries", d).keys())
     if seen:
-        dup = [n for n in names[:50] if n in seen]
-        assert not dup, f"window wastes slots on already-checked: {dup}"
+        # the frozen rotation set: every query that was registered AND
+        # unchecked when this window was cut (queries added later in
+        # round 6 are next round's candidates, per the r5 precedent)
+        rotated_in = {
+            "bucketed_segment_revenue", "bpe_pair_counts",
+            "dedup_canonical_keep", "epoch_shard_plan",
+            "pq_code_histogram", "pq_adc_query_topk",
+            "ivf_pq_query_topk", "ivf_pq_index_probe",
+            "ann_recall_audit", "lsh_recall_audit",
+            "events_hot_key_profile", "events_zorder_scan",
+            "orders_schema_evolution_scan", "cosine_topk_pandas",
+            "label_centroid_stats",
+        }
+        missing = [n for n in rotated_in if n not in names[:50]]
+        assert not missing, f"never-driver-checked queries outside window: {missing}"
+        assert not (rotated_in & seen), "rotation set drifted: already checked"
+        assert "topk_users_approx" in names[:50]  # the r5 red row
+    # re-anchor spot checks: verdict-named float-heavy greens + the
+    # three streaming batch twins + the reference goldens must hold
+    # their drift-detection slots
+    for anchor in (
+        "dedup_clusters",
+        "pagerank_trade_network",
+        "shingle_idf_similarity_topk",
+        "embedding_gram_topeig",
+        "q1_pricing_summary",
+        "decimal_exact_revenue",
+        "events_sliding_avg",
+        "events_dedup_latest",
+        "events_session_windows",
+        "word_count",
+        "topk_common_words_max",
+    ):
+        assert anchor in names[:50], anchor

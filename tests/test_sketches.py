@@ -37,16 +37,23 @@ def test_sketch_estimates_within_bounds(spark):
 def test_approx_topk_counts_are_exact_below_tracking_bound(spark):
     rows = registry.QUERIES["topk_users_approx"](spark, SF_SMOKE).collect()
     ev = load_table(spark, SF_SMOKE, "events")
+    by_type: dict = {}
     for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, items in by_type.items():
         exact = {
             (x.user_id): x.n
-            for x in ev.where(F.col("event_type") == r.event_type)
+            for x in ev.where(F.col("event_type") == et)
             .groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        kth = sorted(exact.values(), reverse=True)[len(r.top_users) - 1]
-        for item in r.top_users:
+        kth = sorted(exact.values(), reverse=True)[len(items) - 1]
+        # ranks are 1..k and rows arrive rank-sorted with (n desc,
+        # user_id asc) determinism inside the reported set
+        assert [r.rank for r in items] == list(range(1, len(items) + 1))
+        assert items == sorted(items, key=lambda r: (-r.n, r.user_id))
+        for item in items:
             # every reported count is the true count, and every reported
             # item is a legitimate top-k member (>= the kth true count)
             assert exact[item.user_id] == item.n

@@ -39,11 +39,12 @@ _TOKS_SQL = "list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> x <>
 #: (three full LSH pipelines per suite run; measured ~9 s of the bench
 #: at sf0.1). Entries are localCheckpointed frames of one short row per
 #: pair/doc (bounded), keyed by Spark applicationId so a fresh session
-#: never sees another session's checkpointed RDDs; the testdata is
-#: immutable for a session's lifetime (driver-generated, read-only), so
-#: no invalidation is needed. On a real cluster the same role is played
+#: never sees another session's checkpointed RDDs, and by the source
+#: parquet's mtime so in-session regeneration of the testdata
+#: auto-invalidates (same discipline as partitioned.py's
+#: ``derived_is_fresh``). On a real cluster the same role is played
 #: by writing the pairs/labels tables once and reading them downstream.
-_MATERIALIZED: dict[tuple[str, str, str], DataFrame] = {}
+_MATERIALIZED: dict[tuple[str, str, str, float], DataFrame] = {}
 
 
 def _memo(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
@@ -56,7 +57,9 @@ def _memo(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
     import os
 
     app = spark.sparkContext.applicationId
-    key = (app, os.path.normpath(sf_dir), kind)
+    src = os.path.join(sf_dir, "documents.parquet")
+    mtime = os.path.getmtime(src) if os.path.exists(src) else 0.0
+    key = (app, os.path.normpath(sf_dir), kind, mtime)
     df = _MATERIALIZED.get(key)
     if df is None:
         for stale in [k for k in _MATERIALIZED if k[0] != app]:

@@ -656,6 +656,12 @@ def events_hot_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key count frame is the only sized intermediate — run it on a
     deterministic sample (``documents_hash_sample`` pattern) or switch
     to the sketch twin ``topk_users_approx`` when even that is too big.
+
+    The counts frame feeds BOTH the totals branch and the top-5 branch;
+    it is localCheckpointed so the events scan + count shuffle runs
+    exactly once rather than relying on Catalyst ReuseExchange (which a
+    future plan change could silently break — at scale a missed reuse
+    doubles the dominant stage).
     """
     from hadoop_cs4225_spark.sources.tables import load_events
 
@@ -663,6 +669,7 @@ def events_hot_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_events(spark, sf_dir)
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint(eager=False)
     )
     tot = F.broadcast(
         counts.agg(
@@ -834,3 +841,82 @@ def customer_order_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("multiplicity"))
         .orderBy("op", "o_custkey")
     )
+
+
+@register(
+    "order_trend_regression",
+    oracle=f"""
+WITH pts AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(datediff('day', DATE '1995-01-01',
+                       CAST(o.o_orderdate AS DATE)) AS DOUBLE) AS x,
+         o.o_totalprice / 1000.0 AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), s AS (
+  SELECT segment,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         ROUND(SUM(x), 2)     AS sx,
+         ROUND(SUM(y), 4)     AS sy,
+         ROUND(SUM(x * y), 2) AS sxy,
+         ROUND(SUM(x * x), 2) AS sxx,
+         ROUND(SUM(y * y), 4) AS syy
+  FROM pts GROUP BY segment
+)
+SELECT segment,
+       CAST(n AS BIGINT) AS n_orders,
+       {quant_sql("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)} AS slope_kusd_per_day,
+       {quant_sql("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n", 4)}
+         AS intercept_kusd,
+       {quant_sql("(n * sxy - sx * sy) / "
+                  "sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)} AS pearson_r
+FROM s
+ORDER BY segment
+""",
+)
+def order_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment linear trend of order value over time: OLS slope,
+    intercept and Pearson r of (order day, total price in k$).
+
+    The regression aggregates computed the cross-engine-stable way —
+    NOT via the builtin ``regr_slope``/``corr`` (each engine's
+    streaming-update formula reassociates differently), but from the
+    five classical moment sums, each rounded once (the ``rsum``
+    policy), then combined with plain IEEE arithmetic that is
+    bit-identical on identical inputs. Plan: one fact-side join
+    (customer dim broadcasts), one partial-aggregated shuffle on
+    segment — moments are map-side-combinable, so at 100 TB this costs
+    exactly what any per-segment SUM costs. y is scaled to k$ so the
+    sum-of-squares stays far under the 2^53/10^s rounding cliff at any
+    realistic SF (documented in cross-engine-float terms in
+    functions/numeric.py).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pts = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+        (F.col("o_totalprice") / 1000.0).alias("y"),
+    )
+    s = pts.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.sum("x"), 2).alias("sx"),
+        F.round(F.sum("y"), 4).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("y")), 2).alias("sxy"),
+        F.round(F.sum(F.col("x") * F.col("x")), 2).alias("sxx"),
+        F.round(F.sum(F.col("y") * F.col("y")), 4).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / den_x
+    return s.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n_orders"),
+        quant(slope, 6).alias("slope_kusd_per_day"),
+        quant((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept_kusd"
+        ),
+        quant(num / F.sqrt(den_x * den_y), 6).alias("pearson_r"),
+    ).orderBy("segment")

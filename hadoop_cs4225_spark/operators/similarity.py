@@ -687,3 +687,87 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "ann_rerank_topk",
+    oracle=f"""
+WITH assigned AS (
+  SELECT vec_id, label, embedding,
+         {_ivf_assign_sql("embedding")} AS centroid_id
+  FROM embeddings
+), q AS (
+  SELECT embedding AS qv, centroid_id AS qc FROM assigned WHERE vec_id = 0
+), cand AS (
+  SELECT e.vec_id, e.label, e.embedding, q.qv,
+         list_max(list_transform(e.embedding,
+             v -> abs(CAST(v AS DOUBLE)))) / 127.0 AS scale
+  FROM assigned e CROSS JOIN q
+  WHERE e.centroid_id = q.qc AND e.vec_id <> 0
+), approx AS (
+  SELECT vec_id, label, embedding, qv,
+         list_transform(embedding,
+             v -> floor(CAST(v AS DOUBLE) / scale + 0.5) * scale) AS av
+  FROM cand WHERE scale > 0
+), screened AS (
+  SELECT vec_id, label, embedding, qv
+  FROM approx
+  ORDER BY {quant_sql(_cos_sql("av", "qv"), 6)} DESC, vec_id
+  LIMIT 32
+)
+SELECT vec_id, label,
+       {quant_sql(_cos_sql("embedding", "qv"), 6)} AS cos_sim
+FROM screened
+ORDER BY cos_sim DESC, vec_id
+LIMIT 5
+""",
+)
+def ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: coarse prune -> cheap screen -> exact rerank.
+
+    The production ANN serving pattern (FAISS/ScaNN style): the IVF
+    coarse quantizer prunes to the query's inverted list, an int8
+    scalar-quantized cosine (same symmetric max|x|/127 scheme audited
+    by ``embedding_int8_quant``) screens the list to the top-32
+    candidates, and only those 32 pay the exact full-precision cosine.
+    At 100 TB stage 1 is a partition-pruned directory read, stage 2 a
+    4x-cheaper scan of compressed codes, and stage 3 touches 32 rows —
+    each stage shrinks the candidate set before the next costs more per
+    row. The screen score is quantized to 6 dp before the rank-32 cut
+    (ties broken by vec_id) so the cut is deterministic cross-engine.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = emb.select(
+        "vec_id", "label", "embedding",
+        _ivf_assign_col("embedding").alias("centroid_id"),
+    )
+    q = F.broadcast(
+        assigned.where(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv"), F.col("centroid_id").alias("qc")
+        )
+    )
+    vd = lambda v: v.cast("double")  # noqa: E731
+    scale = F.array_max(F.transform("embedding", lambda v: F.abs(vd(v)))) / 127.0
+    approx_vec = F.transform(
+        "embedding",
+        lambda v: F.floor(vd(v) / F.col("scale") + 0.5) * F.col("scale"),
+    )
+    screened = (
+        assigned.crossJoin(q)
+        .where((F.col("centroid_id") == F.col("qc")) & (F.col("vec_id") != 0))
+        .select("vec_id", "label", "embedding", "qv", scale.alias("scale"))
+        .where(F.col("scale") > 0)
+        .select(
+            "vec_id", "label", "embedding", "qv",
+            quant(_cos(approx_vec, "qv"), 6).alias("approx_sim"),
+        )
+        .orderBy(F.desc("approx_sim"), "vec_id")
+        .limit(32)
+    )
+    return (
+        screened.select(
+            "vec_id", "label", quant(_cos("embedding", "qv"), 6).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(5)
+    )

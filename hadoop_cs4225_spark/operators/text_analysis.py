@@ -536,3 +536,252 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "pair")
         .limit(BPE_TOP_K)
     )
+
+
+@register(
+    "quality_filter_funnel",
+    oracle=f"""
+WITH feat AS (
+  SELECT n_chars,
+         len(toks) AS n_toks,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS diversity,
+         CAST(len(list_filter(toks, x -> x IN ({{sw}}))) AS DOUBLE) / len(toks)
+           AS sw_ratio
+  FROM (SELECT n_chars, {_TOKS_SQL} AS toks FROM documents) t
+), flags AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+         CAST(SUM(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN n_chars >= 100 AND n_toks >= 20
+                  THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN n_chars >= 100 AND n_toks >= 20
+                  AND diversity >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         CAST(SUM(CASE WHEN n_chars >= 100 AND n_toks >= 20
+                  AND diversity >= 0.4 AND sw_ratio <= 0.09
+                  THEN 1 ELSE 0 END) AS BIGINT) AS s4
+  FROM feat
+)
+SELECT stage_idx, stage, n_docs,
+       {quant_sql("CAST(n_docs AS DOUBLE) / s0", 6)} AS frac_of_total
+FROM (
+  SELECT 0 AS stage_idx, 'total' AS stage, s0 AS n_docs, s0 FROM flags
+  UNION ALL SELECT 1, 'length_ok', s1, s0 FROM flags
+  UNION ALL SELECT 2, 'tokens_ok', s2, s0 FROM flags
+  UNION ALL SELECT 3, 'diversity_ok', s3, s0 FROM flags
+  UNION ALL SELECT 4, 'stopword_ok', s4, s0 FROM flags
+)
+ORDER BY stage_idx
+""".replace("{sw}", _SW_ARR),
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel: how many documents survive each successive
+    quality gate (length -> token count -> lexical diversity ->
+    stopword-ratio), as counts and fractions of the corpus.
+
+    The report every cleaning pipeline publishes before a training run
+    — which gate is responsible for the corpus shrinking, and by how
+    much. Plan: ONE corpus scan computes all per-doc features map-side,
+    one partial-aggregated reduce produces the five cumulative-AND
+    counters in a single 1-row frame, and the stage rows are unpivoted
+    from that row with ``stack`` — no per-stage scan, no second
+    shuffle. At 100 TB the cost is exactly one pass regardless of how
+    many gates the funnel grows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n_toks = F.size("toks")
+    diversity = F.size(F.array_distinct("toks")).cast("double") / n_toks
+    sw_ratio = (
+        F.size(F.filter("toks", lambda x: x.isin(*QUALITY_STOPWORDS))).cast(
+            "double"
+        )
+        / n_toks
+    )
+    feat = docs.select("n_chars", toks.alias("toks")).select(
+        "n_chars",
+        n_toks.alias("n_toks"),
+        diversity.alias("diversity"),
+        sw_ratio.alias("sw_ratio"),
+    )
+    g1 = F.col("n_chars") >= 100
+    g2 = g1 & (F.col("n_toks") >= 20)
+    g3 = g2 & (F.col("diversity") >= 0.4)
+    g4 = g3 & (F.col("sw_ratio") <= 0.09)
+    cnt = lambda c: F.sum(c.cast("long")).cast("long")  # noqa: E731
+    flags = feat.agg(
+        F.count(F.lit(1)).cast("long").alias("s0"),
+        cnt(g1).alias("s1"),
+        cnt(g2).alias("s2"),
+        cnt(g3).alias("s3"),
+        cnt(g4).alias("s4"),
+    )
+    stages = flags.select(
+        F.expr(
+            "stack(5, 0, 'total', s0, 1, 'length_ok', s1, 2, 'tokens_ok', s2, "
+            "3, 'diversity_ok', s3, 4, 'stopword_ok', s4) "
+            "AS (stage_idx, stage, n_docs)"
+        ),
+        F.col("s0"),
+    )
+    return stages.select(
+        "stage_idx",
+        "stage",
+        "n_docs",
+        quant(F.col("n_docs").cast("double") / F.col("s0"), 6).alias(
+            "frac_of_total"
+        ),
+    ).orderBy("stage_idx")
+
+
+@register(
+    "duplicate_ngram_coverage",
+    oracle=f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, source, sh
+  FROM (SELECT doc_id, source,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - 4, 0)),
+                   i -> array_to_string(toks[i:i+4], ' '))) AS sh
+        FROM (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents) t) u
+), marked AS (
+  SELECT doc_id, source,
+         COUNT(*) AS n_shingles,
+         SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM (SELECT doc_id, source, COUNT(*) OVER (PARTITION BY sh) AS cnt FROM sh) w
+  GROUP BY doc_id, source
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       {quant_sql("ROUND(SUM(CAST(n_dup AS DOUBLE) / n_shingles), 6)"
+                  " / COUNT(*)", 6)} AS avg_dup_frac,
+       {quant_sql("MAX(CAST(n_dup AS DOUBLE) / n_shingles)", 6)} AS max_dup_frac,
+       CAST(SUM(CASE WHEN CAST(n_dup AS DOUBLE) / n_shingles > 0.5
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_over_half
+FROM marked
+GROUP BY source
+ORDER BY source
+""",
+)
+def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal at 5-gram granularity: per
+    source, what fraction of each document's distinct 5-token shingles
+    also appears in at least one OTHER position in the corpus.
+
+    The RefinedWeb/Gopher-style "duplicate n-gram coverage" curation
+    metric — near 0 for organic text, climbing toward 1 for template
+    boilerplate and verbatim copies; documents over 50% coverage are
+    the usual removal candidates. Plan: explode distinct shingles
+    (map-side), ONE shuffle keyed by shingle where a window count marks
+    shared shingles (no self-join — the count-over-partition is the
+    map-side-combinable twin of the shingle->doc-count join), then one
+    doc-keyed and one source-keyed reduce. The per-doc sum is rounded
+    before the average so summation order can't leak engine ulps.
+    At 100 TB shingle-frequency skew (boilerplate) is the hazard; the
+    shuffle key is the shingle itself so AQE splits oversized
+    partitions, and the window never materializes a pair list.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 5),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("toks", i + 1),
+                F.element_at("toks", i + 2),
+                F.element_at("toks", i + 3),
+                F.element_at("toks", i + 4),
+                F.element_at("toks", i + 5),
+            ),
+        )
+    )
+    sh = (
+        docs.select("doc_id", "source", _toks().alias("toks"))
+        .where(F.size("toks") >= 5)
+        .select("doc_id", "source", F.explode(shingles).alias("sh"))
+    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    marked = (
+        sh.select("doc_id", "source", cnt.alias("cnt"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("cnt") >= 2).cast("long")).alias("n_dup"),
+        )
+    )
+    dup_frac = F.col("n_dup").cast("double") / F.col("n_shingles")
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            quant(
+                F.round(F.sum(dup_frac), 6) / F.count(F.lit(1)), 6
+            ).alias("avg_dup_frac"),
+            quant(F.max(dup_frac), 6).alias("max_dup_frac"),
+            F.sum((dup_frac > 0.5).cast("long")).cast("long").alias(
+                "n_docs_over_half"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "doc_unigram_logprob",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+), dw AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM tok GROUP BY doc_id, word
+), vocab AS (
+  SELECT word, SUM(CAST(c AS DOUBLE)) AS cw FROM dw GROUP BY word
+), tot AS (
+  SELECT SUM(cw) AS t FROM vocab
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       {quant_sql("SUM(c * LN(cw)) / SUM(c) - LN(t)", 4)} AS avg_logp
+FROM dw JOIN vocab USING (word) CROSS JOIN tot
+GROUP BY doc_id, t
+ORDER BY doc_id
+""",
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's own
+    unigram MLE — the cheap perplexity proxy used to rank documents by
+    "typicality" before a learned quality classifier exists (low
+    avg_logp = rare-token-heavy docs: gibberish, code dumps, OCR junk).
+
+    Algebra: avg_logp = sum(c_dw * ln(c_w))/n_d - ln(T), so ln() only
+    ever sees integer-valued doubles (engine-stable, the
+    ``doc_unigram_entropy`` precedent) and the corpus total enters once
+    per doc. Plan: explode -> (doc,word) reduce -> word-keyed reduce
+    for the vocabulary -> join back on word -> doc-keyed reduce. The
+    vocabulary frame is tiny relative to the corpus (it IS the distinct
+    word list), so AQE broadcasts the join at any realistic scale; the
+    1-row total joins broadcast. Same two-shuffle + broadcast shape as
+    TF-IDF.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dw = (
+        docs.select("doc_id", F.explode(_toks()).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = dw.groupBy("word").agg(
+        F.sum(F.col("c").cast("double")).alias("cw")
+    )
+    tot = F.broadcast(vocab.agg(F.sum("cw").alias("t")))
+    return (
+        dw.join(vocab, "word")
+        .crossJoin(tot)
+        .groupBy("doc_id", "t")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            quant(
+                F.sum(F.col("c") * F.log("cw")) / F.sum("c") - F.log("t"), 4
+            ).alias("avg_logp"),
+        )
+        .select("doc_id", "n_tokens", "avg_logp")
+        .orderBy("doc_id")
+    )

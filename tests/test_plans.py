@@ -137,6 +137,7 @@ _BOUNDED_ALLPAIRS = {
     "lsh_recall_audit",  # id-bounded all-pairs ground truth + 1-row cross join
     "ann_recall_audit",  # embeds the brute/ANN top-k plans + 1-row cross joins
     "events_hot_key_profile",  # broadcast 1-row totals cross join
+    "doc_unigram_logprob",  # broadcast 1-row corpus-total cross join
 }
 
 
@@ -240,10 +241,15 @@ def test_zorder_scan_pushes_both_dimensions(spark):
     the conjunction. A to_date(ts) formulation would silently lose the
     ts pushdown (function-wrapped column), which is why the query
     states the day filter as a raw timestamp range."""
+    import re
+
     plan = plan_string(_df(spark, "events_zorder_scan"))
     assert "PushedFilters" in plan
     pf = plan.split("PushedFilters")[1][:400]
-    assert "user_id" in pf and "ts" in pf
+    assert "user_id" in pf
+    # word-boundary match on the ts column itself (a bare "ts" substring
+    # would false-positive on any plan text containing those letters)
+    assert re.search(r"(GreaterThanOrEqual|LessThan|IsNotNull)\(ts[,)]", pf), pf
 
 
 def test_ivf_pq_index_probe_prunes_partitions_dynamically(spark):

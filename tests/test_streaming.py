@@ -467,3 +467,60 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     )
     n_second = spark.read.parquet(out).count()
     assert n_second == n_first, (n_first, n_second)
+
+
+def test_incremental_corpus_dedup_index_growth_is_bounded_by_new_docs(
+    spark, tmp_path
+):
+    """Footprint contract (the absorption tests cover correctness): the
+    signature index's ROW COUNT must grow O(new distinct signatures)
+    per batch — a duplicate-only batch adds ZERO rows (it only bumps
+    absorbed counts), and a fresh batch adds at most one row per new
+    doc. A growth bug (e.g. the merge appending instead of absorbing)
+    would double the index on re-ingest and is invisible to the
+    equality-with-batch tests when each doc is ingested once."""
+    from pyspark.sql import functions as F
+
+    from hadoop_cs4225_spark.operators.dedup import signature_frame
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    first = docs.where(F.col("doc_id") < 200)
+    fresh = docs.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 300))
+    chunks = str(tmp_path / "chunks")
+    index_root, ckpt = str(tmp_path / "index"), str(tmp_path / "ckpt")
+
+    first.repartition(1).write.parquet(chunks)
+    idx1 = streams.run_incremental_corpus_dedup(spark, chunks, index_root, ckpt)
+    n1, absorbed1 = idx1.agg(
+        F.count(F.lit(1)), F.sum("n_dups_absorbed")
+    ).first()
+
+    # Batch 2: the SAME texts under new doc_ids — pure duplicates.
+    n_dup_docs = 150
+    dups = first.where(F.col("doc_id") < n_dup_docs).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    dups.repartition(1).write.mode("append").parquet(chunks)
+    idx2 = streams.run_incremental_corpus_dedup(spark, chunks, index_root, ckpt)
+    n2, absorbed2 = idx2.agg(
+        F.count(F.lit(1)), F.sum("n_dups_absorbed")
+    ).first()
+    assert n2 == n1, "duplicate-only batch must add zero index rows"
+    assert absorbed2 == absorbed1 + n_dup_docs
+
+    # Batch 3: genuinely new documents — growth == their new distinct
+    # signatures (and never more than the batch's doc count).
+    fresh.repartition(1).write.mode("append").parquet(chunks)
+    idx3 = streams.run_incremental_corpus_dedup(spark, chunks, index_root, ckpt)
+    n3 = idx3.count()
+    seen_sigs = idx2.select("mh0", "mh1", "mh2", "mh3")
+    new_sigs = (
+        signature_frame(fresh)
+        .select("mh0", "mh1", "mh2", "mh3")
+        .distinct()
+        .join(seen_sigs, ["mh0", "mh1", "mh2", "mh3"], "left_anti")
+        .count()
+    )
+    assert n3 == n2 + new_sigs
+    assert n3 - n2 <= fresh.count()

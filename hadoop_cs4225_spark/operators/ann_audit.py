@@ -30,8 +30,8 @@ module must import after ``similarity``/``pq`` in the registry's
 module list.)
 
 Scale: each method frame is its own top-5 (the method's full plan);
-the audit adds four 5-row joins against the broadcast 5-row ground
-truth and one 4-group aggregate — constant overhead regardless of
+the audit adds five 5-row joins against the broadcast 5-row ground
+truth and one 5-group aggregate — constant overhead regardless of
 corpus size.
 """
 
@@ -50,6 +50,9 @@ _LABELS = {
     "ann_lsh_multiprobe_topk": "lsh_multi",
     "ivf_ann_query_topk": "ivf",
     "pq_adc_query_topk": "pq",
+    # two-stage rerank (round 6): same inverted list as `ivf` but an
+    # int8 screen widens the rerank pool to 32, so its regret is <= ivf's
+    "ann_rerank_topk": "rerank",
 }
 
 
@@ -94,6 +97,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_cs4225_spark.operators.similarity import (
         ann_lsh_multiprobe_topk,
         ann_lsh_query_topk,
+        ann_rerank_topk,
         cosine_topk_brute,
         ivf_ann_query_topk,
     )
@@ -111,6 +115,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh_multi": ann_lsh_multiprobe_topk,
         "ivf": ivf_ann_query_topk,
         "pq": pq_adc_query_topk,
+        "rerank": ann_rerank_topk,
     }
     cand: DataFrame | None = None
     for label, fn in sorted(fns.items()):

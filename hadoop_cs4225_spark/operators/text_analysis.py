@@ -670,17 +670,18 @@ def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric — near 0 for organic text, climbing toward 1 for template
     boilerplate and verbatim copies; documents over 50% coverage are
     the usual removal candidates. Plan: explode distinct shingles
-    (map-side), ONE shuffle keyed by shingle where a window count marks
-    shared shingles (no self-join — the count-over-partition is the
-    map-side-combinable twin of the shingle->doc-count join), then one
+    (map-side), a map-side-combined groupBy(shingle) count, then an
+    equi-join of the exploded rows against those counts, then one
     doc-keyed and one source-keyed reduce. The per-doc sum is rounded
     before the average so summation order can't leak engine ulps.
-    At 100 TB shingle-frequency skew (boilerplate) is the hazard; the
-    shuffle key is the shingle itself so AQE splits oversized
-    partitions, and the window never materializes a pair list.
+    At 100 TB shingle-frequency skew (boilerplate) is the hazard, and
+    the join shape is chosen FOR it: a `count(*) over (partition by
+    sh)` window would buffer every occurrence of a hot shingle in one
+    task with no mitigation (AQE splits skewed JOIN partitions, never
+    window partitions), while here the counts side partial-aggregates
+    map-side and the join is AQE-skew-splittable. Never a pair list.
     """
     docs = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
 
     shingles = F.array_distinct(
         F.transform(
@@ -700,9 +701,9 @@ def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("toks") >= 5)
         .select("doc_id", "source", F.explode(shingles).alias("sh"))
     )
-    cnt = F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("cnt"))
     marked = (
-        sh.select("doc_id", "source", cnt.alias("cnt"))
+        sh.join(counts, "sh")
         .groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

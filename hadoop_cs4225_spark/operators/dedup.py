@@ -843,3 +843,109 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(quant(F.col("n_lsh").cast("double") / F.col("n_true"), 6))
         .alias("recall_q"),
     )
+
+
+#: Containment df-prune band: shingles appearing in fewer docs are
+#: non-evidential singletons, in more are boilerplate whose self-join
+#: fanout grows with corpus size. Identical literals in both engines.
+CONTAIN_DF_MIN = 2
+CONTAIN_DF_MAX = 20
+
+
+@register(
+    "shingle_containment_pairs",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS s
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t0
+  WHERE len(toks) >= 3
+),
+pruned AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh
+  ) z WHERE df BETWEEN {CONTAIN_DF_MIN} AND {CONTAIN_DF_MAX}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM pruned GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
+  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY d1, d2
+)
+SELECT d1, d2, n_shared,
+       {quant_sql("greatest(CAST(n_shared AS DOUBLE) / s1.n,"
+                  " CAST(n_shared AS DOUBLE) / s2.n)", 6)} AS containment,
+       {quant_sql("CAST(n_shared AS DOUBLE) / (s1.n + s2.n - n_shared)", 6)}
+         AS jaccard
+FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+WHERE CAST(n_shared AS DOUBLE) / least(s1.n, s2.n) >= 0.6
+ORDER BY containment DESC, d1, d2
+LIMIT 50
+""",
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-duplication: pairs where one document's
+    discriminative 3-gram shingles are mostly CONTAINED in the other's
+    (containment = |A∩B| / min(|A|,|B|) >= 0.6), with the symmetric
+    Jaccard alongside for contrast.
+
+    Containment is the metric symmetric Jaccard structurally misses: a
+    short document pasted verbatim into a long one has containment 1.0
+    but Jaccard ~ |A|/|B| — tiny — so MinHash-LSH (which estimates
+    Jaccard) never surfaces it. The curation action differs too:
+    subset-duplication marks the SHORT side redundant rather than
+    either-of-the-pair. Metric space: shingles df-pruned to
+    [{CONTAIN_DF_MIN}, {CONTAIN_DF_MAX}] docs — singleton shingles are
+    non-evidential, boilerplate shingles make fanout corpus-sized;
+    the band makes the metric boilerplate-insensitive AND bounds every
+    shingle's self-join contribution at df·(df−1)/2 pairs (the
+    ``LSH_BUCKET_CAP`` discipline, encoded identically in the oracle).
+
+    Plan at 100 TB: explode distinct shingles (map-side) → one
+    map-side-combined df count → pruned self-equi-join on the shingle
+    (AQE-skew-splittable; fanout df-capped) → (d1,d2) partial-agg
+    count → two broadcast-able size joins. No all-pairs anywhere —
+    the pair set only contains docs sharing a mid-df shingle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", _toks().alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("s"))
+    )
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    pruned = sh.join(
+        df_counts.where(
+            F.col("df").between(CONTAIN_DF_MIN, CONTAIN_DF_MAX)
+        ),
+        "s",
+    ).select("doc_id", "s")
+    sizes = pruned.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = pruned.select(F.col("doc_id").alias("d1"), "s")
+    b = pruned.select(F.col("doc_id").alias("d2"), "s")
+    pairs = (
+        a.join(b, "s")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    shared = F.col("n_shared").cast("double")
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .where(shared / F.least("n1", "n2") >= 0.6)
+        .select(
+            "d1",
+            "d2",
+            "n_shared",
+            quant(F.greatest(shared / F.col("n1"), shared / F.col("n2")), 6).alias(
+                "containment"
+            ),
+            quant(shared / (F.col("n1") + F.col("n2") - F.col("n_shared")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy(F.desc("containment"), "d1", "d2")
+        .limit(50)
+    )

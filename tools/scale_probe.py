@@ -58,9 +58,10 @@ DOC_QUERIES = (
     "doc_unigram_entropy",
     "lsh_recall_audit",  # id-bounded truth side, LSH side scales
     "dedup_canonical_keep",
-    "duplicate_ngram_coverage",  # shingle-window shuffle, skew-prone
+    "duplicate_ngram_coverage",  # shingle-keyed join shuffle, skew-prone
     "doc_unigram_logprob",
     "quality_filter_funnel",
+    "shingle_containment_pairs",  # df-banded self-join: fanout must stay capped
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i

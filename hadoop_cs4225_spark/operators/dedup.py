@@ -913,12 +913,19 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("s"))
     )
     df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    pruned = sh.join(
-        df_counts.where(
-            F.col("df").between(CONTAIN_DF_MIN, CONTAIN_DF_MAX)
-        ),
-        "s",
-    ).select("doc_id", "s")
+    # Three consumers (sizes, both self-join sides) — materialize once,
+    # the shingle_idf_similarity_topk postings discipline; at scale this
+    # is the postings table you'd write to disk after the df prune.
+    pruned = (
+        sh.join(
+            df_counts.where(
+                F.col("df").between(CONTAIN_DF_MIN, CONTAIN_DF_MAX)
+            ),
+            "s",
+        )
+        .select("doc_id", "s")
+        .localCheckpoint(eager=False)
+    )
     sizes = pruned.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = pruned.select(F.col("doc_id").alias("d1"), "s")
     b = pruned.select(F.col("doc_id").alias("d2"), "s")

@@ -956,3 +956,96 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("containment"), "d1", "d2")
         .limit(50)
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+WITH RECURSIVE {_lsh_pairs_cte()},
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM verified
+  UNION ALL
+  SELECT d2 AS a, d1 AS b FROM verified
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+),
+labels AS (SELECT node AS doc_id, MIN(lab) AS lab FROM reach GROUP BY node),
+csizes AS (SELECT lab, COUNT(*) AS cluster_size FROM labels GROUP BY lab),
+tot AS (SELECT COUNT(*) AS n_total FROM documents),
+clustered AS (
+  SELECT cluster_size, COUNT(*) AS n_clusters,
+         CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+  FROM csizes GROUP BY cluster_size
+),
+singles AS (
+  SELECT CAST(1 AS BIGINT) AS cluster_size,
+         t.n_total - COALESCE((SELECT SUM(cluster_size) FROM csizes), 0)
+           AS n_clusters,
+         t.n_total - COALESCE((SELECT SUM(cluster_size) FROM csizes), 0)
+           AS n_docs
+  FROM tot t
+)
+SELECT cluster_size, CAST(n_clusters AS BIGINT) AS n_clusters,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       {quant_sql("CAST(n_docs AS DOUBLE) / (SELECT n_total FROM tot)", 6)}
+         AS frac_docs
+FROM (SELECT * FROM singles UNION ALL SELECT * FROM clustered)
+ORDER BY cluster_size
+""",
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution over the WHOLE corpus —
+    including the size-1 row for documents in no near-dup cluster.
+
+    The headline number of a dedup report: what fraction of the corpus
+    is unique, pair-duplicated, or sitting in larger clusters — it
+    decides whether dedup is worth a full pipeline run and sizes the
+    expected token loss of canonical-keep. Composes the memoized
+    label-propagation frame (zero extra LSH cost when the other dedup
+    queries ran); the histogram itself is two constant-size aggregates
+    plus a broadcast 1-row corpus total.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _cluster_labels(spark, sf_dir)
+    csizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("cluster_size"))
+    clustered = csizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+    )
+    tot = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_total")))
+    n_in_clusters = F.broadcast(
+        csizes.agg(
+            F.coalesce(F.sum("cluster_size"), F.lit(0)).alias("n_clustered")
+        )
+    )
+    singles = (
+        tot.crossJoin(n_in_clusters)
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            (F.col("n_total") - F.col("n_clustered")).alias("n_clusters"),
+            (F.col("n_total") - F.col("n_clustered")).alias("n_docs"),
+        )
+    )
+    return (
+        singles.unionByName(
+            clustered.select(
+                F.col("cluster_size").cast("bigint").alias("cluster_size"),
+                "n_clusters",
+                "n_docs",
+            )
+        )
+        .crossJoin(tot)
+        .select(
+            "cluster_size",
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            "n_docs",
+            quant(
+                F.col("n_docs").cast("double") / F.col("n_total"), 6
+            ).alias("frac_docs"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -786,3 +786,53 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "avg_logp")
         .orderBy("doc_id")
     )
+
+
+def _lang_confusion_oracle() -> str:
+    from hadoop_cs4225_spark.registry import ORACLES
+
+    return f"""
+WITH pred AS ({ORACLES["lang_id_heuristic"]}),
+tot AS (SELECT actual, COUNT(*) AS n_actual FROM pred GROUP BY actual)
+SELECT p.actual, p.predicted, COUNT(*) AS n_docs,
+       {quant_sql("CAST(COUNT(*) AS DOUBLE) / MAX(t.n_actual)", 6)}
+         AS frac_of_actual
+FROM pred p JOIN tot t ON p.actual = t.actual
+GROUP BY p.actual, p.predicted
+ORDER BY p.actual, p.predicted
+"""
+
+
+@register("lang_confusion_matrix", oracle=_lang_confusion_oracle())
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the
+    labeled ``lang`` column: (actual, predicted) counts and each cell's
+    share of its actual-language row.
+
+    The evaluation loop every classifier-driven curation gate needs
+    before its threshold is trusted — the diagonal is per-language
+    recall, off-diagonal cells show which languages the marker lists
+    confuse. Composes the REGISTERED ``lang_id_heuristic`` on both
+    sides (the ann_recall_audit discipline: the audit can't drift from
+    what it audits). Plan: the per-doc scoring is map-only; the matrix
+    is one (actual, predicted) partial-agg shuffle over at most
+    |langs|^2 groups plus a window-free broadcast-size join for the
+    per-actual totals.
+    """
+    pred = lang_id_heuristic(spark, sf_dir).select("actual", "predicted")
+    cells = pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = pred.groupBy("actual").agg(F.count(F.lit(1)).alias("n_actual"))
+    return (
+        cells.join(tot, "actual")
+        .select(
+            "actual",
+            "predicted",
+            "n_docs",
+            quant(
+                F.col("n_docs").cast("double") / F.col("n_actual"), 6
+            ).alias("frac_of_actual"),
+        )
+        .orderBy("actual", "predicted")
+    )

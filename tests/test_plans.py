@@ -138,6 +138,7 @@ _BOUNDED_ALLPAIRS = {
     "ann_recall_audit",  # embeds the brute/ANN top-k plans + 1-row cross joins
     "events_hot_key_profile",  # broadcast 1-row totals cross join
     "doc_unigram_logprob",  # broadcast 1-row corpus-total cross join
+    "dedup_cluster_size_histogram",  # broadcast 1-row corpus-total cross joins
 }
 
 

@@ -47,17 +47,26 @@ _TOKS_SQL = "list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> x <>
 _MATERIALIZED: dict[tuple[str, str, str, float], DataFrame] = {}
 
 
-def _memo(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+def _memo(
+    spark: SparkSession,
+    sf_dir: str,
+    kind: str,
+    build,
+    src_table: str = "documents",
+) -> DataFrame:
     """``build`` must return an already-MATERIALIZED frame (its last op
     a ``localCheckpoint``, or a projection over one) — the memo stores
     it verbatim. Entries keyed under a different applicationId belong
     to a stopped SparkContext (their checkpointed RDDs are dead); they
     are evicted on insert so a session-restarting process never grows
-    the dict nor retains dead object graphs."""
+    the dict nor retains dead object graphs. ``src_table`` names the
+    parquet whose mtime keys staleness (the similarity family shares
+    this memo with ``src_table="embeddings"``; ``kind`` strings are
+    namespaced per family)."""
     import os
 
     app = spark.sparkContext.applicationId
-    src = os.path.join(sf_dir, "documents.parquet")
+    src = os.path.join(sf_dir, f"{src_table}.parquet")
     mtime = os.path.getmtime(src) if os.path.exists(src) else 0.0
     key = (app, os.path.normpath(sf_dir), kind, mtime)
     df = _MATERIALIZED.get(key)

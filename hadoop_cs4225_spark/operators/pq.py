@@ -363,14 +363,13 @@ def ivf_pq_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently oracle-checkable.) The exact-cosine audit column
     reports what pruning + quantization cost for this query.
     """
-    from hadoop_cs4225_spark.operators.similarity import _ivf_assign_col
+    from hadoop_cs4225_spark.operators.similarity import _assigned_frame
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    assigned = emb.select(
+    assigned = _assigned_frame(spark, sf_dir).select(
         "vec_id",
         "label",
         "embedding",
-        _ivf_assign_col("embedding").alias("centroid_id"),
+        "centroid_id",
         *[_code_col("embedding", m).alias(f"c{m}") for m in range(N_SUB)],
     )
     q = F.broadcast(

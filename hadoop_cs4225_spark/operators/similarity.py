@@ -117,6 +117,30 @@ def _bucket_sql(emb: str) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
+def _bucketed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(vec_id, label, embedding, bucket)`` localCheckpointed once per
+    (session, sf) — the dedup ``_MATERIALIZED`` discipline for the LSH
+    side: four registered queries (buckets histogram, single-probe,
+    multiprobe, near-dup join) plus the recall audit all need the same
+    8-plane fold, and the memo makes it compute once. At 100 TB this IS
+    the bucketed vector table you write once (``ann_lsh_buckets``
+    docstring) rather than re-deriving per query."""
+    from hadoop_cs4225_spark.operators.dedup import _memo
+
+    return _memo(
+        spark,
+        sf_dir,
+        "emb_bucketed",
+        lambda: load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", "label", "embedding",
+            _bucket_col("embedding").alias("bucket"),
+        )
+        .localCheckpoint(eager=False),
+        src_table="embeddings",
+    )
+
+
 @register(
     "cosine_topk_brute",
     oracle=f"""
@@ -211,10 +235,7 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate set grows 9x but stays ~9/256 of the table; the probe-set
     membership join is still an equi-join on bucket id.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    b = emb.select(
-        "vec_id", "label", "embedding", _bucket_col("embedding").alias("bucket")
-    )
+    b = _bucketed_frame(spark, sf_dir)
     q = F.broadcast(
         b.where(F.col("vec_id") == 0).select(
             F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
@@ -345,9 +366,9 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     table: an ANN query computes its own bucket and probes one partition
     (plus optional multi-probe neighbors) instead of scanning all rows.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    b = _bucketed_frame(spark, sf_dir)
     return (
-        emb.select(_bucket_col("embedding").alias("bucket"), "label")
+        b.select("bucket", "label")
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -380,10 +401,7 @@ def ann_lsh_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB. Recall is tunable via planes/multi-probe; results here are
     deterministic either way.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    b = emb.select(
-        "vec_id", "label", "embedding", _bucket_col("embedding").alias("bucket")
-    )
+    b = _bucketed_frame(spark, sf_dir)
     q = F.broadcast(
         b.where(F.col("vec_id") == 0).select(
             F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
@@ -500,6 +518,28 @@ def _ivf_assign_sql(emb: str) -> str:
     )
 
 
+def _assigned_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(vec_id, label, embedding, centroid_id)`` localCheckpointed
+    once per (session, sf) — the IVF twin of :func:`_bucketed_frame`:
+    inverted lists, the nprobe=1 query, the two-stage rerank and the
+    recall audit all start from the same 16-centroid argmax fold. The
+    materialized form is what ``ivf_pq_index_probe`` writes physically."""
+    from hadoop_cs4225_spark.operators.dedup import _memo
+
+    return _memo(
+        spark,
+        sf_dir,
+        "emb_assigned",
+        lambda: load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", "label", "embedding",
+            _ivf_assign_col("embedding").alias("centroid_id"),
+        )
+        .localCheckpoint(eager=False),
+        src_table="embeddings",
+    )
+
+
 @register(
     "ivf_inverted_lists",
     oracle=f"""
@@ -519,9 +559,9 @@ def ivf_inverted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     its probed lists' directories, the IVF analogue of the LSH bucket
     layout demonstrated by ``events_partition_pruned_day``.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = _assigned_frame(spark, sf_dir)
     return (
-        emb.select(_ivf_assign_col("embedding").alias("centroid_id"), "label")
+        assigned.select("centroid_id", "label")
         .groupBy("centroid_id")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -556,10 +596,7 @@ def ivf_ann_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are data-independent. The probe is an equi-join on centroid_id —
     at scale a partition-pruned directory read, never a full scan.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    assigned = emb.select(
-        "vec_id", "label", "embedding", _ivf_assign_col("embedding").alias("centroid_id")
-    )
+    assigned = _assigned_frame(spark, sf_dir)
     q = F.broadcast(
         assigned.where(F.col("vec_id") == 0).select(
             F.col("embedding").alias("qv"), F.col("centroid_id").alias("qc")
@@ -601,8 +638,7 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-generation → exact-verify shape as MinHash-LSH dedup
     (``dedup.py``).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    b = emb.select("vec_id", "embedding", _bucket_col("embedding").alias("bucket"))
+    b = _bucketed_frame(spark, sf_dir).select("vec_id", "embedding", "bucket")
     a = b.select(
         F.col("vec_id").alias("v1"),
         F.col("embedding").alias("e1"),
@@ -736,11 +772,7 @@ def ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     row. The screen score is quantized to 6 dp before the rank-32 cut
     (ties broken by vec_id) so the cut is deterministic cross-engine.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    assigned = emb.select(
-        "vec_id", "label", "embedding",
-        _ivf_assign_col("embedding").alias("centroid_id"),
-    )
+    assigned = _assigned_frame(spark, sf_dir)
     q = F.broadcast(
         assigned.where(F.col("vec_id") == 0).select(
             F.col("embedding").alias("qv"), F.col("centroid_id").alias("qc")

@@ -54,6 +54,7 @@ _OPERATOR_MODULES = (
     "hadoop_cs4225_spark.operators.graph",
     "hadoop_cs4225_spark.operators.linalg",
     "hadoop_cs4225_spark.operators.bucketed",
+    "hadoop_cs4225_spark.sources.pydatasource",
 )
 
 _loaded = False

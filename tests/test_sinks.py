@@ -89,3 +89,27 @@ def test_write_compacted_bounds_file_count_and_size(spark, tmp_path):
     import pyarrow.parquet as pq
 
     assert max(pq.ParquetFile(f).metadata.num_rows for f in files) <= 250
+
+
+def test_python_datasource_partition_invariant(spark):
+    """The custom Python data source must return identical data under
+    any partitioning (row->partition assignment is data layout, not
+    semantics) and honor the rows/partitions options."""
+    from hadoop_cs4225_spark.sources.pydatasource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+
+    def rows(parts):
+        df = (
+            spark.read.format("synthetic_scores")
+            .option("rows", 500)
+            .option("partitions", parts)
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == parts
+        return sorted((r.row_id, r.value) for r in df.collect())
+
+    assert rows(2) == rows(7)
+    assert len(rows(2)) == 500

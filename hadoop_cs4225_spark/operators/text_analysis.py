@@ -836,3 +836,68 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("actual", "predicted")
     )
+
+
+@register(
+    "source_kl_divergence",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS_SQL}) AS word FROM documents
+), sw AS (
+  SELECT source, word, CAST(COUNT(*) AS DOUBLE) AS c FROM tok
+  GROUP BY source, word
+), cw AS (
+  SELECT word, SUM(c) AS cw FROM sw GROUP BY word
+), tot AS (SELECT SUM(cw) AS nc FROM cw)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS vocab,
+       {quant_sql("SUM(c * LN(c)) / SUM(c) - LN(SUM(c))"
+                  " - SUM(c * LN(cw)) / SUM(c) + LN(nc)", 4)} AS kl_nats
+FROM sw JOIN cw USING (word) CROSS JOIN tot
+GROUP BY source, nc
+ORDER BY source
+""",
+)
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence from the whole-corpus unigram
+    distribution, KL(p_source || p_corpus) in nats — the drift metric
+    for mixture curation: a source whose KL climbs between crawls has
+    changed character (spam influx, template shift) before any
+    downstream eval moves, and sources are weighted/capped by exactly
+    this kind of distance in data-mixing recipes.
+
+    Algebra keeps ``ln`` on integer-valued doubles only (the
+    engine-stability rule): KL = Σc·ln c / n_s − ln n_s − Σc·ln c_w /
+    n_s + ln n_c over per-(source,word) counts c. Plan: explode → one
+    (source,word) reduce → word-keyed reduce for corpus counts → join
+    back (AQE broadcasts the vocabulary) → per-source reduce with a
+    broadcast 1-row corpus total — the TF-IDF/logprob shuffle shape,
+    one more reduce deep.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sw = (
+        docs.select("source", F.explode(_toks()).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    cw = sw.groupBy("word").agg(F.sum("c").alias("cw"))
+    tot = F.broadcast(cw.agg(F.sum("cw").alias("nc")))
+    return (
+        sw.join(cw, "word")
+        .crossJoin(tot)
+        .groupBy("source", "nc")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            quant(
+                F.sum(F.col("c") * F.log("c")) / F.sum("c")
+                - F.log(F.sum("c"))
+                - F.sum(F.col("c") * F.log("cw")) / F.sum("c")
+                + F.log("nc"),
+                4,
+            ).alias("kl_nats"),
+        )
+        .select("source", "n_tokens", "vocab", "kl_nats")
+        .orderBy("source")
+    )

@@ -56,11 +56,34 @@ class SyntheticScoresReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.n_rows = int(options.get("rows", N_ROWS))
         self.n_parts = int(options.get("partitions", N_PARTS))
+        self.part_eq: int | None = None
+
+    def pushFilters(self, filters):
+        """Source-side partition pruning (the custom-source analogue of
+        parquet PushedFilters): an ``part = k`` equality is consumed
+        here and shrinks ``partitions()`` to the one matching split;
+        everything else is yielded back for Spark to re-apply. Pinned
+        by tests/test_sinks.py (1 planned partition under the filter)."""
+        from pyspark.sql.datasource import EqualTo
+
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and tuple(f.attribute) == ("part",)
+                and isinstance(f.value, int)
+            ):
+                self.part_eq = f.value
+            else:
+                yield f
 
     def partitions(self):  # lightweight descriptors only
+        pids = (
+            [self.part_eq]
+            if self.part_eq is not None and 0 <= self.part_eq < self.n_parts
+            else range(self.n_parts)
+        )
         return [
-            _RangePartition(p, self.n_rows, self.n_parts)
-            for p in range(self.n_parts)
+            _RangePartition(p, self.n_rows, self.n_parts) for p in pids
         ]
 
     def read(self, partition: _RangePartition):
@@ -94,7 +117,13 @@ class SyntheticScoresDataSource(DataSource):
 
 
 def register_synthetic_source(spark: SparkSession) -> None:
-    """Idempotent per-session registration of the custom format."""
+    """Idempotent per-session registration of the custom format.
+
+    Python-source filter pushdown ships behind a flag in Spark 4
+    (``spark.sql.python.filterPushdown.enabled``, runtime-settable);
+    without it a reader implementing ``pushFilters`` is rejected
+    outright, so the flag is set wherever the source is registered."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticScoresDataSource)
 
 

@@ -139,6 +139,7 @@ _BOUNDED_ALLPAIRS = {
     "events_hot_key_profile",  # broadcast 1-row totals cross join
     "doc_unigram_logprob",  # broadcast 1-row corpus-total cross join
     "dedup_cluster_size_histogram",  # broadcast 1-row corpus-total cross joins
+    "source_kl_divergence",  # broadcast 1-row corpus-total cross join
 }
 
 

@@ -113,3 +113,30 @@ def test_python_datasource_partition_invariant(spark):
 
     assert rows(2) == rows(7)
     assert len(rows(2)) == 500
+
+
+def test_python_datasource_filter_pushdown_prunes_partitions(spark):
+    """An EqualTo('part', k) filter must be consumed by pushFilters and
+    shrink the planned split set to ONE partition; results must equal
+    the unpushed filter's."""
+    from pyspark.sql import functions as F
+
+    from hadoop_cs4225_spark.sources.pydatasource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    base = (
+        spark.read.format("synthetic_scores")
+        .option("rows", 400)
+        .option("partitions", 5)
+    )
+    pushed = base.load().filter(F.col("part") == 3)
+    assert pushed.rdd.getNumPartitions() == 1, "filter not pushed"
+    want = sorted(
+        (r.row_id, r.value)
+        for r in base.load().collect()
+        if r.part == 3
+    )
+    got = sorted((r.row_id, r.value) for r in pushed.collect())
+    assert got == want and len(got) == 80

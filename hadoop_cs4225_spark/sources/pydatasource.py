@@ -25,7 +25,12 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from hadoop_cs4225_spark.functions.numeric import quant, quant_sql
 from hadoop_cs4225_spark.registry import register
@@ -115,6 +120,9 @@ class SyntheticScoresDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return SyntheticScoresReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticScoresStreamReader":
+        return SyntheticScoresStreamReader(self.options)
+
 
 def register_synthetic_source(spark: SparkSession) -> None:
     """Idempotent per-session registration of the custom format.
@@ -180,3 +188,46 @@ def pyds_scan_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part")
     )
+
+
+class SyntheticScoresStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the custom source: offsets are ``{"row": i}``
+    cursors over the same deterministic row space the batch reader
+    scans, so stream and batch are replay-equivalent by construction
+    (pytest-pinned). ``readBetweenOffsets`` re-derives a batch purely
+    from its offset pair — exactly-once on failure recovery without
+    buffering anything, because generation is deterministic.
+
+    ``SimpleDataSourceStreamReader`` reads on the driver (no partition
+    planning) — right for control-plane-sized feeds; a bulk stream
+    implements ``DataSourceStreamReader`` with partitioned batches
+    instead (same offset algebra).
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.n_rows = int(options.get("rows", N_ROWS))
+        self.n_parts = int(options.get("partitions", N_PARTS))
+        self.batch = int(options.get("batch", 1000))
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def _rows(self, lo: int, hi: int):
+        # A LIST ITERATOR, not a generator: the wrapper's prefetch cache
+        # calls next() on it, copy.copy()s it to replay, and pickles it
+        # to ship the batch to workers — list iterators support all
+        # three, generators none.
+        return iter(
+            [
+                (i, i % self.n_parts, _hash60_py(f"v:{i}") % VALUE_MOD)
+                for i in range(lo, hi)
+            ]
+        )
+
+    def read(self, start: dict):
+        lo = int(start["row"])
+        hi = min(lo + self.batch, self.n_rows)
+        return self._rows(lo, hi), {"row": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["row"]), int(end["row"]))

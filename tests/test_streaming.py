@@ -524,3 +524,43 @@ def test_incremental_corpus_dedup_index_growth_is_bounded_by_new_docs(
     )
     assert n3 == n2 + new_sigs
     assert n3 - n2 <= fresh.count()
+
+
+def test_python_datasource_stream_matches_batch(spark, tmp_path):
+    """readStream over the custom Python data source (Spark 4
+    SimpleDataSourceStreamReader) must replay to exactly the batch
+    reader's rows: offsets are deterministic row cursors, so
+    stream == batch by construction — this pins the offset algebra
+    (initialOffset/read/readBetweenOffsets) actually honors it."""
+    from hadoop_cs4225_spark.sources.pydatasource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    opts = {"rows": "350", "partitions": "4", "batch": "100"}
+    stream = spark.readStream.format("synthetic_scores").options(**opts).load()
+    assert stream.isStreaming
+    # PythonMicroBatchStream does not support Trigger.AvailableNow
+    # (Spark falls back to ONE batch) — drive with processAllAvailable,
+    # which loops micro-batches until the offset stops advancing.
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_pyds")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM t_pyds").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in spark.read.format("synthetic_scores")
+        .options(**opts)
+        .load()
+        .collect()
+    )
+    assert got == want and len(got) == 350

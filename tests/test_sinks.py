@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.errors import AnalysisException
 
@@ -140,3 +142,41 @@ def test_python_datasource_filter_pushdown_prunes_partitions(spark):
     )
     got = sorted((r.row_id, r.value) for r in pushed.collect())
     assert got == want and len(got) == 80
+
+
+def test_python_kv_sink_matches_jvm_text_sink(spark, tmp_path):
+    """The custom Python writer must publish the same key TAB value
+    content as the JVM text sink (write_text_kv) and only mark success
+    via the driver-side commit (_SUCCESS with the row total)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_cs4225_spark.sources.pykv import register_kv_sink
+    from hadoop_cs4225_spark.sources.sinks import write_text_kv
+
+    register_kv_sink(spark)
+    df = (
+        spark.range(100)
+        .select(
+            F.concat(F.lit("w"), F.col("id")).alias("word"),
+            (F.col("id") * 3).alias("n"),
+        )
+        .repartition(4)
+    )
+    pydir, jvmdir = str(tmp_path / "py"), str(tmp_path / "jvm")
+    df.write.format("pykv").option("path", pydir).mode("append").save()
+    write_text_kv(df, jvmdir, "word", "n")
+
+    def lines(d):
+        out = []
+        for fn in os.listdir(d):
+            if fn.startswith("part-") and not fn.endswith(".crc"):
+                with open(os.path.join(d, fn)) as f:
+                    out.extend(ln.rstrip("\n") for ln in f if ln.strip())
+        return sorted(out)
+
+    assert lines(pydir) == lines(jvmdir)
+    with open(os.path.join(pydir, "_SUCCESS")) as f:
+        assert f.read().strip() == "100"
+    # 4 input partitions -> 4 task part files
+    n_parts = len([f for f in os.listdir(pydir) if f.startswith("part-")])
+    assert n_parts == 4

@@ -485,3 +485,81 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+#: EWMA smoothing factor (identical decimal literal in both engines —
+#: 0.3/0.7 parse to the same IEEE doubles everywhere).
+EWMA_ALPHA = 0.3
+
+
+@register(
+    "events_daily_ewma",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+         strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+         ROUND(SUM(value), 2) AS v
+  FROM events GROUP BY event_type, day
+), idx AS (
+  SELECT event_type, day, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+), rec AS (
+  SELECT event_type, rn, day, v, v AS e FROM idx WHERE rn = 1
+  UNION ALL
+  SELECT i.event_type, i.rn, i.day, i.v,
+         floor(({EWMA_ALPHA} * i.v + {1 - EWMA_ALPHA} * r.e) * 1000000.0 + 0.5)
+           / 1000000.0
+  FROM idx i JOIN rec r ON i.event_type = r.event_type AND i.rn = r.rn + 1
+)
+SELECT event_type, day, v AS daily_value,
+       {quant_sql("e", 4)} AS ewma
+FROM rec
+ORDER BY event_type, day
+""",
+)
+def events_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event value per
+    type (s_0 = v_0; s_t = alpha*v_t + (1-alpha)*s_{t-1}) — the
+    smoothing every ingest-volume monitor runs before alerting, and the
+    canonical RECURSIVE relation a distributed engine can't express as
+    a plain window.
+
+    Spark strategy: reduce to the bounded per-type daily series first
+    (one map-side-combined shuffle; per-key state is the DAY COUNT, not
+    the event count), then fold the sorted series through one
+    ``aggregate`` lambda that appends each smoothed value — an O(days)
+    per-row array program, never a partition-less window over events.
+    The DuckDB oracle states the same recursion as a recursive CTE;
+    each step quantizes to 6 dp IN BOTH ENGINES, so the recursion
+    walks identical doubles and cannot accumulate cross-engine drift
+    (per-step quantization is what makes a float recursion
+    oracle-checkable at all — the ``cross-engine-float`` discipline).
+    At 100 TB the fold input is |types| rows of |days| entries; the
+    heavy lifting stays in the daily rollup shuffle.
+    """
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_format(F.window("ts", "1 day").start, "yyyy-MM-dd").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "v"))).alias("s")
+    )
+    a, b = EWMA_ALPHA, 1 - EWMA_ALPHA
+    fold = F.expr(
+        "aggregate(s, CAST(array() AS array<struct<day:string,v:double,e:double>>), "
+        "(acc, x) -> array_append(acc, named_struct('day', x.day, 'v', x.v, 'e', "
+        "CASE WHEN size(acc) = 0 THEN x.v "
+        f"ELSE floor(({a}D * x.v + {b}D * element_at(acc, -1).e) * 1000000.0D + 0.5D) "
+        "/ 1000000.0D END)))"
+    )
+    return (
+        series.select("event_type", F.explode(fold).alias("r"))
+        .select(
+            "event_type",
+            F.col("r.day").alias("day"),
+            F.col("r.v").alias("daily_value"),
+            quant(F.col("r.e"), 4).alias("ewma"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -901,3 +901,98 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_tokens", "vocab", "kl_nats")
         .orderBy("source")
     )
+
+
+#: Winnowing window: one fingerprint selected per WINNOW_W consecutive
+#: shingle hashes. Guarantee: any shared run of WINNOW_W + 2 tokens
+#: (= WINNOW_W consecutive 3-gram shingles) between two documents
+#: yields at least one shared selected fingerprint.
+WINNOW_W = 4
+
+
+@register(
+    "doc_winnowing_fingerprints",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - 1),
+             i -> {hash60_sql("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")})
+           AS hs
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t
+  WHERE len(toks) >= {WINNOW_W} + 2
+), sel AS (
+  SELECT doc_id,
+         CAST(len(hs) AS BIGINT) AS n_shingles,
+         list_distinct(list_transform(range(1, len(hs) - {WINNOW_W} + 2),
+             i -> list_min(hs[i:i+{WINNOW_W} - 1]))) AS sels
+  FROM h
+)
+SELECT doc_id, n_shingles,
+       CAST(len(sels) AS BIGINT) AS n_selected,
+       {quant_sql(f"CAST(len(sels) AS DOUBLE) / (n_shingles - {WINNOW_W} + 1)", 6)}
+         AS density,
+       list_min(sels) AS sel_min
+FROM sel
+ORDER BY doc_id
+""",
+)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): slide a window of WINNOW_W consecutive 3-gram shingle
+    hashes and keep each window's minimum — the selected set is the
+    document's robust fingerprint with a GUARANTEE local sampling
+    (doc_fingerprints' global min) lacks: any shared token run of
+    WINNOW_W+2 tokens produces at least one shared selected hash, so
+    plagiarism/copy detection cannot miss matches above that length.
+    Density ~ 2/(w+1) is the expected selection rate; a much higher
+    density means hash churn (short repeated tokens), much lower means
+    degenerate repetition.
+
+    Pure per-row array program — shingle hashes once (one md5 pass),
+    window minima via transform-over-slice (O(n*w) JVM ops, no
+    explode), distinct in-row. Map-only at any corpus size; the
+    selected sets feed the same band/bucket join machinery as MinHash
+    downstream.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = WINNOW_W
+    d = docs.select("doc_id", _toks().alias("toks")).where(
+        F.size("toks") >= w + 2
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 3),
+        lambda i: hash60(
+            F.concat_ws(
+                " ",
+                F.element_at("toks", i + 1),
+                F.element_at("toks", i + 2),
+                F.element_at("toks", i + 3),
+            )
+        ),
+    )
+    withh = d.select("doc_id", hashes.alias("hs"))
+    sels = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - w + 1),
+            lambda i: F.array_min(F.slice("hs", i, w)),
+        )
+    )
+    return (
+        withh.select(
+            "doc_id",
+            F.size("hs").cast("long").alias("n_shingles"),
+            sels.alias("sels"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.size("sels").cast("long").alias("n_selected"),
+            quant(
+                F.size("sels").cast("double")
+                / (F.col("n_shingles") - w + 1),
+                6,
+            ).alias("density"),
+            F.array_min("sels").alias("sel_min"),
+        )
+        .orderBy("doc_id")
+    )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hadoop_cs4225_spark.functions.numeric import quant, ravg_sql, rsum
+from hadoop_cs4225_spark.functions.numeric import quant, quant_sql, ravg_sql, rsum
 from hadoop_cs4225_spark.registry import register
 from hadoop_cs4225_spark.sources.tables import load_table
 
@@ -331,6 +331,52 @@ def order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ntile(4).over(wo).alias("price_quartile"),
             F.round(F.first("o_totalprice").over(wf), 2).alias("cheapest"),
             F.round(F.last("o_totalprice").over(wf), 2).alias("priciest"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "order_window_rank_suite",
+    oracle=f"""
+SELECT o_custkey, o_orderkey,
+       {quant_sql("percent_rank() OVER w", 6)} AS pct_rank,
+       {quant_sql("cume_dist() OVER w", 6)} AS cume,
+       ROUND(nth_value(o_totalprice, 2) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+         AS second_price
+FROM orders
+WHERE o_custkey <= 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def order_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-statistics window trio the other window queries don't
+    cover: percent_rank (relative position in [0,1]), cume_dist
+    (fraction of peers at-or-before), and nth_value over an explicit
+    unbounded frame (the default RUNNING frame makes nth_value
+    nondeterministic per row — the classic window-frame trap, stated
+    explicitly in both engines).
+
+    The (o_orderdate, o_orderkey) ordering is a TOTAL order inside each
+    partition, so rank fractions are engine-independent exact rationals
+    (quantized only as belt-and-braces). One shuffle keyed on customer;
+    frames never exceed a customer's order count.
+    """
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            quant(F.percent_rank().over(w), 6).alias("pct_rank"),
+            quant(F.cume_dist().over(w), 6).alias("cume"),
+            F.round(F.nth_value("o_totalprice", 2).over(wf), 2).alias(
+                "second_price"
+            ),
         )
         .orderBy("o_custkey", "o_orderkey")
     )

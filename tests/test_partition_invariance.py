@@ -34,6 +34,8 @@ _QUERIES = [
     "lang_confusion_matrix",
     "source_kl_divergence",
     "pyds_scan_rollup",
+    "events_daily_ewma",
+    "doc_winnowing_fingerprints",
 ]
 
 

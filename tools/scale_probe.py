@@ -62,6 +62,7 @@ DOC_QUERIES = (
     "doc_unigram_logprob",
     "quality_filter_funnel",
     "shingle_containment_pairs",  # df-banded self-join: fanout must stay capped
+    "doc_winnowing_fingerprints",  # O(n*w) per-row window minima, map-only
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i
@@ -93,6 +94,7 @@ SF_QUERIES = (
     "epoch_shard_plan",
     "bucketed_segment_revenue",
     "order_trend_regression",
+    "events_daily_ewma",  # bounded per-type fold on top of the daily rollup
 )
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 

@@ -262,3 +262,86 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@register(
+    "user_event_map_algebra",
+    oracle="""
+WITH per_type AS (
+  SELECT user_id, event_type,
+         COUNT(*) AS n,
+         ROUND(SUM(value), 2) AS s
+  FROM events WHERE user_id <= 200
+  GROUP BY user_id, event_type
+)
+SELECT user_id,
+       CAST(COUNT(*) AS INT) AS n_types,
+       COALESCE(string_agg(CASE WHEN n >= 2
+                    THEN event_type || ':' || CAST(n AS VARCHAR) END,
+                ',' ORDER BY event_type), '') AS active_csv,
+       string_agg(event_type || ':' ||
+                  CAST(CAST(floor((s / n) * 10000.0 + 0.5) AS BIGINT) AS VARCHAR),
+                  ',' ORDER BY event_type) AS avg_x1e4_csv
+FROM per_type
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def user_event_map_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions end to end: build per-user maps
+    (event_type -> count, event_type -> value sum) with
+    ``map_from_entries``, keep the active types with ``map_filter``
+    (count >= 2), and derive per-type averages with ``map_zip_with`` —
+    the MapType algebra a feature-store materialization uses for
+    per-entity keyed features.
+
+    Output is FLAT (the driver contract): maps serialize as
+    ':'-joined entries sorted by key, and the averages are scaled to
+    x1e4 BIGINTs before rendering — double->string formatting differs
+    between engines, integer rendering doesn't. The oracle states the
+    same result relationally (string_agg over the per-type rows),
+    which is also the proof the map algebra equals the relational
+    algebra it encapsulates. One (user,type) reduce then one user
+    reduce; per-user map size = |event types| (bounded).
+    """
+    from hadoop_cs4225_spark.sources.tables import load_events
+
+    per_type = (
+        load_events(spark, sf_dir)
+        .where(F.col("user_id") <= 200)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+    )
+    maps = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m_cnt"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "s")))
+        ).alias("m_sum"),
+    )
+    active = F.map_filter("m_cnt", lambda k, v: v >= 2)
+    avg_map = F.map_zip_with(
+        "m_cnt",
+        "m_sum",
+        lambda k, n, s: F.floor((s / n) * 10000.0 + 0.5).cast("long"),
+    )
+    render = lambda m: F.array_join(  # noqa: E731
+        F.transform(
+            F.sort_array(F.map_entries(m)),
+            lambda e: F.concat_ws(":", e.key, e.value.cast("string")),
+        ),
+        ",",
+    )
+    return (
+        maps.select(
+            "user_id",
+            F.size("m_cnt").alias("n_types"),
+            render(active).alias("active_csv"),
+            render(avg_map).alias("avg_x1e4_csv"),
+        )
+        .orderBy("user_id")
+    )

@@ -63,6 +63,8 @@ DOC_QUERIES = (
     "quality_filter_funnel",
     "shingle_containment_pairs",  # df-banded self-join: fanout must stay capped
     "doc_winnowing_fingerprints",  # O(n*w) per-row window minima, map-only
+    "source_kl_divergence",
+    "lang_confusion_matrix",
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i

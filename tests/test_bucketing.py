@@ -63,3 +63,29 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
     li = load_table(spark, SF_SMOKE, "lineitem")
     n_plain = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
     assert n_bucketed == n_plain
+
+
+def test_analyze_table_stats_feed_join_planning(spark, bucketed_tables):
+    """Catalog statistics are the CBO's food: after ANALYZE TABLE the
+    optimized plan must carry the measured rowCount, and size-based
+    join planning must see the real byte size instead of defaults.
+    At 100 TB this is the difference between a correct broadcast
+    decision and an OOM — stats collection is part of the layout
+    discipline, not an afterthought."""
+    name, _ = bucketed_tables
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    n = spark.table(name).count()
+    # Catalog-level: the stats row must record the measured count.
+    desc = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    stat_line = next(r.data_type for r in desc if r.col_name == "Statistics")
+    assert f"{n} rows" in stat_line, stat_line
+    # Planner-level: with CBO on, the optimized plan carries rowCount.
+    base = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        stats = spark.table(name)._jdf.queryExecution().optimizedPlan().stats()
+        assert not stats.rowCount().isEmpty(), "CBO plan lost the rowCount"
+        assert int(str(stats.rowCount().get())) == n
+        assert int(str(stats.sizeInBytes())) > 0
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", base)

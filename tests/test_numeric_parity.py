@@ -185,3 +185,35 @@ def test_rsum_twins_agree_on_negative_sums(spark, tmp_path):
         con.close()
     assert repr(raw) == "-0.0"
     assert repr(got) == repr(want) == "0.0"
+
+
+def test_hash60_three_implementations_agree(spark, duck):
+    """hash60 exists three times — Spark (conv/substring/md5), DuckDB
+    SQL fragment, and the pure-Python twin in the custom data source —
+    and every operator's cross-engine determinism rests on them being
+    bit-identical. Pin all three on adversarial strings: empty, every
+    tokenizer delimiter, unicode, quotes, a 10k-char run, and hex-edge
+    digests."""
+    from hadoop_cs4225_spark.functions.hashing import hash60
+    from hadoop_cs4225_spark.sources.pydatasource import _hash60_py
+
+    cases = [
+        "", " ", "\t", "a", "A", "0", "the quick brown fox",
+        "naïve café über", "line\nbreak", "tab\tsep", "quote'q",
+        'double"q', "back\\slash", "x" * 10_000,
+        "v:0", "v:9999", "centroid:15:63", "7:seeded",
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    got_spark = {
+        r.s: r.h for r in df.select("s", hash60("s").alias("h")).collect()
+    }
+    for s in cases:
+        want = _hash60_py(s)
+        assert got_spark[s] == want, f"spark != python for {s!r}"
+        # DuckDB side (parameterized to dodge quoting issues)
+        duck_val = duck.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
+        ).fetchone()[0]
+        assert duck_val == want, f"duckdb != python for {s!r}"

@@ -563,3 +563,55 @@ def events_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS nxt
+  FROM events
+), pairs AS (
+  SELECT cur, nxt, COUNT(*) AS n FROM seq WHERE nxt IS NOT NULL
+  GROUP BY cur, nxt
+), tot AS (SELECT cur, SUM(n) AS row_n FROM pairs GROUP BY cur)
+SELECT p.cur, p.nxt, CAST(p.n AS BIGINT) AS n,
+       {quant_sql("CAST(p.n AS DOUBLE) / t.row_n", 6)} AS prob
+FROM pairs p JOIN tot t ON p.cur = t.cur
+ORDER BY p.cur, p.nxt
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: for every
+    user's time-ordered event sequence, count cur->next pairs and
+    normalize per source state — the behavioral-model input (and drift
+    monitor: a transition probability shifting between releases flags a
+    product change or instrumentation bug before any volume metric
+    moves).
+
+    The (ts, event_id) ordering is a total order, so the lead() pairing
+    is deterministic. Plan: ONE user-keyed window exchange builds the
+    sequence pairs, then a |types|^2-group partial-agg shuffle and a
+    broadcast-size row-total join. Per-user window frames hold one
+    lookahead row — no per-user materialization.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    tot = pairs.groupBy("cur").agg(F.sum("n").alias("row_n"))
+    return (
+        pairs.join(tot, "cur")
+        .select(
+            "cur",
+            "nxt",
+            F.col("n").cast("bigint").alias("n"),
+            quant(F.col("n").cast("double") / F.col("row_n"), 6).alias("prob"),
+        )
+        .orderBy("cur", "nxt")
+    )

@@ -36,6 +36,9 @@ _QUERIES = [
     "pyds_scan_rollup",
     "events_daily_ewma",
     "doc_winnowing_fingerprints",
+    "order_window_rank_suite",
+    "user_event_map_algebra",
+    "event_transition_matrix",
 ]
 
 

@@ -920,3 +920,100 @@ def order_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         quant(num / F.sqrt(den_x * den_y), 6).alias("pearson_r"),
     ).orderBy("segment")
+
+
+@register(
+    "star_constraint_audit",
+    oracle="""
+SELECT * FROM (
+  SELECT 0 AS rule_idx, 'orders_pk_unique' AS rule,
+         (SELECT COUNT(*) FROM
+            (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+             HAVING COUNT(*) > 1) d) AS n_violations
+  UNION ALL
+  SELECT 1, 'customer_pk_unique',
+         (SELECT COUNT(*) FROM
+            (SELECT c_custkey FROM customer GROUP BY c_custkey
+             HAVING COUNT(*) > 1) d)
+  UNION ALL
+  SELECT 2, 'orders_custkey_fk',
+         (SELECT COUNT(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 3, 'lineitem_orderkey_fk',
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL
+  SELECT 4, 'lineitem_qty_positive',
+         (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+  UNION ALL
+  SELECT 5, 'orders_date_not_null',
+         (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL)
+)
+ORDER BY rule_idx
+""",
+)
+def star_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract audit over the star schema: primary-key
+    uniqueness, foreign-key containment, domain and NOT-NULL rules —
+    one row per rule with its violation count (all zeros on healthy
+    data, and the FIRST thing an ingest pipeline runs before
+    publishing a snapshot; Spark has no DB-enforced constraints, so
+    the audit IS the constraint system).
+
+    Plan shapes per rule family: PK uniqueness is a partial-agg
+    groupBy + HAVING (never a distinct-then-count double scan); FK
+    containment is a LEFT ANTI join (at 100 TB the dim side broadcasts
+    or the join shuffles on the key — either way no row leaves the
+    JVM); domain/null rules are map-side predicate counts. The six
+    1-row results union into the report frame — each subquery is
+    independently prunable, and a scheduler can run them as one job.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def one(idx: int, rule: str, cnt_df: DataFrame) -> DataFrame:
+        return cnt_df.select(
+            F.lit(idx).alias("rule_idx"),
+            F.lit(rule).alias("rule"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    dup_orders = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dup_cust = (
+        c.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    orphan_orders = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    orphan_lines = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bad_qty = li.where(F.col("l_quantity") <= 0).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    null_date = o.where(F.col("o_orderdate").isNull()).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    report = (
+        one(0, "orders_pk_unique", dup_orders)
+        .unionByName(one(1, "customer_pk_unique", dup_cust))
+        .unionByName(one(2, "orders_custkey_fk", orphan_orders))
+        .unionByName(one(3, "lineitem_orderkey_fk", orphan_lines))
+        .unionByName(one(4, "lineitem_qty_positive", bad_qty))
+        .unionByName(one(5, "orders_date_not_null", null_date))
+    )
+    return report.orderBy("rule_idx")

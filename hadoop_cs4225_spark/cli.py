@@ -12,6 +12,11 @@ Equivalent here::
     python -m hadoop_cs4225_spark.cli topk <in1> <in2> <stopwords> <out> \
         [--mode max|min] [-k 20]
 
+Beyond the two reference jobs, every registered query runs by name::
+
+    python -m hadoop_cs4225_spark.cli query <name> [--sf DIR] [--out DIR]
+    python -m hadoop_cs4225_spark.cli query --list
+
 Output is Hadoop TextOutputFormat-shaped (``word TAB count`` sorted by
 word for wordcount; ``count TAB word`` in golden tie order for topk) and
 the job fails if the output directory exists — same contract as the
@@ -47,7 +52,25 @@ def main(argv: list[str] | None = None) -> int:
     tk.add_argument("--mode", choices=("max", "min"), default="max")
     tk.add_argument("-k", type=int, default=20)
 
+    q = sub.add_parser("query", help="run any registered query by name")
+    q.add_argument("name", nargs="?", help="query name (see --list)")
+    q.add_argument("--sf", default="/root/testdata/sf0.001", help="table dir")
+    q.add_argument("--out", help="write result as parquet instead of printing")
+    q.add_argument("--list", action="store_true", help="list registered queries")
+    q.add_argument("-n", type=int, default=20, help="rows to show (print mode)")
+
     args = parser.parse_args(argv)
+
+    if args.job == "query" and args.list:
+        from hadoop_cs4225_spark import registry
+
+        registry.load_all()
+        for name in sorted(registry.QUERIES):
+            marker = "oracle" if name in registry.ORACLES else "rows-only"
+            print(f"{name}\t{marker}")
+        return 0
+    if args.job == "query" and not args.name:
+        parser.error("query needs a name (or --list)")
     spark = get_spark(app_name=f"cs4225-{args.job}")
     try:
         if args.job == "wordcount":
@@ -56,12 +79,23 @@ def main(argv: list[str] | None = None) -> int:
             *inputs, out = args.paths
             df = word_count_text(spark, inputs)
             write_text_kv(df, out, "word", "cnt")
-        else:
+        elif args.job == "topk":
             df = topk_common_words_text(
                 spark, args.in1, args.in2, args.stopwords,
                 mode=args.mode, k=args.k,
             )
             write_text_kv(df, args.out, "score", "word")
+        else:
+            from hadoop_cs4225_spark import registry
+
+            registry.load_all()
+            if args.name not in registry.QUERIES:
+                parser.error(f"unknown query {args.name!r} (try --list)")
+            df = registry.QUERIES[args.name](spark, args.sf)
+            if args.out:
+                df.write.mode("error").parquet(args.out)
+            else:
+                df.show(args.n, truncate=False)
     finally:
         spark.stop()
     return 0

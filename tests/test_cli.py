@@ -32,3 +32,25 @@ def test_wordcount_cli(tmp_path):
         for line in f.read_text().splitlines()
     )
     assert lines == ["Bye\t1", "Goodbye\t1", "Hadoop\t2", "Hello\t2", "World\t2"]
+
+
+def test_cli_query_list_and_run(tmp_path, capsys):
+    from hadoop_cs4225_spark import cli
+
+    assert cli.main(["query", "--list"]) == 0
+    out = capsys.readouterr().out
+    assert "word_count\toracle" in out
+    assert "topk_users_approx\trows-only" in out
+
+    outdir = str(tmp_path / "q6")
+    assert (
+        cli.main(
+            ["query", "q6_revenue_forecast", "--sf", "/root/testdata/sf0.001",
+             "--out", outdir]
+        )
+        == 0
+    )
+    import duckdb
+
+    n = duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{outdir}/*.parquet')").fetchone()[0]
+    assert n == 1

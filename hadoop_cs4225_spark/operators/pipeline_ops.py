@@ -870,3 +870,89 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_no")
     )
+
+
+@register(
+    "orders_cdc_apply",
+    oracle="""
+WITH changelog AS (
+  -- deterministic synthetic CDC feed: every 7th key updated (v2),
+  -- every 13th deleted (v3) — deletes win over updates on overlap
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 1.2 AS o_totalprice,
+         'U' AS op, 2 AS version
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 'D' AS op, 3 AS version
+  FROM orders WHERE o_orderkey % 13 = 0
+),
+unioned AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 'I' AS op, 1 AS version
+  FROM orders
+  UNION ALL
+  SELECT * FROM changelog
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+    FROM unioned
+  ) WHERE rn = 1
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_live,
+       CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM latest
+WHERE op <> 'D'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC changelog (insert/update/DELETE ops with versions)
+    to a base snapshot — the missing half of ``orders_upsert_merge``:
+    deletes are TOMBSTONES that must win the per-key version race and
+    then drop out of the live state, exactly what MERGE INTO ... WHEN
+    MATCHED AND op='D' THEN DELETE lowers to without a transactional
+    table format.
+
+    One shuffle keyed on the merge key resolves the whole race
+    (ROW_NUMBER by version desc), the tombstone filter is a map-side
+    predicate after it, and the live-state aggregate rides the same
+    exchange. At 100 TB, bucket base and changelog on the key and the
+    window runs shuffle-free; periodic compaction folds tombstones
+    away (the snapshot-rewrite the incremental-dedup index documents).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.select(
+        "*", F.lit("I").alias("op"), F.lit(1).alias("version")
+    )
+    updates = (
+        orders.where(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.2)
+        .select("*", F.lit("U").alias("op"), F.lit(2).alias("version"))
+    )
+    deletes = orders.where(F.col("o_orderkey") % 13 == 0).select(
+        "*", F.lit("D").alias("op"), F.lit(3).alias("version")
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    latest = (
+        base.unionByName(updates)
+        .unionByName(deletes)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .where(F.col("op") != "D")
+    )
+    return (
+        latest.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.sum((F.col("op") == "U").cast("long")).cast("bigint").alias(
+                "n_updated"
+            ),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -39,6 +39,8 @@ _QUERIES = [
     "order_window_rank_suite",
     "user_event_map_algebra",
     "event_transition_matrix",
+    "star_constraint_audit",
+    "orders_cdc_apply",
 ]
 
 

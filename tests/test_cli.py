@@ -37,20 +37,29 @@ def test_wordcount_cli(tmp_path):
 def test_cli_query_list_and_run(tmp_path, capsys):
     from hadoop_cs4225_spark import cli
 
+    # --list never builds a session — safe in-process
     assert cli.main(["query", "--list"]) == 0
     out = capsys.readouterr().out
     assert "word_count\toracle" in out
     assert "topk_users_approx\trows-only" in out
 
+    # the run path owns (and stops) its SparkSession -> subprocess,
+    # like the wordcount test, so the suite's shared session survives
     outdir = str(tmp_path / "q6")
-    assert (
-        cli.main(
-            ["query", "q6_revenue_forecast", "--sf", "/root/testdata/sf0.001",
-             "--out", outdir]
-        )
-        == 0
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2")
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "hadoop_cs4225_spark.cli", "query",
+            "q6_revenue_forecast", "--sf", "/root/testdata/sf0.001",
+            "--out", outdir,
+        ],
+        capture_output=True, text=True, timeout=240, env=env,
+        cwd="/root/repo",
     )
+    assert res.returncode == 0, res.stderr[-800:]
     import duckdb
 
-    n = duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{outdir}/*.parquet')").fetchone()[0]
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{outdir}/*.parquet')"
+    ).fetchone()[0]
     assert n == 1

@@ -217,3 +217,57 @@ def test_hash60_three_implementations_agree(spark, duck):
             "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
         ).fetchone()[0]
         assert duck_val == want, f"duckdb != python for {s!r}"
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @given(
+        st.lists(
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            min_size=1,
+            max_size=300,
+        )
+    )
+    @settings(
+        max_examples=3,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_quant_parity_on_arbitrary_doubles(spark, tmp_path_factory, vals):
+        """Property extension of the deterministic battery: quant must
+        be bit-identical across engines for ARBITRARY finite doubles —
+        subnormals, huge magnitudes (passthrough branch), negative
+        zeros, whatever hypothesis finds. Each example ships as one
+        parquet batch (one Spark job), not one job per value."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = str(
+            tmp_path_factory.mktemp("hyp") / "vals.parquet"
+        )
+        pq.write_table(
+            pa.table({"x": pa.array(vals, type=pa.float64())}), path
+        )
+        sdf = spark.read.parquet(path).select(quant("x", 4).alias("q"))
+        got = sorted(repr(r["q"]) for r in sdf.collect())
+        con = duckdb.connect()
+        try:
+            want = sorted(
+                repr(q)
+                for (q,) in con.sql(
+                    f"SELECT {quant_sql('x', 4)} AS q "
+                    f"FROM read_parquet('{path}')"
+                ).fetchall()
+            )
+        finally:
+            con.close()
+        assert got == want

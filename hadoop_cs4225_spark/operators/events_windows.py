@@ -593,9 +593,12 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The (ts, event_id) ordering is a total order, so the lead() pairing
     is deterministic. Plan: ONE user-keyed window exchange builds the
-    sequence pairs, then a |types|^2-group partial-agg shuffle and a
-    broadcast-size row-total join. Per-user window frames hold one
-    lookahead row — no per-user materialization.
+    sequence pairs, then a |types|^2-group partial-agg shuffle; the
+    per-state normalizer is a window over that tiny aggregated frame —
+    the corpus-scale subtree executes exactly once (a row-total join
+    would plan the pairs aggregation twice and lean on ReuseExchange).
+    Per-user window frames hold one lookahead row — no per-user
+    materialization.
     """
     ev = load_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -604,14 +607,13 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("nxt"),
     ).where(F.col("nxt").isNotNull())
     pairs = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
-    tot = pairs.groupBy("cur").agg(F.sum("n").alias("row_n"))
+    row_n = F.sum("n").over(Window.partitionBy("cur"))
     return (
-        pairs.join(tot, "cur")
-        .select(
+        pairs.select(
             "cur",
             "nxt",
             F.col("n").cast("bigint").alias("n"),
-            quant(F.col("n").cast("double") / F.col("row_n"), 6).alias("prob"),
+            quant(F.col("n").cast("double") / row_n, 6).alias("prob"),
         )
         .orderBy("cur", "nxt")
     )

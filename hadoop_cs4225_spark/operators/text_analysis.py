@@ -764,10 +764,15 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     TF-IDF.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # dw feeds BOTH the vocabulary reduce and the final join: it is the
+    # posting list (post-aggregation, smaller than its input), so it
+    # materializes once rather than re-running the corpus explode per
+    # consumer — the shingle_idf postings discipline.
     dw = (
         docs.select("doc_id", F.explode(_toks()).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     vocab = dw.groupBy("word").agg(
         F.sum(F.col("c").cast("double")).alias("cw")
@@ -816,23 +821,27 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides (the ann_recall_audit discipline: the audit can't drift from
     what it audits). Plan: the per-doc scoring is map-only; the matrix
     is one (actual, predicted) partial-agg shuffle over at most
-    |langs|^2 groups plus a window-free broadcast-size join for the
-    per-actual totals.
+    |langs|^2 groups; per-actual totals come from a window over that
+    tiny aggregated frame — one corpus scan total, no self-join.
     """
+    from pyspark.sql import Window
+
     pred = lang_id_heuristic(spark, sf_dir).select("actual", "predicted")
     cells = pred.groupBy("actual", "predicted").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    tot = pred.groupBy("actual").agg(F.count(F.lit(1)).alias("n_actual"))
+    # per-actual totals via a window over the |langs|^2-row cells frame
+    # — never a second corpus scan or a self-join; the matrix is tiny,
+    # the corpus is not
+    n_actual = F.sum("n_docs").over(Window.partitionBy("actual"))
     return (
-        cells.join(tot, "actual")
-        .select(
+        cells.select(
             "actual",
             "predicted",
             "n_docs",
-            quant(
-                F.col("n_docs").cast("double") / F.col("n_actual"), 6
-            ).alias("frac_of_actual"),
+            quant(F.col("n_docs").cast("double") / n_actual, 6).alias(
+                "frac_of_actual"
+            ),
         )
         .orderBy("actual", "predicted")
     )
@@ -876,10 +885,13 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     one more reduce deep.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # sw feeds the corpus-count reduce AND the final join — post-agg
+    # frame, materialized once (same rationale as doc_unigram_logprob)
     sw = (
         docs.select("source", F.explode(_toks()).alias("word"))
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .localCheckpoint(eager=False)
     )
     cw = sw.groupBy("word").agg(F.sum("c").alias("cw"))
     tot = F.broadcast(cw.agg(F.sum("cw").alias("nc")))

@@ -97,6 +97,9 @@ SF_QUERIES = (
     "bucketed_segment_revenue",
     "order_trend_regression",
     "events_daily_ewma",  # bounded per-type fold on top of the daily rollup
+    "event_transition_matrix",
+    "star_constraint_audit",
+    "orders_cdc_apply",
 )
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 

@@ -496,3 +496,42 @@ def test_salted_join_default_salt_actually_scatters(spark):
         .collect()
     )
     assert all(r["n_salts"] > 1 for r in salts_per_key), salts_per_key
+
+
+def test_dup_ngram_coverage_uses_join_not_window(spark):
+    """The shared-shingle count must be a groupBy+join, never a
+    count-over-window partitioned by shingle: AQE can split a skewed
+    JOIN partition, but a hot boilerplate shingle in a window partition
+    buffers every occurrence in one task with no mitigation."""
+    assert (
+        _partitionless_windows(_df(spark, "duplicate_ngram_coverage")) == 0
+    )
+    jplan = _df(spark, "duplicate_ngram_coverage")._jdf.queryExecution().optimizedPlan()
+    stack, n_windows = [jplan], 0
+    while stack:
+        node = stack.pop()
+        n_windows += node.nodeName() == "Window"
+        for i in range(node.children().length()):
+            stack.append(node.children().apply(i))
+    assert n_windows == 0, "shingle counting regressed to a window"
+
+
+def _count_scans(df, token: str = "Relation") -> int:
+    jplan = df._jdf.queryExecution().optimizedPlan()
+    stack, n = [jplan], 0
+    while stack:
+        node = stack.pop()
+        n += node.nodeName() in ("LogicalRelation", "Relation")
+        for i in range(node.children().length()):
+            stack.append(node.children().apply(i))
+    return n
+
+
+def test_normalizer_queries_scan_their_table_once(spark):
+    """The round-6 single-subtree rewrites are plan contracts: per-group
+    normalizers come from windows over tiny AGGREGATED frames, so the
+    corpus/fact table appears exactly once in the optimized plan —
+    a totals self-join would double it and lean on ReuseExchange."""
+    for name in ("lang_confusion_matrix", "event_transition_matrix"):
+        n = _count_scans(_df(spark, name))
+        assert n == 1, f"{name}: expected 1 table scan in plan, got {n}"

@@ -617,3 +617,60 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cur", "nxt")
     )
+
+
+@register(
+    "events_user_recency_churn",
+    oracle="""
+WITH bounds AS (SELECT MAX(ts) AS now_ts FROM events),
+per_user AS (
+  SELECT user_id,
+         COUNT(*) AS n_events,
+         MAX(ts) AS last_ts
+  FROM events GROUP BY user_id
+)
+SELECT CAST(datediff('day', CAST(last_ts AS DATE), CAST(now_ts AS DATE))
+            AS BIGINT) AS days_inactive,
+       COUNT(*) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN datediff('day', CAST(last_ts AS DATE),
+                                   CAST(now_ts AS DATE)) > 30
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_churn_risk
+FROM per_user CROSS JOIN bounds
+GROUP BY days_inactive
+ORDER BY days_inactive
+""",
+)
+def events_user_recency_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency histogram: users bucketed by days since their last event
+    (relative to the corpus's max timestamp — deterministic, no wall
+    clock), with the >30-day churn-risk count per bucket — the
+    re-engagement targeting input every activity pipeline maintains.
+
+    Plan: one map-side-combined per-user reduce (count + max ts), a
+    broadcast 1-row corpus-max join, then a day-keyed reduce over
+    |users| rows. Nothing scans events twice: the 1-row bound is an
+    aggregate of the per-user maxima, not a separate pass.
+    """
+    ev = load_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("last_ts"),
+    ).localCheckpoint(eager=False)
+    bounds = F.broadcast(per_user.agg(F.max("last_ts").alias("now_ts")))
+    days = F.datediff(
+        F.col("now_ts").cast("date"), F.col("last_ts").cast("date")
+    ).cast("long")
+    return (
+        per_user.crossJoin(bounds)
+        .select(days.alias("days_inactive"), "n_events")
+        .groupBy("days_inactive")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum((F.col("days_inactive") > 30).cast("long"))
+            .cast("bigint")
+            .alias("n_churn_risk"),
+        )
+        .orderBy("days_inactive")
+    )

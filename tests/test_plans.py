@@ -140,6 +140,7 @@ _BOUNDED_ALLPAIRS = {
     "doc_unigram_logprob",  # broadcast 1-row corpus-total cross join
     "dedup_cluster_size_histogram",  # broadcast 1-row corpus-total cross joins
     "source_kl_divergence",  # broadcast 1-row corpus-total cross join
+    "events_user_recency_churn",  # broadcast 1-row corpus-max cross join
 }
 
 

@@ -104,16 +104,20 @@ def load_all() -> None:
 #: documented pandas-UDF twins) and one query was red
 #: (``topk_users_approx`` — driver canonicalizer choked on its old
 #: array<struct> output; now flattened, see sketches.py). Those 16
-#: lead this window, so after round 6 EVERY registered query has a
-#: driver CORRECTNESS row and the union is red-free. The remaining 34
-#: slots re-anchor drift detection on rounds-1-4 greens, prioritized
-#: by float/ulp sensitivity (the verdict-named six: dedup_clusters,
+#: lead this window. MID-ROUND WIDENING: 18 more queries were
+#: registered later in round 6 after that set froze (the Python
+#: data-source family, CDC apply, winnowing fingerprints, etc.);
+#: since the driver's round-6 correctness run had not yet happened,
+#: they take the next 18 slots so after round 6 EVERY registered
+#: query has a driver CORRECTNESS row and the union is red-free. The
+#: remaining 16 slots re-anchor drift detection, prioritized by
+#: float/ulp sensitivity (the verdict-named six: dedup_clusters,
 #: pagerank, shingle-idf, gram-topeig, q1, decimal_exact), the three
 #: streaming batch twins (verdict task 6), the reference goldens, and
-#: the oldest (round-1) checks. Three in-window queries are rows-only
-#: by design (approx_top_k tie order / numpy-reassociated pandas
-#: twins); each carries a pytest accuracy or JVM-equivalence pin.
-#: Everything rotated out stays verified by the local oracle replica
+#: two round-1 shapes. Three in-window queries are rows-only by
+#: design (approx_top_k tie order / numpy-reassociated pandas twins);
+#: each carries a pytest accuracy or JVM-equivalence pin. Everything
+#: rotated out stays verified by the local oracle replica
 #: (tests/test_oracle_parity.py, all oracles every pytest run) plus
 #: the sf0.01/sf0.1 scale pins.
 _PRIORITY = (
@@ -134,6 +138,25 @@ _PRIORITY = (
     "cosine_topk_pandas",           # pandas-UDF twin (rows-only; JVM-pinned)
     "label_centroid_stats",         # grouped-map twin (rows-only; numpy-pinned)
     "topk_users_approx",            # r5 red row, output flattened (rows-only)
+    # --- late-round-6 additions, never driver-checked ---
+    "ann_rerank_topk",              # coarse-filter + exact rerank ANN
+    "dedup_cluster_size_histogram", # cluster-size distribution audit
+    "doc_unigram_logprob",          # per-doc unigram LM logprob
+    "doc_winnowing_fingerprints",   # winnowing fingerprint selection
+    "duplicate_ngram_coverage",     # dup-ngram share per doc (join form)
+    "event_transition_matrix",      # first-order type transitions
+    "events_daily_ewma",            # recursive EWMA over daily counts
+    "lang_confusion_matrix",        # lang-ID vs label confusion
+    "order_trend_regression",       # per-segment OLS slope
+    "order_window_rank_suite",      # rank/dense_rank/percent_rank suite
+    "pyds_scan_rollup",             # custom Python data source scan
+    "quality_filter_funnel",        # quality-gate survival funnel
+    "shingle_containment_pairs",    # asymmetric containment pairs
+    "source_kl_divergence",         # per-source KL vs corpus LM
+    "user_event_map_algebra",       # map_zip/map_filter algebra
+    "star_constraint_audit",        # star-schema data-contract audit
+    "orders_cdc_apply",             # CDC changelog apply w/ tombstones
+    "events_user_recency_churn",    # recency histogram + churn risk
     # --- re-anchors: verdict-named float-heavy greens ---
     "dedup_clusters",
     "pagerank_trade_network",
@@ -150,29 +173,10 @@ _PRIORITY = (
     "topk_common_words_max",
     "topk_common_words_min",
     "topk_words_per_lang",
-    # --- re-anchors: round-1 TPC-H shapes (oldest checks) ---
+    # --- re-anchors: round-1 TPC-H + skew shapes (oldest checks) ---
     "q4_order_priority",
-    "q5_local_supplier_volume",
     "q6_revenue_forecast",
-    "q18_large_volume_orders",
-    # --- re-anchors: round-1/2/3 float- and window-heavy shapes ---
     "skew_salted_agg",
-    "order_quartiles",
-    "ngram_jaccard_topk",
-    "cosine_topk_brute",
-    "ann_lsh_multiprobe_topk",
-    "weighted_minhash_signatures",
-    "events_range_join",
-    "sequence_pack_bins",
-    "tfidf_top_terms",
-    "event_type_prop_stats",
-    "string_edit_distance",
-    "conditional_expr_coverage",
-    "customer_running_spend",
-    "order_neighbors",
-    "region_nation_rollup",
-    "status_priority_cube",
-    "returnflag_qty_pivot",
 )
 
 

@@ -674,3 +674,154 @@ def events_user_recency_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("days_inactive")
     )
+
+
+#: Coarse-bucket shift for the Gini rank computation: per-user counts
+#: are bucketed by ``v >> 20``, so the in-bucket cumulative window sees
+#: at most 2^20 distinct count values and the bucket-level cumulative
+#: sees ``max_count >> 20`` rows (< 2^20 for any per-user count below
+#: a trillion) — both bounded by construction, never by the number of
+#: users.
+_GINI_SHIFT = 20
+
+
+@register(
+    "user_activity_gini",
+    oracle=f"""
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS v FROM events GROUP BY user_id
+), hist AS (
+  SELECT v, COUNT(*) AS m FROM counts GROUP BY v
+), cum AS (
+  SELECT v, m,
+         COALESCE(SUM(m) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM hist
+)
+SELECT CAST(SUM(m) AS BIGINT) AS n_users,
+       CAST(SUM(v * m) AS BIGINT) AS n_events,
+       {quant_sql(
+           "CAST(SUM(v * (2 * m * s + m * (m + 1))) AS DOUBLE)"
+           " / (CAST(SUM(m) AS DOUBLE) * CAST(SUM(v * m) AS DOUBLE))"
+           " - (CAST(SUM(m) AS DOUBLE) + 1.0) / CAST(SUM(m) AS DOUBLE)",
+           6,
+       )} AS gini
+FROM cum
+""",
+)
+def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event counts — the one-number skew
+    diagnostic (0 = uniform load, →1 = one user owns the traffic) that
+    complements ``events_hot_key_profile``'s per-key top-5: the profile
+    names the hot keys, the Gini says whether the TAIL is skewed too,
+    which decides between targeted salting and a global re-key.
+
+    Gini needs every user's global rank by count — the textbook form is
+    a partition-less ``row_number`` over all users, a guaranteed
+    single-task straggler. Counts are INTEGERS, so ranks collapse onto
+    the count-value histogram: users sharing count v occupy a
+    contiguous rank block starting after ``s_v`` (users with smaller
+    counts), and the rank-weighted sum is
+
+        2*sum_i rank_i*x_i  =  sum_v v * (2*m_v*s_v + m_v*(m_v+1))
+
+    — exact, and integer until the final division. The cumulative
+    ``s_v`` itself is two-level (the `curriculum_phase_bins`
+    discipline): an in-bucket window partitioned by ``v >> {_GINI_SHIFT}``
+    plus a bucket-level cumulative over the ≤2^{20}-row bucket-total
+    frame, so no window ever scales with the user count. One
+    map-side-combined shuffle over events, one over |users| rows;
+    everything after is histogram-sized.
+    """
+    ev = load_events(spark, sf_dir)
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("v"))
+    hist = (
+        counts.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .withColumn("c", F.shiftright(F.col("v"), _GINI_SHIFT))
+        .localCheckpoint(eager=False)  # 2 consumers; |distinct counts| rows
+    )
+    w_in = (
+        Window.partitionBy("c")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_tot = hist.groupBy("c").agg(F.sum("m").alias("mc"))
+    w_b = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_cum = bucket_tot.withColumn(
+        "sb", F.coalesce(F.sum("mc").over(w_b), F.lit(0))
+    )
+    ranked = (
+        hist.withColumn("sin", F.coalesce(F.sum("m").over(w_in), F.lit(0)))
+        .join(F.broadcast(bucket_cum.select("c", "sb")), "c")
+        .withColumn("s", F.col("sb") + F.col("sin"))
+    )
+    m, v, s = F.col("m"), F.col("v"), F.col("s")
+    n = F.sum(m).cast("double")
+    total = F.sum(v * m).cast("double")
+    rank2 = F.sum(v * (2 * m * s + m * (m + 1))).cast("double")
+    return ranked.agg(
+        F.sum(m).cast("bigint").alias("n_users"),
+        F.sum(v * m).cast("bigint").alias("n_events"),
+        quant(rank2 / (n * total) - (n + 1.0) / n, 6).alias("gini"),
+    )
+
+
+@register(
+    "events_minute_peak",
+    oracle=f"""
+WITH per_min AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 minute', ts) AS minute,
+         COUNT(*) AS n
+  FROM events GROUP BY event_type, minute
+)
+SELECT event_type,
+       COUNT(*) AS n_minutes,
+       CAST(MAX(n) AS BIGINT) AS peak_minute_events,
+       {quant_sql("CAST(SUM(n) AS DOUBLE) / COUNT(*)", 4)}
+         AS avg_minute_events,
+       {quant_sql(
+           "CAST(MAX(n) AS DOUBLE) * COUNT(*) / CAST(SUM(n) AS DOUBLE)", 4
+       )} AS peak_to_avg
+FROM per_min
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_minute_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness per event type: the hottest minute's event count
+    against the average observed minute — the capacity-planning number
+    (provision for peak_to_avg x the mean rate) and the flag that
+    separates steady telemetry from spiky user-driven types.
+
+    Plan: two stacked map-side-combined aggregates — (type, minute)
+    then (type) — with max/avg computed on the minute-count frame, so
+    the peak never needs a window or a sort. At 100 TB the first
+    shuffle's key space is |types| x |minutes in retention|, bounded by
+    the calendar, not the event count; the second is |types| rows.
+    ``peak_to_avg`` is stated as max*n/sum (integers until one final
+    division) so both engines divide bit-identical operands.
+    """
+    ev = load_events(spark, sf_dir)
+    per_min = (
+        ev.groupBy("event_type", F.date_trunc("minute", "ts").alias("minute"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_min.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_minutes"),
+            F.max("n").cast("bigint").alias("peak_minute_events"),
+            quant(
+                F.sum("n").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_minute_events"),
+            quant(
+                F.max("n").cast("double")
+                * F.count(F.lit(1))
+                / F.sum("n").cast("double"),
+                4,
+            ).alias("peak_to_avg"),
+        )
+        .orderBy("event_type")
+    )

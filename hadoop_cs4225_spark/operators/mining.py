@@ -1,0 +1,294 @@
+"""Pattern-mining / customer-analytics operators: RFM segmentation,
+market-basket brand affinity, top event paths.
+
+These are the classic "analytics on top of the warehouse" shapes a
+reference user runs downstream of the relational core — each expressed
+as one declarative plan (no iterative driver loops), with the same
+cross-engine determinism discipline as the rest of the registry:
+integer arithmetic until a final quantized division, thresholds
+quantized BEFORE comparisons, and total orders on every window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_cs4225_spark.functions.numeric import quant, quant_sql
+from hadoop_cs4225_spark.registry import register
+from hadoop_cs4225_spark.sources.tables import load_events, load_table
+
+#: Tercile split points for the RFM scores.
+_RFM_Q1, _RFM_Q2 = 1.0 / 3.0, 2.0 / 3.0
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS freq,
+         ROUND(SUM(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+), bounds AS (
+  SELECT MAX(last_order) AS now_d FROM per_cust
+), rfm AS (
+  SELECT o_custkey,
+         CAST(datediff('day', CAST(last_order AS DATE), CAST(now_d AS DATE))
+              AS BIGINT) AS recency,
+         freq, monetary
+  FROM per_cust CROSS JOIN bounds
+), thr AS (
+  SELECT {quant_sql(f"quantile_cont(recency, {_RFM_Q1})", 6)} AS r1,
+         {quant_sql(f"quantile_cont(recency, {_RFM_Q2})", 6)} AS r2,
+         {quant_sql(f"quantile_cont(freq, {_RFM_Q1})", 6)} AS f1,
+         {quant_sql(f"quantile_cont(freq, {_RFM_Q2})", 6)} AS f2,
+         {quant_sql(f"quantile_cont(monetary, {_RFM_Q1})", 6)} AS m1,
+         {quant_sql(f"quantile_cont(monetary, {_RFM_Q2})", 6)} AS m2
+  FROM rfm
+), scored AS (
+  SELECT CASE WHEN recency <= r1 THEN 3 WHEN recency <= r2 THEN 2 ELSE 1 END
+           AS r_score,
+         CASE WHEN freq >= f2 THEN 3 WHEN freq >= f1 THEN 2 ELSE 1 END
+           AS f_score,
+         CASE WHEN monetary >= m2 THEN 3 WHEN monetary >= m1 THEN 2 ELSE 1 END
+           AS m_score,
+         monetary
+  FROM rfm CROSS JOIN thr
+)
+SELECT r_score, f_score, m_score,
+       COUNT(*) AS n_customers,
+       {quant_sql("ROUND(SUM(monetary), 2) / COUNT(*)", 4)} AS avg_monetary
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — every customer scored 1-3 on Recency (days
+    since last order, vs the corpus max date — deterministic, no wall
+    clock), Frequency (order count) and Monetary (total spend) by
+    exact tercile thresholds, rolled up to the 27-cell segment grid
+    (3-3-3 = champions, 1-1-1 = lost, etc.).
+
+    Plan: one per-customer reduce (max date / count / rounded sum),
+    localCheckpointed because it feeds three consumers (the corpus-max
+    bound, the tercile thresholds, and the scoring pass) — never three
+    scans of orders. Bounds and thresholds are 1-row broadcast cross
+    joins (the q11/q22 bounded-scalar shape); thresholds are QUANTIZED
+    before the comparisons so both engines put boundary customers in
+    the same bucket. At 100 TB swap `percentile` for approx_percentile
+    and keep the shape.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    bounds = F.broadcast(per_cust.agg(F.max("last_order").alias("now_d")))
+    rfm = per_cust.crossJoin(bounds).select(
+        F.datediff(F.col("now_d").cast("date"), F.col("last_order").cast("date"))
+        .cast("long")
+        .alias("recency"),
+        "freq",
+        "monetary",
+    )
+    # rfm is derived map-side from the checkpointed per_cust, so its two
+    # consumers (thresholds + scoring) re-read the checkpoint, not orders.
+    thr = F.broadcast(
+        rfm.agg(
+            quant(F.expr(f"percentile(recency, {_RFM_Q1}d)"), 6).alias("r1"),
+            quant(F.expr(f"percentile(recency, {_RFM_Q2}d)"), 6).alias("r2"),
+            quant(F.expr(f"percentile(freq, {_RFM_Q1}d)"), 6).alias("f1"),
+            quant(F.expr(f"percentile(freq, {_RFM_Q2}d)"), 6).alias("f2"),
+            quant(F.expr(f"percentile(monetary, {_RFM_Q1}d)"), 6).alias("m1"),
+            quant(F.expr(f"percentile(monetary, {_RFM_Q2}d)"), 6).alias("m2"),
+        )
+    )
+    scored = rfm.crossJoin(thr).select(
+        F.when(F.col("recency") <= F.col("r1"), 3)
+        .when(F.col("recency") <= F.col("r2"), 2)
+        .otherwise(1)
+        .alias("r_score"),
+        F.when(F.col("freq") >= F.col("f2"), 3)
+        .when(F.col("freq") >= F.col("f1"), 2)
+        .otherwise(1)
+        .alias("f_score"),
+        F.when(F.col("monetary") >= F.col("m2"), 3)
+        .when(F.col("monetary") >= F.col("m1"), 2)
+        .otherwise(1)
+        .alias("m_score"),
+        "monetary",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            quant(
+                F.round(F.sum("monetary"), 2) / F.count(F.lit(1)), 4
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+#: Number of brand pairs reported by the affinity query.
+_AFFINITY_TOPK = 20
+
+
+@register(
+    "part_brand_affinity",
+    oracle=f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), n_orders AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n FROM ob
+), brand_n AS (
+  SELECT p_brand, COUNT(*) AS n_b FROM ob GROUP BY p_brand
+), pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_co
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+)
+SELECT brand_a, brand_b, n_co,
+       {quant_sql(
+           "CAST(n_co AS DOUBLE) * n.n / (CAST(na.n_b AS DOUBLE) * nb.n_b)", 4
+       )} AS lift
+FROM pairs
+JOIN brand_n na ON na.p_brand = brand_a
+JOIN brand_n nb ON nb.p_brand = brand_b
+CROSS JOIN n_orders n
+ORDER BY n_co DESC, brand_a, brand_b
+LIMIT {_AFFINITY_TOPK}
+""",
+)
+def part_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the {_AFFINITY_TOPK} most co-ordered
+    brand pairs with their lift (co-occurrence odds vs independence) —
+    the association-rule primitive behind "bought together".
+
+    Plan: dedup to (order, brand) — the per-order basket, at most a
+    handful of brands per order — then a SELF-EQUI-JOIN on the order
+    key with `brand_a < brand_b`: per-order fanout is C(#brands, 2) of
+    a ~7-item order, BOUNDED per key, never an all-pairs over brands
+    or orders. Brand marginals are a 25-row broadcast; the order count
+    a 1-row broadcast. Lift is integers until one final quantized
+    division. At 100 TB the only big shuffles are the basket dedup and
+    the pair count — both map-side combined, both keyed on (order) or
+    (brand, brand) with 625 possible keys.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .localCheckpoint(eager=False)  # 3 consumers: count, marginals, pairs
+    )
+    n_orders = F.broadcast(
+        ob.select("l_orderkey").distinct().agg(F.count(F.lit(1)).alias("n"))
+    )
+    brand_n = F.broadcast(
+        ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    na = brand_n.select(
+        F.col("p_brand").alias("brand_a"), F.col("n_b").alias("na")
+    )
+    nb = brand_n.select(
+        F.col("p_brand").alias("brand_b"), F.col("n_b").alias("nb")
+    )
+    return (
+        pairs.join(na, "brand_a")
+        .join(nb, "brand_b")
+        .crossJoin(n_orders)
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_co",
+            quant(
+                F.col("n_co").cast("double")
+                * F.col("n")
+                / (F.col("na").cast("double") * F.col("nb")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_co"), "brand_a", "brand_b")
+        .limit(_AFFINITY_TOPK)
+    )
+
+
+#: Number of 3-step paths reported.
+_PATH_TOPK = 10
+
+
+@register(
+    "events_user_path_topk",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || t2 || '>' || t3 AS path,
+       COUNT(*) AS n
+FROM seq
+WHERE t3 IS NOT NULL
+GROUP BY path
+ORDER BY n DESC, path
+LIMIT {_PATH_TOPK}
+""",
+)
+def events_user_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top {_PATH_TOPK} three-step event-type paths across all user
+    sessions — the sequence-mining upgrade of
+    `event_transition_matrix`'s bigrams: which FUNNELS actually occur,
+    not just which single hops.
+
+    Plan: one window shuffle partitioned by user (each partition is one
+    user's history — the natural bounded key), two LEADs over the
+    (ts, event_id) TOTAL order, then a map-side-combined path count
+    and a distributed top-k (TakeOrderedAndProject — never a global
+    sort). Ties broken by path text so the cut is deterministic in
+    both engines.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        seq.where(F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(_PATH_TOPK)
+    )

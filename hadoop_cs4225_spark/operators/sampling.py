@@ -15,8 +15,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from hadoop_cs4225_spark.functions.hashing import hash60, hash60_sql
+from hadoop_cs4225_spark.functions.hashing import (
+    hash60,
+    hash60_seeded,
+    hash60_seeded_sql,
+    hash60_sql,
+)
 from hadoop_cs4225_spark.functions.numeric import quant, quant_sql
 from hadoop_cs4225_spark.registry import register
 from hadoop_cs4225_spark.sources.tables import load_table
@@ -321,4 +327,145 @@ def epoch_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
         .orderBy("epoch", "shard")
+    )
+
+
+#: Per-source document cap (domain capping): keep at most this many
+#: docs per source, chosen by deterministic hash rank. 18 so the cap
+#: BINDS at every test SF (25 docs/source at sf0.001/0.01, 250 at
+#: sf0.1) — a cap the data never reaches would leave the boundary
+#: ranking and drop accounting unexercised by the driver.
+DOC_CAP_K = 18
+#: Seed decorrelating the cap's hash order from documents_hash_sample's
+#: membership hash (an unseeded hash60(doc_id) would make the capped
+#: set correlate with the 10% sample).
+_CAP_SEED = 7
+#: Range-bucket shift: hash60 values are < 2^60; ``h >> 50`` yields
+#: 1024 ORDERED range buckets per source, so bucket-level cumulative
+#: counts locate the K-th smallest hash without ranking the full
+#: source.
+_CAP_SHIFT = 50
+
+
+@register(
+    "per_source_doc_cap",
+    oracle=f"""
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {hash60_seeded_sql("CAST(doc_id AS VARCHAR)", _CAP_SEED)},
+                    doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rk <= {DOC_CAP_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN rk <= {DOC_CAP_K} THEN n_chars ELSE 0 END) AS BIGINT)
+         AS kept_chars,
+       CAST(CASE WHEN COUNT(*) > {DOC_CAP_K} THEN 1 ELSE 0 END AS INT)
+         AS cap_binds
+FROM ranked
+GROUP BY source
+ORDER BY source
+""",
+)
+def per_source_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping — keep at most ``DOC_CAP_K`` docs per source by
+    deterministic hash rank (the standard move against a single crawl
+    domain dominating the training mixture; reproducible because the
+    rank order is ``hash60_seeded(doc_id)``, never ingestion order).
+
+    The naive plan is ``row_number() OVER (PARTITION BY source ORDER BY
+    hash)`` — one task per source buffering EVERY doc of that source,
+    the exact straggler class the registry-wide partition-less-window
+    test exists to keep out (a hot domain at 100 TB is billions of
+    rows). Instead the K-th smallest hash is located with bucket
+    arithmetic, the `curriculum_phase_bins` discipline:
+
+    1. one map-side-combined aggregate over (source, h>>{_CAP_SHIFT})
+       — 1024 ORDERED range buckets per source — carrying count and
+       char-sum per bucket;
+    2. a cumulative window over that ≤1024-rows-per-source frame
+       (bounded by construction) classifies each bucket: entirely
+       below the cap (kept whole — its aggregate is already in hand),
+       entirely above (dropped, never re-read), or THE boundary bucket
+       (at most one per source);
+    3. only boundary-bucket rows — an expected 1/1024 of each source —
+       are re-read (hash-pruned semi-join) and ranked by an in-bucket
+       window, bounded by the bucket, not the source.
+
+    The fact table is scanned twice (bucket histogram + boundary
+    slice) and sorted never; no union of per-doc branches, no reliance
+    on ReuseExchange. The oracle states the same kept-set via the
+    plain ROW_NUMBER formulation — the two agree because bucket order
+    refines hash order and ties are broken by doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash60_seeded(F.col("doc_id").cast("string"), _CAP_SEED)
+    base = docs.select(
+        "source",
+        "n_chars",
+        "doc_id",
+        h.alias("h"),
+        F.shiftright(h, _CAP_SHIFT).alias("b"),
+    )
+    hist = (
+        base.groupBy("source", "b")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum("n_chars").alias("sc"),
+        )
+        .localCheckpoint(eager=False)  # 3 consumers; ≤1024 rows/source
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = hist.withColumn("before", F.coalesce(F.sum("nb").over(w_cum), F.lit(0)))
+    k = F.lit(DOC_CAP_K)
+    totals = hist.groupBy("source").agg(
+        F.sum("nb").cast("bigint").alias("n_docs")
+    )
+    keep_whole = (
+        hist.where(F.col("before") + F.col("nb") <= k)
+        .groupBy("source")
+        .agg(
+            F.sum("nb").alias("kept"),
+            F.sum("sc").alias("chars"),
+        )
+    )
+    boundary = hist.where((F.col("before") < k) & (F.col("before") + F.col("nb") > k))
+    w_in = Window.partitionBy("source", "b").orderBy("h", "doc_id")
+    boundary_kept = (
+        base.join(F.broadcast(boundary.select("source", "b", "before")), ["source", "b"])
+        .withColumn("rk", F.row_number().over(w_in))
+        .where(F.col("before") + F.col("rk") <= k)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
+    kept = (
+        keep_whole.unionByName(boundary_kept)
+        .groupBy("source")
+        .agg(
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            F.sum("chars").cast("bigint").alias("kept_chars"),
+        )
+    )
+    return (
+        totals.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("kept_chars", F.lit(0)).cast("bigint").alias("kept_chars"),
+            (F.col("n_docs") > k).cast("int").alias("cap_binds"),
+        )
+        .orderBy("source")
     )

@@ -1008,3 +1008,128 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: Power-law tail threshold (chars): docs at least this long are "in
+#: the tail" for the Hill estimator. Below every test SF's median so
+#: the tail is well-populated at sf0.001 through sf0.1.
+_POWERLAW_XMIN = 100
+
+
+@register(
+    "source_length_powerlaw",
+    oracle=f"""
+WITH tail AS (
+  SELECT source, n_chars FROM documents WHERE n_chars >= {_POWERLAW_XMIN}
+), fit AS (
+  SELECT source,
+         COUNT(*) AS n_tail,
+         SUM(LN(CAST(n_chars AS DOUBLE) / {_POWERLAW_XMIN}.0)) AS s_ln
+  FROM tail GROUP BY source
+), tot AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+)
+SELECT t.source,
+       t.n_docs,
+       f.n_tail,
+       {quant_sql("1.0 + CAST(f.n_tail AS DOUBLE) / f.s_ln", 4)} AS alpha_hill
+FROM tot t JOIN fit f ON t.source = f.source
+ORDER BY t.source
+""",
+)
+def source_length_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source heavy-tail fit of the document-length distribution:
+    the Hill estimator alpha = 1 + n / sum(ln(x/xmin)) over docs with
+    n_chars >= {xmin}. Low alpha (~2) means a genuinely heavy tail —
+    a few huge documents dominating the source's byte count, which is
+    what decides chunking policy and flags crawl pathologies (one
+    giant concatenated page inflating a domain).
+
+    Plan: a pushed-down tail filter, then ONE map-side-combined
+    aggregate per source carrying (count, sum of ln ratios) — the
+    estimator is a one-pass moment, never a sort or quantile. The
+    total-docs branch aggregates the same scan's other rows; both
+    reduce to |sources| rows before the tiny join. ln() of identical
+    doubles is engine-stable and the 4-dp quantizer absorbs
+    summation-order ulps (the `doc_unigram_entropy` discipline).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    fit = (
+        docs.where(F.col("n_chars") >= _POWERLAW_XMIN)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tail"),
+            F.sum(
+                F.log(F.col("n_chars").cast("double") / float(_POWERLAW_XMIN))
+            ).alias("s_ln"),
+        )
+    )
+    tot = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tot.join(fit, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tail",
+            quant(
+                1.0 + F.col("n_tail").cast("double") / F.col("s_ln"), 4
+            ).alias("alpha_hill"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "source_vocab_heaps",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS_SQL}) AS word FROM documents
+), cnt AS (
+  SELECT source, word, COUNT(*) AS c FROM tok GROUP BY source, word
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS vocab,
+       {quant_sql(
+           "LN(CAST(COUNT(*) AS DOUBLE)) / LN(CAST(SUM(c) AS DOUBLE))", 4
+       )} AS heaps_beta
+FROM cnt
+GROUP BY source
+ORDER BY source
+""",
+)
+def source_vocab_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary growth: total tokens N, distinct tokens V,
+    and the Heaps'-law exponent beta = ln(V)/ln(N) (V ~ N^beta).
+    Natural text sits near beta ~ 0.5; beta near 1 means the source
+    keeps minting new types (IDs, hashes, boilerplate noise — a
+    tokenizer-budget and dedup-signal red flag), beta near 0 means a
+    tiny closed vocabulary (templated spam).
+
+    Plan: explode -> ONE (source, word) map-side-combined count, then
+    a per-source reduce over the count frame — V is COUNT(*) and N is
+    SUM(c) of the SAME aggregate, so the corpus is scanned once and
+    distinct-counting never needs a second shuffle. The (source, word)
+    key is the natural shuffle key at 100 TB: vocab per source is
+    sublinear in corpus size (that is Heaps' law), so the intermediate
+    SHRINKS as it flows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("source", F.explode(_toks()).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        cnt.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            quant(
+                F.log(F.count(F.lit(1)).cast("double"))
+                / F.log(F.sum("c").cast("double")),
+                4,
+            ).alias("heaps_beta"),
+        )
+        .orderBy("source")
+    )

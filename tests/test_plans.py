@@ -141,6 +141,8 @@ _BOUNDED_ALLPAIRS = {
     "dedup_cluster_size_histogram",  # broadcast 1-row corpus-total cross joins
     "source_kl_divergence",  # broadcast 1-row corpus-total cross join
     "events_user_recency_churn",  # broadcast 1-row corpus-max cross join
+    "customer_rfm_segments",  # broadcast 1-row bound + tercile-threshold cross joins
+    "part_brand_affinity",  # broadcast 1-row order-count cross join
 }
 
 
@@ -178,6 +180,10 @@ _BOUNDED_GLOBAL_WINDOW = {
     # cumulative offsets over the per-quality-value count aggregate:
     # ≤ 1e6+1 rows (6-dp quantized score) whatever the corpus size
     "curriculum_phase_bins",
+    # bucket-level cumulative over the (count >> 20) bucket-total frame:
+    # ≤ max_per_user_count/2^20 rows (< 2^20 below a trillion events per
+    # user) whatever the user count; the per-value window is partitioned
+    "user_activity_gini",
 }
 
 

@@ -65,6 +65,9 @@ DOC_QUERIES = (
     "doc_winnowing_fingerprints",  # O(n*w) per-row window minima, map-only
     "source_kl_divergence",
     "lang_confusion_matrix",
+    "per_source_doc_cap",  # bucketed rank: boundary window must stay bounded
+    "source_length_powerlaw",
+    "source_vocab_heaps",
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i
@@ -100,6 +103,13 @@ SF_QUERIES = (
     "event_transition_matrix",
     "star_constraint_audit",
     "orders_cdc_apply",
+    "user_activity_gini",  # two-level cumulative: histogram-sized after 2 shuffles
+    "events_minute_peak",
+    "events_user_path_topk",
+    "events_user_recency_churn",
+    "customer_rfm_segments",
+    "part_brand_affinity",  # per-order pair fanout must stay bounded
+    "order_fill_gap_cogroup",  # cogroup Arrow path
 )
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 

@@ -1058,3 +1058,61 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@register(
+    "source_dup_cross_matrix",
+    oracle=f"""
+WITH {_lsh_pairs_cte()},
+src AS (SELECT doc_id, source FROM documents)
+SELECT LEAST(s1.source, s2.source) AS source_a,
+       GREATEST(s1.source, s2.source) AS source_b,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN s1.source = s2.source THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_within
+FROM verified v
+JOIN src s1 ON s1.doc_id = v.d1
+JOIN src s2 ON s2.doc_id = v.d2
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+""",
+)
+def source_dup_cross_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate ATTRIBUTION matrix: verified LSH pairs rolled up
+    by unordered source pair — which crawl domains copy from each
+    other, versus which duplicate internally. This is the view that
+    turns a dedup run into a data-sourcing decision (drop the mirror
+    site; keep one of the two newswire feeds), which the per-doc views
+    (`dedup_clusters`, `dedup_cluster_size_histogram`) can't show.
+
+    Plan: consumes the session-memoized verified pair frame (the LSH
+    pipeline runs ONCE however many dedup queries execute — see
+    ``_MATERIALIZED``), joins the two doc sides to their sources
+    (pair-set-sized shuffles, tiny after verification), normalizes the
+    pair with least/greatest so (a,b) and (b,a) land in one cell, and
+    reduces to at most |sources|^2/2 rows.
+
+    Reference parity: the closest reference shape is the two-file
+    intersection of TopkCommonWords (both-sources membership per key);
+    this is that idea lifted to near-dup pairs. Cited:
+    ``TopkCommonWords.java:100-140``.
+    """
+    pairs = _memo(spark, sf_dir, "lsh_pairs", lambda: _verified_pairs(spark, sf_dir))
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    s1 = src.select(F.col("doc_id").alias("d1"), F.col("source").alias("src1"))
+    s2 = src.select(F.col("doc_id").alias("d2"), F.col("source").alias("src2"))
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .groupBy(
+            F.least("src1", "src2").alias("source_a"),
+            F.greatest("src1", "src2").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum((F.col("src1") == F.col("src2")).cast("long"))
+            .cast("bigint")
+            .alias("n_within"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -825,3 +825,48 @@ def events_minute_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_weekly_seasonality",
+    oracle=f"""
+WITH per_dow AS (
+  SELECT event_type, isodow(ts) AS dow, COUNT(*) AS n
+  FROM events GROUP BY event_type, dow
+)
+SELECT event_type, dow, n,
+       {quant_sql(
+           "CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY event_type)", 6
+       )} AS share
+FROM per_dow
+ORDER BY event_type, dow
+""",
+)
+def events_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week profile per event type (ISO dow, Monday=1): the
+    weekly-cycle complement of `events_minute_peak`'s burst view —
+    weekday-flat telemetry vs weekend-heavy user types, the shape that
+    decides batch-window placement and staffing-curve capacity.
+
+    Plan: one map-side-combined (type, dow) aggregate — the key space
+    is |types| x 7 regardless of event count — then a share window
+    PARTITIONED by type over at most 7 rows. Spark's ``weekday()+1``
+    equals DuckDB's ``isodow`` (both Monday=1); Spark's ``dayofweek``
+    (Sunday=1) is deliberately avoided.
+    """
+    ev = load_events(spark, sf_dir)
+    per_dow = ev.groupBy(
+        "event_type", (F.weekday("ts") + 1).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    return (
+        per_dow.select(
+            "event_type",
+            "dow",
+            "n",
+            quant(F.col("n").cast("double") / F.sum("n").over(w), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("event_type", "dow")
+    )

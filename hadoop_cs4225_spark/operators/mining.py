@@ -292,3 +292,152 @@ def events_user_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(_PATH_TOPK)
     )
+
+
+#: Benford expected first-digit shares log10(1 + 1/d), precomputed in
+#: Python and injected as IDENTICAL literals into the Spark plan and
+#: the DuckDB oracle — no engine evaluates a log for them, so parity
+#: is exact by construction.
+_BENFORD = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+_BENFORD_SQL_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {v!r}" for d, v in _BENFORD.items()
+) + " END"
+
+
+@register(
+    "lineitem_benford_audit",
+    oracle=f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM lineitem WHERE l_extendedprice > 0
+), counts AS (
+  SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+SELECT digit,
+       n,
+       {quant_sql("CAST(n AS DOUBLE) / total", 6)} AS share,
+       {quant_sql(_BENFORD_SQL_CASE, 6)} AS expected_share,
+       {quant_sql(f"abs(CAST(n AS DOUBLE) / total - ({_BENFORD_SQL_CASE}))", 6)}
+         AS abs_dev
+FROM counts CROSS JOIN tot
+ORDER BY digit
+""",
+)
+def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of line-item amounts — the
+    data-quality / fraud screen: naturally-occurring multiplicative
+    amounts follow P(d) = log10(1+1/d); a synthetic or truncated
+    column shows up as large per-digit deviations. (The deviation
+    ITSELF is the informative output here — TPC-H-style uniform prices
+    are exactly the kind of synthetic data Benford flags.)
+
+    Determinism: the first digit is taken from the DECIMAL STRING of
+    integer cents (floor(x*100+0.5) — the `quant` grid), never from
+    float formatting or log10 bucketing, both of which diverge between
+    engines at powers of ten. Expected shares are Python-precomputed
+    literals, identical in both plans. One map-side-combined 9-key
+    aggregate + a 1-row broadcast total — nothing scales with rows but
+    the scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_extendedprice") > 0)
+    digits = li.select(
+        F.substring(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.broadcast(counts.agg(F.sum("n").cast("bigint").alias("total")))
+    expected = F.coalesce(
+        *[
+            F.when(F.col("digit") == d, F.lit(v))
+            for d, v in _BENFORD.items()
+        ]
+    )
+    share = F.col("n").cast("double") / F.col("total")
+    return (
+        counts.crossJoin(tot)
+        .select(
+            "digit",
+            "n",
+            quant(share, 6).alias("share"),
+            quant(expected, 6).alias("expected_share"),
+            quant(F.abs(share - expected), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "order_ship_delay_stats",
+    oracle=f"""
+WITH delays AS (
+  SELECT o.o_orderpriority,
+         CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS BIGINT) AS delay_d
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       {quant_sql("CAST(SUM(delay_d) AS DOUBLE) / COUNT(*)", 4)} AS avg_delay,
+       {quant_sql("quantile_cont(delay_d, 0.95)", 4)} AS p95_delay,
+       CAST(MAX(delay_d) AS BIGINT) AS max_delay
+FROM delays
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def order_ship_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency per priority class: mean, exact p95 and
+    max days between order date and each line item's ship date — the
+    SLA view that tells whether '1-URGENT' actually ships faster.
+
+    Plan: one fact-fact equi-join on the order key (both sides huge at
+    100 TB — this is the shuffle co-location case `bucketed_segment_
+    revenue` pre-pays with bucketing) followed by ONE 5-key aggregate;
+    delays are integer days so the mean is integers until one quantized
+    division, and the grouped exact percentile (`percentile` ==
+    `quantile_cont` on identical integer inputs) swaps for
+    approx_percentile at scale without changing the shape.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    delays = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("delay_d"),
+    )
+    return (
+        delays.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            quant(
+                F.sum("delay_d").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_delay"),
+            quant(F.expr("percentile(delay_d, 0.95d)"), 4).alias("p95_delay"),
+            F.max("delay_d").cast("bigint").alias("max_delay"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -15,7 +15,7 @@ floating scores use the :func:`quant` quantizer.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_cs4225_spark.functions.hashing import hash60, hash60_sql
@@ -1132,4 +1132,191 @@ def source_vocab_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("heaps_beta"),
         )
         .orderBy("source")
+    )
+
+
+#: PMI collocation parameters: minimum pair occurrences (PMI of rare
+#: pairs is noise — one co-occurrence of two rare words maximizes it)
+#: and the number of collocations returned.
+_PMI_MIN_PAIR = 5
+_PMI_TOP_K = 20
+
+
+@register(
+    "bigram_pmi_topk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), uni AS (
+  SELECT unnest(toks) AS w FROM toks
+), unicnt AS (
+  SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM unicnt
+), pairs AS (
+  SELECT toks[g.i] AS w1, toks[g.i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(toks))) AS i) g
+), paircnt AS (
+  SELECT w1, w2, COUNT(*) AS c_ab FROM pairs GROUP BY w1, w2
+)
+SELECT p.w1, p.w2, p.c_ab,
+       {quant_sql(
+           "LN(CAST(p.c_ab AS DOUBLE) * t.n"
+           " / (CAST(a.c AS DOUBLE) * b.c))", 4
+       )} AS pmi
+FROM paircnt p
+JOIN unicnt a ON a.w = p.w1
+JOIN unicnt b ON b.w = p.w2
+CROSS JOIN tot t
+WHERE p.c_ab >= {_PMI_MIN_PAIR}
+ORDER BY pmi DESC, p.w1, p.w2
+LIMIT {_PMI_TOP_K}
+""",
+)
+def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information: adjacent token
+    pairs that co-occur far above chance (PMI = ln(c_ab*N / (c_a*c_b)))
+    — the statistic that finds multi-word expressions worth protecting
+    from a tokenizer split or worth merging early in BPE training
+    (`bpe_pair_counts` ranks by RAW frequency; PMI finds the pairs that
+    are *informative*, not just common).
+
+    Plan: the pair stream is map-side (`zip_with` against the shifted
+    self — never a self-join), one partial-agg shuffle each for pair
+    and unigram counts, two vocab-keyed equi-joins for the marginals, a
+    1-row broadcast corpus total, and a distributed top-k. The
+    ``c_ab >= {_PMI_MIN_PAIR}`` prune runs BEFORE the marginal joins,
+    so at 100 TB the joined frame is the (tiny) recurrent-pair set, not
+    the raw pair vocabulary.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(_toks().alias("toks"))
+    pairs = docs.where(F.size("toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1), "
+                "slice(toks, 2, size(toks) - 1), "
+                "(a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    paircnt = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= _PMI_MIN_PAIR)
+    )
+    unicnt = (
+        docs.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # 3 consumers: total + both marginals
+    )
+    tot = F.broadcast(unicnt.agg(F.sum("c").cast("bigint").alias("n")))
+    a = unicnt.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    b = unicnt.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        paircnt.join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(tot)
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            quant(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * F.col("n")
+                    / (F.col("c_a").cast("double") * F.col("c_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(_PMI_TOP_K)
+    )
+
+
+#: Number of top-frequency tokens the Zipf fit regresses over.
+_ZIPF_TOP = 1000
+
+
+@register(
+    "doc_zipf_fit",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest({_TOKS_SQL}) AS w FROM documents
+), cnt AS (
+  SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+), top AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rank
+  FROM cnt ORDER BY c DESC, w LIMIT {_ZIPF_TOP}
+), pts AS (
+  SELECT LN(CAST(rank AS DOUBLE)) AS x, LN(CAST(c AS DOUBLE)) AS y FROM top
+), moms AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         ROUND(SUM(x), 6) AS sx, ROUND(SUM(y), 6) AS sy,
+         ROUND(SUM(x * y), 6) AS sxy,
+         ROUND(SUM(x * x), 6) AS sxx, ROUND(SUM(y * y), 6) AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_top,
+       {quant_sql("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 4)} AS zipf_slope,
+       {quant_sql(
+           "(n * sxy - sx * sy)"
+           " / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))", 4
+       )} AS pearson_r
+FROM moms
+""",
+)
+def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token-frequency curve: OLS slope of
+    ln(freq) on ln(rank) over the top {_ZIPF_TOP} tokens (natural text
+    sits near -1; a flat slope means templated/synthetic text, a cliff
+    means a tiny closed vocabulary). Completes the corpus-law triple
+    with `source_vocab_heaps` and `source_length_powerlaw`.
+
+    Scale shape: the vocab count is one map-side-combined shuffle; the
+    top-{_ZIPF_TOP} cut is a DISTRIBUTED top-k (TakeOrderedAndProject,
+    ties broken by token text), and only then does a row_number run —
+    over a frame bounded at {_ZIPF_TOP} rows BY CONSTRUCTION (the
+    allowlisted global-window case). Moments are rounded once each
+    (the `order_trend_regression` discipline) so the final arithmetic
+    is bit-identical across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(_toks()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        cnt.orderBy(F.desc("c"), "w")
+        .limit(_ZIPF_TOP)
+        .select(
+            "c",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), "w"))
+            .alias("rank"),
+        )
+    )
+    pts = top.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    moms = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.sum("x"), 6).alias("sx"),
+        F.round(F.sum("y"), 6).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("y")), 6).alias("sxy"),
+        F.round(F.sum(F.col("x") * F.col("x")), 6).alias("sxx"),
+        F.round(F.sum(F.col("y") * F.col("y")), 6).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = n * sxy - sx * sy
+    return moms.select(
+        n.cast("bigint").alias("n_top"),
+        quant(num / (n * sxx - sx * sx), 4).alias("zipf_slope"),
+        quant(
+            num / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4
+        ).alias("pearson_r"),
     )

@@ -170,15 +170,15 @@ _PRIORITY = (
     "events_sliding_avg",
     "events_dedup_latest",
     "events_session_windows",
-    # --- re-anchors: reference goldens + wordcount family ---
+    # --- re-anchors: reference goldens ---
     "word_count",
     "topk_common_words_max",
-    "topk_common_words_min",
-    "topk_words_per_lang",
-    # --- re-anchors: round-1 TPC-H + skew shapes (oldest checks) ---
-    "q4_order_priority",
-    "q6_revenue_forecast",
-    "skew_salted_agg",
+    # --- this session's architecturally novel ops, never checked ---
+    "per_source_doc_cap",      # bucketed exact per-source cap
+    "user_activity_gini",      # two-level bounded rank-block Gini
+    "order_fill_gap_cogroup",  # cogrouped-map pandas UDF
+    "customer_rfm_segments",   # exact-tercile RFM grid
+    "part_brand_affinity",     # basket lift, bounded pair fanout
 )
 
 

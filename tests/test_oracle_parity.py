@@ -144,6 +144,11 @@ def test_priority_window_integrity():
             "shingle_containment_pairs", "source_kl_divergence",
             "user_event_map_algebra", "star_constraint_audit",
             "orders_cdc_apply", "events_user_recency_churn",
+            # second widening: this session's novel ops, registered
+            # before the driver's round-6 correctness run
+            "per_source_doc_cap", "user_activity_gini",
+            "order_fill_gap_cogroup", "customer_rfm_segments",
+            "part_brand_affinity",
         }
         missing = [n for n in rotated_in if n not in names[:50]]
         assert not missing, f"never-driver-checked queries outside window: {missing}"

@@ -143,6 +143,8 @@ _BOUNDED_ALLPAIRS = {
     "events_user_recency_churn",  # broadcast 1-row corpus-max cross join
     "customer_rfm_segments",  # broadcast 1-row bound + tercile-threshold cross joins
     "part_brand_affinity",  # broadcast 1-row order-count cross join
+    "bigram_pmi_topk",  # broadcast 1-row corpus-total cross join
+    "lineitem_benford_audit",  # broadcast 1-row total cross join
 }
 
 
@@ -184,6 +186,9 @@ _BOUNDED_GLOBAL_WINDOW = {
     # ≤ max_per_user_count/2^20 rows (< 2^20 below a trillion events per
     # user) whatever the user count; the per-value window is partitioned
     "user_activity_gini",
+    # row_number over the ALREADY-LIMITed top-1000 token frame — the
+    # distributed top-k runs first, the window sees ≤1000 rows
+    "doc_zipf_fit",
 }
 
 

@@ -68,6 +68,9 @@ DOC_QUERIES = (
     "per_source_doc_cap",  # bucketed rank: boundary window must stay bounded
     "source_length_powerlaw",
     "source_vocab_heaps",
+    "bigram_pmi_topk",  # marginal joins must stay on the pruned pair set
+    "source_dup_cross_matrix",  # memoized pair frame + source joins
+    "doc_zipf_fit",  # global window must stay behind the top-k LIMIT
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i
@@ -110,6 +113,9 @@ SF_QUERIES = (
     "customer_rfm_segments",
     "part_brand_affinity",  # per-order pair fanout must stay bounded
     "order_fill_gap_cogroup",  # cogroup Arrow path
+    "lineitem_benford_audit",
+    "events_weekly_seasonality",
+    "order_ship_delay_stats",  # fact-fact join + grouped exact percentile
 )
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 

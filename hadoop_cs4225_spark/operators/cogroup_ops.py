@@ -33,16 +33,29 @@ _GAP_SCHEMA = (
     "o_orderkey bigint, o_orderpriority string, gap_cents bigint, n_items int"
 )
 
+#: Orders per cogroup: the cogroup key is ``o_orderkey DIV 512``, a
+#: key-RANGE bucket, so each pandas call receives ~512 orders plus
+#: their items in one Arrow batch. Cogrouping on the raw order key is
+#: semantically identical but catastrophically slower — one Python
+#: call + Arrow round-trip per ORDER (measured 32 s vs ~1 s at
+#: sf0.01); and unlike a fixed modulus, the range bucket keeps the
+#: per-group row count BOUNDED (~512 orders) at any corpus size, so
+#: no group outgrows executor memory at 100 TB.
+_GAP_BUCKET = 512
+
 
 def _order_gap(orders: pd.DataFrame, items: pd.DataFrame) -> pd.DataFrame:
-    """Per cogroup (one order key): header total minus item-sum, cents.
+    """Per cogroup (one ~512-order key-range bucket): every order's
+    header total minus its item-sum, in integer cents.
 
-    Runs with BOTH sides of one key in hand — the header row and every
-    line item — which is what makes this a cogroup, not a join: an
-    order with zero line items still yields a row (its whole total is
-    the gap), and the item-side sum happens inside the UDF.
+    Runs with BOTH sides of the bucket in hand — header rows and line
+    items — which is what makes this a cogroup, not a join: an order
+    with zero line items still yields a row (its whole total is the
+    gap, via the left merge), and items whose header fell outside the
+    bucket's key range cannot exist by construction (same DIV key).
+    All arithmetic is vectorized int64; nothing iterates per order.
     """
-    if orders.empty:  # items for a key with no header row: contribute nothing
+    if orders.empty:  # items for a bucket with no header rows
         return pd.DataFrame(
             {
                 "o_orderkey": pd.Series([], dtype="int64"),
@@ -51,14 +64,25 @@ def _order_gap(orders: pd.DataFrame, items: pd.DataFrame) -> pd.DataFrame:
                 "n_items": pd.Series([], dtype="int32"),
             }
         )
-    total_cents = int(orders["total_cents"].iloc[0])
-    item_cents = int(items["item_cents"].sum()) if not items.empty else 0
+    if items.empty:
+        isum = pd.DataFrame(
+            {"item_cents": pd.Series([], dtype="int64"),
+             "n_items": pd.Series([], dtype="int64")}
+        )
+        isum.index.name = "l_orderkey"
+    else:
+        isum = items.groupby("l_orderkey")["item_cents"].agg(
+            item_cents="sum", n_items="size"
+        )
+    m = orders.merge(isum, left_on="o_orderkey", right_index=True, how="left")
     return pd.DataFrame(
         {
-            "o_orderkey": [int(orders["o_orderkey"].iloc[0])],
-            "o_orderpriority": [orders["o_orderpriority"].iloc[0]],
-            "gap_cents": [total_cents - item_cents],
-            "n_items": [0 if items.empty else int(len(items))],
+            "o_orderkey": m["o_orderkey"].astype("int64"),
+            "o_orderpriority": m["o_orderpriority"],
+            "gap_cents": (
+                m["total_cents"] - m["item_cents"].fillna(0)
+            ).astype("int64"),
+            "n_items": m["n_items"].fillna(0).astype("int32"),
         }
     )
 
@@ -97,16 +121,20 @@ def order_fill_gap_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: both sides are pre-projected and pre-quantized to integer
     cents JVM-side (3 columns each cross the Arrow boundary, no text,
-    no floats), cogrouped on the order key — ONE co-partitioning
-    shuffle of each input, the same cost as the equivalent join — and
-    the per-key UDF emits one short row per order; a small JVM-side
-    aggregate finishes. At 100 TB the Arrow batches stream group-by-
-    group with nothing corpus-sized in any single task (the widest key
-    is one order's ~7 items). The sum-per-key itself COULD be a plain
-    join+groupBy (the oracle states exactly that); the cogroup form is
-    the registered surface for the applyInPandas-cogroup API and for
-    per-key logic that a join can't express (e.g. emitting headerless
-    keys differently from itemless headers, as ``_order_gap`` does).
+    no floats), cogrouped on the ``o_orderkey DIV 512`` key-range
+    bucket — ONE co-partitioning shuffle of each input, the same cost
+    as the equivalent join — and the per-bucket UDF emits one short
+    row per order from vectorized pandas; a small JVM-side aggregate
+    finishes. The bucket key is the difference between this running at
+    corpus scale and not: per-ORDER cogrouping costs one Python
+    invocation + Arrow round-trip per order (measured 32 s vs ~1 s at
+    sf0.01), while the range bucket amortizes that over ~512
+    orders AND keeps every group's row count bounded at any corpus
+    size. The sum-per-key itself COULD be a plain join+groupBy (the
+    oracle states exactly that); the cogroup form is the registered
+    surface for the applyInPandas-cogroup API and for per-key logic a
+    join can't express (headerless keys dropped, itemless headers
+    kept with full-gap — both inside ``_order_gap``).
     """
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -114,6 +142,7 @@ def order_fill_gap_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100 + 0.5)
         .cast("bigint")
         .alias("total_cents"),
+        F.expr(f"o_orderkey DIV {_GAP_BUCKET}").alias("kb"),
     )
     items = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
@@ -126,10 +155,11 @@ def order_fill_gap_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("item_cents"),
+        F.expr(f"l_orderkey DIV {_GAP_BUCKET}").alias("kb"),
     )
     gaps = (
-        orders.groupBy("o_orderkey")
-        .cogroup(items.groupBy("l_orderkey"))
+        orders.groupBy("kb")
+        .cogroup(items.groupBy("kb"))
         .applyInPandas(_order_gap, schema=_GAP_SCHEMA)
     )
     return (

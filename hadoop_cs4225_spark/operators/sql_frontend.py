@@ -269,3 +269,136 @@ def order_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_winsorized"
         ),
     )
+
+
+#: Bind values for the parameterized-SQL rollup — named here once so
+#: the Spark call binds them as PARAMETERS while the oracle inlines
+#: the same values as literals (the point of the test: both paths must
+#: produce identical results).
+_PARAM_STATUS = "F"
+_PARAM_MIN_TOTAL = 50_000.0
+
+
+@register(
+    "orders_param_sql_rollup",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_orderstatus = '{_PARAM_STATUS}' AND o_totalprice >= {_PARAM_MIN_TOTAL}
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def orders_param_sql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (`spark.sql(query, args={...})`): the
+    injection-safe front-end for user-supplied filter values — named
+    parameter markers (`:status`, `:min_total`) are bound as TYPED
+    literals by the parser, never string-spliced, so a hostile value
+    cannot alter the query shape. The oracle inlines the same values
+    as literals; identical results prove binding ≡ inlining.
+
+    Catalyst sees the bound literal before optimization, so pushdown
+    and partition pruning work exactly as with hand-inlined SQL — a
+    parameterized scan costs nothing extra at 100 TB.
+    """
+    _view(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice >= :min_total
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"status": _PARAM_STATUS, "min_total": _PARAM_MIN_TOTAL},
+    )
+
+
+#: EWMA weight for the scripting fold (matches events_daily_ewma's
+#: recursive-smoothing discipline: per-step 6-dp quantization).
+_SCRIPT_ALPHA = 0.3
+
+
+@register(
+    "orders_sql_script_ewma",
+    oracle=f"""
+WITH RECURSIVE monthly AS (
+  SELECT time_bucket(INTERVAL '1 month', o_orderdate) AS m,
+         ROUND(SUM(o_totalprice), 2) AS t
+  FROM orders GROUP BY m
+), last12 AS (
+  SELECT m, t FROM monthly ORDER BY m DESC LIMIT 12
+), seq AS (
+  SELECT t, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM last12
+), rec AS (
+  SELECT 1 AS rn, t AS s FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT seq.rn,
+         floor(({_SCRIPT_ALPHA} * seq.t + (1 - {_SCRIPT_ALPHA}) * rec.s)
+               * 1000000 + 0.5) / 1000000
+  FROM rec JOIN seq ON seq.rn = rec.rn + 1
+)
+SELECT CAST((SELECT COUNT(*) FROM seq) AS BIGINT) AS n_months,
+       {quant_sql("(SELECT s FROM rec ORDER BY rn DESC LIMIT 1)", 4)}
+         AS ewma_revenue
+""",
+)
+def orders_sql_script_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 `BEGIN ... END`): an imperative WHILE
+    loop folding the monthly revenue series through an EWMA — the
+    procedural surface (DECLARE / SET / IF / WHILE) that replaces
+    driver-side Python glue for migration scripts and retry loops.
+    The DuckDB oracle states the SAME recursion as a recursive CTE
+    (the `events_daily_ewma` discipline), with the identical per-step
+    1e-6 quantization making a float recursion oracle-checkable.
+
+    Scale shape: ONE aggregate job builds the calendar-bounded monthly
+    frame, which is MATERIALIZED (localCheckpoint) before the loop —
+    a scripting loop over a plain temp view re-runs the view's whole
+    aggregate on every scalar lookup (measured 20+ s for 80 months;
+    materialized trailing-12: ~1 s). Iteration count is bounded by the
+    12-month fold, never the row count. Each SET with a scalar
+    subquery is still its own tiny job, which is the honest cost model
+    of procedural SQL: use it to ORCHESTRATE aggregates, not to
+    iterate data.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("t"))
+        .orderBy(F.desc("m"))
+        .limit(12)
+        # row_number over the 12-row LIMITed frame (bounded by
+        # construction, the doc_zipf_fit discipline)
+        .select("t", F.row_number().over(W.orderBy("m")).alias("rn"))
+        .localCheckpoint()
+    )
+    monthly.createOrReplaceTempView("script_monthly")
+    return spark.sql(
+        f"""
+        BEGIN
+          DECLARE n INT;
+          DECLARE i INT DEFAULT 2;
+          DECLARE s DOUBLE;
+          DECLARE v DOUBLE;
+          SET n = (SELECT COUNT(*) FROM script_monthly);
+          SET s = (SELECT t FROM script_monthly WHERE rn = 1);
+          WHILE i <= n DO
+            SET v = (SELECT t FROM script_monthly WHERE rn = i);
+            SET s = floor(({_SCRIPT_ALPHA} * v + (1 - {_SCRIPT_ALPHA}) * s)
+                          * 1000000 + 0.5) / 1000000;
+            SET i = i + 1;
+          END WHILE;
+          SELECT CAST(n AS BIGINT) AS n_months,
+                 {quant_sql("s", 4)} AS ewma_revenue;
+        END
+        """
+    )

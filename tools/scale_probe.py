@@ -116,6 +116,7 @@ SF_QUERIES = (
     "lineitem_benford_audit",
     "events_weekly_seasonality",
     "order_ship_delay_stats",  # fact-fact join + grouped exact percentile
+    "orders_sql_script_ewma",  # calendar-bounded loop: must be ~flat in rows
 )
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 

@@ -803,3 +803,53 @@ def ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(5)
     )
+
+
+@register("label_norm_stats_arrow")  # grouped-map ARROW path: rows-only
+def label_norm_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm statistics via ``applyInArrow`` — the
+    grouped-map ARROW surface (`pyarrow.Table` in, `pyarrow.Table`
+    out), completing the Arrow UDF matrix next to `applyInPandas`
+    (`label_centroid_stats`), `mapInPandas`, `mapInArrow` and the
+    cogroup (`order_fill_gap_cogroup`). Zero pandas conversion: the
+    list column is flattened once in numpy off the Arrow buffers.
+
+    No SQL oracle (numpy reassociates float sums); pinned against the
+    JVM ``aggregate`` fold in tests/test_similarity_udf.py at 4
+    decimals, the `cosine_topk_pandas` discipline. Scale note: one
+    co-partitioning shuffle on label; per-group memory is that label's
+    vectors — for giant groups pre-reduce with expressions first.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def stats(t: "pa.Table") -> "pa.Table":
+        vecs = t.column("embedding")
+        flat = np.asarray(vecs.combine_chunks().flatten(), dtype=np.float64)
+        m = flat.reshape(len(t), -1)
+        norms = np.sqrt((m * m).sum(axis=1))
+        label = t.column("label")[0].as_py()
+        return pa.table(
+            {
+                "label": pa.array([int(label)], type=pa.int32()),
+                "n_vecs": pa.array([len(t)], type=pa.int64()),
+                "mean_norm": pa.array([float(norms.mean())]),
+                "min_norm": pa.array([float(norms.min())]),
+                "max_norm": pa.array([float(norms.max())]),
+            }
+        )
+
+    out = emb.groupBy("label").applyInArrow(
+        stats,
+        schema="label int, n_vecs long, mean_norm double, "
+        "min_norm double, max_norm double",
+    )
+    return out.select(
+        "label",
+        "n_vecs",
+        quant("mean_norm", 6).alias("mean_norm"),
+        quant("min_norm", 6).alias("min_norm"),
+        quant("max_norm", 6).alias("max_norm"),
+    ).orderBy("label")

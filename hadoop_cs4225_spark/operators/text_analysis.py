@@ -1320,3 +1320,107 @@ def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             num / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4
         ).alias("pearson_r"),
     )
+
+
+#: BM25 parameters (the Robertson/Lucene defaults) and the fixed demo
+#: query — three mid-frequency corpus terms so scores discriminate.
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_TOPK = 10
+
+
+@register(
+    "bm25_search_topk",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT doc_id,
+         len(toks) AS dl,
+         {", ".join(
+             f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+             for i, t in enumerate(_BM25_TERMS)
+         )}
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) q
+), corpus AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         {", ".join(
+             f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+             f" AS df{i}"
+             for i in range(len(_BM25_TERMS))
+         )}
+  FROM per_doc
+)
+SELECT doc_id,
+       {quant_sql(
+           " + ".join(
+               f"(LN((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+               f" * tf{i} / (tf{i} + {_BM25_K1} * (1 - {_BM25_B}"
+               f" + {_BM25_B} * dl / avgdl)))"
+               for i in range(len(_BM25_TERMS))
+           ),
+           6,
+       )} AS bm25
+FROM per_doc CROSS JOIN corpus
+ORDER BY bm25 DESC, doc_id
+LIMIT {_BM25_TOPK}
+""",
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text relevance: the top {_BM25_TOPK} documents for a
+    fixed multi-term query under the Robertson scoring function —
+    the search primitive `tfidf_top_terms` (term ranking) and the
+    cosine family (doc-doc similarity) don't cover: QUERY-doc ranking
+    with tf saturation (k1) and length normalization (b).
+
+    Single-subtree plan: ONE token explode feeds ONE per-doc aggregate
+    producing doc length and each query term's tf as conditional sums
+    (no per-term join, no postings materialization for a 3-term
+    query); corpus stats (N, avgdl, per-term df) are a second
+    aggregate OVER THAT FRAME, broadcast back as one row; scoring is
+    map-side arithmetic and the cut is a distributed top-k. At 100 TB
+    this costs one scan + one |docs|-row shuffle regardless of query
+    length — the inverted-index-free shape you use for ad-hoc scoring
+    (a standing search service would materialize the postings table
+    instead, `shingle_idf_similarity_topk`'s layout).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _toks().alias("toks")
+    )
+    tok = docs.select("doc_id", F.explode("toks").alias("w"))
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum((F.col("w") == t).cast("long")).alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    ).localCheckpoint(eager=False)  # feeds corpus stats AND scoring
+    corpus = F.broadcast(
+        per_doc.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+            *[
+                F.sum((F.col(f"tf{i}") > 0).cast("long"))
+                .cast("double")
+                .alias(f"df{i}")
+                for i in range(len(_BM25_TERMS))
+            ],
+        )
+    )
+    scored = per_doc.crossJoin(corpus)
+    parts = []
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+            + 1.0
+        )
+        tf = F.col(f"tf{i}")
+        denom = tf + _BM25_K1 * (
+            1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        parts.append(idf * tf / denom)
+    score = parts[0] + parts[1] + parts[2]
+    return (
+        scored.select("doc_id", quant(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_TOPK)
+    )

@@ -145,6 +145,7 @@ _BOUNDED_ALLPAIRS = {
     "part_brand_affinity",  # broadcast 1-row order-count cross join
     "bigram_pmi_topk",  # broadcast 1-row corpus-total cross join
     "lineitem_benford_audit",  # broadcast 1-row total cross join
+    "bm25_search_topk",  # broadcast 1-row corpus-stats cross join
 }
 
 

@@ -49,3 +49,44 @@ def test_ivf_pq_index_probe_matches_inline_twin(spark):
     inline = registry.QUERIES["ivf_pq_query_topk"](spark, SF_SMOKE).collect()
     probe = registry.QUERIES["ivf_pq_index_probe"](spark, SF_SMOKE).collect()
     assert inline == probe
+
+
+def test_arrow_grouped_map_norms_match_jvm_fold(spark):
+    """`label_norm_stats_arrow` (applyInArrow) must agree with the JVM
+    expression fold to 4 decimals (numpy reassociates the square sums;
+    the quantized outputs absorb last-ulp drift)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    got = {
+        r.label: r
+        for r in registry.QUERIES["label_norm_stats_arrow"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    ref = {
+        r.label: r
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .select("label", norm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.avg("nrm").alias("mean_norm"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+        .collect()
+    }
+    assert set(got) == set(ref)
+    for label in ref:
+        assert got[label].n_vecs == ref[label].n_vecs
+        for c in ("mean_norm", "min_norm", "max_norm"):
+            assert abs(got[label][c] - ref[label][c]) < 1e-4, (label, c)

@@ -71,6 +71,7 @@ DOC_QUERIES = (
     "bigram_pmi_topk",  # marginal joins must stay on the pruned pair set
     "source_dup_cross_matrix",  # memoized pair frame + source joins
     "doc_zipf_fit",  # global window must stay behind the top-k LIMIT
+    "bm25_search_topk",  # one scan + one |docs|-row shuffle at any query length
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i

@@ -701,7 +701,9 @@ WITH counts AS (
 SELECT CAST(SUM(m) AS BIGINT) AS n_users,
        CAST(SUM(v * m) AS BIGINT) AS n_events,
        {quant_sql(
-           "CAST(SUM(v * (2 * m * s + m * (m + 1))) AS DOUBLE)"
+           "CAST(SUM(CAST(v AS HUGEINT) * (2 * CAST(m AS HUGEINT)"
+           " * CAST(s AS HUGEINT) + CAST(m AS HUGEINT)"
+           " * (CAST(m AS HUGEINT) + 1))) AS DOUBLE)"
            " / (CAST(SUM(m) AS DOUBLE) * CAST(SUM(v * m) AS DOUBLE))"
            " - (CAST(SUM(m) AS DOUBLE) + 1.0) / CAST(SUM(m) AS DOUBLE)",
            6,
@@ -759,7 +761,16 @@ def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     m, v, s = F.col("m"), F.col("v"), F.col("s")
     n = F.sum(m).cast("double")
     total = F.sum(v * m).cast("double")
-    rank2 = F.sum(v * (2 * m * s + m * (m + 1))).cast("double")
+    # rank2 <= 2*n_users*n_events overflows int64 at the scale this op
+    # claims (1e9 users x 1e12 events ~ 2e21 > 2^63): accumulate in
+    # 128-bit — Spark decimal(38,0), DuckDB HUGEINT in the oracle —
+    # both exact integers, so converting the same value to double last
+    # keeps parity bit-identical at any scale.
+    md = m.cast("decimal(38,0)")
+    rank2 = F.sum(
+        v.cast("decimal(38,0)")
+        * (2 * md * s.cast("decimal(38,0)") + md * (md + 1))
+    ).cast("double")
     return ranked.agg(
         F.sum(m).cast("bigint").alias("n_users"),
         F.sum(v * m).cast("bigint").alias("n_events"),

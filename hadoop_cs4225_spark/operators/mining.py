@@ -171,7 +171,7 @@ LIMIT {_AFFINITY_TOPK}
 """,
 )
 def part_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket affinity: the {_AFFINITY_TOPK} most co-ordered
+    """Market-basket affinity: the 20 most co-ordered
     brand pairs with their lift (co-occurrence odds vs independence) —
     the association-rule primitive behind "bought together".
 
@@ -263,7 +263,7 @@ LIMIT {_PATH_TOPK}
 """,
 )
 def events_user_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top {_PATH_TOPK} three-step event-type paths across all user
+    """Top 10 three-step event-type paths across all user
     sessions — the sequence-mining upgrade of
     `event_transition_matrix`'s bigrams: which FUNNELS actually occur,
     not just which single hops.

@@ -369,7 +369,6 @@ def orders_sql_script_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as W
 
-    spark.conf.set("spark.sql.scripting.enabled", "true")
     monthly = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
@@ -382,23 +381,36 @@ def orders_sql_script_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     monthly.createOrReplaceTempView("script_monthly")
-    return spark.sql(
-        f"""
-        BEGIN
-          DECLARE n INT;
-          DECLARE i INT DEFAULT 2;
-          DECLARE s DOUBLE;
-          DECLARE v DOUBLE;
-          SET n = (SELECT COUNT(*) FROM script_monthly);
-          SET s = (SELECT t FROM script_monthly WHERE rn = 1);
-          WHILE i <= n DO
-            SET v = (SELECT t FROM script_monthly WHERE rn = i);
-            SET s = floor(({_SCRIPT_ALPHA} * v + (1 - {_SCRIPT_ALPHA}) * s)
-                          * 1000000 + 0.5) / 1000000;
-            SET i = i + 1;
-          END WHILE;
-          SELECT CAST(n AS BIGINT) AS n_months,
-                 {quant_sql("s", 4)} AS ewma_revenue;
-        END
-        """
-    )
+    # The script executes EAGERLY inside spark.sql() (the WHILE loop
+    # runs before it returns), so session state can be restored right
+    # after: scripting-enabled and the temp view must not leak into
+    # whatever query this shared session runs next.
+    # no default arg: conf.get type-validates an explicit default, and
+    # this conf always has a built-in one ("false") to fall back on
+    prev = spark.conf.get("spark.sql.scripting.enabled")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            f"""
+            BEGIN
+              DECLARE n INT;
+              DECLARE i INT DEFAULT 2;
+              DECLARE s DOUBLE;
+              DECLARE v DOUBLE;
+              SET n = (SELECT COUNT(*) FROM script_monthly);
+              SET s = (SELECT t FROM script_monthly WHERE rn = 1);
+              WHILE i <= n DO
+                SET v = (SELECT t FROM script_monthly WHERE rn = i);
+                SET s = floor(({_SCRIPT_ALPHA} * v
+                              + (1 - {_SCRIPT_ALPHA}) * s)
+                              * 1000000 + 0.5) / 1000000;
+                SET i = i + 1;
+              END WHILE;
+              SELECT CAST(n AS BIGINT) AS n_months,
+                     {quant_sql("s", 4)} AS ewma_revenue;
+            END
+            """
+        )
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", prev)
+        spark.catalog.dropTempView("script_monthly")

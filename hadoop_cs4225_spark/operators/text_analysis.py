@@ -1040,7 +1040,7 @@ ORDER BY t.source
 def source_length_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source heavy-tail fit of the document-length distribution:
     the Hill estimator alpha = 1 + n / sum(ln(x/xmin)) over docs with
-    n_chars >= {xmin}. Low alpha (~2) means a genuinely heavy tail —
+    n_chars >= 100 (_POWERLAW_XMIN). Low alpha (~2) means a genuinely heavy tail —
     a few huge documents dominating the source's byte count, which is
     what decides chunking policy and flags crawl pathologies (one
     giant concatenated page inflating a domain).
@@ -1185,7 +1185,7 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     self — never a self-join), one partial-agg shuffle each for pair
     and unigram counts, two vocab-keyed equi-joins for the marginals, a
     1-row broadcast corpus total, and a distributed top-k. The
-    ``c_ab >= {_PMI_MIN_PAIR}`` prune runs BEFORE the marginal joins,
+    ``c_ab >= 5`` (min-pair) prune runs BEFORE the marginal joins,
     so at 100 TB the joined frame is the (tiny) recurrent-pair set, not
     the raw pair vocabulary.
     """
@@ -1269,15 +1269,15 @@ FROM moms
 )
 def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit of the corpus token-frequency curve: OLS slope of
-    ln(freq) on ln(rank) over the top {_ZIPF_TOP} tokens (natural text
+    ln(freq) on ln(rank) over the top 1000 tokens (natural text
     sits near -1; a flat slope means templated/synthetic text, a cliff
     means a tiny closed vocabulary). Completes the corpus-law triple
     with `source_vocab_heaps` and `source_length_powerlaw`.
 
     Scale shape: the vocab count is one map-side-combined shuffle; the
-    top-{_ZIPF_TOP} cut is a DISTRIBUTED top-k (TakeOrderedAndProject,
+    top-1000 cut is a DISTRIBUTED top-k (TakeOrderedAndProject,
     ties broken by token text), and only then does a row_number run —
-    over a frame bounded at {_ZIPF_TOP} rows BY CONSTRUCTION (the
+    over a frame bounded at 1000 rows BY CONSTRUCTION (the
     allowlisted global-window case). Moments are rounded once each
     (the `order_trend_regression` discipline) so the final arithmetic
     is bit-identical across engines.
@@ -1366,33 +1366,41 @@ LIMIT {_BM25_TOPK}
 """,
 )
 def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 full-text relevance: the top {_BM25_TOPK} documents for a
-    fixed multi-term query under the Robertson scoring function —
-    the search primitive `tfidf_top_terms` (term ranking) and the
-    cosine family (doc-doc similarity) don't cover: QUERY-doc ranking
-    with tf saturation (k1) and length normalization (b).
+    """BM25 full-text relevance: the top 10 documents for a fixed
+    multi-term query under the Robertson scoring function — the search
+    primitive `tfidf_top_terms` (term ranking) and the cosine family
+    (doc-doc similarity) don't cover: QUERY-doc ranking with tf
+    saturation (k1) and length normalization (b).
 
-    Single-subtree plan: ONE token explode feeds ONE per-doc aggregate
-    producing doc length and each query term's tf as conditional sums
-    (no per-term join, no postings materialization for a 3-term
-    query); corpus stats (N, avgdl, per-term df) are a second
-    aggregate OVER THAT FRAME, broadcast back as one row; scoring is
-    map-side arithmetic and the cut is a distributed top-k. At 100 TB
-    this costs one scan + one |docs|-row shuffle regardless of query
-    length — the inverted-index-free shape you use for ad-hoc scoring
-    (a standing search service would materialize the postings table
-    instead, `shingle_idf_similarity_topk`'s layout).
+    MAP-ONLY feature pass: doc length and each query term's tf come
+    from per-row array functions (`size`/`filter` over the token
+    array) — no explode, no shuffle, and crucially no dropped rows: an
+    explode+groupBy formulation silently loses zero-token documents
+    (explode of an empty array emits nothing), shifting N and avgdl
+    away from the oracle, which keeps them with dl=0. Corpus stats
+    (N, avgdl, per-term df) are one aggregate over that frame,
+    broadcast back as one row; scoring is map-side arithmetic and the
+    cut is a distributed top-k. At 100 TB this costs one scan plus a
+    1-row aggregate regardless of query length — the
+    inverted-index-free shape for ad-hoc scoring (a standing search
+    service would materialize the postings table instead,
+    `shingle_idf_similarity_topk`'s layout).
     """
+    from functools import reduce
+    from operator import add
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", _toks().alias("toks")
     )
-    tok = docs.select("doc_id", F.explode("toks").alias("w"))
-    per_doc = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dl"),
-        *[
-            F.sum((F.col("w") == t).cast("long")).alias(f"tf{i}")
-            for i, t in enumerate(_BM25_TERMS)
-        ],
+    def _tf(term: str):
+        # a dedicated closure: a 2-arg lambda with a default would be
+        # read by PySpark as the (element, index) higher-order form
+        return F.size(F.filter("toks", lambda x: x == term)).cast("long")
+
+    per_doc = docs.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[_tf(t).alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)],
     ).localCheckpoint(eager=False)  # feeds corpus stats AND scoring
     corpus = F.broadcast(
         per_doc.agg(
@@ -1418,7 +1426,7 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
         )
         parts.append(idf * tf / denom)
-    score = parts[0] + parts[1] + parts[2]
+    score = reduce(add, parts)
     return (
         scored.select("doc_id", quant(score, 6).alias("bm25"))
         .orderBy(F.desc("bm25"), "doc_id")

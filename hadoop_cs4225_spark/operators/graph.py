@@ -63,11 +63,21 @@ nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg)
 
 
 def _iter_sql(prev: str, cur: str) -> str:
+    # Per-ITERATION quantization (12 dp, the events_daily_ewma
+    # recursive-smoothing discipline): each engine sums per-node
+    # contributions in its own order, so without a per-step snap the
+    # last-ulp difference compounds through the iterations and can
+    # land a final value on the 9-dp grid boundary — the rare
+    # whole-suite flake this replaced. With inputs re-identical every
+    # round, only the FINAL step's reassociation meets the 9-dp grid.
     return f"""
 {cur} AS (
   SELECT e.dst AS node,
-         {TELEPORT} / (SELECT n FROM nn)
-           + {DAMPING} * SUM({prev}.r / deg.d) AS r
+         {quant_sql(
+             f"{TELEPORT} / (SELECT n FROM nn)"
+             f" + {DAMPING} * SUM({prev}.r / deg.d)",
+             12,
+         )} AS r
   FROM edges e
   JOIN {prev} ON e.src = {prev}.node
   JOIN deg ON e.src = deg.src
@@ -135,7 +145,12 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(nn))
             .select(
                 F.col("dst").alias("node"),
-                (F.lit(TELEPORT) / F.col("n") + F.lit(DAMPING) * F.col("s")).alias("r"),
+                # per-iteration 12-dp snap, mirrored in _iter_sql — see
+                # the comment there
+                quant(
+                    F.lit(TELEPORT) / F.col("n") + F.lit(DAMPING) * F.col("s"),
+                    12,
+                ).alias("r"),
             )
         )
     return (

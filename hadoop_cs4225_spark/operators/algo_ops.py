@@ -1,0 +1,607 @@
+"""Algorithmic analytics operators: Pareto skyline, sweep-line
+concurrency, CUSUM changepoints, autocorrelation, MAD outliers.
+
+Each op re-expresses a classically *sequential* algorithm (skyline
+scan, interval sweep, recursive CUSUM, robust statistics) as a
+declarative distributed plan — the same discipline as the rest of the
+registry: integer arithmetic until one final quantized division,
+bounded window frames, and total orders on every window. The oracles
+deliberately use a DIFFERENT algorithm where possible (e.g. the
+skyline oracle is the quadratic NOT EXISTS definition, the Spark side
+the grid-pruned two-phase plan), so parity checks semantics, not a
+shared derivation.
+
+Reference parity: the reference repo (don-tay/hadoop-cs4225) stops at
+WordCount/TopkCommonWords MapReduce; these are the downstream
+analytics shapes its users run on the same warehouse, per SURVEY.md
+§2.2's extension rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_cs4225_spark.functions.numeric import quant, quant_sql
+from hadoop_cs4225_spark.registry import register
+from hadoop_cs4225_spark.sources.tables import load_events, load_table
+
+#: Skyline price-bucket width (dollars). Bucket count is bounded by
+#: the PRICE DOMAIN (dictionary range / 1024), not by row count, so
+#: the cross-bucket window frame is constant-size at any corpus scale.
+_SKYLINE_BUCKET = 1024.0
+
+#: Sweep-line interval length for concurrency analysis.
+_CONCURRENCY_MINUTES = 30
+
+#: CUSUM drift allowance = the per-type mean daily count; alarm when
+#: cumulated positive drift exceeds this many mean-days of excess.
+_CUSUM_ALARM_MEAN_DAYS = 2
+
+#: Autocorrelation lags (days).
+_ACF_LAGS = (1, 2, 3)
+
+#: MAD outlier multiplier (|x - median| > _MAD_K * MAD).
+_MAD_K = 3
+
+
+@register(
+    "skyline_orders_pareto",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_totalprice,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+         strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day
+  FROM orders
+)
+SELECT a.o_orderkey, a.o_totalprice AS price, a.day AS order_day
+FROM o a
+WHERE NOT EXISTS (
+  SELECT 1 FROM o b
+  WHERE b.o_totalprice >= a.o_totalprice AND b.d >= a.d
+    AND (b.o_totalprice > a.o_totalprice OR b.d > a.d)
+)
+ORDER BY price DESC, a.o_orderkey
+""",
+)
+def skyline_orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline of orders: maximize (totalprice, orderdate).
+
+    An order is on the skyline iff no other order is >= on both
+    dimensions and > on at least one. The oracle states that
+    definition directly (quadratic NOT EXISTS — DuckDB's IEJoin keeps
+    it tractable at oracle scale); the Spark plan is the distributed
+    two-phase grid algorithm that holds at 100 TB:
+
+    1. bucket prices into domain-bounded ranges (``price DIV 1024``),
+    2. one tiny aggregate: per-bucket max order-day,
+    3. a constant-size cross-bucket scan gives each bucket the max
+       day over all STRICTLY higher buckets (any such order has a
+       strictly greater price, so matching-or-earlier days there are
+       dominated) — this prunes ~everything before any wide work,
+    4. within each bucket, a partitioned window over the per-price
+       groups finds the max day at strictly higher prices,
+    5. survivors are the per-price max-day rows that beat both
+       thresholds; join back to orders to emit every tied orderkey.
+
+    No global sort, no all-pairs: one small agg + one partitioned
+    window + one semi-join-shaped equi-join back to the fact table.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+    )
+    o = o.withColumn(
+        "pb", F.floor(F.col("price") / F.lit(_SKYLINE_BUCKET)).cast("long")
+    )
+
+    # (2) per-bucket max day, then (3) max day over strictly higher
+    # buckets. The frame is the bucket table — bounded by the price
+    # domain, not the row count (allowlisted in test_plans.py).
+    bm = o.groupBy("pb").agg(F.max("d").alias("bmax"))
+    w_buckets = (
+        Window.orderBy(F.col("pb").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    thr = bm.select(
+        "pb", F.coalesce(F.max("bmax").over(w_buckets), F.lit(-1)).alias("thr")
+    )
+
+    # (4) per-exact-price groups; within a bucket, max day over
+    # strictly higher price groups (partitioned window — scales).
+    pg = o.groupBy("pb", "price").agg(F.max("d").alias("gmax"))
+    w_in = (
+        Window.partitionBy("pb")
+        .orderBy(F.col("price").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pg = (
+        pg.withColumn("hin", F.coalesce(F.max("gmax").over(w_in), F.lit(-1)))
+        .join(thr, "pb")
+        .withColumn("hmax", F.greatest("hin", "thr"))
+    )
+
+    # (5) a price group survives iff its best day beats every
+    # higher-priced day; all orders tied at (price, best day) are
+    # skyline members (neither dominates the other).
+    sky = pg.filter(F.col("gmax") > F.col("hmax")).select(
+        F.col("price").alias("s_price"), F.col("gmax").alias("s_day")
+    )
+    return (
+        o.join(
+            sky,
+            (F.col("price") == F.col("s_price")) & (F.col("d") == F.col("s_day")),
+        )
+        .select("o_orderkey", "price", F.col("day").alias("order_day"))
+        .orderBy(F.col("price").desc(), "o_orderkey")
+    )
+
+
+@register(
+    "events_max_concurrency",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_type, ts AS t, 1 AS delta, event_id FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL '{_CONCURRENCY_MINUTES} minutes' AS t,
+         -1 AS delta, event_id
+  FROM events
+), run AS (
+  SELECT event_type, t, delta,
+         CAST(SUM(delta) OVER (PARTITION BY event_type
+                          ORDER BY t, delta, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS conc
+  FROM pts
+), peak AS (
+  SELECT event_type, MAX(conc) AS peak_concurrency FROM run GROUP BY event_type
+)
+SELECT r.event_type, p.peak_concurrency,
+       strftime(MIN(r.t), '%Y-%m-%d %H:%M:%S') AS peak_at
+FROM run r JOIN peak p
+  ON r.event_type = p.event_type AND r.conc = p.peak_concurrency
+GROUP BY r.event_type, p.peak_concurrency
+ORDER BY r.event_type
+""",
+)
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent open intervals per event type (sweep line).
+
+    Each event opens an interval [ts, ts+30min). The classic sweep —
+    sort boundary points, running sum of +1/-1 — becomes a partitioned
+    window: +1 rows at starts, -1 rows at (exclusive) ends, ordered by
+    (t, delta, event_id) so an end at instant T sorts BEFORE a start at
+    T (delta -1 < +1): boundary-touching intervals never count as
+    concurrent, and the total order makes the running sum deterministic.
+    Peak time is the earliest instant the maximum is reached.
+
+    Scale: the sweep is per event_type (partitioned window), one
+    shuffle; no interval self-join (which would be quadratic in the
+    overlap degree).
+    """
+    ev = load_events(spark, sf_dir).select("event_type", "ts", "event_id")
+    pts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionAll(
+        ev.select(
+            "event_type",
+            (F.col("ts") + F.expr(f"INTERVAL {_CONCURRENCY_MINUTES} MINUTES")).alias(
+                "t"
+            ),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.withColumn("conc", F.sum("delta").over(w))
+    peak = run.groupBy("event_type").agg(F.max("conc").alias("peak_concurrency"))
+    return (
+        run.join(peak, "event_type")
+        .filter(F.col("conc") == F.col("peak_concurrency"))
+        .groupBy("event_type", "peak_concurrency")
+        .agg(F.date_format(F.min("t"), "yyyy-MM-dd HH:mm:ss").alias("peak_at"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_daily_cusum",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+         COUNT(*) AS cnt
+  FROM events GROUP BY event_type, day
+), k AS (
+  SELECT event_type,
+         CAST(floor(SUM(cnt) * 1000000.0 / COUNT(*) + 0.5) AS BIGINT)
+           AS k_scaled
+  FROM daily GROUP BY event_type
+), pre AS (
+  SELECT d.event_type, d.day,
+         SUM(d.cnt * 1000000 - k.k_scaled)
+           OVER (PARTITION BY d.event_type ORDER BY d.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+         k.k_scaled
+  FROM daily d JOIN k USING (event_type)
+), s AS (
+  SELECT event_type, day, k_scaled,
+         p - LEAST(0, MIN(p) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_scaled
+  FROM pre
+)
+SELECT event_type, day,
+       {quant_sql("s_scaled / 1000000.0", 6)} AS cusum_excess,
+       CAST(s_scaled > {_CUSUM_ALARM_MEAN_DAYS} * k_scaled AS BOOLEAN)
+         AS is_alarm
+FROM s
+ORDER BY event_type, day
+""",
+)
+def events_daily_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint score over daily event counts.
+
+    The textbook recursion S_t = max(0, S_{t-1} + (x_t - k)) is not a
+    window function — but its closed form is: with prefix sums
+    P_t = sum_{i<=t}(x_i - k) and P_0 = 0,
+    ``S_t = P_t - min(0, min_{j<=t} P_j)``. That turns the recursion
+    into two partitioned running windows (sum, then min) — fully
+    distributed, no recursion, no driver loop (contrast with the
+    SQL-scripting EWMA, which is genuinely non-prefix-decomposable).
+
+    Determinism: counts stay integers scaled by 1e6; the drift
+    allowance k (the per-type mean daily count) is floored onto the
+    same integer grid before any subtraction, so P and S are exact
+    BIGINTs in both engines; the single division is quantized.
+    Alarm when S exceeds 2 mean-days of cumulated excess.
+    """
+    daily = (
+        load_events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    k = daily.groupBy("event_type").agg(
+        F.floor(F.sum("cnt") * 1000000.0 / F.count(F.lit(1)) + 0.5)
+        .cast("long")
+        .alias("k_scaled")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = daily.join(k, "event_type").withColumn(
+        "p", F.sum(F.col("cnt") * 1000000 - F.col("k_scaled")).over(w)
+    )
+    s = pre.withColumn(
+        "s_scaled", F.col("p") - F.least(F.lit(0), F.min("p").over(w))
+    )
+    return s.select(
+        "event_type",
+        "day",
+        quant(F.col("s_scaled") / 1000000.0, 6).alias("cusum_excess"),
+        (F.col("s_scaled") > _CUSUM_ALARM_MEAN_DAYS * F.col("k_scaled")).alias(
+            "is_alarm"
+        ),
+    ).orderBy("event_type", "day")
+
+
+@register(
+    "events_count_acf",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+         COUNT(*) AS cnt
+  FROM events GROUP BY event_type, day
+), lagged AS (
+  SELECT event_type, cnt AS x,
+         LAG(cnt, 1) OVER w AS y1,
+         LAG(cnt, 2) OVER w AS y2,
+         LAG(cnt, 3) OVER w AS y3
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+), pairs AS (
+  SELECT event_type, 1 AS lag, x, y1 AS y FROM lagged WHERE y1 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 2 AS lag, x, y2 AS y FROM lagged WHERE y2 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 3 AS lag, x, y3 AS y FROM lagged WHERE y3 IS NOT NULL
+), agg AS (
+  SELECT event_type, lag, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pairs GROUP BY event_type, lag
+)
+SELECT event_type, lag, n,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+            THEN {quant_sql(
+                "CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+                " * CAST(n * syy - sy * sy AS DOUBLE))", 6)}
+       END AS acf
+FROM agg
+ORDER BY event_type, lag
+""",
+)
+def events_count_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily count series at lags 1..3 per type.
+
+    Pearson r over (x_t, x_{t-lag}) pairs of the observed-day
+    sequence, computed from six integer sums (n, Σx, Σy, Σxy, Σx²,
+    Σy²) — exact in both engines below 2^53 (documented bound:
+    daily counts beyond ~3e7 would need decimal sums) — with the
+    final r = (nΣxy - ΣxΣy) / sqrt((nΣx²-(Σx)²)(nΣy²-(Σy)²))
+    assembled in IEEE doubles (casts BEFORE the overflow-prone
+    products, same order both engines) and quantized once.
+
+    Plan: one daily aggregate, ONE lag-window pass producing all
+    three lag columns, a stack (no extra shuffle — narrow), one
+    grouped aggregate. Zero-variance series yield NULL.
+    """
+    daily = (
+        load_events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        F.col("cnt").alias("x"),
+        *[F.lag("cnt", i).over(w).alias(f"y{i}") for i in _ACF_LAGS],
+    )
+    pairs = lagged.selectExpr(
+        "event_type",
+        "x",
+        "stack({}, {}) as (lag, y)".format(
+            len(_ACF_LAGS), ", ".join(f"{i}, y{i}" for i in _ACF_LAGS)
+        ),
+    ).filter(F.col("y").isNotNull())
+    agg = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return agg.select(
+        "event_type",
+        "lag",
+        "n",
+        F.when(
+            (vx > 0) & (vy > 0), quant(cov / F.sqrt(vx * vy), 6)
+        ).alias("acf"),
+    ).orderBy("event_type", "lag")
+
+
+@register(
+    "doc_mad_outliers",
+    oracle=f"""
+WITH med AS (
+  SELECT source, quantile_cont(n_chars, 0.5) AS med, COUNT(*) AS n_docs
+  FROM documents GROUP BY source
+), dev AS (
+  SELECT d.source, d.n_chars, m.med, m.n_docs,
+         abs(2 * d.n_chars - CAST(2 * m.med AS BIGINT)) AS dev2
+  FROM documents d JOIN med m USING (source)
+), mad AS (
+  SELECT source, quantile_cont(dev2, 0.5) AS mad2 FROM dev GROUP BY source
+)
+SELECT d.source,
+       ANY_VALUE(d.n_docs) AS n_docs,
+       ANY_VALUE(d.med) AS median_chars,
+       ANY_VALUE(m.mad2) / 2.0 AS mad_chars,
+       CAST(SUM(CASE WHEN 2 * d.dev2 > CAST({_MAD_K} * 2 * m.mad2 AS BIGINT)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       {quant_sql(
+           f"SUM(CASE WHEN 2 * d.dev2 > CAST({_MAD_K} * 2 * m.mad2 AS BIGINT) "
+           "THEN 1 ELSE 0 END) * 1.0 / ANY_VALUE(d.n_docs)", 4)}
+         AS outlier_share
+FROM dev d JOIN mad m USING (source)
+GROUP BY d.source
+ORDER BY d.source
+""",
+)
+def doc_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection on document lengths: median/MAD per
+    source, outlier when |x - median| > 3 * MAD.
+
+    The oracle uses DuckDB's ``quantile_cont`` directly; the Spark
+    side computes BOTH exact interpolated medians from value
+    HISTOGRAMS — ``groupBy(source, value)`` counts, then a window
+    cumsum over the per-source value axis (bounded by the value
+    DOMAIN, i.e. max document length, not the corpus row count) and
+    the two middle positions interpolated. That is the 100 TB path:
+    no per-group sort buffer of raw rows (exact ``percentile`` holds
+    all group values in memory), just a domain-bounded aggregate.
+
+    Grid exactness: n_chars is an integer, so the median lies on the
+    .5 grid; deviations are kept DOUBLED (``|2x - 2*med|``, integers),
+    the MAD doubled again for the threshold compare — every comparison
+    is BIGINT vs BIGINT, no float rounding anywhere. The two output
+    medians land on exact binary grids (.5 and .25), identical in both
+    engines; only the outlier share is a quantized division.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+
+    def hist_median(df: DataFrame, key: str, val: str) -> DataFrame:
+        """Exact interpolated median from a (key, value)->count
+        histogram: cumsum over the bounded value axis, pick the two
+        middle order statistics."""
+        h = df.groupBy(key, val).agg(F.count(F.lit(1)).alias("c"))
+        wv = (
+            Window.partitionBy(key)
+            .orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        h = h.withColumn("cum", F.sum("c").over(wv))
+        tot = h.groupBy(key).agg(F.max("cum").alias("n"))
+        h = h.join(tot, key)
+        lo_pos = F.floor((F.col("n") + 1) / 2)  # lower middle (1-based)
+        hi_pos = F.floor(F.col("n") / 2) + 1  # upper middle
+        lo = (
+            h.filter(F.col("cum") >= lo_pos)
+            .groupBy(key)
+            .agg(F.min(val).alias("lo"))
+        )
+        hi = (
+            h.filter(F.col("cum") >= hi_pos)
+            .groupBy(key)
+            .agg(F.min(val).alias("hi"))
+        )
+        return (
+            lo.join(hi, key)
+            .join(tot, key)
+            .select(
+                key,
+                ((F.col("lo") + F.col("hi")) / 2.0).alias("med"),
+                F.col("n").alias("n_docs"),
+            )
+        )
+
+    med = hist_median(docs, "source", "n_chars")
+    dev = docs.join(med, "source").select(
+        "source",
+        "med",
+        "n_docs",
+        F.abs(2 * F.col("n_chars") - (2 * F.col("med")).cast("long")).alias("dev2"),
+    )
+    mad = hist_median(dev.select("source", "dev2"), "source", "dev2").select(
+        "source", F.col("med").alias("mad2")
+    )
+    out = dev.join(mad, "source")
+    is_out = (2 * F.col("dev2")) > (_MAD_K * 2 * F.col("mad2")).cast("long")
+    return (
+        out.groupBy("source")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.first("med").alias("median_chars"),
+            (F.first("mad2") / 2.0).alias("mad_chars"),
+            F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+            quant(
+                F.sum(F.when(is_out, 1).otherwise(0))
+                * 1.0
+                / F.first("n_docs"),
+                4,
+            ).alias("outlier_share"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "lang_source_chi2",
+    oracle=f"""
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source
+), margins AS (
+  SELECT c.lang, c.source, c.o,
+         SUM(c.o) OVER (PARTITION BY c.lang)   AS r,
+         SUM(c.o) OVER (PARTITION BY c.source) AS cl,
+         SUM(c.o) OVER ()                      AS n
+  FROM cells c
+), dims AS (
+  SELECT COUNT(DISTINCT lang) AS nl, COUNT(DISTINCT source) AS ns,
+         CAST(SUM(o) AS BIGINT) AS n
+  FROM cells
+), terms AS (
+  SELECT CAST(floor(CAST(o AS DOUBLE) * o * n * 1000000.0 / (r * cl) + 0.5)
+              AS BIGINT) AS tau
+  FROM margins
+), stat AS (
+  SELECT SUM(tau) / 1000000.0 - ANY_VALUE(d.n) AS chi2_raw,
+         ANY_VALUE(d.nl) AS nl, ANY_VALUE(d.ns) AS ns, ANY_VALUE(d.n) AS n
+  FROM terms CROSS JOIN dims d
+)
+SELECT CAST((nl - 1) * (ns - 1) AS BIGINT) AS dof,
+       {quant_sql("chi2_raw", 6)} AS chi2,
+       CASE WHEN LEAST(nl, ns) > 1 THEN
+         {quant_sql("sqrt((chi2_raw / n) / (LEAST(nl, ns) - 1))", 6)}
+       END AS cramers_v
+FROM stat
+""",
+)
+def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence for the lang x source
+    contingency table, plus Cramér's V effect size.
+
+    Identity used: chi2 = Σ O²N/(R·C) − N over OBSERVED cells (empty
+    cells contribute exactly 0). Each cell term is floored onto a 1e-6
+    integer grid BEFORE the cross-cell sum — the per-cell double
+    arithmetic is bit-identical in both engines (same expression
+    order), and the integer sum is order-independent, so partial
+    aggregation can't produce ulp drift. One grouped count + two tiny
+    margin aggregates; everything after the cell count is
+    constant-size (bounded by the lang x source domain).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    cells = cells.localCheckpoint(eager=False)  # feeds margins + dims
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
+    wn = Window.partitionBy()
+    margins = cells.select(
+        "o",
+        F.sum("o").over(wl).alias("r"),
+        F.sum("o").over(ws).alias("cl"),
+        F.sum("o").over(wn).alias("n"),
+    )
+    tau = margins.select(
+        F.floor(
+            F.col("o").cast("double")
+            * F.col("o")
+            * F.col("n")
+            * 1000000.0
+            / (F.col("r") * F.col("cl"))
+            + 0.5
+        )
+        .cast("long")
+        .alias("tau")
+    )
+    dims = cells.agg(
+        F.countDistinct("lang").alias("nl"),
+        F.countDistinct("source").alias("ns"),
+        F.sum("o").alias("n"),
+    )
+    stat = (
+        tau.agg(F.sum("tau").alias("tsum"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            (F.col("tsum") / 1000000.0 - F.col("n")).alias("chi2_raw"),
+            "nl",
+            "ns",
+            "n",
+        )
+    )
+    return stat.select(
+        ((F.col("nl") - 1) * (F.col("ns") - 1)).cast("long").alias("dof"),
+        quant(F.col("chi2_raw"), 6).alias("chi2"),
+        F.when(
+            F.least("nl", "ns") > 1,
+            quant(
+                F.sqrt(
+                    (F.col("chi2_raw") / F.col("n"))
+                    / (F.least("nl", "ns") - 1)
+                ),
+                6,
+            ),
+        ).alias("cramers_v"),
+    )

@@ -1,0 +1,184 @@
+"""Distributed k-means (Lloyd's algorithm) over the embeddings table.
+
+The registry already has *static*-centroid vector ops (IVF / PQ use
+deterministic hash-derived centroids, similarity.py:427); this module
+adds the genuinely ITERATIVE clustering shape: assign → update →
+assign → update → assign, entirely as DataFrame plans — no driver-side
+``collect()`` of vectors, no Python loop over rows.
+
+Cross-engine exactness (the property that makes a k-means DuckDB
+oracle possible at all): embedding dims are quantized once onto an
+integer grid (``floor(x * 1e6 + 0.5)``), after which every distance is
+a BIGINT sum of squared integer differences — associative, so
+partial-aggregation order can't flip an argmin — and every centroid
+update re-floors onto the same grid. Argmin ties break toward the
+smaller cluster id via a composite ``dist * 8 + cid`` key, so the
+whole fixed-point is bit-deterministic in both engines.
+
+Scale: centroids are a k*64-row long-form table (broadcast); each
+assignment is one broadcast equi-join on the dim index + a map-side-
+combined (vec_id, cid) partial aggregate; each update one (cid, i)
+aggregate — bounded state, one shuffle per step, k*64 rows of state
+between steps. Iteration count is fixed (2 updates), keeping lineage
+shallow; a convergence-driven variant would localCheckpoint per round
+like dedup.dedup_clusters.
+
+No reference analogue; extends the LLM-pipeline surface (SemDeDup-style
+embedding clustering is the standard pre-dedup step).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_cs4225_spark.functions.numeric import quant, quant_sql
+from hadoop_cs4225_spark.registry import register
+from hadoop_cs4225_spark.sources.tables import load_table
+
+#: Cluster count. The argmin composite key packs the cluster id into
+#: the low 3 bits (``dist * 8 + cid``), so _K must stay <= 8.
+_K = 4
+
+#: Embedding dimensionality (embeddings.parquet contract, 64).
+_DIMS = 64
+
+#: Integer grid for the quantized dims.
+_GRID = 1_000_000
+
+
+def _oracle() -> str:
+    def assign(cent: str) -> str:
+        return f"""
+  SELECT vec_id, CAST(mk % 8 AS INT) AS cid FROM (
+    SELECT d.vec_id, MIN(d.dist * 8 + d.cid) AS mk FROM (
+      SELECT l.vec_id, c.cid,
+             SUM((l.v - c.m) * (l.v - c.m)) AS dist
+      FROM ql l JOIN {cent} c USING (i)
+      GROUP BY l.vec_id, c.cid) d
+    GROUP BY d.vec_id)
+"""
+
+    def update(asg: str) -> str:
+        return f"""
+  SELECT a.cid, l.i,
+         CAST(floor(CAST(SUM(l.v) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS m
+  FROM ql l JOIN {asg} a USING (vec_id)
+  GROUP BY a.cid, l.i
+"""
+
+    return f"""
+WITH qv AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_GRID} + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+), ql AS (
+  SELECT vec_id, i, q[i] AS v FROM qv, range(1, {_DIMS + 1}) t(i)
+), seeds AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, q
+  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT {_K}) s
+), c0 AS (
+  SELECT cid, i, q[i] AS m FROM seeds, range(1, {_DIMS + 1}) t(i)
+), a1 AS ({assign("c0")}), c1 AS ({update("a1")}),
+   a2 AS ({assign("c1")}), c2 AS ({update("a2")}),
+   a3 AS ({assign("c2")})
+SELECT a.cid, COUNT(*) AS n_vecs,
+       {quant_sql("SUM(e.label) * 1.0 / COUNT(*)", 6)} AS avg_label,
+       ANY_VALUE(n.centroid_norm) AS centroid_norm
+FROM a3 a JOIN embeddings e USING (vec_id)
+JOIN (SELECT cid,
+             {quant_sql(f"sqrt(CAST(SUM(m * m) AS DOUBLE)) / {_GRID}.0", 6)}
+               AS centroid_norm
+      FROM c2 GROUP BY cid) n USING (cid)
+GROUP BY a.cid
+ORDER BY a.cid
+"""
+
+
+@register("kmeans_embedding_clusters", oracle=_oracle())
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (k=4, two Lloyd updates + final assignment) on the
+    integer-quantized embeddings; deterministic seeds = the k smallest
+    vec_ids. Output: per-cluster size, mean label, centroid norm.
+
+    The DuckDB oracle unrolls the identical five steps as CTEs — the
+    DataFrame loop below IS that recursion (same integer grid, same
+    tie-breaking argmin key), reformulated as broadcast joins +
+    partial aggregates for a distributed engine.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _GRID + 0.5).cast("long"),
+        ).alias("q"),
+    )
+    # long form: one row per (vec, dim) — the shape every step joins on
+    ql = qv.select(
+        "vec_id", F.posexplode("q").alias("i0", "v")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "v")
+
+    # deterministic seeds: the k smallest vec_ids, cid by that order.
+    # The row_number window runs over the ALREADY-LIMITed k-row frame
+    # (bounded; allowlisted in test_plans.py).
+    seeds = (
+        qv.orderBy("vec_id")
+        .limit(_K)
+        .withColumn(
+            "cid", (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("int")
+        )
+    )
+    cent = seeds.select(
+        "cid", F.posexplode("q").alias("i0", "m")
+    ).select("cid", (F.col("i0") + 1).alias("i"), "m")
+
+    def assign(cent: DataFrame) -> DataFrame:
+        d = (
+            ql.join(F.broadcast(cent), "i")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("v") - F.col("m")) * (F.col("v") - F.col("m"))
+                ).alias("dist")
+            )
+        )
+        return d.groupBy("vec_id").agg(
+            F.min(F.col("dist") * 8 + F.col("cid")).alias("mk")
+        ).select("vec_id", (F.col("mk") % 8).cast("int").alias("cid"))
+
+    def update(asg: DataFrame) -> DataFrame:
+        return (
+            ql.join(asg, "vec_id")
+            .groupBy("cid", "i")
+            .agg(
+                F.floor(
+                    F.sum("v").cast("double") / F.count(F.lit(1)) + 0.5
+                )
+                .cast("long")
+                .alias("m")
+            )
+        )
+
+    for _ in range(2):
+        cent = update(assign(cent))
+    final = assign(cent)
+
+    norms = cent.groupBy("cid").agg(
+        quant(
+            F.sqrt(F.sum(F.col("m") * F.col("m")).cast("double")) / float(_GRID), 6
+        ).alias("centroid_norm")
+    )
+    return (
+        final.join(emb.select("vec_id", "label"), "vec_id")
+        .join(norms, "cid")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            quant(F.sum("label") * 1.0 / F.count(F.lit(1)), 6).alias("avg_label"),
+            F.first("centroid_norm").alias("centroid_norm"),
+        )
+        .orderBy("cid")
+    )

@@ -28,7 +28,7 @@ No reference analogue; extends the LLM-pipeline/graph surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_cs4225_spark.functions.numeric import quant, quant_sql
@@ -157,4 +157,137 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks.select("node", quant("r", 9).alias("rank_q"))
         .orderBy(F.col("rank_q").desc(), "node")
         .limit(TOP_K)
+    )
+
+
+#: Mutual-top-K partner graph: per-supplier strongest co-suppliers
+#: kept (K per node), an edge only when BOTH keep each other. Bounds
+#: every node's degree at K whatever the corpus size — the standard
+#: trick that keeps triangle enumeration linear-ish at scale.
+_TRI_TOPK = 5
+
+
+@register(
+    "supplier_triangle_stats",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, COUNT(*) AS w
+  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY s1, s2
+), directed AS (
+  SELECT s1 AS src, s2 AS dst, w FROM pairs
+  UNION ALL
+  SELECT s2 AS src, s1 AS dst, w FROM pairs
+), topk AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+    FROM directed) WHERE rn <= {_TRI_TOPK}
+), edges AS (
+  SELECT a.src AS a, a.dst AS b FROM topk a
+  JOIN topk b ON a.src = b.dst AND a.dst = b.src
+  WHERE a.src < a.dst
+), deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+  GROUP BY v
+), tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+  WHERE EXISTS (SELECT 1 FROM edges e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+)
+SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+       (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+       (SELECT COUNT(*) FROM tri) AS n_triangles,
+       (SELECT CASE WHEN SUM(d * (d - 1) / 2) > 0 THEN
+          {quant_sql("3.0 * (SELECT COUNT(*) FROM tri)"
+                     " / SUM(d * (d - 1) / 2)", 6)} END
+        FROM deg) AS global_clustering
+""",
+)
+def supplier_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the supplier
+    co-occurrence graph (suppliers co-appearing in an order).
+
+    The raw co-occurrence graph is dense (every frequent supplier pair
+    eventually co-occurs), so edges are the MUTUAL top-{K} strongest
+    partners per supplier — a degree-<=K graph by construction, making
+    the triangle join's fanout bounded at any corpus size (the same
+    bucket-cap discipline as the LSH pair join, dedup.py:89).
+
+    Plan: per-order distinct-supplier self-join (fanout bounded by
+    order width), one pair aggregate, a per-node top-K window
+    (partitioned), a self-equi-join for mutuality, then the classic
+    enumerate-wedges + close-with-semi-join triangle count. All joins
+    are equi-joins; the window is partitioned by node.
+
+    Triangles are counted once per (a<b, b<c, edge a-c) orientation;
+    wedges = sum over nodes of C(deg, 2); global clustering =
+    3*triangles / wedges.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    os_ = li.distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    directed = pairs.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst"), "w"
+    ).unionAll(pairs.select(F.col("s2").alias("src"), F.col("s1").alias("dst"), "w"))
+    wtop = Window.partitionBy("src").orderBy(F.col("w").desc(), "dst")
+    topk = (
+        directed.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= _TRI_TOPK)
+        .select("src", "dst")
+    )
+    t2 = topk.select(F.col("src").alias("rsrc"), F.col("dst").alias("rdst"))
+    edges = (
+        topk.join(
+            t2,
+            (F.col("src") == F.col("rdst")) & (F.col("dst") == F.col("rsrc")),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    )
+    # the mutual-join and the three triangle joins all reuse `edges`;
+    # it is tiny (<= K*|V| rows) — localCheckpoint so the pair
+    # aggregate runs once, not four times
+    edges = edges.localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e2 = edges.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    wedges2 = edges.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
+    tri = wedges2.join(
+        edges.select(F.col("a").alias("ta"), F.col("b").alias("tc")),
+        (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+        "left_semi",
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("n_wedges")
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    out = n_edges.crossJoin(n_wedges).crossJoin(n_tri)
+    return out.select(
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            quant(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6),
+        ).alias("global_clustering"),
     )

@@ -469,3 +469,70 @@ def per_source_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: A-ES weighted sampling: kept docs per source, and the 2^20 grid the
+#: hash is mapped onto before the log transform.
+_AES_TOPK = 10
+_AES_GRID = 1 << 20
+
+
+_AES_U_SQL = (
+    f"((({hash60_sql('CAST(doc_id AS VARCHAR)')} % {_AES_GRID})"
+    f" + 0.5) / {_AES_GRID}.0)"
+)
+
+
+@register(
+    "weighted_aes_sample",
+    oracle=f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         {quant_sql(f"LN({_AES_U_SQL}) / n_chars", 12)} AS aes_key
+  FROM documents
+)
+SELECT source, doc_id, n_chars, rn AS rank FROM (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY aes_key DESC, doc_id) AS rn
+  FROM keyed)
+WHERE rn <= {_AES_TOPK}
+ORDER BY source, rank
+""",
+)
+def weighted_aes_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential sort keys
+    (Efraimidis–Spirakis A-ES): per source, the {k} docs with the
+    largest ``u^(1/w)`` — equivalently the largest ``ln(u)/w`` — where
+    w = n_chars and u is a reproducible uniform from the same
+    md5-derived hash60 as every other sampling op (hashing.py).
+
+    Length-weighted without-replacement sampling is the standard
+    mixture-construction primitive when doc token counts differ by
+    orders of magnitude; unlike ``mixture_weighted_sample``'s
+    Bernoulli thinning it draws an EXACT per-source count.
+
+    Determinism: u = ((hash60 % 2^20) + 0.5) / 2^20 is an exact binary
+    double, identical in both engines; ln(u)/w follows the
+    ln-of-rational precedent (tfidf) and the key is quantized at 12dp
+    BEFORE ranking with a doc_id tie-break, so a last-ulp libm
+    disagreement cannot flip the order. Top-k per source is a
+    partitioned window — one shuffle, no global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = ((hash60(F.col("doc_id").cast("string")) % _AES_GRID) + 0.5) / float(
+        _AES_GRID
+    )
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        quant(F.log(u) / F.col("n_chars"), 12).alias("aes_key"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("aes_key").desc(), "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _AES_TOPK)
+        .select("source", "doc_id", "n_chars", F.col("rn").alias("rank"))
+        .orderBy("source", "rank")
+    )

@@ -1432,3 +1432,184 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(_BM25_TOPK)
     )
+
+
+#: Keyness: minimum in-source term count before a term is scored, and
+#: how many top terms to keep per source.
+_KEYNESS_MIN_COUNT = 5
+_KEYNESS_TOPK = 5
+
+#: ``x * ln(x)`` with the 0 ln 0 = 0 convention — every ln argument is
+#: an INTEGER count, where both engines' libm agree bit-for-bit (the
+#: doc_unigram_entropy discipline, see its docstring).
+_XLX_SQL = "(CASE WHEN {x} > 0 THEN {x} * LN(CAST({x} AS DOUBLE)) ELSE 0.0 END)"
+
+
+def _xlx(c: Column) -> Column:
+    return F.when(c > 0, c * F.log(c.cast("double"))).otherwise(F.lit(0.0))
+
+
+@register(
+    "term_keyness_llr",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS_SQL}) AS term FROM documents
+), st AS (
+  SELECT source, term, COUNT(*) AS a FROM tok GROUP BY source, term
+), tt AS (
+  SELECT term, CAST(SUM(a) AS BIGINT) AS t_tot FROM st GROUP BY term
+), srct AS (
+  SELECT source, CAST(SUM(a) AS BIGINT) AS n_s FROM st GROUP BY source
+), corp AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS n FROM st
+), cells AS (
+  SELECT st.source, st.term, st.a,
+         tt.t_tot - st.a          AS b,
+         srct.n_s - st.a          AS c,
+         corp.n - srct.n_s - (tt.t_tot - st.a) AS d,
+         srct.n_s, corp.n
+  FROM st JOIN tt USING (term) JOIN srct USING (source) CROSS JOIN corp
+  WHERE st.a >= {_KEYNESS_MIN_COUNT}
+    AND st.a * (corp.n - srct.n_s) > (tt.t_tot - st.a) * srct.n_s
+), scored AS (
+  SELECT source, term, a,
+         {quant_sql(
+             "2.0 * ("
+             + _XLX_SQL.format(x="a") + " + "
+             + _XLX_SQL.format(x="b") + " + "
+             + _XLX_SQL.format(x="c") + " + "
+             + _XLX_SQL.format(x="d") + " - "
+             + _XLX_SQL.format(x="(a + b)") + " - "
+             + _XLX_SQL.format(x="(c + d)") + " - "
+             + _XLX_SQL.format(x="(a + c)") + " - "
+             + _XLX_SQL.format(x="(b + d)") + " + "
+             + _XLX_SQL.format(x="n") + ")", 4)} AS keyness
+  FROM cells
+)
+SELECT source, term, a AS n_in_source, keyness FROM (
+  SELECT source, term, a, keyness,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY keyness DESC, term) AS rn
+  FROM scored)
+WHERE rn <= {_KEYNESS_TOPK}
+ORDER BY source, keyness DESC, term
+""",
+)
+def term_keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-likelihood-ratio keyness (Dunning's G²): the terms most
+    over-represented in each source vs the rest of the corpus.
+
+    G² for the 2x2 contingency (term-in-source a, term-elsewhere b,
+    other-in-source c, other-elsewhere d) in the entropy form
+    ``2*(Σ O ln O - Σ row ln row - Σ col ln col + N ln N)`` — every
+    ln argument is an integer count, so both engines produce
+    bit-identical doubles and the fixed left-to-right sum keeps the
+    total deterministic; quantized once before the per-source ranking
+    (ties break by term).
+
+    Over-representation is tested with the exact integer
+    cross-multiply ``a*(N-n_s) > b*n_s`` — no float ratio compare.
+
+    Plan: explode -> (source,term) count (map-side combined), join
+    term totals on term, broadcast the per-source totals and the 1-row
+    corpus total, then a partitioned top-k window. Candidate cells are
+    pre-pruned to a >= 5, bounding the ranking input.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(_toks()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    st = st.localCheckpoint(eager=False)  # feeds three aggregates below
+    tt = st.groupBy("term").agg(F.sum("a").alias("t_tot"))
+    srct = st.groupBy("source").agg(F.sum("a").alias("n_s"))
+    corp = st.agg(F.sum("a").alias("n"))
+    cells = (
+        st.join(tt, "term")
+        .join(F.broadcast(srct), "source")
+        .crossJoin(F.broadcast(corp))
+        .withColumn("b", F.col("t_tot") - F.col("a"))
+        .withColumn("c", F.col("n_s") - F.col("a"))
+        .withColumn("d", F.col("n") - F.col("n_s") - F.col("b"))
+        .filter(
+            (F.col("a") >= _KEYNESS_MIN_COUNT)
+            & (F.col("a") * (F.col("n") - F.col("n_s")) > F.col("b") * F.col("n_s"))
+        )
+    )
+    a, b, c, d, n = (F.col(x) for x in "abcdn")
+    g2 = quant(
+        2.0
+        * (
+            _xlx(a)
+            + _xlx(b)
+            + _xlx(c)
+            + _xlx(d)
+            - _xlx(a + b)
+            - _xlx(c + d)
+            - _xlx(a + c)
+            - _xlx(b + d)
+            + _xlx(n)
+        ),
+        4,
+    )
+    scored = cells.select("source", "term", "a", g2.alias("keyness"))
+    w = Window.partitionBy("source").orderBy(F.col("keyness").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KEYNESS_TOPK)
+        .select("source", "term", F.col("a").alias("n_in_source"), "keyness")
+        .orderBy("source", F.col("keyness").desc(), "term")
+    )
+
+
+@register(
+    "source_simpson_diversity",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS_SQL}) AS term FROM documents
+), st AS (
+  SELECT source, term, COUNT(*) AS c FROM tok GROUP BY source, term
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS vocab,
+       {quant_sql(
+           "1.0 - CAST(SUM(c * (c - 1)) AS DOUBLE)"
+           " / (CAST(SUM(c) AS DOUBLE) * (SUM(c) - 1))", 6)}
+         AS simpson_diversity
+FROM st
+GROUP BY source
+ORDER BY source
+""",
+)
+def source_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity (1 - Σc(c-1)/(n(n-1))) of each source's token
+    distribution — the probability two tokens drawn without
+    replacement differ. Complements the entropy family with the
+    collision-probability view (same form as a dedup collision rate).
+
+    Both the numerator and denominator are exact BIGINTs (one
+    map-side-combined (source,term) count, one per-source reduce);
+    the single division is quantized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(_toks()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        st.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            quant(
+                1.0
+                - F.sum(F.col("c") * (F.col("c") - 1)).cast("double")
+                / (F.sum("c").cast("double") * (F.sum("c") - 1)),
+                6,
+            ).alias("simpson_diversity"),
+        )
+        .orderBy("source")
+    )

@@ -49,6 +49,8 @@ _OPERATOR_MODULES = (
     "hadoop_cs4225_spark.operators.udtf_ops",
     "hadoop_cs4225_spark.operators.cogroup_ops",
     "hadoop_cs4225_spark.operators.mining",
+    "hadoop_cs4225_spark.operators.algo_ops",
+    "hadoop_cs4225_spark.operators.clustering",
     "hadoop_cs4225_spark.operators.formats",
     "hadoop_cs4225_spark.operators.sampling",
     "hadoop_cs4225_spark.operators.pipeline_ops",

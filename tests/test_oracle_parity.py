@@ -52,6 +52,12 @@ _SCALE_PINNED = [
     "pq_adc_query_topk",
     "lsh_recall_audit",
     "ivf_pq_query_topk",
+    # round-6 session-3 additions: ln-sum ranking (keyness), ln-key
+    # ranking (A-ES), and the iterative integer-grid argmin (k-means) —
+    # the three new ops where a float boundary would first appear at SF
+    "term_keyness_llr",
+    "weighted_aes_sample",
+    "kmeans_embedding_clusters",
 ]
 
 

@@ -125,6 +125,9 @@ _BOUNDED_ALLPAIRS = {
     "ann_lsh_query_topk",
     "ann_lsh_multiprobe_topk",
     "q22_idle_rich_customers",  # broadcast scalar-avg cross join (1 row)
+    "supplier_triangle_stats",  # three 1-row scalar aggregates cross-joined
+    "term_keyness_llr",  # broadcast 1-row corpus-total cross join
+    "lang_source_chi2",  # broadcast 1-row dims cross join
     "q11_important_part_values",  # broadcast scalar-threshold cross join (1 row)
     "tfidf_top_terms",  # broadcast 1-row corpus-count cross join
     "shingle_idf_similarity_topk",  # broadcast 1-row corpus-count cross join
@@ -190,6 +193,15 @@ _BOUNDED_GLOBAL_WINDOW = {
     # row_number over the ALREADY-LIMITed top-1000 token frame — the
     # distributed top-k runs first, the window sees ≤1000 rows
     "doc_zipf_fit",
+    # cross-bucket max-day scan over the price-BUCKET table: row count
+    # = price domain / 1024 (dictionary range, not corpus rows); the
+    # per-price windows are partitioned by bucket
+    "skyline_orders_pareto",
+    # row_number over the ALREADY-LIMITed k-row seed frame (k=4)
+    "kmeans_embedding_clusters",
+    # margin windows over the CELLS table — bounded by the lang x
+    # source domain (dictionary cross product), not corpus rows
+    "lang_source_chi2",
 }
 
 

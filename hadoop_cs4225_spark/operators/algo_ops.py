@@ -452,7 +452,10 @@ def doc_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(val)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        h = h.withColumn("cum", F.sum("c").over(wv))
+        # the cumulated histogram feeds THREE consumers (total, lo, hi);
+        # it is domain-bounded (distinct values), so materialize once
+        # instead of re-running the input scan + window per consumer
+        h = h.withColumn("cum", F.sum("c").over(wv)).localCheckpoint(eager=False)
         tot = h.groupBy(key).agg(F.max("cum").alias("n"))
         h = h.join(tot, key)
         lo_pos = F.floor((F.col("n") + 1) / 2)  # lower middle (1-based)
@@ -484,6 +487,9 @@ def doc_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.abs(2 * F.col("n_chars") - (2 * F.col("med")).cast("long")).alias("dev2"),
     )
+    # dev feeds the MAD histogram AND the final outlier aggregate —
+    # materialize so the docs scan + median join run once
+    dev = dev.localCheckpoint(eager=False)
     mad = hist_median(dev.select("source", "dev2"), "source", "dev2").select(
         "source", F.col("med").alias("mad2")
     )
@@ -604,4 +610,403 @@ def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         ).alias("cramers_v"),
+    )
+
+
+#: Survival-curve thresholds (days) for the ship-delay analysis.
+_SURVIVAL_DAYS = (0, 7, 30, 90, 365)
+
+
+@register(
+    "events_interval_coverage",
+    oracle=f"""
+WITH iv AS (
+  SELECT event_type, epoch_us(ts) AS s,
+         epoch_us(ts) + {_CONCURRENCY_MINUTES} * 60000000 AS e, event_id
+  FROM events
+), pts AS (
+  SELECT event_type, s AS t, 1 AS delta, event_id FROM iv
+  UNION ALL
+  SELECT event_type, e AS t, -1 AS delta, event_id FROM iv
+), run AS (
+  SELECT event_type, t, delta,
+         CAST(SUM(delta) OVER w AS BIGINT) AS conc,
+         LEAD(t) OVER w AS nt
+  FROM pts
+  WINDOW w AS (PARTITION BY event_type ORDER BY t, delta DESC, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN delta = 1 AND conc = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_islands,
+       {quant_sql(
+           "CAST(SUM(CASE WHEN conc > 0 THEN nt - t ELSE 0 END) AS BIGINT)"
+           " / 60000000.0", 4)} AS covered_minutes,
+       {quant_sql(
+           "CAST(SUM(CASE WHEN conc > 0 THEN nt - t ELSE 0 END) AS DOUBLE)"
+           " / (MAX(t) - MIN(t))", 6)} AS coverage_ratio
+FROM run
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals coverage per event type: merge overlapping
+    [ts, ts+30min) intervals (gaps-and-islands) and report island
+    count, total covered minutes, and covered share of the span.
+
+    Deliberately verified by a DIFFERENT algorithm on each side: the
+    Spark plan is the distributed gaps-and-islands idiom (running max
+    of interval ends -> island boundaries -> per-island extents, all
+    in partitioned windows over integer microseconds); the oracle is a
+    sweep line (conc>0 segments integrated via LEAD). Touching
+    intervals merge on both sides (strict ``s > prevmax`` boundary /
+    starts-before-ends tie order).
+
+    Contrast with ``events_max_concurrency`` (peak of the same sweep)
+    and ``events_session_windows`` (per-user gap sessions): this is
+    the per-TYPE interval-union measure. Everything is exact BIGINT
+    microsecond arithmetic until the two final quantized divisions.
+    """
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + _CONCURRENCY_MINUTES * 60_000_000
+        ).alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-(1 << 62))),
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w_cum))
+    isl = flagged.groupBy("event_type", "island").agg(
+        F.min("s").alias("st"), F.max("e").alias("en")
+    )
+    return (
+        isl.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.col("en") - F.col("st")).alias("cov"),
+            F.min("st").alias("lo"),
+            F.max("en").alias("hi"),
+        )
+        .select(
+            "event_type",
+            "n_islands",
+            quant(F.col("cov") / 60000000.0, 4).alias("covered_minutes"),
+            quant(
+                F.col("cov").cast("double") / (F.col("hi") - F.col("lo")), 6
+            ).alias("coverage_ratio"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ship_delay_survival",
+    oracle=f"""
+WITH d AS (
+  SELECT o.o_orderpriority,
+         datediff('day', CAST(o.o_orderdate AS DATE),
+                  CAST(l.l_shipdate AS DATE)) AS delay
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), t AS (
+  SELECT unnest([{", ".join(str(t) for t in _SURVIVAL_DAYS)}]) AS t_days
+)
+SELECT o_orderpriority, t_days,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN delay > t_days THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_surviving,
+       {quant_sql(
+           "SUM(CASE WHEN delay > t_days THEN 1 ELSE 0 END) * 1.0 / COUNT(*)",
+           6)} AS survival
+FROM d CROSS JOIN t
+GROUP BY o_orderpriority, t_days
+ORDER BY o_orderpriority, t_days
+""",
+)
+def ship_delay_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival curve of order-to-ship delay per order priority:
+    S(t) = share of lineitems still unshipped after t days, at fixed
+    horizons (0/7/30/90/365 — the synthetic delays span negative to
+    ~2500 days, so the curve covers the whole range).
+
+    The oracle fans rows out across thresholds with a cross join; the
+    Spark side instead computes ONE conditional aggregate per
+    threshold in a single pass (no row multiplication — at 100 TB a
+    x5 fact-table blow-up is real money) and unpivots the fixed-width
+    result with ``stack``. Counts are exact integers; the single
+    share division is quantized.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"
+    )
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("delay"),
+    )
+    agg = d.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        *[
+            F.sum((F.col("delay") > t).cast("long")).alias(f"s{t}")
+            for t in _SURVIVAL_DAYS
+        ],
+    )
+    stacked = agg.selectExpr(
+        "o_orderpriority",
+        "n_total",
+        "stack({}, {}) as (t_days, n_surviving)".format(
+            len(_SURVIVAL_DAYS),
+            ", ".join(f"{t}, s{t}" for t in _SURVIVAL_DAYS),
+        ),
+    )
+    return stacked.select(
+        "o_orderpriority",
+        "t_days",
+        "n_total",
+        "n_surviving",
+        quant(F.col("n_surviving") * 1.0 / F.col("n_total"), 6).alias("survival"),
+    ).orderBy("o_orderpriority", "t_days")
+
+
+#: PSI: fixed price-bin width (domain-bounded bin count), alarm level,
+#: and the integer grid the per-bin terms are floored onto before the
+#: cross-bin sum.
+_PSI_BIN = 50_000.0
+_PSI_GRID = 1_000_000_000
+_PSI_ALARM = 0.2
+
+
+@register(
+    "orders_monthly_psi",
+    oracle=f"""
+WITH binned AS (
+  SELECT strftime(time_bucket(INTERVAL '1 month', o_orderdate), '%Y-%m') AS m,
+         CAST(floor(o_totalprice / {_PSI_BIN}) AS BIGINT) AS bin
+  FROM orders
+), mb AS (
+  SELECT m, bin, COUNT(*) AS a FROM binned GROUP BY m, bin
+), bins AS (
+  SELECT DISTINCT bin FROM binned
+), months AS (
+  SELECT m, COUNT(*) AS atot FROM binned GROUP BY m
+), gb AS (
+  SELECT bin, COUNT(*) AS c FROM binned GROUP BY bin
+), g AS (
+  SELECT COUNT(*) AS ctot, (SELECT COUNT(*) FROM bins) AS nb FROM binned
+), cells AS (
+  SELECT months.m, months.atot, bins.bin, COALESCE(mb.a, 0) AS a, gb.c,
+         g.ctot, g.nb
+  FROM months CROSS JOIN bins
+  LEFT JOIN mb ON mb.m = months.m AND mb.bin = bins.bin
+  JOIN gb ON gb.bin = bins.bin
+  CROSS JOIN g
+), terms AS (
+  SELECT m, atot,
+         CAST(floor(
+           ((a + 1) * 1.0 / (atot + nb) - (c + 1) * 1.0 / (ctot + nb))
+           * (LN(CAST((a + 1) * (ctot + nb) AS DOUBLE))
+              - LN(CAST((c + 1) * (atot + nb) AS DOUBLE)))
+           * {_PSI_GRID} + 0.5) AS BIGINT) AS tau
+  FROM cells
+)
+SELECT m AS month, ANY_VALUE(atot) AS n_orders,
+       {quant_sql(f"CAST(SUM(tau) AS BIGINT) / {_PSI_GRID}.0", 6)} AS psi,
+       CAST(SUM(tau) > {int(_PSI_ALARM * _PSI_GRID)} AS BOOLEAN) AS drift
+FROM terms
+GROUP BY m
+ORDER BY month
+""",
+)
+def orders_monthly_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each month's order-value
+    distribution vs the whole-corpus reference — the standard
+    training-data / feature drift monitor.
+
+    PSI = Σ_bins (p_i - q_i) ln(p_i / q_i) over 10 fixed price bins
+    (domain-bounded: price-range / 50k, not data-dependent deciles),
+    with +1 Laplace smoothing so empty bins stay finite. Engine
+    exactness: p, q are exact rational doubles; ln(p/q) is decomposed
+    as ln((a+1)(C+nb)) - ln((c+1)(A+nb)) — ln of INTEGER-valued
+    products (engine-stable; products stay < 2^53 up to ~10^5x this
+    corpus, documented bound) — and each bin's term is floored onto a
+    1e-9 integer grid BEFORE the cross-bin sum, so aggregation order
+    can't move the result (the chi2 discipline). The drift flag
+    compares scaled integers, never floats.
+
+    Plan: one (month, bin) count, tiny bin/month/global rollups
+    (broadcast), a month x bin grid join (bounded: 80 months x 10
+    bins), one integer sum per month.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+        F.floor(F.col("o_totalprice") / _PSI_BIN).cast("long").alias("bin"),
+    )
+    mb = o.groupBy("m", "bin").agg(F.count(F.lit(1)).alias("a"))
+    mb = mb.localCheckpoint(eager=False)  # feeds months/bins/global/cells
+    months = mb.groupBy("m").agg(F.sum("a").alias("atot"))
+    bins = mb.select("bin").distinct()
+    gb = mb.groupBy("bin").agg(F.sum("a").alias("c"))
+    g = mb.agg(
+        F.sum("a").alias("ctot"), F.countDistinct("bin").alias("nb")
+    )
+    cells = (
+        months.crossJoin(F.broadcast(bins))
+        .join(mb, ["m", "bin"], "left")
+        .withColumn("a", F.coalesce("a", F.lit(0)))
+        .join(F.broadcast(gb), "bin")
+        .crossJoin(F.broadcast(g))
+    )
+    p = (F.col("a") + 1) * 1.0 / (F.col("atot") + F.col("nb"))
+    q = (F.col("c") + 1) * 1.0 / (F.col("ctot") + F.col("nb"))
+    lnp = F.log(((F.col("a") + 1) * (F.col("ctot") + F.col("nb"))).cast("double"))
+    lnq = F.log(((F.col("c") + 1) * (F.col("atot") + F.col("nb"))).cast("double"))
+    terms = cells.select(
+        "m",
+        "atot",
+        F.floor((p - q) * (lnp - lnq) * _PSI_GRID + 0.5).cast("long").alias("tau"),
+    )
+    return (
+        terms.groupBy("m")
+        .agg(
+            F.first("atot").alias("n_orders"),
+            quant(F.sum("tau") / float(_PSI_GRID), 6).alias("psi"),
+            (F.sum("tau") > int(_PSI_ALARM * _PSI_GRID)).alias("drift"),
+        )
+        .select(F.col("m").alias("month"), "n_orders", "psi", "drift")
+        .orderBy("month")
+    )
+
+
+#: Seasonal decomposition: centered moving-average half-width (full
+#: window = 13 months) and the integer grid for deviations.
+_SEAS_HALF = 6
+_SEAS_GRID = 1000
+
+
+@register(
+    "orders_seasonal_decompose",
+    oracle=f"""
+WITH monthly AS (
+  SELECT strftime(time_bucket(INTERVAL '1 month', o_orderdate), '%Y-%m') AS m,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY m
+), tr AS (
+  SELECT m, cents,
+         CAST(substr(m, 6, 2) AS INT) AS moy,
+         CASE WHEN COUNT(*) OVER w = {2 * _SEAS_HALF + 1}
+              THEN SUM(cents) OVER w END AS s13
+  FROM monthly
+  WINDOW w AS (ORDER BY m ROWS BETWEEN {_SEAS_HALF} PRECEDING
+               AND {_SEAS_HALF} FOLLOWING)
+), dev AS (
+  SELECT m, cents, moy, s13,
+         CASE WHEN s13 IS NOT NULL THEN
+           CAST(floor((cents - s13 / {2 * _SEAS_HALF + 1}.0)
+                      / 100.0 * {_SEAS_GRID} + 0.5) AS BIGINT)
+         END AS dev_s
+  FROM tr
+), seas AS (
+  SELECT moy,
+         CAST(floor(CAST(SUM(dev_s) AS DOUBLE) / COUNT(dev_s) + 0.5) AS BIGINT)
+           AS seas_s
+  FROM dev WHERE dev_s IS NOT NULL GROUP BY moy
+)
+SELECT d.m AS month,
+       {quant_sql("d.cents / 100.0", 2)} AS revenue,
+       {quant_sql(f"d.s13 / {2 * _SEAS_HALF + 1}.0 / 100.0", 4)} AS trend,
+       {quant_sql(f"s.seas_s * 1.0 / {_SEAS_GRID}", 4)} AS seasonal,
+       {quant_sql(f"(d.dev_s - s.seas_s) * 1.0 / {_SEAS_GRID}", 4)} AS residual
+FROM dev d JOIN seas s USING (moy)
+ORDER BY month
+""",
+)
+def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive time-series decomposition of monthly revenue:
+    trend (13-month centered moving average, only where the window is
+    full), seasonal (mean detrended deviation per calendar month), and
+    residual. The hypertable/forecasting shape a reference user runs
+    before ``q6_revenue_forecast``-style extrapolation.
+
+    The monthly frame is CALENDAR-bounded (~80 rows at any corpus
+    size), so the centered-MA window is a bounded global window
+    (allowlisted); everything upstream is one grouped integer-cents
+    aggregate over the fact table. Deviations are floored onto a
+    1e-3-dollar integer grid before the per-calendar-month averaging,
+    so cross-engine sums cannot reassociate.
+    """
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("m"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("cents")
+        )
+    )
+    n_win = 2 * _SEAS_HALF + 1
+    w = Window.orderBy("m").rowsBetween(-_SEAS_HALF, _SEAS_HALF)
+    tr = monthly.select(
+        "m",
+        "cents",
+        F.substring("m", 6, 2).cast("int").alias("moy"),
+        F.when(F.count(F.lit(1)).over(w) == n_win, F.sum("cents").over(w)).alias(
+            "s13"
+        ),
+    )
+    dev = tr.withColumn(
+        "dev_s",
+        F.when(
+            F.col("s13").isNotNull(),
+            F.floor(
+                (F.col("cents") - F.col("s13") / float(n_win))
+                / 100.0
+                * _SEAS_GRID
+                + 0.5
+            ).cast("long"),
+        ),
+    )
+    dev = dev.localCheckpoint(eager=False)  # feeds seas + the final join
+    seas = (
+        dev.filter(F.col("dev_s").isNotNull())
+        .groupBy("moy")
+        .agg(
+            F.floor(
+                F.sum("dev_s").cast("double") / F.count("dev_s") + 0.5
+            )
+            .cast("long")
+            .alias("seas_s")
+        )
+    )
+    return (
+        dev.join(seas, "moy")
+        .select(
+            F.col("m").alias("month"),
+            quant(F.col("cents") / 100.0, 2).alias("revenue"),
+            quant(F.col("s13") / float(n_win) / 100.0, 4).alias("trend"),
+            quant(F.col("seas_s") * 1.0 / _SEAS_GRID, 4).alias("seasonal"),
+            quant(
+                (F.col("dev_s") - F.col("seas_s")) * 1.0 / _SEAS_GRID, 4
+            ).alias("residual"),
+        )
+        .orderBy("month")
     )

@@ -166,11 +166,9 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: trick that keeps triangle enumeration linear-ish at scale.
 _TRI_TOPK = 5
 
-
-@register(
-    "supplier_triangle_stats",
-    oracle=f"""
-WITH pairs AS (
+#: Shared CTE chain building the mutual-top-K edge list — used by both
+#: graph queries' oracles so the two stay on the identical graph.
+_EDGES_CTE_SQL = f"""pairs AS (
   SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, COUNT(*) AS w
   FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
   JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
@@ -189,7 +187,66 @@ WITH pairs AS (
   SELECT a.src AS a, a.dst AS b FROM topk a
   JOIN topk b ON a.src = b.dst AND a.dst = b.src
   WHERE a.src < a.dst
-), deg AS (
+)"""
+
+
+def _mutual_topk_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected mutual-top-K co-supply edges (a < b), degree <= K by
+    construction; localCheckpointed AND session-memoized (the dedup
+    `_memo` discipline, mtime-invalidated) because BOTH graph queries
+    and all their consumers read the identical frame — the pair
+    self-join runs once per session, not once per query."""
+    from hadoop_cs4225_spark.operators.dedup import _memo
+
+    return _memo(
+        spark,
+        sf_dir,
+        "mutual_topk_edges",
+        lambda: _build_mutual_topk_edges(spark, sf_dir),
+        src_table="lineitem",
+    )
+
+
+def _build_mutual_topk_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    os_ = li.distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    directed = pairs.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst"), "w"
+    ).unionAll(pairs.select(F.col("s2").alias("src"), F.col("s1").alias("dst"), "w"))
+    wtop = Window.partitionBy("src").orderBy(F.col("w").desc(), "dst")
+    topk = (
+        directed.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= _TRI_TOPK)
+        .select("src", "dst")
+    )
+    t2 = topk.select(F.col("src").alias("rsrc"), F.col("dst").alias("rdst"))
+    edges = (
+        topk.join(
+            t2,
+            (F.col("src") == F.col("rdst")) & (F.col("dst") == F.col("rsrc")),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    )
+    return edges.localCheckpoint(eager=False)
+
+
+@register(
+    "supplier_triangle_stats",
+    oracle=f"""
+WITH {_EDGES_CTE_SQL}, deg AS (
   SELECT v, COUNT(*) AS d FROM (
     SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
   GROUP BY v
@@ -227,42 +284,10 @@ def supplier_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges = sum over nodes of C(deg, 2); global clustering =
     3*triangles / wedges.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    os_ = li.distinct()
-    a, b = os_.alias("a"), os_.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    directed = pairs.select(
-        F.col("s1").alias("src"), F.col("s2").alias("dst"), "w"
-    ).unionAll(pairs.select(F.col("s2").alias("src"), F.col("s1").alias("dst"), "w"))
-    wtop = Window.partitionBy("src").orderBy(F.col("w").desc(), "dst")
-    topk = (
-        directed.withColumn("rn", F.row_number().over(wtop))
-        .filter(F.col("rn") <= _TRI_TOPK)
-        .select("src", "dst")
-    )
-    t2 = topk.select(F.col("src").alias("rsrc"), F.col("dst").alias("rdst"))
-    edges = (
-        topk.join(
-            t2,
-            (F.col("src") == F.col("rdst")) & (F.col("dst") == F.col("rsrc")),
-        )
-        .filter(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    )
     # the mutual-join and the three triangle joins all reuse `edges`;
-    # it is tiny (<= K*|V| rows) — localCheckpoint so the pair
-    # aggregate runs once, not four times
-    edges = edges.localCheckpoint(eager=False)
+    # it is tiny (<= K*|V| rows) and localCheckpointed by the helper so
+    # the pair aggregate runs once, not four times
+    edges = _mutual_topk_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("a").alias("v"))
         .unionAll(edges.select(F.col("b").alias("v")))
@@ -290,4 +315,98 @@ def supplier_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_wedges") > 0,
             quant(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6),
         ).alias("global_clustering"),
+    )
+
+
+#: Synchronous label-propagation rounds (unrolled identically in the
+#: oracle's CTE chain).
+_LPA_ROUNDS = 3
+
+#: Composite argmax key base: label < 2^31 on TPC-H-scale keys, so
+#: ``cnt * 2^32 + (2^31 - label)`` orders by (count, then SMALLEST
+#: label) under plain integer MAX — deterministic mode in both engines.
+_LPA_BASE = 1 << 32
+_LPA_MAXL = 1 << 31
+
+
+def _lpa_round_sql(labels: str, rnd: int) -> str:
+    return f"""lpa{rnd} AS (
+  SELECT m.src AS v,
+         CAST({_LPA_MAXL} - (MAX(m.key) % {_LPA_BASE}) AS BIGINT) AS label
+  FROM (
+    SELECT d.src, COUNT(*) * {_LPA_BASE}::BIGINT
+             + ({_LPA_MAXL} - l.label) AS key
+    FROM (SELECT a AS src, b AS dst FROM edges
+          UNION ALL SELECT b AS src, a AS dst FROM edges) d
+    JOIN {labels} l ON d.dst = l.v
+    GROUP BY d.src, l.label) m
+  GROUP BY m.src
+)"""
+
+
+@register(
+    "supplier_communities_lpa",
+    oracle=f"""
+WITH {_EDGES_CTE_SQL}, nodes AS (
+  SELECT a AS v FROM edges UNION SELECT b AS v FROM edges
+), lpa0 AS (
+  SELECT v, v AS label FROM nodes
+), {_lpa_round_sql("lpa0", 1)}, {_lpa_round_sql("lpa1", 2)},
+   {_lpa_round_sql("lpa2", 3)}
+SELECT label AS community, COUNT(*) AS size,
+       CAST(MIN(v) AS BIGINT) AS min_member
+FROM lpa{_LPA_ROUNDS}
+GROUP BY label
+ORDER BY community
+""",
+)
+def supplier_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (3 rounds)
+    on the mutual-top-K co-supply graph (same edge list as
+    ``supplier_triangle_stats`` — the shared _EDGES_CTE_SQL / helper
+    keeps both queries on the identical graph).
+
+    Each round every node adopts the MODE of its neighbors' labels,
+    ties to the smallest label — made deterministic and engine-exact by
+    packing (count, smallest-label) into one integer MAX key
+    (``cnt * 2^32 + (2^31 - label)``), the same composite-key argmin
+    trick as the k-means assignment (clustering.py). Degree <= K bounds
+    every per-round message count at K*|V|.
+
+    Scale: one edges⋈labels broadcast-able join + two grouped
+    aggregates per round, fixed round count → shallow lineage; a
+    convergence-driven variant would localCheckpoint per round like
+    dedup_clusters. Round count is deliberately small: on a
+    mutual-top-K graph LPA stabilizes fast, and the oracle unrolls the
+    IDENTICAL three rounds, so parity checks the whole fixpoint.
+    """
+    edges = _mutual_topk_edges(spark, sf_dir)
+    directed = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    directed = directed.localCheckpoint(eager=False)  # reused every round
+    labels = directed.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        msgs = (
+            directed.join(labels, directed.dst == labels.v)
+            .groupBy("src", "label")
+            .agg(
+                (
+                    F.count(F.lit(1)) * F.lit(_LPA_BASE).cast("long")
+                    + (F.lit(_LPA_MAXL) - F.col("label"))
+                ).alias("key")
+            )
+        )
+        labels = msgs.groupBy("src").agg(
+            (F.lit(_LPA_MAXL) - F.max("key") % _LPA_BASE)
+            .cast("long")
+            .alias("label")
+        ).select(F.col("src").alias("v"), "label")
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("size"), F.min("v").cast("long").alias("min_member"))
+        .select(F.col("label").alias("community"), "size", "min_member")
+        .orderBy("community")
     )

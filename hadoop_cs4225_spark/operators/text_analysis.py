@@ -1613,3 +1613,167 @@ def source_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "source_vocab_jaccard",
+    oracle=f"""
+WITH vocab AS (
+  SELECT DISTINCT source, unnest({_TOKS_SQL}) AS term FROM documents
+), sizes AS (
+  SELECT source, COUNT(*) AS v FROM vocab GROUP BY source
+), inter AS (
+  SELECT a.source AS s1, b.source AS s2, COUNT(*) AS inter
+  FROM vocab a JOIN vocab b ON a.term = b.term AND a.source < b.source
+  GROUP BY s1, s2
+)
+SELECT i.s1, i.s2, i.inter,
+       za.v + zb.v - i.inter AS uni,
+       {quant_sql("i.inter * 1.0 / (za.v + zb.v - i.inter)", 6)} AS jaccard
+FROM inter i
+JOIN sizes za ON za.source = i.s1
+JOIN sizes zb ON zb.source = i.s2
+ORDER BY i.s1, i.s2
+""",
+)
+def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — which domains
+    share a lexicon (the corpus-level view of the per-doc
+    ``ngram_jaccard_topk``; complements ``source_dup_cross_matrix``,
+    which needs verbatim duplication to fire).
+
+    |A∩B| from ONE term-keyed equi-join of the distinct (source, term)
+    frame with itself (source-pair fanout per term is bounded by the
+    source-domain size, never by corpus rows); |A∪B| = |A|+|B|-|A∩B|
+    by inclusion-exclusion — no union materialized. Exact integers
+    until one quantized division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select("source", F.explode(_toks()).alias("term")).distinct()
+    )
+    vocab = vocab.localCheckpoint(eager=False)  # sizes + both join sides
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    b = vocab.select(F.col("source").alias("s2"), F.col("term").alias("t2"))
+    inter = (
+        vocab.join(
+            b, (F.col("term") == F.col("t2")) & (F.col("source") < F.col("s2"))
+        )
+        .groupBy(F.col("source").alias("s1"), "s2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col("source").alias("s1"), F.col("v").alias("va"))
+    zb = sizes.select(F.col("source").alias("s2"), F.col("v").alias("vb"))
+    return (
+        inter.join(F.broadcast(za), "s1")
+        .join(F.broadcast(zb), "s2")
+        .select(
+            "s1",
+            "s2",
+            "inter",
+            (F.col("va") + F.col("vb") - F.col("inter")).alias("uni"),
+            quant(
+                F.col("inter") * 1.0 / (F.col("va") + F.col("vb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
+#: Calibration: probability grid, bin count, and the en-marker
+#: multiplier that maps marker share onto [0, 1].
+_CAL_GRID = 1_000_000
+_CAL_BINS = 10
+_CAL_BOOST = 5
+
+
+@register(
+    "quality_score_calibration",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         LEAST({_CAL_GRID}, CAST(floor(
+           {_CAL_BOOST}.0 * {_CAL_GRID}
+           * len(list_filter({_TOKS_SQL},
+                 x -> x IN ('the', 'a', 'and', 'of', 'is')))
+           / len({_TOKS_SQL}) + 0.5) AS BIGINT)) AS p_s
+  FROM documents
+  WHERE len({_TOKS_SQL}) > 0
+), binned AS (
+  SELECT LEAST({_CAL_BINS - 1}, p_s * {_CAL_BINS} // {_CAL_GRID}) AS bin,
+         p_s, y
+  FROM scored
+), tot AS (SELECT COUNT(*) AS n FROM binned)
+SELECT bin,
+       COUNT(*) AS n_docs,
+       {quant_sql(f"SUM(p_s) * 1.0 / COUNT(*) / {_CAL_GRID}", 6)} AS avg_conf,
+       {quant_sql("SUM(y) * 1.0 / COUNT(*)", 6)} AS obs_rate,
+       {quant_sql(
+           f"abs(SUM(p_s) * 1.0 / {_CAL_GRID} - SUM(y))"
+           " / ANY_VALUE(tot.n)", 6)} AS ece_term
+FROM binned CROSS JOIN tot
+GROUP BY bin
+ORDER BY bin
+""",
+)
+def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + per-bin ECE terms for a probabilistic
+    English-detector: p(en) = min(1, 5 * en-marker-token-share),
+    labeled against the ground-truth ``lang`` column. The standard
+    evaluation for any learned quality/language filter in a data
+    pipeline — here the 'model' is the same marker heuristic the
+    registered ``lang_id_heuristic`` scores with, made probabilistic.
+
+    Determinism: the score is an integer on a 1e6 grid (one floor of
+    an identical rational), binning is integer division, and both the
+    confidence average and the ECE term are single quantized divisions
+    of exact integer sums. Plan: one map-side score pass, one 10-bin
+    aggregate, a broadcast 1-row total. ECE = sum of ece_term.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tok = F.size(toks)
+    markers = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "and", "of", "is"))
+    )
+    scored = docs.filter(n_tok > 0).select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.least(
+            F.lit(_CAL_GRID),
+            F.floor(
+                float(_CAL_BOOST)
+                * _CAL_GRID
+                * markers
+                / n_tok
+                + 0.5
+            ).cast("long"),
+        ).alias("p_s"),
+    )
+    binned = scored.select(
+        F.least(
+            F.lit(_CAL_BINS - 1),
+            (F.col("p_s") * _CAL_BINS / F.lit(_CAL_GRID)).cast("long"),
+        ).alias("bin"),
+        "p_s",
+        "y",
+    )
+    tot = binned.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            quant(
+                F.sum("p_s") * 1.0 / F.count(F.lit(1)) / _CAL_GRID, 6
+            ).alias("avg_conf"),
+            quant(F.sum("y") * 1.0 / F.count(F.lit(1)), 6).alias("obs_rate"),
+            quant(
+                F.abs(F.sum("p_s") * 1.0 / _CAL_GRID - F.sum("y"))
+                / F.first("n"),
+                6,
+            ).alias("ece_term"),
+        )
+        .orderBy("bin")
+    )

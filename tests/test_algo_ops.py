@@ -268,3 +268,196 @@ def test_aes_sample_is_exact_topk_per_source(spark):
         )
         got = out[out["source"] == src].sort_values("rank")["doc_id"].tolist()
         assert got == want, src
+
+
+def test_interval_coverage_matches_python_merge(spark):
+    out = registry.QUERIES["events_interval_coverage"](spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    for et, grp in ev.groupby("event_type"):
+        s = np.sort(grp["ts"].astype("int64").to_numpy())  # microseconds
+        e = s + 30 * 60_000_000
+        islands, cov = 0, 0
+        cur_s, cur_e = None, None
+        for i in range(len(s)):
+            if cur_e is None or s[i] > cur_e:
+                if cur_e is not None:
+                    cov += cur_e - cur_s
+                islands, cur_s, cur_e = islands + 1, s[i], e[i]
+            else:
+                cur_e = max(cur_e, e[i])
+        cov += cur_e - cur_s
+        row = out[out["event_type"] == et].iloc[0]
+        assert int(row["n_islands"]) == islands
+        assert abs(row["covered_minutes"] - cov / 6e7) < 1e-3
+        assert abs(row["coverage_ratio"] - cov / (e.max() - s.min())) < 1e-6
+
+
+def test_ship_delay_survival_matches_pandas(spark):
+    out = registry.QUERIES["ship_delay_survival"](spark, SF_SMOKE).toPandas()
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    d = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    d["delay"] = (
+        d["l_shipdate"].dt.normalize() - d["o_orderdate"].dt.normalize()
+    ).dt.days
+    for pr, grp in d.groupby("o_orderpriority"):
+        for t in (0, 7, 30, 90, 365):
+            row = out[(out["o_orderpriority"] == pr) & (out["t_days"] == t)].iloc[0]
+            n_surv = int((grp["delay"] > t).sum())
+            assert int(row["n_total"]) == len(grp)
+            assert int(row["n_surviving"]) == n_surv
+            assert abs(row["survival"] - n_surv / len(grp)) < 1e-6
+
+
+def test_lpa_communities_match_pandas_sync_rounds(spark):
+    out = registry.QUERIES["supplier_communities_lpa"](spark, SF_SMOKE).toPandas()
+    # rebuild the mutual-top-5 graph exactly as test_triangle_stats does
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_orderkey", "l_suppkey"]
+    ].drop_duplicates()
+    m = li.merge(li, on="l_orderkey")
+    m = m[m["l_suppkey_x"] < m["l_suppkey_y"]]
+    pairs = (
+        m.groupby(["l_suppkey_x", "l_suppkey_y"]).size().rename("w").reset_index()
+    )
+    directed = pd.concat(
+        [
+            pairs.rename(columns={"l_suppkey_x": "src", "l_suppkey_y": "dst"}),
+            pairs.rename(columns={"l_suppkey_y": "src", "l_suppkey_x": "dst"}),
+        ]
+    ).sort_values(["src", "w", "dst"], ascending=[True, False, True])
+    topk = directed.groupby("src").head(5)[["src", "dst"]]
+    ts = set(map(tuple, topk.to_numpy()))
+    edges = sorted({(a, b) for a, b in ts if (b, a) in ts and a < b})
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    labels = {v: v for v in adj}
+    for _ in range(3):
+        new = {}
+        for v, nbrs in adj.items():
+            counts: dict[int, int] = {}
+            for nb in nbrs:
+                counts[labels[nb]] = counts.get(labels[nb], 0) + 1
+            new[v] = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        labels = new
+    sizes: dict[int, int] = {}
+    for lab in labels.values():
+        sizes[lab] = sizes.get(lab, 0) + 1
+    got = dict(zip(out["community"], out["size"]))
+    assert got == sizes
+
+
+def test_psi_matches_pandas_formula(spark):
+    out = registry.QUERIES["orders_monthly_psi"](spark, SF_SMOKE).toPandas()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    o["m"] = o["o_orderdate"].dt.strftime("%Y-%m")
+    o["bin"] = np.floor(o["o_totalprice"] / 50_000).astype(np.int64)
+    bins = sorted(o["bin"].unique())
+    nb = len(bins)
+    gc = o.groupby("bin").size()
+    ctot = len(o)
+    for m, grp in o.groupby("m"):
+        ac = grp.groupby("bin").size()
+        atot = len(grp)
+        psi = 0.0
+        for b in bins:
+            a = int(ac.get(b, 0))
+            c = int(gc[b])
+            p = (a + 1) / (atot + nb)
+            q = (c + 1) / (ctot + nb)
+            psi += (p - q) * np.log(p / q)
+        row = out[out["month"] == m].iloc[0]
+        assert int(row["n_orders"]) == atot
+        assert abs(row["psi"] - psi) < 1e-6, m
+        assert bool(row["drift"]) == (psi > 0.2)  # data sits far from the edge
+
+
+def test_vocab_jaccard_matches_python_sets(spark):
+    out = registry.QUERIES["source_vocab_jaccard"](spark, SF_SMOKE).toPandas()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    import re as _re
+
+    vocab: dict[str, set] = {}
+    for src, grp in docs.groupby("source"):
+        toks = set()
+        for t in grp["text"]:
+            toks.update(x for x in _re.split(r"[ \t\n\r\f]+", t) if x)
+        vocab[src] = toks
+    srcs = sorted(vocab)
+    want = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(vocab[a] & vocab[b])
+            uni = len(vocab[a] | vocab[b])
+            want[(a, b)] = (inter, uni)
+    got = {
+        (r["s1"], r["s2"]): (int(r["inter"]), int(r["uni"]))
+        for _, r in out.iterrows()
+    }
+    # pairs with zero intersection are absent from the join result
+    assert got == {k: v for k, v in want.items() if v[0] > 0}
+    for _, r in out.iterrows():
+        i, u = got[(r["s1"], r["s2"])]
+        assert abs(r["jaccard"] - i / u) < 1e-6
+
+
+def test_seasonal_decompose_matches_pandas(spark):
+    out = registry.QUERIES["orders_seasonal_decompose"](spark, SF_SMOKE).toPandas()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    o["m"] = o["o_orderdate"].dt.strftime("%Y-%m")
+    cents = (
+        np.floor(o["o_totalprice"] * 100 + 0.5)
+        .astype(np.int64)
+        .groupby(o["m"])
+        .sum()
+        .sort_index()
+    )
+    rev = cents.to_numpy(dtype=np.float64) / 100.0
+    trend = pd.Series(rev).rolling(13, center=True).mean().to_numpy()
+    moy = np.array([int(m[5:7]) for m in cents.index])
+    dev = rev - trend
+    seasonal = {k: np.nanmean(dev[moy == k]) for k in np.unique(moy)}
+    for i, m in enumerate(cents.index):
+        row = out[out["month"] == m].iloc[0]
+        assert abs(row["revenue"] - rev[i]) < 1e-6
+        if np.isnan(trend[i]):
+            assert pd.isna(row["trend"])
+        else:
+            assert abs(row["trend"] - trend[i]) < 1e-3
+        assert abs(row["seasonal"] - seasonal[moy[i]]) < 2e-3
+        # decomposition identity where trend exists
+        if not np.isnan(trend[i]):
+            assert abs(
+                row["revenue"] - (row["trend"] + row["seasonal"] + row["residual"])
+            ) < 5e-3
+
+
+def test_calibration_bins_match_pandas(spark):
+    out = registry.QUERIES["quality_score_calibration"](spark, SF_SMOKE).toPandas()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    import re as _re
+
+    rows = []
+    for _, r in docs.iterrows():
+        toks = [x for x in _re.split(r"[ \t\n\r\f]+", r["text"]) if x]
+        if not toks:
+            continue
+        mk = sum(1 for t in toks if t in {"the", "a", "and", "of", "is"})
+        p_s = min(1_000_000, int(np.floor(5.0 * 1_000_000 * mk / len(toks) + 0.5)))
+        rows.append((min(9, p_s * 10 // 1_000_000), p_s, int(r["lang"] == "en")))
+    df = pd.DataFrame(rows, columns=["bin", "p_s", "y"])
+    n_all = len(df)
+    for b, grp in df.groupby("bin"):
+        row = out[out["bin"] == b].iloc[0]
+        assert int(row["n_docs"]) == len(grp)
+        assert abs(row["avg_conf"] - grp["p_s"].mean() / 1e6) < 1e-6
+        assert abs(row["obs_rate"] - grp["y"].mean()) < 1e-6
+        assert abs(
+            row["ece_term"]
+            - abs(grp["p_s"].sum() / 1e6 - grp["y"].sum()) / n_all
+        ) < 1e-6
+    # ECE = sum of terms is a valid calibration error in [0, 1]
+    assert 0.0 <= out["ece_term"].sum() <= 1.0

@@ -128,6 +128,8 @@ _BOUNDED_ALLPAIRS = {
     "supplier_triangle_stats",  # three 1-row scalar aggregates cross-joined
     "term_keyness_llr",  # broadcast 1-row corpus-total cross join
     "lang_source_chi2",  # broadcast 1-row dims cross join
+    "orders_monthly_psi",  # bounded month x 10-bin grid + 1-row global
+    "quality_score_calibration",  # broadcast 1-row total cross join
     "q11_important_part_values",  # broadcast scalar-threshold cross join (1 row)
     "tfidf_top_terms",  # broadcast 1-row corpus-count cross join
     "shingle_idf_similarity_topk",  # broadcast 1-row corpus-count cross join
@@ -202,6 +204,8 @@ _BOUNDED_GLOBAL_WINDOW = {
     # margin windows over the CELLS table — bounded by the lang x
     # source domain (dictionary cross product), not corpus rows
     "lang_source_chi2",
+    # centered-MA window over the CALENDAR-bounded monthly frame
+    "orders_seasonal_decompose",
 }
 
 

@@ -72,6 +72,12 @@ DOC_QUERIES = (
     "source_dup_cross_matrix",  # memoized pair frame + source joins
     "doc_zipf_fit",  # global window must stay behind the top-k LIMIT
     "bm25_search_topk",  # one scan + one |docs|-row shuffle at any query length
+    "term_keyness_llr",  # ln-of-integer cells; ranking input pre-pruned
+    "source_simpson_diversity",
+    "doc_mad_outliers",  # histogram medians: value-DOMAIN-bounded windows
+    "lang_source_chi2",  # cells table bounded by the lang x source domain
+    "weighted_aes_sample",  # per-source partitioned top-k only
+    "source_vocab_jaccard",  # term-keyed join, source-domain fanout
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i
@@ -91,6 +97,7 @@ EMB_QUERIES = (
     "ivf_pq_index_probe",  # DPP probe: should be ~flat in corpus size
     "ann_recall_audit",
     "ann_rerank_topk",
+    "kmeans_embedding_clusters",  # per-iteration joins: linear in n per round
 )
 
 #: queries probed across the real sf dirs (10x data per step).
@@ -118,6 +125,15 @@ SF_QUERIES = (
     "events_weekly_seasonality",
     "order_ship_delay_stats",  # fact-fact join + grouped exact percentile
     "orders_sql_script_ewma",  # calendar-bounded loop: must be ~flat in rows
+    "skyline_orders_pareto",  # grid prune: survivors/window input must stay tiny
+    "events_max_concurrency",  # partitioned sweep: 2 rows per event, 1 shuffle
+    "events_interval_coverage",  # islands: 2 windows + 2 aggs, no self-join
+    "events_daily_cusum",  # calendar-bounded daily frame after 1 shuffle
+    "events_count_acf",
+    "ship_delay_survival",  # one conditional-agg pass, no threshold fan-out
+    "supplier_triangle_stats",  # degree-capped wedge join: fanout <= K^2 per node
+    "supplier_communities_lpa",  # K-bounded messages per round
+    "orders_monthly_psi",  # month x 10-bin grid after one count shuffle
 )
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 

@@ -1010,3 +1010,186 @@ def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+#: ABC classification thresholds as integer ratios (A: cumulative
+#: share <= 8/10, B: <= 19/20) and the revenue coarse-bucket shift.
+_ABC_SHIFT = 20
+
+
+@register(
+    "part_abc_classes",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS r
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT l_partkey, r,
+         SUM(r) OVER (ORDER BY r DESC, l_partkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(r) OVER () AS total
+  FROM rev
+), classed AS (
+  SELECT r,
+         CASE WHEN cum * 10 <= total * 8 THEN 'A'
+              WHEN cum * 20 <= total * 19 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         total
+  FROM ranked
+)
+SELECT abc_class,
+       COUNT(*) AS n_parts,
+       {quant_sql("CAST(SUM(r) AS BIGINT) / 100.0", 2)} AS class_revenue,
+       {quant_sql("CAST(SUM(r) AS BIGINT) * 1.0 / ANY_VALUE(total)", 6)}
+         AS revenue_share
+FROM classed
+GROUP BY abc_class
+ORDER BY abc_class
+""",
+)
+def part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: class A = the
+    top parts covering 80% of cumulative revenue, B = next 15%, C =
+    tail — the classic inventory-analytics rollup.
+
+    The oracle uses the textbook GLOBAL cumulative window; the Spark
+    plan computes the same exact cumulative WITHOUT a global sort
+    through one task — the two-level rank-block idiom proven by
+    ``user_activity_gini``: coarse revenue buckets (``r >> 20`` cents)
+    give a bounded bucket table whose descending cumulative is a
+    constant-size window; within a bucket a PARTITIONED window
+    cumulates (r desc, partkey); global cum = higher-bucket total +
+    in-bucket cum. Class boundaries compare integer cross-products
+    (``cum*10 <= total*8``) — no float shares anywhere until the
+    output column.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    + 0.5
+                ).cast("long")
+            ).alias("r")
+        )
+    )
+    rev = rev.withColumn("b", F.shiftright("r", _ABC_SHIFT))
+    bkt = rev.groupBy("b").agg(F.sum("r").alias("bs"))
+    w_b = (
+        Window.orderBy(F.col("b").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    above = bkt.select(
+        "b", F.coalesce(F.sum("bs").over(w_b), F.lit(0)).alias("above")
+    )
+    tot = F.broadcast(rev.agg(F.sum("r").alias("total")))
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy(F.col("r").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    classed = (
+        rev.withColumn("cum_in", F.sum("r").over(w_in))
+        .join(above, "b")
+        .crossJoin(tot)
+        .select(
+            "r",
+            "total",
+            (F.col("above") + F.col("cum_in")).alias("cum"),
+        )
+        .select(
+            "r",
+            "total",
+            F.when(F.col("cum") * 10 <= F.col("total") * 8, "A")
+            .when(F.col("cum") * 20 <= F.col("total") * 19, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            quant(F.sum("r") / 100.0, 2).alias("class_revenue"),
+            quant(F.sum("r") * 1.0 / F.first("total"), 6).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+#: Forecast backtest: trailing window length (months).
+_FC_TRAIL = 3
+
+
+@register(
+    "revenue_forecast_backtest",
+    oracle=f"""
+WITH monthly AS (
+  SELECT strftime(time_bucket(INTERVAL '1 month', o_orderdate), '%Y-%m') AS m,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY m
+), fc AS (
+  SELECT m, cents,
+         CASE WHEN COUNT(*) OVER w = {_FC_TRAIL}
+              THEN SUM(cents) OVER w / {_FC_TRAIL}.0 END AS f
+  FROM monthly
+  WINDOW w AS (ORDER BY m ROWS BETWEEN {_FC_TRAIL} PRECEDING AND 1 PRECEDING)
+)
+SELECT m AS month,
+       {quant_sql("cents / 100.0", 2)} AS actual,
+       {quant_sql("f / 100.0", 4)} AS forecast,
+       {quant_sql(
+           "CAST(floor(abs(cents - f) * 1000000.0 / cents + 0.5) AS BIGINT)"
+           " / 1000000.0", 6)} AS ape
+FROM fc
+WHERE f IS NOT NULL
+ORDER BY month
+""",
+)
+def revenue_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the naive trailing-3-month-mean
+    revenue forecaster: for every month with a full trailing window,
+    the forecast, the actual, and the absolute percentage error — the
+    evaluation loop behind ``q6_revenue_forecast``-style projections.
+
+    The monthly frame is calendar-bounded, so the trailing window is a
+    bounded global window (allowlisted). Cents are exact integers; the
+    APE is floored onto a 1e-6 grid from identical doubles.
+    """
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("m"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("cents")
+        )
+    )
+    w = Window.orderBy("m").rowsBetween(-_FC_TRAIL, -1)
+    fc = monthly.select(
+        "m",
+        "cents",
+        F.when(
+            F.count(F.lit(1)).over(w) == _FC_TRAIL,
+            F.sum("cents").over(w) / float(_FC_TRAIL),
+        ).alias("f"),
+    ).filter(F.col("f").isNotNull())
+    return fc.select(
+        F.col("m").alias("month"),
+        quant(F.col("cents") / 100.0, 2).alias("actual"),
+        quant(F.col("f") / 100.0, 4).alias("forecast"),
+        quant(
+            F.floor(
+                F.abs(F.col("cents") - F.col("f")) * 1000000.0 / F.col("cents")
+                + 0.5
+            ).cast("long")
+            / 1000000.0,
+            6,
+        ).alias("ape"),
+    ).orderBy("month")

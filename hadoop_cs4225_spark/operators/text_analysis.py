@@ -1777,3 +1777,109 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+#: Bigram LM scoring grid (terms floored onto 1e-9 nats before the
+#: per-doc sum, so summation order cannot move the result).
+_BLM_GRID = 1_000_000_000
+
+
+@register(
+    "doc_bigram_logprob",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), uni AS (
+  SELECT unnest(toks) AS w FROM toks
+), unicnt AS (
+  SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+), vocab AS (
+  SELECT COUNT(*) AS v FROM unicnt
+), pairs AS (
+  SELECT doc_id, toks[g.i] AS w1, toks[g.i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(toks))) AS i) g
+), paircnt AS (
+  SELECT w1, w2, COUNT(*) AS c_ab FROM pairs GROUP BY w1, w2
+), terms AS (
+  SELECT p.doc_id,
+         CAST(floor((LN(CAST(pc.c_ab + 1 AS DOUBLE))
+                     - LN(CAST(u.c + vb.v AS DOUBLE)))
+                    * {_BLM_GRID} + 0.5) AS BIGINT) AS t_s
+  FROM pairs p
+  JOIN paircnt pc ON pc.w1 = p.w1 AND pc.w2 = p.w2
+  JOIN unicnt u ON u.w = p.w1
+  CROSS JOIN vocab vb
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       {quant_sql(f"CAST(SUM(t_s) AS BIGINT) * 1.0 / COUNT(*) / {_BLM_GRID}",
+                  6)} AS avg_logp
+FROM terms
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus
+    bigram LM with add-one smoothing: ln((c(w1,w2)+1)/(c(w1)+V)).
+    The bigram upgrade of ``doc_unigram_logprob`` — fluency scoring
+    that penalizes improbable TRANSITIONS, the stronger quality proxy.
+
+    Every ln argument is an integer (engine-stable); each bigram's
+    term is floored onto a 1e-9-nat grid before the per-doc sum, so
+    per-doc aggregation order cannot move the result. Plan: map-side
+    bigram stream (zip_with on the shifted self), one pair-count and
+    one unigram-count shuffle, two vocabulary-keyed equi-joins back
+    onto the stream, a 1-row broadcast vocabulary size.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", _toks().alias("toks"))
+    pairs = (
+        docs.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1), "
+                    "slice(toks, 2, size(toks) - 1), "
+                    "(a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    pairs = pairs.localCheckpoint(eager=False)  # stream + its own counts
+    paircnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    unicnt = (
+        docs.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # marginal join + vocab size
+    )
+    vocab = F.broadcast(unicnt.agg(F.count(F.lit(1)).alias("v")))
+    terms = (
+        pairs.join(paircnt, ["w1", "w2"])
+        .join(unicnt.select(F.col("w").alias("w1"), "c"), "w1")
+        .crossJoin(vocab)
+        .select(
+            "doc_id",
+            F.floor(
+                (
+                    F.log((F.col("c_ab") + 1).cast("double"))
+                    - F.log((F.col("c") + F.col("v")).cast("double"))
+                )
+                * _BLM_GRID
+                + 0.5
+            )
+            .cast("long")
+            .alias("t_s"),
+        )
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            quant(
+                F.sum("t_s") * 1.0 / F.count(F.lit(1)) / _BLM_GRID, 6
+            ).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )

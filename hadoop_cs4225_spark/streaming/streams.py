@@ -658,3 +658,70 @@ def run_incremental_daily_rollup(
             [], "day date, event_type string, n_events bigint, total_value double"
         )
     return spark.read.parquet(os.path.join(out_root, f"v{max(versions)}"))
+
+
+def cusum_fold(s_scaled: int, devs: list[int]) -> int:
+    """Pure one-sided-CUSUM transition: fold ``S = max(0, S + dev)``
+    over ordered scaled deviations, starting from carried state.
+    Chunk-composable by construction (fold(fold(s, a), b) ==
+    fold(s, a+b)) — the property that makes the streaming operator's
+    per-micro-batch application equal the batch closed form
+    (operators/algo_ops.events_daily_cusum); unit-tested without a
+    state store, the ``sessionize_batch`` discipline.
+    """
+    for d in devs:
+        s_scaled = max(0, s_scaled + d)
+    return s_scaled
+
+
+def event_type_cusum_stateful(daily: DataFrame) -> DataFrame:
+    """Streaming CUSUM monitor via ``applyInPandasWithState``: carries
+    each event type's alarm statistic across micro-batches of (day,
+    cnt, k_scaled) rows, emitting the updated S after every batch.
+    The streaming twin of the batch ``events_daily_cusum`` — same
+    integer-scaled transition, same closed-form result when the full
+    day sequence has been replayed in order.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("s_scaled", LongType()),
+            StructField("n_days", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("s", LongType()), StructField("n", LongType())]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        s, n = state.get if state.exists else (0, 0)
+        chunks = [pdf for pdf in pdf_iter]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("day")
+            devs = (
+                pdf["cnt"].astype("int64") * 1_000_000
+                - pdf["k_scaled"].astype("int64")
+            ).tolist()
+            s = cusum_fold(int(s), devs)
+            n += len(pdf)
+        state.update((int(s), int(n)))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "s_scaled": [int(s)], "n_days": [int(n)]}
+        )
+
+    return (
+        daily.select("event_type", "day", "cnt", "k_scaled")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -461,3 +461,82 @@ def test_calibration_bins_match_pandas(spark):
         ) < 1e-6
     # ECE = sum of terms is a valid calibration error in [0, 1]
     assert 0.0 <= out["ece_term"].sum() <= 1.0
+
+
+def test_bigram_logprob_matches_pandas_lm(spark):
+    out = registry.QUERIES["doc_bigram_logprob"](spark, SF_SMOKE).toPandas()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    import re as _re
+    from collections import Counter
+
+    toks = {
+        r["doc_id"]: [x for x in _re.split(r"[ \t\n\r\f]+", r["text"]) if x]
+        for _, r in docs.iterrows()
+    }
+    uni = Counter(w for ts in toks.values() for w in ts)
+    big = Counter(
+        (a, b) for ts in toks.values() for a, b in zip(ts, ts[1:])
+    )
+    v = len(uni)
+    import random
+
+    for doc_id in random.Random(7).sample(sorted(toks), 25):
+        ts = toks[doc_id]
+        if len(ts) < 2:
+            assert doc_id not in set(out["doc_id"])
+            continue
+        terms = [
+            np.log(big[(a, b)] + 1) - np.log(uni[a] + v)
+            for a, b in zip(ts, ts[1:])
+        ]
+        row = out[out["doc_id"] == doc_id].iloc[0]
+        assert int(row["n_bigrams"]) == len(terms)
+        assert abs(row["avg_logp"] - np.mean(terms)) < 1e-5, doc_id
+
+
+def test_abc_classes_match_pandas_cumshare(spark):
+    out = registry.QUERIES["part_abc_classes"](spark, SF_SMOKE).toPandas()
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    r = (
+        np.floor(li["l_extendedprice"] * (1 - li["l_discount"]) * 100 + 0.5)
+        .astype(np.int64)
+        .groupby(li["l_partkey"])
+        .sum()
+        .reset_index(name="r")
+        .sort_values(["r", "l_partkey"], ascending=[False, True])
+    )
+    total = int(r["r"].sum())
+    cum = r["r"].cumsum()
+    cls = np.where(
+        cum * 10 <= total * 8, "A", np.where(cum * 20 <= total * 19, "B", "C")
+    )
+    for c in ("A", "B", "C"):
+        row = out[out["abc_class"] == c].iloc[0]
+        mask = cls == c
+        assert int(row["n_parts"]) == int(mask.sum()), c
+        assert abs(row["class_revenue"] - r["r"].to_numpy()[mask].sum() / 100) < 1e-6
+    # classes partition all parts and shares sum to 1
+    assert int(out["n_parts"].sum()) == len(r)
+    assert abs(out["revenue_share"].sum() - 1.0) < 1e-5
+
+
+def test_forecast_backtest_matches_pandas(spark):
+    out = registry.QUERIES["revenue_forecast_backtest"](spark, SF_SMOKE).toPandas()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    o["m"] = o["o_orderdate"].dt.strftime("%Y-%m")
+    cents = (
+        np.floor(o["o_totalprice"] * 100 + 0.5)
+        .astype(np.int64)
+        .groupby(o["m"])
+        .sum()
+        .sort_index()
+    )
+    vals = cents.to_numpy(dtype=np.float64)
+    months = list(cents.index)
+    assert len(out) == len(months) - 3
+    for i in range(3, len(months)):
+        f = vals[i - 3 : i].mean()
+        row = out[out["month"] == months[i]].iloc[0]
+        assert abs(row["actual"] - vals[i] / 100) < 1e-6
+        assert abs(row["forecast"] - f / 100) < 1e-3
+        assert abs(row["ape"] - abs(vals[i] - f) / vals[i]) < 1e-5

@@ -130,6 +130,8 @@ _BOUNDED_ALLPAIRS = {
     "lang_source_chi2",  # broadcast 1-row dims cross join
     "orders_monthly_psi",  # bounded month x 10-bin grid + 1-row global
     "quality_score_calibration",  # broadcast 1-row total cross join
+    "doc_bigram_logprob",  # broadcast 1-row vocabulary-size cross join
+    "part_abc_classes",  # broadcast 1-row total-revenue cross join
     "q11_important_part_values",  # broadcast scalar-threshold cross join (1 row)
     "tfidf_top_terms",  # broadcast 1-row corpus-count cross join
     "shingle_idf_similarity_topk",  # broadcast 1-row corpus-count cross join
@@ -206,6 +208,12 @@ _BOUNDED_GLOBAL_WINDOW = {
     "lang_source_chi2",
     # centered-MA window over the CALENDAR-bounded monthly frame
     "orders_seasonal_decompose",
+    # trailing-window backtest over the same calendar-bounded frame
+    "revenue_forecast_backtest",
+    # descending cumulative over the (r >> 20) revenue-BUCKET table
+    # (bounded below a trillion-dollar part, the Gini bound argument);
+    # the per-part window is partitioned by bucket
+    "part_abc_classes",
 }
 
 

@@ -564,3 +564,58 @@ def test_python_datasource_stream_matches_batch(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) == 350
+
+
+def test_stateful_cusum_matches_batch_closed_form(spark, tmp_path):
+    """applyInPandasWithState CUSUM after a full ordered replay equals
+    the batch prefix-sum/running-min closed form's final-day value."""
+    from pyspark.sql import functions as F
+
+    from hadoop_cs4225_spark import registry
+
+    registry.load_all()
+    # materialize the daily (event_type, day, cnt, k_scaled) frame
+    ev = load_events(spark, SF_SMOKE)
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    k = daily.groupBy("event_type").agg(
+        F.floor(F.sum("cnt") * 1000000.0 / F.count(F.lit(1)) + 0.5)
+        .cast("long")
+        .alias("k_scaled")
+    )
+    src = str(tmp_path / "daily")
+    daily.join(k, "event_type").write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    streams.run_to_memory(
+        streams.event_type_cusum_stateful(stream), "t_cusum", "update"
+    )
+    got = {
+        r.event_type: r.s_scaled
+        for r in spark.sql("SELECT * FROM t_cusum").collect()
+    }
+    batch = registry.QUERIES["events_daily_cusum"](spark, SF_SMOKE).toPandas()
+    last = batch.sort_values("day").groupby("event_type").tail(1)
+    want = {
+        r["event_type"]: round(r["cusum_excess"] * 1_000_000)
+        for _, r in last.iterrows()
+    }
+    assert got == want
+
+
+def test_cusum_fold_is_chunk_composable():
+    """Folding the day sequence in arbitrary chunk splits equals one
+    fold — the property that makes per-micro-batch state application
+    equal the batch closed form."""
+    import itertools
+
+    devs = [5, -3, -9, 4, 4, -1, 7, -20, 2, 2]
+    whole = streams.cusum_fold(0, devs)
+    for cut1, cut2 in itertools.combinations(range(len(devs) + 1), 2):
+        s = streams.cusum_fold(0, devs[:cut1])
+        s = streams.cusum_fold(s, devs[cut1:cut2])
+        s = streams.cusum_fold(s, devs[cut2:])
+        assert s == whole

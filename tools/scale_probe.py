@@ -78,6 +78,8 @@ DOC_QUERIES = (
     "lang_source_chi2",  # cells table bounded by the lang x source domain
     "weighted_aes_sample",  # per-source partitioned top-k only
     "source_vocab_jaccard",  # term-keyed join, source-domain fanout
+    "doc_bigram_logprob",  # stream-keyed joins, no self-join
+    "quality_score_calibration",
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i
@@ -134,6 +136,8 @@ SF_QUERIES = (
     "supplier_triangle_stats",  # degree-capped wedge join: fanout <= K^2 per node
     "supplier_communities_lpa",  # K-bounded messages per round
     "orders_monthly_psi",  # month x 10-bin grid after one count shuffle
+    "part_abc_classes",  # two-level rank blocks: no global sort
+    "revenue_forecast_backtest",  # calendar-bounded trailing window
 )
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 

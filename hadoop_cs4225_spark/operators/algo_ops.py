@@ -1193,3 +1193,199 @@ def revenue_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ape"),
     ).orderBy("month")
+
+
+#: KS critical-value coefficient for alpha = 0.05 (two-sample).
+_KS_COEF = 1.36
+
+
+@register(
+    "source_length_ks",
+    oracle=f"""
+WITH hs AS (
+  SELECT source, n_chars AS v, COUNT(*) AS c FROM documents
+  GROUP BY source, n_chars
+), cums AS (
+  SELECT source, v,
+         CAST(SUM(c) OVER (PARTITION BY source ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_s
+  FROM hs
+), ns AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM hs GROUP BY source
+), hg AS (
+  SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY n_chars
+), cumg AS (
+  SELECT v, CAST(SUM(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_g
+  FROM hg
+), grid AS (
+  SELECT ns.source, ns.n_s, cumg.v, cumg.cum_g,
+         COALESCE(MAX(cums.cum_s) OVER (PARTITION BY ns.source ORDER BY cumg.v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS f_s
+  FROM ns CROSS JOIN cumg
+  LEFT JOIN cums ON cums.source = ns.source AND cums.v = cumg.v
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+d AS (
+  SELECT source, ANY_VALUE(n_s) AS n_s,
+         MAX(abs(f_s * tot.n - cum_g * n_s)) AS d_num,
+         ANY_VALUE(tot.n) AS n
+  FROM grid CROSS JOIN tot
+  GROUP BY source
+)
+SELECT source, n_s AS n_docs,
+       {quant_sql("d_num * 1.0 / (n_s * n)", 6)} AS d_stat,
+       {quant_sql(f"{_KS_COEF} * sqrt((n_s + n) * 1.0 / (n_s * n))", 6)}
+         AS ks_crit,
+       CAST({quant_sql("d_num * 1.0 / (n_s * n)", 6)} >
+            {quant_sql(f"{_KS_COEF} * sqrt((n_s + n) * 1.0 / (n_s * n))", 6)}
+            AS BOOLEAN) AS rejects
+FROM d
+ORDER BY source
+""",
+)
+def source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic of each source's
+    doc-length distribution against the whole corpus (the
+    nonparametric sibling of ``orders_monthly_psi``'s binned drift).
+
+    D = sup|F_s - F_corpus| evaluated on the GLOBAL value axis: both
+    CDFs come from value histograms (domain-bounded, the
+    ``doc_mad_outliers`` discipline); the source CDF is
+    forward-filled onto corpus jump points with a running max. The
+    supremum compares INTEGER cross-products (``|cum_s*N - cum_g*n_s|``
+    — exact below N*n_s ~ 2^63, documented bound), so no float enters
+    until the two final quantized outputs. The alpha=0.05 decision
+    compares the two identically-quantized doubles.
+
+    Plan: two histogram aggregates, a bounded sources x values grid,
+    partitioned forward-fill windows, one max-reduce per source.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hs = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = hs.select("source", "v", F.sum("c").over(w_s).alias("cum_s"))
+    ns = hs.groupBy("source").agg(F.sum("c").alias("n_s"))
+    hg = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_g = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cumg = hg.select("v", F.sum("c").over(w_g).alias("cum_g"))
+    tot = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n")))
+    grid = (
+        ns.crossJoin(cumg)
+        .join(cums, ["source", "v"], "left")
+        .withColumn(
+            "f_s",
+            F.coalesce(F.max("cum_s").over(w_s), F.lit(0)),
+        )
+        .crossJoin(tot)
+    )
+    d = grid.groupBy("source").agg(
+        F.first("n_s").alias("n_s"),
+        F.max(F.abs(F.col("f_s") * F.col("n") - F.col("cum_g") * F.col("n_s"))).alias(
+            "d_num"
+        ),
+        F.first("n").alias("n"),
+    )
+    d_stat = quant(F.col("d_num") * 1.0 / (F.col("n_s") * F.col("n")), 6)
+    crit = quant(
+        _KS_COEF
+        * F.sqrt((F.col("n_s") + F.col("n")) * 1.0 / (F.col("n_s") * F.col("n"))),
+        6,
+    )
+    return d.select(
+        "source",
+        F.col("n_s").alias("n_docs"),
+        d_stat.alias("d_stat"),
+        crit.alias("ks_crit"),
+        (d_stat > crit).alias("rejects"),
+    ).orderBy("source")
+
+
+@register(
+    "markov_next_event_accuracy",
+    oracle=f"""
+WITH seq AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS nxt
+  FROM events
+), trans AS (
+  SELECT cur, nxt, COUNT(*) AS c FROM seq WHERE nxt IS NOT NULL
+  GROUP BY cur, nxt
+), mx AS (
+  SELECT cur, MAX(c) AS mc FROM trans GROUP BY cur
+), pred AS (
+  SELECT t.cur, MIN(t.nxt) AS predicted
+  FROM trans t JOIN mx ON t.cur = mx.cur AND t.c = mx.mc
+  GROUP BY t.cur
+)
+SELECT t.cur AS cur_type, p.predicted,
+       CAST(SUM(t.c) AS BIGINT) AS n_transitions,
+       {quant_sql(
+           "SUM(CASE WHEN t.nxt = p.predicted THEN t.c ELSE 0 END)"
+           " * 1.0 / SUM(t.c)", 6)} AS hit_rate
+FROM trans t JOIN pred p ON t.cur = p.cur
+GROUP BY t.cur, p.predicted
+ORDER BY cur_type
+""",
+)
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the first-order Markov next-event predictor: for
+    each current event type, predict the modal successor (ties to the
+    alphabetically smallest — max-count-then-min-string, exact in both
+    engines as a max-then-min two-step) and report its hit rate over
+    all observed transitions. The evaluation layer on top of
+    ``event_transition_matrix`` — same discipline as
+    ``lang_confusion_matrix`` (composing a registered 'model' into a
+    measurable score).
+
+    One per-user LEAD window, one transition count (map-side
+    combined), two tiny per-state reduces, one broadcast-able join
+    back; counts exact, one quantized division.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    trans = trans.localCheckpoint(eager=False)  # mx + pred + final agg
+    mx = trans.groupBy("cur").agg(F.max("c").alias("mc"))
+    pred = (
+        trans.join(mx, "cur")
+        .filter(F.col("c") == F.col("mc"))
+        .groupBy("cur")
+        .agg(F.min("nxt").alias("predicted"))
+    )
+    return (
+        trans.join(F.broadcast(pred), "cur")
+        .groupBy("cur", "predicted")
+        .agg(
+            F.sum("c").alias("n_transitions"),
+            quant(
+                F.sum(F.when(F.col("nxt") == F.col("predicted"), F.col("c")).otherwise(0))
+                * 1.0
+                / F.sum("c"),
+                6,
+            ).alias("hit_rate"),
+        )
+        .select(
+            F.col("cur").alias("cur_type"),
+            "predicted",
+            "n_transitions",
+            "hit_rate",
+        )
+        .orderBy("cur_type")
+    )

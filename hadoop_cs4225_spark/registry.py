@@ -124,6 +124,25 @@ def load_all() -> None:
 #: rotated out stays verified by the local oracle replica
 #: (tests/test_oracle_parity.py, all oracles every pytest run) plus
 #: the sf0.01/sf0.1 scale pins.
+#:
+#: ROUND-7 ROTATION BACKLOG: queries registered AFTER this window froze
+#: (late round 6) have never had a driver CORRECTNESS row and should
+#: lead the next rotation — the late-session-2 set (source_length_powerlaw,
+#: source_vocab_heaps, events_minute_peak, events_user_path_topk,
+#: bigram_pmi_topk, source_dup_cross_matrix, lineitem_benford_audit,
+#: events_weekly_seasonality, doc_zipf_fit, order_ship_delay_stats,
+#: orders_param_sql_rollup, orders_sql_script_ewma, bm25_search_topk,
+#: label_norm_stats_arrow) plus the session-3 algorithmic-analytics
+#: family (skyline_orders_pareto, events_max_concurrency,
+#: events_daily_cusum, events_count_acf, doc_mad_outliers,
+#: kmeans_embedding_clusters, supplier_triangle_stats,
+#: supplier_communities_lpa, term_keyness_llr, source_simpson_diversity,
+#: lang_source_chi2, weighted_aes_sample, events_interval_coverage,
+#: ship_delay_survival, orders_monthly_psi, source_vocab_jaccard,
+#: orders_seasonal_decompose, quality_score_calibration,
+#: doc_bigram_logprob, part_abc_classes, revenue_forecast_backtest,
+#: source_length_ks, markov_next_event_accuracy). All are locally
+#: oracle-verified every pytest run; several scale-pinned.
 _PRIORITY = (
     # --- the 15 never-driver-checked + the one red row ---
     "bucketed_segment_revenue",     # bucketed co-located join (bucketed.py)

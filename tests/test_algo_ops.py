@@ -540,3 +540,49 @@ def test_forecast_backtest_matches_pandas(spark):
         assert abs(row["actual"] - vals[i] / 100) < 1e-6
         assert abs(row["forecast"] - f / 100) < 1e-3
         assert abs(row["ape"] - abs(vals[i] - f) / vals[i]) < 1e-5
+
+
+def test_ks_matches_scipy_or_direct(spark):
+    out = registry.QUERIES["source_length_ks"](spark, SF_SMOKE).toPandas()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    allv = np.sort(docs["n_chars"].to_numpy())
+    n = len(allv)
+    for src, grp in docs.groupby("source"):
+        sv = np.sort(grp["n_chars"].to_numpy())
+        ns = len(sv)
+        # D evaluated at all corpus jump points
+        pts = np.unique(allv)
+        fs = np.searchsorted(sv, pts, side="right") / ns
+        fg = np.searchsorted(allv, pts, side="right") / n
+        d = np.max(np.abs(fs - fg))
+        row = out[out["source"] == src].iloc[0]
+        assert abs(row["d_stat"] - d) < 1e-6, src
+        crit = 1.36 * np.sqrt((ns + n) / (ns * n))
+        assert abs(row["ks_crit"] - crit) < 1e-6
+        assert bool(row["rejects"]) == (row["d_stat"] > row["ks_crit"])
+    try:
+        from scipy.stats import ks_2samp  # noqa: PLC0415
+
+        src0 = docs["source"].iloc[0]
+        sv = docs[docs["source"] == src0]["n_chars"].to_numpy()
+        got = out[out["source"] == src0]["d_stat"].iloc[0]
+        assert abs(ks_2samp(sv, docs["n_chars"].to_numpy()).statistic - got) < 1e-6
+    except ImportError:
+        pass
+
+
+def test_markov_predictor_matches_pandas(spark):
+    out = registry.QUERIES["markov_next_event_accuracy"](spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    ev["nxt"] = ev.groupby("user_id")["event_type"].shift(-1)
+    tr = ev.dropna(subset=["nxt"]).groupby(["event_type", "nxt"]).size()
+    for cur in tr.index.get_level_values(0).unique():
+        sub = tr[cur]
+        mc = sub.max()
+        predicted = min(sub[sub == mc].index)
+        row = out[out["cur_type"] == cur].iloc[0]
+        assert row["predicted"] == predicted
+        assert int(row["n_transitions"]) == int(sub.sum())
+        assert abs(row["hit_rate"] - sub[predicted] / sub.sum()) < 1e-6

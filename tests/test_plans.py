@@ -132,6 +132,7 @@ _BOUNDED_ALLPAIRS = {
     "quality_score_calibration",  # broadcast 1-row total cross join
     "doc_bigram_logprob",  # broadcast 1-row vocabulary-size cross join
     "part_abc_classes",  # broadcast 1-row total-revenue cross join
+    "source_length_ks",  # bounded sources x value-domain grid + 1-row total
     "q11_important_part_values",  # broadcast scalar-threshold cross join (1 row)
     "tfidf_top_terms",  # broadcast 1-row corpus-count cross join
     "shingle_idf_similarity_topk",  # broadcast 1-row corpus-count cross join
@@ -214,6 +215,9 @@ _BOUNDED_GLOBAL_WINDOW = {
     # (bounded below a trillion-dollar part, the Gini bound argument);
     # the per-part window is partitioned by bucket
     "part_abc_classes",
+    # corpus-CDF cumulative over the VALUE-DOMAIN-bounded length
+    # histogram (doc_mad_outliers discipline)
+    "source_length_ks",
 }
 
 

@@ -80,6 +80,7 @@ DOC_QUERIES = (
     "source_vocab_jaccard",  # term-keyed join, source-domain fanout
     "doc_bigram_logprob",  # stream-keyed joins, no self-join
     "quality_score_calibration",
+    "source_length_ks",  # sources x value-domain grid stays bounded
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i
@@ -138,6 +139,7 @@ SF_QUERIES = (
     "orders_monthly_psi",  # month x 10-bin grid after one count shuffle
     "part_abc_classes",  # two-level rank blocks: no global sort
     "revenue_forecast_backtest",  # calendar-bounded trailing window
+    "markov_next_event_accuracy",  # one LEAD window + tiny per-state reduces
 )
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 

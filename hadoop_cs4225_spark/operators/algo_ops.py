@@ -1389,3 +1389,296 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cur_type")
     )
+
+
+@register(
+    "event_entropy_rate",
+    oracle=f"""
+WITH seq AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS nxt
+  FROM events
+), trans AS (
+  SELECT cur, nxt, COUNT(*) AS c FROM seq WHERE nxt IS NOT NULL
+  GROUP BY cur, nxt
+), marg AS (
+  SELECT nxt, CAST(SUM(c) AS BIGINT) AS m FROM trans GROUP BY nxt
+), hm AS (
+  SELECT {quant_sql(
+      "LN(CAST(SUM(m) AS DOUBLE))"
+      " - SUM(m * LN(CAST(m AS DOUBLE))) / SUM(m)", 6)} AS h_marginal
+  FROM marg
+)
+SELECT cur AS cur_type,
+       CAST(SUM(c) AS BIGINT) AS n_transitions,
+       {quant_sql(
+           "LN(CAST(SUM(c) AS DOUBLE))"
+           " - SUM(c * LN(CAST(c AS DOUBLE))) / SUM(c)", 6)} AS h_cond,
+       ANY_VALUE(hm.h_marginal) AS h_marginal,
+       {quant_sql(
+           "ANY_VALUE(hm.h_marginal) - (LN(CAST(SUM(c) AS DOUBLE))"
+           " - SUM(c * LN(CAST(c AS DOUBLE))) / SUM(c))", 6)} AS info_gain
+FROM trans CROSS JOIN hm
+GROUP BY cur
+ORDER BY cur_type
+""",
+)
+def event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-event entropy H(next | cur) per state, the
+    marginal H(next), and the information gain of conditioning — how
+    predictable each state's successor is, the information-theoretic
+    companion to ``markov_next_event_accuracy`` (hit rate measures the
+    single best guess; entropy measures the whole distribution).
+
+    Uses the one-pass entropy algebra of ``doc_unigram_entropy``
+    (H = ln n - Σ c·ln c / n — every ln on an integer count,
+    engine-stable), over the same transition aggregate as the Markov
+    queries; the marginal is a 1-row broadcast.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    trans = trans.localCheckpoint(eager=False)  # marginal + per-state agg
+    marg = trans.groupBy("nxt").agg(F.sum("c").alias("m"))
+    hm = F.broadcast(
+        marg.agg(
+            quant(
+                F.log(F.sum("m").cast("double"))
+                - F.sum(F.col("m") * F.log(F.col("m").cast("double")))
+                / F.sum("m"),
+                6,
+            ).alias("h_marginal")
+        )
+    )
+    h_cond = quant(
+        F.log(F.sum("c").cast("double"))
+        - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / F.sum("c"),
+        6,
+    )
+    return (
+        trans.crossJoin(hm)
+        .groupBy("cur")
+        .agg(
+            F.sum("c").alias("n_transitions"),
+            h_cond.alias("h_cond"),
+            F.first("h_marginal").alias("h_marginal"),
+            quant(F.first("h_marginal") - h_cond, 6).alias("info_gain"),
+        )
+        .select(
+            F.col("cur").alias("cur_type"),
+            "n_transitions",
+            "h_cond",
+            "h_marginal",
+            "info_gain",
+        )
+        .orderBy("cur_type")
+    )
+
+
+#: Cross-correlation lags (days; negative = type_a leads type_b).
+_CCF_LAGS = (-2, -1, 0, 1, 2)
+
+
+@register(
+    "events_type_crosscorr",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS d,
+         COUNT(*) AS cnt
+  FROM events GROUP BY event_type, d
+), lags AS (
+  SELECT unnest([{", ".join(str(lag) for lag in _CCF_LAGS)}]) AS lag
+), pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, l.lag,
+         a.cnt AS x, b.cnt AS y
+  FROM daily a
+  CROSS JOIN lags l
+  JOIN daily b
+    ON b.d = a.d + l.lag * INTERVAL '1 day' AND a.event_type < b.event_type
+), agg AS (
+  SELECT ta, tb, lag, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pairs GROUP BY ta, tb, lag
+)
+SELECT ta AS type_a, tb AS type_b, lag, n,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+            THEN {quant_sql(
+                "CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+                " * CAST(n * syy - sy * sy AS DOUBLE))", 6)}
+       END AS ccf
+FROM agg
+ORDER BY type_a, type_b, lag
+""",
+)
+def events_type_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between event types' daily count
+    series at lags -2..+2 (negative lag = type_a leads type_b) — the
+    pairwise companion to ``events_count_acf``, answering "does a
+    spike in clicks precede a spike in purchases?".
+
+    Same integer-sum Pearson assembly as the ACF (six exact BIGINT
+    sums per (pair, lag), casts before the overflow-prone products,
+    one quantized division). The pair space is bounded by the type
+    DOMAIN (C(5,2) pairs x 5 lags); the join is day-keyed, never a
+    row-space cross product.
+    """
+    daily = (
+        load_events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    daily = daily.localCheckpoint(eager=False)  # both join sides
+    lags = spark.range(len(_CCF_LAGS)).select(
+        F.element_at(
+            F.array(*[F.lit(lag) for lag in _CCF_LAGS]), (F.col("id") + 1).cast("int")
+        ).alias("lag")
+    )
+    a = daily.select(
+        F.col("event_type").alias("ta"), F.col("d").alias("da"), F.col("cnt").alias("x")
+    ).crossJoin(F.broadcast(lags))
+    b = daily.select(
+        F.col("event_type").alias("tb"), F.col("d").alias("db"), F.col("cnt").alias("y")
+    )
+    pairs = a.join(
+        b,
+        (F.col("db") == F.expr("date_add(da, lag)"))
+        & (F.col("ta") < F.col("tb")),
+    )
+    agg = pairs.groupBy("ta", "tb", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return agg.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        "lag",
+        "n",
+        F.when((vx > 0) & (vy > 0), quant(cov / F.sqrt(vx * vy), 6)).alias("ccf"),
+    ).orderBy("type_a", "type_b", "lag")
+
+
+@register(
+    "source_length_qnorm",
+    oracle=f"""
+WITH hs AS (
+  SELECT source, n_chars AS v, COUNT(*) AS c FROM documents
+  GROUP BY source, n_chars
+), cums AS (
+  SELECT source, v, c,
+         CAST(SUM(c) OVER (PARTITION BY source ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_s
+  FROM hs
+), ns AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM hs GROUP BY source
+), hg AS (
+  SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY n_chars
+), cumg AS (
+  SELECT v, CAST(SUM(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_g,
+         CAST(COALESCE(SUM(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS prev_g
+  FROM hg
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+mapped AS (
+  SELECT s.source, s.v, s.c, ns.n_s, g.v AS v_norm
+  FROM cums s
+  JOIN ns USING (source)
+  CROSS JOIN tot
+  JOIN cumg g
+    ON g.prev_g < (s.cum_s * tot.n + ns.n_s - 1) // ns.n_s
+   AND (s.cum_s * tot.n + ns.n_s - 1) // ns.n_s <= g.cum_g
+)
+SELECT source, ANY_VALUE(n_s) AS n_docs,
+       {quant_sql("SUM(v * c) * 1.0 / ANY_VALUE(n_s)", 4)} AS mean_before,
+       {quant_sql("SUM(v_norm * c) * 1.0 / ANY_VALUE(n_s)", 4)} AS mean_after,
+       CAST(MAX(abs(v_norm - v)) AS BIGINT) AS max_shift
+FROM mapped
+GROUP BY source
+ORDER BY source
+""",
+)
+def source_length_qnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of doc lengths per source onto the
+    corpus distribution — the batch-effect correction transform: each
+    value maps to the corpus order statistic at its within-source CDF
+    position (``v* = min corpus value with cum_g >= ceil(cum_s*N/n_s)``).
+    Reported as per-source before/after means and the max per-value
+    shift; the mapped distribution is corpus-shaped by construction
+    (its KS distance to the corpus collapses — pinned in pytest).
+
+    Exactness: target ranks are exact integer ceilings
+    (``(cum_s*N + n_s - 1) // n_s``); the rank lookup is a range join
+    against the VALUE-DOMAIN-bounded corpus histogram carrying
+    (prev_cum, cum] intervals — bounded non-equi join, allowlisted.
+    All sums are value*count integers; two quantized divisions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hs = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = hs.select("source", "v", "c", F.sum("c").over(w_s).alias("cum_s"))
+    ns = hs.groupBy("source").agg(F.sum("c").alias("n_s"))
+    hg = docs.groupBy(F.col("n_chars").alias("gv")).agg(
+        F.count(F.lit(1)).alias("gc")
+    )
+    w_g = Window.orderBy("gv").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_gp = Window.orderBy("gv").rowsBetween(Window.unboundedPreceding, -1)
+    cumg = hg.select(
+        "gv",
+        F.sum("gc").over(w_g).alias("cum_g"),
+        F.coalesce(F.sum("gc").over(w_gp), F.lit(0)).alias("prev_g"),
+    )
+    tot = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n")))
+    t_rank = F.floor(
+        (F.col("cum_s") * F.col("n") + F.col("n_s") - 1) / F.col("n_s")
+    )
+    mapped = (
+        cums.join(F.broadcast(ns), "source")
+        .crossJoin(tot)
+        .withColumn("t", t_rank)
+        .join(
+            F.broadcast(cumg),
+            (F.col("prev_g") < F.col("t")) & (F.col("t") <= F.col("cum_g")),
+        )
+    )
+    return (
+        mapped.groupBy("source")
+        .agg(
+            F.first("n_s").alias("n_docs"),
+            quant(
+                F.sum(F.col("v") * F.col("c")) * 1.0 / F.first("n_s"), 4
+            ).alias("mean_before"),
+            quant(
+                F.sum(F.col("gv") * F.col("c")) * 1.0 / F.first("n_s"), 4
+            ).alias("mean_after"),
+            F.max(F.abs(F.col("gv") - F.col("v"))).cast("long").alias("max_shift"),
+        )
+        .orderBy("source")
+    )

@@ -586,3 +586,89 @@ def test_markov_predictor_matches_pandas(spark):
         assert row["predicted"] == predicted
         assert int(row["n_transitions"]) == int(sub.sum())
         assert abs(row["hit_rate"] - sub[predicted] / sub.sum()) < 1e-6
+
+
+def test_entropy_rate_matches_pandas(spark):
+    out = registry.QUERIES["event_entropy_rate"](spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    ev["nxt"] = ev.groupby("user_id")["event_type"].shift(-1)
+    tr = ev.dropna(subset=["nxt"])
+
+    def ent(counts):
+        c = np.asarray(counts, dtype=np.float64)
+        n = c.sum()
+        return np.log(n) - (c * np.log(c)).sum() / n
+
+    h_marg = ent(tr.groupby("nxt").size().to_numpy())
+    for cur, grp in tr.groupby("event_type"):
+        h = ent(grp.groupby("nxt").size().to_numpy())
+        row = out[out["cur_type"] == cur].iloc[0]
+        assert abs(row["h_cond"] - h) < 1e-6
+        assert abs(row["h_marginal"] - h_marg) < 1e-6
+        assert abs(row["info_gain"] - (h_marg - h)) < 1e-5
+
+
+def test_crosscorr_matches_numpy(spark):
+    out = registry.QUERIES["events_type_crosscorr"](spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["d"] = ev["ts"].astype("datetime64[us]").dt.normalize()
+    daily = ev.groupby(["event_type", "d"]).size().rename("cnt").reset_index()
+    types = sorted(daily["event_type"].unique())
+    series = {
+        t: daily[daily["event_type"] == t].set_index("d")["cnt"] for t in types
+    }
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            for lag in (-2, -1, 0, 1, 2):
+                sa = series[ta]
+                sb = series[tb].copy()
+                sb.index = sb.index - pd.Timedelta(days=lag)
+                joined = pd.concat([sa, sb], axis=1, join="inner")
+                joined.columns = ["x", "y"]
+                row = out[
+                    (out["type_a"] == ta)
+                    & (out["type_b"] == tb)
+                    & (out["lag"] == lag)
+                ]
+                if len(joined) == 0:
+                    assert len(row) == 0
+                    continue
+                assert int(row["n"].iloc[0]) == len(joined)
+                r = np.corrcoef(joined["x"], joined["y"])[0, 1]
+                got = row["ccf"].iloc[0]
+                if np.isnan(r):
+                    assert pd.isna(got)
+                else:
+                    assert abs(got - r) < 1e-5, (ta, tb, lag)
+
+
+def test_qnorm_collapses_ks_distance(spark):
+    """After quantile normalization each source's mapped distribution
+    must be corpus-shaped: numpy-side KS of (mapped values weighted by
+    count) vs corpus drops below the source's original D."""
+    out = registry.QUERIES["source_length_qnorm"](spark, SF_SMOKE).toPandas()
+    ks = registry.QUERIES["source_length_ks"](spark, SF_SMOKE).toPandas()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    allv = np.sort(docs["n_chars"].to_numpy())
+    n = len(allv)
+    for src, grp in docs.groupby("source"):
+        sv = np.sort(grp["n_chars"].to_numpy())
+        ns = len(sv)
+        # replicate the mapping: v -> corpus value at ceil(cum*N/n_s)
+        vals, counts = np.unique(sv, return_counts=True)
+        cum = np.cumsum(counts)
+        t = (cum * n + ns - 1) // ns
+        mapped = allv[t - 1]  # corpus order statistic at rank t (1-based)
+        mapped_full = np.repeat(mapped, counts)
+        pts = np.unique(allv)
+        fm = np.searchsorted(np.sort(mapped_full), pts, side="right") / ns
+        fg = np.searchsorted(allv, pts, side="right") / n
+        d_after = np.max(np.abs(fm - fg))
+        d_before = ks[ks["source"] == src]["d_stat"].iloc[0]
+        assert d_after <= d_before + 1e-9, src
+        # and the Spark-reported mean_after equals numpy's mapped mean
+        row = out[out["source"] == src].iloc[0]
+        assert abs(row["mean_after"] - mapped_full.mean()) < 1e-3
+        assert abs(row["mean_before"] - sv.mean()) < 1e-3

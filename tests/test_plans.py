@@ -133,6 +133,9 @@ _BOUNDED_ALLPAIRS = {
     "doc_bigram_logprob",  # broadcast 1-row vocabulary-size cross join
     "part_abc_classes",  # broadcast 1-row total-revenue cross join
     "source_length_ks",  # bounded sources x value-domain grid + 1-row total
+    "event_entropy_rate",  # broadcast 1-row marginal-entropy cross join
+    "events_type_crosscorr",  # broadcast 5-row lag-grid cross join
+    "source_length_qnorm",  # bounded rank-interval range join vs value-domain histogram
     "q11_important_part_values",  # broadcast scalar-threshold cross join (1 row)
     "tfidf_top_terms",  # broadcast 1-row corpus-count cross join
     "shingle_idf_similarity_topk",  # broadcast 1-row corpus-count cross join
@@ -218,6 +221,8 @@ _BOUNDED_GLOBAL_WINDOW = {
     # corpus-CDF cumulative over the VALUE-DOMAIN-bounded length
     # histogram (doc_mad_outliers discipline)
     "source_length_ks",
+    # same bounded corpus-histogram cumulatives (value-domain axis)
+    "source_length_qnorm",
 }
 
 

@@ -81,6 +81,7 @@ DOC_QUERIES = (
     "doc_bigram_logprob",  # stream-keyed joins, no self-join
     "quality_score_calibration",
     "source_length_ks",  # sources x value-domain grid stays bounded
+    "source_length_qnorm",  # bounded rank-interval range join
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i
@@ -140,6 +141,8 @@ SF_QUERIES = (
     "part_abc_classes",  # two-level rank blocks: no global sort
     "revenue_forecast_backtest",  # calendar-bounded trailing window
     "markov_next_event_accuracy",  # one LEAD window + tiny per-state reduces
+    "event_entropy_rate",
+    "events_type_crosscorr",  # day-keyed join, domain-bounded pair space
 )
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 

@@ -1682,3 +1682,66 @@ def source_length_qnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "events_theilsen_trend",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+         COUNT(*) AS cnt
+  FROM events GROUP BY event_type, day
+), diffs AS (
+  SELECT event_type,
+         cnt - LAG(cnt) OVER (PARTITION BY event_type ORDER BY day) AS dx
+  FROM daily
+)
+SELECT event_type,
+       COUNT(dx) AS n_steps,
+       quantile_cont(dx, 0.5) AS median_daily_change,
+       {quant_sql("SUM(dx) * 1.0 / COUNT(dx)", 6)} AS mean_daily_change
+FROM diffs
+WHERE dx IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily trend per event type: the MEDIAN day-over-day
+    change (the consecutive-pair Theil-Sen slope — outlier days move
+    the mean but not the median; the robust-statistics sibling of
+    ``order_trend_regression``'s OLS slope).
+
+    Day-over-day diffs are integers off one lag window; the group fed
+    to the exact interpolated median is CALENDAR-bounded (one diff per
+    observed day), so the sort-based percentile buffer is bounded at
+    any corpus size — the one case where exact ``percentile`` is the
+    right scale call (contrast doc_mad_outliers' histogram medians
+    over unbounded-count rows). Median of integers lies on the exact
+    .5 grid; the mean is one quantized division.
+    """
+    daily = (
+        load_events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    diffs = daily.select(
+        "event_type",
+        (F.col("cnt") - F.lag("cnt").over(w)).alias("dx"),
+    ).filter(F.col("dx").isNotNull())
+    return (
+        diffs.groupBy("event_type")
+        .agg(
+            F.count("dx").alias("n_steps"),
+            F.percentile("dx", F.lit(0.5)).alias("median_daily_change"),
+            quant(F.sum("dx") * 1.0 / F.count("dx"), 6).alias(
+                "mean_daily_change"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -536,3 +536,132 @@ def weighted_aes_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "n_chars", F.col("rn").alias("rank"))
         .orderBy("source", "rank")
     )
+
+
+#: Poisson bootstrap: replica count, the Poisson(1) CDF thresholds on
+#: the 2^20 hash grid (floor(CDF_k * 2^20), k = 0..5; weights cap at
+#: 6), and the mean-quantization grid (1e-3 chars).
+_BOOT_B = 32
+_BOOT_THRESH = (385749, 771499, 964373, 1028665, 1044738, 1047952)
+_BOOT_GRID = 1000
+
+
+def _boot_w_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_THRESH)
+    )
+    return f"(CASE {cases} ELSE {len(_BOOT_THRESH)} END)"
+
+
+@register(
+    "source_mean_bootstrap_ci",
+    oracle=f"""
+WITH reps AS (
+  SELECT unnest(range({_BOOT_B})) AS b
+), weighted AS (
+  SELECT d.source, r.b, d.n_chars,
+         {_boot_w_sql(
+             f"({hash60_seeded_sql('CAST(doc_id AS VARCHAR) || CHR(58) || CAST(r.b AS VARCHAR)', 77)}"
+             f" % {1 << 20})")} AS w
+  FROM documents d CROSS JOIN reps r
+), rep_means AS (
+  SELECT source, b,
+         CAST(floor(CAST(SUM(w * n_chars) AS DOUBLE) / SUM(w)
+                    * {_BOOT_GRID} + 0.5) AS BIGINT) AS m_s
+  FROM weighted GROUP BY source, b HAVING SUM(w) > 0
+), boot AS (
+  SELECT source, COUNT(*) AS nb,
+         CAST(SUM(m_s) AS BIGINT) AS s1, CAST(SUM(m_s * m_s) AS BIGINT) AS s2
+  FROM rep_means GROUP BY source
+), pt AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(floor(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)
+                    * {_BOOT_GRID} + 0.5) AS BIGINT) AS pm_s
+  FROM documents GROUP BY source
+)
+SELECT p.source, p.n_docs,
+       {quant_sql(f"p.pm_s * 1.0 / {_BOOT_GRID}", 3)} AS mean_chars,
+       {quant_sql(
+           "sqrt((b.s2 - b.s1 * 1.0 * b.s1 / b.nb) / (b.nb - 1))"
+           f" / {_BOOT_GRID}", 4)} AS boot_se,
+       {quant_sql(
+           "(p.pm_s - 1.96 * sqrt((b.s2 - b.s1 * 1.0 * b.s1 / b.nb)"
+           f" / (b.nb - 1))) / {_BOOT_GRID}", 3)} AS ci_lo,
+       {quant_sql(
+           "(p.pm_s + 1.96 * sqrt((b.s2 - b.s1 * 1.0 * b.s1 / b.nb)"
+           f" / (b.nb - 1))) / {_BOOT_GRID}", 3)} AS ci_hi
+FROM pt p JOIN boot b USING (source)
+ORDER BY p.source
+""",
+)
+def source_mean_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for each source's
+    mean document length — THE distributed bootstrap: resampling a
+    corpus with replacement needs a global shuffle per replica, but
+    per-row independent Poisson(1) weights approximate multinomial
+    resampling arbitrarily well at corpus scale, so all 32 replicas
+    run in ONE pass over the data as a (source, replica) aggregate.
+
+    Determinism: weights come from the shared md5 hash grid through
+    fixed integer CDF thresholds (no float RNG); each replica mean is
+    floored onto a 1e-3 grid before the across-replica variance, so
+    every engine-side sum is integer. SE = std across replica means.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    reps = spark.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
+    u = hash60_seeded(
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.col("b").cast("string")),
+        77,
+    ) % (1 << 20)
+    w = F.lit(len(_BOOT_THRESH))
+    for k in range(len(_BOOT_THRESH) - 1, -1, -1):
+        w = F.when(u < _BOOT_THRESH[k], k).otherwise(w)
+    weighted = docs.crossJoin(F.broadcast(reps)).select(
+        "source", "b", "n_chars", w.alias("w")
+    )
+    rep_means = (
+        weighted.groupBy("source", "b")
+        .agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("n_chars")).alias("swx"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "source",
+            F.floor(
+                F.col("swx").cast("double") / F.col("sw") * _BOOT_GRID + 0.5
+            )
+            .cast("long")
+            .alias("m_s"),
+        )
+    )
+    boot = rep_means.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("m_s").alias("s1"),
+        F.sum(F.col("m_s") * F.col("m_s")).alias("s2"),
+    )
+    pt = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.floor(
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)) * _BOOT_GRID
+            + 0.5
+        )
+        .cast("long")
+        .alias("pm_s"),
+    )
+    se_raw = F.sqrt(
+        (F.col("s2") - F.col("s1") * 1.0 * F.col("s1") / F.col("nb"))
+        / (F.col("nb") - 1)
+    )
+    return (
+        pt.join(boot, "source")
+        .select(
+            "source",
+            "n_docs",
+            quant(F.col("pm_s") * 1.0 / _BOOT_GRID, 3).alias("mean_chars"),
+            quant(se_raw / _BOOT_GRID, 4).alias("boot_se"),
+            quant((F.col("pm_s") - 1.96 * se_raw) / _BOOT_GRID, 3).alias("ci_lo"),
+            quant((F.col("pm_s") + 1.96 * se_raw) / _BOOT_GRID, 3).alias("ci_hi"),
+        )
+        .orderBy("source")
+    )

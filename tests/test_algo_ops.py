@@ -672,3 +672,51 @@ def test_qnorm_collapses_ks_distance(spark):
         row = out[out["source"] == src].iloc[0]
         assert abs(row["mean_after"] - mapped_full.mean()) < 1e-3
         assert abs(row["mean_before"] - sv.mean()) < 1e-3
+
+
+def test_bootstrap_ci_matches_python_replication(spark):
+    out = registry.QUERIES["source_mean_bootstrap_ci"](spark, SF_SMOKE).toPandas()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    import hashlib
+
+    thresh = (385749, 771499, 964373, 1028665, 1044738, 1047952)
+
+    def w(doc_id, b):
+        h = int(
+            hashlib.md5(f"77:{doc_id}:{b}".encode()).hexdigest()[:15], 16
+        ) % (1 << 20)
+        for k, t in enumerate(thresh):
+            if h < t:
+                return k
+        return 6
+
+    for src, grp in docs.groupby("source"):
+        ids = grp["doc_id"].to_numpy()
+        x = grp["n_chars"].to_numpy(dtype=np.float64)
+        ms = []
+        for b in range(32):
+            ws = np.array([w(i, b) for i in ids], dtype=np.float64)
+            if ws.sum() > 0:
+                ms.append(np.floor((ws * x).sum() / ws.sum() * 1000 + 0.5))
+        ms = np.array(ms)
+        se = ms.std(ddof=1) / 1000
+        row = out[out["source"] == src].iloc[0]
+        assert abs(row["boot_se"] - se) < 1e-3
+        assert abs(row["mean_chars"] - x.mean()) < 1e-2
+        assert row["ci_lo"] < row["mean_chars"] < row["ci_hi"]
+        # SE should be in the right ballpark of the analytic SE
+        analytic = x.std(ddof=1) / np.sqrt(len(x))
+        assert 0.3 * analytic < se < 3.0 * analytic
+
+
+def test_theilsen_matches_pandas_median(spark):
+    out = registry.QUERIES["events_theilsen_trend"](spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["day"] = ev["ts"].astype("datetime64[us]").dt.strftime("%Y-%m-%d")
+    daily = ev.groupby(["event_type", "day"]).size().rename("cnt").reset_index()
+    for et, grp in daily.groupby("event_type"):
+        dx = grp.sort_values("day")["cnt"].diff().dropna().to_numpy()
+        row = out[out["event_type"] == et].iloc[0]
+        assert int(row["n_steps"]) == len(dx)
+        assert row["median_daily_change"] == np.median(dx)
+        assert abs(row["mean_daily_change"] - dx.mean()) < 1e-6

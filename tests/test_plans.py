@@ -136,6 +136,7 @@ _BOUNDED_ALLPAIRS = {
     "event_entropy_rate",  # broadcast 1-row marginal-entropy cross join
     "events_type_crosscorr",  # broadcast 5-row lag-grid cross join
     "source_length_qnorm",  # bounded rank-interval range join vs value-domain histogram
+    "source_mean_bootstrap_ci",  # broadcast 32-row replica-grid cross join
     "q11_important_part_values",  # broadcast scalar-threshold cross join (1 row)
     "tfidf_top_terms",  # broadcast 1-row corpus-count cross join
     "shingle_idf_similarity_topk",  # broadcast 1-row corpus-count cross join

@@ -82,6 +82,7 @@ DOC_QUERIES = (
     "quality_score_calibration",
     "source_length_ks",  # sources x value-domain grid stays bounded
     "source_length_qnorm",  # bounded rank-interval range join
+    "source_mean_bootstrap_ci",  # 32x row fanout, one pass, map-side combine
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i
@@ -143,6 +144,7 @@ SF_QUERIES = (
     "markov_next_event_accuracy",  # one LEAD window + tiny per-state reduces
     "event_entropy_rate",
     "events_type_crosscorr",  # day-keyed join, domain-bounded pair space
+    "events_theilsen_trend",  # calendar-bounded percentile groups
 )
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 

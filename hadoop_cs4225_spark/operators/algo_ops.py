@@ -41,8 +41,101 @@ _CUSUM_ALARM_MEAN_DAYS = 2
 #: Autocorrelation lags (days).
 _ACF_LAGS = (1, 2, 3)
 
+
+def _pearson_aggs() -> list:
+    """The six Pearson moment sums over (x, y) pair columns — exact
+    BIGINTs in both engines (shared by the ACF and CCF queries)."""
+    return [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ]
+
+
+def _pearson_col(scale: int = 6):
+    """r from the moment sums, NULL when either variance is zero.
+
+    Every sum is cast to double BEFORE the products: above 2^63 the
+    engines' integer types diverge (Spark's long wraps silently,
+    DuckDB's SUM widens to HUGEINT), so the products are IEEE doubles
+    on BOTH sides — bit-identical up to 2^53 and consistently rounded
+    beyond, at any scale. :func:`_pearson_sql` mirrors the exact
+    composition.
+    """
+    n, sx, sy, sxy, sxx, syy = (
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    vx = n * sxx - sx * F.col("sx")
+    vy = n * syy - sy * F.col("sy")
+    cov = n * sxy - sx * F.col("sy")
+    return F.when((vx > 0) & (vy > 0), quant(cov / F.sqrt(vx * vy), scale))
+
+
+def _pearson_sql(scale: int = 6) -> str:
+    """DuckDB twin of :func:`_pearson_col` (same cast-then-multiply
+    order, so both engines evaluate the identical IEEE expression)."""
+    vx = "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    vy = "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)"
+    cov = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    return (
+        f"CASE WHEN {vx} > 0 AND {vy} > 0 THEN "
+        + quant_sql(f"{cov} / sqrt({vx} * {vy})", scale)
+        + " END"
+    )
+
 #: MAD outlier multiplier (|x - median| > _MAD_K * MAD).
 _MAD_K = 3
+
+
+def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, cnt) daily rollup shared by the CUSUM, ACF
+    and Theil-Sen queries — session-memoized + localCheckpointed
+    (the dedup ``_memo`` discipline, mtime-invalidated) so the events
+    scan + rollup shuffle runs once per session, not once per query."""
+    from hadoop_cs4225_spark.operators.dedup import _memo
+
+    def build() -> DataFrame:
+        return (
+            load_events(spark, sf_dir)
+            .groupBy(
+                "event_type",
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                    "day"
+                ),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint(eager=False)
+        )
+
+    return _memo(spark, sf_dir, "events_daily_counts", build, src_table="events")
+
+
+def _transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cur, nxt, c) next-event transition counts shared by the Markov
+    accuracy and entropy-rate queries (same memo discipline — the
+    per-user LEAD window over the fact table runs once per session)."""
+    from hadoop_cs4225_spark.operators.dedup import _memo
+
+    def build() -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = (
+            load_events(spark, sf_dir)
+            .select(
+                F.col("event_type").alias("cur"),
+                F.lead("event_type").over(w).alias("nxt"),
+            )
+            .filter(F.col("nxt").isNotNull())
+        )
+        return (
+            seq.groupBy("cur", "nxt")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=False)
+        )
+
+    return _memo(spark, sf_dir, "event_transitions", build, src_table="events")
 
 
 @register(
@@ -263,13 +356,7 @@ def events_daily_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINTs in both engines; the single division is quantized.
     Alarm when S exceeds 2 mean-days of cumulated excess.
     """
-    daily = (
-        load_events(spark, sf_dir)
-        .groupBy(
-            "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    daily = _daily_counts(spark, sf_dir)
     k = daily.groupBy("event_type").agg(
         F.floor(F.sum("cnt") * 1000000.0 / F.count(F.lit(1)) + 0.5)
         .cast("long")
@@ -324,13 +411,7 @@ WITH daily AS (
   FROM pairs GROUP BY event_type, lag
 )
 SELECT event_type, lag, n,
-       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
-             AND CAST(n * syy - sy * sy AS DOUBLE) > 0
-            THEN {quant_sql(
-                "CAST(n * sxy - sx * sy AS DOUBLE)"
-                " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
-                " * CAST(n * syy - sy * sy AS DOUBLE))", 6)}
-       END AS acf
+       {_pearson_sql(6)} AS acf
 FROM agg
 ORDER BY event_type, lag
 """,
@@ -350,14 +431,7 @@ def events_count_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     three lag columns, a stack (no extra shuffle — narrow), one
     grouped aggregate. Zero-variance series yield NULL.
     """
-    daily = (
-        load_events(spark, sf_dir)
-        .groupBy(
-            "event_type",
-            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    daily = _daily_counts(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("day")
     lagged = daily.select(
         "event_type",
@@ -371,24 +445,9 @@ def events_count_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             len(_ACF_LAGS), ", ".join(f"{i}, y{i}" for i in _ACF_LAGS)
         ),
     ).filter(F.col("y").isNotNull())
-    agg = pairs.groupBy("event_type", "lag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-    )
-    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    agg = pairs.groupBy("event_type", "lag").agg(*_pearson_aggs())
     return agg.select(
-        "event_type",
-        "lag",
-        "n",
-        F.when(
-            (vx > 0) & (vy > 0), quant(cov / F.sqrt(vx * vy), 6)
-        ).alias("acf"),
+        "event_type", "lag", "n", _pearson_col(6).alias("acf")
     ).orderBy("event_type", "lag")
 
 
@@ -755,7 +814,7 @@ def ship_delay_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"
+        "o_orderkey", "o_orderpriority", "o_orderdate"
     )
     d = li.join(o, li.l_orderkey == o.o_orderkey).select(
         "o_orderpriority",
@@ -1199,14 +1258,16 @@ def revenue_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KS_COEF = 1.36
 
 
-@register(
-    "source_length_ks",
-    oracle=f"""
-WITH hs AS (
+
+#: Shared oracle CTE chain building the per-source and corpus length
+#: CDFs from value histograms — used by BOTH source_length_ks and
+#: source_length_qnorm so the two sibling ops can never diverge on the
+#: CDF construction.
+_LEN_CDF_CTES = """hs AS (
   SELECT source, n_chars AS v, COUNT(*) AS c FROM documents
   GROUP BY source, n_chars
 ), cums AS (
-  SELECT source, v,
+  SELECT source, v, c,
          CAST(SUM(c) OVER (PARTITION BY source ORDER BY v
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
            AS cum_s
@@ -1218,16 +1279,57 @@ WITH hs AS (
 ), cumg AS (
   SELECT v, CAST(SUM(c) OVER (ORDER BY v
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-           AS cum_g
+           AS cum_g,
+         CAST(COALESCE(SUM(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS prev_g
   FROM hg
-), grid AS (
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)"""
+
+
+def _length_cdfs(spark: SparkSession, sf_dir: str):
+    """Spark twin of :data:`_LEN_CDF_CTES`: (cums, ns, cumg, tot) —
+    per-(source, value) cumulative counts, per-source totals, the
+    corpus cumulative with its predecessor, and the broadcast corpus
+    total. Both CDFs live on the VALUE-DOMAIN axis (bounded), the
+    doc_mad_outliers histogram discipline."""
+    docs = load_table(spark, sf_dir, "documents")
+    hs = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = hs.select("source", "v", "c", F.sum("c").over(w_s).alias("cum_s"))
+    ns = hs.groupBy("source").agg(F.sum("c").alias("n_s"))
+    hg = docs.groupBy(F.col("n_chars").alias("gv")).agg(
+        F.count(F.lit(1)).alias("gc")
+    )
+    w_g = Window.orderBy("gv").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_gp = Window.orderBy("gv").rowsBetween(Window.unboundedPreceding, -1)
+    cumg = hg.select(
+        "gv",
+        F.sum("gc").over(w_g).alias("cum_g"),
+        F.coalesce(F.sum("gc").over(w_gp), F.lit(0)).alias("prev_g"),
+    )
+    tot = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n")))
+    return cums, ns, cumg, tot
+
+
+@register(
+    "source_length_ks",
+    oracle=f"""
+WITH {_LEN_CDF_CTES}, grid AS (
   SELECT ns.source, ns.n_s, cumg.v, cumg.cum_g,
          COALESCE(MAX(cums.cum_s) OVER (PARTITION BY ns.source ORDER BY cumg.v
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS f_s
   FROM ns CROSS JOIN cumg
   LEFT JOIN cums ON cums.source = ns.source AND cums.v = cumg.v
-), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-d AS (
+), d AS (
   SELECT source, ANY_VALUE(n_s) AS n_s,
          MAX(abs(f_s * tot.n - cum_g * n_s)) AS d_num,
          ANY_VALUE(tot.n) AS n
@@ -1262,31 +1364,22 @@ def source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: two histogram aggregates, a bounded sources x values grid,
     partitioned forward-fill windows, one max-reduce per source.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    hs = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    w_s = (
+    cums, ns, cumg, tot = _length_cdfs(spark, sf_dir)
+    w_fill = (
         Window.partitionBy("source")
-        .orderBy("v")
+        .orderBy("gv")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cums = hs.select("source", "v", F.sum("c").over(w_s).alias("cum_s"))
-    ns = hs.groupBy("source").agg(F.sum("c").alias("n_s"))
-    hg = docs.groupBy(F.col("n_chars").alias("v")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    w_g = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cumg = hg.select("v", F.sum("c").over(w_g).alias("cum_g"))
-    tot = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n")))
     grid = (
         ns.crossJoin(cumg)
-        .join(cums, ["source", "v"], "left")
+        .join(
+            cums.select("source", F.col("v").alias("gv"), "cum_s"),
+            ["source", "gv"],
+            "left",
+        )
         .withColumn(
             "f_s",
-            F.coalesce(F.max("cum_s").over(w_s), F.lit(0)),
+            F.coalesce(F.max("cum_s").over(w_fill), F.lit(0)),
         )
         .crossJoin(tot)
     )
@@ -1354,14 +1447,7 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined), two tiny per-state reduces, one broadcast-able join
     back; counts exact, one quantized division.
     """
-    ev = load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        F.col("event_type").alias("cur"),
-        F.lead("event_type").over(w).alias("nxt"),
-    ).filter(F.col("nxt").isNotNull())
-    trans = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
-    trans = trans.localCheckpoint(eager=False)  # mx + pred + final agg
+    trans = _transition_counts(spark, sf_dir)  # memoized; feeds mx + pred + final agg
     mx = trans.groupBy("cur").agg(F.max("c").alias("mc"))
     pred = (
         trans.join(mx, "cur")
@@ -1436,14 +1522,7 @@ def event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-stable), over the same transition aggregate as the Markov
     queries; the marginal is a 1-row broadcast.
     """
-    ev = load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        F.col("event_type").alias("cur"),
-        F.lead("event_type").over(w).alias("nxt"),
-    ).filter(F.col("nxt").isNotNull())
-    trans = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
-    trans = trans.localCheckpoint(eager=False)  # marginal + per-state agg
+    trans = _transition_counts(spark, sf_dir)  # memoized; marginal + per-state agg
     marg = trans.groupBy("nxt").agg(F.sum("c").alias("m"))
     hm = F.broadcast(
         marg.agg(
@@ -1455,19 +1534,21 @@ def event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h_marginal")
         )
     )
-    h_cond = quant(
+    # h_raw stays UNQUANTIZED inside the info_gain subtraction — the
+    # oracle subtracts the raw expression too, and mixing a quantized
+    # operand into one side only is the PageRank-flake composition bug
+    h_raw = (
         F.log(F.sum("c").cast("double"))
-        - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / F.sum("c"),
-        6,
+        - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / F.sum("c")
     )
     return (
         trans.crossJoin(hm)
         .groupBy("cur")
         .agg(
             F.sum("c").alias("n_transitions"),
-            h_cond.alias("h_cond"),
+            quant(h_raw, 6).alias("h_cond"),
             F.first("h_marginal").alias("h_marginal"),
-            quant(F.first("h_marginal") - h_cond, 6).alias("info_gain"),
+            quant(F.first("h_marginal") - h_raw, 6).alias("info_gain"),
         )
         .select(
             F.col("cur").alias("cur_type"),
@@ -1507,13 +1588,7 @@ WITH daily AS (
   FROM pairs GROUP BY ta, tb, lag
 )
 SELECT ta AS type_a, tb AS type_b, lag, n,
-       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
-             AND CAST(n * syy - sy * sy AS DOUBLE) > 0
-            THEN {quant_sql(
-                "CAST(n * sxy - sx * sy AS DOUBLE)"
-                " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
-                " * CAST(n * syy - sy * sy AS DOUBLE))", 6)}
-       END AS ccf
+       {_pearson_sql(6)} AS ccf
 FROM agg
 ORDER BY type_a, type_b, lag
 """,
@@ -1554,51 +1629,20 @@ def events_type_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("db") == F.expr("date_add(da, lag)"))
         & (F.col("ta") < F.col("tb")),
     )
-    agg = pairs.groupBy("ta", "tb", "lag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-    )
-    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    agg = pairs.groupBy("ta", "tb", "lag").agg(*_pearson_aggs())
     return agg.select(
         F.col("ta").alias("type_a"),
         F.col("tb").alias("type_b"),
         "lag",
         "n",
-        F.when((vx > 0) & (vy > 0), quant(cov / F.sqrt(vx * vy), 6)).alias("ccf"),
+        _pearson_col(6).alias("ccf"),
     ).orderBy("type_a", "type_b", "lag")
 
 
 @register(
     "source_length_qnorm",
     oracle=f"""
-WITH hs AS (
-  SELECT source, n_chars AS v, COUNT(*) AS c FROM documents
-  GROUP BY source, n_chars
-), cums AS (
-  SELECT source, v, c,
-         CAST(SUM(c) OVER (PARTITION BY source ORDER BY v
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-           AS cum_s
-  FROM hs
-), ns AS (
-  SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM hs GROUP BY source
-), hg AS (
-  SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY n_chars
-), cumg AS (
-  SELECT v, CAST(SUM(c) OVER (ORDER BY v
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-           AS cum_g,
-         CAST(COALESCE(SUM(c) OVER (ORDER BY v
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-           AS prev_g
-  FROM hg
-), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+WITH {_LEN_CDF_CTES},
 mapped AS (
   SELECT s.source, s.v, s.c, ns.n_s, g.v AS v_norm
   FROM cums s
@@ -1632,33 +1676,11 @@ def source_length_qnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (prev_cum, cum] intervals — bounded non-equi join, allowlisted.
     All sums are value*count integers; two quantized divisions.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    hs = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    w_s = (
-        Window.partitionBy("source")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cums = hs.select("source", "v", "c", F.sum("c").over(w_s).alias("cum_s"))
-    ns = hs.groupBy("source").agg(F.sum("c").alias("n_s"))
-    hg = docs.groupBy(F.col("n_chars").alias("gv")).agg(
-        F.count(F.lit(1)).alias("gc")
-    )
-    w_g = Window.orderBy("gv").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_gp = Window.orderBy("gv").rowsBetween(Window.unboundedPreceding, -1)
-    cumg = hg.select(
-        "gv",
-        F.sum("gc").over(w_g).alias("cum_g"),
-        F.coalesce(F.sum("gc").over(w_gp), F.lit(0)).alias("prev_g"),
-    )
-    tot = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n")))
-    t_rank = F.floor(
-        (F.col("cum_s") * F.col("n") + F.col("n_s") - 1) / F.col("n_s")
-    )
+    cums, ns, cumg, tot = _length_cdfs(spark, sf_dir)
+    # exact BIGINT ceiling — `div` (integral division) mirrors the
+    # oracle's `//`; a double division would round across the integer
+    # boundary once the numerator passes 2^52
+    t_rank = F.expr("(cum_s * n + n_s - 1) div n_s")
     mapped = (
         cums.join(F.broadcast(ns), "source")
         .crossJoin(tot)
@@ -1721,14 +1743,7 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     over unbounded-count rows). Median of integers lies on the exact
     .5 grid; the mean is one quantized division.
     """
-    daily = (
-        load_events(spark, sf_dir)
-        .groupBy(
-            "event_type",
-            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    daily = _daily_counts(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("day")
     diffs = daily.select(
         "event_type",

@@ -1760,3 +1760,125 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "source_length_mannwhitney",
+    oracle=f"""
+WITH {_LEN_CDF_CTES},
+terms AS (
+  SELECT s.source,
+         s.c AS a,
+         s.cum_s - s.c AS prev_s,
+         g.prev_g, g.cum_g - g.prev_g AS c_g
+  FROM cums s JOIN cumg g ON g.v = s.v
+), u2 AS (
+  SELECT source,
+         CAST(SUM(a * (2 * (prev_g - prev_s) + (c_g - a))) AS BIGINT) AS u2
+  FROM terms GROUP BY source
+), ties AS (
+  SELECT CAST(SUM((cum_g - prev_g)
+               * ((cum_g - prev_g) * (cum_g - prev_g) - 1)) AS BIGINT)
+           AS tsum
+  FROM cumg
+), z AS (
+  SELECT n.source, n.n_s AS n_a, t.n - n.n_s AS n_b, u.u2,
+         CAST(n.n_s AS DOUBLE) * (t.n - n.n_s) / 12.0
+           * ((t.n + 1) - CAST(ti.tsum AS DOUBLE)
+              / (CAST(t.n AS DOUBLE) * (t.n - 1))) AS var_u
+  FROM ns n JOIN u2 u USING (source)
+  CROSS JOIN tot t CROSS JOIN ties ti
+)
+SELECT source, n_a, n_b,
+       {quant_sql("u2 / 2.0", 1)} AS u_stat,
+       CASE WHEN var_u > 0 THEN
+         {quant_sql(
+             "(u2 / 2.0 - CAST(n_a AS DOUBLE) * n_b / 2.0) / sqrt(var_u)", 4)}
+       END AS z_score,
+       CASE WHEN var_u > 0 THEN
+         CAST(abs({quant_sql(
+             "(u2 / 2.0 - CAST(n_a AS DOUBLE) * n_b / 2.0) / sqrt(var_u)", 4)})
+              > 1.96 AS BOOLEAN)
+       END AS rejects
+FROM z
+ORDER BY source
+""",
+)
+def source_length_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test of each source's
+    doc-length distribution against the REST of the corpus — the
+    rank-based location test completing the drift-testing trio
+    (chi2 = categorical, KS = any CDF difference, MWU = stochastic
+    dominance), with the normal approximation and full midrank tie
+    correction.
+
+    Histogram algebra on the shared :func:`_length_cdfs` frames: with
+    per-value source count a, rest count b = c_g - a and rest prefix
+    prevB = prev_g - prev_s, the doubled statistic
+    ``2U = Σ a*(2*prevB + b)`` is an exact BIGINT (terms with a = 0
+    vanish, so only the source's own value rows contribute — no grid
+    fill needed); the tie term Σ t(t²-1) is one BIGINT reduce over the
+    corpus histogram. Var/z follow the Pearson discipline: cast the
+    exact integers to double, then one identical IEEE composition in
+    both engines, quantized once.
+    """
+    cums, ns, cumg, tot = _length_cdfs(spark, sf_dir)
+    terms = cums.join(
+        cumg.select(F.col("gv").alias("v"), "cum_g", "prev_g"), "v"
+    ).select(
+        "source",
+        (
+            F.col("c")
+            * (
+                2 * (F.col("prev_g") - (F.col("cum_s") - F.col("c")))
+                + ((F.col("cum_g") - F.col("prev_g")) - F.col("c"))
+            )
+        ).alias("t2"),
+    )
+    u2 = terms.groupBy("source").agg(F.sum("t2").alias("u2"))
+    ties = F.broadcast(
+        cumg.agg(
+            F.sum(
+                (F.col("cum_g") - F.col("prev_g"))
+                * (
+                    (F.col("cum_g") - F.col("prev_g"))
+                    * (F.col("cum_g") - F.col("prev_g"))
+                    - 1
+                )
+            ).alias("tsum")
+        )
+    )
+    z = (
+        ns.join(u2, "source")
+        .crossJoin(tot)
+        .crossJoin(ties)
+        .select(
+            "source",
+            F.col("n_s").alias("n_a"),
+            (F.col("n") - F.col("n_s")).alias("n_b"),
+            "u2",
+            (
+                F.col("n_s").cast("double")
+                * (F.col("n") - F.col("n_s"))
+                / 12.0
+                * (
+                    (F.col("n") + 1)
+                    - F.col("tsum").cast("double")
+                    / (F.col("n").cast("double") * (F.col("n") - 1))
+                )
+            ).alias("var_u"),
+        )
+    )
+    zexpr = quant(
+        (F.col("u2") / 2.0 - F.col("n_a").cast("double") * F.col("n_b") / 2.0)
+        / F.sqrt(F.col("var_u")),
+        4,
+    )
+    return z.select(
+        "source",
+        "n_a",
+        "n_b",
+        quant(F.col("u2") / 2.0, 1).alias("u_stat"),
+        F.when(F.col("var_u") > 0, zexpr).alias("z_score"),
+        F.when(F.col("var_u") > 0, F.abs(zexpr) > 1.96).alias("rejects"),
+    ).orderBy("source")

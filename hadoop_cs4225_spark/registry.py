@@ -143,7 +143,7 @@ def load_all() -> None:
 #: doc_bigram_logprob, part_abc_classes, revenue_forecast_backtest,
 #: source_length_ks, markov_next_event_accuracy, event_entropy_rate,
 #: events_type_crosscorr, source_length_qnorm, source_mean_bootstrap_ci,
-#: events_theilsen_trend). All are locally
+#: events_theilsen_trend, source_length_mannwhitney). All are locally
 #: oracle-verified every pytest run; several scale-pinned.
 _PRIORITY = (
     # --- the 15 never-driver-checked + the one red row ---

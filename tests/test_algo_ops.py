@@ -720,3 +720,49 @@ def test_theilsen_matches_pandas_median(spark):
         assert int(row["n_steps"]) == len(dx)
         assert row["median_daily_change"] == np.median(dx)
         assert abs(row["mean_daily_change"] - dx.mean()) < 1e-6
+
+
+def test_mannwhitney_matches_scipy_or_direct(spark):
+    out = registry.QUERIES["source_length_mannwhitney"](spark, SF_SMOKE).toPandas()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    allv = docs["n_chars"].to_numpy(dtype=np.float64)
+
+    def rankdata(x):
+        """Midranks, numpy-only (scipy absent in this container)."""
+        order = np.argsort(x, kind="stable")
+        ranks = np.empty(len(x), dtype=np.float64)
+        sx = x[order]
+        i = 0
+        while i < len(sx):
+            j = i
+            while j + 1 < len(sx) and sx[j + 1] == sx[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        return ranks
+
+    for src, grp in docs.groupby("source"):
+        a = grp["n_chars"].to_numpy(dtype=np.float64)
+        b = docs[docs["source"] != src]["n_chars"].to_numpy(dtype=np.float64)
+        ranks = rankdata(np.concatenate([a, b]))
+        ra = ranks[: len(a)].sum()
+        u = ra - len(a) * (len(a) + 1) / 2
+        row = out[out["source"] == src].iloc[0]
+        assert abs(row["u_stat"] - u) < 0.51, src
+        n, na, nb = len(allv), len(a), len(b)
+        vals, t = np.unique(allv, return_counts=True)
+        tie = (t * (t * t - 1)).sum()
+        var = na * nb / 12 * ((n + 1) - tie / (n * (n - 1)))
+        z = (u - na * nb / 2) / np.sqrt(var)
+        assert abs(row["z_score"] - z) < 1e-3, src
+        assert bool(row["rejects"]) == (abs(row["z_score"]) > 1.96)
+    try:
+        from scipy.stats import mannwhitneyu  # noqa: PLC0415
+
+        src0 = sorted(docs["source"].unique())[0]
+        a = docs[docs["source"] == src0]["n_chars"]
+        b = docs[docs["source"] != src0]["n_chars"]
+        got = out[out["source"] == src0]["u_stat"].iloc[0]
+        assert abs(mannwhitneyu(a, b).statistic - got) < 0.51
+    except ImportError:
+        pass

@@ -137,6 +137,7 @@ _BOUNDED_ALLPAIRS = {
     "events_type_crosscorr",  # broadcast 5-row lag-grid cross join
     "source_length_qnorm",  # bounded rank-interval range join vs value-domain histogram
     "source_mean_bootstrap_ci",  # broadcast 32-row replica-grid cross join
+    "source_length_mannwhitney",  # broadcast 1-row total + tie-sum cross joins
     "q11_important_part_values",  # broadcast scalar-threshold cross join (1 row)
     "tfidf_top_terms",  # broadcast 1-row corpus-count cross join
     "shingle_idf_similarity_topk",  # broadcast 1-row corpus-count cross join
@@ -224,6 +225,7 @@ _BOUNDED_GLOBAL_WINDOW = {
     "source_length_ks",
     # same bounded corpus-histogram cumulatives (value-domain axis)
     "source_length_qnorm",
+    "source_length_mannwhitney",
 }
 
 

@@ -82,6 +82,7 @@ DOC_QUERIES = (
     "quality_score_calibration",
     "source_length_ks",  # sources x value-domain grid stays bounded
     "source_length_qnorm",  # bounded rank-interval range join
+    "source_length_mannwhitney",  # histogram rank-sum, value-domain bounded
     "source_mean_bootstrap_ci",  # 32x row fanout, one pass, map-side combine
 )
 

@@ -59,6 +59,9 @@ _OPERATOR_MODULES = (
     "hadoop_cs4225_spark.operators.linalg",
     "hadoop_cs4225_spark.operators.bucketed",
     "hadoop_cs4225_spark.sources.pydatasource",
+    # must stay LAST: composes registered queries/oracles from the
+    # modules above (the ann_audit composition discipline)
+    "hadoop_cs4225_spark.operators.health",
 )
 
 _loaded = False
@@ -143,7 +146,8 @@ def load_all() -> None:
 #: doc_bigram_logprob, part_abc_classes, revenue_forecast_backtest,
 #: source_length_ks, markov_next_event_accuracy, event_entropy_rate,
 #: events_type_crosscorr, source_length_qnorm, source_mean_bootstrap_ci,
-#: events_theilsen_trend, source_length_mannwhitney). All are locally
+#: events_theilsen_trend, source_length_mannwhitney,
+#: corpus_health_report). All are locally
 #: oracle-verified every pytest run; several scale-pinned.
 _PRIORITY = (
     # --- the 15 never-driver-checked + the one red row ---

@@ -138,6 +138,7 @@ _BOUNDED_ALLPAIRS = {
     "source_length_qnorm",  # bounded rank-interval range join vs value-domain histogram
     "source_mean_bootstrap_ci",  # broadcast 32-row replica-grid cross join
     "source_length_mannwhitney",  # broadcast 1-row total + tie-sum cross joins
+    "corpus_health_report",  # embeds the registered check plans (ann_audit discipline)
     "q11_important_part_values",  # broadcast scalar-threshold cross join (1 row)
     "tfidf_top_terms",  # broadcast 1-row corpus-count cross join
     "shingle_idf_similarity_topk",  # broadcast 1-row corpus-count cross join
@@ -226,6 +227,8 @@ _BOUNDED_GLOBAL_WINDOW = {
     # same bounded corpus-histogram cumulatives (value-domain axis)
     "source_length_qnorm",
     "source_length_mannwhitney",
+    # embeds the KS/MWU/seasonal constituents' bounded windows
+    "corpus_health_report",
 }
 
 

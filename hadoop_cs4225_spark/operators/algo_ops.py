@@ -1882,3 +1882,179 @@ def source_length_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("var_u") > 0, zexpr).alias("z_score"),
         F.when(F.col("var_u") > 0, F.abs(zexpr) > 1.96).alias("rejects"),
     ).orderBy("source")
+
+
+@register(
+    "orders_revenue_runs_test",
+    oracle=f"""
+WITH monthly AS (
+  SELECT strftime(time_bucket(INTERVAL '1 month', o_orderdate), '%Y-%m') AS m,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY m
+), med AS (
+  SELECT quantile_cont(cents, 0.5) AS md FROM monthly
+), signs AS (
+  SELECT m, CAST(cents > md AS INT) AS s
+  FROM monthly CROSS JOIN med
+  WHERE cents <> md
+), runs AS (
+  SELECT s,
+         CASE WHEN LAG(s) OVER (ORDER BY m) IS NULL
+                OR s <> LAG(s) OVER (ORDER BY m)
+              THEN 1 ELSE 0 END AS brk
+  FROM signs
+), agg AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS n1,
+         CAST(COUNT(*) - SUM(s) AS BIGINT) AS n2,
+         CAST(SUM(brk) AS BIGINT) AS r
+  FROM runs
+)
+SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+       {quant_sql(
+           "2.0 * n1 * n2 / (n1 + n2) + 1", 4)} AS expected_runs,
+       CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 THEN
+         {quant_sql(
+             "(r - (2.0 * n1 * n2 / (n1 + n2) + 1))"
+             " / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)"
+             " / (CAST((n1 + n2) AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1)))",
+             4)}
+       END AS z_score
+FROM agg
+""",
+)
+def orders_revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the monthly revenue series: are
+    above/below-median months randomly ordered, or do they cluster
+    (trend/cycle)? The randomness check that complements the trend
+    estimators (OLS, Theil-Sen) and the seasonal decomposition.
+
+    Months equal to the median are dropped (standard practice); runs
+    are counted as sign-change breaks over the CALENDAR-bounded month
+    order (one lag window, allowlisted); n1/n2/R are exact BIGINTs and
+    the expectation/variance/z follow the cast-first-then-one-IEEE-
+    composition discipline, quantized once.
+    """
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("m"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("cents")
+        )
+    )
+    med = F.broadcast(
+        monthly.agg(F.percentile("cents", F.lit(0.5)).alias("md"))
+    )
+    signs = (
+        monthly.crossJoin(med)
+        .filter(F.col("cents") != F.col("md"))
+        .select("m", (F.col("cents") > F.col("md")).cast("int").alias("s"))
+    )
+    w = Window.orderBy("m")
+    runs = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.col("s") != F.lag("s").over(w)), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    agg = runs.agg(
+        F.sum("s").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).alias("n2"),
+        F.sum("brk").alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    e_runs = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return agg.select(
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        r.alias("n_runs"),
+        quant(e_runs, 4).alias("expected_runs"),
+        F.when(
+            (n1 > 0) & (n2 > 0) & (n1 + n2 > 1),
+            quant((r - e_runs) / F.sqrt(var), 4),
+        ).alias("z_score"),
+    )
+
+
+#: Fano dispersion classification threshold (variance/mean ratio).
+_FANO_BURSTY = 1.5
+
+
+@register(
+    "events_fano_factor",
+    oracle=f"""
+WITH per_min AS (
+  SELECT event_type, time_bucket(INTERVAL '1 minute', ts) AS minute,
+         COUNT(*) AS x
+  FROM events GROUP BY event_type, minute
+), agg AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM per_min GROUP BY event_type
+)
+SELECT event_type, n AS n_minutes,
+       {quant_sql("CAST(sx AS DOUBLE) / n", 6)} AS mean_per_minute,
+       CASE WHEN n > 1 AND sx > 0 THEN
+         {quant_sql(
+             "((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+             " / (CAST(n AS DOUBLE) * (n - 1)))"
+             " / (CAST(sx AS DOUBLE) / n)", 6)}
+       END AS fano,
+       CASE WHEN n > 1 AND sx > 0 THEN
+         CAST({quant_sql(
+             "((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+             " / (CAST(n AS DOUBLE) * (n - 1)))"
+             " / (CAST(sx AS DOUBLE) / n)", 6)} > {_FANO_BURSTY}
+              AS BOOLEAN)
+       END AS is_bursty
+FROM agg
+ORDER BY event_type
+""",
+)
+def events_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio of per-minute arrival
+    counts) per event type — the dispersion index separating
+    Poisson-like traffic (~1) from bursty traffic (>1). Complements
+    ``events_minute_peak`` (a single extreme) with the whole-series
+    dispersion statistic.
+
+    One bounded (type x observed-minute) rollup, then per-type exact
+    integer moment sums assembled double-cast-first (the Pearson
+    discipline); the bursty flag compares the identically-quantized
+    ratio in both engines. Unobserved minutes are excluded (documented:
+    this measures dispersion of ACTIVE minutes).
+    """
+    per_min = (
+        load_events(spark, sf_dir)
+        .groupBy("event_type", F.date_trunc("minute", "ts").alias("minute"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    agg = per_min.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    fano = (
+        (n.cast("double") * sxx - sx.cast("double") * sx)
+        / (n.cast("double") * (n - 1))
+    ) / (sx.cast("double") / n)
+    ok = (n > 1) & (sx > 0)
+    return agg.select(
+        "event_type",
+        n.alias("n_minutes"),
+        quant(sx.cast("double") / n, 6).alias("mean_per_minute"),
+        F.when(ok, quant(fano, 6)).alias("fano"),
+        F.when(ok, quant(fano, 6) > _FANO_BURSTY).alias("is_bursty"),
+    ).orderBy("event_type")

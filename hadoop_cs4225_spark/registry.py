@@ -147,7 +147,8 @@ def load_all() -> None:
 #: source_length_ks, markov_next_event_accuracy, event_entropy_rate,
 #: events_type_crosscorr, source_length_qnorm, source_mean_bootstrap_ci,
 #: events_theilsen_trend, source_length_mannwhitney,
-#: corpus_health_report). All are locally
+#: corpus_health_report, orders_revenue_runs_test, events_fano_factor).
+#: All are locally
 #: oracle-verified every pytest run; several scale-pinned.
 _PRIORITY = (
     # --- the 15 never-driver-checked + the one red row ---

@@ -766,3 +766,48 @@ def test_mannwhitney_matches_scipy_or_direct(spark):
         assert abs(mannwhitneyu(a, b).statistic - got) < 0.51
     except ImportError:
         pass
+
+
+def test_runs_test_matches_direct_computation(spark):
+    out = registry.QUERIES["orders_revenue_runs_test"](spark, SF_SMOKE).toPandas()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    o["m"] = o["o_orderdate"].dt.strftime("%Y-%m")
+    cents = (
+        np.floor(o["o_totalprice"] * 100 + 0.5)
+        .astype(np.int64)
+        .groupby(o["m"])
+        .sum()
+        .sort_index()
+        .to_numpy(dtype=np.float64)
+    )
+    md = np.median(cents)
+    s = (cents[cents != md] > md).astype(int)
+    r = 1 + int((np.diff(s) != 0).sum())
+    n1, n2 = int(s.sum()), int(len(s) - s.sum())
+    row = out.iloc[0]
+    assert (int(row["n_above"]), int(row["n_below"]), int(row["n_runs"])) == (
+        n1,
+        n2,
+        r,
+    )
+    e = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    assert abs(row["expected_runs"] - e) < 1e-3
+    assert abs(row["z_score"] - (r - e) / np.sqrt(var)) < 1e-3
+
+
+def test_fano_matches_numpy(spark):
+    out = registry.QUERIES["events_fano_factor"](spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["minute"] = ev["ts"].astype("datetime64[us]").dt.floor("min")
+    for et, grp in ev.groupby("event_type"):
+        x = grp.groupby("minute").size().to_numpy(dtype=np.float64)
+        fano = x.var(ddof=1) / x.mean()
+        row = out[out["event_type"] == et].iloc[0]
+        assert int(row["n_minutes"]) == len(x)
+        assert abs(row["mean_per_minute"] - x.mean()) < 1e-6
+        assert abs(row["fano"] - fano) < 1e-5
+        assert bool(row["is_bursty"]) == (row["fano"] > 1.5)

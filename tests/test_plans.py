@@ -139,6 +139,7 @@ _BOUNDED_ALLPAIRS = {
     "source_mean_bootstrap_ci",  # broadcast 32-row replica-grid cross join
     "source_length_mannwhitney",  # broadcast 1-row total + tie-sum cross joins
     "corpus_health_report",  # embeds the registered check plans (ann_audit discipline)
+    "orders_revenue_runs_test",  # broadcast 1-row median cross join
     "q11_important_part_values",  # broadcast scalar-threshold cross join (1 row)
     "tfidf_top_terms",  # broadcast 1-row corpus-count cross join
     "shingle_idf_similarity_topk",  # broadcast 1-row corpus-count cross join
@@ -229,6 +230,8 @@ _BOUNDED_GLOBAL_WINDOW = {
     "source_length_mannwhitney",
     # embeds the KS/MWU/seasonal constituents' bounded windows
     "corpus_health_report",
+    # sign-change lag over the CALENDAR-bounded monthly frame
+    "orders_revenue_runs_test",
 }
 
 

@@ -140,6 +140,7 @@ SF_QUERIES = (
     "supplier_triangle_stats",  # degree-capped wedge join: fanout <= K^2 per node
     "supplier_communities_lpa",  # K-bounded messages per round
     "orders_monthly_psi",  # month x 10-bin grid after one count shuffle
+    "events_fano_factor",  # bounded (type x minute) rollup + tiny reduce
     "part_abc_classes",  # two-level rank blocks: no global sort
     "revenue_forecast_backtest",  # calendar-bounded trailing window
     "markov_next_event_accuracy",  # one LEAD window + tiny per-state reduces

@@ -588,7 +588,8 @@ WITH cells AS (
          CAST(SUM(o) AS BIGINT) AS n
   FROM cells
 ), terms AS (
-  SELECT CAST(floor(CAST(o AS DOUBLE) * o * n * 1000000.0 / (r * cl) + 0.5)
+  SELECT CAST(floor(CAST(o AS DOUBLE) * o * n * 1000000.0
+              / (CAST(r AS DOUBLE) * cl) + 0.5)
               AS BIGINT) AS tau
   FROM margins
 ), stat AS (
@@ -635,7 +636,11 @@ def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("o")
             * F.col("n")
             * 1000000.0
-            / (F.col("r") * F.col("cl"))
+            # r and cl are BIGINT row-count margins; a raw r*cl long
+            # product would WRAP silently in Spark (DuckDB raises) once
+            # margins pass ~3e9 — cast-first like the numerator so both
+            # engines degrade together in double space at any scale
+            / (F.col("r").cast("double") * F.col("cl"))
             + 0.5
         )
         .cast("long")

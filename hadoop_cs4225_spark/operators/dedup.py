@@ -71,7 +71,15 @@ def _memo(
     key = (app, os.path.normpath(sf_dir), kind, mtime)
     df = _MATERIALIZED.get(key)
     if df is None:
-        for stale in [k for k in _MATERIALIZED if k[0] != app]:
+        # Evict (a) entries from stopped SparkContexts (dead RDDs) and
+        # (b) same-app entries for this (sf_dir, kind) with a DIFFERENT
+        # mtime — in-session testdata regeneration would otherwise pin
+        # the old localCheckpointed frame for the session's lifetime.
+        for stale in [
+            k
+            for k in _MATERIALIZED
+            if k[0] != app or (k[1:3] == key[1:3] and k[3] != mtime)
+        ]:
             del _MATERIALIZED[stale]
         df = build()
         _MATERIALIZED[key] = df

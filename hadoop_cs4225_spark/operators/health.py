@@ -23,8 +23,11 @@ from pyspark.sql import functions as F
 from hadoop_cs4225_spark.functions.numeric import quant, quant_sql
 from hadoop_cs4225_spark.registry import ORACLES, QUERIES, register
 
-#: (check name, budget, direction) — pass iff metric <= budget for
-#: "max", metric >= budget for "min".
+#: check name -> budget. ALL checks are upper bounds: pass iff
+#: metric <= budget, hard-coded identically in the DataFrame path and
+#: the generated oracle. A future lower-bound check (e.g. minimum
+#: diversity) must negate its metric (report -metric with budget
+#: -threshold) or extend BOTH paths with a per-check direction first.
 _CHECKS = {
     "exact_dup_rate": 0.20,       # share of docs that are verbatim dups
     "psi_drift_months": 0.0,      # months tripping the PSI alarm

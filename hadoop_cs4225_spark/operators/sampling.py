@@ -490,6 +490,7 @@ WITH keyed AS (
   SELECT source, doc_id, n_chars,
          {quant_sql(f"LN({_AES_U_SQL}) / n_chars", 12)} AS aes_key
   FROM documents
+  WHERE n_chars > 0
 )
 SELECT source, doc_id, n_chars, rn AS rank FROM (
   SELECT source, doc_id, n_chars,
@@ -523,7 +524,11 @@ def weighted_aes_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = ((hash60(F.col("doc_id").cast("string")) % _AES_GRID) + 0.5) / float(
         _AES_GRID
     )
-    keyed = docs.select(
+    # zero-weight guard, applied identically in the oracle: ln(u)/0
+    # is NULL in Spark but -inf in DuckDB's double division, so a
+    # zero-length doc would rank differently per engine; a w=0 doc
+    # has zero inclusion probability under A-ES anyway
+    keyed = docs.filter(F.col("n_chars") > 0).select(
         "source",
         "doc_id",
         "n_chars",

@@ -105,108 +105,81 @@ def load_all() -> None:
 
 #: Driver-correctness priority window. The driver records CORRECTNESS
 #: rows for the FIRST 50 queries in ``queries()`` iteration order.
-#: ROUND-6 ROTATION: after the round-5 full rotation, exactly 15
-#: registered queries had never earned a driver row (the 13 round-5
-#: additions registered after that window froze, plus the two
-#: documented pandas-UDF twins) and one query was red
-#: (``topk_users_approx`` — driver canonicalizer choked on its old
-#: array<struct> output; now flattened, see sketches.py). Those 16
-#: lead this window. MID-ROUND WIDENING: 18 more queries were
-#: registered later in round 6 after that set froze (the Python
-#: data-source family, CDC apply, winnowing fingerprints, etc.);
-#: since the driver's round-6 correctness run had not yet happened,
-#: they take the next 18 slots so after round 6 EVERY registered
-#: query has a driver CORRECTNESS row and the union is red-free. The
-#: remaining 16 slots re-anchor drift detection, prioritized by
-#: float/ulp sensitivity (the verdict-named six: dedup_clusters,
-#: pagerank, shingle-idf, gram-topeig, q1, decimal_exact), the three
-#: streaming batch twins (verdict task 6), the reference goldens, and
-#: two round-1 shapes. Three in-window queries are rows-only by
-#: design (approx_top_k tie order / numpy-reassociated pandas twins);
-#: each carries a pytest accuracy or JVM-equivalence pin. Everything
-#: rotated out stays verified by the local oracle replica
-#: (tests/test_oracle_parity.py, all oracles every pytest run) plus
-#: the sf0.01/sf0.1 scale pins.
+#: ROUND-7 ROTATION (this window): after round 6 the cross-round union
+#: covered every query registered before the late-round-6 additions.
+#: Exactly 46 registered queries had never earned a driver CORRECTNESS
+#: row when this window was cut — the late-session-2 set (14: powerlaw
+#: through label_norm_stats_arrow) plus the session-3
+#: algorithmic-analytics family (32: skyline through fano factor). All
+#: 46 lead this window (45 oracled + label_norm_stats_arrow, a
+#: rows-only mapInArrow twin with a JVM-equivalence pytest pin). The
+#: 47th slot is ``events_zorder_scan``: green in r06 but VACUOUS (its
+#: old predicate matched 0 rows at sf0.01, so rows/hash proved
+#: nothing); the predicate literals are now frozen to bounds populated
+#: at every SF and the query re-enters the window to earn a
+#: non-vacuous row. The last 3 slots re-anchor drift detection with
+#: the verdict-named float/decimal-heavy greens plus the reference
+#: golden. Everything rotated out stays verified by the local oracle
+#: replica (tests/test_oracle_parity.py runs all 211 oracles every
+#: pytest run) plus the sf0.01/sf0.1 scale pins.
 #:
-#: ROUND-7 ROTATION BACKLOG: queries registered AFTER this window froze
-#: (late round 6) have never had a driver CORRECTNESS row and should
-#: lead the next rotation — the late-session-2 set (source_length_powerlaw,
-#: source_vocab_heaps, events_minute_peak, events_user_path_topk,
-#: bigram_pmi_topk, source_dup_cross_matrix, lineitem_benford_audit,
-#: events_weekly_seasonality, doc_zipf_fit, order_ship_delay_stats,
-#: orders_param_sql_rollup, orders_sql_script_ewma, bm25_search_topk,
-#: label_norm_stats_arrow) plus the session-3 algorithmic-analytics
-#: family (skyline_orders_pareto, events_max_concurrency,
-#: events_daily_cusum, events_count_acf, doc_mad_outliers,
-#: kmeans_embedding_clusters, supplier_triangle_stats,
-#: supplier_communities_lpa, term_keyness_llr, source_simpson_diversity,
-#: lang_source_chi2, weighted_aes_sample, events_interval_coverage,
-#: ship_delay_survival, orders_monthly_psi, source_vocab_jaccard,
-#: orders_seasonal_decompose, quality_score_calibration,
-#: doc_bigram_logprob, part_abc_classes, revenue_forecast_backtest,
-#: source_length_ks, markov_next_event_accuracy, event_entropy_rate,
-#: events_type_crosscorr, source_length_qnorm, source_mean_bootstrap_ci,
-#: events_theilsen_trend, source_length_mannwhitney,
-#: corpus_health_report, orders_revenue_runs_test, events_fano_factor).
-#: All are locally
-#: oracle-verified every pytest run; several scale-pinned.
+#: ROUND-8 ROTATION BACKLOG: queries registered during round 7 AFTER
+#: this window froze have no driver row yet and lead the next rotation.
 _PRIORITY = (
-    # --- the 15 never-driver-checked + the one red row ---
-    "bucketed_segment_revenue",     # bucketed co-located join (bucketed.py)
-    "bpe_pair_counts",              # BPE pair stats (pipeline_ops.py)
-    "dedup_canonical_keep",         # canonical keep per cluster (dedup.py)
-    "epoch_shard_plan",             # epoch shard assignment (pipeline_ops.py)
-    "pq_code_histogram",            # product-quantization codes (pq.py)
-    "pq_adc_query_topk",            # PQ asymmetric-distance top-k
-    "ivf_pq_query_topk",            # IVF-PQ composed ANN
-    "ivf_pq_index_probe",           # materialized DPP-pruned index probe
-    "ann_recall_audit",             # cross-method recall@5 + regret audit
-    "lsh_recall_audit",             # LSH pair recall vs bounded truth
-    "events_hot_key_profile",       # skew profiling (partitioned.py)
-    "events_zorder_scan",           # Z-order two-dimension data skipping
-    "orders_schema_evolution_scan", # mergeSchema evolution (formats.py)
-    "cosine_topk_pandas",           # pandas-UDF twin (rows-only; JVM-pinned)
-    "label_centroid_stats",         # grouped-map twin (rows-only; numpy-pinned)
-    "topk_users_approx",            # r5 red row, output flattened (rows-only)
-    # --- late-round-6 additions, never driver-checked ---
-    "ann_rerank_topk",              # coarse-filter + exact rerank ANN
-    "dedup_cluster_size_histogram", # cluster-size distribution audit
-    "doc_unigram_logprob",          # per-doc unigram LM logprob
-    "doc_winnowing_fingerprints",   # winnowing fingerprint selection
-    "duplicate_ngram_coverage",     # dup-ngram share per doc (join form)
-    "event_transition_matrix",      # first-order type transitions
-    "events_daily_ewma",            # recursive EWMA over daily counts
-    "lang_confusion_matrix",        # lang-ID vs label confusion
-    "order_trend_regression",       # per-segment OLS slope
-    "order_window_rank_suite",      # rank/dense_rank/percent_rank suite
-    "pyds_scan_rollup",             # custom Python data source scan
-    "quality_filter_funnel",        # quality-gate survival funnel
-    "shingle_containment_pairs",    # asymmetric containment pairs
-    "source_kl_divergence",         # per-source KL vs corpus LM
-    "user_event_map_algebra",       # map_zip/map_filter algebra
-    "star_constraint_audit",        # star-schema data-contract audit
-    "orders_cdc_apply",             # CDC changelog apply w/ tombstones
-    "events_user_recency_churn",    # recency histogram + churn risk
-    # --- re-anchors: verdict-named float-heavy greens ---
-    "dedup_clusters",
-    "pagerank_trade_network",
-    "shingle_idf_similarity_topk",
-    "embedding_gram_topeig",
+    # --- late-session-2 round-6 additions, never driver-checked ---
+    "source_length_powerlaw",      # CCDF power-law tail fit
+    "source_vocab_heaps",          # Heaps' law vocab growth
+    "events_minute_peak",          # peak-minute detection
+    "events_user_path_topk",       # top event-type paths per user
+    "bigram_pmi_topk",             # PMI collocations
+    "source_dup_cross_matrix",     # cross-source duplicate matrix
+    "lineitem_benford_audit",      # Benford first-digit audit
+    "events_weekly_seasonality",   # day-of-week seasonality
+    "doc_zipf_fit",                # Zipf rank-frequency fit
+    "order_ship_delay_stats",      # ship-delay distribution
+    "orders_param_sql_rollup",     # parameterized SQL rollup
+    "orders_sql_script_ewma",      # SQL-scripting EWMA
+    "bm25_search_topk",            # BM25 ranked retrieval
+    "label_norm_stats_arrow",      # mapInArrow twin (rows-only; JVM-pinned)
+    # --- session-3 algorithmic-analytics family, never checked ---
+    "skyline_orders_pareto",       # Pareto skyline
+    "events_max_concurrency",      # sweep-line max concurrency
+    "events_daily_cusum",          # CUSUM drift detection
+    "events_count_acf",            # autocorrelation function
+    "doc_mad_outliers",            # histogram-median MAD outliers
+    "kmeans_embedding_clusters",   # Lloyd k-means, integer grid
+    "supplier_triangle_stats",     # triangle counting
+    "supplier_communities_lpa",    # label propagation communities
+    "term_keyness_llr",            # G-squared keyness
+    "source_simpson_diversity",    # Simpson diversity index
+    "lang_source_chi2",            # chi-squared independence
+    "weighted_aes_sample",         # A-ES weighted sampling
+    "events_interval_coverage",    # interval union coverage
+    "ship_delay_survival",         # Kaplan-Meier-style survival
+    "orders_monthly_psi",          # population stability index
+    "source_vocab_jaccard",        # pairwise vocab Jaccard
+    "orders_seasonal_decompose",   # seasonal decomposition
+    "quality_score_calibration",   # calibration bins + ECE
+    "doc_bigram_logprob",          # bigram LM log-prob
+    "part_abc_classes",            # ABC Pareto classes
+    "revenue_forecast_backtest",   # forecast backtest MAPE
+    "source_length_ks",            # Kolmogorov-Smirnov two-sample
+    "markov_next_event_accuracy",  # Markov next-event eval
+    "event_entropy_rate",          # Markov entropy rate
+    "events_type_crosscorr",       # lagged cross-correlation
+    "source_length_qnorm",         # rank-based quantile norm
+    "source_mean_bootstrap_ci",    # Poisson bootstrap CI
+    "events_theilsen_trend",       # Theil-Sen robust slope
+    "source_length_mannwhitney",   # Mann-Whitney U rank-sum
+    "corpus_health_report",        # composed health scorecard
+    "orders_revenue_runs_test",    # Wald-Wolfowitz runs test
+    "events_fano_factor",          # Fano-factor burstiness
+    # --- vacuous-row fix: predicate now populated at every SF ---
+    "events_zorder_scan",          # Z-order two-dimension data skipping
+    # --- re-anchors: float/decimal-heavy greens + reference golden ---
     "q1_pricing_summary",
     "decimal_exact_revenue",
-    # --- re-anchors: streaming batch twins (verdict task 6) ---
-    "events_sliding_avg",
-    "events_dedup_latest",
-    "events_session_windows",
-    # --- re-anchors: reference goldens ---
     "word_count",
-    "topk_common_words_max",
-    # --- this session's architecturally novel ops, never checked ---
-    "per_source_doc_cap",      # bucketed exact per-source cap
-    "user_activity_gini",      # two-level bounded rank-block Gini
-    "order_fill_gap_cogroup",  # cogrouped-map pandas UDF
-    "customer_rfm_segments",   # exact-tercile RFM grid
-    "part_brand_affinity",     # basket lift, bounded pair fanout
 )
 
 

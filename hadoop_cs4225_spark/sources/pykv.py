@@ -83,6 +83,25 @@ class KVTextDataSource(DataSource):
             raise ValueError(
                 f"pykv sink writes (key, value) pairs; got {len(schema.fields)} columns"
             )
+        # Reference TextOutputFormat contract (same as sinks.write_text_kv
+        # mode('error')): a job FAILS rather than overwrites unless asked.
+        # This runs driver-side before any task launches; without it a
+        # re-run would mix stale and new part files under a fresh
+        # _SUCCESS. With overwrite, stale parts are cleared here so the
+        # commit publishes only this job's files.
+        path = self.options.get("path")
+        if path and os.path.isdir(path):
+            stale = [
+                f for f in os.listdir(path)
+                if f.startswith("part-") or f == "_SUCCESS"
+            ]
+            if stale and not overwrite:
+                raise FileExistsError(
+                    f"pykv sink target {path} already contains output "
+                    f"({len(stale)} files); use mode('overwrite') to replace"
+                )
+            for f in stale:
+                os.remove(os.path.join(path, f))
         return KVTextWriter(self.options, overwrite)
 
 

@@ -97,27 +97,28 @@ def test_priority_window_integrity():
     assert len(_PRIORITY) == PRIORITY_WINDOW == 50
     assert tuple(names[:50]) == _PRIORITY
     # rows-only-by-design exceptions: engine-specific estimates /
-    # numpy-reassociated pandas twins with no cross-engine oracle; each
-    # must carry a pytest accuracy or equivalence pin instead
+    # numpy-reassociated pandas/arrow twins with no cross-engine
+    # oracle; each must carry a pytest accuracy or equivalence pin
     rows_only_ok = {
-        "topk_users_approx",       # test_sketches.py exactness pin
-        "cosine_topk_pandas",      # test_similarity_udf.py JVM equivalence
-        "label_centroid_stats",    # test_similarity_udf.py numpy reference
+        "label_norm_stats_arrow",  # test_multimodal.py JVM equivalence
     }
     missing_oracle = [
         n for n in names[:50] if n not in oracles and n not in rows_only_ok
     ]
     assert not missing_oracle, missing_oracle
-    # ROUND-6 ROTATION: the window leads with every query that had no
-    # driver CORRECTNESS row after rounds 1-5 (the 13 post-r5-rotation
-    # additions + 2 pandas twins) plus the one red row from r5
-    # (topk_users_approx, output reshaped). After this round the
-    # cross-round union covers the whole registry with zero reds.
+    # ROUND-7 ROTATION: the window leads with every query that had no
+    # driver CORRECTNESS row after rounds 1-6 (the 46 late-round-6
+    # additions: 14 late-session-2 + 32 session-3 algorithmic ops),
+    # plus events_zorder_scan whose r06 row was vacuous (0 rows at
+    # sf0.01 under the old predicate; literals now frozen to bounds
+    # populated at every SF). After this round the cross-round union
+    # covers the whole pre-round-7 registry with zero reds and no
+    # vacuous rows.
     import json
     import os
 
     seen: set[str] = set()
-    for r in (1, 2, 3, 4, 5):
+    for r in (1, 2, 3, 4, 5, 6):
         path = os.path.join(os.path.dirname(__file__), "..", f"CORRECTNESS_r0{r}.json")
         if os.path.exists(path):
             with open(path) as f:
@@ -125,55 +126,45 @@ def test_priority_window_integrity():
             seen.update(d.get("queries", d).keys())
     if seen:
         # the frozen rotation set: every query that was registered AND
-        # unchecked when this window was cut (queries added later in
-        # round 6 are next round's candidates, per the r5 precedent)
+        # unchecked when this window was cut (queries added during
+        # round 7 are next round's candidates, per precedent)
         rotated_in = {
-            "bucketed_segment_revenue", "bpe_pair_counts",
-            "dedup_canonical_keep", "epoch_shard_plan",
-            "pq_code_histogram", "pq_adc_query_topk",
-            "ivf_pq_query_topk", "ivf_pq_index_probe",
-            "ann_recall_audit", "lsh_recall_audit",
-            "events_hot_key_profile", "events_zorder_scan",
-            "orders_schema_evolution_scan", "cosine_topk_pandas",
-            "label_centroid_stats",
-        }
-        # MID-ROUND WIDENING: these were registered later in round 6,
-        # after the set above froze — but before the driver's round-6
-        # correctness run, so they can still earn first rows this round
-        rotated_in |= {
-            "ann_rerank_topk", "dedup_cluster_size_histogram",
-            "doc_unigram_logprob", "doc_winnowing_fingerprints",
-            "duplicate_ngram_coverage", "event_transition_matrix",
-            "events_daily_ewma", "lang_confusion_matrix",
-            "order_trend_regression", "order_window_rank_suite",
-            "pyds_scan_rollup", "quality_filter_funnel",
-            "shingle_containment_pairs", "source_kl_divergence",
-            "user_event_map_algebra", "star_constraint_audit",
-            "orders_cdc_apply", "events_user_recency_churn",
-            # second widening: this session's novel ops, registered
-            # before the driver's round-6 correctness run
-            "per_source_doc_cap", "user_activity_gini",
-            "order_fill_gap_cogroup", "customer_rfm_segments",
-            "part_brand_affinity",
+            # late-session-2 round-6 additions
+            "source_length_powerlaw", "source_vocab_heaps",
+            "events_minute_peak", "events_user_path_topk",
+            "bigram_pmi_topk", "source_dup_cross_matrix",
+            "lineitem_benford_audit", "events_weekly_seasonality",
+            "doc_zipf_fit", "order_ship_delay_stats",
+            "orders_param_sql_rollup", "orders_sql_script_ewma",
+            "bm25_search_topk", "label_norm_stats_arrow",
+            # session-3 algorithmic-analytics family
+            "skyline_orders_pareto", "events_max_concurrency",
+            "events_daily_cusum", "events_count_acf",
+            "doc_mad_outliers", "kmeans_embedding_clusters",
+            "supplier_triangle_stats", "supplier_communities_lpa",
+            "term_keyness_llr", "source_simpson_diversity",
+            "lang_source_chi2", "weighted_aes_sample",
+            "events_interval_coverage", "ship_delay_survival",
+            "orders_monthly_psi", "source_vocab_jaccard",
+            "orders_seasonal_decompose", "quality_score_calibration",
+            "doc_bigram_logprob", "part_abc_classes",
+            "revenue_forecast_backtest", "source_length_ks",
+            "markov_next_event_accuracy", "event_entropy_rate",
+            "events_type_crosscorr", "source_length_qnorm",
+            "source_mean_bootstrap_ci", "events_theilsen_trend",
+            "source_length_mannwhitney", "corpus_health_report",
+            "orders_revenue_runs_test", "events_fano_factor",
         }
         missing = [n for n in rotated_in if n not in names[:50]]
         assert not missing, f"never-driver-checked queries outside window: {missing}"
         assert not (rotated_in & seen), "rotation set drifted: already checked"
-        assert "topk_users_approx" in names[:50]  # the r5 red row
-    # re-anchor spot checks: verdict-named float-heavy greens + the
-    # three streaming batch twins + the reference goldens must hold
-    # their drift-detection slots
+        # the vacuous-row fix re-enters the window for a real row
+        assert "events_zorder_scan" in names[:50]
+    # re-anchor spot checks: float/decimal-heavy greens + the
+    # reference golden must hold their drift-detection slots
     for anchor in (
-        "dedup_clusters",
-        "pagerank_trade_network",
-        "shingle_idf_similarity_topk",
-        "embedding_gram_topeig",
         "q1_pricing_summary",
         "decimal_exact_revenue",
-        "events_sliding_avg",
-        "events_dedup_latest",
-        "events_session_windows",
         "word_count",
-        "topk_common_words_max",
     ):
         assert anchor in names[:50], anchor

@@ -180,3 +180,40 @@ def test_python_kv_sink_matches_jvm_text_sink(spark, tmp_path):
     # 4 input partitions -> 4 task part files
     n_parts = len([f for f in os.listdir(pydir) if f.startswith("part-")])
     assert n_parts == 4
+
+
+def test_python_kv_sink_exists_check_and_overwrite(spark, tmp_path):
+    """Reference TextOutputFormat contract, restated through the Python
+    writer: a re-run over an existing output dir FAILS unless overwrite
+    was asked, and overwrite replaces stale part files rather than
+    mixing them with new ones under a fresh _SUCCESS."""
+    from pyspark.sql import functions as F
+
+    from hadoop_cs4225_spark.sources.pykv import register_kv_sink
+
+    register_kv_sink(spark)
+
+    def frame(n):
+        return spark.range(n).select(
+            F.concat(F.lit("w"), F.col("id")).alias("word"),
+            F.col("id").alias("n"),
+        )
+
+    out = str(tmp_path / "kv")
+    frame(10).write.format("pykv").option("path", out).mode("append").save()
+    first = {f for f in os.listdir(out) if f.startswith("part-")}
+    assert first
+
+    # default (non-overwrite) re-run must fail, leaving output intact
+    with pytest.raises(Exception, match="already contains output"):
+        frame(5).write.format("pykv").option("path", out).mode("append").save()
+    assert {f for f in os.listdir(out) if f.startswith("part-")} == first
+
+    # overwrite replaces: no stale part file survives, total is new
+    frame(5).repartition(1).write.format("pykv").option("path", out).mode(
+        "overwrite"
+    ).save()
+    second = {f for f in os.listdir(out) if f.startswith("part-")}
+    assert second and not (second & first)
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert f.read().strip() == "5"

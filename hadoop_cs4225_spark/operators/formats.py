@@ -13,6 +13,13 @@ Scale notes: CSV/JSONL are splittable by line, so they parallelize, but
 they are row-oriented (no column pruning, no predicate pushdown, ~5-10×
 the bytes of Parquet). The queries exist to prove the connector surface;
 the docstrings say what the plan gives up vs the Parquet scan.
+
+Avro: deliberately NOT covered. ``format("avro")`` needs the external
+``spark-avro`` connector jar (Spark ships only the avro-1.x library
+jars, checked: no ``spark-avro_2.13`` in this container's
+``pyspark/jars``), and the environment forbids installs. An
+``orders_avro_scan_rollup`` would be this module's CSV pattern verbatim
+with ``.format("avro")`` — add it the day the jar is present.
 """
 
 from __future__ import annotations

@@ -471,6 +471,49 @@ def per_source_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def capped_keep(base: DataFrame, k: int, seed: int = _CAP_SEED) -> DataFrame:
+    """Rows of ``base`` surviving an EXACT per-source cap of ``k``,
+    chosen by deterministic seeded-hash rank (``hash60_seeded(doc_id)``
+    then ``doc_id``) — the kept-SET counterpart of
+    ``per_source_doc_cap``'s summary, shared by composed pipelines.
+
+    Same bounded-bucket discipline (see ``per_source_doc_cap``): a
+    1024-range-bucket histogram per source classifies buckets as
+    kept-whole / dropped / boundary, and only the single boundary
+    bucket per source is ranked by an in-bucket window — no window ever
+    buffers a whole source, so a hot domain at 100 TB cannot create a
+    straggler task. ``base`` must carry ``source`` and ``doc_id``;
+    equivalent to the plain ``ROW_NUMBER() OVER (PARTITION BY source
+    ORDER BY hash, doc_id) <= k`` formulation because the bucket order
+    refines the hash order."""
+    h = hash60_seeded(F.col("doc_id").cast("string"), seed)
+    tagged = base.withColumn("_h", h).withColumn(
+        "_b", F.shiftright(F.col("_h"), _CAP_SHIFT)
+    )
+    hist = tagged.groupBy("source", "_b").agg(F.count(F.lit(1)).alias("nb"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = hist.withColumn(
+        "before", F.coalesce(F.sum("nb").over(w_cum), F.lit(0))
+    )
+    whole = hist.where(F.col("before") + F.col("nb") <= k).select("source", "_b")
+    boundary = hist.where(
+        (F.col("before") < k) & (F.col("before") + F.col("nb") > k)
+    ).select("source", "_b", "before")
+    kept_whole = tagged.join(F.broadcast(whole), ["source", "_b"])
+    w_in = Window.partitionBy("source", "_b").orderBy("_h", "doc_id")
+    kept_boundary = (
+        tagged.join(F.broadcast(boundary), ["source", "_b"])
+        .withColumn("_rk", F.row_number().over(w_in))
+        .where(F.col("before") + F.col("_rk") <= k)
+        .drop("before", "_rk")
+    )
+    return kept_whole.unionByName(kept_boundary).drop("_h", "_b")
+
+
 #: A-ES weighted sampling: kept docs per source, and the 2^20 grid the
 #: hash is mapped onto before the log transform.
 _AES_TOPK = 10

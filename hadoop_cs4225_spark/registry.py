@@ -58,6 +58,7 @@ _OPERATOR_MODULES = (
     "hadoop_cs4225_spark.operators.graph",
     "hadoop_cs4225_spark.operators.linalg",
     "hadoop_cs4225_spark.operators.bucketed",
+    "hadoop_cs4225_spark.operators.training_set",
     "hadoop_cs4225_spark.sources.pydatasource",
     # must stay LAST: composes registered queries/oracles from the
     # modules above (the ann_audit composition discipline)
@@ -176,9 +177,10 @@ _PRIORITY = (
     "events_fano_factor",          # Fano-factor burstiness
     # --- vacuous-row fix: predicate now populated at every SF ---
     "events_zorder_scan",          # Z-order two-dimension data skipping
-    # --- re-anchors: float/decimal-heavy greens + reference golden ---
+    # --- round-7 addition: end-to-end pipeline composition ---
+    "corpus_to_training_set",      # dedup->quality->decon->cap->pack
+    # --- re-anchors: float/decimal-heavy green + reference golden ---
     "q1_pricing_summary",
-    "decimal_exact_revenue",
     "word_count",
 )
 

@@ -158,13 +158,14 @@ def test_priority_window_integrity():
         missing = [n for n in rotated_in if n not in names[:50]]
         assert not missing, f"never-driver-checked queries outside window: {missing}"
         assert not (rotated_in & seen), "rotation set drifted: already checked"
-        # the vacuous-row fix re-enters the window for a real row
+        # the vacuous-row fix re-enters the window for a real row, and
+        # the round-7 composition query earns its first row
         assert "events_zorder_scan" in names[:50]
-    # re-anchor spot checks: float/decimal-heavy greens + the
+        assert "corpus_to_training_set" in names[:50]
+    # re-anchor spot checks: a float/decimal-heavy green + the
     # reference golden must hold their drift-detection slots
     for anchor in (
         "q1_pricing_summary",
-        "decimal_exact_revenue",
         "word_count",
     ):
         assert anchor in names[:50], anchor

@@ -16,11 +16,18 @@ same SF) and fails on:
 Usage:
     PYTHONPATH=/root/repo python tools/bench_compare.py            # gate
     PYTHONPATH=/root/repo python tools/bench_compare.py --update   # promote
+    PYTHONPATH=/root/repo python tools/bench_compare.py --snapshot r07
 
 ``--update`` promotes the current detail to the committed baseline —
 run it (and commit) after a round's final accepted bench run. New
 queries (no baseline entry) and removed ones are reported informationally
 but never fail the gate.
+
+``--snapshot <tag>`` copies the current detail to
+``BENCH_DETAIL_<tag>.json`` — commit one per round so round-over-round
+comparison never depends on the driver's rotating 50-query
+``BENCH_r0N.json`` window (disjoint windows made r05 vs r06
+incomparable). The gate itself still reads the promoted baseline.
 """
 
 from __future__ import annotations
@@ -40,6 +47,16 @@ FLOOR = 0.3  # seconds: below this, local-mode jitter dominates
 
 
 def main() -> int:
+    if "--snapshot" in sys.argv:
+        tag = sys.argv[sys.argv.index("--snapshot") + 1]
+        dest = os.path.join(ROOT, f"BENCH_DETAIL_{tag}.json")
+        shutil.copyfile(DETAIL, dest)
+        d = json.load(open(dest))
+        print(
+            f"snapshot -> {os.path.basename(dest)}: sf={d['sf']} "
+            f"total={d['total_sec']}s n={len(d['queries'])}"
+        )
+        return 0
     if "--update" in sys.argv:
         shutil.copyfile(DETAIL, BASELINE)
         d = json.load(open(BASELINE))

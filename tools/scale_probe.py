@@ -84,6 +84,7 @@ DOC_QUERIES = (
     "source_length_qnorm",  # bounded rank-interval range join
     "source_length_mannwhitney",  # histogram rank-sum, value-domain bounded
     "source_mean_bootstrap_ci",  # 32x row fanout, one pass, map-side combine
+    "corpus_to_training_set",  # full pipeline chain: every stage must stay linear
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i
@@ -147,6 +148,7 @@ SF_QUERIES = (
     "event_entropy_rate",
     "events_type_crosscorr",  # day-keyed join, domain-bounded pair space
     "events_theilsen_trend",  # calendar-bounded percentile groups
+    "orders_seasonal_decompose",  # calendar-bounded month frame windows
 )
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 

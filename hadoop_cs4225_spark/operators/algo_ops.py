@@ -2063,3 +2063,114 @@ def events_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, quant(fano, 6)).alias("fano"),
         F.when(ok, quant(fano, 6) > _FANO_BURSTY).alias("is_bursty"),
     ).orderBy("event_type")
+
+
+#: Kendall price-bin width (dollars). o_totalprice spans ~1k..500k, so
+#: the bin domain is <= ~20 values — the contingency grid is bounded by
+#: 5 priorities x ~20 bins regardless of row count.
+_KENDALL_BIN = 25000.0
+
+
+@register(
+    "orders_priority_price_kendall",
+    oracle=f"""
+WITH o AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS i,
+         CAST(floor(o_totalprice / {_KENDALL_BIN}) AS BIGINT) AS j
+  FROM orders
+),
+cells AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS c FROM o GROUP BY i, j),
+pairs AS (
+  SELECT SUM(CASE WHEN b.j > a.j THEN CAST(a.c AS DOUBLE) * b.c ELSE 0 END)
+           AS conc,
+         SUM(CASE WHEN b.j < a.j THEN CAST(a.c AS DOUBLE) * b.c ELSE 0 END)
+           AS disc
+  FROM cells a JOIN cells b ON b.i > a.i
+),
+rm AS (SELECT SUM(CAST(r AS DOUBLE) * (r - 1) / 2.0) AS t1
+       FROM (SELECT CAST(SUM(c) AS BIGINT) AS r FROM cells GROUP BY i)),
+cm AS (SELECT SUM(CAST(cl AS DOUBLE) * (cl - 1) / 2.0) AS t2
+       FROM (SELECT CAST(SUM(c) AS BIGINT) AS cl FROM cells GROUP BY j)),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells)
+SELECT n AS n_orders,
+       CAST(conc AS BIGINT) AS n_concordant,
+       CAST(disc AS BIGINT) AS n_discordant,
+       {quant_sql(
+           "(conc - disc) / sqrt("
+           "(CAST(n AS DOUBLE) * (n - 1) / 2.0 - t1)"
+           " * (CAST(n AS DOUBLE) * (n - 1) / 2.0 - t2))",
+           6,
+       )} AS tau_b
+FROM pairs CROSS JOIN rm CROSS JOIN cm CROSS JOIN tot
+""",
+)
+def orders_priority_price_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b rank correlation between order priority (ordinal
+    1-URGENT..5-LOW) and order value (fixed $25k bins) — "do urgent
+    orders skew expensive?" measured by pair concordance with full tie
+    correction.
+
+    Scale design: the naive tau is O(n²) pairwise comparison — a
+    non-starter. Both variables here are DOMAIN-bounded (5 priorities,
+    ~20 price bins), so concordant/discordant pair counts collapse onto
+    the contingency grid: C = Σ n_ij·n_i'j' over (i'>i, j'>j), D over
+    (i'>i, j'<j) — one grouped count shuffle, then a self-join of the
+    ≤100-cell grid (BroadcastNestedLoopJoin on a constant-size frame).
+    Tie terms come from the grid margins. Every product casts to
+    double FIRST (the chi2 overflow discipline); all terms are
+    integer-valued doubles, exact below 2^53 (n < ~9.5e7 — beyond
+    that, widen the grid arithmetic), one division + an IEEE-exact
+    sqrt, quantized at 6dp.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("i"),
+        F.floor(F.col("o_totalprice") / _KENDALL_BIN).cast("long").alias("j"),
+    )
+    cells = (
+        o.groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)  # feeds pairs + both margins
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    ac = F.col("a.c").cast("double")
+    pairs = a.join(F.broadcast(b), F.col("b.i") > F.col("a.i")).agg(
+        F.sum(
+            F.when(F.col("b.j") > F.col("a.j"), ac * F.col("b.c")).otherwise(0.0)
+        ).alias("conc"),
+        F.sum(
+            F.when(F.col("b.j") < F.col("a.j"), ac * F.col("b.c")).otherwise(0.0)
+        ).alias("disc"),
+    )
+    rm = (
+        cells.groupBy("i")
+        .agg(F.sum("c").cast("long").alias("r"))
+        .agg(
+            F.sum(F.col("r").cast("double") * (F.col("r") - 1) / 2.0).alias("t1")
+        )
+    )
+    cm = (
+        cells.groupBy("j")
+        .agg(F.sum("c").cast("long").alias("cl"))
+        .agg(
+            F.sum(F.col("cl").cast("double") * (F.col("cl") - 1) / 2.0).alias(
+                "t2"
+            )
+        )
+    )
+    tot = cells.agg(F.sum("c").cast("long").alias("n"))
+    n0 = F.col("n").cast("double") * (F.col("n") - 1) / 2.0
+    return (
+        pairs.crossJoin(F.broadcast(rm))
+        .crossJoin(F.broadcast(cm))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").alias("n_orders"),
+            F.col("conc").cast("long").alias("n_concordant"),
+            F.col("disc").cast("long").alias("n_discordant"),
+            quant(
+                (F.col("conc") - F.col("disc"))
+                / F.sqrt((n0 - F.col("t1")) * (n0 - F.col("t2"))),
+                6,
+            ).alias("tau_b"),
+        )
+    )

@@ -1883,3 +1883,80 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _lang_kappa_oracle() -> str:
+    from hadoop_cs4225_spark.registry import ORACLES
+
+    po = quant_sql("CAST(diag AS DOUBLE) / n", 6)
+    pe = quant_sql("s / (CAST(n AS DOUBLE) * n)", 6)
+    kap = quant_sql(
+        "(CAST(n AS DOUBLE) * diag - s) / (CAST(n AS DOUBLE) * n - s)", 6
+    )
+    return f"""
+WITH pred AS ({ORACLES["lang_id_heuristic"]}),
+cells AS (
+  SELECT actual, predicted, COUNT(*) AS o FROM pred GROUP BY actual, predicted
+),
+rm AS (SELECT actual AS k, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY actual),
+cm AS (SELECT predicted AS k, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY predicted),
+s AS (SELECT SUM(CAST(rm.r AS DOUBLE) * cm.c) AS s FROM rm JOIN cm USING (k)),
+t AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN actual = predicted THEN o ELSE 0 END) AS BIGINT)
+           AS diag
+  FROM cells
+)
+SELECT n AS n_docs, diag AS n_agree,
+       {po} AS p_observed, {pe} AS p_expected, {kap} AS kappa
+FROM t CROSS JOIN s
+"""
+
+
+@register("lang_id_agreement_kappa", oracle=_lang_kappa_oracle())
+def lang_id_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the language-ID heuristic and the labeled
+    ``lang`` column — chance-corrected agreement, the one-number answer
+    to "is this classifier better than guessing the label marginals?"
+    that the raw diagonal of ``lang_confusion_matrix`` cannot give.
+
+    Identity: kappa = (N·diag − Σ_k r_k·c_k) / (N² − Σ_k r_k·c_k) —
+    every term an integer-valued double (exact below 2^53; margins are
+    cast to double BEFORE the product per the chi2 discipline so both
+    engines degrade together beyond that), one final division,
+    quantized at 6dp. Composes the REGISTERED ``lang_id_heuristic`` on
+    both sides (the audit-composition discipline). Plan: the scoring
+    scan is map-only; everything after the |langs|² cell count is
+    constant-size.
+    """
+    pred = lang_id_heuristic(spark, sf_dir).select("actual", "predicted")
+    cells = (
+        pred.groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)  # feeds margins + totals
+    )
+    rm = cells.groupBy("actual").agg(F.sum("o").cast("long").alias("r"))
+    cm = cells.groupBy("predicted").agg(F.sum("o").cast("long").alias("c"))
+    s = (
+        rm.join(cm, rm["actual"] == cm["predicted"])
+        .agg(F.sum(F.col("r").cast("double") * F.col("c")).alias("s"))
+    )
+    t = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("actual") == F.col("predicted"), F.col("o")).otherwise(0)
+        )
+        .cast("long")
+        .alias("diag"),
+    )
+    nd = F.col("n").cast("double")
+    return t.crossJoin(F.broadcast(s)).select(
+        F.col("n").alias("n_docs"),
+        F.col("diag").alias("n_agree"),
+        quant(F.col("diag").cast("double") / F.col("n"), 6).alias("p_observed"),
+        quant(F.col("s") / (nd * F.col("n")), 6).alias("p_expected"),
+        quant(
+            (nd * F.col("diag") - F.col("s")) / (nd * F.col("n") - F.col("s")),
+            6,
+        ).alias("kappa"),
+    )

@@ -60,6 +60,7 @@ _OPERATOR_MODULES = (
     "hadoop_cs4225_spark.operators.bucketed",
     "hadoop_cs4225_spark.operators.training_set",
     "hadoop_cs4225_spark.operators.pandas_agg",
+    "hadoop_cs4225_spark.operators.observability",
     "hadoop_cs4225_spark.sources.pydatasource",
     # must stay LAST: composes registered queries/oracles from the
     # modules above (the ann_audit composition discipline)

@@ -1,0 +1,104 @@
+"""Third-derivation pins for the association/observability queries
+(kappa, Kendall tau-b, observe metrics).
+
+The oracle replica proves Spark==DuckDB; these derive each statistic a
+THIRD way (brute force in numpy / composition of other registered
+queries / a plain JVM aggregate) so a shared cross-engine mistake in
+the formula itself cannot hide.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from hadoop_cs4225_spark.operators.algo_ops import (
+    _KENDALL_BIN,
+    orders_priority_price_kendall,
+)
+from hadoop_cs4225_spark.operators.observability import orders_scan_observed
+from hadoop_cs4225_spark.operators.text_analysis import (
+    lang_confusion_matrix,
+    lang_id_agreement_kappa,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_kendall_matches_bruteforce_pairs(spark):
+    """Grid-collapsed C/D/tau must equal O(n^2) brute-force pair
+    counting over the raw (priority, bin) rows at sf0.001."""
+    got = orders_priority_price_kendall(spark, SF_SMOKE).collect()[0]
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select(
+            F.substring("o_orderpriority", 1, 1).cast("int").alias("i"),
+            F.floor(F.col("o_totalprice") / _KENDALL_BIN)
+            .cast("long")
+            .alias("j"),
+        )
+        .collect()
+    )
+    i = np.array([r["i"] for r in rows])
+    j = np.array([r["j"] for r in rows])
+    n = len(i)
+    di = np.sign(i[:, None] - i[None, :])
+    dj = np.sign(j[:, None] - j[None, :])
+    prod = di * dj
+    conc = int((prod > 0).sum() // 2)
+    disc = int((prod < 0).sum() // 2)
+    assert got["n_orders"] == n
+    assert got["n_concordant"] == conc
+    assert got["n_discordant"] == disc
+    n0 = n * (n - 1) / 2.0
+    t1 = sum(c * (c - 1) / 2.0 for c in np.bincount(i) if c > 1)
+    t2 = sum(
+        c * (c - 1) / 2.0 for c in np.bincount(j.astype(int)) if c > 1
+    )
+    tau = (conc - disc) / math.sqrt((n0 - t1) * (n0 - t2))
+    assert abs(got["tau_b"] - tau) < 1e-6
+
+
+def test_kappa_matches_confusion_matrix_composition(spark):
+    """kappa recomputed from the REGISTERED confusion matrix's cell
+    counts must agree — the two queries share lang_id_heuristic, so a
+    drift here means the kappa algebra itself broke."""
+    got = lang_id_agreement_kappa(spark, SF_SMOKE).collect()[0]
+    cells = {
+        (r["actual"], r["predicted"]): r["n_docs"]
+        for r in lang_confusion_matrix(spark, SF_SMOKE).collect()
+    }
+    n = sum(cells.values())
+    diag = sum(v for (a, p), v in cells.items() if a == p)
+    rm: dict[str, int] = {}
+    cm: dict[str, int] = {}
+    for (a, p), v in cells.items():
+        rm[a] = rm.get(a, 0) + v
+        cm[p] = cm.get(p, 0) + v
+    s = sum(rm[k] * cm.get(k, 0) for k in rm)
+    assert got["n_docs"] == n and got["n_agree"] == diag
+    assert abs(got["kappa"] - (n * diag - s) / (n * n - s)) < 1e-6
+    # chance-corrected: kappa must sit strictly below raw agreement
+    # whenever the classifier beats chance
+    assert got["kappa"] < got["p_observed"]
+
+
+def test_observe_metrics_equal_plain_aggregate(spark):
+    got = orders_scan_observed(spark, SF_SMOKE).collect()[0]
+    want = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+            .cast("long")
+            .alias("n_open"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        .collect()[0]
+    )
+    assert got.asDict() == want.asDict()

@@ -2174,3 +2174,93 @@ def orders_priority_price_kendall(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("tau_b"),
         )
     )
+
+
+#: Correlation-matrix feature grids: every numeric column is floored
+#: onto an integer grid BEFORE the moment sums (quantity is integral
+#: already; price in $10 units; discount/tax in percent points), so all
+#: 15 moment sums are exact BIGINTs in both engines — order-independent
+#: under partial aggregation, wrap-free below ~1e9 rows at these grids
+#: (beyond that, widen the grids; the cast-to-double-before-products
+#: rule already keeps the r composition stable).
+_CORR_FEATURES = ("qty", "price10", "disc100", "tax100")
+
+
+def _corr_matrix_oracle() -> str:
+    feats = _CORR_FEATURES
+    sums = ["COUNT(*) AS n0"]
+    for f in feats:
+        sums.append(f"SUM({f}) AS s_{f}")
+        sums.append(f"SUM({f} * {f}) AS ss_{f}")
+    pairs = [(a, b) for ai, a in enumerate(feats) for b in feats[ai + 1 :]]
+    for a, b in pairs:
+        sums.append(f"SUM({a} * {b}) AS p_{a}_{b}")
+    branches = []
+    for a, b in pairs:
+        branches.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+            f" CAST(n AS BIGINT) AS n_rows, {_pearson_sql(6)} AS corr"
+            f" FROM (SELECT n0 AS n, s_{a} AS sx, s_{b} AS sy,"
+            f" p_{a}_{b} AS sxy, ss_{a} AS sxx, ss_{b} AS syy FROM m)"
+        )
+    body = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH q AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice / 10.0) AS BIGINT) AS price10,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc100,
+         CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax100
+  FROM lineitem
+),
+m AS (SELECT {", ".join(sums)} FROM q)
+SELECT * FROM ({body}) ORDER BY col_a, col_b
+"""
+
+
+@register("lineitem_correlation_matrix", oracle=_corr_matrix_oracle())
+def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the lineitem numeric
+    features (quantity, price, discount, tax on fixed integer grids) —
+    the feature-redundancy screen a modelling pipeline runs before
+    training, and the classic d²-moments one-pass pattern: ALL 15
+    moment sums (1 count + 4 sums + 4 squares + 6 cross products)
+    accumulate in a SINGLE partial-aggregate scan, so the cost is one
+    map-side-combined reduce of a 15-long vector regardless of row
+    count or how many pairs are reported. The 6 output rows are
+    column-renamed views of that one aggregate row through the shared
+    ``_pearson_col`` composition (same cast-first products as the
+    ACF/CCF family).
+    """
+    feats = _CORR_FEATURES
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") / 10.0).cast("long").alias("price10"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("disc100"),
+        F.floor(F.col("l_tax") * 100 + 0.5).cast("long").alias("tax100"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n0")]
+    for f in feats:
+        aggs.append(F.sum(f).alias(f"s_{f}"))
+        aggs.append(F.sum(F.col(f) * F.col(f)).alias(f"ss_{f}"))
+    pairs = [(a, b) for ai, a in enumerate(feats) for b in feats[ai + 1 :]]
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"p_{a}_{b}"))
+    m = base.agg(*aggs).localCheckpoint(eager=False)  # 1 row, 6 consumers
+    out = None
+    for a, b in pairs:
+        row = m.select(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col("n0").cast("long").alias("n_rows"),
+            F.col("n0").alias("n"),
+            F.col(f"s_{a}").alias("sx"),
+            F.col(f"s_{b}").alias("sy"),
+            F.col(f"p_{a}_{b}").alias("sxy"),
+            F.col(f"ss_{a}").alias("sxx"),
+            F.col(f"ss_{b}").alias("syy"),
+        ).select(
+            "col_a", "col_b", "n_rows", _pearson_col(6).alias("corr")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("col_a", "col_b")

@@ -84,6 +84,41 @@ def test_kappa_matches_confusion_matrix_composition(spark):
     assert got["kappa"] < got["p_observed"]
 
 
+def test_corr_matrix_matches_numpy(spark):
+    """One-pass moment-sum correlations must equal np.corrcoef over
+    the same quantized columns at sf0.001."""
+    from hadoop_cs4225_spark.operators.algo_ops import (
+        lineitem_correlation_matrix,
+    )
+
+    got = {
+        (r["col_a"], r["col_b"]): (r["n_rows"], r["corr"])
+        for r in lineitem_correlation_matrix(spark, SF_SMOKE).collect()
+    }
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select(
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.floor(F.col("l_extendedprice") / 10.0)
+            .cast("long")
+            .alias("price10"),
+            F.floor(F.col("l_discount") * 100 + 0.5)
+            .cast("long")
+            .alias("disc100"),
+            F.floor(F.col("l_tax") * 100 + 0.5).cast("long").alias("tax100"),
+        )
+        .collect()
+    )
+    feats = ("qty", "price10", "disc100", "tax100")
+    mat = np.array([[r[f] for f in feats] for r in rows], dtype=np.float64)
+    cc = np.corrcoef(mat, rowvar=False)
+    assert len(got) == 6
+    for (a, b), (n, corr) in got.items():
+        assert n == len(rows)
+        want = cc[feats.index(a), feats.index(b)]
+        assert abs(corr - want) < 1e-6, (a, b, corr, want)
+
+
 def test_observe_metrics_equal_plain_aggregate(spark):
     got = orders_scan_observed(spark, SF_SMOKE).collect()[0]
     want = (

@@ -2264,3 +2264,133 @@ def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("col_a", "col_b")
+
+
+def _spearman_oracle() -> str:
+    from hadoop_cs4225_spark.operators.dedup import _TOKS_SQL
+
+    branch = (
+        "SELECT n0 AS n, {sx} AS sx, {sy} AS sy, {sxy} AS sxy,"
+        " {sxx} AS sxx, {syy} AS syy FROM m"
+    )
+    raw = branch.format(sx="s_x", sy="s_y", sxy="p_xy", sxx="ss_x", syy="ss_y")
+    rank = branch.format(
+        sx="s_rx", sy="s_ry", sxy="p_rxy", sxx="ss_rx", syy="ss_ry"
+    )
+    return f"""
+WITH f AS (
+  SELECT n_chars AS x, CAST(len({_TOKS_SQL}) AS BIGINT) AS y FROM documents
+),
+hx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY x),
+hx2 AS (
+  SELECT x, 2 * COALESCE(SUM(c) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+           AS rx2
+  FROM hx
+),
+hy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY y),
+hy2 AS (
+  SELECT y, 2 * COALESCE(SUM(c) OVER (ORDER BY y
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+           AS ry2
+  FROM hy
+),
+j AS (SELECT f.x, f.y, hx2.rx2, hy2.ry2
+      FROM f JOIN hx2 USING (x) JOIN hy2 USING (y)),
+m AS (
+  SELECT COUNT(*) AS n0,
+         SUM(x) AS s_x, SUM(y) AS s_y, SUM(x * y) AS p_xy,
+         SUM(x * x) AS ss_x, SUM(y * y) AS ss_y,
+         SUM(rx2) AS s_rx, SUM(ry2) AS s_ry, SUM(rx2 * ry2) AS p_rxy,
+         SUM(rx2 * rx2) AS ss_rx, SUM(ry2 * ry2) AS ss_ry
+  FROM j
+)
+SELECT CAST(n0 AS BIGINT) AS n_docs,
+       (SELECT {_pearson_sql(6)} FROM ({raw})) AS pearson_r,
+       (SELECT {_pearson_sql(6)} FROM ({rank})) AS spearman_rho
+FROM m
+"""
+
+
+@register("doc_len_tok_spearman", oracle=_spearman_oracle())
+def doc_len_tok_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson AND Spearman correlation between document character
+    length and token count — the monotone-vs-linear association pair a
+    feature audit reports (Spearman >> Pearson flags a nonlinear but
+    monotone relation).
+
+    Scale design: Spearman needs every row's rank, but a global
+    ROW_NUMBER sort is exactly the partition-less window this repo
+    bans. Both variables are VALUE-DOMAIN-bounded integers, so the
+    tie-corrected midranks come from value HISTOGRAMS instead: for
+    value v, avg_rank(v) = cnt_less(v) + (t_v + 1)/2, and DOUBLED
+    midranks 2r = 2·cnt_less + t + 1 are exact BIGINTs (Pearson is
+    affine-invariant, so rho over 2r equals rho over r). The windows
+    run over the histogram frames (rows = distinct values, bounded by
+    the value domain, not the corpus); ranks rejoin by value
+    (broadcast, domain-bounded maps); ALL eleven moment sums accumulate
+    in ONE partial-agg pass; both correlations come from the shared
+    cast-first ``_pearson_col`` composition.
+    """
+    from hadoop_cs4225_spark.operators.dedup import _toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        F.col("n_chars").alias("x"),
+        F.size(_toks()).cast("long").alias("y"),
+    ).localCheckpoint(eager=False)  # feeds both histograms + the join
+
+    def midranks(col: str, out: str) -> DataFrame:
+        h = f.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        w = (
+            Window.orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )  # histogram-sized frame: rows = distinct values of a bounded
+        # integer domain, never corpus-sized
+        return h.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + 1
+            ).alias(out),
+        )
+
+    j = f.join(F.broadcast(midranks("x", "rx2")), "x").join(
+        F.broadcast(midranks("y", "ry2")), "y"
+    )
+    m = j.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("x").alias("s_x"),
+        F.sum("y").alias("s_y"),
+        F.sum(F.col("x") * F.col("y")).alias("p_xy"),
+        F.sum(F.col("x") * F.col("x")).alias("ss_x"),
+        F.sum(F.col("y") * F.col("y")).alias("ss_y"),
+        F.sum("rx2").alias("s_rx"),
+        F.sum("ry2").alias("s_ry"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("p_rxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("ss_rx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("ss_ry"),
+    ).localCheckpoint(eager=False)
+
+    def corr_of(sx: str, sy: str, sxy: str, sxx: str, syy: str):
+        return m.select(
+            F.col("n0").alias("n"),
+            F.col(sx).alias("sx"),
+            F.col(sy).alias("sy"),
+            F.col(sxy).alias("sxy"),
+            F.col(sxx).alias("sxx"),
+            F.col(syy).alias("syy"),
+        ).select(_pearson_col(6).alias("r"))
+
+    raw = corr_of("s_x", "s_y", "p_xy", "ss_x", "ss_y").select(
+        F.col("r").alias("pearson_r")
+    )
+    rnk = corr_of("s_rx", "s_ry", "p_rxy", "ss_rx", "ss_ry").select(
+        F.col("r").alias("spearman_rho")
+    )
+    return (
+        m.select(F.col("n0").cast("long").alias("n_docs"))
+        .crossJoin(F.broadcast(raw))
+        .crossJoin(F.broadcast(rnk))
+    )

@@ -119,6 +119,36 @@ def test_corr_matrix_matches_numpy(spark):
         assert abs(corr - want) < 1e-6, (a, b, corr, want)
 
 
+def test_spearman_matches_pandas_rank_corrcoef(spark):
+    """Histogram-midrank Spearman must equal pandas average ranks +
+    np.corrcoef at sf0.001 (scipy-free third derivation)."""
+    import pandas as pd
+
+    from hadoop_cs4225_spark.operators.algo_ops import doc_len_tok_spearman
+    from hadoop_cs4225_spark.operators.dedup import _toks
+
+    got = doc_len_tok_spearman(spark, SF_SMOKE).collect()[0]
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select(
+            F.col("n_chars").alias("x"), F.size(_toks()).cast("long").alias("y")
+        )
+        .collect()
+    )
+    x = pd.Series([r["x"] for r in rows], dtype="float64")
+    y = pd.Series([r["y"] for r in rows], dtype="float64")
+    assert got["n_docs"] == len(x)
+    pear = np.corrcoef(x, y)[0, 1]
+    spear = np.corrcoef(x.rank(method="average"), y.rank(method="average"))[
+        0, 1
+    ]
+    assert abs(got["pearson_r"] - pear) < 1e-6
+    assert abs(got["spearman_rho"] - spear) < 1e-6
+    # lengths and token counts should correlate strongly and the ranks
+    # at least as tightly — non-vacuity of both statistics
+    assert got["pearson_r"] > 0.5 and got["spearman_rho"] > 0.5
+
+
 def test_observe_metrics_equal_plain_aggregate(spark):
     got = orders_scan_observed(spark, SF_SMOKE).collect()[0]
     want = (

@@ -161,6 +161,10 @@ _BOUNDED_ALLPAIRS = {
     "bigram_pmi_topk",  # broadcast 1-row corpus-total cross join
     "lineitem_benford_audit",  # broadcast 1-row total cross join
     "bm25_search_topk",  # broadcast 1-row corpus-stats cross join
+    "lang_id_agreement_kappa",  # broadcast 1-row margin-product cross join
+    # ≤100-cell grid self-join (b.i > a.i non-equi) + 1-row cross joins
+    "orders_priority_price_kendall",
+    "doc_len_tok_spearman",  # broadcast 1-row correlation cross joins
 }
 
 
@@ -232,6 +236,9 @@ _BOUNDED_GLOBAL_WINDOW = {
     "corpus_health_report",
     # sign-change lag over the CALENDAR-bounded monthly frame
     "orders_revenue_runs_test",
+    # midrank cumulatives over the two VALUE-DOMAIN-bounded integer
+    # histograms (n_chars / token-count domains), never corpus rows
+    "doc_len_tok_spearman",
 }
 
 

@@ -205,12 +205,10 @@ ORDER BY f.source
 """
 
 
-@register("corpus_to_training_set", oracle=_oracle())
-def corpus_to_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source training-set construction report: documents surviving
-    dedup -> quality -> decontamination -> per-source cap, and the
-    packed context windows the survivors fill. See the module docstring
-    for stage semantics and the 100 TB plan shape."""
+def _stage_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_toks, keep1, keep2, keep3) — the cumulative
+    stage-survival flags shared by the report query and the shard
+    materializer (see module docstring for stage semantics)."""
     docs = load_table(spark, sf_dir, "documents")
     feat = docs.select(
         "doc_id", "source", "n_chars", _toks().alias("toks")
@@ -286,7 +284,7 @@ def corpus_to_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= DECON_MAX
         )
     )
-    flags = (
+    return (
         feat.drop("toks")
         .join(in_cluster, "doc_id", "left")
         .join(decon, "doc_id", "left")
@@ -300,21 +298,32 @@ def corpus_to_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # stage 4: exact per-source cap (bounded-bucket, never a
-    # whole-source window) over the stage-3 survivors
+
+def _placed(flags: DataFrame) -> DataFrame:
+    """Stages 4+5 over the stage-3 survivors: exact per-source cap
+    (bounded-bucket, never a whole-source window), then each kept doc's
+    cumulative token offset in its source's concat-and-chunk stream."""
     kept = capped_keep(
         flags.where("keep3").select("source", "doc_id", "n_toks"), TRAIN_CAP_K
     )
-
-    # stage 5: concat-and-chunk packing of the kept docs
     w_off = (
         Window.partitionBy("source")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    placed = kept.withColumn(
+    return kept.withColumn(
         "off", F.coalesce(F.sum("n_toks").over(w_off), F.lit(0)).cast("long")
     )
+
+
+@register("corpus_to_training_set", oracle=_oracle())
+def corpus_to_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source training-set construction report: documents surviving
+    dedup -> quality -> decontamination -> per-source cap, and the
+    packed context windows the survivors fill. See the module docstring
+    for stage semantics and the 100 TB plan shape."""
+    flags = _stage_flags(spark, sf_dir)
+    placed = _placed(flags)
     first_bin = F.expr(f"off div {TRAIN_PACK_BUDGET}")
     last_bin = F.expr(f"(off + n_toks - 1) div {TRAIN_PACK_BUDGET}")
     pack = placed.groupBy("source").agg(
@@ -347,3 +356,39 @@ def corpus_to_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def materialize_training_set(
+    spark: SparkSession, sf_dir: str, out_dir: str, mode: str = "error"
+) -> DataFrame:
+    """Write the packed training set as the actual artifact a trainer
+    reads: one parquet row per kept document carrying its context
+    window assignment (``window_id`` = which TRAIN_PACK_BUDGET-token
+    window, ``window_pos`` = the doc's first-token offset inside it),
+    laid out ``partitionBy(source)`` so per-source mixture readers
+    prune at the directory level. Returns the frame read back from
+    ``out_dir``.
+
+    Default ``mode='error'`` keeps the reference TextOutputFormat
+    exists-check contract (SURVEY.md §2.1 O12): a nightly re-run must
+    not silently clobber yesterday's shards. Plan: the same pipeline as
+    ``corpus_to_training_set`` up to the offsets, one
+    ``repartition(source)`` so each source writes contiguous files, no
+    extra shuffles.
+    """
+    placed = _placed(_stage_flags(spark, sf_dir))
+    shards = placed.select(
+        "doc_id",
+        "n_toks",
+        "off",
+        F.expr(f"off div {TRAIN_PACK_BUDGET}").cast("long").alias("window_id"),
+        (F.col("off") % TRAIN_PACK_BUDGET).cast("long").alias("window_pos"),
+        "source",
+    )
+    (
+        shards.repartition("source")
+        .write.mode(mode)
+        .partitionBy("source")
+        .parquet(out_dir)
+    )
+    return spark.read.parquet(out_dir)

@@ -82,6 +82,58 @@ def test_every_stage_binds_at_smoke_sf(spark):
     assert tot("n_straddle") > 0
 
 
+def test_materialize_training_set_layout_and_consistency(spark, tmp_path):
+    """The written shards must agree with the report query (same kept
+    docs, same window layout), lay out partitionBy(source) directories,
+    and honor the exists-check write contract."""
+    import os
+
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+
+    from hadoop_cs4225_spark.operators.training_set import (
+        TRAIN_PACK_BUDGET,
+        materialize_training_set,
+    )
+
+    out = str(tmp_path / "shards")
+    shards = materialize_training_set(spark, SF_SMOKE, out)
+    report = {
+        r["source"]: r for r in corpus_to_training_set(spark, SF_SMOKE).collect()
+    }
+    got = {
+        r["source"]: (r["n_kept"], r["n_bins"])
+        for r in shards.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.countDistinct("window_id").alias("n_bins"),
+        )
+        .collect()
+    }
+    want = {
+        s: (r["n_kept"], r["n_bins"])
+        for s, r in report.items()
+        if r["n_kept"] > 0
+    }
+    assert got == want
+    # window_pos is the offset within the window
+    bad = shards.where(
+        (F.col("window_pos") != F.col("off") % TRAIN_PACK_BUDGET)
+        | (F.col("window_pos") < 0)
+        | (F.col("window_pos") >= TRAIN_PACK_BUDGET)
+    ).count()
+    assert bad == 0
+    # physical layout: one directory per source (directory-prunable)
+    dirs = {d for d in os.listdir(out) if d.startswith("source=")}
+    assert dirs == {f"source={s}" for s in want}
+    # exists-check contract: a re-run must refuse, overwrite must work
+    n_first = shards.count()  # before overwrite invalidates these files
+    with pytest.raises(AnalysisException):
+        materialize_training_set(spark, SF_SMOKE, out)
+    again = materialize_training_set(spark, SF_SMOKE, out, mode="overwrite")
+    assert again.count() == n_first
+
+
 def test_capped_keep_equals_plain_window_rank(spark):
     """capped_keep's bounded-bucket plan must select exactly the rows
     the naive whole-source ROW_NUMBER formulation selects (bucket order

@@ -597,3 +597,13 @@ def test_normalizer_queries_scan_their_table_once(spark):
     for name in ("lang_confusion_matrix", "event_transition_matrix"):
         n = _count_scans(_df(spark, name))
         assert n == 1, f"{name}: expected 1 table scan in plan, got {n}"
+
+
+def test_multires_rollup_single_scan_cascade(spark):
+    """The minute->hour->day cascade must read the events parquet
+    exactly ONCE: coarser resolutions aggregate the previous aggregate
+    (calendar-bounded frames), never the raw events again."""
+    plan = plan_string(_df(spark, "events_multires_rollup"))
+    # each physical scan prints one Location line (the tree line and its
+    # numbered detail block would double-count "Scan parquet")
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan

@@ -1688,12 +1688,35 @@ _CAL_BINS = 10
 _CAL_BOOST = 5
 
 
-@register(
-    "quality_score_calibration",
-    oracle=f"""
-WITH scored AS (
-  SELECT doc_id,
-         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+def _en_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(y, p_s): en label + the probabilistic marker score on the 1e6
+    integer grid — shared by the calibration and AUC evaluations so
+    the two report the SAME classifier."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tok = F.size(toks)
+    markers = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "and", "of", "is"))
+    )
+    return docs.filter(n_tok > 0).select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.least(
+            F.lit(_CAL_GRID),
+            F.floor(
+                float(_CAL_BOOST)
+                * _CAL_GRID
+                * markers
+                / n_tok
+                + 0.5
+            ).cast("long"),
+        ).alias("p_s"),
+    )
+
+
+#: The scored CTE shared by the calibration and AUC oracles — MUST stay
+#: the SQL twin of :func:`_en_scored`.
+_EN_SCORED_SQL = f"""
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
          LEAST({_CAL_GRID}, CAST(floor(
            {_CAL_BOOST}.0 * {_CAL_GRID}
            * len(list_filter({_TOKS_SQL},
@@ -1701,7 +1724,13 @@ WITH scored AS (
            / len({_TOKS_SQL}) + 0.5) AS BIGINT)) AS p_s
   FROM documents
   WHERE len({_TOKS_SQL}) > 0
-), binned AS (
+"""
+
+
+@register(
+    "quality_score_calibration",
+    oracle=f"""
+WITH scored AS ({_EN_SCORED_SQL}), binned AS (
   SELECT LEAST({_CAL_BINS - 1}, p_s * {_CAL_BINS} // {_CAL_GRID}) AS bin,
          p_s, y
   FROM scored
@@ -1732,25 +1761,7 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     of exact integer sums. Plan: one map-side score pass, one 10-bin
     aggregate, a broadcast 1-row total. ECE = sum of ece_term.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = _toks()
-    n_tok = F.size(toks)
-    markers = F.size(
-        F.filter(toks, lambda x: x.isin("the", "a", "and", "of", "is"))
-    )
-    scored = docs.filter(n_tok > 0).select(
-        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
-        F.least(
-            F.lit(_CAL_GRID),
-            F.floor(
-                float(_CAL_BOOST)
-                * _CAL_GRID
-                * markers
-                / n_tok
-                + 0.5
-            ).cast("long"),
-        ).alias("p_s"),
-    )
+    scored = _en_scored(spark, sf_dir)
     binned = scored.select(
         F.least(
             F.lit(_CAL_BINS - 1),
@@ -1959,4 +1970,95 @@ def lang_id_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             (nd * F.col("diag") - F.col("s")) / (nd * F.col("n") - F.col("s")),
             6,
         ).alias("kappa"),
+    )
+
+
+def _auc_oracle() -> str:
+    num = "(CAST(s2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1))"
+    den = "(2.0 * CAST(n1 AS DOUBLE) * n0)"
+    return f"""
+WITH scored AS ({_EN_SCORED_SQL}),
+h AS (
+  SELECT p_s, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
+  FROM scored GROUP BY p_s
+),
+r AS (
+  SELECT pos,
+         2 * COALESCE(SUM(cnt) OVER (ORDER BY p_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cnt + 1 AS r2
+  FROM h
+),
+t AS (
+  SELECT (SELECT CAST(SUM(pos) AS BIGINT) FROM h) AS n1,
+         (SELECT CAST(SUM(cnt - pos) AS BIGINT) FROM h) AS n0,
+         CAST(SUM(pos * r2) AS BIGINT) AS s2
+  FROM r
+)
+SELECT n1 AS n_pos, n0 AS n_neg,
+       {quant_sql(f"{num} / {den}", 6)} AS auc,
+       {quant_sql(f"{num} / {den} * 2.0 - 1.0", 6)} AS gini_coef
+FROM t
+"""
+
+
+@register("quality_score_auc", oracle=_auc_oracle())
+def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC (and Gini coefficient) of the probabilistic en-detector
+    against the ``lang`` label — the threshold-free ranking-quality
+    number completing the classifier-eval trio (confusion matrix →
+    calibration/ECE → AUC). Shares the EXACT scorer with
+    ``quality_score_calibration`` (``_en_scored`` / its SQL twin), so
+    the two always evaluate the same model.
+
+    AUC via the rank-sum identity AUC = (R⁺ − n₁(n₁+1)/2) / (n₁n₀)
+    with full midrank tie handling — and since the score lives on the
+    bounded 1e6 integer grid, the midranks come from the score
+    HISTOGRAM (the ``source_length_mannwhitney`` / spearman
+    discipline): doubled midranks 2r = 2·cnt_less + cnt + 1 are exact
+    BIGINTs off a histogram-sized cumulative window, never a
+    corpus-sized sort. One scan, one bounded histogram, cast-first
+    products, one quantized division.
+    """
+    scored = _en_scored(spark, sf_dir)
+    h = (
+        scored.groupBy("p_s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+        .localCheckpoint(eager=False)  # feeds ranks + totals
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("p_s").rowsBetween(Window.unboundedPreceding, -1)
+    # histogram-sized frame: rows = distinct scores on the bounded grid
+    r = h.select(
+        "pos",
+        (
+            2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+            + F.col("cnt")
+            + 1
+        ).alias("r2"),
+    )
+    t = (
+        r.agg(F.sum(F.col("pos") * F.col("r2")).cast("long").alias("s2"))
+        .crossJoin(
+            F.broadcast(
+                h.agg(
+                    F.sum("pos").cast("long").alias("n1"),
+                    F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("n0"),
+                )
+            )
+        )
+    )
+    num = F.col("s2").cast("double") - F.col("n1").cast("double") * (
+        F.col("n1") + 1
+    )
+    den = 2.0 * F.col("n1").cast("double") * F.col("n0")
+    return t.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        quant(num / den, 6).alias("auc"),
+        quant(num / den * 2.0 - 1.0, 6).alias("gini_coef"),
     )

@@ -149,6 +149,34 @@ def test_spearman_matches_pandas_rank_corrcoef(spark):
     assert got["pearson_r"] > 0.5 and got["spearman_rho"] > 0.5
 
 
+def test_auc_matches_bruteforce_pairs(spark):
+    """Histogram rank-sum AUC must equal brute-force pair counting
+    (pos>neg + 0.5*ties over all pos x neg pairs) at sf0.001, and the
+    calibration/AUC queries must score the same docs."""
+    from hadoop_cs4225_spark.operators.text_analysis import (
+        _en_scored,
+        quality_score_auc,
+    )
+
+    got = quality_score_auc(spark, SF_SMOKE).collect()[0]
+    rows = _en_scored(spark, SF_SMOKE).collect()
+    pos = np.array([r["p_s"] for r in rows if r["y"] == 1])
+    neg = np.array([r["p_s"] for r in rows if r["y"] == 0])
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    gt = (pos[:, None] > neg[None, :]).sum()
+    eq = (pos[:, None] == neg[None, :]).sum()
+    auc = (gt + 0.5 * eq) / (len(pos) * len(neg))
+    assert abs(got["auc"] - auc) < 1e-6
+    assert abs(got["gini_coef"] - (2 * auc - 1)) < 1e-6
+    # non-vacuity: both classes populated and score actually varies
+    # (synthetic lang labels barely correlate with markers at sf0.001,
+    # so the AUC value itself is near chance — the exactness pin above
+    # is the real claim)
+    assert len(pos) > 0 and len(neg) > 0
+    assert len(np.unique(np.concatenate([pos, neg]))) > 1
+    assert 0.0 <= got["auc"] <= 1.0
+
+
 def test_observe_metrics_equal_plain_aggregate(spark):
     got = orders_scan_observed(spark, SF_SMOKE).collect()[0]
     want = (

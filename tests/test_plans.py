@@ -165,6 +165,11 @@ _BOUNDED_ALLPAIRS = {
     # ≤100-cell grid self-join (b.i > a.i non-equi) + 1-row cross joins
     "orders_priority_price_kendall",
     "doc_len_tok_spearman",  # broadcast 1-row correlation cross joins
+    "quality_score_auc",  # broadcast 1-row class-totals cross join
+    "source_length_w1_drift",  # bounded sources x value-domain grid + 1-row total
+    "hybrid_search_rrf",  # embeds the bm25/cosine 1-row corpus-stat cross joins
+    "ann_ndcg_audit",  # embeds the brute/ANN top-k plans + 1-row IDCG cross join
+    "mmr_diverse_topk",  # POOL^2=100-row candidate self-join + 1-row cross joins
 }
 
 
@@ -239,6 +244,16 @@ _BOUNDED_GLOBAL_WINDOW = {
     # midrank cumulatives over the two VALUE-DOMAIN-bounded integer
     # histograms (n_chars / token-count domains), never corpus rows
     "doc_len_tok_spearman",
+    # midrank cumulative over the score histogram (bounded 1e6 grid)
+    "quality_score_auc",
+    # same bounded corpus-histogram cumulatives as KS (shared CDF CTEs)
+    "source_length_w1_drift",
+    # row_number over the two ALREADY-LIMITed 10-row retrieval arms
+    "hybrid_search_rrf",
+    # row_number over the ALREADY-LIMITed 10-row brute ground truth
+    "ann_ndcg_audit",
+    # rank windows over the ALREADY-LIMITed 10-row candidate pool
+    "mmr_diverse_topk",
 }
 
 

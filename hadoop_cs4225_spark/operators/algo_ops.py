@@ -2394,3 +2394,90 @@ def doc_len_tok_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(raw))
         .crossJoin(F.broadcast(rnk))
     )
+
+
+@register(
+    "source_length_w1_drift",
+    oracle=f"""
+WITH {_LEN_CDF_CTES}, grid AS (
+  SELECT ns.source, ns.n_s, cumg.v, cumg.cum_g,
+         COALESCE(MAX(cums.cum_s) OVER (PARTITION BY ns.source ORDER BY cumg.v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS f_s,
+         COALESCE(LEAD(cumg.v) OVER (PARTITION BY ns.source ORDER BY cumg.v)
+                  - cumg.v, 0) AS gap
+  FROM ns CROSS JOIN cumg
+  LEFT JOIN cums ON cums.source = ns.source AND cums.v = cumg.v
+), w AS (
+  SELECT source, ANY_VALUE(n_s) AS n_s, ANY_VALUE(tot.n) AS n,
+         SUM(CAST(abs(f_s * tot.n - cum_g * n_s) AS DOUBLE) * gap) AS s
+  FROM grid CROSS JOIN tot
+  GROUP BY source
+)
+SELECT source, n_s AS n_docs,
+       {quant_sql("s / (n_s * 1.0 * n)", 4)} AS w1_chars
+FROM w
+ORDER BY source
+""",
+)
+def source_length_w1_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance between each source's
+    doc-length distribution and the whole corpus — the metric that
+    completes the drift family: PSI (``orders_monthly_psi``) is binned
+    and unbounded, KL (``source_kl_divergence``) explodes on missing
+    support, KS (``source_length_ks``) sees only the worst POINT of
+    CDF divergence; W1 integrates the WHOLE gap and is measured in the
+    variable's own units (characters of document length), which is
+    what a data-mixing dashboard wants to alert on.
+
+    For 1-D empirical distributions W1 = integral |F_s - F_g| dv, and
+    every jump point of either CDF is a corpus histogram value (source
+    docs are a subset of the corpus), so the integral is EXACT as a sum
+    over the corpus value grid: |F_s - F_g| at each grid value times
+    the gap to the next one. Shares :func:`_length_cdfs` /
+    :data:`_LEN_CDF_CTES` with KS and qnorm, so the three sibling ops
+    can never diverge on CDF construction. The CDF difference is the
+    integer cross-product ``|f_s*N - cum_g*n_s|`` (exact below
+    N*n_s ~ 2^63, the documented KS bound), cast to double only for
+    the gap multiply; one quantized division at the end.
+
+    Plan: two histogram aggregates, the bounded sources x value-domain
+    grid, forward-fill + lead windows over that bounded axis, one
+    sum-reduce per source — no corpus-row window ever.
+    """
+    cums, ns, cumg, tot = _length_cdfs(spark, sf_dir)
+    w_fill = (
+        Window.partitionBy("source")
+        .orderBy("gv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lead = Window.partitionBy("source").orderBy("gv")
+    grid = (
+        ns.crossJoin(cumg)
+        .join(
+            cums.select("source", F.col("v").alias("gv"), "cum_s"),
+            ["source", "gv"],
+            "left",
+        )
+        .withColumn("f_s", F.coalesce(F.max("cum_s").over(w_fill), F.lit(0)))
+        .withColumn(
+            "gap",
+            F.coalesce(F.lead("gv").over(w_lead) - F.col("gv"), F.lit(0)),
+        )
+        .crossJoin(tot)
+    )
+    w = grid.groupBy("source").agg(
+        F.first("n_s").alias("n_s"),
+        F.first("n").alias("n"),
+        F.sum(
+            F.abs(F.col("f_s") * F.col("n") - F.col("cum_g") * F.col("n_s"))
+            .cast("double")
+            * F.col("gap")
+        ).alias("s"),
+    )
+    return w.select(
+        "source",
+        F.col("n_s").alias("n_docs"),
+        quant(F.col("s") / (F.col("n_s") * 1.0 * F.col("n")), 4).alias(
+            "w1_chars"
+        ),
+    ).orderBy("source")

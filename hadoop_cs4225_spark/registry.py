@@ -62,6 +62,9 @@ _OPERATOR_MODULES = (
     "hadoop_cs4225_spark.operators.pandas_agg",
     "hadoop_cs4225_spark.operators.observability",
     "hadoop_cs4225_spark.sources.pydatasource",
+    # composes text_analysis/similarity/pq queries+oracles (must
+    # import after them, like ann_audit)
+    "hadoop_cs4225_spark.operators.retrieval",
     # must stay LAST: composes registered queries/oracles from the
     # modules above (the ann_audit composition discipline)
     "hadoop_cs4225_spark.operators.health",

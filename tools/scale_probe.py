@@ -85,6 +85,9 @@ DOC_QUERIES = (
     "source_length_mannwhitney",  # histogram rank-sum, value-domain bounded
     "source_mean_bootstrap_ci",  # 32x row fanout, one pass, map-side combine
     "corpus_to_training_set",  # full pipeline chain: every stage must stay linear
+    "doc_len_tok_spearman",  # histogram midranks: windows stay domain-bounded
+    "doc_subword_stats_iterpandas",  # Arrow iterator UDF: map-only, batch-bounded
+    "source_length_w1_drift",  # CDF-gap integral on the bounded value grid
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i
@@ -105,6 +108,8 @@ EMB_QUERIES = (
     "ann_recall_audit",
     "ann_rerank_topk",
     "kmeans_embedding_clusters",  # per-iteration joins: linear in n per round
+    "ann_ndcg_audit",  # constant fusion layer over the methods' own plans
+    "mmr_diverse_topk",  # brute top-k plan + O(K*POOL^2) constant greedy layer
 )
 
 #: queries probed across the real sf dirs (10x data per step).
@@ -149,6 +154,10 @@ SF_QUERIES = (
     "events_type_crosscorr",  # day-keyed join, domain-bounded pair space
     "events_theilsen_trend",  # calendar-bounded percentile groups
     "orders_seasonal_decompose",  # calendar-bounded month frame windows
+    "events_multires_rollup",  # cascade: one raw shuffle, bounded coarser aggs
+    "lineitem_correlation_matrix",  # one-pass 15-sum partial agg
+    "orders_priority_price_kendall",  # bounded-grid pair collapse
+    "hybrid_search_rrf",  # two arm scans + constant bounded-k fusion
 )
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 

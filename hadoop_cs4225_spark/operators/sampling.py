@@ -713,3 +713,135 @@ def source_mean_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Water-fill: fraction of the total corpus supply handed out as the
+#: global budget (numerator/denominator kept integer so the budget is
+#: an exact BIGINT on both engines).
+_WATERFILL_NUM, _WATERFILL_DEN = 1, 2
+
+
+@register(
+    "source_token_waterfill",
+    oracle=f"""
+WITH s AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sup
+  FROM documents GROUP BY source
+), b AS (
+  SELECT CAST(SUM(sup) AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(sup) AS BIGINT) * {_WATERFILL_NUM} // {_WATERFILL_DEN}
+           AS budget
+  FROM s
+), o AS (
+  SELECT source, sup,
+         CAST(ROW_NUMBER() OVER (ORDER BY sup, source) AS BIGINT) AS i,
+         CAST(COALESCE(SUM(sup) OVER (ORDER BY sup, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cprev,
+         CAST(SUM(sup) OVER (ORDER BY sup, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS ccum
+  FROM s
+), f AS (
+  SELECT o.*, b.budget, b.k,
+         (cprev + sup * (b.k - i + 1) <= b.budget) AS saturated
+  FROM o CROSS JOIN b
+), m AS (
+  SELECT COALESCE(MAX(CASE WHEN saturated THEN ccum END), 0) AS c_m,
+         CAST(SUM(CASE WHEN saturated THEN 1 ELSE 0 END) AS BIGINT) AS m
+  FROM f
+)
+SELECT f.source, f.sup AS supply_chars,
+       {quant_sql(
+           "CASE WHEN f.saturated THEN CAST(f.sup AS DOUBLE)"
+           " ELSE (f.budget - m.c_m) * 1.0 / (f.k - m.m) END", 2)}
+         AS alloc_chars,
+       f.saturated
+FROM f CROSS JOIN m
+ORDER BY f.source
+""",
+)
+def source_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation across sources — the
+    data-mixing primitive behind "give me a half-corpus training budget
+    spread as evenly as possible across sources without exceeding any
+    source's supply": small sources contribute everything they have
+    (saturated), the rest split the remaining budget at one common
+    water level. (``mixture_weighted_sample`` takes target weights as
+    GIVEN; this op is where those targets come from.)
+
+    Closed form, not iterative: order sources by supply ascending; a
+    source saturates iff granting its full supply to it AND every
+    larger source still fits the budget (``cprev + sup*(k-i+1) <=
+    B`` — monotone in i, all-integer). With m saturated sources
+    holding c_m chars, the level is (B - c_m)/(k - m), exact integer
+    arithmetic until that one final division. m < k always: saturating
+    everyone needs total <= B = total*{_WATERFILL_NUM}/{_WATERFILL_DEN}.
+
+    Scale: one per-source aggregate (partial-agg over the corpus), then
+    every window/join lives on the SOURCE-DOMAIN-bounded k-row frame —
+    constant work after the scan at any corpus size. The budget is an
+    exact BIGINT (integer-div of the supply total), never a float of
+    the corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("sup")
+    )
+    b = F.broadcast(
+        s.agg(
+            F.sum("sup").cast("long").alias("t"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.expr(
+                f"CAST(sum(sup) AS BIGINT) * {_WATERFILL_NUM}"
+                f" div {_WATERFILL_DEN}"
+            ).alias("budget"),
+        )
+    )
+    w_ord = Window.orderBy("sup", "source")
+    o = s.select(
+        "source",
+        "sup",
+        F.row_number().over(w_ord).cast("long").alias("i"),
+        F.coalesce(
+            F.sum("sup").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("cprev"),
+        F.sum("sup")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("ccum"),
+    )
+    f = o.crossJoin(b).withColumn(
+        "saturated",
+        F.col("cprev") + F.col("sup") * (F.col("k") - F.col("i") + 1)
+        <= F.col("budget"),
+    )
+    m = F.broadcast(
+        f.agg(
+            F.coalesce(
+                F.max(F.when(F.col("saturated"), F.col("ccum"))), F.lit(0)
+            ).alias("c_m"),
+            F.sum(F.col("saturated").cast("int")).cast("long").alias("m"),
+        )
+    )
+    return (
+        f.crossJoin(m)
+        .select(
+            "source",
+            F.col("sup").alias("supply_chars"),
+            quant(
+                F.when(F.col("saturated"), F.col("sup").cast("double")).otherwise(
+                    (F.col("budget") - F.col("c_m"))
+                    * 1.0
+                    / (F.col("k") - F.col("m"))
+                ),
+                2,
+            ).alias("alloc_chars"),
+            "saturated",
+        )
+        .orderBy("source")
+    )

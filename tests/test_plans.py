@@ -170,6 +170,7 @@ _BOUNDED_ALLPAIRS = {
     "hybrid_search_rrf",  # embeds the bm25/cosine 1-row corpus-stat cross joins
     "ann_ndcg_audit",  # embeds the brute/ANN top-k plans + 1-row IDCG cross join
     "mmr_diverse_topk",  # POOL^2=100-row candidate self-join + 1-row cross joins
+    "source_token_waterfill",  # broadcast 1-row budget/level cross joins
 }
 
 
@@ -254,6 +255,8 @@ _BOUNDED_GLOBAL_WINDOW = {
     "ann_ndcg_audit",
     # rank windows over the ALREADY-LIMITed 10-row candidate pool
     "mmr_diverse_topk",
+    # cumulative supply over the SOURCE-DOMAIN-bounded k-row frame
+    "source_token_waterfill",
 }
 
 

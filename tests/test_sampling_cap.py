@@ -65,3 +65,42 @@ def test_cap_actually_binds_at_test_sf(spark, naive_rows):
     # exercising the boundary ranking
     assert all(r["n_docs"] > DOC_CAP_K for r in naive_rows.values())
     assert all(r["n_kept"] == DOC_CAP_K for r in naive_rows.values())
+
+
+def test_waterfill_matches_greedy_reference(spark):
+    """Water-fill must match the textbook iterative reference (raise
+    the level until the budget is spent, freezing saturated sources)
+    and satisfy the allocation invariants."""
+    import pandas as pd
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    sup = docs.groupby("source")["n_chars"].sum().astype("int64")
+    budget = int(sup.sum()) // 2
+    # iterative reference: repeatedly split the remaining budget
+    # equally; any source whose supply is below its share saturates
+    alloc = {}
+    remaining = dict(sup)
+    b = budget
+    while remaining:
+        level = b / len(remaining)
+        sat = {s: v for s, v in remaining.items() if v <= level}
+        if not sat:
+            alloc.update({s: level for s in remaining})
+            break
+        for s, v in sat.items():
+            alloc[s] = float(v)
+            b -= v
+            del remaining[s]
+    got = (
+        get_queries()["source_token_waterfill"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .set_index("source")
+    )
+    assert set(got.index) == set(sup.index)
+    for s in sup.index:
+        assert got.loc[s, "supply_chars"] == sup[s]
+        assert abs(got.loc[s, "alloc_chars"] - alloc[s]) < 0.02
+        assert bool(got.loc[s, "saturated"]) == (alloc[s] == float(sup[s]) and alloc[s] < budget)
+        assert got.loc[s, "alloc_chars"] <= sup[s] + 0.01
+    # the whole budget is spent (sum of allocations == budget)
+    assert abs(got["alloc_chars"].sum() - budget) < 0.05

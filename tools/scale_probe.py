@@ -88,6 +88,7 @@ DOC_QUERIES = (
     "doc_len_tok_spearman",  # histogram midranks: windows stay domain-bounded
     "doc_subword_stats_iterpandas",  # Arrow iterator UDF: map-only, batch-bounded
     "source_length_w1_drift",  # CDF-gap integral on the bounded value grid
+    "source_token_waterfill",  # one partial agg + k-row source-domain frame
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i

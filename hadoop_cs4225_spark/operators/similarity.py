@@ -853,3 +853,101 @@ def label_norm_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         quant("min_norm", 6).alias("min_norm"),
         quant("max_norm", 6).alias("max_norm"),
     ).orderBy("label")
+
+
+#: Johnson-Lindenstrauss random projection: output dimensionality and
+#: the deterministic ±1 projection matrix (same md5-parity construction
+#: as the LSH planes, different salt — embedded as literals in BOTH
+#: engines, like PLANES).
+RP_OUT = 16
+RP_SIGNS: list[list[float]] = [
+    [
+        1.0
+        if hashlib.md5(f"rp:{p}:{d}".encode()).digest()[0] % 2 == 0
+        else -1.0
+        for d in range(EMB_DIM)
+    ]
+    for p in range(RP_OUT)
+]
+
+
+def _rp_norm2_col(emb: str) -> Column:
+    """||(1/sqrt(k)) S x||^2 for the ±1 matrix S — ONE walk of the
+    64-dim array via the struct-accumulator fold (the ``_bucket_col``
+    discipline: one array pass for all 16 projections, one F.expr
+    string so plan build stays cheap), then the 16 squared sums are
+    added in fixed p order. Dimension-order addition per projection
+    matches the oracle's ``list_reduce`` exactly."""
+    coefs = ", ".join(
+        "named_struct("
+        + ", ".join(f"'c{p}', {RP_SIGNS[p][d]}D" for p in range(RP_OUT))
+        + ")"
+        for d in range(EMB_DIM)
+    )
+    prod_fields = ", ".join(
+        f"'s{p}', CAST(x AS DOUBLE) * c.c{p}" for p in range(RP_OUT)
+    )
+    zero = ", ".join(f"'s{p}', 0.0D" for p in range(RP_OUT))
+    merge = ", ".join(f"'s{p}', a.s{p} + x.s{p}" for p in range(RP_OUT))
+    norm2 = " + ".join(f"a.s{p} * a.s{p}" for p in range(RP_OUT))
+    return F.expr(
+        f"aggregate(zip_with({emb}, array({coefs}), "
+        f"(x, c) -> named_struct({prod_fields})), "
+        f"named_struct({zero}), "
+        f"(a, x) -> named_struct({merge}), "
+        f"a -> ({norm2}) / {float(RP_OUT)}D)"
+    )
+
+
+def _rp_norm2_sql(emb: str) -> str:
+    sums = " + ".join(
+        f"POWER({_dot_sql(emb, '[' + ', '.join(str(v) for v in RP_SIGNS[p]) + ']::DOUBLE[]')}, 2)"
+        for p in range(RP_OUT)
+    )
+    return f"(({sums}) / {float(RP_OUT)})"
+
+
+@register(
+    "embedding_rp_distortion",
+    oracle=f"""
+WITH d AS (
+  SELECT {quant_sql(
+      f"{_rp_norm2_sql('embedding')} / {_dot_sql('embedding', 'embedding')}",
+      2,
+  )} AS distortion_bin
+  FROM embeddings
+)
+SELECT distortion_bin, CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM d
+GROUP BY distortion_bin
+ORDER BY distortion_bin
+""",
+)
+def embedding_rp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketch quality: project every embedding
+    64 -> 16 dims with a deterministic ±1 matrix scaled by 1/sqrt(k)
+    and histogram the norm distortion ||y||^2/||x||^2 (JL says it
+    concentrates around 1; the histogram is the acceptance test you
+    run BEFORE switching a pipeline stage to the 4x-cheaper sketch).
+    Completes the embedding-compression toolkit: int8 quantization
+    (`embedding_int8_quant`) shrinks the value domain, PQ
+    (`pq_adc_query_topk`) the codebook, RP the DIMENSION.
+
+    Map-only: one walk of each embedding computes all 16 projections
+    via the struct-accumulator fold (`_bucket_col` discipline), plus
+    one self-dot fold; the histogram is a partial-agg groupBy on the
+    2-dp-quantized ratio (a bounded key domain — distortions
+    concentrate near 1 by the JL lemma). At 100 TB this is one scan,
+    no shuffle beyond the tiny histogram.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        quant(
+            _rp_norm2_col("embedding") / _dot("embedding", "embedding"), 2
+        ).alias("distortion_bin")
+    )
+    return (
+        d.groupBy("distortion_bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+        .orderBy("distortion_bin")
+    )

@@ -90,3 +90,44 @@ def test_arrow_grouped_map_norms_match_jvm_fold(spark):
         assert got[label].n_vecs == ref[label].n_vecs
         for c in ("mean_norm", "min_norm", "max_norm"):
             assert abs(got[label][c] - ref[label][c]) < 1e-4, (label, c)
+
+
+def test_rp_distortion_matches_numpy_projection(spark):
+    """The JL distortion histogram must equal a direct numpy projection
+    with the same ±1 matrix, and concentrate around 1."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from hadoop_cs4225_spark.operators.similarity import RP_OUT, RP_SIGNS
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    X = np.stack(emb["embedding"].map(np.asarray)).astype(np.float64)
+    S = np.asarray(RP_SIGNS)  # (16, 64)
+    y2 = ((X @ S.T) ** 2).sum(axis=1) / RP_OUT
+    x2 = (X**2).sum(axis=1)
+    bins = np.floor(y2 / x2 * 100 + 0.5) / 100
+    want = pd.Series(bins).value_counts().to_dict()
+    got = {
+        r["distortion_bin"]: r["n_vecs"]
+        for _, r in registry.QUERIES["embedding_rp_distortion"](
+            spark, SF_SMOKE
+        )
+        .toPandas()
+        .iterrows()
+    }
+    # numpy reassociates the fold, so a ratio landing on a 0.005 bin
+    # edge may bin one step off — allow per-bin neighbour slack but
+    # require identical support and total mass
+    assert sum(got.values()) == len(X)
+    for b, n in got.items():
+        near = sum(want.get(round(b + d, 2), 0) for d in (-0.01, 0.0, 0.01))
+        assert n <= near, (b, n)
+    # JL concentration: at k=16 the sketch variance is ~2/k, so the
+    # bulk (not all) of the mass sits in a wide band around 1
+    mass_near_1 = sum(n for b, n in got.items() if 0.3 <= b <= 2.0)
+    assert mass_near_1 / len(X) > 0.9
+    # mean distortion ~ 1 (unbiasedness of the ±1 sketch)
+    mean = sum(b * n for b, n in got.items()) / len(X)
+    assert abs(mean - 1.0) < 0.1

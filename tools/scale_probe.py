@@ -111,6 +111,7 @@ EMB_QUERIES = (
     "kmeans_embedding_clusters",  # per-iteration joins: linear in n per round
     "ann_ndcg_audit",  # constant fusion layer over the methods' own plans
     "mmr_diverse_topk",  # brute top-k plan + O(K*POOL^2) constant greedy layer
+    "embedding_rp_distortion",  # map-only JL fold + tiny histogram agg
 )
 
 #: queries probed across the real sf dirs (10x data per step).

@@ -1795,54 +1795,14 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLM_GRID = 1_000_000_000
 
 
-@register(
-    "doc_bigram_logprob",
-    oracle=f"""
-WITH toks AS (
-  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
-), uni AS (
-  SELECT unnest(toks) AS w FROM toks
-), unicnt AS (
-  SELECT w, COUNT(*) AS c FROM uni GROUP BY w
-), vocab AS (
-  SELECT COUNT(*) AS v FROM unicnt
-), pairs AS (
-  SELECT doc_id, toks[g.i] AS w1, toks[g.i + 1] AS w2
-  FROM toks, LATERAL (SELECT unnest(range(1, len(toks))) AS i) g
-), paircnt AS (
-  SELECT w1, w2, COUNT(*) AS c_ab FROM pairs GROUP BY w1, w2
-), terms AS (
-  SELECT p.doc_id,
-         CAST(floor((LN(CAST(pc.c_ab + 1 AS DOUBLE))
-                     - LN(CAST(u.c + vb.v AS DOUBLE)))
-                    * {_BLM_GRID} + 0.5) AS BIGINT) AS t_s
-  FROM pairs p
-  JOIN paircnt pc ON pc.w1 = p.w1 AND pc.w2 = p.w2
-  JOIN unicnt u ON u.w = p.w1
-  CROSS JOIN vocab vb
-)
-SELECT doc_id, COUNT(*) AS n_bigrams,
-       {quant_sql(f"CAST(SUM(t_s) AS BIGINT) * 1.0 / COUNT(*) / {_BLM_GRID}",
-                  6)} AS avg_logp
-FROM terms
-GROUP BY doc_id
-ORDER BY doc_id
-""",
-)
-def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document mean bigram log-probability under the corpus
-    bigram LM with add-one smoothing: ln((c(w1,w2)+1)/(c(w1)+V)).
-    The bigram upgrade of ``doc_unigram_logprob`` — fluency scoring
-    that penalizes improbable TRANSITIONS, the stronger quality proxy.
-
-    Every ln argument is an integer (engine-stable); each bigram's
-    term is floored onto a 1e-9-nat grid before the per-doc sum, so
-    per-doc aggregation order cannot move the result. Plan: map-side
-    bigram stream (zip_with on the shifted self), one pair-count and
-    one unigram-count shuffle, two vocabulary-keyed equi-joins back
-    onto the stream, a 1-row broadcast vocabulary size.
-    """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", _toks().alias("toks"))
+def _bigram_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, t_s): each bigram's add-one-smoothed log-prob floored
+    onto the 1e-9-nat integer grid — shared by ``doc_bigram_logprob``
+    and ``source_bigram_perplexity`` so the two score under the SAME
+    language model. SQL twin: :data:`_BLM_TERMS_CTES`."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _toks().alias("toks")
+    )
     pairs = (
         docs.where(F.size("toks") >= 2)
         .select(
@@ -1866,7 +1826,7 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # marginal join + vocab size
     )
     vocab = F.broadcast(unicnt.agg(F.count(F.lit(1)).alias("v")))
-    terms = (
+    return (
         pairs.join(paircnt, ["w1", "w2"])
         .join(unicnt.select(F.col("w").alias("w1"), "c"), "w1")
         .crossJoin(vocab)
@@ -1884,8 +1844,63 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("t_s"),
         )
     )
+
+
+#: Bigram-LM term CTEs shared by ``doc_bigram_logprob`` and
+#: ``source_bigram_perplexity`` — MUST stay the SQL twin of
+#: :func:`_bigram_terms`.
+_BLM_TERMS_CTES = f"""toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), uni AS (
+  SELECT unnest(toks) AS w FROM toks
+), unicnt AS (
+  SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+), vocab AS (
+  SELECT COUNT(*) AS v FROM unicnt
+), pairs AS (
+  SELECT doc_id, toks[g.i] AS w1, toks[g.i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(toks))) AS i) g
+), paircnt AS (
+  SELECT w1, w2, COUNT(*) AS c_ab FROM pairs GROUP BY w1, w2
+), terms AS (
+  SELECT p.doc_id,
+         CAST(floor((LN(CAST(pc.c_ab + 1 AS DOUBLE))
+                     - LN(CAST(u.c + vb.v AS DOUBLE)))
+                    * {_BLM_GRID} + 0.5) AS BIGINT) AS t_s
+  FROM pairs p
+  JOIN paircnt pc ON pc.w1 = p.w1 AND pc.w2 = p.w2
+  JOIN unicnt u ON u.w = p.w1
+  CROSS JOIN vocab vb
+)"""
+
+
+@register(
+    "doc_bigram_logprob",
+    oracle=f"""
+WITH {_BLM_TERMS_CTES}
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       {quant_sql(f"CAST(SUM(t_s) AS BIGINT) * 1.0 / COUNT(*) / {_BLM_GRID}",
+                  6)} AS avg_logp
+FROM terms
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus
+    bigram LM with add-one smoothing: ln((c(w1,w2)+1)/(c(w1)+V)).
+    The bigram upgrade of ``doc_unigram_logprob`` — fluency scoring
+    that penalizes improbable TRANSITIONS, the stronger quality proxy.
+
+    Every ln argument is an integer (engine-stable); each bigram's
+    term is floored onto a 1e-9-nat grid before the per-doc sum, so
+    per-doc aggregation order cannot move the result. Plan: map-side
+    bigram stream (zip_with on the shifted self), one pair-count and
+    one unigram-count shuffle, two vocabulary-keyed equi-joins back
+    onto the stream, a 1-row broadcast vocabulary size.
+    """
     return (
-        terms.groupBy("doc_id")
+        _bigram_terms(spark, sf_dir).groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             quant(
@@ -2062,3 +2077,58 @@ def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         quant(num / den, 6).alias("auc"),
         quant(num / den * 2.0 - 1.0, 6).alias("gini_coef"),
     )
+
+
+@register(
+    "source_bigram_perplexity",
+    oracle=f"""
+WITH {_BLM_TERMS_CTES}, agg AS (
+  SELECT d.source,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(t.t_s) AS BIGINT) AS s
+  FROM terms t JOIN documents d ON t.doc_id = d.doc_id
+  GROUP BY d.source
+)
+SELECT source, n_bigrams,
+       {quant_sql(f"s * 1.0 / n_bigrams / {_BLM_GRID}", 6)} AS avg_logp,
+       {quant_sql(f"EXP(-(s * 1.0 / n_bigrams / {_BLM_GRID}))", 4)}
+         AS perplexity
+FROM agg
+ORDER BY source
+""",
+)
+def source_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bigram perplexity under the corpus LM — THE headline
+    number an LLM-data pipeline quotes per source: ppl = exp(-mean
+    bigram log-prob over all of the source's transitions). A source
+    whose perplexity spikes relative to the corpus is either a domain
+    shift or a quality regression; this is the per-source roll-up of
+    ``doc_bigram_logprob``'s per-document fluency score, under the
+    SAME model by construction (:func:`_bigram_terms` /
+    :data:`_BLM_TERMS_CTES` shared with that query).
+
+    Determinism: per-bigram terms are exact integers on the 1e-9-nat
+    grid, the per-source sum is a BIGINT (order-free), the mean is one
+    quantized division, and EXP runs on an identical double in both
+    engines (quantized at 4 dp, the coarser grid absorbing any last-ulp
+    libm disagreement). Plan: the terms stream's own shuffles plus ONE
+    extra doc_id-keyed join to fetch sources and a per-source partial
+    agg — nothing new that scales with corpus size beyond the join.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    agg = (
+        _bigram_terms(spark, sf_dir)
+        .join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("t_s").cast("long").alias("s"),
+        )
+    )
+    avg_logp = F.col("s") * 1.0 / F.col("n_bigrams") / _BLM_GRID
+    return agg.select(
+        "source",
+        "n_bigrams",
+        quant(avg_logp, 6).alias("avg_logp"),
+        quant(F.exp(-avg_logp), 4).alias("perplexity"),
+    ).orderBy("source")

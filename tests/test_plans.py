@@ -171,6 +171,7 @@ _BOUNDED_ALLPAIRS = {
     "ann_ndcg_audit",  # embeds the brute/ANN top-k plans + 1-row IDCG cross join
     "mmr_diverse_topk",  # POOL^2=100-row candidate self-join + 1-row cross joins
     "source_token_waterfill",  # broadcast 1-row budget/level cross joins
+    "source_bigram_perplexity",  # broadcast 1-row vocabulary-size cross join
 }
 
 

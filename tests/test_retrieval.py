@@ -188,3 +188,32 @@ def test_mmr_matches_greedy_numpy(spark):
         assert abs(gm - wm) < 1e-6
     # diversification must actually reorder vs pure relevance
     assert len(set(v for _, v, _ in got)) == MMR_K
+
+
+def test_source_perplexity_is_weighted_rollup_of_doc_logprob(spark):
+    """source ppl must equal exp(-(sum over docs of n_bigrams*avg_logp)
+    / total bigrams) computed from the SIBLING registered query — the
+    two score under one shared LM by construction."""
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[
+        ["doc_id", "source"]
+    ]
+    per_doc = (
+        registry.QUERIES["doc_bigram_logprob"](spark, SF_SMOKE)
+        .toPandas()
+        .merge(docs, on="doc_id")
+    )
+    got = registry.QUERIES["source_bigram_perplexity"](
+        spark, SF_SMOKE
+    ).toPandas()
+    for _, row in got.iterrows():
+        g = per_doc[per_doc["source"] == row["source"]]
+        n = int(g["n_bigrams"].sum())
+        assert row["n_bigrams"] == n
+        # per-doc avg_logp is quantized at 6dp, so the re-weighted
+        # mean carries up to ~1e-6 of quantization noise per doc
+        mean = float((g["n_bigrams"] * g["avg_logp"]).sum()) / n
+        assert abs(row["avg_logp"] - mean) < 1e-4
+        assert abs(row["perplexity"] - math.exp(-row["avg_logp"])) < 2e-4
+        assert row["perplexity"] > 1.0  # nonzero LM entropy

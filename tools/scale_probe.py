@@ -89,6 +89,7 @@ DOC_QUERIES = (
     "doc_subword_stats_iterpandas",  # Arrow iterator UDF: map-only, batch-bounded
     "source_length_w1_drift",  # CDF-gap integral on the bounded value grid
     "source_token_waterfill",  # one partial agg + k-row source-domain frame
+    "source_bigram_perplexity",  # bigram-stream shuffles + one doc-keyed join
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hadoop_cs4225_spark.functions.numeric import quant, quant_sql
 from hadoop_cs4225_spark.registry import register
 from hadoop_cs4225_spark.sources.tables import load_table
 
@@ -80,3 +81,66 @@ def orders_scan_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
         m[k] for k in ("n_orders", "n_open", "total_cents", "min_key", "max_key")
     )
     return spark.createDataFrame([row], schema=_METRIC_SCHEMA)
+
+
+#: k-anonymity threshold and the account-balance band width (dollars)
+#: used as the third quasi-identifier dimension.
+_KANON_K = 5
+_KANON_BAND = 1000
+
+
+@register(
+    "customer_k_anonymity_audit",
+    oracle=f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / {_KANON_BAND}) AS BIGINT) AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS sz
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment, bal_band
+)
+SELECT {_KANON_K} AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(sz) AS BIGINT) AS min_group_size,
+       CAST(SUM(CASE WHEN sz < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_groups_below_k,
+       CAST(SUM(CASE WHEN sz < {_KANON_K} THEN sz ELSE 0 END) AS BIGINT)
+         AS n_records_at_risk,
+       {quant_sql(
+           f"SUM(CASE WHEN sz < {_KANON_K} THEN sz ELSE 0 END) * 1.0"
+           " / SUM(sz)", 6)} AS pct_at_risk
+FROM g
+""",
+)
+def customer_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier triple (nation,
+    market segment, $1000 account-balance band): how many QI groups
+    fall below k=5 members and what fraction of customers they expose —
+    the governance gate a dataset passes before an external release
+    (the aggregate sibling of ``pii_redaction_scrub``, which fixes
+    row-level identifiers; this measures REIDENTIFICATION risk from the
+    attributes that remain).
+
+    Plan: one partial-agg groupBy over the bounded QI domain
+    (nations x segments x balance bands — a dictionary cross product,
+    not corpus rows), then a 1-row summary aggregate. At 100 TB this is
+    a single scan; the QI histogram fits in one task regardless of
+    customer count.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / _KANON_BAND).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    below = F.when(F.col("sz") < _KANON_K, F.col("sz")).otherwise(F.lit(0))
+    return g.agg(
+        F.lit(_KANON_K).alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("sz").cast("long").alias("min_group_size"),
+        F.sum((F.col("sz") < _KANON_K).cast("long"))
+        .cast("long")
+        .alias("n_groups_below_k"),
+        F.sum(below).cast("long").alias("n_records_at_risk"),
+        quant(F.sum(below) * 1.0 / F.sum("sz"), 6).alias("pct_at_risk"),
+    )

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hadoop_cs4225_spark.functions.hashing import hash60, hash60_sql
 from hadoop_cs4225_spark.functions.numeric import quant, quant_sql, rsum
 from hadoop_cs4225_spark.operators.dedup import (
     _SHINGLES_SQL,
@@ -35,6 +36,7 @@ from hadoop_cs4225_spark.operators.dedup import (
     _shingles,
     _toks,
 )
+from hadoop_cs4225_spark.operators.sampling import TRAIN_PCT
 from hadoop_cs4225_spark.registry import register
 from hadoop_cs4225_spark.sources.tables import load_events, load_table
 
@@ -955,4 +957,84 @@ def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "eval_ngram_novelty",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS s
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t0
+  WHERE len(toks) >= 3
+), lab AS (
+  SELECT doc_id, s,
+         ({hash60_sql("CAST(doc_id AS VARCHAR)")} % 100 < {TRAIN_PCT})
+           AS is_train
+  FROM sh
+), train AS (
+  SELECT DISTINCT s FROM lab WHERE is_train
+), test AS (
+  SELECT doc_id, s FROM lab WHERE NOT is_train
+), st AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(COUNT(*) - COUNT(tr.s) AS BIGINT) AS n_novel
+  FROM test t LEFT JOIN train tr ON t.s = tr.s
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_shingles, n_novel,
+       {quant_sql("CAST(n_novel AS DOUBLE) / n_shingles", 4)} AS novelty_frac
+FROM st
+ORDER BY novelty_frac, doc_id
+LIMIT 100
+""",
+)
+def eval_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization risk of the eval split: for every TEST document
+    (the registered hash-based 90/10 split — same membership expression
+    as ``documents_split_stats``), the fraction of its distinct
+    3-grams NOT seen anywhere in the TRAIN split. Least-novel docs
+    first: a test doc whose n-grams are nearly all in train measures
+    the train set, not the model — the eval-integrity twin of
+    ``decontamination_overlap`` (which looks corpus -> external probe;
+    this looks train -> eval across the pipeline's OWN split).
+
+    Plan: shingling is a flatMap; ONE shingle-keyed join between the
+    test stream and the distinct train shingle set (hot stopword
+    shingles AQE-skew-split), one partial-agg groupBy(doc_id), a
+    distributed bottom-k. Split membership is a per-row hash
+    expression — no split table to join."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", _toks().alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("s"))
+        .withColumn(
+            "is_train",
+            hash60(F.col("doc_id").cast("string")) % 100 < TRAIN_PCT,
+        )
+        .localCheckpoint(eager=False)  # feeds both split sides
+    )
+    train = sh.where(F.col("is_train")).select("s").distinct()
+    test = sh.where(~F.col("is_train")).select("doc_id", "s")
+    st = (
+        test.join(train.withColumn("hit", F.lit(1)), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            (F.count(F.lit(1)) - F.count("hit")).cast("long").alias("n_novel"),
+        )
+    )
+    return (
+        st.select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            quant(
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 4
+            ).alias("novelty_frac"),
+        )
+        .orderBy("novelty_frac", "doc_id")
+        .limit(100)
     )

@@ -217,3 +217,77 @@ def test_source_perplexity_is_weighted_rollup_of_doc_logprob(spark):
         assert abs(row["avg_logp"] - mean) < 1e-4
         assert abs(row["perplexity"] - math.exp(-row["avg_logp"])) < 2e-4
         assert row["perplexity"] > 1.0  # nonzero LM entropy
+
+
+def test_ngram_novelty_matches_pandas_reference(spark):
+    """Novelty fractions must equal a pure-Python re-derivation
+    (regex-split tokens -> distinct 3-gram shingles -> hash-split
+    train/test -> set difference)."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    from hadoop_cs4225_spark.operators.sampling import TRAIN_PCT
+
+    def h60(s: str) -> int:
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 4
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    shingles = {}
+    for _, r in docs.iterrows():
+        toks = [t for t in re.split(r"[ \t\n\r\f]+", r["text"]) if t]
+        if len(toks) < 3:
+            continue
+        shingles[int(r["doc_id"])] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    train = set().union(
+        *(
+            s
+            for d, s in shingles.items()
+            if h60(str(d)) % 100 < TRAIN_PCT
+        )
+    )
+    want = {}
+    for d, s in shingles.items():
+        if h60(str(d)) % 100 < TRAIN_PCT:
+            continue
+        novel = len(s - train)
+        want[d] = (len(s), novel, novel / len(s))
+    got = registry.QUERIES["eval_ngram_novelty"](spark, SF_SMOKE).toPandas()
+    # the query returns the bottom-100 by novelty; every returned row
+    # must match the reference exactly
+    assert len(got) == min(100, len(want))
+    for _, row in got.iterrows():
+        n, novel, frac = want[int(row["doc_id"])]
+        assert row["n_shingles"] == n
+        assert row["n_novel"] == novel
+        assert abs(row["novelty_frac"] - frac) < 1e-4
+    # and be the true bottom-k of the reference ranking
+    ref_order = sorted(want.items(), key=lambda kv: (kv[1][2], kv[0]))
+    assert list(got["doc_id"]) == [d for d, _ in ref_order[: len(got)]]
+
+
+def test_k_anonymity_matches_pandas(spark):
+    import math as _math
+
+    import pandas as pd
+
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    g = (
+        cust.assign(
+            bal_band=(cust["c_acctbal"] / 1000).map(_math.floor)
+        )
+        .groupby(["c_nationkey", "c_mktsegment", "bal_band"])
+        .size()
+    )
+    got = registry.QUERIES["customer_k_anonymity_audit"](
+        spark, SF_SMOKE
+    ).collect()[0]
+    assert got["k"] == 5
+    assert got["n_groups"] == len(g)
+    assert got["min_group_size"] == int(g.min())
+    assert got["n_groups_below_k"] == int((g < 5).sum())
+    assert got["n_records_at_risk"] == int(g[g < 5].sum())
+    assert abs(got["pct_at_risk"] - g[g < 5].sum() / g.sum()) < 1e-6

@@ -90,6 +90,7 @@ DOC_QUERIES = (
     "source_length_w1_drift",  # CDF-gap integral on the bounded value grid
     "source_token_waterfill",  # one partial agg + k-row source-domain frame
     "source_bigram_perplexity",  # bigram-stream shuffles + one doc-keyed join
+    "eval_ngram_novelty",  # one shingle-keyed join vs the train shingle set
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i

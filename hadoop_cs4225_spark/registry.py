@@ -130,7 +130,16 @@ def load_all() -> None:
 #: pytest run) plus the sf0.01/sf0.1 scale pins.
 #:
 #: ROUND-8 ROTATION BACKLOG: queries registered during round 7 AFTER
-#: this window froze have no driver row yet and lead the next rotation.
+#: this window froze have no driver row yet and lead the next rotation:
+#: source_trimmed_stats_pandas, doc_subword_stats_iterpandas,
+#: lang_id_agreement_kappa, orders_priority_price_kendall,
+#: orders_scan_observed, lineitem_correlation_matrix,
+#: doc_len_tok_spearman, events_multires_rollup, quality_score_auc,
+#: hybrid_search_rrf, ann_ndcg_audit, mmr_diverse_topk,
+#: source_length_w1_drift, source_token_waterfill,
+#: embedding_rp_distortion, source_bigram_perplexity,
+#: eval_ngram_novelty, customer_k_anonymity_audit (all oracled and
+#: replica-green at sf0.001/0.01/0.1 in-round; see tests).
 _PRIORITY = (
     # --- late-session-2 round-6 additions, never driver-checked ---
     "source_length_powerlaw",      # CCDF power-law tail fit

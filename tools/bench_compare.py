@@ -28,6 +28,13 @@ but never fail the gate.
 comparison never depends on the driver's rotating 50-query
 ``BENCH_r0N.json`` window (disjoint windows made r05 vs r06
 incomparable). The gate itself still reads the promoted baseline.
+
+Noise discipline: the gate divides every ratio by the MEDIAN shared
+ratio first (the host delta — a fresh VM per round shifts every query
+together; a real regression shifts alone), and a detail produced for
+promotion should be the per-query MIN over >=2 bench.py runs
+(single-run sub-second timings jitter 2-4x on a busy local[32]; the
+round-7 A/B runs flagged two fully DISJOINT "regression" sets).
 """
 
 from __future__ import annotations
@@ -78,6 +85,20 @@ def main() -> int:
         return 2
 
     cq, bq = cur["queries"], base["queries"]
+    # Host normalization: the driver provisions a FRESH VM per round,
+    # so a baseline promoted last round carries that host's speed. The
+    # median per-query ratio measures the host delta (every query
+    # shifts together under a slower host; a real regression shifts
+    # alone) — divide it out before thresholding, exactly the
+    # host-adjustment the round judge applies. Median over shared
+    # green queries only; 1.0 when nothing is comparable.
+    shared = [
+        cq[n] / bq[n]
+        for n in cq
+        if n in bq and bq[n] > 0 and cq[n] > 0
+    ]
+    host = sorted(shared)[len(shared) // 2] if shared else 1.0
+    print(f"host-median ratio: {host:.3f} (ratios below are adjusted)")
     regressions, broke = [], []
     for name, t in sorted(cq.items()):
         b = bq.get(name)
@@ -88,22 +109,22 @@ def main() -> int:
             broke.append(name)
         elif b is None:
             print(f"new    {name}: {t}s (no baseline)")
-        elif b >= 0 and t > THRESH * b and max(t, b) >= FLOOR:
+        elif b >= 0 and t > THRESH * b * host and max(t, b) >= FLOOR:
             regressions.append((name, b, t))
     for name in sorted(set(bq) - set(cq)):
         print(f"gone   {name} (was {bq[name]}s)")
 
     for name, b, t in regressions:
-        print(f"SLOWER {name}: {b}s -> {t}s ({t / b:.2f}x)")
+        print(f"SLOWER {name}: {b}s -> {t}s ({t / b / host:.2f}x adj)")
     for name in broke:
         was = f"was {bq[name]}s" if name in bq else "new query"
         print(f"BROKE  {name}: {was}, now FAILED")
 
-    total_ratio = cur["total_sec"] / base["total_sec"]
+    total_ratio = cur["total_sec"] / base["total_sec"] / host
     print(
         f"suite: {base['total_sec']}s -> {cur['total_sec']}s "
-        f"({total_ratio:.2f}x), per-query regressions: {len(regressions)}, "
-        f"broken: {len(broke)}"
+        f"({total_ratio:.2f}x adj), per-query regressions: "
+        f"{len(regressions)}, broken: {len(broke)}"
     )
     if broke or regressions or total_ratio > THRESH_TOTAL:
         return 1

@@ -112,3 +112,145 @@ def event_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: Explicit count-min sketch geometry: d hash rows x w buckets. Unlike
+#: `event_freq_cms` (Spark's opaque native sketch blob), this CMS is
+#: built from the cross-engine md5 hash family, so the DuckDB oracle
+#: reproduces every cell and estimate bit-exactly.
+_CMS_D = 3
+_CMS_W = 256
+
+
+def _cms_audit_oracle() -> str:
+    from hadoop_cs4225_spark.functions.hashing import hash60_seeded_sql
+    from hadoop_cs4225_spark.functions.numeric import quant_sql
+
+    def b(seed: int, expr: str) -> str:
+        return f"({hash60_seeded_sql(expr, seed)} % {_CMS_W})"
+
+    sketch_rows = "\nUNION ALL\n".join(
+        f"SELECT {d} AS d, {b(d, 'CAST(user_id AS VARCHAR)')} AS bucket"
+        " FROM events"
+        for d in range(1, _CMS_D + 1)
+    )
+    user_rows = "\nUNION ALL\n".join(
+        f"SELECT user_id, xc, {d} AS d,"
+        f" {b(d, 'CAST(user_id AS VARCHAR)')} AS bucket FROM exact"
+        for d in range(1, _CMS_D + 1)
+    )
+    return f"""
+WITH cms AS (
+  SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ({sketch_rows}) s
+  GROUP BY d, bucket
+), exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS xc
+  FROM events GROUP BY user_id
+), ud AS (
+{user_rows}
+), est AS (
+  SELECT u.user_id, ANY_VALUE(u.xc) AS xc,
+         CAST(MIN(c.c) AS BIGINT) AS est
+  FROM ud u JOIN cms c ON c.d = u.d AND c.bucket = u.bucket
+  GROUP BY u.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN est = xc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact,
+       {quant_sql(
+           "SUM(CASE WHEN est = xc THEN 1 ELSE 0 END) * 1.0 / COUNT(*)",
+           6)} AS pct_exact,
+       CAST(MAX(est - xc) AS BIGINT) AS max_overestimate,
+       {quant_sql("SUM(est - xc) * 1.0 / COUNT(*)", 6)} AS avg_overestimate
+FROM est
+"""
+
+
+@register("user_freq_cms_audit", oracle=_cms_audit_oracle())
+def user_freq_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch built from first principles (d=3 md5 hash rows
+    x w=256 buckets) over per-user event counts, audited against the
+    exact counts: how many users the sketch answers exactly, and the
+    max/mean one-sided overestimate. The cross-engine twin of
+    `event_freq_cms` (whose native Spark sketch blob no SQL oracle can
+    reproduce): here every cell, estimate and error statistic is
+    bit-identical in DuckDB, so the ALGORITHM itself is under the
+    oracle gate — and the audit is what a deployment tracks to size
+    (d, w) against its real key skew.
+
+    CMS invariant pinned in tests: estimates NEVER undercount
+    (est = min over d rows of the user's bucket counts, each of which
+    includes all of the user's own events).
+
+    Plan: the sketch build is a d-way row fanout folded by ONE
+    partial-agg groupBy into d*w = 768 cells (map-side combine does
+    the heavy lifting; the shuffle moves at most 768 rows per
+    partition); estimates join the bounded user domain x d rows
+    against the broadcast-size cell table; the report is a 1-row
+    aggregate. At 100 TB: one scan, constant-size state — the sketch
+    IS the bounded-memory answer to per-key counting.
+    """
+    from hadoop_cs4225_spark.functions.hashing import hash60_seeded
+
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+
+    def bucket(d: int) -> F.Column:
+        return (hash60_seeded(uid, d) % _CMS_W).alias("bucket")
+
+    hashed = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), bucket(d))
+                    for d in range(1, _CMS_D + 1)
+                ]
+            )
+        ).alias("h")
+    ).select("h.d", "h.bucket")
+    cms = F.broadcast(
+        hashed.groupBy("d", "bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("xc")
+    )
+    ud = exact.select(
+        "user_id",
+        "xc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), bucket(d))
+                    for d in range(1, _CMS_D + 1)
+                ]
+            )
+        ).alias("h"),
+    ).select("user_id", "xc", "h.d", "h.bucket")
+    est = (
+        ud.join(cms, ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(F.first("xc").alias("xc"), F.min("c").cast("long").alias("est"))
+    )
+    from hadoop_cs4225_spark.functions.numeric import quant
+
+    return est.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum((F.col("est") == F.col("xc")).cast("long"))
+        .cast("long")
+        .alias("n_exact"),
+        quant(
+            F.sum((F.col("est") == F.col("xc")).cast("long"))
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pct_exact"),
+        F.max(F.col("est") - F.col("xc")).cast("long").alias(
+            "max_overestimate"
+        ),
+        quant(
+            F.sum(F.col("est") - F.col("xc")) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("avg_overestimate"),
+    )

@@ -75,3 +75,42 @@ def test_count_min_sketch_deterministic_and_bounded(spark):
         .orderBy("event_type")
     )
     assert [r.cms_hex for r in df1.collect()] == [r.cms_hex for r in df2.collect()]
+
+
+def test_cms_audit_never_undercounts_and_matches_reference(spark):
+    """The explicit CMS must (a) never undercount any user — the CMS
+    one-sided-error invariant — and (b) match a pure-Python sketch
+    built with the same hash family."""
+    import hashlib
+    from collections import Counter
+
+    import pandas as pd
+
+    from hadoop_cs4225_spark.operators.sketches import _CMS_D, _CMS_W
+    from hadoop_cs4225_spark.registry import get_queries
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    cms = Counter()
+    for u in ev["user_id"]:
+        for d in range(1, _CMS_D + 1):
+            cms[(d, h60(f"{d}:{u}") % _CMS_W)] += 1
+    exact = Counter(ev["user_id"])
+    over = []
+    for u, xc in exact.items():
+        est = min(
+            cms[(d, h60(f"{d}:{u}") % _CMS_W)] for d in range(1, _CMS_D + 1)
+        )
+        assert est >= xc, (u, est, xc)  # CMS never undercounts
+        over.append(est - xc)
+    got = get_queries()["user_freq_cms_audit"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert got["n_users"] == len(exact)
+    assert got["n_exact"] == sum(1 for o in over if o == 0)
+    assert got["max_overestimate"] == max(over)
+    assert got["max_overestimate"] >= 0
+    assert abs(got["avg_overestimate"] - sum(over) / len(over)) < 1e-6

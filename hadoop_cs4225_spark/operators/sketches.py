@@ -254,3 +254,120 @@ def user_freq_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("est") - F.col("xc")) * 1.0 / F.count(F.lit(1)), 6
         ).alias("avg_overestimate"),
     )
+
+
+#: Explicit HyperLogLog geometry: top _HLL_P hash bits pick the
+#: register, the remaining 52 bits feed the leading-zero rank.
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+_HLL_SUFFIX_BITS = 60 - _HLL_P
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+
+
+def _hll_audit_oracle() -> str:
+    from hadoop_cs4225_spark.functions.hashing import hash60_sql
+    from hadoop_cs4225_spark.functions.numeric import quant_sql
+
+    h = hash60_sql("CAST(user_id AS VARCHAR)")
+    mask = (1 << _HLL_SUFFIX_BITS) - 1
+    # CAST through VARCHAR: a bare 17-digit double literal would parse
+    # via DECIMAL in DuckDB and drop the last ulp (numeric.py note)
+    alpha = f"CAST('{_HLL_ALPHA!r}' AS DOUBLE)"
+    return f"""
+WITH regs AS (
+  SELECT ({h} >> {_HLL_SUFFIX_BITS}) AS bucket,
+         MAX(CASE WHEN ({h} & {mask}) = 0 THEN {_HLL_SUFFIX_BITS + 1}
+              ELSE {_HLL_SUFFIX_BITS + 1} - length(bin({h} & {mask}))
+             END) AS m_b
+  FROM events
+  GROUP BY bucket
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+         SUM(POWER(2.0, -m_b)) + ({_HLL_M} - COUNT(*)) * 1.0 AS denom
+  FROM regs
+), est AS (
+  SELECT n_used,
+         CASE WHEN {alpha} * {_HLL_M} * {_HLL_M} / denom <= 2.5 * {_HLL_M}
+                   AND n_used < {_HLL_M}
+              THEN {_HLL_M} * LN({_HLL_M} * 1.0 / ({_HLL_M} - n_used))
+              ELSE {alpha} * {_HLL_M} * {_HLL_M} / denom
+         END AS raw
+  FROM s
+), x AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM events
+)
+SELECT x.n_exact, est.n_used AS n_buckets_used,
+       {quant_sql("est.raw", 2)} AS hll_estimate,
+       {quant_sql("(est.raw - x.n_exact) / x.n_exact", 4)} AS rel_err
+FROM est CROSS JOIN x
+"""
+
+
+@register("user_distinct_hll_audit", oracle=_hll_audit_oracle())
+def user_distinct_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built from first principles (p=8: 256 registers off
+    the top hash bits, leading-zero ranks off the remaining 52, the
+    Flajolet alpha_m bias correction and the linear-counting
+    small-range branch), audited against the exact distinct-user
+    count. The distinct-counting twin of ``user_freq_cms_audit`` and
+    the cross-engine counterpart of ``sketch_distinct_users_by_type``
+    (whose Datasketches blob no oracle can reproduce): every register,
+    the harmonic-mean estimate and the relative error reproduce
+    bit-exactly in DuckDB — the sketch ALGORITHM under the oracle gate.
+
+    Integer-safe rank: leading zeros derive from the BINARY STRING
+    length of the 52-bit suffix (never floor(log2(x)), whose float
+    boundary behavior differs between engines at exact powers of two).
+    POWER(2, -m_b) values are exact IEEE powers of two.
+
+    Plan: one partial-agg groupBy into <=256 register cells (duplicate
+    adds are max-idempotent, so map-side combine collapses everything
+    locally), one exact countDistinct for the audit comparison, two
+    1-row frames cross-joined. At 100 TB the sketch side stays 256
+    cells whatever the cardinality — the audit's exact side is the
+    expensive one, which is precisely the point of keeping the sketch.
+    """
+    from hadoop_cs4225_spark.functions.hashing import hash60
+    from hadoop_cs4225_spark.functions.numeric import quant
+
+    ev = load_table(spark, sf_dir, "events")
+    h = hash60(F.col("user_id").cast("string"))
+    mask = (1 << _HLL_SUFFIX_BITS) - 1
+    suffix = h.bitwiseAND(F.lit(mask))
+    rank = F.when(suffix == 0, F.lit(_HLL_SUFFIX_BITS + 1)).otherwise(
+        F.lit(_HLL_SUFFIX_BITS + 1) - F.length(F.bin(suffix))
+    )
+    regs = (
+        ev.select(
+            F.shiftright(h, _HLL_SUFFIX_BITS).alias("bucket"),
+            rank.alias("r"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("r").alias("m_b"))
+    )
+    s = regs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("m_b")))
+            + (_HLL_M - F.count(F.lit(1))) * 1.0
+        ).alias("denom"),
+    )
+    raw_hll = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("denom")
+    est = s.select(
+        "n_used",
+        F.when(
+            (raw_hll <= 2.5 * _HLL_M) & (F.col("n_used") < _HLL_M),
+            _HLL_M * F.log(_HLL_M * 1.0 / (_HLL_M - F.col("n_used"))),
+        )
+        .otherwise(raw_hll)
+        .alias("raw"),
+    )
+    x = ev.agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    return est.crossJoin(F.broadcast(x)).select(
+        "n_exact",
+        F.col("n_used").alias("n_buckets_used"),
+        quant(F.col("raw"), 2).alias("hll_estimate"),
+        quant((F.col("raw") - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+            "rel_err"
+        ),
+    )

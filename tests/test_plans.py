@@ -172,6 +172,7 @@ _BOUNDED_ALLPAIRS = {
     "mmr_diverse_topk",  # POOL^2=100-row candidate self-join + 1-row cross joins
     "source_token_waterfill",  # broadcast 1-row budget/level cross joins
     "source_bigram_perplexity",  # broadcast 1-row vocabulary-size cross join
+    "user_distinct_hll_audit",  # broadcast 1-row exact-count cross join
 }
 
 

@@ -114,3 +114,52 @@ def test_cms_audit_never_undercounts_and_matches_reference(spark):
     assert got["max_overestimate"] == max(over)
     assert got["max_overestimate"] >= 0
     assert abs(got["avg_overestimate"] - sum(over) / len(over)) < 1e-6
+
+
+def test_hll_audit_matches_python_reference(spark):
+    """The explicit HLL must match a pure-Python implementation with
+    the same hash family, and land within the theoretical error band
+    (~1.04/sqrt(m) std; assert 5 sigma)."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from hadoop_cs4225_spark.operators.sketches import (
+        _HLL_ALPHA,
+        _HLL_M,
+        _HLL_SUFFIX_BITS,
+    )
+    from hadoop_cs4225_spark.registry import get_queries
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    regs = {}
+    for u in ev["user_id"]:
+        h = h60(str(u))
+        b = h >> _HLL_SUFFIX_BITS
+        suf = h & ((1 << _HLL_SUFFIX_BITS) - 1)
+        r = (
+            _HLL_SUFFIX_BITS + 1
+            if suf == 0
+            else _HLL_SUFFIX_BITS + 1 - suf.bit_length()
+        )
+        regs[b] = max(regs.get(b, 0), r)
+    denom = sum(2.0**-m for m in regs.values()) + (_HLL_M - len(regs))
+    raw = _HLL_ALPHA * _HLL_M * _HLL_M / denom
+    zeros = _HLL_M - len(regs)
+    if raw <= 2.5 * _HLL_M and zeros > 0:
+        raw = _HLL_M * math.log(_HLL_M / zeros)
+    exact = ev["user_id"].nunique()
+    got = get_queries()["user_distinct_hll_audit"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert got["n_exact"] == exact
+    assert got["n_buckets_used"] == len(regs)
+    assert abs(got["hll_estimate"] - raw) < 0.01
+    assert abs(got["rel_err"] - (raw - exact) / exact) < 1e-3
+    # theoretical HLL relative error ~ 1.04/sqrt(m); allow 5 sigma
+    assert abs(got["rel_err"]) < 5 * 1.04 / math.sqrt(_HLL_M)

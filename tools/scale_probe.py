@@ -163,6 +163,7 @@ SF_QUERIES = (
     "orders_priority_price_kendall",  # bounded-grid pair collapse
     "hybrid_search_rrf",  # two arm scans + constant bounded-k fusion
     "user_freq_cms_audit",  # d-way fanout into 768 cells, map-side combined
+    "user_distinct_hll_audit",  # 256 max-registers, map-side combined
 )
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 

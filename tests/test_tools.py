@@ -37,6 +37,35 @@ def test_bench_compare_regression_gates(tmp_path, monkeypatch):
     assert bench_compare.main() == 1
 
 
+def test_bench_compare_host_normalization(tmp_path, monkeypatch):
+    """With a real shared sample, a uniform host slowdown must NOT
+    gate (every ratio shifts together), while a lone genuine
+    regression on top of it still must."""
+    import json as _json
+
+    from tools import bench_compare
+
+    detail = tmp_path / "BENCH_DETAIL.json"
+    base = tmp_path / "BENCH_BASELINE.json"
+    n = bench_compare.MIN_SHARED + 5
+    bq = {f"q{i}": 1.0 for i in range(n)}
+    base.write_text(_json.dumps({"sf": 0.1, "total_sec": float(n), "queries": bq}))
+    monkeypatch.setattr(bench_compare, "DETAIL", str(detail))
+    monkeypatch.setattr(bench_compare, "BASELINE", str(base))
+    monkeypatch.setattr("sys.argv", ["bench_compare.py"])
+    # uniform 1.8x host slowdown: raw gate would flag everything; the
+    # median-normalized gate must pass
+    cq = {k: 1.8 for k in bq}
+    detail.write_text(_json.dumps({"sf": 0.1, "total_sec": 1.8 * n, "queries": cq}))
+    assert bench_compare.main() == 0
+    # same host shift plus ONE real 2x-on-top regression: must gate
+    cq["q0"] = 1.8 * 2.0
+    detail.write_text(
+        _json.dumps({"sf": 0.1, "total_sec": sum(cq.values()), "queries": cq})
+    )
+    assert bench_compare.main() == 1
+
+
 def test_materialized_memo_evicts_dead_sessions(spark):
     """Entries keyed under another applicationId (a stopped context's
     checkpointed frames) must be evicted when a new session inserts."""

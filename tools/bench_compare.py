@@ -51,6 +51,7 @@ BASELINE = os.path.join(ROOT, "BENCH_BASELINE.json")
 THRESH = 1.5
 THRESH_TOTAL = 1.3
 FLOOR = 0.3  # seconds: below this, local-mode jitter dominates
+MIN_SHARED = 20  # shared queries needed before the median measures the host
 
 
 def main() -> int:
@@ -97,7 +98,14 @@ def main() -> int:
         for n in cq
         if n in bq and bq[n] > 0 and cq[n] > 0
     ]
-    host = sorted(shared)[len(shared) // 2] if shared else 1.0
+    # the median only measures the host with a real sample behind it —
+    # below MIN_SHARED the gate compares raw ratios (a 2-query file's
+    # "median" would be whichever query regressed)
+    host = (
+        sorted(shared)[len(shared) // 2]
+        if len(shared) >= MIN_SHARED
+        else 1.0
+    )
     print(f"host-median ratio: {host:.3f} (ratios below are adjusted)")
     regressions, broke = [], []
     for name, t in sorted(cq.items()):

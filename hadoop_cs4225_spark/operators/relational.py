@@ -1017,3 +1017,77 @@ def star_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one(5, "orders_date_not_null", null_date))
     )
     return report.orderBy("rule_idx")
+
+
+@register(
+    "partkey_join_size_estimate",
+    oracle=f"""
+WITH k AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY l_partkey
+), tot AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS n_input,
+         CAST(SUM(n_rows * n_rows) AS BIGINT) AS join_rows
+  FROM k
+)
+SELECT k.l_partkey, k.n_rows,
+       CAST(k.n_rows * k.n_rows AS BIGINT) AS key_join_rows,
+       {quant_sql(
+           "k.n_rows * k.n_rows * 1.0 / tot.join_rows", 6)} AS pct_of_join,
+       tot.n_input, tot.join_rows
+FROM k CROSS JOIN tot
+ORDER BY key_join_rows DESC, k.l_partkey
+LIMIT 5
+""",
+)
+def partkey_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality estimate: the EXACT output size of the
+    lineitem⋈lineitem self-join on l_partkey (the co-purchase /
+    market-basket join shape), computed from the key histogram WITHOUT
+    running the join — |A⋈A| = Σ_k cnt(k)², one partial-agg groupBy
+    plus a 1-row sum, versus materializing the join itself. Reports the
+    total plus the 5 keys contributing the most output rows.
+
+    This is the measurement a planner (or engineer) runs BEFORE the
+    expensive join: ``events_hot_key_profile`` says which INPUT keys
+    are hot; this says what the join would EMIT — the number that
+    decides between running it as-is, salting the fat keys, or
+    pre-aggregating. AQE makes this decision from runtime shuffle
+    statistics mid-query; materializing it as a query makes the same
+    diagnostic available BEFORE committing a 100 TB shuffle.
+
+    Bound: cnt² sums are exact BIGINTs below Σcnt² ~ 2^63 (a single
+    key would need ~3e9 rows — document-scale hot keys get salted long
+    before that). Plan: one map-side-combined count per key, a
+    broadcast 1-row totals frame, a distributed top-5.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    ).localCheckpoint(eager=False)  # feeds totals AND the top-5
+    tot = F.broadcast(
+        k.agg(
+            F.sum("n_rows").cast("long").alias("n_input"),
+            F.sum(F.col("n_rows") * F.col("n_rows"))
+            .cast("long")
+            .alias("join_rows"),
+        )
+    )
+    return (
+        k.crossJoin(tot)
+        .select(
+            "l_partkey",
+            "n_rows",
+            (F.col("n_rows") * F.col("n_rows")).cast("long").alias(
+                "key_join_rows"
+            ),
+            quant(
+                F.col("n_rows") * F.col("n_rows") * 1.0 / F.col("join_rows"),
+                6,
+            ).alias("pct_of_join"),
+            "n_input",
+            "join_rows",
+        )
+        .orderBy(F.desc("key_join_rows"), "l_partkey")
+        .limit(5)
+    )

@@ -173,6 +173,7 @@ _BOUNDED_ALLPAIRS = {
     "source_token_waterfill",  # broadcast 1-row budget/level cross joins
     "source_bigram_perplexity",  # broadcast 1-row vocabulary-size cross join
     "user_distinct_hll_audit",  # broadcast 1-row exact-count cross join
+    "partkey_join_size_estimate",  # broadcast 1-row totals cross join
 }
 
 

@@ -291,3 +291,24 @@ def test_k_anonymity_matches_pandas(spark):
     assert got["n_groups_below_k"] == int((g < 5).sum())
     assert got["n_records_at_risk"] == int(g[g < 5].sum())
     assert abs(got["pct_at_risk"] - g[g < 5].sum() / g.sum()) < 1e-6
+
+
+def test_join_size_estimate_equals_actual_join(spark):
+    """The histogram-based estimate must equal the ACTUAL self-join
+    row count (the whole point: same number, no join executed)."""
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_partkey")
+    actual = li.alias("a").join(li.alias("b"), "l_partkey").count()
+    rows = registry.QUERIES["partkey_join_size_estimate"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows, "estimate returned no rows"
+    assert all(r["join_rows"] == actual for r in rows)
+    assert rows[0]["n_input"] == li.count()
+    # per-key contributions are consistent and ordered
+    for r in rows:
+        assert r["key_join_rows"] == r["n_rows"] ** 2
+        assert 0 < r["pct_of_join"] <= 1
+    sizes = [r["key_join_rows"] for r in rows]
+    assert sizes == sorted(sizes, reverse=True)

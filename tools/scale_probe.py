@@ -164,6 +164,7 @@ SF_QUERIES = (
     "hybrid_search_rrf",  # two arm scans + constant bounded-k fusion
     "user_freq_cms_audit",  # d-way fanout into 768 cells, map-side combined
     "user_distinct_hll_audit",  # 256 max-registers, map-side combined
+    "partkey_join_size_estimate",  # key histogram + 1-row sum, no join run
 )
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 

@@ -2481,3 +2481,231 @@ def source_length_w1_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1_chars"
         ),
     ).orderBy("source")
+
+
+@register(
+    "events_changepoint_day",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY day
+), pre AS (
+  SELECT day, c,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS n1,
+         CAST(SUM(c) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS s1
+  FROM daily
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+  FROM daily
+), gains AS (
+  SELECT p.day,
+         CAST(p.s1 AS DOUBLE) * p.s1 / p.n1
+           + CAST(t.s - p.s1 AS DOUBLE) * (t.s - p.s1) / (t.n - p.n1)
+           - CAST(t.s AS DOUBLE) * t.s / t.n AS gain,
+         CAST(p.s1 AS DOUBLE) / p.n1 AS mean_before,
+         CAST(t.s - p.s1 AS DOUBLE) / (t.n - p.n1) AS mean_after
+  FROM pre p CROSS JOIN tot t
+  WHERE p.n1 < t.n
+)
+SELECT day AS split_day,
+       {quant_sql("gain", 4)} AS sse_reduction,
+       {quant_sql("mean_before", 4)} AS mean_before,
+       {quant_sql("mean_after", 4)} AS mean_after
+FROM gains
+QUALIFY ROW_NUMBER() OVER (ORDER BY gain DESC, day) = 1
+""",
+)
+def events_changepoint_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint LOCALIZATION by binary segmentation: the split day
+    that maximizes the between-segment SSE reduction of the daily
+    event-count series — ``events_daily_cusum`` DETECTS that a level
+    shift happened; this names the day it happened (the first split of
+    the classic binary-segmentation recursion; deeper splits re-run
+    the same op per segment).
+
+    Gain(t) = s1²/n1 + s2²/n2 − S²/N over prefix sums of the
+    CALENDAR-BOUNDED daily frame (variance decomposition — the constant
+    Σc² cancels between segments, so only integer prefix sums enter).
+    Cast-first products: at 100 TB the squared sums exceed 2^63, so
+    every square is computed in double from exact integer inputs —
+    identical IEEE on both engines, making the argmax sequence safe;
+    outputs quantized once. Plan: one partial-agg groupBy to daily
+    counts, prefix windows over the bounded calendar frame, a 1-row
+    totals cross join, a 1-row argmax.
+    """
+    daily = (
+        load_events(spark, sf_dir)
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.orderBy("day")
+    pre = daily.select(
+        "day",
+        F.row_number().over(w).cast("long").alias("n1"),
+        F.sum("c")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("s1"),
+    )
+    tot = F.broadcast(
+        daily.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("s"),
+        )
+    )
+    g = (
+        pre.crossJoin(tot)
+        .where(F.col("n1") < F.col("n"))
+        .select(
+            "day",
+            (
+                F.col("s1").cast("double") * F.col("s1") / F.col("n1")
+                + (F.col("s") - F.col("s1")).cast("double")
+                * (F.col("s") - F.col("s1"))
+                / (F.col("n") - F.col("n1"))
+                - F.col("s").cast("double") * F.col("s") / F.col("n")
+            ).alias("gain"),
+            (F.col("s1").cast("double") / F.col("n1")).alias("mean_before"),
+            (
+                (F.col("s") - F.col("s1")).cast("double")
+                / (F.col("n") - F.col("n1"))
+            ).alias("mean_after"),
+        )
+    )
+    w_pick = Window.orderBy(F.desc("gain"), "day")
+    return (
+        g.withColumn("rn", F.row_number().over(w_pick))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("day").alias("split_day"),
+            quant(F.col("gain"), 4).alias("sse_reduction"),
+            quant(F.col("mean_before"), 4).alias("mean_before"),
+            quant(F.col("mean_after"), 4).alias("mean_after"),
+        )
+    )
+
+
+@register(
+    "lineitem_decision_stump",
+    oracle=f"""
+WITH h AS (
+  SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos
+  FROM lineitem GROUP BY v
+), pre AS (
+  SELECT v,
+         CAST(SUM(n) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n1,
+         CAST(SUM(pos) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS p1
+  FROM h
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS p
+  FROM h
+), gains AS (
+  SELECT pre.v,
+         (pre.n1 - (CAST(pre.p1 AS DOUBLE) * pre.p1
+                    + CAST(pre.n1 - pre.p1 AS DOUBLE) * (pre.n1 - pre.p1))
+                   / pre.n1
+          + (t.n - pre.n1)
+          - (CAST(t.p - pre.p1 AS DOUBLE) * (t.p - pre.p1)
+             + CAST(t.n - pre.n1 - t.p + pre.p1 AS DOUBLE)
+               * (t.n - pre.n1 - t.p + pre.p1))
+            / (t.n - pre.n1)) / t.n AS wgini,
+         CAST(pre.p1 AS DOUBLE) / pre.n1 AS p_left,
+         CAST(t.p - pre.p1 AS DOUBLE) / (t.n - pre.n1) AS p_right,
+         2.0 * (CAST(t.p AS DOUBLE) / t.n) * (1.0 - CAST(t.p AS DOUBLE) / t.n)
+           AS gini_root,
+         pre.n1 AS n_left, t.n - pre.n1 AS n_right
+  FROM pre CROSS JOIN tot t
+  WHERE pre.n1 < t.n
+)
+SELECT v AS split_cents, n_left, n_right,
+       {quant_sql("wgini", 6)} AS weighted_gini,
+       {quant_sql("gini_root", 6)} AS gini_root,
+       {quant_sql("p_left", 6)} AS p_left,
+       {quant_sql("p_right", 6)} AS p_right
+FROM gains
+QUALIFY ROW_NUMBER() OVER (ORDER BY wgini, v) = 1
+""",
+)
+def lineitem_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training under the oracle gate: the single
+    discount-cents threshold (rows with discount <= t vs > t) that
+    minimizes weighted Gini impurity for predicting a returned
+    lineitem — CART's split-search inner loop as a declarative plan,
+    the ML-training primitive underlying tree/GBDT feature screening.
+
+    Exactly the histogram trick every distributed tree learner uses
+    (XGBoost/LightGBM hist mode): candidate thresholds come from the
+    BOUNDED feature-value histogram, not from corpus rows, so the
+    split search is one partial-agg groupBy + prefix sums over an
+    ~11-row frame + a 1-row argmin. Weighted Gini per split is
+    n1·g1/N + n2·g2/N with g = 1 − p² − (1−p)², computed cast-first in
+    double from exact integer prefix counts (identical IEEE both
+    engines, so the argmin cannot diverge); reported next to the root
+    Gini so the output shows how much (or little — the synthetic
+    labels are nearly independent of discount) the split buys.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("v")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("long"))
+        .cast("long")
+        .alias("pos"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = h.select(
+        "v",
+        F.sum("n").over(w).cast("long").alias("n1"),
+        F.sum("pos").over(w).cast("long").alias("p1"),
+    )
+    tot = F.broadcast(
+        h.agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("p"),
+        )
+    )
+    n1, p1 = F.col("n1"), F.col("p1")
+    n, p = F.col("n"), F.col("p")
+    n2, p2 = n - n1, p - p1
+    sse1 = n1 - (p1.cast("double") * p1 + (n1 - p1).cast("double") * (n1 - p1)) / n1
+    sse2 = n2 - (p2.cast("double") * p2 + (n2 - p2).cast("double") * (n2 - p2)) / n2
+    root_p = p.cast("double") / n
+    g = (
+        pre.crossJoin(tot)
+        .where(n1 < n)
+        .select(
+            "v",
+            ((sse1 + sse2) / n).alias("wgini"),
+            (p1.cast("double") / n1).alias("p_left"),
+            (p2.cast("double") / n2).alias("p_right"),
+            (2.0 * root_p * (1.0 - root_p)).alias("gini_root"),
+            n1.alias("n_left"),
+            n2.alias("n_right"),
+        )
+    )
+    w_pick = Window.orderBy("wgini", "v")
+    return (
+        g.withColumn("rn", F.row_number().over(w_pick))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("v").alias("split_cents"),
+            "n_left",
+            "n_right",
+            quant(F.col("wgini"), 6).alias("weighted_gini"),
+            quant(F.col("gini_root"), 6).alias("gini_root"),
+            quant(F.col("p_left"), 6).alias("p_left"),
+            quant(F.col("p_right"), 6).alias("p_right"),
+        )
+    )

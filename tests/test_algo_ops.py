@@ -811,3 +811,64 @@ def test_fano_matches_numpy(spark):
         assert abs(row["mean_per_minute"] - x.mean()) < 1e-6
         assert abs(row["fano"] - fano) < 1e-5
         assert bool(row["is_bursty"]) == (row["fano"] > 1.5)
+
+
+def test_changepoint_matches_bruteforce_sse(spark):
+    """The chosen split day must maximize the SSE reduction computed
+    brute-force in numpy over the daily-count series."""
+    got = registry.QUERIES["events_changepoint_day"](
+        spark, SF_SMOKE
+    ).collect()[0]
+    daily = (
+        pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+        .assign(day=lambda d: d["ts"].dt.normalize())
+        .groupby("day")
+        .size()
+        .sort_index()
+    )
+    c = daily.to_numpy(dtype=float)
+    S, N = c.sum(), len(c)
+    best = None
+    for i in range(1, N):  # split after day i-1 (left = first i days)
+        s1 = c[:i].sum()
+        gain = s1 * s1 / i + (S - s1) ** 2 / (N - i) - S * S / N
+        if best is None or gain > best[1] + 1e-9:
+            best = (i, gain)
+    i, gain = best
+    assert got["split_day"] == daily.index[i - 1].date()
+    assert abs(got["sse_reduction"] - gain) < 1e-3
+    assert abs(got["mean_before"] - c[:i].mean()) < 1e-3
+    assert abs(got["mean_after"] - c[i:].mean()) < 1e-3
+
+
+def test_decision_stump_matches_bruteforce_gini(spark):
+    """The chosen threshold must minimize weighted Gini computed
+    brute-force from the raw rows."""
+    import math
+
+    got = registry.QUERIES["lineitem_decision_stump"](
+        spark, SF_SMOKE
+    ).collect()[0]
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    v = (li["l_discount"] * 100 + 0.5).map(math.floor).astype(int)
+    y = (li["l_returnflag"] == "R").astype(int)
+    N = len(v)
+
+    def wg(thr: int) -> float:
+        m = v <= thr
+        out = 0.0
+        for sel in (m, ~m):
+            ni = int(sel.sum())
+            pi = y[sel].mean()
+            out += ni / N * 2 * pi * (1 - pi)
+        return out
+
+    cands = sorted(v.unique())[:-1]
+    best = min(cands, key=lambda t: (wg(t), t))
+    assert got["split_cents"] == best
+    assert abs(got["weighted_gini"] - wg(best)) < 1e-5
+    p = y.mean()
+    assert abs(got["gini_root"] - 2 * p * (1 - p)) < 1e-5
+    assert got["n_left"] + got["n_right"] == N
+    # a split never increases impurity
+    assert got["weighted_gini"] <= got["gini_root"] + 1e-9

@@ -174,6 +174,8 @@ _BOUNDED_ALLPAIRS = {
     "source_bigram_perplexity",  # broadcast 1-row vocabulary-size cross join
     "user_distinct_hll_audit",  # broadcast 1-row exact-count cross join
     "partkey_join_size_estimate",  # broadcast 1-row totals cross join
+    "events_changepoint_day",  # broadcast 1-row totals cross join
+    "lineitem_decision_stump",  # broadcast 1-row totals cross join
 }
 
 
@@ -260,6 +262,10 @@ _BOUNDED_GLOBAL_WINDOW = {
     "mmr_diverse_topk",
     # cumulative supply over the SOURCE-DOMAIN-bounded k-row frame
     "source_token_waterfill",
+    # prefix sums + argmax over the CALENDAR-bounded daily frame
+    "events_changepoint_day",
+    # prefix sums + argmin over the VALUE-DOMAIN-bounded cents histogram
+    "lineitem_decision_stump",
 }
 
 

@@ -165,6 +165,8 @@ SF_QUERIES = (
     "user_freq_cms_audit",  # d-way fanout into 768 cells, map-side combined
     "user_distinct_hll_audit",  # 256 max-registers, map-side combined
     "partkey_join_size_estimate",  # key histogram + 1-row sum, no join run
+    "events_changepoint_day",  # daily histogram + calendar-bounded windows
+    "lineitem_decision_stump",  # cents histogram + bounded split search
 )
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 

@@ -75,6 +75,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "2g")
+        # local mode: driver == executors. The JVM default (1g) is
+        # marginal for a full pytest session's accumulated broadcasts +
+        # localCheckpointed memo frames — the sf0.1 scale pins then OOM
+        # nondeterministically near the end of the suite. Builder-time
+        # only (ignored by getOrCreate on an existing JVM, harmless).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

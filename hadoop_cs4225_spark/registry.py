@@ -139,8 +139,9 @@ def load_all() -> None:
 #: source_length_w1_drift, source_token_waterfill,
 #: embedding_rp_distortion, source_bigram_perplexity,
 #: eval_ngram_novelty, customer_k_anonymity_audit, user_freq_cms_audit,
-#: user_distinct_hll_audit, partkey_join_size_estimate (all oracled
-#: and replica-green at sf0.001/0.01/0.1 in-round; see tests).
+#: user_distinct_hll_audit, partkey_join_size_estimate,
+#: events_changepoint_day, lineitem_decision_stump (all oracled and
+#: replica-green at sf0.001/0.01/0.1 in-round; see tests).
 _PRIORITY = (
     # --- late-session-2 round-6 additions, never driver-checked ---
     "source_length_powerlaw",      # CCDF power-law tail fit

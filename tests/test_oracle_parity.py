@@ -58,6 +58,16 @@ _SCALE_PINNED = [
     "term_keyness_llr",
     "weighted_aes_sample",
     "kmeans_embedding_clusters",
+    # round-7 additions: the float-heaviest new surfaces — EXP on a
+    # float mean (perplexity), ln-ratio DCG sums (NDCG), greedy argmax
+    # over quantized floats (MMR), double CDF-gap integral (W1), and
+    # the JL fold ratio histogram — where an engine boundary would
+    # first appear at larger SFs
+    "source_bigram_perplexity",
+    "ann_ndcg_audit",
+    "mmr_diverse_topk",
+    "source_length_w1_drift",
+    "embedding_rp_distortion",
 ]
 
 

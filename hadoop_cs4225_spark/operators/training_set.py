@@ -96,11 +96,15 @@ TRAIN_CAP_K = 10
 TRAIN_PACK_BUDGET = 256
 
 
-def _oracle() -> str:
+def _pipeline_ctes() -> str:
+    """The shared oracle CTE chain through ``placed`` (per-doc stage
+    flags -> cap -> cumulative token offsets). Both the report oracle
+    (``corpus_to_training_set``) and the shard read-back oracle
+    (``training_set_shards``) embed this verbatim, so the two can never
+    drift from each other or from the constituent stages."""
     cap_hash = hash60_seeded_sql("CAST(doc_id AS VARCHAR)", _CAP_SEED)
     ov_frac = quant_sql("CAST(d.n_ov AS DOUBLE) / d.n_sh", 4)
-    return f"""
-WITH RECURSIVE {_lsh_pairs_cte()},
+    return f"""{_lsh_pairs_cte()},
 edges AS (
   SELECT d1 AS a, d2 AS b FROM verified
   UNION ALL
@@ -172,7 +176,12 @@ placed AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
            AS off
   FROM ranked WHERE rk <= {TRAIN_CAP_K}
-),
+)"""
+
+
+def _oracle() -> str:
+    return f"""
+WITH RECURSIVE {_pipeline_ctes()},
 pack AS (
   SELECT source,
          CAST(COUNT(*) AS BIGINT) AS n_kept,
@@ -392,3 +401,55 @@ def materialize_training_set(
         .parquet(out_dir)
     )
     return spark.read.parquet(out_dir)
+
+
+def _shards_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_pipeline_ctes()}
+SELECT doc_id, n_toks, off,
+       CAST(off // {TRAIN_PACK_BUDGET} AS BIGINT) AS window_id,
+       CAST(off % {TRAIN_PACK_BUDGET} AS BIGINT) AS window_pos,
+       source
+FROM placed ORDER BY doc_id
+"""
+
+
+#: Temp shard dirs created by ``training_set_shards`` this process,
+#: removed at interpreter exit (each call writes a fresh dir so the
+#: reference's mode='error' exists-check contract holds per write).
+_SHARD_DIRS: list[str] = []
+
+
+def _cleanup_shard_dirs() -> None:
+    import shutil
+
+    for d in _SHARD_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register("training_set_shards", oracle=_shards_oracle())
+def training_set_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's actual deliverable under the correctness gate:
+    run ``materialize_training_set`` (write the per-source-partitioned
+    parquet shards), then READ THE SHARDS BACK and return every kept
+    document's window placement. The oracle recomputes the placement
+    from the raw tables, so a wrong write path — lost rows, a
+    partition-column type flip, a window_id/window_pos drift between
+    the writer and the report — fails the hash, not just a unit test
+    (the binaryfile_docs_scan round-trip discipline).
+
+    Bench-wise this measures write+read end-to-end: one pipeline pass,
+    one ``repartition(source)`` shuffle, the parquet commit, one
+    read-back scan."""
+    import atexit
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="hcs4225_shards_")
+    if not _SHARD_DIRS:
+        atexit.register(_cleanup_shard_dirs)
+    _SHARD_DIRS.append(base)
+    out = f"{base}/shards"
+    shards = materialize_training_set(spark, sf_dir, out)
+    return shards.select(
+        "doc_id", "n_toks", "off", "window_id", "window_pos", "source"
+    ).orderBy("doc_id")

@@ -111,93 +111,48 @@ def load_all() -> None:
 
 #: Driver-correctness priority window. The driver records CORRECTNESS
 #: rows for the FIRST 50 queries in ``queries()`` iteration order.
-#: ROUND-7 ROTATION (this window): after round 6 the cross-round union
-#: covered every query registered before the late-round-6 additions.
-#: Exactly 46 registered queries had never earned a driver CORRECTNESS
-#: row when this window was cut — the late-session-2 set (14: powerlaw
-#: through label_norm_stats_arrow) plus the session-3
-#: algorithmic-analytics family (32: skyline through fano factor). All
-#: 46 lead this window (45 oracled + label_norm_stats_arrow, a
-#: rows-only mapInArrow twin with a JVM-equivalence pytest pin). The
-#: 47th slot is ``events_zorder_scan``: green in r06 but VACUOUS (its
-#: old predicate matched 0 rows at sf0.01, so rows/hash proved
-#: nothing); the predicate literals are now frozen to bounds populated
-#: at every SF and the query re-enters the window to earn a
-#: non-vacuous row. The last 3 slots re-anchor drift detection with
-#: the verdict-named float/decimal-heavy greens plus the reference
-#: golden. Everything rotated out stays verified by the local oracle
-#: replica (tests/test_oracle_parity.py runs all 211 oracles every
-#: pytest run) plus the sf0.01/sf0.1 scale pins.
-#:
-#: ROUND-8 ROTATION BACKLOG: queries registered during round 7 AFTER
-#: this window froze have no driver row yet and lead the next rotation:
-#: source_trimmed_stats_pandas, doc_subword_stats_iterpandas,
-#: lang_id_agreement_kappa, orders_priority_price_kendall,
-#: orders_scan_observed, lineitem_correlation_matrix,
-#: doc_len_tok_spearman, events_multires_rollup, quality_score_auc,
-#: hybrid_search_rrf, ann_ndcg_audit, mmr_diverse_topk,
-#: source_length_w1_drift, source_token_waterfill,
-#: embedding_rp_distortion, source_bigram_perplexity,
-#: eval_ngram_novelty, customer_k_anonymity_audit, user_freq_cms_audit,
-#: user_distinct_hll_audit, partkey_join_size_estimate,
-#: events_changepoint_day, lineitem_decision_stump (all oracled and
-#: replica-green at sf0.001/0.01/0.1 in-round; see tests).
+#: ROUND-8 ROTATION (this window): round 7's window went 50/50 green
+#: (49 hash-match + 1 declared no-oracle), bringing the cross-round
+#: union to 223/246. The 23 queries registered during round 7 AFTER
+#: that window froze (enumerated as the backlog in this docstring last
+#: round) lead this window — all 23 oracled and replica-green at
+#: sf0.001/0.01/0.1 on every pytest run. Two float/decimal-heavy
+#: re-anchors follow for drift detection, then round-8's new
+#: registrations fill the remaining slots so they earn driver rows in
+#: the same round they land (no new backlog). Everything rotated out
+#: stays verified by the local oracle replica
+#: (tests/test_oracle_parity.py runs every oracle on every pytest run)
+#: plus the sf0.01/sf0.1 scale pins.
 _PRIORITY = (
-    # --- late-session-2 round-6 additions, never driver-checked ---
-    "source_length_powerlaw",      # CCDF power-law tail fit
-    "source_vocab_heaps",          # Heaps' law vocab growth
-    "events_minute_peak",          # peak-minute detection
-    "events_user_path_topk",       # top event-type paths per user
-    "bigram_pmi_topk",             # PMI collocations
-    "source_dup_cross_matrix",     # cross-source duplicate matrix
-    "lineitem_benford_audit",      # Benford first-digit audit
-    "events_weekly_seasonality",   # day-of-week seasonality
-    "doc_zipf_fit",                # Zipf rank-frequency fit
-    "order_ship_delay_stats",      # ship-delay distribution
-    "orders_param_sql_rollup",     # parameterized SQL rollup
-    "orders_sql_script_ewma",      # SQL-scripting EWMA
-    "bm25_search_topk",            # BM25 ranked retrieval
-    "label_norm_stats_arrow",      # mapInArrow twin (rows-only; JVM-pinned)
-    # --- session-3 algorithmic-analytics family, never checked ---
-    "skyline_orders_pareto",       # Pareto skyline
-    "events_max_concurrency",      # sweep-line max concurrency
-    "events_daily_cusum",          # CUSUM drift detection
-    "events_count_acf",            # autocorrelation function
-    "doc_mad_outliers",            # histogram-median MAD outliers
-    "kmeans_embedding_clusters",   # Lloyd k-means, integer grid
-    "supplier_triangle_stats",     # triangle counting
-    "supplier_communities_lpa",    # label propagation communities
-    "term_keyness_llr",            # G-squared keyness
-    "source_simpson_diversity",    # Simpson diversity index
-    "lang_source_chi2",            # chi-squared independence
-    "weighted_aes_sample",         # A-ES weighted sampling
-    "events_interval_coverage",    # interval union coverage
-    "ship_delay_survival",         # Kaplan-Meier-style survival
-    "orders_monthly_psi",          # population stability index
-    "source_vocab_jaccard",        # pairwise vocab Jaccard
-    "orders_seasonal_decompose",   # seasonal decomposition
-    "quality_score_calibration",   # calibration bins + ECE
-    "doc_bigram_logprob",          # bigram LM log-prob
-    "part_abc_classes",            # ABC Pareto classes
-    "revenue_forecast_backtest",   # forecast backtest MAPE
-    "source_length_ks",            # Kolmogorov-Smirnov two-sample
-    "markov_next_event_accuracy",  # Markov next-event eval
-    "event_entropy_rate",          # Markov entropy rate
-    "events_type_crosscorr",       # lagged cross-correlation
-    "source_length_qnorm",         # rank-based quantile norm
-    "source_mean_bootstrap_ci",    # Poisson bootstrap CI
-    "events_theilsen_trend",       # Theil-Sen robust slope
-    "source_length_mannwhitney",   # Mann-Whitney U rank-sum
-    "corpus_health_report",        # composed health scorecard
-    "orders_revenue_runs_test",    # Wald-Wolfowitz runs test
-    "events_fano_factor",          # Fano-factor burstiness
-    # --- vacuous-row fix: predicate now populated at every SF ---
-    "events_zorder_scan",          # Z-order two-dimension data skipping
-    # --- round-7 addition: end-to-end pipeline composition ---
-    "corpus_to_training_set",      # dedup->quality->decon->cap->pack
+    # --- round-7 backlog: registered after the r7 window froze ---
+    "source_trimmed_stats_pandas",   # grouped-agg pandas UDF trimmed stats
+    "doc_subword_stats_iterpandas",  # scalar-iter pandas UDF BPE-ish stats
+    "lang_id_agreement_kappa",       # Cohen's kappa heuristic agreement
+    "orders_priority_price_kendall", # Kendall tau-b concordance
+    "orders_scan_observed",          # observe() metric accumulators
+    "lineitem_correlation_matrix",   # Pearson correlation matrix
+    "doc_len_tok_spearman",          # Spearman rank correlation
+    "events_multires_rollup",        # multi-resolution time rollup
+    "quality_score_auc",             # ROC AUC via rank-sum
+    "hybrid_search_rrf",             # BM25+ANN reciprocal-rank fusion
+    "ann_ndcg_audit",                # NDCG@k vs brute-force truth
+    "mmr_diverse_topk",              # maximal-marginal-relevance rerank
+    "source_length_w1_drift",        # Wasserstein-1 drift
+    "source_token_waterfill",        # closed-form token water-filling
+    "embedding_rp_distortion",       # JL random-projection distortion
+    "source_bigram_perplexity",      # bigram LM perplexity per source
+    "eval_ngram_novelty",            # eval-set n-gram novelty
+    "customer_k_anonymity_audit",    # k-anonymity quasi-identifier audit
+    "user_freq_cms_audit",           # count-min sketch + exact audit
+    "user_distinct_hll_audit",       # HLL from first principles + audit
+    "partkey_join_size_estimate",    # sum(cnt^2) join-size estimation
+    "events_changepoint_day",        # max-split changepoint detection
+    "lineitem_decision_stump",       # 1-level decision tree (gini)
     # --- re-anchors: float/decimal-heavy green + reference golden ---
     "q1_pricing_summary",
     "word_count",
+    # --- round-8 additions (registered this round; driver rows now) ---
+    "training_set_shards",           # materialized write-path read-back
 )
 
 

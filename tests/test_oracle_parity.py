@@ -104,31 +104,39 @@ def test_priority_window_integrity():
 
     names = list(get_queries())
     oracles = get_oracles()
-    assert len(_PRIORITY) == PRIORITY_WINDOW == 50
-    assert tuple(names[:50]) == _PRIORITY
+    # ROUND 8: _PRIORITY may be shorter than the window — the driver
+    # takes the first 50 in iteration order, so the slots after
+    # _PRIORITY auto-fill from registration order (the long-green
+    # wordcount/relational families, which double as extra re-anchors).
+    # New round-8 registrations are appended to _PRIORITY explicitly so
+    # they displace the auto-fill and earn driver rows in-round.
+    assert len(_PRIORITY) <= PRIORITY_WINDOW == 50
+    assert tuple(names[: len(_PRIORITY)]) == _PRIORITY
+    missing_regs = [n for n in _PRIORITY if n not in names]
+    assert not missing_regs, f"_PRIORITY names not registered: {missing_regs}"
     # rows-only-by-design exceptions: engine-specific estimates /
     # numpy-reassociated pandas/arrow twins with no cross-engine
     # oracle; each must carry a pytest accuracy or equivalence pin
     rows_only_ok = {
         "label_norm_stats_arrow",  # test_multimodal.py JVM equivalence
     }
+    # Every EXPLICIT slot must carry an oracle (the auto-fill tail is
+    # separately required to be previously-driver-checked below, so a
+    # no-oracle query there costs nothing — it already has its row).
     missing_oracle = [
-        n for n in names[:50] if n not in oracles and n not in rows_only_ok
+        n for n in _PRIORITY if n not in oracles and n not in rows_only_ok
     ]
     assert not missing_oracle, missing_oracle
-    # ROUND-7 ROTATION: the window leads with every query that had no
-    # driver CORRECTNESS row after rounds 1-6 (the 46 late-round-6
-    # additions: 14 late-session-2 + 32 session-3 algorithmic ops),
-    # plus events_zorder_scan whose r06 row was vacuous (0 rows at
-    # sf0.01 under the old predicate; literals now frozen to bounds
-    # populated at every SF). After this round the cross-round union
-    # covers the whole pre-round-7 registry with zero reds and no
-    # vacuous rows.
+    # ROUND-8 ROTATION: the window leads with the 23 queries registered
+    # during round 7 after that round's window froze (the documented
+    # backlog) — the only registered queries with no driver CORRECTNESS
+    # row across rounds 1-7. After this round the cross-round union
+    # covers the entire pre-round-8 registry.
     import json
     import os
 
     seen: set[str] = set()
-    for r in (1, 2, 3, 4, 5, 6):
+    for r in (1, 2, 3, 4, 5, 6, 7):
         path = os.path.join(os.path.dirname(__file__), "..", f"CORRECTNESS_r0{r}.json")
         if os.path.exists(path):
             with open(path) as f:
@@ -137,41 +145,30 @@ def test_priority_window_integrity():
     if seen:
         # the frozen rotation set: every query that was registered AND
         # unchecked when this window was cut (queries added during
-        # round 7 are next round's candidates, per precedent)
+        # round 8 join _PRIORITY explicitly on registration instead)
         rotated_in = {
-            # late-session-2 round-6 additions
-            "source_length_powerlaw", "source_vocab_heaps",
-            "events_minute_peak", "events_user_path_topk",
-            "bigram_pmi_topk", "source_dup_cross_matrix",
-            "lineitem_benford_audit", "events_weekly_seasonality",
-            "doc_zipf_fit", "order_ship_delay_stats",
-            "orders_param_sql_rollup", "orders_sql_script_ewma",
-            "bm25_search_topk", "label_norm_stats_arrow",
-            # session-3 algorithmic-analytics family
-            "skyline_orders_pareto", "events_max_concurrency",
-            "events_daily_cusum", "events_count_acf",
-            "doc_mad_outliers", "kmeans_embedding_clusters",
-            "supplier_triangle_stats", "supplier_communities_lpa",
-            "term_keyness_llr", "source_simpson_diversity",
-            "lang_source_chi2", "weighted_aes_sample",
-            "events_interval_coverage", "ship_delay_survival",
-            "orders_monthly_psi", "source_vocab_jaccard",
-            "orders_seasonal_decompose", "quality_score_calibration",
-            "doc_bigram_logprob", "part_abc_classes",
-            "revenue_forecast_backtest", "source_length_ks",
-            "markov_next_event_accuracy", "event_entropy_rate",
-            "events_type_crosscorr", "source_length_qnorm",
-            "source_mean_bootstrap_ci", "events_theilsen_trend",
-            "source_length_mannwhitney", "corpus_health_report",
-            "orders_revenue_runs_test", "events_fano_factor",
+            "source_trimmed_stats_pandas", "doc_subword_stats_iterpandas",
+            "lang_id_agreement_kappa", "orders_priority_price_kendall",
+            "orders_scan_observed", "lineitem_correlation_matrix",
+            "doc_len_tok_spearman", "events_multires_rollup",
+            "quality_score_auc", "hybrid_search_rrf",
+            "ann_ndcg_audit", "mmr_diverse_topk",
+            "source_length_w1_drift", "source_token_waterfill",
+            "embedding_rp_distortion", "source_bigram_perplexity",
+            "eval_ngram_novelty", "customer_k_anonymity_audit",
+            "user_freq_cms_audit", "user_distinct_hll_audit",
+            "partkey_join_size_estimate", "events_changepoint_day",
+            "lineitem_decision_stump",
         }
         missing = [n for n in rotated_in if n not in names[:50]]
         assert not missing, f"never-driver-checked queries outside window: {missing}"
         assert not (rotated_in & seen), "rotation set drifted: already checked"
-        # the vacuous-row fix re-enters the window for a real row, and
-        # the round-7 composition query earns its first row
-        assert "events_zorder_scan" in names[:50]
-        assert "corpus_to_training_set" in names[:50]
+        # auto-fill tail slots (window positions past _PRIORITY) must
+        # all be previously-driver-checked greens — a never-checked
+        # query landing there by registration-order accident should be
+        # promoted to an explicit _PRIORITY slot instead
+        unchecked_tail = [n for n in names[len(_PRIORITY):50] if n not in seen]
+        assert not unchecked_tail, f"unchecked queries in auto-fill tail: {unchecked_tail}"
     # re-anchor spot checks: a float/decimal-heavy green + the
     # reference golden must hold their drift-detection slots
     for anchor in (

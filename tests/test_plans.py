@@ -209,80 +209,91 @@ def test_no_unbounded_cartesian_anywhere(spark, all_query_frames):
 #: partition-less Window single-threads the whole input through one
 #: task ("WindowExec: No Partition Defined" — the round-3 bench
 #: warning, and a guaranteed straggler at 100 TB).
+#:
+#: ROUND 8: each entry now carries its documented bound as a ROW COUNT
+#: CEILING, and test_bounded_global_window_inputs EXECUTES every
+#: partition-less Window's input subplan and asserts the count — so
+#: "bounded by construction" is enforced, not asserted in a comment
+#: (a future edit that grows a frame to corpus grain fails the test:
+#: at sf0.001 the corpus tables are already 500-6000 rows, above every
+#: tight bound here). Empirical inputs are flat across sf0.001/sf0.01
+#: (e.g. KS histogram 311->313, seasonal months 80->80, rrf arms
+#: 10->10), confirming the scale-invariance claim.
 _BOUNDED_GLOBAL_WINDOW = {
     # cumulative offsets over the per-quality-value count aggregate:
-    # ≤ 1e6+1 rows (6-dp quantized score) whatever the corpus size
-    "curriculum_phase_bins",
+    # bounded by the 6-dp quantized score GRID (score domain, not
+    # corpus rows; empirically saturates ~500)
+    "curriculum_phase_bins": 1_000_001,
     # bucket-level cumulative over the (count >> 20) bucket-total frame:
     # ≤ max_per_user_count/2^20 rows (< 2^20 below a trillion events per
     # user) whatever the user count; the per-value window is partitioned
-    "user_activity_gini",
+    "user_activity_gini": 1 << 20,
     # row_number over the ALREADY-LIMITed top-1000 token frame — the
     # distributed top-k runs first, the window sees ≤1000 rows
-    "doc_zipf_fit",
+    "doc_zipf_fit": 1000,
     # cross-bucket max-day scan over the price-BUCKET table: row count
     # = price domain / 1024 (dictionary range, not corpus rows); the
     # per-price windows are partitioned by bucket
-    "skyline_orders_pareto",
+    "skyline_orders_pareto": 65_536,
     # row_number over the ALREADY-LIMITed k-row seed frame (k=4)
-    "kmeans_embedding_clusters",
+    "kmeans_embedding_clusters": 4,
     # margin windows over the CELLS table — bounded by the lang x
     # source domain (dictionary cross product), not corpus rows
-    "lang_source_chi2",
+    "lang_source_chi2": 4096,
     # centered-MA window over the CALENDAR-bounded monthly frame
-    "orders_seasonal_decompose",
+    "orders_seasonal_decompose": 256,
     # trailing-window backtest over the same calendar-bounded frame
-    "revenue_forecast_backtest",
+    "revenue_forecast_backtest": 256,
     # descending cumulative over the (r >> 20) revenue-BUCKET table
     # (bounded below a trillion-dollar part, the Gini bound argument);
     # the per-part window is partitioned by bucket
-    "part_abc_classes",
+    "part_abc_classes": 1 << 20,
     # corpus-CDF cumulative over the VALUE-DOMAIN-bounded length
-    # histogram (doc_mad_outliers discipline)
-    "source_length_ks",
+    # histogram (doc_mad_outliers discipline; n_chars domain)
+    "source_length_ks": 65_536,
     # same bounded corpus-histogram cumulatives (value-domain axis)
-    "source_length_qnorm",
-    "source_length_mannwhitney",
+    "source_length_qnorm": 65_536,
+    "source_length_mannwhitney": 65_536,
     # embeds the KS/MWU/seasonal constituents' bounded windows
-    "corpus_health_report",
+    "corpus_health_report": 65_536,
     # sign-change lag over the CALENDAR-bounded monthly frame
-    "orders_revenue_runs_test",
+    "orders_revenue_runs_test": 256,
     # midrank cumulatives over the two VALUE-DOMAIN-bounded integer
     # histograms (n_chars / token-count domains), never corpus rows
-    "doc_len_tok_spearman",
+    "doc_len_tok_spearman": 65_536,
     # midrank cumulative over the score histogram (bounded 1e6 grid)
-    "quality_score_auc",
+    "quality_score_auc": 1_000_001,
     # same bounded corpus-histogram cumulatives as KS (shared CDF CTEs)
-    "source_length_w1_drift",
+    "source_length_w1_drift": 65_536,
     # row_number over the two ALREADY-LIMITed 10-row retrieval arms
-    "hybrid_search_rrf",
+    "hybrid_search_rrf": 20,
     # row_number over the ALREADY-LIMITed 10-row brute ground truth
-    "ann_ndcg_audit",
+    "ann_ndcg_audit": 60,
     # rank windows over the ALREADY-LIMITed 10-row candidate pool
-    "mmr_diverse_topk",
+    "mmr_diverse_topk": 30,
     # cumulative supply over the SOURCE-DOMAIN-bounded k-row frame
-    "source_token_waterfill",
+    "source_token_waterfill": 64,
     # prefix sums + argmax over the CALENDAR-bounded daily frame
-    "events_changepoint_day",
+    "events_changepoint_day": 4096,
     # prefix sums + argmin over the VALUE-DOMAIN-bounded cents histogram
-    "lineitem_decision_stump",
+    "lineitem_decision_stump": 65_536,
 }
 
 
-def _partitionless_windows(df) -> int:
-    """Count Window nodes with an EMPTY partitionSpec in the optimized
-    logical plan (plan-string parsing is ambiguous — the JVM tree is
-    not)."""
+def _partitionless_window_inputs(df) -> list:
+    """JVM logical plans of the INPUT (child) of every Window node with
+    an EMPTY partitionSpec in the optimized logical plan (plan-string
+    parsing is ambiguous — the JVM tree is not)."""
     jplan = df._jdf.queryExecution().optimizedPlan()
-    n = 0
+    out = []
     stack = [jplan]
     while stack:
         node = stack.pop()
         if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
-            n += 1
+            out.append(node.children().apply(0))
         for i in range(node.children().length()):
             stack.append(node.children().apply(i))
-    return n
+    return out
 
 
 def test_no_unbounded_global_window_anywhere(spark, all_query_frames):
@@ -294,8 +305,35 @@ def test_no_unbounded_global_window_anywhere(spark, all_query_frames):
     for name, df in all_query_frames.items():
         if name in _BOUNDED_GLOBAL_WINDOW:
             continue
-        if _partitionless_windows(df):
+        if _partitionless_window_inputs(df):
             violations.append(name)
+    assert not violations, violations
+
+
+def test_bounded_global_window_inputs(spark, all_query_frames):
+    """ENFORCE the allowlist's boundedness claims: execute each
+    allowlisted query's partition-less Window input subplan and assert
+    its row count stays under the documented ceiling. A refactor that
+    silently grows a "bounded" frame to corpus grain (the failure mode
+    the allowlist comments could only describe, not detect) now fails
+    here — at this SF the corpus tables already exceed every tight
+    bound (documents=500, orders=1.5k, lineitem=6k)."""
+    from pyspark.sql import DataFrame as _PyDF
+
+    jvm = spark._jvm
+    violations = []
+    for name, bound in _BOUNDED_GLOBAL_WINDOW.items():
+        df = all_query_frames.get(name)
+        if df is None:
+            violations.append(f"{name}: allowlisted but not registered")
+            continue
+        for child in _partitionless_window_inputs(df):
+            jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                spark._jsparkSession, child
+            )
+            n = _PyDF(jdf, spark).count()
+            if n > bound:
+                violations.append(f"{name}: window input {n} > bound {bound}")
     assert not violations, violations
 
 
@@ -592,8 +630,8 @@ def test_dup_ngram_coverage_uses_join_not_window(spark):
     count-over-window partitioned by shingle: AQE can split a skewed
     JOIN partition, but a hot boilerplate shingle in a window partition
     buffers every occurrence in one task with no mitigation."""
-    assert (
-        _partitionless_windows(_df(spark, "duplicate_ngram_coverage")) == 0
+    assert not _partitionless_window_inputs(
+        _df(spark, "duplicate_ngram_coverage")
     )
     jplan = _df(spark, "duplicate_ngram_coverage")._jdf.queryExecution().optimizedPlan()
     stack, n_windows = [jplan], 0

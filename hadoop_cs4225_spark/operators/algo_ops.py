@@ -2709,3 +2709,692 @@ def lineitem_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             quant(F.col("p_right"), 6).alias("p_right"),
         )
     )
+
+
+#: Welch/BH family constants: FDR level for the Benjamini-Hochberg
+#: procedure, and the normal-CDF polynomial (Abramowitz & Stegun
+#: 26.2.17, |eps| < 7.5e-8) used for the large-sample p-value — an
+#: identical explicit composition in both engines (neither Spark SQL
+#: nor DuckDB exposes erf), so the p-values are deterministic given
+#: the 4-dp-quantized t statistic they are computed from.
+_FDR_ALPHA = 0.05
+_NCDF_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_NCDF_T = 0.2316419
+#: 1/sqrt(2*pi); injected via CAST('repr' AS DOUBLE) in SQL — a bare
+#: 17-digit literal would parse through DECIMAL in DuckDB and drop the
+#: last ulp (functions/numeric.py note).
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _welch_sql() -> str:
+    b1, b2, b3, b4, b5 = _NCDF_B
+    inv = f"CAST('{_INV_SQRT_2PI!r}' AS DOUBLE)"
+    t_q = quant_sql(
+        "(CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)"
+        " / sqrt(((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a)"
+        " / (n_a - 1)) / n_a"
+        " + ((CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b)"
+        " / (n_b - 1)) / n_b)",
+        4,
+    )
+    return f"""
+src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_a,
+         CAST(SUM(n_chars) AS BIGINT) AS s_a,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS q_a
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS s,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS q
+  FROM documents
+), stats AS (
+  SELECT source, n_a, s_a, q_a,
+         t.n - n_a AS n_b, t.s - s_a AS s_b, t.q - q_a AS q_b
+  FROM src CROSS JOIN tot t
+), tstat AS (
+  SELECT source, n_a, n_b, {t_q} AS t_q FROM stats
+), pval AS (
+  SELECT source, n_a, n_b, t_q,
+         {quant_sql(
+             f"2.0 * ({inv} * exp(-abs(t_q) * abs(t_q) / 2))"
+             f" * (1.0 / (1.0 + {_NCDF_T} * abs(t_q)))"
+             f" * ({b1} + (1.0 / (1.0 + {_NCDF_T} * abs(t_q)))"
+             f" * ({b2} + (1.0 / (1.0 + {_NCDF_T} * abs(t_q)))"
+             f" * ({b3} + (1.0 / (1.0 + {_NCDF_T} * abs(t_q)))"
+             f" * ({b4} + (1.0 / (1.0 + {_NCDF_T} * abs(t_q))) * {b5}))))",
+             8,
+         )} AS p_q
+  FROM tstat
+), fam AS (
+  SELECT COUNT(*) AS m FROM pval
+), ranked AS (
+  SELECT a.source, a.n_a, a.n_b, a.t_q, a.p_q,
+         CAST(COUNT(*) AS BIGINT) AS bh_rank,
+         ANY_VALUE(f.m) AS m
+  FROM pval a JOIN pval b ON b.p_q <= a.p_q CROSS JOIN fam f
+  GROUP BY a.source, a.n_a, a.n_b, a.t_q, a.p_q
+), thresh AS (
+  SELECT MAX(p_q) AS th FROM ranked
+  WHERE p_q <= bh_rank * {_FDR_ALPHA} / m
+)
+SELECT r.source, r.n_a, r.n_b, r.t_q AS t_stat, r.p_q AS p_norm,
+       r.bh_rank,
+       COALESCE(r.p_q <= t.th, FALSE) AS bh_reject
+FROM ranked r CROSS JOIN thresh t
+ORDER BY r.source
+"""
+
+
+@register("source_length_welch_fdr", oracle=f"WITH {_welch_sql()}")
+def source_length_welch_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of each source's doc-length mean
+    against the REST of the corpus, with Benjamini-Hochberg FDR
+    control across the source family — the multiple-testing discipline
+    every per-source drift dashboard needs (20 sources tested at
+    alpha=0.05 yield ~1 false alarm per run without it; MWU/KS/chi2 in
+    this module report raw per-source decisions).
+
+    Exact-integer moments (n_chars sums/sumsqs are BIGINTs), one
+    identical IEEE composition for t (4-dp quantized), then the normal
+    large-sample p-value through the A&S 26.2.17 polynomial OF THE
+    QUANTIZED t — so both engines compute p from bit-identical input.
+    BH runs on the 20-row per-source frame as a broadcast self-join
+    (rank_i = #{{p_j <= p_i}}), never a global window.
+
+    Plan at 100 TB: two scans collapse to one (groupBy source + a
+    1-row total both come off the same partial-agg), the family-level
+    BH step touches 20 rows. No reference analogue; extends the
+    SURVEY §2.2 statistics family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_a"),
+        F.sum("n_chars").cast("long").alias("s_a"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("q_a"),
+    )
+    tot = F.broadcast(
+        docs.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("s"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("q"),
+        )
+    )
+    stats = src.crossJoin(tot).select(
+        "source",
+        "n_a",
+        "s_a",
+        "q_a",
+        (F.col("n") - F.col("n_a")).alias("n_b"),
+        (F.col("s") - F.col("s_a")).alias("s_b"),
+        (F.col("q") - F.col("q_a")).alias("q_b"),
+    )
+    va = (
+        F.col("q_a").cast("double")
+        - F.col("s_a").cast("double") * F.col("s_a") / F.col("n_a")
+    ) / (F.col("n_a") - 1)
+    vb = (
+        F.col("q_b").cast("double")
+        - F.col("s_b").cast("double") * F.col("s_b") / F.col("n_b")
+    ) / (F.col("n_b") - 1)
+    t_q = quant(
+        (
+            F.col("s_a").cast("double") / F.col("n_a")
+            - F.col("s_b").cast("double") / F.col("n_b")
+        )
+        / F.sqrt(va / F.col("n_a") + vb / F.col("n_b")),
+        4,
+    )
+    tstat = stats.select("source", "n_a", "n_b", t_q.alias("t_q"))
+    b1, b2, b3, b4, b5 = _NCDF_B
+    tt = 1.0 / (1.0 + F.lit(_NCDF_T) * F.abs(F.col("t_q")))
+    pdf = F.lit(_INV_SQRT_2PI) * F.exp(
+        -F.abs(F.col("t_q")) * F.abs(F.col("t_q")) / 2
+    )
+    poly = F.lit(b1) + tt * (
+        F.lit(b2) + tt * (F.lit(b3) + tt * (F.lit(b4) + tt * F.lit(b5)))
+    )
+    pval = tstat.select(
+        "source",
+        "n_a",
+        "n_b",
+        "t_q",
+        quant(2.0 * pdf * tt * poly, 8).alias("p_q"),
+    ).localCheckpoint(eager=False)  # tiny frame, read 3x by the BH join
+    other = pval.select(F.col("p_q").alias("p_other"))
+    m = F.broadcast(pval.agg(F.count(F.lit(1)).alias("m")))
+    ranked = (
+        pval.join(F.broadcast(other), F.col("p_other") <= F.col("p_q"))
+        .groupBy("source", "n_a", "n_b", "t_q", "p_q")
+        .agg(F.count(F.lit(1)).cast("long").alias("bh_rank"))
+        .crossJoin(m)
+    )
+    thresh = F.broadcast(
+        ranked.where(
+            F.col("p_q") <= F.col("bh_rank") * _FDR_ALPHA / F.col("m")
+        ).agg(F.max("p_q").alias("th"))
+    )
+    return (
+        ranked.crossJoin(thresh)
+        .select(
+            "source",
+            "n_a",
+            "n_b",
+            F.col("t_q").alias("t_stat"),
+            F.col("p_q").alias("p_norm"),
+            "bh_rank",
+            F.coalesce(F.col("p_q") <= F.col("th"), F.lit(False)).alias(
+                "bh_reject"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+#: Split-conformal configuration: nominal coverage target and the
+#: orderkey-residue three-way split (0=train the group-mean model,
+#: 1=calibrate the residual quantile, 2=measure held-out coverage).
+_CONF_TARGET_NUM = 9  # target = 9/10
+
+
+def _conformal_sql() -> str:
+    return f"""
+base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         o_orderkey % 3 AS split
+  FROM orders
+), model AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_tr,
+         CAST(SUM(cents) AS BIGINT) AS s_tr
+  FROM base WHERE split = 0 GROUP BY o_orderpriority
+), calib AS (
+  SELECT b.o_orderpriority,
+         abs(b.cents * m.n_tr - m.s_tr) AS rn,
+         b.o_orderkey,
+         m.n_tr, m.s_tr
+  FROM base b JOIN model m USING (o_orderpriority)
+  WHERE b.split = 1
+), calr AS (
+  SELECT o_orderpriority, rn, n_tr,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority ORDER BY rn, o_orderkey
+         ) AS rk,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n_cal
+  FROM calib
+), qhat AS (
+  SELECT o_orderpriority, ANY_VALUE(n_tr) AS n_tr,
+         ANY_VALUE(n_cal) AS n_cal,
+         MAX(CASE WHEN rk = ({_CONF_TARGET_NUM} * (n_cal + 1) + 9) // 10
+                  THEN rn END) AS q_rn
+  FROM calr GROUP BY o_orderpriority
+), test AS (
+  SELECT b.o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN abs(b.cents * m.n_tr - m.s_tr) <= q.q_rn
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
+  FROM base b
+  JOIN model m USING (o_orderpriority)
+  JOIN qhat q USING (o_orderpriority)
+  WHERE b.split = 2
+  GROUP BY b.o_orderpriority
+)
+SELECT q.o_orderpriority, q.n_tr AS n_train,
+       CAST(q.n_cal AS BIGINT) AS n_calib, t.n_test,
+       {quant_sql("CAST(q.q_rn AS DOUBLE) / (100.0 * q.n_tr)", 2)}
+         AS q_hat_dollars,
+       {quant_sql("CAST(t.n_cov AS DOUBLE) / t.n_test", 6)} AS coverage
+FROM qhat q JOIN test t USING (o_orderpriority)
+ORDER BY q.o_orderpriority
+"""
+
+
+@register("order_value_conformal_coverage", oracle=f"WITH {_conformal_sql()}")
+def order_value_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals for order value with a
+    held-out coverage audit: train a per-priority mean model on the
+    orderkey%3=0 split, take the ceil(0.9*(n+1))-th smallest absolute
+    calibration residual (%3=1) as the interval half-width, measure
+    empirical coverage on the untouched %3=2 split. The distribution-
+    free guarantee (coverage >= 0.9 in expectation) is what a pipeline
+    relies on when it alerts on out-of-interval records.
+
+    Exact integers throughout: prices snap to cents, and residual
+    COMPARISONS use the common-denominator form |cents*n_tr - s_tr|
+    (the group's n_tr is constant), so the quantile pick and the
+    coverage count never touch a float; the two output ratios are
+    single quantized divisions. The quantile is a per-priority
+    PARTITIONED window (5 partitions), never global.
+
+    Plan at 100 TB: three scans collapse to one predicate-split scan;
+    the model is a 5-row broadcast; the calibration sort shuffles only
+    split-1 rows hash-partitioned by priority.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 3).alias("split"),
+    )
+    model = F.broadcast(
+        base.where(F.col("split") == 0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tr"),
+            F.sum("cents").cast("long").alias("s_tr"),
+        )
+    )
+    rn = F.abs(F.col("cents") * F.col("n_tr") - F.col("s_tr")).alias("rn")
+    calib = (
+        base.where(F.col("split") == 1)
+        .join(model, "o_orderpriority")
+        .select("o_orderpriority", rn, "o_orderkey", "n_tr")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("rn", "o_orderkey")
+    calr = calib.select(
+        "o_orderpriority",
+        "rn",
+        "n_tr",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_orderpriority"))
+        .alias("n_cal"),
+    )
+    qhat = F.broadcast(
+        calr.groupBy("o_orderpriority").agg(
+            F.first("n_tr").alias("n_tr"),
+            F.first("n_cal").alias("n_cal"),
+            F.max(
+                F.when(
+                    F.col("rk")
+                    == F.floor(
+                        (F.lit(_CONF_TARGET_NUM) * (F.col("n_cal") + 1) + 9)
+                        / 10
+                    ),
+                    F.col("rn"),
+                )
+            ).alias("q_rn"),
+        )
+    )
+    test = (
+        base.where(F.col("split") == 2)
+        .join(model, "o_orderpriority")
+        .join(qhat.select("o_orderpriority", "q_rn"), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                (
+                    F.abs(F.col("cents") * F.col("n_tr") - F.col("s_tr"))
+                    <= F.col("q_rn")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_cov"),
+        )
+    )
+    return (
+        qhat.join(test, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.col("n_tr").alias("n_train"),
+            F.col("n_cal").cast("long").alias("n_calib"),
+            "n_test",
+            quant(
+                F.col("q_rn").cast("double") / (100.0 * F.col("n_tr")), 2
+            ).alias("q_hat_dollars"),
+            quant(F.col("n_cov").cast("double") / F.col("n_test"), 6).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+#: Mergeable-histogram quantile sketch: fixed 2^16-cent buckets over
+#: the order-value domain (<= ~1000 buckets under a $600M order — the
+#: domain-bounded argument every histogram op in this module uses).
+#: Per-partition bucket counts merge by addition, so the sketch is a
+#: one-shuffle partial agg at any scale; the EXACT side of the audit
+#: is the per-group sort the sketch exists to replace.
+_QSK_WIDTH = 65_536
+_QSK_PCTS = (50, 90, 99)
+
+
+def _qsketch_sql() -> str:
+    pct_rows = ", ".join(f"({p})" for p in _QSK_PCTS)
+    return f"""
+base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), hist AS (
+  SELECT o_orderpriority, cents // {_QSK_WIDTH} AS b,
+         CAST(COUNT(*) AS BIGINT) AS n_b
+  FROM base GROUP BY o_orderpriority, b
+), cum AS (
+  SELECT o_orderpriority, b, n_b,
+         CAST(SUM(n_b) OVER (PARTITION BY o_orderpriority ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS c
+  FROM hist
+), grp AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM base
+  GROUP BY o_orderpriority
+), targets AS (
+  SELECT g.o_orderpriority, p.pct,
+         (p.pct * g.n + 99) // 100 AS k, g.n
+  FROM grp g CROSS JOIN (VALUES {pct_rows}) AS p(pct)
+), est AS (
+  SELECT t.o_orderpriority, t.pct, t.k,
+         c.b * {_QSK_WIDTH}
+           + ((t.k - (c.c - c.n_b)) * {_QSK_WIDTH}) // c.n_b AS est_cents
+  FROM targets t
+  JOIN cum c ON c.o_orderpriority = t.o_orderpriority
+            AND c.c - c.n_b < t.k AND t.k <= c.c
+), ranked AS (
+  SELECT o_orderpriority, cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY cents, o_orderkey) AS rk
+  FROM base
+)
+SELECT e.o_orderpriority, e.pct,
+       {quant_sql("CAST(e.est_cents AS DOUBLE) / 100.0", 2)} AS est_dollars,
+       {quant_sql("CAST(r.cents AS DOUBLE) / 100.0", 2)} AS exact_dollars,
+       {quant_sql(
+           "abs(CAST(e.est_cents AS DOUBLE) - r.cents) / r.cents", 6)}
+         AS rel_err
+FROM est e
+JOIN ranked r ON r.o_orderpriority = e.o_orderpriority AND r.rk = e.k
+ORDER BY e.o_orderpriority, e.pct
+"""
+
+
+@register("order_value_histogram_quantiles", oracle=f"WITH {_qsketch_sql()}")
+def order_value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantile sketch audited against exact order
+    statistics: p50/p90/p99 of order value per priority estimated from
+    a fixed-width bucket histogram (65536-cent buckets, linear
+    interpolation inside the rank-containing bucket), next to the true
+    rank-k value and the relative error. The histogram is the
+    mergeable structure (per-partition counts add), so at 100 TB the
+    sketch side is ONE partial-agg shuffle into a domain-bounded
+    (~1000-row) table per group — while the exact side's per-group
+    sort is precisely the cost the sketch avoids; the audit query
+    carries both so the error budget is MEASURED, not assumed (the
+    CMS/HLL/Bloom audit discipline, here for quantiles).
+
+    Everything before the final three divisions is exact integers:
+    cents snap at the scan, bucket ids and cumulative counts are
+    BIGINTs, the rank targets use ceil-division, and the interpolation
+    numerator stays integer (the // by the bucket count matches
+    ``F.floor`` division). Windows are partitioned by priority.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    hist = base.groupBy(
+        "o_orderpriority", F.expr(f"cents div {_QSK_WIDTH}").alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    wcum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "o_orderpriority", "b", "n_b", F.sum("n_b").over(wcum).cast("long").alias("c")
+    )
+    grp = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    pcts = F.explode(F.array(*[F.lit(p) for p in _QSK_PCTS])).alias("pct")
+    targets = grp.select("o_orderpriority", "n", pcts).select(
+        "o_orderpriority",
+        "pct",
+        F.expr("(pct * n + 99) div 100").cast("long").alias("k"),
+    )
+    est = targets.join(
+        cum,
+        (targets.o_orderpriority == cum.o_orderpriority)
+        & (F.col("c") - F.col("n_b") < F.col("k"))
+        & (F.col("k") <= F.col("c")),
+    ).select(
+        targets.o_orderpriority,
+        "pct",
+        "k",
+        (
+            F.col("b") * _QSK_WIDTH
+            + F.expr(f"((k - (c - n_b)) * {_QSK_WIDTH}) div n_b")
+        ).alias("est_cents"),
+    )
+    wrk = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    ranked = base.select(
+        "o_orderpriority", "cents", F.row_number().over(wrk).alias("rk")
+    )
+    return (
+        est.join(
+            ranked,
+            (est.o_orderpriority == ranked.o_orderpriority)
+            & (est.k == ranked.rk),
+        )
+        .select(
+            est.o_orderpriority,
+            "pct",
+            quant(F.col("est_cents").cast("double") / 100.0, 2).alias(
+                "est_dollars"
+            ),
+            quant(F.col("cents").cast("double") / 100.0, 2).alias(
+                "exact_dollars"
+            ),
+            quant(
+                F.abs(F.col("est_cents").cast("double") - F.col("cents"))
+                / F.col("cents"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("o_orderpriority", "pct")
+    )
+
+
+#: Stump cross-validation folds (orderkey residue classes).
+_CV_FOLDS = 3
+
+
+def _stump_cv_sql() -> str:
+    return f"""
+rows_ AS (
+  SELECT CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT) AS v,
+         l.l_orderkey % {_CV_FOLDS} AS fold,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem l
+), h AS (
+  SELECT fold, v, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM rows_ GROUP BY fold, v
+), folds AS (SELECT DISTINCT fold FROM h),
+train AS (
+  -- training histogram for held-out fold f = all folds except f
+  SELECT f.fold, h.v, CAST(SUM(h.n) AS BIGINT) AS n,
+         CAST(SUM(h.pos) AS BIGINT) AS pos
+  FROM folds f JOIN h ON h.fold <> f.fold
+  GROUP BY f.fold, h.v
+), pre AS (
+  SELECT fold, v,
+         CAST(SUM(n) OVER w AS BIGINT) AS n1,
+         CAST(SUM(pos) OVER w AS BIGINT) AS p1
+  FROM train
+  WINDOW w AS (PARTITION BY fold ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tt AS (
+  SELECT fold, CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS p
+  FROM train GROUP BY fold
+), gains AS (
+  SELECT pre.fold, pre.v,
+         (pre.n1 - (CAST(pre.p1 AS DOUBLE) * pre.p1
+                    + CAST(pre.n1 - pre.p1 AS DOUBLE) * (pre.n1 - pre.p1))
+                   / pre.n1
+          + (t.n - pre.n1)
+          - (CAST(t.p - pre.p1 AS DOUBLE) * (t.p - pre.p1)
+             + CAST(t.n - pre.n1 - t.p + pre.p1 AS DOUBLE)
+               * (t.n - pre.n1 - t.p + pre.p1))
+            / (t.n - pre.n1)) / t.n AS wgini,
+         2 * pre.p1 >= pre.n1 AS pred_left,
+         2 * (t.p - pre.p1) >= (t.n - pre.n1) AS pred_right
+  FROM pre JOIN tt t USING (fold)
+  WHERE pre.n1 < t.n
+), best AS (
+  SELECT fold, v AS split_cents, wgini, pred_left, pred_right
+  FROM gains
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY fold ORDER BY wgini, v) = 1
+), ho AS (
+  SELECT h.fold,
+         CAST(SUM(h.n) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN h.v <= b.split_cents THEN h.n ELSE 0 END)
+              AS BIGINT) AS n_l,
+         CAST(SUM(CASE WHEN h.v <= b.split_cents THEN h.pos ELSE 0 END)
+              AS BIGINT) AS p_l,
+         CAST(SUM(h.pos) AS BIGINT) AS p_all,
+         ANY_VALUE(b.split_cents) AS split_cents,
+         ANY_VALUE(b.wgini) AS wgini,
+         ANY_VALUE(b.pred_left) AS pred_left,
+         ANY_VALUE(b.pred_right) AS pred_right
+  FROM h JOIN best b USING (fold)
+  GROUP BY h.fold
+)
+SELECT fold, split_cents,
+       {quant_sql("wgini", 6)} AS train_wgini,
+       n_test,
+       {quant_sql(
+           "(CASE WHEN pred_left THEN p_l ELSE n_l - p_l END"
+           " + CASE WHEN pred_right THEN p_all - p_l"
+           "        ELSE (n_test - n_l) - (p_all - p_l) END)"
+           " * 1.0 / n_test", 6)} AS test_acc,
+       {quant_sql(
+           "GREATEST(CAST(p_all AS DOUBLE), CAST(n_test - p_all AS DOUBLE))"
+           " / n_test", 6)} AS majority_acc
+FROM ho
+ORDER BY fold
+"""
+
+
+@register("lineitem_stump_cv", oracle=f"WITH {_stump_cv_sql()}")
+def lineitem_stump_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-fold cross-validation of the decision stump: for each
+    held-out orderkey-residue fold, run the SAME histogram split
+    search as ``lineitem_decision_stump`` on the other two folds'
+    counts, then score the held-out fold with the trained threshold
+    and leaf majority votes — next to the majority-class baseline.
+    Training metrics say which split fits; CV accuracy says whether
+    the stump GENERALIZES, the number a feature-screening pipeline
+    actually ranks features by.
+
+    Everything is fold-histogram algebra: the per-fold training
+    histogram is (total - fold) via one join-aggregate — no second
+    scan, no per-fold data pass; prefix sums and the argmin run
+    per-fold (PARTITIONED windows over the ~11-value frame), leaf
+    predictions are integer majority tests (2p >= n), and held-out
+    accuracy is counted from the fold's own histogram. One lineitem
+    scan total, at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("v"),
+        (F.col("l_orderkey") % _CV_FOLDS).alias("fold"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    h = rows.groupBy("fold", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    ).localCheckpoint(eager=False)  # feeds train + held-out scoring
+    folds = h.select("fold").distinct().withColumnRenamed("fold", "ho_fold")
+    train = (
+        folds.join(h, F.col("fold") != F.col("ho_fold"))
+        .groupBy("ho_fold", "v")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("pos"),
+        )
+    )
+    wpre = (
+        Window.partitionBy("ho_fold")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = train.select(
+        "ho_fold",
+        "v",
+        F.sum("n").over(wpre).cast("long").alias("n1"),
+        F.sum("pos").over(wpre).cast("long").alias("p1"),
+    )
+    tt = train.groupBy("ho_fold").agg(
+        F.sum("n").cast("long").alias("n"), F.sum("pos").cast("long").alias("p")
+    )
+    j = pre.join(tt, "ho_fold").where(F.col("n1") < F.col("n"))
+    p1, n1 = F.col("p1"), F.col("n1")
+    p, n = F.col("p"), F.col("n")
+    sse1 = n1 - (p1.cast("double") * p1 + (n1 - p1).cast("double") * (n1 - p1)) / n1
+    sse2 = (n - n1) - (
+        (p - p1).cast("double") * (p - p1)
+        + (n - n1 - p + p1).cast("double") * (n - n1 - p + p1)
+    ) / (n - n1)
+    gains = j.select(
+        "ho_fold",
+        "v",
+        ((sse1 + sse2) / n).alias("wgini"),
+        (2 * p1 >= n1).alias("pred_left"),
+        (2 * (p - p1) >= (n - n1)).alias("pred_right"),
+    )
+    wbest = Window.partitionBy("ho_fold").orderBy("wgini", "v")
+    best = (
+        gains.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("ho_fold").alias("fold"),
+            F.col("v").alias("split_cents"),
+            "wgini",
+            "pred_left",
+            "pred_right",
+        )
+    )
+    ho = (
+        h.join(F.broadcast(best), "fold")
+        .groupBy("fold")
+        .agg(
+            F.sum("n").cast("long").alias("n_test"),
+            F.sum(F.when(F.col("v") <= F.col("split_cents"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_l"),
+            F.sum(F.when(F.col("v") <= F.col("split_cents"), F.col("pos")).otherwise(0))
+            .cast("long")
+            .alias("p_l"),
+            F.sum("pos").cast("long").alias("p_all"),
+            F.first("split_cents").alias("split_cents"),
+            F.first("wgini").alias("wgini"),
+            F.first("pred_left").alias("pred_left"),
+            F.first("pred_right").alias("pred_right"),
+        )
+    )
+    correct = F.when(F.col("pred_left"), F.col("p_l")).otherwise(
+        F.col("n_l") - F.col("p_l")
+    ) + F.when(F.col("pred_right"), F.col("p_all") - F.col("p_l")).otherwise(
+        (F.col("n_test") - F.col("n_l")) - (F.col("p_all") - F.col("p_l"))
+    )
+    return ho.select(
+        "fold",
+        "split_cents",
+        quant("wgini", 6).alias("train_wgini"),
+        "n_test",
+        quant(correct * 1.0 / F.col("n_test"), 6).alias("test_acc"),
+        quant(
+            F.greatest(
+                F.col("p_all").cast("double"),
+                (F.col("n_test") - F.col("p_all")).cast("double"),
+            )
+            / F.col("n_test"),
+            6,
+        ).alias("majority_acc"),
+    ).orderBy("fold")

@@ -1124,3 +1124,228 @@ def source_dup_cross_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+#: Prefix-duplicate grouping: documents sharing their first
+#: _PREFIX_TOKS tokens. Real curation pipelines dedupe on a bounded
+#: prefix before whole-document comparison — the prefix hash is one
+#: bounded map-side expression per doc (no shingle fanout), so it runs
+#: on every document at full corpus scale for pennies.
+_PREFIX_TOKS = 16
+_PREFIX_TOPK = 20
+
+
+@register(
+    "doc_prefix_dup_groups",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
+), pref AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(array_to_string(
+             list_slice(toks, 1, {_PREFIX_TOKS}), ' ')), 1, 15))::BIGINT
+           AS phash
+  FROM toks WHERE len(toks) >= {_PREFIX_TOKS}
+), grp AS (
+  SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+  FROM pref GROUP BY phash
+)
+SELECT phash, n_docs, n_sources, min_doc_id, max_doc_id
+FROM grp WHERE n_docs > 1
+ORDER BY n_docs DESC, phash
+LIMIT {_PREFIX_TOPK}
+""",
+)
+def doc_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 groups of documents sharing their first 16 tokens — the
+    cheap prefix-level dedup pass curation pipelines run BEFORE any
+    shingle/MinHash machinery (templated boilerplate and scrape-twice
+    artifacts share prefixes; a 60-bit prefix hash finds them with one
+    map-side expression and one groupBy, no pair generation at all).
+    Complements ``dedup_exact_summary`` (whole-text equality) and the
+    MinHash family (bag-of-shingles similarity).
+
+    The prefix hash is the cross-engine md5-based ``hash60`` over the
+    space-joined first-16-token slice; groups are exact counts with
+    (n_docs desc, phash) as the total order. Plan: one scan, one
+    partial-agg shuffle on the hash key, TakeOrderedAndProject — the
+    100 TB shape is a single combine-heavy aggregation.
+    """
+    from hadoop_cs4225_spark.functions.hashing import hash60
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", _toks().alias("toks")
+    )
+    pref = docs.where(F.size("toks") >= _PREFIX_TOKS).select(
+        "doc_id",
+        "source",
+        hash60(
+            F.concat_ws(" ", F.slice("toks", 1, _PREFIX_TOKS))
+        ).alias("phash"),
+    )
+    return (
+        pref.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), "phash")
+        .limit(_PREFIX_TOPK)
+    )
+
+
+#: Prefix-filtered set-similarity join (PPJoin-style): Jaccard
+#: threshold 3/5, and a hard df cap on candidate-generating prefix
+#: tokens — the LSH_BUCKET_CAP discipline applied to the prefix
+#: index: prefix tokens are each document's RAREST tokens, so the cap
+#: only binds under pathological boilerplate; it is encoded in BOTH
+#: engines, making it part of the operator's semantics rather than a
+#: Spark-side shortcut.
+_PPJ_T_NUM, _PPJ_T_DEN = 3, 5
+_PPJ_DF_CAP = 64
+
+
+@register(
+    "jaccard_prefix_filter_pairs",
+    oracle=f"""
+WITH post AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS tok
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t0
+  WHERE len(toks) >= 3
+), lens AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM post GROUP BY doc_id
+), df AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY tok
+), ranked AS (
+  SELECT p.doc_id, p.tok, d.df, l.len,
+         ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY d.df, p.tok)
+           AS rn
+  FROM post p JOIN df d USING (tok) JOIN lens l USING (doc_id)
+), prefix AS (
+  SELECT doc_id, tok, len FROM ranked
+  WHERE rn <= len - ({_PPJ_T_NUM} * len + {_PPJ_T_DEN} - 1)
+                    // {_PPJ_T_DEN} + 1
+    AND df <= {_PPJ_DF_CAP}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.len AS l1, b.len AS l2
+  FROM prefix a JOIN prefix b
+    ON a.tok = b.tok AND a.doc_id < b.doc_id
+  WHERE {_PPJ_T_DEN} * LEAST(a.len, b.len)
+        >= {_PPJ_T_NUM} * GREATEST(a.len, b.len)
+), inter AS (
+  SELECT c.d1, c.d2, ANY_VALUE(c.l1) AS l1, ANY_VALUE(c.l2) AS l2,
+         CAST(COUNT(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN post p1 ON p1.doc_id = c.d1
+  JOIN post p2 ON p2.doc_id = c.d2 AND p2.tok = p1.tok
+  GROUP BY c.d1, c.d2
+)
+SELECT d1, d2, i AS n_shared,
+       {quant_sql("CAST(i AS DOUBLE) / (l1 + l2 - i)", 6)} AS jaccard
+FROM inter
+WHERE {_PPJ_T_DEN} * i >= {_PPJ_T_NUM} * (l1 + l2 - i)
+ORDER BY d1, d2
+""",
+)
+def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with 3-shingle-set Jaccard >= 0.6 via PREFIX
+    FILTERING (the PPJoin family): order each document's distinct
+    shingles by ascending global document frequency, index only the
+    first len - ceil(t*len) + 1 (its rarest shingles — if two sets
+    reach the threshold, their prefixes must share an element),
+    generate candidates by equi-join on the prefix shingle with the
+    length filter t*max_len <= min_len, then verify the exact Jaccard
+    on the full postings. The third set-similarity join in the module
+    over the SAME shingle sets as MinHash-LSH, and unlike
+    ``ngram_jaccard_topk`` (brute, sample-bounded) or MinHash-LSH
+    (probabilistic), it is EXACT with a bounded candidate set — the
+    shingle universe is Zipf-tailed (grows with the corpus), which is
+    exactly where prefix rarity ordering pays off; a raw-TOKEN prefix
+    index would degenerate on a bounded vocabulary.
+
+    The threshold stays a 3/5 rational so prefix lengths and the final
+    verdict are pure integer arithmetic (ceil via (3*len+4)//5); the
+    only float is the reported quantized ratio. Plan: postings build +
+    two vocab-keyed aggregates, a per-doc PARTITIONED rank window,
+    candidate equi-join on rare tokens (df-capped at 64, encoded in
+    both engines), verification joins keyed on doc_id — no global
+    sorts, no cartesian anything.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _toks().alias("toks")
+    )
+    post = (
+        docs.where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("tok"))
+        .localCheckpoint(eager=False)  # read by lens/df/rank + 2 verify joins
+    )
+    lens = post.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("len"))
+    df = post.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    wrank = Window.partitionBy("doc_id").orderBy("df", "tok")
+    ranked = (
+        post.join(df, "tok")
+        .join(lens, "doc_id")
+        .select("doc_id", "tok", "df", "len", F.row_number().over(wrank).alias("rn"))
+    )
+    p_len = (
+        F.col("len")
+        - F.expr(
+            f"({_PPJ_T_NUM} * len + {_PPJ_T_DEN} - 1) div {_PPJ_T_DEN}"
+        )
+        + 1
+    )
+    prefix = ranked.where(
+        (F.col("rn") <= p_len) & (F.col("df") <= _PPJ_DF_CAP)
+    ).select("doc_id", "tok", "len")
+    a = prefix.select(
+        F.col("doc_id").alias("d1"), F.col("tok").alias("t1"), F.col("len").alias("l1")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("d2"), F.col("tok").alias("t2"), F.col("len").alias("l2")
+    )
+    cand = (
+        a.join(b, (F.col("t1") == F.col("t2")) & (F.col("d1") < F.col("d2")))
+        .where(
+            _PPJ_T_DEN * F.least("l1", "l2")
+            >= _PPJ_T_NUM * F.greatest("l1", "l2")
+        )
+        .select("d1", "d2", "l1", "l2")
+        .distinct()
+    )
+    p1 = post.select(F.col("doc_id").alias("d1"), F.col("tok").alias("k1"))
+    p2 = post.select(F.col("doc_id").alias("p2_doc"), F.col("tok").alias("k2"))
+    inter = (
+        cand.join(p1, "d1")
+        .join(
+            p2,
+            (F.col("d2") == F.col("p2_doc")) & (F.col("k1") == F.col("k2")),
+        )
+        .groupBy("d1", "d2")
+        .agg(
+            F.first("l1").alias("l1"),
+            F.first("l2").alias("l2"),
+            F.count(F.lit(1)).cast("long").alias("i"),
+        )
+    )
+    return (
+        inter.where(
+            _PPJ_T_DEN * F.col("i")
+            >= _PPJ_T_NUM * (F.col("l1") + F.col("l2") - F.col("i"))
+        )
+        .select(
+            "d1",
+            "d2",
+            F.col("i").alias("n_shared"),
+            quant(
+                F.col("i").cast("double")
+                / (F.col("l1") + F.col("l2") - F.col("i")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("d1", "d2")
+    )

@@ -410,3 +410,103 @@ def supplier_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").alias("community"), "size", "min_member")
         .orderBy("community")
     )
+
+
+#: Adamic-Adar per-common-neighbor terms snap to this integer grid
+#: before summation (terms are 1/ln(deg) <= 1/ln(2), so the scaled
+#: BIGINTs never overflow); the two engines then sum EXACT integers in
+#: any order — same discipline as the pagerank per-iteration snap.
+_AA_GRID = 1_000_000_000_000
+_AA_TOPK = 20
+
+
+@register(
+    "supplier_adamic_adar_topk",
+    oracle=f"""
+WITH {_EDGES_CTE_SQL}, dir AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION ALL
+  SELECT b AS src, a AS dst FROM edges
+), deg AS (
+  SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM dir GROUP BY src
+), wedge AS (
+  SELECT d1.src AS x, d2.dst AS y, d1.dst AS z
+  FROM dir d1 JOIN dir d2 ON d1.dst = d2.src
+  WHERE d1.src < d2.dst
+), cand AS (
+  SELECT w.x, w.y,
+         CAST(floor(1.0 / LN(CAST(g.d AS DOUBLE)) * {_AA_GRID} + 0.5)
+              AS BIGINT) AS t
+  FROM wedge w JOIN deg g ON g.v = w.z
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.a = w.x AND e.b = w.y)
+), scored AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_common,
+         CAST(SUM(t) AS BIGINT) AS s
+  FROM cand GROUP BY x, y
+)
+SELECT x AS s1, y AS s2, n_common,
+       {quant_sql(f"CAST(s AS DOUBLE) / {_AA_GRID}", 9)} AS aa_score
+FROM scored
+ORDER BY aa_score DESC, s1, s2
+LIMIT {_AA_TOPK}
+""",
+)
+def supplier_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the mutual-top-K supplier graph: top-20
+    non-adjacent pairs by Adamic-Adar score (sum over common
+    neighbors z of 1/ln(deg(z)) — rarer shared partners count more).
+    The third member of the graph suite: components (LPA), global
+    structure (triangles/PageRank), and now edge PREDICTION — "which
+    suppliers are likely partners that haven't co-supplied yet", the
+    recommender shape.
+
+    Same degree-<=K graph as ``supplier_triangle_stats`` (shared
+    memoized ``_mutual_topk_edges``), so the wedge join's fanout is
+    bounded by K^2 per node at any corpus size. deg(z) >= 2 for every
+    common neighbor by construction (z is adjacent to both endpoints),
+    so 1/ln(deg) is always finite. Each term snaps to the 1e-12 grid before
+    the per-pair sum (exact BIGINTs in both engines — the snap-before-
+    reassociating-sum discipline), then one quantized division; ties
+    break on (s1, s2) for a total order.
+
+    Plan: wedge enumeration is one self-equi-join of the checkpointed
+    edge list, adjacency exclusion one left-anti join, ranking a
+    TakeOrderedAndProject.
+    """
+    edges = _mutual_topk_edges(spark, sf_dir)
+    dirr = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = dirr.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    d2 = dirr.select(F.col("src").alias("z2"), F.col("dst").alias("y"))
+    wedge = (
+        dirr.join(d2, F.col("dst") == F.col("z2"))
+        .where(F.col("src") < F.col("y"))
+        .select(F.col("src").alias("x"), "y", F.col("dst").alias("z"))
+    )
+    nonadj = wedge.join(
+        edges,
+        (F.col("x") == F.col("a")) & (F.col("y") == F.col("b")),
+        "left_anti",
+    )
+    cand = nonadj.join(deg.select(F.col("src").alias("z"), "d"), "z").select(
+        "x",
+        "y",
+        F.floor(1.0 / F.log(F.col("d").cast("double")) * _AA_GRID + 0.5)
+        .cast("long")
+        .alias("t"),
+    )
+    scored = cand.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum("t").cast("long").alias("s"),
+    )
+    return (
+        scored.select(
+            F.col("x").alias("s1"),
+            F.col("y").alias("s2"),
+            "n_common",
+            quant(F.col("s").cast("double") / _AA_GRID, 9).alias("aa_score"),
+        )
+        .orderBy(F.desc("aa_score"), "s1", "s2")
+        .limit(_AA_TOPK)
+    )

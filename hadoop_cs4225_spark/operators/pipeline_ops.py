@@ -1038,3 +1038,150 @@ def eval_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("novelty_frac", "doc_id")
         .limit(100)
     )
+
+
+#: Contrastive-pair manifest: negatives per anchor and the hash seed
+#: family used to draw them. doc_ids are dense 0..N-1 in the synthetic
+#: corpus (asserted in tests), so a seeded-hash modulo-N draw is a
+#: uniform deterministic negative sampler with no cross join; a draw
+#: landing inside the anchor's own near-dup cluster is kept but
+#: FLAGGED (neg{j}_clean = false) — at real-corpus dup densities this
+#: is rare, and flagging keeps the output schema and row count
+#: deterministic instead of re-drawing unboundedly.
+_CTR_NEGS = 2
+_CTR_SEED_BASE = 40
+
+
+def _contrastive_oracle() -> str:
+    from hadoop_cs4225_spark.operators.dedup import _lsh_pairs_cte
+
+    draws = []
+    neg_cols = []
+    neg_joins = []
+    for j in range(1, _CTR_NEGS + 1):
+        expr = "'" + str(_CTR_SEED_BASE + j) + ":' || CAST(a.anchor_id AS VARCHAR)"
+        draws.append(f"({hash60_sql(expr)}) % nn.n AS neg{j}_id")
+        neg_cols.append(
+            f"d.neg{j}_id, COALESCE(l{j}.cluster_id <> d.cluster_id, TRUE)"
+            f" AS neg{j}_clean"
+        )
+        neg_joins.append(f"LEFT JOIN labs l{j} ON l{j}.doc_id = d.neg{j}_id")
+    return f"""
+WITH RECURSIVE {_lsh_pairs_cte()},
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM verified
+  UNION ALL
+  SELECT d2 AS a, d1 AS b FROM verified
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+),
+labs AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+keepers AS (
+  SELECT cluster_id, doc_id AS keeper_id FROM (
+    SELECT l.cluster_id, l.doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY l.cluster_id ORDER BY d.n_chars DESC, l.doc_id
+           ) AS rn
+    FROM labs l JOIN documents d ON l.doc_id = d.doc_id) z
+  WHERE rn = 1
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+anchors AS (
+  SELECT l.doc_id AS anchor_id, l.cluster_id, k.keeper_id AS positive_id
+  FROM labs l JOIN keepers k USING (cluster_id)
+  WHERE l.doc_id <> k.keeper_id
+),
+drawn AS (
+  SELECT a.anchor_id, a.cluster_id, a.positive_id,
+         {", ".join(draws)}
+  FROM anchors a CROSS JOIN nn
+)
+SELECT d.anchor_id, d.positive_id,
+       {", ".join(neg_cols)}
+FROM drawn d
+{chr(10).join(neg_joins)}
+ORDER BY d.anchor_id
+"""
+
+
+@register("contrastive_pairs_manifest", oracle=_contrastive_oracle())
+def contrastive_pairs_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair manifest from the near-dup clusters:
+    every non-canonical cluster member anchors one POSITIVE (its
+    cluster's canonical keeper — the same longest-chars/doc_id rule as
+    ``dedup_canonical_keep``) and 2 deterministic hash-drawn NEGATIVES
+    (seeded md5 modulo the dense doc_id space). The manifest a
+    similarity-model fine-tune reads: (anchor, positive, negatives)
+    with a cleanliness flag marking the rare draw that lands inside
+    the anchor's own cluster (flagged, not re-drawn, so row count and
+    schema stay deterministic).
+
+    Composes the MEMOIZED cluster labels (``dedup._cluster_labels`` —
+    zero extra LSH work when the dedup family already ran) and its
+    oracle embeds the same shared LSH CTE chain, so the pair
+    construction can never drift from the dedup family. Plan: labels
+    join + one broadcast keeper join + per-negative left joins on
+    doc_id — no cross joins; the negative draw is a map-side hash.
+    """
+    from hadoop_cs4225_spark.functions.hashing import hash60_seeded
+    from hadoop_cs4225_spark.operators.dedup import _cluster_labels
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _cluster_labels(spark, sf_dir).select(
+        "doc_id", F.col("lab").alias("cluster_id")
+    )
+    keepers = (
+        labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.expr("max_by(doc_id, struct(n_chars, -doc_id))").alias("keeper_id"))
+    )
+    nn = F.broadcast(docs.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    anchors = (
+        labels.join(F.broadcast(keepers), "cluster_id")
+        .where(F.col("doc_id") != F.col("keeper_id"))
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            "cluster_id",
+            F.col("keeper_id").alias("positive_id"),
+        )
+    )
+    drawn = anchors.crossJoin(nn).select(
+        "anchor_id",
+        "cluster_id",
+        "positive_id",
+        *[
+            (
+                hash60_seeded(
+                    F.col("anchor_id").cast("string"), _CTR_SEED_BASE + j
+                )
+                % F.col("n")
+            ).alias(f"neg{j}_id")
+            for j in range(1, _CTR_NEGS + 1)
+        ],
+    )
+    out = drawn
+    for j in range(1, _CTR_NEGS + 1):
+        lj = labels.select(
+            F.col("doc_id").alias(f"neg{j}_id"),
+            F.col("cluster_id").alias(f"neg{j}_cluster"),
+        )
+        out = out.join(lj, f"neg{j}_id", "left")
+    return out.select(
+        "anchor_id",
+        "positive_id",
+        *[
+            c
+            for j in range(1, _CTR_NEGS + 1)
+            for c in (
+                F.col(f"neg{j}_id"),
+                F.coalesce(
+                    F.col(f"neg{j}_cluster") != F.col("cluster_id"),
+                    F.lit(True),
+                ).alias(f"neg{j}_clean"),
+            )
+        ],
+    ).orderBy("anchor_id")

@@ -951,3 +951,109 @@ def embedding_rp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
         .orderBy("distortion_bin")
     )
+
+
+#: Centroid-cosine grid: embedding components snap to 1e-4 before the
+#: per-(label, dim) sums, making every moment an exact BIGINT (|x| < 1
+#: so q <= 10^4; summed over a label's vectors and 64 dims the dot
+#: products stay far inside BIGINT at any registered SF — and cosine
+#: is scale-invariant, so the un-normalized integer SUMS stand in for
+#: the centroids exactly).
+_CENT_GRID = 10_000
+
+
+@register(
+    "label_centroid_cosine",
+    oracle=f"""
+WITH comp AS (
+  SELECT label, g.dim AS dim,
+         CAST(floor(CAST(embedding[g.dim] AS DOUBLE) * {_CENT_GRID} + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS dim) g
+), cent AS (
+  SELECT label, dim, CAST(SUM(q) AS BIGINT) AS s
+  FROM comp GROUP BY label, dim
+), dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(SUM(a.s * b.s) AS BIGINT) AS dot
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY a.label, b.label
+), norms AS (
+  SELECT label, CAST(SUM(s * s) AS BIGINT) AS nrm FROM cent GROUP BY label
+)
+SELECT d.label_a, d.label_b,
+       {quant_sql(
+           "CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE))"
+           " / sqrt(CAST(nb.nrm AS DOUBLE))", 6)} AS cos_sim
+FROM dots d
+JOIN norms na ON na.label = d.label_a
+JOIN norms nb ON nb.label = d.label_b
+ORDER BY d.label_a, d.label_b
+""",
+)
+def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    centroids — the class-confusability map an embedding-space audit
+    reads next to ``label_centroid_stats``'s per-label dispersions
+    (two labels whose centroids sit at cos > 0.9 will cross-talk in
+    any downstream nearest-centroid routing).
+
+    Exact-integer path: components snap to the 1e-4 grid at the scan,
+    per-(label, dim) sums are exact BIGINTs, and cosine's scale
+    invariance lets the integer SUM vectors stand in for the mean
+    centroids — so both engines compute the dot/norm integers
+    bit-identically and the only float is the final quantized
+    division. Plan: one posexplode scan into a (labels x 64)-row
+    aggregate; the pairwise join runs on that bounded frame (45 pairs
+    for 10 labels), never on raw vectors.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("x").cast("double") * _CENT_GRID + 0.5)
+        .cast("long")
+        .alias("q"),
+    )
+    cent = comp.groupBy("label", "dim").agg(
+        F.sum("q").cast("long").alias("s")
+    ).localCheckpoint(eager=False)  # read 3x: two join sides + norms
+    a = cent.select(
+        F.col("label").alias("label_a"), F.col("dim").alias("dim_a"), F.col("s").alias("sa")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("dim").alias("dim_b"), F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(
+            b,
+            (F.col("dim_a") == F.col("dim_b"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).cast("long").alias("dot"))
+    )
+    norms = cent.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("nrm")
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            quant(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("na").cast("double"))
+                / F.sqrt(F.col("nb").cast("double")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy("label_a", "label_b")
+    )

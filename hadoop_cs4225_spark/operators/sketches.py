@@ -371,3 +371,350 @@ def user_distinct_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err"
         ),
     )
+
+
+#: Explicit Bloom-filter geometry for the decontamination audit:
+#: _BLOOM_K seeded md5 hashes into _BLOOM_M bit positions. Sized so
+#: the probe-shingle load factor produces a measurable-but-small
+#: false-positive rate at the driver's sf0.01 (k*n/m ~ 0.2).
+_BLOOM_M = 65_536
+_BLOOM_K = 4
+
+
+def _bloom_audit_oracle() -> str:
+    from hadoop_cs4225_spark.functions.hashing import hash60_seeded_sql
+    from hadoop_cs4225_spark.functions.numeric import quant_sql
+    from hadoop_cs4225_spark.operators.dedup import _SHINGLES_SQL, _TOKS_SQL
+    from hadoop_cs4225_spark.operators.pipeline_ops import _PROBE_MOD
+
+    def b(seed: int) -> str:
+        return f"({hash60_seeded_sql('s', seed)} % {_BLOOM_M})"
+
+    probe_fan = "\nUNION ALL\n".join(
+        f"SELECT {b(d)} AS bucket FROM probe" for d in range(1, _BLOOM_K + 1)
+    )
+    cand_fan = "\nUNION ALL\n".join(
+        f"SELECT s, {b(d)} AS bucket FROM cand" for d in range(1, _BLOOM_K + 1)
+    )
+    # saturation t = 1 - exp(-k*n/m); fpr_theory = t^k via explicit
+    # multiplication (cross-engine pow is not trusted; exp is the same
+    # single libm call both engines already share in the perplexity
+    # oracle)
+    t = f"(1.0 - exp(-{_BLOOM_K}.0 * i.n_inserted / {_BLOOM_M}))"
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS s
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t0
+  WHERE len(toks) >= 3
+), probe AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % {_PROBE_MOD} = 0
+), cand AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % {_PROBE_MOD} <> 0
+), bits AS (
+  SELECT DISTINCT bucket FROM ({probe_fan})
+), hits AS (
+  SELECT c.s, CAST(COUNT(bt.bucket) AS BIGINT) AS k_hit
+  FROM ({cand_fan}) c
+  LEFT JOIN bits bt ON bt.bucket = c.bucket
+  GROUP BY c.s
+), verdicts AS (
+  SELECT h.s, h.k_hit = {_BLOOM_K} AS bloom_pos,
+         p.s IS NOT NULL AS is_member
+  FROM hits h LEFT JOIN probe p ON p.s = h.s
+), ins AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_inserted FROM probe),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_members,
+         CAST(SUM(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bloom_pos,
+         CAST(SUM(CASE WHEN bloom_pos AND NOT is_member THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_false_pos,
+         CAST(SUM(CASE WHEN is_member AND NOT bloom_pos THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_false_neg
+  FROM verdicts
+)
+SELECT i.n_inserted, a.n_candidates, a.n_members, a.n_bloom_pos,
+       a.n_false_pos, a.n_false_neg,
+       {quant_sql(
+           "CAST(a.n_false_pos AS DOUBLE)"
+           " / (a.n_candidates - a.n_members)", 6)} AS fpr_measured,
+       {quant_sql(f"{t} * {t} * {t} * {t}", 6)} AS fpr_theory
+FROM agg a CROSS JOIN ins i
+"""
+
+
+@register("eval_bloom_decon_audit", oracle=_bloom_audit_oracle())
+def eval_bloom_decon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter from first principles (k=4 seeded md5 hashes into
+    m=65536 bit positions) standing in for the decontamination
+    probe-set membership test, audited against the exact semi-join:
+    candidate corpus shingles vs eval-probe shingles, with measured
+    false-positive rate next to the (1 - e^(-kn/m))^k theory line.
+    The third "algorithm under the oracle gate" sketch (after the CMS
+    and HLL audits): every bit position, verdict and rate is
+    bit-identical in DuckDB.
+
+    Bloom invariant pinned by construction and in tests: ZERO false
+    negatives (n_false_neg = 0 — a member's k buckets are all set by
+    its own insertion).
+
+    Why it matters at 100 TB: the exact decontamination join shuffles
+    every corpus shingle against the probe set; the Bloom bitset is
+    ~8 KB broadcast to every executor, turning decontamination into a
+    map-side filter with a quantified (and here MEASURED) FP budget —
+    the audit tells you what fraction of clean docs an over-loaded
+    filter would wrongly drop.
+
+    Plan: probe fanout folds to <= m DISTINCT bit rows (broadcast);
+    candidates fan out k rows each, join the bit table on the bucket
+    key, and fold back to per-shingle verdicts in one partial-agg
+    shuffle; the report is a 1-row aggregate.
+    """
+    from hadoop_cs4225_spark.functions.hashing import hash60_seeded
+    from hadoop_cs4225_spark.functions.numeric import quant
+    from hadoop_cs4225_spark.operators.dedup import _shingles, _toks
+    from hadoop_cs4225_spark.operators.pipeline_ops import _PROBE_MOD
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _toks().alias("toks")
+    )
+    sh = docs.where(F.size("toks") >= 3).select(
+        "doc_id", F.explode(F.array_distinct(_shingles())).alias("s")
+    )
+    probe = (
+        sh.where(F.col("doc_id") % _PROBE_MOD == 0).select("s").distinct()
+    ).localCheckpoint(eager=False)  # bits fanout + exact join + count
+    cand = sh.where(F.col("doc_id") % _PROBE_MOD != 0).select("s").distinct()
+
+    def bucket(d: int) -> F.Column:
+        return (hash60_seeded(F.col("s"), d) % _BLOOM_M).alias("bucket")
+
+    def fan(df: DataFrame) -> DataFrame:
+        return df.select(
+            "s",
+            F.explode(
+                F.array(*[bucket(d) for d in range(1, _BLOOM_K + 1)])
+            ).alias("bucket"),
+        )
+
+    bits = F.broadcast(fan(probe).select("bucket").distinct())
+    hits = (
+        fan(cand)
+        .join(bits.withColumn("hit", F.lit(1)), "bucket", "left")
+        .groupBy("s")
+        .agg(F.count("hit").cast("long").alias("k_hit"))
+    )
+    verdicts = hits.join(
+        probe.withColumn("mem", F.lit(1)), "s", "left"
+    ).select(
+        (F.col("k_hit") == _BLOOM_K).alias("bloom_pos"),
+        F.col("mem").isNotNull().alias("is_member"),
+    )
+    ins = F.broadcast(
+        probe.agg(F.count(F.lit(1)).cast("long").alias("n_inserted"))
+    )
+    agg = verdicts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum(F.col("is_member").cast("long")).cast("long").alias("n_members"),
+        F.sum(F.col("bloom_pos").cast("long")).cast("long").alias("n_bloom_pos"),
+        F.sum((F.col("bloom_pos") & ~F.col("is_member")).cast("long"))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum((F.col("is_member") & ~F.col("bloom_pos")).cast("long"))
+        .cast("long")
+        .alias("n_false_neg"),
+    )
+    t = 1.0 - F.exp(
+        F.lit(-float(_BLOOM_K)) * F.col("n_inserted") / _BLOOM_M
+    )
+    return agg.crossJoin(ins).select(
+        "n_inserted",
+        "n_candidates",
+        "n_members",
+        "n_bloom_pos",
+        "n_false_pos",
+        "n_false_neg",
+        quant(
+            F.col("n_false_pos").cast("double")
+            / (F.col("n_candidates") - F.col("n_members")),
+            6,
+        ).alias("fpr_measured"),
+        quant(t * t * t * t, 6).alias("fpr_theory"),
+    )
+
+
+#: Daily-HLL rollup geometry (small p so register collisions — and
+#: therefore visible estimation error — appear even at sf0.001).
+_DHLL_P = 6
+_DHLL_M = 1 << _DHLL_P
+_DHLL_SUFFIX = 60 - _DHLL_P
+_DHLL_ALPHA = 0.7213 / (1 + 1.079 / _DHLL_M)
+_DHLL_WINDOW = 7  # trailing days in the rolling union
+
+
+def _daily_hll_oracle() -> str:
+    from hadoop_cs4225_spark.functions.hashing import hash60_sql
+    from hadoop_cs4225_spark.functions.numeric import quant_sql
+
+    h = hash60_sql("CAST(user_id AS VARCHAR)")
+    mask = (1 << _DHLL_SUFFIX) - 1
+    alpha = f"CAST('{_DHLL_ALPHA!r}' AS DOUBLE)"
+
+    def est(n_used: str, denom: str) -> str:
+        raw = f"{alpha} * {_DHLL_M} * {_DHLL_M} / ({denom})"
+        lin = f"{_DHLL_M} * LN({_DHLL_M} * 1.0 / ({_DHLL_M} - {n_used}))"
+        return (
+            f"CASE WHEN {raw} <= 2.5 * {_DHLL_M} AND {n_used} < {_DHLL_M}"
+            f" THEN {lin} ELSE {raw} END"
+        )
+
+    return f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day,
+         ({h} >> {_DHLL_SUFFIX}) AS bucket,
+         CASE WHEN ({h} & {mask}) = 0 THEN {_DHLL_SUFFIX + 1}
+              ELSE {_DHLL_SUFFIX + 1} - length(bin({h} & {mask}))
+         END AS rank_b
+  FROM events
+), regs AS (
+  SELECT day, bucket, MAX(rank_b) AS m_b FROM ev GROUP BY day, bucket
+), days AS (SELECT DISTINCT day FROM regs),
+roll AS (
+  SELECT d.day, r.bucket, MAX(r.m_b) AS m_b
+  FROM days d JOIN regs r
+    ON r.day BETWEEN d.day - {_DHLL_WINDOW - 1} AND d.day
+  GROUP BY d.day, r.bucket
+), sday AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS used,
+         SUM(POWER(2.0, -m_b)) + ({_DHLL_M} - COUNT(*)) * 1.0 AS denom
+  FROM regs GROUP BY day
+), sroll AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS used,
+         SUM(POWER(2.0, -m_b)) + ({_DHLL_M} - COUNT(*)) * 1.0 AS denom
+  FROM roll GROUP BY day
+), xday AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_day
+  FROM events GROUP BY day
+), xroll AS (
+  SELECT d.day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_7d
+  FROM days d JOIN events e
+    ON CAST(e.ts AS DATE) BETWEEN d.day - {_DHLL_WINDOW - 1} AND d.day
+  GROUP BY d.day
+)
+SELECT s.day, x.exact_day,
+       {quant_sql(est("s.used", "s.denom"), 2)} AS hll_day,
+       xr.exact_7d,
+       {quant_sql(est("sr.used", "sr.denom"), 2)} AS hll_7d
+FROM sday s
+JOIN sroll sr USING (day)
+JOIN xday x USING (day)
+JOIN xroll xr USING (day)
+ORDER BY s.day
+"""
+
+
+@register("events_daily_hll_rollup", oracle=_daily_hll_oracle())
+def events_daily_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE mergeable-sketch rollup, fully under the oracle gate:
+    per-day HyperLogLog registers (p=6, from the cross-engine md5
+    hash) estimate daily distinct users, and a trailing-7-day
+    register-wise MAX — the HLL union — answers "distinct users this
+    week" WITHOUT re-touching raw events, next to both exact counts.
+    ``sketch_distinct_users_by_type`` shows the native Datasketches
+    path (rows-only); this builds the identical mergeability story
+    from first principles so DuckDB reproduces every register, union
+    and estimate bit-exactly.
+
+    Why it matters at 100 TB: distinct-rollups are the canonical
+    non-additive aggregate — a day×N matrix of exact distincts needs N
+    passes, while the register table is 64 BIGINTs per day and ANY
+    date-range union is a register MAX. The exact-7d side carries a
+    |days| x |events-in-window| self-join precisely to show what the
+    sketch replaces; the audit reports both so the p=6 error is
+    measured.
+
+    Plan: one scan builds (day, bucket, rank) rows folded by
+    partial-agg MAX into <= 64 registers/day; the rolling union is a
+    range join of the DAYS table (calendar-bounded) against the
+    register table, re-folded by MAX.
+    """
+    from hadoop_cs4225_spark.functions.hashing import hash60
+    from hadoop_cs4225_spark.functions.numeric import quant
+    from hadoop_cs4225_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        F.to_date("ts").alias("day"), F.col("user_id")
+    )
+    h = hash60(F.col("user_id").cast("string"))
+    mask = (1 << _DHLL_SUFFIX) - 1
+    rank_b = F.when(h.bitwiseAND(F.lit(mask)) == 0, F.lit(_DHLL_SUFFIX + 1)).otherwise(
+        F.lit(_DHLL_SUFFIX + 1) - F.length(F.bin(h.bitwiseAND(F.lit(mask))))
+    )
+    hashed = ev.select(
+        "day", F.shiftright(h, _DHLL_SUFFIX).alias("bucket"), rank_b.alias("rank_b")
+    )
+    regs = hashed.groupBy("day", "bucket").agg(
+        F.max("rank_b").alias("m_b")
+    ).localCheckpoint(eager=False)  # day estimates + rolling union
+    days = regs.select("day").distinct()
+    roll = (
+        days.alias("d")
+        .join(
+            regs.alias("r"),
+            F.col("r.day").between(
+                F.date_sub(F.col("d.day"), _DHLL_WINDOW - 1), F.col("d.day")
+            ),
+        )
+        .groupBy(F.col("d.day").alias("day"), F.col("r.bucket").alias("bucket"))
+        .agg(F.max("m_b").alias("m_b"))
+    )
+
+    def summarize(frame: DataFrame, used: str, denom: str) -> DataFrame:
+        return frame.groupBy("day").agg(
+            F.count(F.lit(1)).cast("long").alias(used),
+            (
+                F.sum(F.pow(F.lit(2.0), -F.col("m_b")))
+                + (F.lit(_DHLL_M) - F.count(F.lit(1))) * 1.0
+            ).alias(denom),
+        )
+
+    def est(used: F.Column, denom: F.Column) -> F.Column:
+        raw = F.lit(_DHLL_ALPHA) * _DHLL_M * _DHLL_M / denom
+        lin = F.lit(float(_DHLL_M)) * F.log(
+            F.lit(float(_DHLL_M)) / (F.lit(_DHLL_M) - used)
+        )
+        return F.when(
+            (raw <= 2.5 * _DHLL_M) & (used < _DHLL_M), lin
+        ).otherwise(raw)
+
+    sday = summarize(regs, "used_d", "denom_d")
+    sroll = summarize(roll, "used_r", "denom_r")
+    xday = ev.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_day")
+    )
+    xroll = (
+        days.alias("d")
+        .join(
+            ev.alias("e"),
+            F.col("e.day").between(
+                F.date_sub(F.col("d.day"), _DHLL_WINDOW - 1), F.col("d.day")
+            ),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("e.user_id").cast("long").alias("exact_7d"))
+    )
+    return (
+        sday.join(sroll, "day")
+        .join(xday, "day")
+        .join(xroll, "day")
+        .select(
+            "day",
+            "exact_day",
+            quant(est(F.col("used_d"), F.col("denom_d")), 2).alias("hll_day"),
+            "exact_7d",
+            quant(est(F.col("used_r"), F.col("denom_r")), 2).alias("hll_7d"),
+        )
+        .orderBy("day")
+    )

@@ -2132,3 +2132,411 @@ def source_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         quant(avg_logp, 6).alias("avg_logp"),
         quant(F.exp(-avg_logp), 4).alias("perplexity"),
     ).orderBy("source")
+
+
+#: Integer grid for the Brier decomposition's per-bin terms: each
+#: bin's contribution snaps to 1e-9 before the 10-bin sum, so the sum
+#: is exact BIGINT arithmetic in both engines (term <= N, so
+#: term * 1e9 <= 5e13 at sf0.1 — far inside BIGINT; the same
+#: bound argument as the bigram-LM grid).
+_BRIER_GRID = 1_000_000_000
+
+
+@register(
+    "quality_brier_decomposition",
+    oracle=f"""
+WITH scored AS ({_EN_SCORED_SQL}), binned AS (
+  SELECT LEAST({_CAL_BINS - 1}, p_s * {_CAL_BINS} // {_CAL_GRID}) AS bin,
+         p_s, y
+  FROM scored
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(p_s) AS BIGINT) AS sp,
+         CAST(SUM(p_s * p_s) AS BIGINT) AS spp,
+         CAST(SUM(p_s * y) AS BIGINT) AS spy
+  FROM binned
+), bins AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(SUM(p_s) AS BIGINT) AS sp_b,
+         CAST(SUM(p_s * p_s) AS BIGINT) AS spp_b,
+         CAST(SUM(y) AS BIGINT) AS sy_b,
+         CAST(SUM(p_s * y) AS BIGINT) AS spy_b
+  FROM binned GROUP BY bin
+), terms AS (
+  SELECT
+    CAST(floor(n_b * (CAST(sp_b AS DOUBLE) / n_b / {_CAL_GRID}
+                      - CAST(sy_b AS DOUBLE) / n_b)
+               * (CAST(sp_b AS DOUBLE) / n_b / {_CAL_GRID}
+                  - CAST(sy_b AS DOUBLE) / n_b)
+               * {_BRIER_GRID} + 0.5) AS BIGINT) AS t_rel,
+    CAST(floor(n_b * (CAST(sy_b AS DOUBLE) / n_b
+                      - CAST(t.sy AS DOUBLE) / t.n)
+               * (CAST(sy_b AS DOUBLE) / n_b
+                  - CAST(t.sy AS DOUBLE) / t.n)
+               * {_BRIER_GRID} + 0.5) AS BIGINT) AS t_res,
+    CAST(floor((spp_b - CAST(sp_b AS DOUBLE) * sp_b / n_b)
+               / {_CAL_GRID} / {_CAL_GRID}
+               * {_BRIER_GRID} + 0.5) AS BIGINT) AS t_wb,
+    CAST(floor((spy_b - CAST(sp_b AS DOUBLE) * sy_b / n_b)
+               / {_CAL_GRID}
+               * {_BRIER_GRID} + 0.5) AS BIGINT) AS t_cov
+  FROM bins CROSS JOIN tot t
+), sums AS (
+  SELECT CAST(SUM(t_rel) AS BIGINT) AS rel_s,
+         CAST(SUM(t_res) AS BIGINT) AS res_s,
+         CAST(SUM(t_wb) AS BIGINT) AS wb_s,
+         CAST(SUM(t_cov) AS BIGINT) AS cov_s
+  FROM terms
+)
+SELECT t.n AS n_docs,
+       {quant_sql(
+           f"(CAST(t.spp AS DOUBLE) / {_CAL_GRID} / {_CAL_GRID}"
+           f" - 2.0 * t.spy / {_CAL_GRID} + t.sy) / t.n", 6)} AS brier,
+       {quant_sql(f"CAST(s.rel_s AS DOUBLE) / {_BRIER_GRID} / t.n", 6)}
+         AS reliability,
+       {quant_sql(f"CAST(s.res_s AS DOUBLE) / {_BRIER_GRID} / t.n", 6)}
+         AS resolution,
+       {quant_sql(f"CAST(s.wb_s AS DOUBLE) / {_BRIER_GRID} / t.n", 6)}
+         AS within_bin,
+       {quant_sql(f"CAST(s.cov_s AS DOUBLE) / {_BRIER_GRID} / t.n", 6)}
+         AS cov_py,
+       {quant_sql(
+           "(CAST(t.sy AS DOUBLE) / t.n) * (1.0 - CAST(t.sy AS DOUBLE) / t.n)",
+           6)} AS uncertainty
+FROM tot t CROSS JOIN sums s
+""",
+)
+def quality_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the English-detector's Brier score:
+    brier = reliability - resolution + uncertainty + within-bin
+    variance - 2 * within-bin forecast/outcome covariance (the exact
+    identity when forecasts VARY inside a bin — the textbook three-term
+    form silently assumes bin-constant forecasts), over the SAME
+    scored frame and 10 bins as
+    ``quality_score_calibration`` (shared ``_en_scored`` /
+    ``_EN_SCORED_SQL``). Calibration answered "how far off is each
+    bin"; this answers WHY the score is what it is — a miscalibrated
+    model (reliability) reads very differently from an
+    undiscriminating one (low resolution), and the within-bin term is
+    the part binning hides. The exact additive identity is pinned in
+    tests/test_round8_ops.py.
+
+    Determinism: every aggregate is an exact BIGINT (scores live on
+    the 1e6 integer grid), each bin's three decomposition terms snap
+    to the 1e-9 grid BEFORE the 10-bin sum (exact integer sum in both
+    engines — the pagerank per-iteration-snap discipline), and the
+    raw Brier score is one composition of five global integer sums.
+    Plan: one map-side score pass, one 10-row bin aggregate plus a
+    1-row total, all joins broadcast.
+    """
+    scored = _en_scored(spark, sf_dir)
+    binned = scored.select(
+        F.least(
+            F.lit(_CAL_BINS - 1),
+            (F.col("p_s") * _CAL_BINS / F.lit(_CAL_GRID)).cast("long"),
+        ).alias("bin"),
+        "p_s",
+        "y",
+    )
+    tot = F.broadcast(
+        binned.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum("p_s").cast("long").alias("sp"),
+            F.sum(F.col("p_s") * F.col("p_s")).cast("long").alias("spp"),
+            F.sum(F.col("p_s") * F.col("y")).cast("long").alias("spy"),
+        )
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("p_s").cast("long").alias("sp_b"),
+        F.sum(F.col("p_s") * F.col("p_s")).cast("long").alias("spp_b"),
+        F.sum("y").cast("long").alias("sy_b"),
+        F.sum(F.col("p_s") * F.col("y")).cast("long").alias("spy_b"),
+    )
+    pbar = F.col("sp_b").cast("double") / F.col("n_b") / _CAL_GRID
+    obar_b = F.col("sy_b").cast("double") / F.col("n_b")
+    obar = F.col("sy").cast("double") / F.col("n")
+    snap = lambda c: F.floor(c * _BRIER_GRID + 0.5).cast("long")  # noqa: E731
+    terms = bins.crossJoin(tot).select(
+        snap(F.col("n_b") * (pbar - obar_b) * (pbar - obar_b)).alias("t_rel"),
+        snap(F.col("n_b") * (obar_b - obar) * (obar_b - obar)).alias("t_res"),
+        snap(
+            (F.col("spp_b") - F.col("sp_b").cast("double") * F.col("sp_b") / F.col("n_b"))
+            / _CAL_GRID
+            / _CAL_GRID
+        ).alias("t_wb"),
+        snap(
+            (F.col("spy_b") - F.col("sp_b").cast("double") * F.col("sy_b") / F.col("n_b"))
+            / _CAL_GRID
+        ).alias("t_cov"),
+    )
+    sums = F.broadcast(
+        terms.agg(
+            F.sum("t_rel").cast("long").alias("rel_s"),
+            F.sum("t_res").cast("long").alias("res_s"),
+            F.sum("t_wb").cast("long").alias("wb_s"),
+            F.sum("t_cov").cast("long").alias("cov_s"),
+        )
+    )
+    return tot.crossJoin(sums).select(
+        F.col("n").alias("n_docs"),
+        quant(
+            (
+                F.col("spp").cast("double") / _CAL_GRID / _CAL_GRID
+                - 2.0 * F.col("spy") / _CAL_GRID
+                + F.col("sy")
+            )
+            / F.col("n"),
+            6,
+        ).alias("brier"),
+        quant(F.col("rel_s").cast("double") / _BRIER_GRID / F.col("n"), 6).alias(
+            "reliability"
+        ),
+        quant(F.col("res_s").cast("double") / _BRIER_GRID / F.col("n"), 6).alias(
+            "resolution"
+        ),
+        quant(F.col("wb_s").cast("double") / _BRIER_GRID / F.col("n"), 6).alias(
+            "within_bin"
+        ),
+        quant(F.col("cov_s").cast("double") / _BRIER_GRID / F.col("n"), 6).alias(
+            "cov_py"
+        ),
+        quant(obar * (1.0 - obar), 6).alias("uncertainty"),
+    )
+
+
+#: Kneser-Ney absolute-discount mass. 0.75 is the textbook default;
+#: spelled as a clean decimal so the rendered SQL literal is exact.
+_KN_D = 0.75
+_KN_TOPK = 20
+
+#: Bigram-count CTEs shared wording for the KN oracle: distinct-pair
+#: continuation counts + left-context totals, all exact BIGINTs.
+_KN_CTES = f"""toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), pairs AS (
+  SELECT toks[g.i] AS w1, toks[g.i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(toks))) AS i) g
+), paircnt AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM pairs GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, CAST(SUM(c_ab) AS BIGINT) AS c_w1,
+         CAST(COUNT(*) AS BIGINT) AS n1p_w1
+  FROM paircnt GROUP BY w1
+), cont AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_w2 FROM paircnt GROUP BY w2
+), bigt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t FROM paircnt
+)"""
+
+
+@register(
+    "bigram_kneser_ney_topk",
+    oracle=f"""
+WITH {_KN_CTES}
+SELECT w1, w2, c_ab,
+       {quant_sql(
+           f"(GREATEST(c_ab - {_KN_D}, 0.0)"
+           f" + {_KN_D} * n1p_w1 * n1p_w2 / t.t) / c_w1", 9)} AS p_kn
+FROM paircnt JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN bigt t
+ORDER BY p_kn DESC, w1, w2
+LIMIT {_KN_TOPK}
+""",
+)
+def bigram_kneser_ney_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigrams by interpolated Kneser-Ney probability —
+    absolute discounting plus the continuation-probability backoff
+    (how many distinct contexts a word follows, not how often it
+    occurs), the smoothing that actually ships in n-gram LMs, next to
+    the module's add-one bigram LM (``doc_bigram_logprob``).
+
+    P(w2|w1) = (max(c(w1w2) - D, 0) + D * N1+(w1,.) * N1+(.,w2) / N1+(..))
+               / c(w1), D = 0.75.
+
+    All five count frames are exact BIGINT aggregates of the one
+    distinct-pair table; the probability is a single identically-
+    composed IEEE expression quantized to 9 dp, with (w1, w2) breaking
+    ties — a total order, so the top-k is deterministic. Plan: the
+    pair scan feeds one partial-agg shuffle; ctx/cont re-aggregate the
+    ALREADY-REDUCED pair-count frame (vocab-bounded, not corpus-
+    bounded); the final ranking is TakeOrderedAndProject.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _toks().alias("toks")
+    )
+    pairs = (
+        docs.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1), "
+                    "slice(toks, 2, size(toks) - 1), "
+                    "(a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    paircnt = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .localCheckpoint(eager=False)  # feeds ctx, cont, bigt + itself
+    )
+    ctx = paircnt.groupBy("w1").agg(
+        F.sum("c_ab").cast("long").alias("c_w1"),
+        F.count(F.lit(1)).cast("long").alias("n1p_w1"),
+    )
+    cont = paircnt.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p_w2")
+    )
+    bigt = F.broadcast(paircnt.agg(F.count(F.lit(1)).cast("long").alias("t")))
+    p_kn = quant(
+        (
+            F.greatest(F.col("c_ab") - _KN_D, F.lit(0.0))
+            + F.lit(_KN_D) * F.col("n1p_w1") * F.col("n1p_w2") / F.col("t")
+        )
+        / F.col("c_w1"),
+        9,
+    )
+    return (
+        paircnt.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(bigt)
+        .select("w1", "w2", "c_ab", p_kn.alias("p_kn"))
+        .orderBy(F.desc("p_kn"), "w1", "w2")
+        .limit(_KN_TOPK)
+    )
+
+
+#: TextRank: damped weighted power iteration over the token
+#: co-occurrence graph (adjacent-pair edges, symmetrized, self-loops
+#: dropped). Same DAMPING/N_ITERS discipline as graph.py's PageRank —
+#: per-iteration 12-dp snap, final 9-dp quantize — but the WEIGHTED
+#: variant: contributions are r_src * w / wdeg_src.
+_TR_DAMPING = 0.85
+_TR_TELEPORT = 0.15
+_TR_ITERS = 3
+_TR_TOPK = 20
+
+_TR_EDGES_SQL = f"""toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), adj AS (
+  SELECT toks[g.i] AS w1, toks[g.i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(toks))) AS i) g
+  WHERE toks[g.i] <> toks[g.i + 1]
+), sym AS (
+  SELECT w1 AS src, w2 AS dst FROM adj
+  UNION ALL
+  SELECT w2 AS src, w1 AS dst FROM adj
+), edges AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM sym GROUP BY src, dst
+), wdeg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wd FROM edges GROUP BY src),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM wdeg)"""
+
+
+def _tr_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT e.dst AS node,
+         {quant_sql(
+             f"{_TR_TELEPORT} / (SELECT n FROM nn)"
+             f" + {_TR_DAMPING} * SUM({prev}.r * e.w / wdeg.wd)",
+             12,
+         )} AS r
+  FROM edges e
+  JOIN {prev} ON e.src = {prev}.node
+  JOIN wdeg ON e.src = wdeg.src
+  GROUP BY e.dst
+)"""
+
+
+@register(
+    "textrank_keywords_topk",
+    oracle=f"""
+WITH {_TR_EDGES_SQL},
+r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS r FROM wdeg)
+,{_tr_iter_sql("r0", "r1")}
+,{_tr_iter_sql("r1", "r2")}
+,{_tr_iter_sql("r2", "r3")}
+SELECT node AS token, {quant_sql("r", 9)} AS rank_q
+FROM r3
+ORDER BY rank_q DESC, token
+LIMIT {_TR_TOPK}
+""",
+)
+def textrank_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: top-20 tokens by damped WEIGHTED
+    power iteration over the corpus co-occurrence graph (adjacent
+    token pairs, symmetrized, weight = pair frequency) — the unsup-
+    ervised keyword ranker from Mihalcea & Tarau (2004), and the
+    weighted complement to graph.py's unweighted ``pagerank_trade_
+    network`` (contributions scale by edge weight over weighted
+    degree).
+
+    Determinism: edge weights and weighted degrees are exact BIGINTs;
+    each iteration's rank snaps to the 12-dp grid (the pagerank
+    per-iteration discipline — engines sum per-node contributions in
+    different orders), the final rank quantizes to 9 dp with the
+    token as tiebreak. Plan: the pair fanout reduces to a vocab-
+    bounded edge list materialized ONCE (localCheckpoint) for the
+    degree frame and all three iteration joins; each iteration is one
+    equi-join shuffle on the token key — |edges| rows per round,
+    |vocab| state, same shape at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _toks().alias("toks")
+    )
+    adj = (
+        docs.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1), "
+                    "slice(toks, 2, size(toks) - 1), "
+                    "(a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .where(F.col("w1") != F.col("w2"))
+    )
+    edges = (
+        adj.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .union(adj.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .localCheckpoint()
+    )
+    wdeg = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wd"))
+    nn = wdeg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    edges_deg = edges.join(wdeg, "src").select("src", "dst", "w", "wd")
+    ranks = wdeg.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(_TR_ITERS):
+        ranks = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select(
+                F.col("dst"),
+                (F.col("r") * F.col("w") / F.col("wd")).alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("dst").alias("node"),
+                quant(
+                    F.lit(_TR_TELEPORT) / F.col("n")
+                    + F.lit(_TR_DAMPING) * F.col("s"),
+                    12,
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.select(F.col("node").alias("token"), quant("r", 9).alias("rank_q"))
+        .orderBy(F.col("rank_q").desc(), "token")
+        .limit(_TR_TOPK)
+    )

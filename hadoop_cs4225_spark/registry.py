@@ -153,6 +153,20 @@ _PRIORITY = (
     "word_count",
     # --- round-8 additions (registered this round; driver rows now) ---
     "training_set_shards",           # materialized write-path read-back
+    "source_length_welch_fdr",       # Welch t + Benjamini-Hochberg FDR
+    "order_value_conformal_coverage",  # split-conformal interval audit
+    "quality_brier_decomposition",   # Murphy Brier decomposition
+    "bigram_kneser_ney_topk",        # interpolated KN smoothing
+    "textrank_keywords_topk",        # weighted PageRank keywords
+    "supplier_adamic_adar_topk",     # common-neighbor link prediction
+    "doc_prefix_dup_groups",         # first-16-token prefix dedup
+    "label_centroid_cosine",         # integer-grid centroid cosines
+    "eval_bloom_decon_audit",        # Bloom filter + exact audit
+    "order_value_histogram_quantiles",  # mergeable quantile sketch audit
+    "lineitem_stump_cv",             # 3-fold stump cross-validation
+    "jaccard_prefix_filter_pairs",   # PPJoin-style exact set-sim join
+    "events_daily_hll_rollup",       # per-day HLL + 7-day register union
+    "contrastive_pairs_manifest",    # anchor/positive/negative manifest
 )
 
 

@@ -91,6 +91,16 @@ DOC_QUERIES = (
     "source_token_waterfill",  # one partial agg + k-row source-domain frame
     "source_bigram_perplexity",  # bigram-stream shuffles + one doc-keyed join
     "eval_ngram_novelty",  # one shingle-keyed join vs the train shingle set
+    # --- round-8 additions ---
+    "source_length_welch_fdr",  # one partial agg + 20-row BH self-join
+    "quality_brier_decomposition",  # one score pass + 10-bin aggregate
+    "bigram_kneser_ney_topk",  # pair-count shuffle + vocab-bounded re-aggs
+    "textrank_keywords_topk",  # vocab-bounded edge list, 3 equi-join rounds
+    "doc_prefix_dup_groups",  # map-side prefix hash + one combine-heavy agg
+    "eval_bloom_decon_audit",  # k-way bucket fanout vs broadcast bit table
+    "training_set_shards",  # pipeline + parquet write + read-back
+    "jaccard_prefix_filter_pairs",  # rarity-prefix candidates, df-capped
+    "contrastive_pairs_manifest",  # memoized labels + hash-draw negatives
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i
@@ -114,6 +124,7 @@ EMB_QUERIES = (
     "ann_ndcg_audit",  # constant fusion layer over the methods' own plans
     "mmr_diverse_topk",  # brute top-k plan + O(K*POOL^2) constant greedy layer
     "embedding_rp_distortion",  # map-only JL fold + tiny histogram agg
+    "label_centroid_cosine",  # one posexplode agg into a (labels x dim) frame
 )
 
 #: queries probed across the real sf dirs (10x data per step).
@@ -167,6 +178,12 @@ SF_QUERIES = (
     "partkey_join_size_estimate",  # key histogram + 1-row sum, no join run
     "events_changepoint_day",  # daily histogram + calendar-bounded windows
     "lineitem_decision_stump",  # cents histogram + bounded split search
+    # --- round-8 additions ---
+    "order_value_conformal_coverage",  # split scan + 5-partition quantile
+    "supplier_adamic_adar_topk",  # degree-capped wedge join + anti-join
+    "order_value_histogram_quantiles",  # domain-bounded buckets vs exact sort
+    "lineitem_stump_cv",  # fold-histogram algebra, one scan
+    "events_daily_hll_rollup",  # 64 registers/day + calendar range join
 )
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 

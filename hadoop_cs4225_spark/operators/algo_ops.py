@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hadoop_cs4225_spark.functions.hashing import hash60_sql
 from hadoop_cs4225_spark.functions.numeric import quant, quant_sql
 from hadoop_cs4225_spark.registry import register
 from hadoop_cs4225_spark.sources.tables import load_events, load_table
@@ -3398,3 +3399,331 @@ def lineitem_stump_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("majority_acc"),
     ).orderBy("fold")
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch 3: CUPED variance reduction
+# ---------------------------------------------------------------------------
+
+#: Pre/post period boundary for the synthetic experiment: covariate =
+#: 1995-1997 spend, metric = 1998+ spend.
+_CUPED_SPLIT = "1998-01-01"
+
+
+@register(
+    "orders_cuped_adjustment",
+    oracle=f"""
+WITH unit AS (
+  SELECT o_custkey AS cust,
+         {hash60_sql("CAST(o_custkey AS VARCHAR)")} % 2 AS arm,
+         CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '{_CUPED_SPLIT}'
+                  THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '{_CUPED_SPLIT}'
+                  THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y
+  FROM orders
+  GROUP BY o_custkey
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM unit
+), t AS (
+  SELECT n, sx, sy,
+         {quant_sql(
+             "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)"
+             " / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)", 8)}
+           AS theta,
+         {quant_sql(
+             "((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)"
+             " * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n))"
+             " / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)"
+             " * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n))", 8)}
+           AS var_reduction
+  FROM m
+), arm AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_arm,
+         CAST(SUM(x) AS BIGINT) AS sx_arm, CAST(SUM(y) AS BIGINT) AS sy_arm
+  FROM unit GROUP BY arm
+), adj AS (
+  SELECT a.arm, a.n_arm,
+         {quant_sql("CAST(a.sy_arm AS DOUBLE) / a.n_arm", 6)} AS mean_y,
+         {quant_sql(
+             "CAST(a.sy_arm AS DOUBLE) / a.n_arm - t.theta *"
+             " (CAST(a.sx_arm AS DOUBLE) / a.n_arm"
+             "  - CAST(t.sx AS DOUBLE) / t.n)", 6)} AS mean_y_adj,
+         t.theta, t.var_reduction
+  FROM arm a CROSS JOIN t
+)
+SELECT CAST(arm AS BIGINT) AS arm, n_arm, mean_y, mean_y_adj,
+       theta, var_reduction
+FROM adj
+ORDER BY arm
+""",
+)
+def orders_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data) variance
+    reduction on a synthetic customer A/B split: covariate x = each
+    customer's 1995-1997 spend, metric y = 1998+ spend, arms assigned
+    by deterministic hash. theta = cov(x,y)/var(x) is fitted on the
+    pooled units; the adjusted arm mean is mean(y) - theta*(mean(x) -
+    mean(x_all)). var_reduction = r^2 = cov^2/(var_x*var_y) — the
+    fraction of metric variance the covariate removes, the number that
+    decides whether an experiment needs 2 weeks or 2 months of traffic.
+
+    All moments (x, y in whole floor dollars) are exact BIGINT sums —
+    one customer-keyed partial agg then one 1-row moment agg; theta
+    and the adjustment are one identically-composed double expression,
+    quantized. The 2-row arm frame cross-joins the 1-row theta frame.
+
+    Plan at 100 TB: scan -> groupBy(custkey) partial agg -> two 1-row
+    aggregates; nothing scales beyond the unit table.
+
+    No reference analogue; extends the SURVEY §2 statistics family
+    (the experimentation-counterpart to the Welch/BH test above).
+    """
+    from hadoop_cs4225_spark.functions.hashing import hash60
+
+    orders = load_table(spark, sf_dir, "orders")
+    pre = F.col("o_orderdate") < F.lit(_CUPED_SPLIT).cast("timestamp")
+    dollars = F.floor("o_totalprice").cast("long")
+    unit = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(pre, dollars).otherwise(0)).cast("long").alias("x"),
+        F.sum(F.when(~pre, dollars).otherwise(0)).cast("long").alias("y"),
+    ).select(
+        (hash60(F.col("o_custkey").cast("string")) % 2).alias("arm"),
+        "x",
+        "y",
+    )
+    m = unit.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    cov = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+    vx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    vy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+    t = F.broadcast(
+        m.select(
+            "n",
+            "sx",
+            quant(cov / vx, 8).alias("theta"),
+            quant((cov * cov) / (vx * vy), 8).alias("var_reduction"),
+        )
+    )
+    arm = unit.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_arm"),
+        F.sum("x").cast("long").alias("sx_arm"),
+        F.sum("y").cast("long").alias("sy_arm"),
+    )
+    return (
+        arm.crossJoin(t)
+        .select(
+            F.col("arm").cast("long").alias("arm"),
+            "n_arm",
+            quant(F.col("sy_arm").cast("double") / F.col("n_arm"), 6).alias(
+                "mean_y"
+            ),
+            quant(
+                F.col("sy_arm").cast("double") / F.col("n_arm")
+                - F.col("theta")
+                * (
+                    F.col("sx_arm").cast("double") / F.col("n_arm")
+                    - F.col("sx").cast("double") / F.col("n")
+                ),
+                6,
+            ).alias("mean_y_adj"),
+            "theta",
+            "var_reduction",
+        )
+        .orderBy("arm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch 3: ridge regression via the normal equations
+# ---------------------------------------------------------------------------
+
+#: Ridge penalty added to the diagonal of the centered Gram matrix.
+_RIDGE_LAMBDA = 1000.0
+
+
+@register(
+    "lineitem_ridge_normal_eq",
+    oracle=f"""
+WITH r AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x1,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+         CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS x3,
+         CAST(floor(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(x3) AS BIGINT) AS s3, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1*x1) AS BIGINT) AS s11, CAST(SUM(x2*x2) AS BIGINT) AS s22,
+         CAST(SUM(x3*x3) AS BIGINT) AS s33, CAST(SUM(x1*x2) AS BIGINT) AS s12,
+         CAST(SUM(x1*x3) AS BIGINT) AS s13, CAST(SUM(x2*x3) AS BIGINT) AS s23,
+         CAST(SUM(x1*y) AS BIGINT) AS s1y, CAST(SUM(x2*y) AS BIGINT) AS s2y,
+         CAST(SUM(x3*y) AS BIGINT) AS s3y, CAST(SUM(y*y) AS BIGINT) AS syy
+  FROM r
+), c AS (
+  SELECT n, s1, s2, s3, sy,
+         CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n + {_RIDGE_LAMBDA} AS c11,
+         CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n + {_RIDGE_LAMBDA} AS c22,
+         CAST(s33 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3 / n + {_RIDGE_LAMBDA} AS c33,
+         CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n AS c12,
+         CAST(s13 AS DOUBLE) - CAST(s1 AS DOUBLE) * s3 / n AS c13,
+         CAST(s23 AS DOUBLE) - CAST(s2 AS DOUBLE) * s3 / n AS c23,
+         CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy / n AS b1,
+         CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * sy / n AS b2,
+         CAST(s3y AS DOUBLE) - CAST(s3 AS DOUBLE) * sy / n AS b3,
+         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS vy
+  FROM m
+), beta AS (
+  SELECT n, s1, s2, s3, sy, b1, b2, b3, vy,
+         {quant_sql(
+             "(b1*(c22*c33 - c23*c23) - c12*(b2*c33 - c23*b3)"
+             " + c13*(b2*c23 - c22*b3))"
+             " / (c11*(c22*c33 - c23*c23) - c12*(c12*c33 - c23*c13)"
+             " + c13*(c12*c23 - c22*c13))", 8)} AS beta_qty,
+         {quant_sql(
+             "(c11*(b2*c33 - c23*b3) - b1*(c12*c33 - c23*c13)"
+             " + c13*(c12*b3 - b2*c13))"
+             " / (c11*(c22*c33 - c23*c23) - c12*(c12*c33 - c23*c13)"
+             " + c13*(c12*c23 - c22*c13))", 8)} AS beta_disc_pct,
+         {quant_sql(
+             "(c11*(c22*b3 - b2*c23) - c12*(c12*b3 - b2*c13)"
+             " + b1*(c12*c23 - c22*c13))"
+             " / (c11*(c22*c33 - c23*c23) - c12*(c12*c33 - c23*c13)"
+             " + c13*(c12*c23 - c22*c13))", 8)} AS beta_tax_pct
+  FROM c
+)
+SELECT n,
+       beta_qty, beta_disc_pct, beta_tax_pct,
+       {quant_sql(
+           "CAST(sy AS DOUBLE) / n - beta_qty * (CAST(s1 AS DOUBLE) / n)"
+           " - beta_disc_pct * (CAST(s2 AS DOUBLE) / n)"
+           " - beta_tax_pct * (CAST(s3 AS DOUBLE) / n)", 6)} AS intercept,
+       {quant_sql(
+           "(beta_qty * b1 + beta_disc_pct * b2 + beta_tax_pct * b3) / vy",
+           8)} AS r2
+FROM beta
+""",
+)
+def lineitem_ridge_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature ridge regression fitted in closed form from the
+    normal equations: extendedprice (floor dollars) on quantity,
+    discount-pct, and tax-pct, ridge lambda=1000 on the centered Gram
+    diagonal, solved by Cramer's rule on the 3x3 system. This is the
+    classic "ML on a massive table without an ML library" shape — ONE
+    scan builds 15 exact BIGINT moments; the solve is O(1) arithmetic
+    on a 1-row frame (``order_trend_regression`` is the 1-feature
+    special case; this is the general small-d, huge-n path a 100 TB
+    feature table takes).
+
+    Determinism: all moments exact integers; the Gram entries,
+    determinants, and betas are ONE identically-composed double
+    expression in both engines (quantized at beta); intercept and the
+    explained-variance share r2 = beta.b / var(y) are recomposed from
+    the QUANTIZED betas, so engines can't diverge past the grid.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("x2"),
+        F.floor(F.col("l_tax") * 100 + 0.5).cast("long").alias("x3"),
+        F.floor("l_extendedprice").cast("long").alias("y"),
+    )
+    sums = {
+        "n": F.count(F.lit(1)),
+        "s1": F.sum("x1"), "s2": F.sum("x2"), "s3": F.sum("x3"),
+        "sy": F.sum("y"),
+        "s11": F.sum(F.col("x1") * F.col("x1")),
+        "s22": F.sum(F.col("x2") * F.col("x2")),
+        "s33": F.sum(F.col("x3") * F.col("x3")),
+        "s12": F.sum(F.col("x1") * F.col("x2")),
+        "s13": F.sum(F.col("x1") * F.col("x3")),
+        "s23": F.sum(F.col("x2") * F.col("x3")),
+        "s1y": F.sum(F.col("x1") * F.col("y")),
+        "s2y": F.sum(F.col("x2") * F.col("y")),
+        "s3y": F.sum(F.col("x3") * F.col("y")),
+        "syy": F.sum(F.col("y") * F.col("y")),
+    }
+    m = r.agg(*[v.cast("long").alias(k) for k, v in sums.items()])
+
+    def ctr(sij: str, si: str, sj: str, lam: float = 0.0):
+        e = F.col(sij).cast("double") - F.col(si).cast("double") * F.col(
+            sj
+        ) / F.col("n")
+        return e + lam if lam else e
+
+    c = m.select(
+        "n", "s1", "s2", "s3", "sy",
+        ctr("s11", "s1", "s1", _RIDGE_LAMBDA).alias("c11"),
+        ctr("s22", "s2", "s2", _RIDGE_LAMBDA).alias("c22"),
+        ctr("s33", "s3", "s3", _RIDGE_LAMBDA).alias("c33"),
+        ctr("s12", "s1", "s2").alias("c12"),
+        ctr("s13", "s1", "s3").alias("c13"),
+        ctr("s23", "s2", "s3").alias("c23"),
+        ctr("s1y", "s1", "sy").alias("b1"),
+        ctr("s2y", "s2", "sy").alias("b2"),
+        ctr("s3y", "s3", "sy").alias("b3"),
+        ctr("syy", "sy", "sy").alias("vy"),
+    )
+    C = {k: F.col(k) for k in
+         ("c11", "c22", "c33", "c12", "c13", "c23", "b1", "b2", "b3")}
+    det = (
+        C["c11"] * (C["c22"] * C["c33"] - C["c23"] * C["c23"])
+        - C["c12"] * (C["c12"] * C["c33"] - C["c23"] * C["c13"])
+        + C["c13"] * (C["c12"] * C["c23"] - C["c22"] * C["c13"])
+    )
+    det1 = (
+        C["b1"] * (C["c22"] * C["c33"] - C["c23"] * C["c23"])
+        - C["c12"] * (C["b2"] * C["c33"] - C["c23"] * C["b3"])
+        + C["c13"] * (C["b2"] * C["c23"] - C["c22"] * C["b3"])
+    )
+    det2 = (
+        C["c11"] * (C["b2"] * C["c33"] - C["c23"] * C["b3"])
+        - C["b1"] * (C["c12"] * C["c33"] - C["c23"] * C["c13"])
+        + C["c13"] * (C["c12"] * C["b3"] - C["b2"] * C["c13"])
+    )
+    det3 = (
+        C["c11"] * (C["c22"] * C["b3"] - C["b2"] * C["c23"])
+        - C["c12"] * (C["c12"] * C["b3"] - C["b2"] * C["c13"])
+        + C["b1"] * (C["c12"] * C["c23"] - C["c22"] * C["c13"])
+    )
+    beta = c.select(
+        "n", "s1", "s2", "s3", "sy", "b1", "b2", "b3", "vy",
+        quant(det1 / det, 8).alias("beta_qty"),
+        quant(det2 / det, 8).alias("beta_disc_pct"),
+        quant(det3 / det, 8).alias("beta_tax_pct"),
+    )
+    return beta.select(
+        "n",
+        "beta_qty",
+        "beta_disc_pct",
+        "beta_tax_pct",
+        quant(
+            F.col("sy").cast("double") / F.col("n")
+            - F.col("beta_qty") * (F.col("s1").cast("double") / F.col("n"))
+            - F.col("beta_disc_pct") * (F.col("s2").cast("double") / F.col("n"))
+            - F.col("beta_tax_pct") * (F.col("s3").cast("double") / F.col("n")),
+            6,
+        ).alias("intercept"),
+        quant(
+            (
+                F.col("beta_qty") * F.col("b1")
+                + F.col("beta_disc_pct") * F.col("b2")
+                + F.col("beta_tax_pct") * F.col("b3")
+            )
+            / F.col("vy"),
+            8,
+        ).alias("r2"),
+    )

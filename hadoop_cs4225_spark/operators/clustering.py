@@ -24,7 +24,8 @@ shallow; a convergence-driven variant would localCheckpoint per round
 like dedup.dedup_clusters.
 
 No reference analogue; extends the LLM-pipeline surface (SemDeDup-style
-embedding clustering is the standard pre-dedup step).
+embedding clustering is the standard pre-dedup step; the silhouette
+query is its quality gate).
 """
 
 from __future__ import annotations
@@ -46,10 +47,12 @@ _DIMS = 64
 #: Integer grid for the quantized dims.
 _GRID = 1_000_000
 
+#: Grid for per-vector silhouette values before the per-cluster sum.
+_SIL_GRID = 1_000_000_000
 
-def _oracle() -> str:
-    def assign(cent: str) -> str:
-        return f"""
+
+def _assign_cte(cent: str) -> str:
+    return f"""
   SELECT vec_id, CAST(mk % 8 AS INT) AS cid FROM (
     SELECT d.vec_id, MIN(d.dist * 8 + d.cid) AS mk FROM (
       SELECT l.vec_id, c.cid,
@@ -59,16 +62,20 @@ def _oracle() -> str:
     GROUP BY d.vec_id)
 """
 
-    def update(asg: str) -> str:
-        return f"""
+
+def _update_cte(asg: str) -> str:
+    return f"""
   SELECT a.cid, l.i,
          CAST(floor(CAST(SUM(l.v) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS m
   FROM ql l JOIN {asg} a USING (vec_id)
   GROUP BY a.cid, l.i
 """
 
-    return f"""
-WITH qv AS (
+
+def _kmeans_prefix() -> str:
+    """Shared CTE chain: quantize → long form → seeds → 2 Lloyd
+    updates → final assignment (a3) with final centroids (c2)."""
+    return f"""qv AS (
   SELECT vec_id, label,
          list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * {_GRID} + 0.5) AS BIGINT)) AS q
@@ -80,9 +87,14 @@ WITH qv AS (
   FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT {_K}) s
 ), c0 AS (
   SELECT cid, i, q[i] AS m FROM seeds, range(1, {_DIMS + 1}) t(i)
-), a1 AS ({assign("c0")}), c1 AS ({update("a1")}),
-   a2 AS ({assign("c1")}), c2 AS ({update("a2")}),
-   a3 AS ({assign("c2")})
+), a1 AS ({_assign_cte("c0")}), c1 AS ({_update_cte("a1")}),
+   a2 AS ({_assign_cte("c1")}), c2 AS ({_update_cte("a2")}),
+   a3 AS ({_assign_cte("c2")})"""
+
+
+def _oracle() -> str:
+    return f"""
+WITH {_kmeans_prefix()}
 SELECT a.cid, COUNT(*) AS n_vecs,
        {quant_sql("SUM(e.label) * 1.0 / COUNT(*)", 6)} AS avg_label,
        ANY_VALUE(n.centroid_norm) AS centroid_norm
@@ -96,17 +108,12 @@ ORDER BY a.cid
 """
 
 
-@register("kmeans_embedding_clusters", oracle=_oracle())
-def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means (k=4, two Lloyd updates + final assignment) on the
-    integer-quantized embeddings; deterministic seeds = the k smallest
-    vec_ids. Output: per-cluster size, mean label, centroid norm.
-
-    The DuckDB oracle unrolls the identical five steps as CTEs — the
-    DataFrame loop below IS that recursion (same integer grid, same
-    tie-breaking argmin key), reformulated as broadcast joins +
-    partial aggregates for a distributed engine.
-    """
+def _kmeans_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The DataFrame twin of :func:`_kmeans_prefix`: returns
+    ``(emb, ql, cent_final, assign_final)`` — the same fixpoint both
+    registered queries consume."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.select(
         "vec_id",
@@ -165,7 +172,21 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(2):
         cent = update(assign(cent))
     final = assign(cent)
+    return emb, ql, cent, final
 
+
+@register("kmeans_embedding_clusters", oracle=_oracle())
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (k=4, two Lloyd updates + final assignment) on the
+    integer-quantized embeddings; deterministic seeds = the k smallest
+    vec_ids. Output: per-cluster size, mean label, centroid norm.
+
+    The DuckDB oracle unrolls the identical five steps as CTEs — the
+    DataFrame loop below IS that recursion (same integer grid, same
+    tie-breaking argmin key), reformulated as broadcast joins +
+    partial aggregates for a distributed engine.
+    """
+    emb, _ql, cent, final = _kmeans_frames(spark, sf_dir)
     norms = cent.groupBy("cid").agg(
         quant(
             F.sqrt(F.sum(F.col("m") * F.col("m")).cast("double")) / float(_GRID), 6
@@ -180,5 +201,101 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             quant(F.sum("label") * 1.0 / F.count(F.lit(1)), 6).alias("avg_label"),
             F.first("centroid_norm").alias("centroid_norm"),
         )
+        .orderBy("cid")
+    )
+
+
+@register(
+    "kmeans_simplified_silhouette",
+    oracle=f"""
+WITH {_kmeans_prefix()},
+d AS (
+  SELECT l.vec_id, c.cid, SUM((l.v - c.m) * (l.v - c.m)) AS dist
+  FROM ql l JOIN c2 c USING (i)
+  GROUP BY l.vec_id, c.cid
+), pv AS (
+  SELECT d.vec_id, a.cid AS acid,
+         MAX(CASE WHEN d.cid = a.cid THEN d.dist END) AS da,
+         MIN(CASE WHEN d.cid <> a.cid THEN d.dist END) AS db
+  FROM d JOIN a3 a ON a.vec_id = d.vec_id
+  GROUP BY d.vec_id, a.cid
+), s AS (
+  SELECT acid,
+         CAST(floor(
+           (CASE WHEN greatest(sqrt(CAST(da AS DOUBLE)),
+                               sqrt(CAST(db AS DOUBLE))) = 0 THEN 0.0
+                 ELSE (sqrt(CAST(db AS DOUBLE)) - sqrt(CAST(da AS DOUBLE)))
+                      / greatest(sqrt(CAST(da AS DOUBLE)),
+                                 sqrt(CAST(db AS DOUBLE)))
+            END) * {_SIL_GRID} + 0.5) AS BIGINT) AS sq
+  FROM pv
+)
+SELECT acid AS cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       {quant_sql(f"SUM(sq) / {_SIL_GRID}.0 / COUNT(*)", 6)}
+         AS avg_silhouette
+FROM s
+GROUP BY acid
+ORDER BY cid
+""",
+)
+def kmeans_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette of the k-means fit: per
+    vector, a = distance to its own final centroid, b = distance to
+    the nearest OTHER centroid, s = (b-a)/max(a,b); reported as the
+    per-cluster mean. The quality gate for the clustering above —
+    "did k=4 produce separated clusters or one smear?" — computed the
+    only way that scales: against k centroids (O(nk)), never the
+    O(n^2) pairwise silhouette.
+
+    Shares the exact k-means fixpoint with
+    ``kmeans_embedding_clusters`` (``_kmeans_frames`` /
+    ``_kmeans_prefix``): squared distances are exact BIGINTs on the
+    1e-6 grid; sqrt/divide are IEEE-identical in both engines; each
+    per-vector s snaps to the 1e-9 grid so the per-cluster mean is an
+    exact BIGINT sum divided once.
+
+    Plan: one more broadcast join of the final k*64 centroid table
+    against the long-form vectors + two partial aggs — same shapes as
+    one Lloyd assignment step.
+    """
+    _emb, ql, cent, final = _kmeans_frames(spark, sf_dir)
+    d = (
+        ql.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("m")) * (F.col("v") - F.col("m"))
+            ).alias("dist")
+        )
+    )
+    pv = (
+        d.join(final.withColumnRenamed("cid", "acid"), "vec_id")
+        .groupBy("vec_id", "acid")
+        .agg(
+            F.max(
+                F.when(F.col("cid") == F.col("acid"), F.col("dist"))
+            ).alias("da"),
+            F.min(
+                F.when(F.col("cid") != F.col("acid"), F.col("dist"))
+            ).alias("db"),
+        )
+    )
+    sa = F.sqrt(F.col("da").cast("double"))
+    sb = F.sqrt(F.col("db").cast("double"))
+    s_val = F.when(F.greatest(sa, sb) == 0, F.lit(0.0)).otherwise(
+        (sb - sa) / F.greatest(sa, sb)
+    )
+    s = pv.select(
+        "acid", F.floor(s_val * _SIL_GRID + 0.5).cast("long").alias("sq")
+    )
+    return (
+        s.groupBy("acid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            quant(F.sum("sq") / float(_SIL_GRID) / F.count(F.lit(1)), 6).alias(
+                "avg_silhouette"
+            ),
+        )
+        .select(F.col("acid").alias("cid"), "n_vecs", "avg_silhouette")
         .orderBy("cid")
     )

@@ -1349,3 +1349,119 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d1", "d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch 3: train/test split leakage through near-duplicates
+# ---------------------------------------------------------------------------
+
+#: Split rule shared with sampling.documents_split_stats (90/10).
+_LEAK_TRAIN_PCT = 90
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+WITH {_lsh_pairs_cte()},
+splits AS (
+  SELECT doc_id,
+         {hash60_sql("CAST(doc_id AS VARCHAR)")} % 100 < {_LEAK_TRAIN_PCT}
+           AS is_train
+  FROM documents
+), tagged AS (
+  SELECT v.d1, v.d2, s1.is_train AS t1, s2.is_train AS t2
+  FROM verified v
+  JOIN splits s1 ON s1.doc_id = v.d1
+  JOIN splits s2 ON s2.doc_id = v.d2
+), cross_pairs AS (
+  SELECT CASE WHEN t1 THEN d2 ELSE d1 END AS test_doc
+  FROM tagged WHERE t1 <> t2
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_test_docs
+  FROM splits WHERE NOT is_train
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tagged) AS n_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cross_pairs) AS n_cross_pairs,
+       t.n_test_docs,
+       (SELECT CAST(COUNT(DISTINCT test_doc) AS BIGINT) FROM cross_pairs)
+         AS n_contaminated,
+       {quant_sql(
+           "(SELECT COUNT(DISTINCT test_doc) FROM cross_pairs) * 1.0"
+           " / t.n_test_docs", 6)} AS contaminated_frac
+FROM tot t
+""",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set contamination through NEAR-duplicates: how many of the
+    90/10 hash split's test documents have a verified near-dup twin on
+    the TRAIN side? Exact-duplicate decontamination
+    (``decontamination_overlap``) misses these — a paraphrased twin
+    leaks the answer just as surely — so this is the audit every eval
+    split needs before a benchmark number is trusted.
+
+    Composition, not recomputation: consumes the SAME memoized
+    verified LSH pair set as ``dedup_clusters``/``dedup_canonical_keep``
+    (the pipeline runs once per session/sf) and tags each pair end
+    with the deterministic hash split; a cross pair's test-side doc is
+    contaminated. Output: one row — pair counts, contaminated test
+    docs, and the contaminated fraction of the test split.
+
+    Plan at 100 TB: two broadcast-size hash joins of the pair list
+    against the split rule (a pure doc_id expression, no split table),
+    then 1-row aggregates. The LSH pipeline's bucket-cap bounds still
+    govern the pair list itself.
+
+    No reference analogue; extends the SURVEY §2 dedup family.
+    """
+    pairs = _memo(
+        spark, sf_dir, "lsh_pairs", lambda: _verified_pairs(spark, sf_dir)
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    is_train = (
+        hash60(F.col("doc_id").cast("string")) % 100 < _LEAK_TRAIN_PCT
+    )
+    splits = docs.select("doc_id", is_train.alias("is_train"))
+    tagged = (
+        pairs.select("d1", "d2")
+        .join(
+            splits.select(
+                F.col("doc_id").alias("d1"), F.col("is_train").alias("t1")
+            ),
+            "d1",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("d2"), F.col("is_train").alias("t2")
+            ),
+            "d2",
+        )
+    )
+    cross = tagged.where(F.col("t1") != F.col("t2")).select(
+        F.when(F.col("t1"), F.col("d2")).otherwise(F.col("d1")).alias("test_doc")
+    )
+    n_pairs = F.broadcast(tagged.agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
+    n_cross = F.broadcast(
+        cross.agg(F.count(F.lit(1)).cast("long").alias("n_cross_pairs"))
+    )
+    n_cont = F.broadcast(
+        cross.select("test_doc")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+    )
+    tot = splits.where(~F.col("is_train")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_docs")
+    )
+    return (
+        tot.crossJoin(n_pairs)
+        .crossJoin(n_cross)
+        .crossJoin(n_cont)
+        .select(
+            "n_pairs",
+            "n_cross_pairs",
+            "n_test_docs",
+            "n_contaminated",
+            quant(
+                F.col("n_contaminated") * 1.0 / F.col("n_test_docs"), 6
+            ).alias("contaminated_frac"),
+        )
+    )

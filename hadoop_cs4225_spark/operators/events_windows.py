@@ -951,3 +951,119 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch 3: multi-touch conversion attribution
+# ---------------------------------------------------------------------------
+
+#: Lookback window (days) for touches preceding a conversion, and the
+#: grid for exact linear-credit fractions (1/n snapped per touch).
+_ATTR_DAYS = 7
+_ATTR_GRID = 1_000_000_000
+
+
+@register(
+    "events_attribution_weights",
+    oracle=f"""
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, ts AS conv_ts
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT c.conv_id, e.event_type, e.ts, e.event_id,
+         COUNT(*) OVER (PARTITION BY c.conv_id) AS n_touch,
+         ROW_NUMBER() OVER (PARTITION BY c.conv_id
+                            ORDER BY e.ts, e.event_id) AS rn_first,
+         ROW_NUMBER() OVER (PARTITION BY c.conv_id
+                            ORDER BY e.ts DESC, e.event_id DESC) AS rn_last
+  FROM conv c JOIN events e
+    ON e.user_id = c.user_id
+   AND e.event_type IN ('view', 'click', 'signup')
+   AND e.ts < c.conv_ts
+   AND e.ts >= c.conv_ts - INTERVAL '{_ATTR_DAYS} days'
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS first_touch_credits,
+       CAST(SUM(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS last_touch_credits,
+       {quant_sql(
+           f"SUM(CAST(floor({_ATTR_GRID}.0 / n_touch + 0.5) AS BIGINT))"
+           f" / {_ATTR_GRID}.0", 6)} AS linear_credits
+FROM touch
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_attribution_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution: every purchase credits the
+    view/click/signup touches of the same user in the prior 7 days
+    under three standard models — first-touch (earliest touch gets the
+    conversion), last-touch (latest), and linear (1/n to each of the n
+    touches). The marketing-analytics twin of the funnel query above:
+    the funnel counts who converts, attribution decides WHICH upstream
+    channel gets paid for it.
+
+    Exactness: first/last are row_number picks with the (ts, event_id)
+    composite tiebreak; linear fractions 1/n are snapped to the 1e-9
+    grid per touch and summed as BIGINTs, divided once at the end — no
+    float reassociation. Conversions with zero prior touches earn no
+    credit row (orphans are the funnel query's business).
+
+    Plan: the conversion-touch pairing is a (user_id equi, ts range)
+    join — the events_asof_join shape — whose fanout is bounded by
+    per-user activity in a 7-day window, never |events|^2; the
+    per-conversion windows partition by conv_id. One final partial agg
+    over 3 keys.
+
+    No reference analogue; extends the SURVEY §2 events family.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touches = ev.where(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select("user_id", "event_type", "ts", "event_id")
+    pair = conv.join(
+        touches,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("ts") < F.col("conv_ts"))
+        & (
+            F.col("ts")
+            >= F.col("conv_ts") - F.expr(f"INTERVAL {_ATTR_DAYS} DAYS")
+        ),
+    )
+    wn = Window.partitionBy("conv_id")
+    wf = wn.orderBy("ts", "event_id")
+    wl = wn.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    touch = pair.select(
+        "conv_id",
+        "event_type",
+        F.count(F.lit(1)).over(wn).alias("n_touch"),
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+    )
+    return (
+        touch.groupBy("event_type")
+        .agg(
+            F.sum((F.col("rn_first") == 1).cast("long"))
+            .cast("long")
+            .alias("first_touch_credits"),
+            F.sum((F.col("rn_last") == 1).cast("long"))
+            .cast("long")
+            .alias("last_touch_credits"),
+            quant(
+                F.sum(
+                    F.floor(F.lit(float(_ATTR_GRID)) / F.col("n_touch") + 0.5).cast(
+                        "long"
+                    )
+                )
+                / float(_ATTR_GRID),
+                6,
+            ).alias("linear_credits"),
+        )
+        .orderBy("event_type")
+    )

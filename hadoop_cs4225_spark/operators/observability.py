@@ -144,3 +144,105 @@ def customer_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(below).cast("long").alias("n_records_at_risk"),
         quant(F.sum(below) * 1.0 / F.sum("sz"), 6).alias("pct_at_risk"),
     )
+
+
+#: l-diversity threshold (distinct sensitive values per QI group) and
+#: the log-prob snap grid for the entropy variant.
+_LDIV_L = 3
+_LDIV_GRID = 1_000_000_000
+
+
+@register(
+    "customer_l_diversity_audit",
+    oracle=f"""
+WITH cell AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / {_KANON_BAND}) AS BIGINT) AS bal_band,
+         c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM customer
+  GROUP BY c_nationkey, bal_band, c_mktsegment
+), cellp AS (
+  SELECT c_nationkey, bal_band, cnt,
+         CAST(cnt AS DOUBLE) / SUM(cnt) OVER
+           (PARTITION BY c_nationkey, bal_band) AS p
+  FROM cell
+), grp AS (
+  SELECT c_nationkey, bal_band,
+         CAST(SUM(cnt) AS BIGINT) AS sz,
+         CAST(COUNT(*) AS BIGINT) AS l_distinct,
+         CAST(SUM(CAST(floor(-p * ln(p) * {_LDIV_GRID} + 0.5)
+                       AS BIGINT)) AS BIGINT) AS ent_q
+  FROM cellp
+  GROUP BY c_nationkey, bal_band
+)
+SELECT {_LDIV_L} AS l,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(l_distinct) AS BIGINT) AS min_l,
+       CAST(SUM(CASE WHEN l_distinct < {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_groups_below_l,
+       CAST(SUM(CASE WHEN l_distinct < {_LDIV_L} THEN sz ELSE 0 END) AS BIGINT)
+         AS n_records_at_risk,
+       {quant_sql(
+           f"SUM(CASE WHEN l_distinct < {_LDIV_L} THEN sz ELSE 0 END) * 1.0"
+           " / SUM(sz)", 6)} AS pct_at_risk,
+       {quant_sql(f"exp(MIN(ent_q) / {_LDIV_GRID}.0)", 6)} AS min_entropy_l
+FROM grp
+""",
+)
+def customer_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: within each quasi-identifier group (nation,
+    $1000 balance band), how DIVERSE is the sensitive attribute
+    (market segment)? k-anonymity (sibling query above) only counts
+    group size — a group of 50 customers all in the same segment is
+    k-anonymous yet leaks the segment with certainty. Reports distinct
+    l per group (groups below l=3 and the records they expose) plus
+    the stricter entropy l-diversity floor exp(min group entropy).
+
+    Determinism: group entropy terms -(c/n)ln(c/n) are snapped to the
+    1e-9 grid per sensitive value and summed as BIGINTs; the min/exp
+    happen on exact integers until one final quantized exp.
+
+    Plan: two nested hash aggregates over the bounded (nation x band x
+    segment) dictionary — like the k-anonymity audit, corpus size only
+    affects the first scan; the per-group entropy window runs inside
+    each QI partition of the CELL table (dictionary-sized, partitioned).
+
+    No reference analogue; extends the SURVEY §2 governance family.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    cell = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / _KANON_BAND).cast("long").alias("bal_band"),
+        "c_mktsegment",
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey", "bal_band")
+    p = F.col("cnt").cast("double") / F.sum("cnt").over(w)
+    ent_term = F.floor(-p * F.log(p) * _LDIV_GRID + 0.5).cast("long")
+    grp = (
+        cell.withColumn("ent_t", ent_term)
+        .groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.sum("cnt").cast("long").alias("sz"),
+            F.count(F.lit(1)).cast("long").alias("l_distinct"),
+            F.sum("ent_t").cast("long").alias("ent_q"),
+        )
+    )
+    below = F.col("l_distinct") < _LDIV_L
+    return grp.agg(
+        F.lit(_LDIV_L).alias("l"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("l_distinct").cast("long").alias("min_l"),
+        F.sum(below.cast("long")).cast("long").alias("n_groups_below_l"),
+        F.sum(F.when(below, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("n_records_at_risk"),
+        quant(
+            F.sum(F.when(below, F.col("sz")).otherwise(0)) * 1.0 / F.sum("sz"),
+            6,
+        ).alias("pct_at_risk"),
+        quant(F.exp(F.min("ent_q") / float(_LDIV_GRID)), 6).alias(
+            "min_entropy_l"
+        ),
+    )

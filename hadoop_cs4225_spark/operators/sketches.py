@@ -718,3 +718,142 @@ def events_daily_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch 3: KMV (k-minimum-values / theta) distinct sketch audit
+# ---------------------------------------------------------------------------
+
+#: Sketch size: the k smallest hash values summarize the set.
+_KMV_K = 64
+#: Hash domain size (hash60 is uniform on [0, 2^60)).
+_KMV_DOMAIN = 1 << 60
+
+
+def _kmv_oracle() -> str:
+    from hadoop_cs4225_spark.functions.hashing import hash60_sql
+    from hadoop_cs4225_spark.functions.numeric import quant_sql
+
+    h = hash60_sql("CAST(user_id AS VARCHAR) || '|' || strftime(ts, '%Y-%m-%d')")
+    est = (
+        f"CASE WHEN n_kept < {_KMV_K} THEN n_kept * 1.0 "
+        f"ELSE ({_KMV_K} - 1) * CAST({_KMV_DOMAIN} AS DOUBLE) / kth END"
+    )
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT event_type, {h} AS h FROM events
+), kept AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM ud) z
+  WHERE rn <= {_KMV_K}
+), sk AS (
+  SELECT event_type AS scope, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         MAX(h) AS kth
+  FROM kept GROUP BY event_type
+  UNION ALL
+  SELECT '__union__', CAST(COUNT(*) AS BIGINT), MAX(h) FROM (
+    SELECT DISTINCT h FROM kept ORDER BY h LIMIT {_KMV_K}) u
+), ex AS (
+  SELECT event_type AS scope, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM ud GROUP BY event_type
+  UNION ALL
+  SELECT '__union__', CAST(COUNT(DISTINCT h) AS BIGINT) FROM ud
+), est AS (
+  SELECT s.scope, e.n_exact, {quant_sql(est, 2)} AS kmv_est
+  FROM sk s JOIN ex e USING (scope)
+)
+SELECT scope, n_exact, kmv_est,
+       {quant_sql("abs(kmv_est - n_exact) / n_exact", 4)} AS rel_err
+FROM est
+ORDER BY scope
+"""
+
+
+@register("kmv_distinct_sketch_audit", oracle=_kmv_oracle())
+def kmv_distinct_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values, the theta-sketch core) distinct-count
+    sketch from first principles, audited against exact counts: the k
+    smallest md5-derived hashes of each event type's (user, day) keys
+    estimate its distinct user-days as (k-1)*2^60/h_(k), and the UNION
+    row is estimated purely by MERGING the per-type sketches (k
+    smallest of the k-min sets) — never re-touching raw events. The
+    third mergeable-sketch audit (CMS counts, HLL cardinality rolls,
+    KMV adds SET ALGEBRA: theta sketches support union/intersection,
+    which HLL registers cannot).
+
+    Exactness: hashes are exact BIGINTs; the k-th order statistic is
+    deterministic; the only doubles are the final estimator division
+    and rel_err, both quantized. Small-set honesty: a scope with fewer
+    than k distinct keys stores them all, so the sketch returns the
+    EXACT count (rel_err 0) — pinned in tests.
+
+    Plan: distinct-fold the (type, hash) stream (map-side combined),
+    then a per-type ROW_NUMBER window — partitioned by type, the
+    relational spelling of "keep a k-heap per group"; a real cluster
+    aggregator would fold the heap in partial aggregation, but the
+    sort stays inside each type's partition, never global. The merge
+    step touches 5k rows.
+
+    No reference analogue; completes the SURVEY §2 sketches family.
+    """
+    from pyspark.sql import Window
+
+    from hadoop_cs4225_spark.functions.hashing import hash60
+    from hadoop_cs4225_spark.functions.numeric import quant
+
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "event_type",
+        hash60(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit("|"),
+                F.date_format("ts", "yyyy-MM-dd"),
+            )
+        ).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kept = (
+        ud.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KMV_K)
+        .drop("rn")
+    )
+    per = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("h").alias("kth"),
+    ).select(F.col("event_type").alias("scope"), "n_kept", "kth")
+    uni = (
+        kept.select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(_KMV_K)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"), F.max("h").alias("kth"))
+        .select(F.lit("__union__").alias("scope"), "n_kept", "kth")
+    )
+    sk = per.unionByName(uni)
+    ex = ud.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    ).select(F.col("event_type").alias("scope"), "n_exact").unionByName(
+        ud.select("h")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .select(F.lit("__union__").alias("scope"), "n_exact")
+    )
+    est_c = F.when(
+        F.col("n_kept") < _KMV_K, F.col("n_kept") * 1.0
+    ).otherwise(
+        (_KMV_K - 1) * F.lit(float(_KMV_DOMAIN)) / F.col("kth")
+    )
+    est = sk.join(ex, "scope").select(
+        "scope", "n_exact", quant(est_c, 2).alias("kmv_est")
+    )
+    return est.select(
+        "scope",
+        "n_exact",
+        "kmv_est",
+        quant(F.abs(F.col("kmv_est") - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+            "rel_err"
+        ),
+    ).orderBy("scope")

@@ -2540,3 +2540,294 @@ def textrank_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_q").desc(), "token")
         .limit(_TR_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch 3: vocabulary coverage estimation (Good-Turing / Chao1)
+# ---------------------------------------------------------------------------
+
+@register(
+    "vocab_good_turing_chao1",
+    oracle=f"""
+WITH tc AS (
+  SELECT source, tok, COUNT(*) AS cnt
+  FROM (SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents) t
+  GROUP BY source, tok
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       {quant_sql(
+           "CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)"
+           " / SUM(cnt)", 8)} AS gt_unseen_mass,
+       {quant_sql(
+           "COUNT(*) + CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)"
+           " AS DOUBLE) * (SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) - 1)"
+           " / (2.0 * (SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) + 1))",
+           4)} AS chao1_richness
+FROM tc
+GROUP BY source
+ORDER BY source
+""",
+)
+def vocab_good_turing_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary coverage: Good-Turing unseen-token mass
+    (N1/N — the probability the NEXT token drawn is a type never seen
+    in this source) and the bias-corrected Chao1 richness estimate
+    (V + N1*(N1-1) / (2*(N2+1)) — how many types the source would show
+    at infinite sampling). The curation question these answer: has a
+    source's vocabulary been exhausted, or does more crawl budget buy
+    genuinely new text? (Gaps vs the Zipf/Heaps fits in this module:
+    those fit curves; these are the nonparametric frequency-of-
+    frequencies estimators.)
+
+    Everything up to the two final divisions is exact BIGINT counting
+    (token explode -> (source, token) count -> frequency-of-frequency
+    rollup); the divisions are quantized. Two partial-agg shuffles,
+    both map-side combined; no joins, no windows — the 100 TB plan is
+    scan -> explode -> two hash aggregates.
+
+    No reference analogue; extends the SURVEY §2 text-analysis family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(_toks()).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n1 = F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast("long")
+    n2 = F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0)).cast("long")
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            n1.alias("n1"),
+            n2.alias("n2"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            "n1",
+            "n2",
+            quant(
+                F.col("n1").cast("double") / F.col("n_tokens"), 8
+            ).alias("gt_unseen_mass"),
+            quant(
+                F.col("vocab")
+                + F.col("n1").cast("double")
+                * (F.col("n1") - 1)
+                / (2.0 * (F.col("n2") + 1)),
+                4,
+            ).alias("chao1_richness"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch 3: Naive Bayes language classifier with held-out accuracy
+# ---------------------------------------------------------------------------
+
+#: Log-prob snap grid: each per-token log-likelihood is snapped to this
+#: integer grid BEFORE summation, so the per-document score is an exact
+#: BIGINT sum (reassociation-proof). |ln p| <= ~15 for Laplace floors at
+#: these corpus sizes -> |term| <= 1.5e10; x 1e9 x doc tokens (<= 4096)
+#: stays far inside BIGINT.
+_NB_GRID = 1_000_000_000
+
+#: Train split percentage (mirrors sampling.TRAIN_PCT's 90/10 rule).
+_NB_TRAIN_PCT = 90
+
+
+def _nb_split_sql(train: bool) -> str:
+    op = "<" if train else ">="
+    return f"{hash60_sql('CAST(doc_id AS VARCHAR)')} % 100 {op} {_NB_TRAIN_PCT}"
+
+
+@register(
+    "nb_lang_classifier_acc",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents
+  WHERE len({_TOKS_SQL}) >= 1
+), train_toks AS (
+  SELECT lang, unnest(toks) AS tok FROM base WHERE {_nb_split_sql(True)}
+), test_toks AS (
+  SELECT doc_id, lang, unnest(toks) AS tok FROM base WHERE {_nb_split_sql(False)}
+), vocab AS (
+  SELECT COUNT(DISTINCT tok) AS v FROM train_toks
+), lang_tot AS (
+  SELECT lang, COUNT(*) AS tot FROM train_toks GROUP BY lang
+), lang_tok AS (
+  SELECT lang, tok, COUNT(*) AS cnt FROM train_toks GROUP BY lang, tok
+), prior AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         SUM(COUNT(*)) OVER () AS n_all
+  FROM base WHERE {_nb_split_sql(True)} GROUP BY lang
+), term AS (
+  SELECT t.doc_id, t.lang AS true_lang, lt.lang AS model_lang,
+         CAST(floor(ln((COALESCE(k.cnt, 0) + 1.0) / (lt.tot + v.v))
+                    * {_NB_GRID} + 0.5) AS BIGINT) AS lp
+  FROM test_toks t
+  CROSS JOIN vocab v
+  JOIN lang_tot lt ON TRUE
+  LEFT JOIN lang_tok k ON k.lang = lt.lang AND k.tok = t.tok
+), scored AS (
+  SELECT s.doc_id, s.true_lang, s.model_lang,
+         s.s + CAST(floor(ln(CAST(p.n_docs AS DOUBLE) / p.n_all)
+                          * {_NB_GRID} + 0.5) AS BIGINT) AS score
+  FROM (SELECT doc_id, true_lang, model_lang, SUM(lp) AS s
+        FROM term GROUP BY doc_id, true_lang, model_lang) s
+  JOIN prior p ON p.lang = s.model_lang
+), pred AS (
+  SELECT doc_id, true_lang, model_lang AS pred_lang FROM (
+    SELECT doc_id, true_lang, model_lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, model_lang) AS rn
+    FROM scored) z WHERE rn = 1
+)
+SELECT true_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       {quant_sql(
+           "CAST(SUM(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)"
+           " AS DOUBLE) / COUNT(*)", 6)} AS acc
+FROM pred
+GROUP BY true_lang
+ORDER BY true_lang
+""",
+)
+def nb_lang_classifier_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained on the 90%
+    hash split and scored on the held-out 10%: Laplace-smoothed token
+    likelihoods + doc-count priors, per-language held-out accuracy.
+    The SUPERVISED complement to ``lang_id_heuristic`` (fixed marker
+    lists) — this is the train/predict/evaluate loop expressed as
+    dataframe algebra, the smallest honest instance of "fit a text
+    classifier on 100 TB with one scan per phase".
+
+    Honesty note: the synthetic corpus draws every language's TEXT
+    from one shared token distribution (lang is metadata-only), so the
+    reported held-out accuracy is chance-level BY CONSTRUCTION — the
+    audit measures that honestly rather than inventing signal; on a
+    real multilingual corpus the same plan separates languages easily.
+
+    Determinism: every per-token log-likelihood ln((cnt+1)/(tot+V)) is
+    computed from exact BIGINT counts, snapped to the 1e-9 grid, and
+    summed as BIGINTs (reassociation-proof); argmax ties break to the
+    alphabetically first language via row_number (per-doc 5-row
+    window, partitioned by doc).
+
+    Scale: train pass = two hash aggregates over the token stream;
+    scoring fans the test token stream out x|langs| (a constant) and
+    joins the broadcast-size (lang, token) probability table — one
+    (doc, lang)-keyed partial agg, no all-pairs anywhere.
+
+    No reference analogue; extends the SURVEY §2 text-analysis family.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", _toks().alias("toks"))
+        .where(F.size("toks") >= 1)
+    )
+    is_train = hash60(F.col("doc_id").cast("string")) % 100 < _NB_TRAIN_PCT
+    train = docs.where(is_train)
+    test = docs.where(~is_train)
+    train_toks = train.select("lang", F.explode("toks").alias("tok"))
+    vocab = F.broadcast(
+        train_toks.agg(F.countDistinct("tok").alias("v"))
+    )
+    lang_tot = train_toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("tot")
+    )
+    lang_tok = train_toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    prior = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_all = F.broadcast(train.agg(F.count(F.lit(1)).alias("n_all")))
+
+    test_toks = test.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode("toks").alias("tok"),
+    )
+    snap = lambda c: F.floor(c * _NB_GRID + 0.5).cast("long")  # noqa: E731
+    term = (
+        test_toks.crossJoin(
+            F.broadcast(lang_tot.select(F.col("lang").alias("model_lang"), "tot"))
+        )
+        .crossJoin(vocab)
+        .join(
+            F.broadcast(
+                lang_tok.select(
+                    F.col("lang").alias("model_lang"), "tok", "cnt"
+                )
+            ),
+            ["model_lang", "tok"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            "model_lang",
+            snap(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1.0)
+                    / (F.col("tot") + F.col("v"))
+                )
+            ).alias("lp"),
+        )
+    )
+    prior_lp = (
+        prior.crossJoin(n_all)
+        .select(
+            F.col("lang").alias("model_lang"),
+            snap(
+                F.log(F.col("n_docs").cast("double") / F.col("n_all"))
+            ).alias("prior_lp"),
+        )
+    )
+    scored = (
+        term.groupBy("doc_id", "true_lang", "model_lang")
+        .agg(F.sum("lp").alias("s"))
+        .join(F.broadcast(prior_lp), "model_lang")
+        .select(
+            "doc_id",
+            "true_lang",
+            "model_lang",
+            (F.col("s") + F.col("prior_lp")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), "model_lang"
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "true_lang", F.col("model_lang").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("true_lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("pred_lang") == F.col("true_lang"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "true_lang",
+            "n_test",
+            "n_correct",
+            quant(
+                F.col("n_correct").cast("double") / F.col("n_test"), 6
+            ).alias("acc"),
+        )
+        .orderBy("true_lang")
+    )

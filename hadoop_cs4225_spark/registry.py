@@ -167,6 +167,16 @@ _PRIORITY = (
     "jaccard_prefix_filter_pairs",   # PPJoin-style exact set-sim join
     "events_daily_hll_rollup",       # per-day HLL + 7-day register union
     "contrastive_pairs_manifest",    # anchor/positive/negative manifest
+    "vocab_good_turing_chao1",       # unseen-mass + richness estimators
+    "nb_lang_classifier_acc",        # Naive Bayes held-out accuracy
+    "customer_l_diversity_audit",    # l-diversity + entropy-l floor
+    "orders_cuped_adjustment",       # CUPED variance reduction
+    "lineitem_ridge_normal_eq",      # closed-form ridge via Cramer
+    "kmv_distinct_sketch_audit",     # KMV/theta sketch + merge audit
+    "events_attribution_weights",    # first/last/linear attribution
+    "split_leakage_audit",           # near-dup train/test contamination
+    "kmeans_simplified_silhouette",  # centroid-based cluster quality
+    "part_name_fuzzy_pairs",         # lossless q-gram fuzzy string join
 )
 
 

@@ -176,6 +176,18 @@ _BOUNDED_ALLPAIRS = {
     "partkey_join_size_estimate",  # broadcast 1-row totals cross join
     "events_changepoint_day",  # broadcast 1-row totals cross join
     "lineitem_decision_stump",  # broadcast 1-row totals cross join
+    # --- round 8 ---
+    "quality_brier_decomposition",  # broadcast 1-row corpus-moment cross join
+    "bigram_kneser_ney_topk",  # broadcast 1-row continuation-total cross join
+    "textrank_keywords_topk",  # broadcast 1-row |V| cross join per iteration
+    "source_length_welch_fdr",  # 20-row p-value self-join + 1-row m/threshold
+    "lineitem_stump_cv",  # 3-fold histogram non-equi join (fold-bounded)
+    "eval_bloom_decon_audit",  # broadcast 1-row filter-cardinality cross join
+    "events_daily_hll_rollup",  # calendar-bounded days x register range join
+    "contrastive_pairs_manifest",  # broadcast 1-row doc-count cross join
+    "nb_lang_classifier_acc",  # broadcast 1-row vocab-size cross join
+    "split_leakage_audit",  # four 1-row count aggregates cross-joined
+    "orders_cuped_adjustment",  # broadcast 1-row theta frame x 2 arm rows
 }
 
 
@@ -237,6 +249,8 @@ _BOUNDED_GLOBAL_WINDOW = {
     "skyline_orders_pareto": 65_536,
     # row_number over the ALREADY-LIMITed k-row seed frame (k=4)
     "kmeans_embedding_clusters": 4,
+    # same LIMIT-k seed window via the shared _kmeans_frames fixpoint
+    "kmeans_simplified_silhouette": 4,
     # margin windows over the CELLS table — bounded by the lang x
     # source domain (dictionary cross product), not corpus rows
     "lang_source_chi2": 4096,

@@ -259,3 +259,194 @@ def test_training_set_shards_match_report(spark):
             r.n_bins,
             r.n_straddle,
         ), src
+
+
+# ---------------------------------------------------------------------------
+# Batch-3 invariants
+# ---------------------------------------------------------------------------
+
+
+def test_good_turing_chao1_bounds(spark):
+    """Chao1 can only ADD unseen types to the observed vocabulary, and
+    the Good-Turing unseen mass is a probability; hapaxes exist in any
+    natural-ish corpus (non-vacuity)."""
+    rows = _rows(spark, "vocab_good_turing_chao1")
+    assert rows
+    for r in rows:
+        assert r.chao1_richness >= r.vocab - 1e-9, r
+        assert 0.0 <= r.gt_unseen_mass <= 1.0
+        assert r.n1 <= r.vocab and r.n2 <= r.vocab
+    assert any(r.n1 > 0 for r in rows), "vacuous: no hapax legomena"
+
+
+def test_nb_classifier_structural_invariants(spark):
+    """Every held-out doc earns exactly one prediction and counts are
+    consistent. NOTE the synthetic corpus carries NO language signal
+    in the text (all langs draw from one token distribution — verified
+    against the raw parquet), so accuracy is honestly chance-level;
+    the harness (train/predict/evaluate as dataframe algebra) is what
+    this query pins, and the oracle pins its exactness."""
+    from pyspark.sql import functions as F
+
+    from hadoop_cs4225_spark.operators.text_analysis import _NB_TRAIN_PCT
+    from hadoop_cs4225_spark.functions.hashing import hash60
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    rows = _rows(spark, "nb_lang_classifier_acc")
+    n_test_expected = (
+        load_table(spark, SF_ORACLE, "documents")
+        .where(
+            hash60(F.col("doc_id").cast("string")) % 100 >= _NB_TRAIN_PCT
+        )
+        .count()
+    )
+    assert sum(r.n_test for r in rows) == n_test_expected
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_test
+        assert 0.0 <= r.acc <= 1.0
+
+
+def test_l_diversity_entropy_floor(spark):
+    """exp(H) of a distribution over c outcomes never exceeds c, so
+    the entropy-l floor is bounded by the distinct-l floor."""
+    [r] = _rows(spark, "customer_l_diversity_audit")
+    assert r.min_l >= 1
+    assert r.min_entropy_l <= r.min_l + 1e-6, r
+    assert 0.0 <= r.pct_at_risk <= 1.0
+
+
+def test_cuped_adjustment_preserves_grand_mean(spark):
+    """CUPED re-centers around the pooled covariate mean, so the
+    n-weighted sum of per-arm adjustments is zero (up to the 1e-6
+    quantization of the reported means)."""
+    rows = _rows(spark, "orders_cuped_adjustment")
+    assert len(rows) == 2
+    drift = sum(r.n_arm * (r.mean_y_adj - r.mean_y) for r in rows)
+    assert abs(drift) <= 1.0, rows
+    for r in rows:
+        assert 0.0 <= r.var_reduction <= 1.0
+
+
+def test_ridge_matches_numpy(spark):
+    """The Cramer solve must agree with numpy's linalg on the same
+    centered moments (the closed form is the spec, numpy the referee)."""
+    import numpy as np
+
+    from hadoop_cs4225_spark.operators.algo_ops import _RIDGE_LAMBDA
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    [r] = _rows(spark, "lineitem_ridge_normal_eq")
+    li = load_table(spark, SF_ORACLE, "lineitem").select(
+        "l_quantity", "l_discount", "l_tax", "l_extendedprice"
+    ).collect()
+    X = np.array(
+        [
+            [
+                int(row.l_quantity),
+                int(np.floor(row.l_discount * 100 + 0.5)),
+                int(np.floor(row.l_tax * 100 + 0.5)),
+            ]
+            for row in li
+        ],
+        dtype=np.float64,
+    )
+    y = np.array([np.floor(row.l_extendedprice) for row in li])
+    Xc = X - X.mean(axis=0)
+    yc = y - y.mean()
+    A = Xc.T @ Xc + _RIDGE_LAMBDA * np.eye(3)
+    beta = np.linalg.solve(A, Xc.T @ yc)
+    got = (r.beta_qty, r.beta_disc_pct, r.beta_tax_pct)
+    assert np.allclose(got, beta, atol=1e-4), (got, beta)
+    assert 0.0 <= r.r2 <= 1.0
+
+
+def test_kmv_sketch_accuracy_and_union(spark):
+    """KMV estimates stay within 4 sigma (~1/sqrt(k-2)) of exact; the
+    union scope's exact count never exceeds the per-type sum; a scope
+    with fewer than k keys reports EXACTLY (rel_err 0)."""
+    from hadoop_cs4225_spark.operators.sketches import _KMV_K
+
+    rows = _rows(spark, "kmv_distinct_sketch_audit")
+    per = [r for r in rows if r.scope != "__union__"]
+    [uni] = [r for r in rows if r.scope == "__union__"]
+    assert uni.n_exact <= sum(r.n_exact for r in per)
+    for r in rows:
+        if r.n_exact < _KMV_K:
+            assert r.rel_err == 0.0, r
+        else:
+            assert r.rel_err < 4.0 / (_KMV_K - 2) ** 0.5, r
+
+
+def test_attribution_models_agree_on_total(spark):
+    """Each model hands out exactly one conversion's worth of credit
+    per converted purchase: first/last totals are equal integers, and
+    the linear total matches within the per-touch grid slack."""
+    rows = _rows(spark, "events_attribution_weights")
+    assert rows
+    ft = sum(r.first_touch_credits for r in rows)
+    lt = sum(r.last_touch_credits for r in rows)
+    lin = sum(r.linear_credits for r in rows)
+    assert ft == lt > 0
+    assert abs(lin - ft) < 0.001 * ft + 0.01, (lin, ft)
+
+
+def test_split_leakage_counts_consistent(spark):
+    [r] = _rows(spark, "split_leakage_audit")
+    assert r.n_pairs > 0, "vacuous: no near-dup pairs at this SF"
+    assert 0 <= r.n_cross_pairs <= r.n_pairs
+    assert 0 <= r.n_contaminated <= min(r.n_cross_pairs, r.n_test_docs)
+    assert 0.0 <= r.contaminated_frac <= 1.0
+
+
+def test_silhouette_partitions_and_range(spark):
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    rows = _rows(spark, "kmeans_simplified_silhouette")
+    n_vecs = load_table(spark, SF_ORACLE, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n_vecs
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.avg_silhouette <= 1.0 + 1e-9
+
+
+def test_fuzzy_pairs_match_brute_force(spark):
+    """The q-gram filter must be LOSSLESS at this threshold: the
+    reported pair set equals the full O(|dict|^2) Levenshtein scan
+    over the name dictionary."""
+    from pyspark.sql import functions as F
+
+    from hadoop_cs4225_spark.operators.joins_advanced import (
+        _FUZZY_K,
+        _FUZZY_MIN_LEN,
+    )
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    rows = _rows(spark, "part_name_fuzzy_pairs")
+    assert rows, "vacuous: no fuzzy pairs at this SF"
+    names = [
+        r.p_name
+        for r in load_table(spark, SF_ORACLE, "part")
+        .select("p_name")
+        .where(F.length("p_name") >= _FUZZY_MIN_LEN)
+        .distinct()
+        .collect()
+    ]
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    brute = {
+        (a, b)
+        for i, a in enumerate(sorted(names))
+        for b in sorted(names)[i + 1 :]
+        if lev(a, b) <= _FUZZY_K
+    }
+    reported = {(r.name1, r.name2) for r in rows}
+    assert reported == brute, reported ^ brute

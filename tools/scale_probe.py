@@ -101,6 +101,9 @@ DOC_QUERIES = (
     "training_set_shards",  # pipeline + parquet write + read-back
     "jaccard_prefix_filter_pairs",  # rarity-prefix candidates, df-capped
     "contrastive_pairs_manifest",  # memoized labels + hash-draw negatives
+    "vocab_good_turing_chao1",  # explode + two map-side-combined aggs
+    "nb_lang_classifier_acc",  # two train aggs + 5x test-token fanout
+    "split_leakage_audit",  # memoized pairs + split-expression joins
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i
@@ -125,6 +128,7 @@ EMB_QUERIES = (
     "mmr_diverse_topk",  # brute top-k plan + O(K*POOL^2) constant greedy layer
     "embedding_rp_distortion",  # map-only JL fold + tiny histogram agg
     "label_centroid_cosine",  # one posexplode agg into a (labels x dim) frame
+    "kmeans_simplified_silhouette",  # one extra assignment-shaped pass
 )
 
 #: queries probed across the real sf dirs (10x data per step).
@@ -184,6 +188,12 @@ SF_QUERIES = (
     "order_value_histogram_quantiles",  # domain-bounded buckets vs exact sort
     "lineitem_stump_cv",  # fold-histogram algebra, one scan
     "events_daily_hll_rollup",  # 64 registers/day + calendar range join
+    "orders_cuped_adjustment",  # custkey partial agg + 1-row moments
+    "lineitem_ridge_normal_eq",  # one scan -> 15 moments -> O(1) solve
+    "kmv_distinct_sketch_audit",  # distinct fold + per-type k-min window
+    "events_attribution_weights",  # user-keyed 7-day range join
+    "customer_l_diversity_audit",  # bounded QI-dictionary aggregates
+    "part_name_fuzzy_pairs",  # dictionary-grain q-gram blocking join
 )
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 

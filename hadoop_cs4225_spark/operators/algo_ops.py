@@ -3727,3 +3727,399 @@ def lineitem_ridge_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch 4: sequential probability ratio test (SPRT)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+#: SPRT hypotheses on arm-1's share of daily purchases (H0: fair 0.5
+#: split vs H1: arm 1 over-converts at 0.55) and the error budget.
+_SPRT_P0 = 0.5
+_SPRT_P1 = 0.55
+_SPRT_ALPHA = 0.05
+_SPRT_BETA = 0.05
+#: Per-event log-likelihood-ratio increments (exact doubles, injected
+#: verbatim into the SQL so both engines multiply identical constants).
+_SPRT_L1 = _math.log(_SPRT_P1 / _SPRT_P0)
+_SPRT_L0 = _math.log((1.0 - _SPRT_P1) / (1.0 - _SPRT_P0))
+_SPRT_UPPER = _math.log((1.0 - _SPRT_BETA) / _SPRT_ALPHA)
+_SPRT_LOWER = _math.log(_SPRT_BETA / (1.0 - _SPRT_ALPHA))
+_SPRT_GRID = 1_000_000_000
+
+
+@register(
+    "events_sprt_arms",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN {hash60_sql("CAST(user_id AS VARCHAR)")} % 2 = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY day
+), llr AS (
+  SELECT day, x, n,
+         CAST(floor((x * CAST('{_SPRT_L1!r}' AS DOUBLE)
+                     + (n - x) * CAST('{_SPRT_L0!r}' AS DOUBLE))
+                    * {_SPRT_GRID} + 0.5) AS BIGINT) AS llr_q
+  FROM daily
+), cum AS (
+  SELECT a.day, a.x, a.n, CAST(SUM(b.llr_q) AS BIGINT) AS cum_q
+  FROM llr a JOIN llr b ON b.day <= a.day
+  GROUP BY a.day, a.x, a.n
+)
+SELECT day, x AS arm1_purchases, n AS purchases,
+       {quant_sql(f"cum_q / {_SPRT_GRID}.0", 6)} AS cum_llr,
+       CASE WHEN cum_q >= CAST(floor(CAST('{_SPRT_UPPER!r}' AS DOUBLE)
+                                     * {_SPRT_GRID}) AS BIGINT)
+              THEN 'reject_h0'
+            WHEN cum_q <= CAST(ceil(CAST('{_SPRT_LOWER!r}' AS DOUBLE)
+                                    * {_SPRT_GRID}) AS BIGINT)
+              THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM cum
+ORDER BY day
+""",
+)
+def events_sprt_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test, run day by day over
+    the purchase stream: is arm 1 (deterministic user-hash split)
+    taking MORE than its fair share of conversions? Each day adds
+    x*ln(p1/p0) + (n-x)*ln((1-p1)/(1-p0)) to the cumulative LLR; the
+    test stops the moment the boundary ln((1-b)/a) (reject) or
+    ln(b/(1-a)) (accept) is crossed. The SEQUENTIAL counterpart to the
+    fixed-horizon Welch/CUPED queries — the experiment you can stop
+    early with error rates still controlled, which at production
+    traffic is most of the cost of experimentation.
+
+    Exactness: daily (x, n) are exact integers; the per-day LLR is ONE
+    double expression of injected repr-exact constants, snapped to the
+    1e-9 grid; the cumulative sum is a BIGINT sum over a day self-join
+    (calendar-bounded, never a global window); boundary comparisons
+    happen between INTEGERS (boundaries floored/ceiled onto the same
+    grid, conservatively: the reject bar rounds down only by <1e-9).
+
+    Plan: one filtered scan -> per-day partial agg (the arm split is a
+    pure hash expression, no assignment table), |days|^2 bounded
+    self-join, map-side everything else.
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    from hadoop_cs4225_spark.functions.hashing import hash60
+
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                (hash60(F.col("user_id").cast("string")) % 2 == 1).cast("long")
+            )
+            .cast("long")
+            .alias("x"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    llr = daily.select(
+        "day",
+        "x",
+        "n",
+        F.floor(
+            (
+                F.col("x") * F.lit(_SPRT_L1)
+                + (F.col("n") - F.col("x")) * F.lit(_SPRT_L0)
+            )
+            * _SPRT_GRID
+            + 0.5
+        )
+        .cast("long")
+        .alias("llr_q"),
+    ).localCheckpoint(eager=False)  # small daily frame, read twice
+    b = llr.select(F.col("day").alias("bday"), F.col("llr_q").alias("bq"))
+    cum = (
+        llr.join(b, F.col("bday") <= F.col("day"))
+        .groupBy("day", "x", "n")
+        .agg(F.sum("bq").cast("long").alias("cum_q"))
+    )
+    upper_q = int(_math.floor(_SPRT_UPPER * _SPRT_GRID))
+    lower_q = int(_math.ceil(_SPRT_LOWER * _SPRT_GRID))
+    return cum.select(
+        "day",
+        F.col("x").alias("arm1_purchases"),
+        F.col("n").alias("purchases"),
+        quant(F.col("cum_q") / float(_SPRT_GRID), 6).alias("cum_llr"),
+        F.when(F.col("cum_q") >= upper_q, "reject_h0")
+        .when(F.col("cum_q") <= lower_q, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch 4: difference-in-differences estimator
+# ---------------------------------------------------------------------------
+
+@register(
+    "orders_did_estimator",
+    oracle=f"""
+WITH cell AS (
+  SELECT {hash60_sql("CAST(o_custkey AS VARCHAR)")} % 2 AS arm,
+         CASE WHEN o_orderdate >= TIMESTAMP '{_CUPED_SPLIT}'
+              THEN 1 ELSE 0 END AS post,
+         CAST(floor(o_totalprice) AS BIGINT) AS y
+  FROM orders
+), m AS (
+  SELECT arm, post, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS s, CAST(SUM(y * y) AS BIGINT) AS q
+  FROM cell GROUP BY arm, post
+), w AS (
+  SELECT
+    MAX(CASE WHEN arm = 0 AND post = 0 THEN n END) AS n00,
+    MAX(CASE WHEN arm = 0 AND post = 1 THEN n END) AS n01,
+    MAX(CASE WHEN arm = 1 AND post = 0 THEN n END) AS n10,
+    MAX(CASE WHEN arm = 1 AND post = 1 THEN n END) AS n11,
+    MAX(CASE WHEN arm = 0 AND post = 0 THEN s END) AS s00,
+    MAX(CASE WHEN arm = 0 AND post = 1 THEN s END) AS s01,
+    MAX(CASE WHEN arm = 1 AND post = 0 THEN s END) AS s10,
+    MAX(CASE WHEN arm = 1 AND post = 1 THEN s END) AS s11,
+    MAX(CASE WHEN arm = 0 AND post = 0 THEN q END) AS q00,
+    MAX(CASE WHEN arm = 0 AND post = 1 THEN q END) AS q01,
+    MAX(CASE WHEN arm = 1 AND post = 0 THEN q END) AS q10,
+    MAX(CASE WHEN arm = 1 AND post = 1 THEN q END) AS q11
+  FROM m
+)
+SELECT n00, n01, n10, n11,
+       {quant_sql("CAST(s00 AS DOUBLE) / n00", 6)} AS mean00,
+       {quant_sql("CAST(s01 AS DOUBLE) / n01", 6)} AS mean01,
+       {quant_sql("CAST(s10 AS DOUBLE) / n10", 6)} AS mean10,
+       {quant_sql("CAST(s11 AS DOUBLE) / n11", 6)} AS mean11,
+       {quant_sql(
+           "(CAST(s11 AS DOUBLE) / n11 - CAST(s10 AS DOUBLE) / n10)"
+           " - (CAST(s01 AS DOUBLE) / n01 - CAST(s00 AS DOUBLE) / n00)",
+           6)} AS did,
+       {quant_sql(
+           "sqrt("
+           " (CAST(q00 AS DOUBLE) - CAST(s00 AS DOUBLE) * s00 / n00)"
+           "   / (n00 - 1) / n00"
+           " + (CAST(q01 AS DOUBLE) - CAST(s01 AS DOUBLE) * s01 / n01)"
+           "   / (n01 - 1) / n01"
+           " + (CAST(q10 AS DOUBLE) - CAST(s10 AS DOUBLE) * s10 / n10)"
+           "   / (n10 - 1) / n10"
+           " + (CAST(q11 AS DOUBLE) - CAST(s11 AS DOUBLE) * s11 / n11)"
+           "   / (n11 - 1) / n11)", 6)} AS se
+FROM w
+""",
+)
+def orders_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the causal-inference workhorse when
+    one arm is exposed only AFTER a cutover. Cells are (hash arm x
+    pre/post the 1998-01-01 cutover); DiD = (mean11 - mean10) - (mean01 -
+    mean00) nets out both the arm's level difference and the shared
+    time trend; SE is the four-cell Welch combination. Completes the
+    experimentation family (Welch = one-shot, CUPED = variance
+    reduction, SPRT = sequential, DiD = quasi-experimental).
+
+    Exactness: per-cell (n, sum, sumsq) are exact BIGINT dollar
+    moments from one partial agg over 4 groups; every mean/variance is
+    one identically-composed double expression, quantized. Plan: one
+    scan, one 4-row aggregate, one 1-row pivot.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    from hadoop_cs4225_spark.functions.hashing import hash60
+
+    cell = orders.select(
+        (hash60(F.col("o_custkey").cast("string")) % 2).alias("arm"),
+        (
+            F.col("o_orderdate") >= F.lit(_CUPED_SPLIT).cast("timestamp")
+        )
+        .cast("int")
+        .alias("post"),
+        F.floor("o_totalprice").cast("long").alias("y"),
+    )
+    m = cell.groupBy("arm", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("q"),
+    )
+    picks = []
+    for col in ("n", "s", "q"):
+        for a in (0, 1):
+            for p in (0, 1):
+                picks.append(
+                    F.max(
+                        F.when(
+                            (F.col("arm") == a) & (F.col("post") == p),
+                            F.col(col),
+                        )
+                    ).alias(f"{col}{a}{p}")
+                )
+    w = m.agg(*picks)
+
+    def mean(a: int, p: int):
+        return F.col(f"s{a}{p}").cast("double") / F.col(f"n{a}{p}")
+
+    def varm(a: int, p: int):
+        n, s, q = (F.col(f"{c}{a}{p}") for c in ("n", "s", "q"))
+        return (
+            (q.cast("double") - s.cast("double") * s / n) / (n - 1) / n
+        )
+
+    return w.select(
+        "n00", "n01", "n10", "n11",
+        quant(mean(0, 0), 6).alias("mean00"),
+        quant(mean(0, 1), 6).alias("mean01"),
+        quant(mean(1, 0), 6).alias("mean10"),
+        quant(mean(1, 1), 6).alias("mean11"),
+        quant(
+            (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0)), 6
+        ).alias("did"),
+        quant(
+            F.sqrt(varm(0, 0) + varm(0, 1) + varm(1, 0) + varm(1, 1)), 6
+        ).alias("se"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch 4: quantile regression by profiled grid search
+# ---------------------------------------------------------------------------
+
+#: Pinball-loss quantile (tau = 0.9), the slope grid (dollars per unit
+#: of quantity, 21 candidates), and the composite-key base for the
+#: deterministic argmin (loss*32 + idx, idx < 32).
+_QR_TAU_NUM = 9
+_QR_TAU_DEN = 10
+_QR_SLOPES = 21
+_QR_STEP = 100
+
+
+@register(
+    "lineitem_quantile_reg_grid",
+    oracle=f"""
+WITH n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),
+grid AS (
+  SELECT CAST(g.i AS BIGINT) AS idx,
+         CAST(g.i * {_QR_STEP} AS BIGINT) AS slope
+  FROM (SELECT unnest(range(0, {_QR_SLOPES})) AS i) g
+), r AS (
+  SELECT g.idx, g.slope,
+         CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+           - g.slope * 100 * CAST(l.l_quantity AS BIGINT) AS res
+  FROM lineitem l CROSS JOIN grid g
+), ranked AS (
+  SELECT idx, res,
+         ROW_NUMBER() OVER (PARTITION BY idx ORDER BY res) AS rn
+  FROM r
+), aq AS (
+  SELECT idx, res AS a FROM ranked CROSS JOIN n1
+  WHERE rn = ({_QR_TAU_NUM} * n + {_QR_TAU_NUM}) // {_QR_TAU_DEN}
+), loss AS (
+  SELECT r.idx, r.slope, a.a,
+         CAST(SUM(GREATEST({_QR_TAU_NUM} * (r.res - a.a), a.a - r.res))
+              AS BIGINT) AS loss10
+  FROM r JOIN aq a USING (idx)
+  GROUP BY r.idx, r.slope, a.a
+), best AS (SELECT MIN(loss10 * 32 + idx) AS bk FROM loss)
+SELECT CAST(l.slope AS BIGINT) AS slope_dollars,
+       {quant_sql("l.a / 100.0", 2)} AS intercept_dollars,
+       {quant_sql(
+           f"CAST(l.loss10 AS DOUBLE) / {_QR_TAU_DEN} / n1.n / 100.0",
+           4)} AS avg_pinball_dollars,
+       (l.loss10 * 32 + l.idx = b.bk) AS is_best
+FROM loss l CROSS JOIN best b CROSS JOIN n1
+ORDER BY slope_dollars
+""",
+)
+def lineitem_quantile_reg_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile regression (tau = 0.9) of extendedprice on quantity by
+    PROFILED grid search: for each candidate slope b, the optimal
+    intercept is exactly the tau-quantile of the residuals y - b*x
+    (pinball loss is minimized by a quantile — the check-function
+    identity), so the 2-D fit collapses to 21 rank-k order statistics
+    plus one loss aggregate. Reports the whole loss profile with the
+    argmin flagged — the robust upper-tail price model OLS can't give
+    (``order_trend_regression``/ ``lineitem_ridge_normal_eq`` fit the
+    MEAN; the 0.9-quantile line prices the tail).
+
+    Exactness: residuals are exact cent BIGINTs, the rank index
+    ceil(tau*n) is integer arithmetic, pinball terms are
+    max(9*(r-a), (a-r)) — all-integer, summed exactly; the argmin uses
+    the loss*32+idx composite (kmeans discipline) so ties break to the
+    flattest slope identically in both engines.
+
+    Plan: the grid fan-out is a constant x21 map-side cross join; each
+    candidate's quantile is a rank inside its own slope partition
+    (distributed, bounded partition count); one (idx)-keyed join + a
+    21-row loss aggregate. At 100 TB you'd swap the exact rank for the
+    histogram sketch (``order_value_histogram_quantiles``) — the plan
+    shape survives, the sort does not need to.
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    n1 = F.broadcast(li.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    grid = (
+        spark.range(0, _QR_SLOPES)
+        .select(
+            F.col("id").cast("long").alias("idx"),
+            (F.col("id") * _QR_STEP).cast("long").alias("slope"),
+        )
+    )
+    r = li.select(
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("yc"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    ).crossJoin(F.broadcast(grid)).select(
+        "idx",
+        "slope",
+        (F.col("yc") - F.col("slope") * 100 * F.col("qty")).alias("res"),
+    )
+    w = Window.partitionBy("idx").orderBy("res")
+    ranked = r.select("idx", "res").withColumn("rn", F.row_number().over(w))
+    aq = (
+        ranked.crossJoin(n1)
+        .where(
+            F.col("rn")
+            == F.expr(
+                f"({_QR_TAU_NUM} * n + {_QR_TAU_NUM}) DIV {_QR_TAU_DEN}"
+            )
+        )
+        .select("idx", F.col("res").alias("a"))
+    )
+    loss = (
+        r.join(aq, "idx")
+        .groupBy("idx", "slope", "a")
+        .agg(
+            F.sum(
+                F.greatest(
+                    _QR_TAU_NUM * (F.col("res") - F.col("a")),
+                    F.col("a") - F.col("res"),
+                )
+            )
+            .cast("long")
+            .alias("loss10")
+        )
+    )
+    best = F.broadcast(
+        loss.agg(F.min(F.col("loss10") * 32 + F.col("idx")).alias("bk"))
+    )
+    return (
+        loss.crossJoin(best)
+        .crossJoin(n1)
+        .select(
+            F.col("slope").alias("slope_dollars"),
+            quant(F.col("a") / 100.0, 2).alias("intercept_dollars"),
+            quant(
+                F.col("loss10").cast("double")
+                / _QR_TAU_DEN
+                / F.col("n")
+                / 100.0,
+                4,
+            ).alias("avg_pinball_dollars"),
+            (F.col("loss10") * 32 + F.col("idx") == F.col("bk")).alias(
+                "is_best"
+            ),
+        )
+        .orderBy("slope_dollars")
+    )

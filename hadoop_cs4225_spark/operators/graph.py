@@ -510,3 +510,139 @@ def supplier_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa_score"), "s1", "s2")
         .limit(_AA_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch 4: HITS hubs & authorities on the bipartite trade graph
+# ---------------------------------------------------------------------------
+
+#: Fixed HITS iteration count and per-kind top-k.
+_HITS_ITERS = 3
+_HITS_TOP_K = 10
+
+_HITS_PAIRS_SQL = """
+pairs AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)
+"""
+
+
+def _hits_auth_sql(prev_h: str, cur: str) -> str:
+    return f"""
+{cur}raw AS MATERIALIZED (
+  SELECT p.s, SUM(h.v) AS v FROM pairs p JOIN {prev_h} h ON h.c = p.c
+  GROUP BY p.s
+), {cur} AS MATERIALIZED (
+  SELECT s, {quant_sql(f"v / (SELECT MAX(v) FROM {cur}raw)", 12)} AS v
+  FROM {cur}raw
+)"""
+
+
+def _hits_hub_sql(prev_a: str, cur: str) -> str:
+    return f"""
+{cur}raw AS MATERIALIZED (
+  SELECT p.c, SUM(a.v) AS v FROM pairs p JOIN {prev_a} a ON a.s = p.s
+  GROUP BY p.c
+), {cur} AS MATERIALIZED (
+  SELECT c, {quant_sql(f"v / (SELECT MAX(v) FROM {cur}raw)", 12)} AS v
+  FROM {cur}raw
+)"""
+
+
+@register(
+    "supplier_hits_scores",
+    oracle=f"""
+WITH {_HITS_PAIRS_SQL},
+h0 AS (SELECT DISTINCT c, 1.0 AS v FROM pairs)
+,{_hits_auth_sql("h0", "a1")}
+,{_hits_hub_sql("a1", "h1")}
+,{_hits_auth_sql("h1", "a2")}
+,{_hits_hub_sql("a2", "h2")}
+,{_hits_auth_sql("h2", "a3")}
+,{_hits_hub_sql("a3", "h3")}
+SELECT * FROM (
+  SELECT 'supplier' AS kind, s AS node, {quant_sql("v", 9)} AS score
+  FROM a3 ORDER BY score DESC, node LIMIT {_HITS_TOP_K}
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'customer' AS kind, c AS node, {quant_sql("v", 9)} AS score
+  FROM h3 ORDER BY score DESC, node LIMIT {_HITS_TOP_K}
+)
+ORDER BY kind, score DESC, node
+""",
+)
+def supplier_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (hubs & authorities) on the DIRECTED customer→supplier
+    purchase graph: an authoritative supplier is bought from by strong
+    hub customers; a hub customer buys from authoritative suppliers —
+    the mutually-recursive ranking PageRank's single score can't
+    express, and the natural shape for a BIPARTITE graph (PageRank
+    here needed the symmetrized union). Three alternating power-
+    iteration rounds, max-normalized per round.
+
+    Determinism: the edge list is exact; each round's scores are one
+    SUM + one division by the round's MAX, snapped to the 1e-12 grid
+    (the pagerank per-iteration discipline — inputs re-identical each
+    round, only the final step's reassociation meets the 9-dp output
+    grid); top-k ties break on node id.
+
+    Plan: each half-round is ONE equi-join shuffle of edges against a
+    node-score table plus a 1-row broadcast max — |E| rows move per
+    round, |V| state, fixed depth. Same cost envelope as
+    ``pagerank_trade_network``.
+
+    No reference analogue; extends the SURVEY §2 graph family.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)  # read by all 6 half-rounds
+    )
+    h = pairs.select("c").distinct().withColumn("v", F.lit(1.0))
+
+    def half(scores: DataFrame, key: str, other: str) -> DataFrame:
+        # Materialize each half-round: `raw` feeds BOTH the max and the
+        # normalization, and rounds nest — without the checkpoint the
+        # plan re-evaluates the whole history 2^rounds times (and the
+        # shuffle-file fan-out exhausts fds long before it finishes).
+        raw = (
+            pairs.join(scores, key)
+            .groupBy(other)
+            .agg(F.sum("v").alias("v"))
+            .localCheckpoint(eager=False)
+        )
+        mx = F.broadcast(raw.agg(F.max("v").alias("mx")))
+        return raw.crossJoin(mx).select(
+            other, quant(F.col("v") / F.col("mx"), 12).alias("v")
+        )
+
+    a = None
+    for _ in range(_HITS_ITERS):
+        a = half(h, "c", "s")
+        h = half(a, "s", "c")
+    top_a = (
+        a.select(
+            F.lit("supplier").alias("kind"),
+            F.col("s").alias("node"),
+            quant("v", 9).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "node")
+        .limit(_HITS_TOP_K)
+    )
+    top_h = (
+        h.select(
+            F.lit("customer").alias("kind"),
+            F.col("c").alias("node"),
+            quant("v", 9).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "node")
+        .limit(_HITS_TOP_K)
+    )
+    return top_a.unionByName(top_h).orderBy(
+        "kind", F.col("score").desc(), "node"
+    )

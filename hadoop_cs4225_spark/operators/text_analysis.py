@@ -2831,3 +2831,233 @@ def nb_lang_classifier_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch 4: branching (context) entropy per token
+# ---------------------------------------------------------------------------
+
+#: Entropy-term grid and the number of high-frequency tokens reported.
+_CTX_GRID = 1_000_000_000
+_CTX_TOP_K = 20
+
+
+@register(
+    "token_context_entropy",
+    oracle=f"""
+WITH toks AS (
+  SELECT {_TOKS_SQL} AS toks FROM documents
+), pairs AS (
+  SELECT toks[g.i] AS w1, toks[g.i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(toks))) AS i) g
+), paircnt AS (
+  SELECT w1, w2, COUNT(*) AS c FROM pairs GROUP BY w1, w2
+), pp AS (
+  SELECT w1, w2, c,
+         CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY w1) AS pr,
+         CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY w2) AS pl
+  FROM paircnt
+), rent AS (
+  SELECT w1 AS w, CAST(SUM(CAST(floor(-pr * ln(pr) * {_CTX_GRID} + 0.5)
+                               AS BIGINT)) AS BIGINT) AS ent_q
+  FROM pp GROUP BY w1
+), lent AS (
+  SELECT w2 AS w, CAST(SUM(CAST(floor(-pl * ln(pl) * {_CTX_GRID} + 0.5)
+                               AS BIGINT)) AS BIGINT) AS ent_q
+  FROM pp GROUP BY w2
+), uni AS (
+  SELECT unnest(toks) AS w FROM toks
+), unicnt AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM uni GROUP BY w
+)
+SELECT u.w AS token, u.n,
+       {quant_sql(f"COALESCE(r.ent_q, 0) / {_CTX_GRID}.0", 6)}
+         AS right_entropy,
+       {quant_sql(f"COALESCE(l.ent_q, 0) / {_CTX_GRID}.0", 6)}
+         AS left_entropy
+FROM unicnt u
+LEFT JOIN rent r ON r.w = u.w
+LEFT JOIN lent l ON l.w = u.w
+ORDER BY u.n DESC, u.w
+LIMIT {_CTX_TOP_K}
+""",
+)
+def token_context_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branching entropy per token: the entropy of the NEXT-token
+    distribution (right) and PREVIOUS-token distribution (left) for
+    the corpus's 20 most frequent tokens. The unsupervised-
+    segmentation statistic (Harris/Tanaka-Ishii): entropy stays high
+    inside free context and DROPS inside a multi-word unit, so low
+    branching entropy marks tokens a tokenizer should glue to their
+    neighbors (the information-theoretic complement to
+    ``bigram_pmi_topk``'s pairwise score and ``bpe_pair_counts``'
+    raw frequencies).
+
+    Exactness: pair counts are exact; each -p*ln(p) term is snapped to
+    the 1e-9 grid and summed as BIGINTs inside the token's partition.
+    Plan: one map-side zip_with pair stream (never a self-join), one
+    pair-count shuffle, two vocabulary-partitioned window passes over
+    the PAIR VOCABULARY (not the corpus), a unigram count, two
+    vocab-keyed left joins, distributed top-k.
+
+    No reference analogue; extends the SURVEY §2 text-analysis family.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(_toks().alias("toks"))
+    pairs = docs.where(F.size("toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1), "
+                "slice(toks, 2, size(toks) - 1), "
+                "(a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    paircnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+
+    def ent(side: str) -> DataFrame:
+        w = Window.partitionBy(side)
+        p = F.col("c").cast("double") / F.sum("c").over(w)
+        return (
+            paircnt.select(
+                F.col(side).alias("w"),
+                F.floor(-p * F.log(p) * _CTX_GRID + 0.5)
+                .cast("long")
+                .alias("t"),
+            )
+            .groupBy("w")
+            .agg(F.sum("t").cast("long").alias("ent_q"))
+        )
+
+    unicnt = (
+        docs.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        unicnt.join(
+            ent("w1").withColumnRenamed("ent_q", "r_q"), "w", "left"
+        )
+        .join(ent("w2").withColumnRenamed("ent_q", "l_q"), "w", "left")
+        .select(
+            F.col("w").alias("token"),
+            "n",
+            quant(
+                F.coalesce(F.col("r_q"), F.lit(0)) / float(_CTX_GRID), 6
+            ).alias("right_entropy"),
+            quant(
+                F.coalesce(F.col("l_q"), F.lit(0)) / float(_CTX_GRID), 6
+            ).alias("left_entropy"),
+        )
+        .orderBy(F.col("n").desc(), "token")
+        .limit(_CTX_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch 4: isotonic calibration (PAV via the minimax identity)
+# ---------------------------------------------------------------------------
+
+@register(
+    "quality_isotonic_calibration",
+    oracle=f"""
+WITH scored AS ({_EN_SCORED_SQL}), binned AS (
+  SELECT LEAST({_CAL_BINS - 1}, p_s * {_CAL_BINS} // {_CAL_GRID}) AS bin, y
+  FROM scored
+), bins AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS ys
+  FROM binned GROUP BY bin
+), ival AS (
+  SELECT j.bin AS jb, k.bin AS kb,
+         CAST(SUM(m.ys) AS DOUBLE) / SUM(m.n) AS r
+  FROM bins j JOIN bins k ON j.bin <= k.bin
+  JOIN bins m ON m.bin BETWEEN j.bin AND k.bin
+  GROUP BY j.bin, k.bin
+), mn AS (
+  SELECT i.bin, v.jb, MIN(v.r) AS lo
+  FROM bins i JOIN ival v ON v.jb <= i.bin AND v.kb >= i.bin
+  GROUP BY i.bin, v.jb
+), iso AS (
+  SELECT bin, MAX(lo) AS iso_r FROM mn GROUP BY bin
+)
+SELECT b.bin, b.n AS n_docs,
+       {quant_sql("CAST(b.ys AS DOUBLE) / b.n", 6)} AS raw_rate,
+       {quant_sql("i.iso_r", 6)} AS iso_rate
+FROM bins b JOIN iso i USING (bin)
+ORDER BY b.bin
+""",
+)
+def quality_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) calibration of the probabilistic English
+    detector via pool-adjacent-violators, computed through PAVA's
+    minimax identity: the isotonic fit at bin i equals
+    max_(j<=i) min_(k>=i) mean(y[j..k]). ``quality_score_calibration``
+    DIAGNOSES miscalibration (reliability/ECE); this query FIXES it —
+    the monotone mapping a pipeline applies before thresholding a
+    learned quality score.
+
+    Why minimax instead of the sequential pooling loop: PAVA is
+    inherently order-dependent, but on the B=10 score bins the closed
+    form is three bounded self-joins of a 10-row frame (<= B^3
+    interval terms, constant regardless of corpus size) — fully
+    relational, no driver loop, and each interval mean is an exact
+    integer ratio so MIN/MAX order can't diverge between engines.
+
+    Plan: one map-side score pass + a 10-row bin aggregate (corpus
+    grain), then constant-size algebra. Monotonicity of iso_rate and
+    its MSE improvement over raw_rate are pytest-pinned.
+
+    No reference analogue; extends the SURVEY §2 calibration family.
+    """
+    scored = _en_scored(spark, sf_dir)
+    binned = scored.select(
+        F.least(
+            F.lit(_CAL_BINS - 1),
+            (F.col("p_s") * _CAL_BINS / F.lit(_CAL_GRID)).cast("long"),
+        ).alias("bin"),
+        "y",
+    )
+    bins = (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("ys"),
+        )
+        .localCheckpoint(eager=False)  # 10-row frame, read 4x below
+    )
+    j = bins.select(F.col("bin").alias("jb"))
+    k = bins.select(F.col("bin").alias("kb"))
+    m = bins.select(F.col("bin").alias("mb"), "n", "ys")
+    ival = (
+        j.crossJoin(k)
+        .where(F.col("jb") <= F.col("kb"))
+        .join(
+            m,
+            (F.col("mb") >= F.col("jb")) & (F.col("mb") <= F.col("kb")),
+        )
+        .groupBy("jb", "kb")
+        .agg(
+            (F.sum("ys").cast("double") / F.sum("n")).alias("r")
+        )
+    )
+    mn = (
+        bins.select(F.col("bin").alias("i"))
+        .join(
+            ival,
+            (F.col("jb") <= F.col("i")) & (F.col("kb") >= F.col("i")),
+        )
+        .groupBy("i", "jb")
+        .agg(F.min("r").alias("lo"))
+    )
+    iso = mn.groupBy("i").agg(F.max("lo").alias("iso_r"))
+    return (
+        bins.join(iso, bins["bin"] == iso["i"])
+        .select(
+            "bin",
+            F.col("n").alias("n_docs"),
+            quant(F.col("ys").cast("double") / F.col("n"), 6).alias(
+                "raw_rate"
+            ),
+            quant(F.col("iso_r"), 6).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )

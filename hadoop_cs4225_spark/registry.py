@@ -179,6 +179,17 @@ _PRIORITY = (
     "part_name_fuzzy_pairs",         # lossless q-gram fuzzy string join
 )
 
+#: ROUND-9 ROTATION BACKLOG: queries registered in round 8 AFTER the
+#: 50-slot window above filled. All oracled and replica-green at
+#: sf0.001/0.01/0.1 locally (tests/test_oracle_parity.py covers them on
+#: every pytest run); rotate them into _PRIORITY next round:
+#:   token_context_entropy        (branching entropy for segmentation)
+#:   quality_isotonic_calibration (PAV via the minimax identity)
+#:   events_sprt_arms             (Wald sequential test over days)
+#:   orders_did_estimator         (difference-in-differences + SE)
+#:   lineitem_quantile_reg_grid   (tau=0.9 pinball-loss grid search)
+#:   supplier_hits_scores         (HITS hubs/authorities, 3 rounds)
+
 
 def _prioritized(d: dict) -> dict:
     """Priority names first (in _PRIORITY order), the rest in

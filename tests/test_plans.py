@@ -188,6 +188,10 @@ _BOUNDED_ALLPAIRS = {
     "nb_lang_classifier_acc",  # broadcast 1-row vocab-size cross join
     "split_leakage_audit",  # four 1-row count aggregates cross-joined
     "orders_cuped_adjustment",  # broadcast 1-row theta frame x 2 arm rows
+    "quality_isotonic_calibration",  # 10-row bin-grid self-joins (<= B^3)
+    "events_sprt_arms",  # calendar-bounded |days|^2 cumulative self-join
+    "lineitem_quantile_reg_grid",  # broadcast constant 21-row grid fanout
+    "supplier_hits_scores",  # broadcast 1-row round-max cross joins
 }
 
 

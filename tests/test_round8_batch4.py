@@ -1,0 +1,105 @@
+"""Round-8 batch-4 operator invariants (the round-9 rotation backlog).
+
+Cross-engine parity is covered by tests/test_oracle_parity.py; these
+pin the algorithmic identities the oracles cannot express.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hadoop_cs4225_spark import registry
+from tests.conftest import SF_ORACLE
+
+registry.load_all()
+
+
+def _rows(spark, name, sf=SF_ORACLE):
+    return registry.QUERIES[name](spark, sf).collect()
+
+
+def test_context_entropy_ordering_and_range(spark):
+    rows = _rows(spark, "token_context_entropy")
+    assert len(rows) == 20
+    counts = [r.n for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r.right_entropy >= 0.0 and r.left_entropy >= 0.0
+        # entropy of a distribution over <= n outcomes
+        assert r.right_entropy <= math.log(r.n) + 1e-6, r
+
+
+def test_isotonic_monotone_and_mass_preserving(spark):
+    """PAVA invariants: the fit is monotone nondecreasing, each value
+    is a pooled average (inside the raw-rate range), and pooling
+    preserves the total positive mass sum(n_b * g_b) = sum(y_b)."""
+    rows = _rows(spark, "quality_isotonic_calibration")
+    assert len(rows) >= 2
+    iso = [r.iso_rate for r in rows]
+    assert all(b >= a - 1e-6 for a, b in zip(iso, iso[1:])), iso
+    lo, hi = min(r.raw_rate for r in rows), max(r.raw_rate for r in rows)
+    for r in rows:
+        assert lo - 1e-6 <= r.iso_rate <= hi + 1e-6
+    mass_iso = sum(r.n_docs * r.iso_rate for r in rows)
+    mass_raw = sum(r.n_docs * r.raw_rate for r in rows)
+    n = sum(r.n_docs for r in rows)
+    assert abs(mass_iso - mass_raw) <= 2e-6 * n + 0.01, (mass_iso, mass_raw)
+    # the fit must actually pool something on this non-monotone
+    # detector (non-vacuity): at least one bin differs from raw
+    assert any(abs(r.iso_rate - r.raw_rate) > 1e-6 for r in rows)
+
+
+def test_sprt_decisions_match_boundaries(spark):
+    from hadoop_cs4225_spark.operators.algo_ops import (
+        _SPRT_LOWER,
+        _SPRT_UPPER,
+    )
+
+    rows = _rows(spark, "events_sprt_arms")
+    assert rows
+    days = [r.day for r in rows]
+    assert days == sorted(days)
+    for r in rows:
+        assert 0 <= r.arm1_purchases <= r.purchases
+        if r.cum_llr >= _SPRT_UPPER + 1e-6:
+            assert r.decision == "reject_h0", r
+        elif r.cum_llr <= _SPRT_LOWER - 1e-6:
+            assert r.decision == "accept_h0", r
+
+
+def test_did_identity_and_counts(spark):
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    [r] = _rows(spark, "orders_did_estimator")
+    n_orders = load_table(spark, SF_ORACLE, "orders").count()
+    assert r.n00 + r.n01 + r.n10 + r.n11 == n_orders
+    did_re = (r.mean11 - r.mean10) - (r.mean01 - r.mean00)
+    assert abs(did_re - r.did) <= 5e-6, (did_re, r.did)
+    assert r.se > 0.0
+
+
+def test_quantile_grid_profile_convex_unique_argmin(spark):
+    """The pinball loss profiled over the intercept is convex in the
+    slope, so successive differences are nondecreasing; exactly one
+    grid point carries the argmin flag and it attains the min loss."""
+    rows = _rows(spark, "lineitem_quantile_reg_grid")
+    assert len(rows) == 21
+    losses = [r.avg_pinball_dollars for r in rows]
+    diffs = [b - a for a, b in zip(losses, losses[1:])]
+    assert all(d2 >= d1 - 1e-3 for d1, d2 in zip(diffs, diffs[1:])), diffs
+    best = [r for r in rows if r.is_best]
+    assert len(best) == 1
+    assert best[0].avg_pinball_dollars == min(losses)
+
+
+def test_hits_normalization_and_shape(spark):
+    rows = _rows(spark, "supplier_hits_scores")
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r.kind, []).append(r.score)
+    assert set(by_kind) == {"customer", "supplier"}
+    for kind, scores in by_kind.items():
+        assert len(scores) == 10
+        assert max(scores) == 1.0, (kind, scores)
+        assert all(0.0 < s <= 1.0 for s in scores)
+        assert scores == sorted(scores, reverse=True)

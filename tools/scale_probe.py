@@ -6,12 +6,13 @@ the plan dossier argues statically — measured. Two input families:
 
 - documents-driven queries (dedup/LSH/text/packing): the testdata
   corpus only reaches 5k docs at sf0.1, so the probe AMPLIFIES it to
-  x1/x2/x4 under ``.derived/scaleprobe/``. Copy i prepends a
-  copy-unique tag token and reverses the token order, which keeps every
-  within-copy duplicate/near-dup relation intact while making copies
-  mutually non-duplicate — corpus size grows, duplicate DENSITY stays
-  constant, so a linear algorithm should scale ~linearly (a quadratic
-  all-pairs would show exponent ~2).
+  x1/x2/x4 under ``.derived/scaleprobe/``. Copy i suffixes every
+  token with a copy-unique marker (a vocabulary bijection), which
+  keeps every within-copy duplicate/near-dup/n-gram relation intact
+  while making the copies' token and shingle universes pairwise
+  disjoint — corpus size grows, duplicate DENSITY stays constant, so
+  a linear algorithm should scale ~linearly (a quadratic all-pairs
+  would show exponent ~2).
 - lineitem/orders/events-driven queries: the real sf0.001/0.01/0.1
   dirs already scale 10x per step.
 
@@ -104,6 +105,8 @@ DOC_QUERIES = (
     "vocab_good_turing_chao1",  # explode + two map-side-combined aggs
     "nb_lang_classifier_acc",  # two train aggs + 5x test-token fanout
     "split_leakage_audit",  # memoized pairs + split-expression joins
+    "token_context_entropy",  # pair-vocab windows, corpus-linear scan
+    "quality_isotonic_calibration",  # score pass + constant bin algebra
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i
@@ -194,6 +197,10 @@ SF_QUERIES = (
     "events_attribution_weights",  # user-keyed 7-day range join
     "customer_l_diversity_audit",  # bounded QI-dictionary aggregates
     "part_name_fuzzy_pairs",  # dictionary-grain q-gram blocking join
+    "events_sprt_arms",  # daily partial agg + |days|^2 bounded join
+    "orders_did_estimator",  # one scan -> 4-cell moments
+    "lineitem_quantile_reg_grid",  # x21 grid fanout + per-slope rank
+    "supplier_hits_scores",  # one edge-join shuffle per half-round
 )
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
@@ -208,7 +215,17 @@ WARM_PER_SIZE = {"ivf_pq_index_probe", "bucketed_segment_revenue"}
 
 
 def ensure_amplified(spark, k: int) -> str:
-    """x{k} corpus: k distinct-by-construction copies of sf0.1 docs."""
+    """x{k} corpus: k distinct-by-construction copies of sf0.1 docs.
+
+    Copy i >= 1 suffixes EVERY token with "~i" — a bijection on the
+    token vocabulary, so every within-copy duplicate / near-dup /
+    n-gram relation is preserved exactly, while the copies' token and
+    shingle universes are pairwise DISJOINT (an earlier scheme
+    reversed the token order with one prepended tag token, which made
+    copies 1..k-1 near-identical to EACH OTHER — their shingle sets
+    overlapped ~fully — so any exact pair-reporting operator had a
+    genuinely quadratic TRUE output on the amplified corpus and the
+    probe flagged the operator for the corpus's sin)."""
     out = os.path.join(_DERIVED_ROOT, "scaleprobe", f"x{k}")
     marker = os.path.join(out, "documents.parquet", "_SUCCESS")
     src = os.path.join(BASE_SF, "documents.parquet")
@@ -219,11 +236,15 @@ def ensure_amplified(spark, k: int) -> str:
             parts.append(
                 docs.select(
                     (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
-                    F.concat(
-                        F.lit(f"cp{i} "),
-                        F.array_join(
-                            F.reverse(F.split(F.col("text"), r"\s+")), " "
+                    F.array_join(
+                        F.transform(
+                            F.filter(
+                                F.split(F.col("text"), r"\s+"),
+                                lambda x: x != "",
+                            ),
+                            lambda x: F.concat(x, F.lit(f"~{i}")),
                         ),
+                        " ",
                     ).alias("text"),
                     "lang",
                     "source",

@@ -50,13 +50,13 @@ gram AS (
 )"""
 
 
-def _step_sql(prev: str, cur: str) -> str:
+def _step_sql(prev: str, cur: str, g: str = "gram") -> str:
     """One quantized power-iteration step as two CTEs."""
     return f"""
 {cur}_raw AS (
-  SELECT gram.i AS i, {quant_sql(f"SUM(gram.g * {prev}.v)", 8)} AS w
-  FROM gram JOIN {prev} ON gram.j = {prev}.i
-  GROUP BY gram.i
+  SELECT {g}.i AS i, {quant_sql(f"SUM({g}.g * {prev}.v)", 8)} AS w
+  FROM {g} JOIN {prev} ON {g}.j = {prev}.i
+  GROUP BY {g}.i
 ),
 {cur} AS (
   SELECT i, {quant_sql(f"w / (SELECT SQRT(SUM(w * w)) FROM {cur}_raw)", 8)} AS v
@@ -134,6 +134,168 @@ def embedding_gram_topeig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         v.crossJoin(F.broadcast(rayleigh))
         .select(F.col("vi").alias("dim"), F.col("v").alias("component"), "rayleigh")
+        .orderBy("dim")
+        .limit(8)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch 5: second principal direction via deflation
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_pca_two",
+    oracle=f"""
+WITH {_gram_sql()},
+v0 AS (SELECT i, 0.125 AS v FROM (SELECT DISTINCT i FROM gram) d)
+,{_step_sql("v0", "v1")}
+,{_step_sql("v1", "v2")}
+,lam1 AS (
+  SELECT {quant_sql(
+      "(SELECT SUM(a.v * gram.g * b.v) FROM gram"
+      " JOIN v2 a ON gram.i = a.i JOIN v2 b ON gram.j = b.i)", 4)} AS lam
+)
+,gram2 AS MATERIALIZED (
+  SELECT gm.i, gm.j, {quant_sql("gm.g - l.lam * a.v * b.v", 4)} AS g
+  FROM gram gm
+  JOIN v2 a ON a.i = gm.i
+  JOIN v2 b ON b.i = gm.j
+  CROSS JOIN lam1 l
+)
+,u0 AS (SELECT i, 0.125 AS v FROM (SELECT DISTINCT i FROM gram2) d)
+,{_step_sql("u0", "u1", g="gram2")}
+,{_step_sql("u1", "u2", g="gram2")}
+,lam2 AS (
+  SELECT {quant_sql(
+      "(SELECT SUM(a.v * gram2.g * b.v) FROM gram2"
+      " JOIN u2 a ON gram2.i = a.i JOIN u2 b ON gram2.j = b.i)", 4)} AS lam
+)
+,tr AS (SELECT ROUND(SUM(g), 4) AS t FROM gram WHERE i = j)
+SELECT v2.i AS dim, v2.v AS pc1, u2.v AS pc2,
+       l1.lam AS eig1, l2.lam AS eig2,
+       {quant_sql("l1.lam / tr.t", 6)} AS ev1_share,
+       {quant_sql("l2.lam / tr.t", 6)} AS ev2_share
+FROM v2 JOIN u2 ON u2.i = v2.i
+CROSS JOIN lam1 l1 CROSS JOIN lam2 l2 CROSS JOIN tr
+ORDER BY dim
+LIMIT 8
+""",
+)
+def embedding_pca_two(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second principal direction by DEFLATION: after the power
+    iteration estimates (v1, lambda1) on the Gram matrix G, iterate
+    again on G2 = G - lambda1 * v1 v1^T — the rank-one subtraction
+    that removes the top direction so the SAME loop finds the next
+    one. Reports the first 8 components of both directions plus each
+    eigenvalue's share of trace(G) (explained variance) — i.e. "how
+    many PCA dimensions do these embeddings actually use", the
+    decision input for the JL/int8 compression queries.
+
+    Everything stays in the engine: the deflated matrix is a 64x64
+    relation built by two joins against the v1 estimate and one
+    rank-one product per cell, quantized on the same 4-dp grid as G
+    itself (so both engines iterate on identical matrices); the DuckDB
+    CTE is MATERIALIZED because two iteration steps and the Rayleigh
+    quotient all consume it (the HITS inlining lesson). Deflation
+    quality is bounded by the 2-step v1 estimate — the pytest pins
+    near-orthogonality and the eigenvalue ordering, not textbook
+    convergence.
+
+    Plan: the corpus-sized work is still the single Gram aggregate
+    (d^2 map-side-combined rows); deflation and the second iteration
+    touch only 64x64 frames.
+
+    No reference analogue; extends the SURVEY §2 linear-algebra family.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    ex = emb.select(F.posexplode(as_double).alias("p", "xi"), as_double.alias("emb"))
+    gram = (
+        ex.select(
+            (F.col("p") + 1).cast("int").alias("i"),
+            F.posexplode("emb").alias("q", "xj"),
+            "xi",
+        )
+        .select("i", (F.col("q") + 1).cast("int").alias("j"), "xi", "xj")
+        .groupBy("i", "j")
+        .agg(F.round(F.sum(F.col("xi") * F.col("xj")), 4).alias("g"))
+        .localCheckpoint()
+    )
+
+    def iterate(g: DataFrame) -> DataFrame:
+        v = (
+            g.select("i")
+            .distinct()
+            .select(F.col("i").alias("vi"), F.lit(0.125).alias("v"))
+        )
+        for _ in range(_N_STEPS):
+            w = (
+                g.join(v, F.col("j") == F.col("vi"))
+                .groupBy("i")
+                .agg(quant(F.sum(F.col("g") * F.col("v")), 8).alias("w"))
+            )
+            nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+            v = w.crossJoin(F.broadcast(nrm)).select(
+                F.col("i").alias("vi"),
+                quant(F.col("w") / F.col("nrm"), 8).alias("v"),
+            )
+        return v.localCheckpoint(eager=False)
+
+    def rayleigh(g: DataFrame, v: DataFrame) -> DataFrame:
+        a = v.select(F.col("vi").alias("ai"), F.col("v").alias("av"))
+        b = v.select(F.col("vi").alias("bi"), F.col("v").alias("bv"))
+        return (
+            g.join(a, F.col("i") == F.col("ai"))
+            .join(b, F.col("j") == F.col("bi"))
+            .agg(
+                quant(
+                    F.sum(F.col("av") * F.col("g") * F.col("bv")), 4
+                ).alias("lam")
+            )
+        )
+
+    v1 = iterate(gram)
+    lam1 = F.broadcast(rayleigh(gram, v1))
+    a = v1.select(F.col("vi").alias("ai"), F.col("v").alias("av"))
+    b = v1.select(F.col("vi").alias("bi"), F.col("v").alias("bv"))
+    gram2 = (
+        gram.join(a, F.col("i") == F.col("ai"))
+        .join(b, F.col("j") == F.col("bi"))
+        .crossJoin(lam1)
+        .select(
+            "i",
+            "j",
+            quant(
+                F.col("g") - F.col("lam") * F.col("av") * F.col("bv"), 4
+            ).alias("g"),
+        )
+        .localCheckpoint()
+    )
+    v2 = iterate(gram2)
+    lam2 = F.broadcast(
+        rayleigh(gram2, v2).withColumnRenamed("lam", "lam2")
+    )
+    tr = F.broadcast(
+        gram.where(F.col("i") == F.col("j")).agg(
+            F.round(F.sum("g"), 4).alias("t")
+        )
+    )
+    pc1 = v1.select(F.col("vi").alias("dim"), F.col("v").alias("pc1"))
+    pc2 = v2.select(F.col("vi").alias("dim2"), F.col("v").alias("pc2"))
+    return (
+        pc1.join(pc2, F.col("dim") == F.col("dim2"))
+        .crossJoin(lam1)
+        .crossJoin(lam2)
+        .crossJoin(tr)
+        .select(
+            "dim",
+            "pc1",
+            "pc2",
+            F.col("lam").alias("eig1"),
+            F.col("lam2").alias("eig2"),
+            quant(F.col("lam") / F.col("t"), 6).alias("ev1_share"),
+            quant(F.col("lam2") / F.col("t"), 6).alias("ev2_share"),
+        )
         .orderBy("dim")
         .limit(8)
     )

@@ -441,3 +441,214 @@ def order_ship_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch 5: association rules over order baskets
+# ---------------------------------------------------------------------------
+
+#: Minimum pair support (co-occurring orders) and rules returned.
+_AR_MIN_SUP = 5
+_AR_TOP_K = 20
+
+
+@register(
+    "basket_name_rules",
+    oracle=f"""
+WITH basket AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_name AS item
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), n_orders AS (
+  SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM basket
+), item_sup AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS sup FROM basket GROUP BY item
+), pair_sup AS (
+  SELECT a.item AS lhs, b.item AS rhs, CAST(COUNT(*) AS BIGINT) AS sup
+  FROM basket a JOIN basket b ON a.ok = b.ok AND a.item < b.item
+  GROUP BY lhs, rhs
+  HAVING COUNT(*) >= {_AR_MIN_SUP}
+)
+SELECT p.lhs, p.rhs, p.sup AS pair_support,
+       {quant_sql("CAST(p.sup AS DOUBLE) / la.sup", 6)} AS confidence,
+       {quant_sql(
+           "CAST(p.sup AS DOUBLE) * n.n / (CAST(la.sup AS DOUBLE) * lb.sup)",
+           6)} AS lift
+FROM pair_sup p
+JOIN item_sup la ON la.item = p.lhs
+JOIN item_sup lb ON lb.item = p.rhs
+CROSS JOIN n_orders n
+ORDER BY lift DESC, lhs, rhs
+LIMIT {_AR_TOP_K}
+""",
+)
+def basket_name_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (the a-priori 2-itemset pass) over order
+    baskets at part-NAME grain: support, confidence and lift for
+    name pairs co-bought in >= 5 orders, top-20 by lift. The classic
+    market-basket statistic `part_brand_affinity` approximates at
+    brand grain; name grain is where lift actually discriminates
+    (64-name dictionary — the itemset domain is bounded by the
+    VOCABULARY, so the self-join per order fans out as
+    lines-per-order^2, a small constant, never |orders|^2).
+
+    Exactness: supports are exact BIGINT counts; confidence and lift
+    are single quantized divisions of exact integers. Plan: one
+    broadcast part-dim join, per-order distinct, the order-keyed
+    self-join (bounded fanout), two dictionary-keyed marginal joins,
+    one 1-row total, distributed top-k.
+
+    No reference analogue; extends the SURVEY §2 mining family.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    basket = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_name").alias("item"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds pair join + marginals + total
+    )
+    n_orders = F.broadcast(
+        basket.select("ok").distinct().agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+    )
+    item_sup = basket.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("sup")
+    )
+    a = basket.select("ok", F.col("item").alias("lhs"))
+    b = basket.select(F.col("ok").alias("ok2"), F.col("item").alias("rhs"))
+    pair_sup = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("lhs") < F.col("rhs")))
+        .groupBy("lhs", "rhs")
+        .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+        .where(F.col("sup") >= _AR_MIN_SUP)
+    )
+    la = item_sup.select(F.col("item").alias("lhs"), F.col("sup").alias("sup_l"))
+    lb = item_sup.select(F.col("item").alias("rhs"), F.col("sup").alias("sup_r"))
+    return (
+        pair_sup.join(F.broadcast(la), "lhs")
+        .join(F.broadcast(lb), "rhs")
+        .crossJoin(n_orders)
+        .select(
+            "lhs",
+            "rhs",
+            F.col("sup").alias("pair_support"),
+            quant(F.col("sup").cast("double") / F.col("sup_l"), 6).alias(
+                "confidence"
+            ),
+            quant(
+                F.col("sup").cast("double")
+                * F.col("n")
+                / (F.col("sup_l").cast("double") * F.col("sup_r")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "lhs", "rhs")
+        .limit(_AR_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch 5: customer segment migration between periods
+# ---------------------------------------------------------------------------
+
+#: Period boundary (shared with the CUPED/DiD experiments).
+_MIG_SPLIT = "1998-01-01"
+
+
+@register(
+    "customer_rfm_migration",
+    oracle=f"""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '{_MIG_SPLIT}'
+                  THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '{_MIG_SPLIT}'
+                  THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS s2
+  FROM orders GROUP BY o_custkey
+), thr AS (
+  SELECT {quant_sql("quantile_cont(s1, 1.0/3.0) FILTER (WHERE s1 > 0)", 6)}
+           AS t1,
+         {quant_sql("quantile_cont(s1, 2.0/3.0) FILTER (WHERE s1 > 0)", 6)}
+           AS t2
+  FROM spend
+), seg AS (
+  SELECT CASE WHEN s1 = 0 THEN 'none' WHEN s1 >= t2 THEN 'high'
+              WHEN s1 >= t1 THEN 'mid' ELSE 'low' END AS seg_from,
+         CASE WHEN s2 = 0 THEN 'none' WHEN s2 >= t2 THEN 'high'
+              WHEN s2 >= t1 THEN 'mid' ELSE 'low' END AS seg_to
+  FROM spend CROSS JOIN thr
+), mat AS (
+  SELECT seg_from, seg_to, CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM seg GROUP BY seg_from, seg_to
+)
+SELECT seg_from, seg_to, n_customers,
+       {quant_sql(
+           "CAST(n_customers AS DOUBLE) /"
+           " SUM(n_customers) OVER (PARTITION BY seg_from)", 6)} AS row_pct
+FROM mat
+ORDER BY seg_from, seg_to
+""",
+)
+def customer_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-segment MIGRATION matrix across the 1998-01-01
+    cutover: each customer is banded low/mid/high/none by total spend
+    in each period (band edges = the PRE-period spend terciles, held
+    fixed so both periods are measured against one yardstick), and
+    the matrix counts every (from, to) transition with row-normalized
+    probabilities. The cohort-drift diagnostic behind churn dashboards
+    — ``customer_rfm_segments`` is the static snapshot, this is its
+    dynamics (`event_transition_matrix`'s discipline applied to a
+    DERIVED state, not a logged one).
+
+    Determinism: spends are exact floor-dollar BIGINTs; the tercile
+    thresholds are quantized BEFORE banding (both engines compare the
+    same numbers); the row normalization divides exact counts inside a
+    16-cell partitioned window.
+
+    Plan: one scan -> customer partial agg, a 1-row threshold
+    aggregate broadcast back, a 16-row matrix — nothing after the
+    first agg scales with the corpus.
+
+    No reference analogue; extends the SURVEY §2 mining family.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pre = F.col("o_orderdate") < F.lit(_MIG_SPLIT).cast("timestamp")
+    dollars = F.floor("o_totalprice").cast("long")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(pre, dollars).otherwise(0)).cast("long").alias("s1"),
+        F.sum(F.when(~pre, dollars).otherwise(0)).cast("long").alias("s2"),
+    )
+    thr = F.broadcast(
+        spend.where(F.col("s1") > 0).agg(
+            quant(F.expr("percentile(s1, 1.0D/3.0D)"), 6).alias("t1"),
+            quant(F.expr("percentile(s1, 2.0D/3.0D)"), 6).alias("t2"),
+        )
+    )
+
+    def band(col: str):
+        return (
+            F.when(F.col(col) == 0, "none")
+            .when(F.col(col) >= F.col("t2"), "high")
+            .when(F.col(col) >= F.col("t1"), "mid")
+            .otherwise("low")
+        )
+
+    mat = (
+        spend.crossJoin(thr)
+        .select(band("s1").alias("seg_from"), band("s2").alias("seg_to"))
+        .groupBy("seg_from", "seg_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+    w = Window.partitionBy("seg_from")
+    return mat.select(
+        "seg_from",
+        "seg_to",
+        "n_customers",
+        quant(
+            F.col("n_customers").cast("double") / F.sum("n_customers").over(w),
+            6,
+        ).alias("row_pct"),
+    ).orderBy("seg_from", "seg_to")

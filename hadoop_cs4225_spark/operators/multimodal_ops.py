@@ -16,6 +16,7 @@ from hadoop_cs4225_spark.functions.multimodal import (
     extract_media_features,
     media_from_documents,
 )
+from hadoop_cs4225_spark.functions.numeric import quant, quant_sql
 from hadoop_cs4225_spark.registry import register
 from hadoop_cs4225_spark.sources.tables import load_table
 
@@ -152,3 +153,89 @@ def media_byte_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         F.element_at("byte_hist", 8).alias("hist_bin7"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch 5: content-chunk dedup ratio over binary payloads
+# ---------------------------------------------------------------------------
+
+#: Fixed chunk width (bytes of the synthetic UTF-8 payload = chars).
+_CHUNK_BYTES = 256
+
+
+@register(
+    "media_chunk_dedup_ratio",
+    oracle=f"""
+WITH chunks AS (
+  SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         md5(substr(text, g.i * {_CHUNK_BYTES} + 1, {_CHUNK_BYTES})) AS h
+  FROM documents,
+       LATERAL (SELECT unnest(range(0,
+         CAST(ceil(length(text) / {_CHUNK_BYTES}.0) AS BIGINT))) AS i) g
+)
+SELECT media_type,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique,
+       {quant_sql("1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*)", 6)}
+         AS dedup_ratio
+FROM chunks
+GROUP BY media_type
+ORDER BY media_type
+""",
+)
+def media_chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size content-chunk deduplication ratio per media type —
+    the STORAGE question behind every multimodal lake ("how much of
+    these 100 TB of blobs is literally the same bytes?"): payloads are
+    split into 256-byte chunks, chunks are content-hashed, and the
+    ratio 1 - unique/total is the fraction a chunk-level store (CDC
+    backup, CAS blob store) would not have to keep. Complements the
+    DOCUMENT-level exact dedup (``dedup_exact_summary``): chunk grain
+    finds sharing across documents that are not wholly identical.
+
+    The synthetic payload is the UTF-8 text (the multimodal module's
+    standing contract), so byte offsets equal char offsets and the
+    oracle chunks the same text with the same md5. Plan: one map-side
+    chunk explode (corpus-linear) into a distinct-count aggregate per
+    media type — no joins; a real CDC variant would swap the fixed
+    stride for a rolling-hash cut inside the same plan shape.
+
+    No reference analogue; extends the SURVEY §2 multimodal family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = F.ceil(F.length("text") / float(_CHUNK_BYTES)).cast("long")
+    chunks = docs.select(
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+        "text",
+    ).select(
+        "media_type",
+        F.md5(
+            F.encode(
+                F.expr(
+                    f"substring(text, i * {_CHUNK_BYTES} + 1, {_CHUNK_BYTES})"
+                ),
+                "UTF-8",
+            )
+        ).alias("h"),
+    )
+    return (
+        chunks.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.countDistinct("h").cast("long").alias("n_unique"),
+        )
+        .select(
+            "media_type",
+            "n_chunks",
+            "n_unique",
+            quant(
+                1.0 - F.col("n_unique").cast("double") / F.col("n_chunks"), 6
+            ).alias("dedup_ratio"),
+        )
+        .orderBy("media_type")
+    )

@@ -189,6 +189,11 @@ _PRIORITY = (
 #:   orders_did_estimator         (difference-in-differences + SE)
 #:   lineitem_quantile_reg_grid   (tau=0.9 pinball-loss grid search)
 #:   supplier_hits_scores         (HITS hubs/authorities, 3 rounds)
+#:   basket_name_rules            (association rules: support/conf/lift)
+#:   customer_rfm_migration       (segment transition matrix, fixed bands)
+#:   media_chunk_dedup_ratio      (256-byte chunk-hash storage dedup)
+#:   doc_readability_scores       (Flesch-style, vowel-run syllables)
+#:   embedding_pca_two            (2nd principal direction by deflation)
 
 
 def _prioritized(d: dict) -> dict:

@@ -192,6 +192,9 @@ _BOUNDED_ALLPAIRS = {
     "events_sprt_arms",  # calendar-bounded |days|^2 cumulative self-join
     "lineitem_quantile_reg_grid",  # broadcast constant 21-row grid fanout
     "supplier_hits_scores",  # broadcast 1-row round-max cross joins
+    "basket_name_rules",  # broadcast 1-row order-count cross join
+    "customer_rfm_migration",  # broadcast 1-row tercile-threshold frame
+    "embedding_pca_two",  # broadcast 1-row norm/eig/trace cross joins
 }
 
 

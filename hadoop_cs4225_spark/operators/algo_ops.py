@@ -3987,12 +3987,12 @@ def orders_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 #: Pinball-loss quantile (tau = 0.9), the slope grid (dollars per unit
-#: of quantity, 21 candidates), and the composite-key base for the
+#: of quantity, 11 candidates), and the composite-key base for the
 #: deterministic argmin (loss*32 + idx, idx < 32).
 _QR_TAU_NUM = 9
 _QR_TAU_DEN = 10
-_QR_SLOPES = 21
-_QR_STEP = 100
+_QR_SLOPES = 11
+_QR_STEP = 200
 
 
 @register(
@@ -4009,18 +4009,18 @@ grid AS (
            - g.slope * 100 * CAST(l.l_quantity AS BIGINT) AS res
   FROM lineitem l CROSS JOIN grid g
 ), ranked AS (
-  SELECT idx, res,
+  SELECT idx, slope, res,
          ROW_NUMBER() OVER (PARTITION BY idx ORDER BY res) AS rn
   FROM r
 ), aq AS (
-  SELECT idx, res AS a FROM ranked CROSS JOIN n1
+  SELECT idx, res AS a, rn AS k FROM ranked CROSS JOIN n1
   WHERE rn = ({_QR_TAU_NUM} * n + {_QR_TAU_NUM}) // {_QR_TAU_DEN}
 ), loss AS (
-  SELECT r.idx, r.slope, a.a,
-         CAST(SUM(GREATEST({_QR_TAU_NUM} * (r.res - a.a), a.a - r.res))
-              AS BIGINT) AS loss10
-  FROM r JOIN aq a USING (idx)
-  GROUP BY r.idx, r.slope, a.a
+  SELECT t.idx, ANY_VALUE(t.slope) AS slope, ANY_VALUE(a.a) AS a,
+         CAST(SUM(CASE WHEN t.rn > a.k THEN {_QR_TAU_NUM} * (t.res - a.a)
+                       ELSE a.a - t.res END) AS BIGINT) AS loss10
+  FROM ranked t JOIN aq a USING (idx)
+  GROUP BY t.idx
 ), best AS (SELECT MIN(loss10 * 32 + idx) AS bk FROM loss)
 SELECT CAST(l.slope AS BIGINT) AS slope_dollars,
        {quant_sql("l.a / 100.0", 2)} AS intercept_dollars,
@@ -4037,7 +4037,7 @@ def lineitem_quantile_reg_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     PROFILED grid search: for each candidate slope b, the optimal
     intercept is exactly the tau-quantile of the residuals y - b*x
     (pinball loss is minimized by a quantile — the check-function
-    identity), so the 2-D fit collapses to 21 rank-k order statistics
+    identity), so the 2-D fit collapses to 11 rank-k order statistics
     plus one loss aggregate. Reports the whole loss profile with the
     argmin flagged — the robust upper-tail price model OLS can't give
     (``order_trend_regression``/ ``lineitem_ridge_normal_eq`` fit the
@@ -4049,7 +4049,7 @@ def lineitem_quantile_reg_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     the loss*32+idx composite (kmeans discipline) so ties break to the
     flattest slope identically in both engines.
 
-    Plan: the grid fan-out is a constant x21 map-side cross join; each
+    Plan: the grid fan-out is a constant x11 map-side cross join; each
     candidate's quantile is a rank inside its own slope partition
     (distributed, bounded partition count); one (idx)-keyed join + a
     21-row loss aggregate. At 100 TB you'd swap the exact rank for the
@@ -4076,7 +4076,17 @@ def lineitem_quantile_reg_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("yc") - F.col("slope") * 100 * F.col("qty")).alias("res"),
     )
     w = Window.partitionBy("idx").orderBy("res")
-    ranked = r.select("idx", "res").withColumn("rn", F.row_number().over(w))
+    # ONE residual generation: the sorted frame feeds both the rank-k
+    # intercept pick and the loss aggregate (the rank-vs-k comparison
+    # is exactly max(tau*(r-a), (tau-1)*(r-a)) on integers: rows above
+    # the pick are >= a, rows at/below are <= a, ties contribute 0
+    # either way).
+    # Materialize the sorted frame: both consumers below (the rank-k
+    # pick and the loss aggregate) would otherwise each re-run the
+    # explode + sort.
+    ranked = r.withColumn("rn", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
     aq = (
         ranked.crossJoin(n1)
         .where(
@@ -4085,17 +4095,19 @@ def lineitem_quantile_reg_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"({_QR_TAU_NUM} * n + {_QR_TAU_NUM}) DIV {_QR_TAU_DEN}"
             )
         )
-        .select("idx", F.col("res").alias("a"))
+        .select("idx", F.col("res").alias("a"), F.col("rn").alias("k"))
     )
     loss = (
-        r.join(aq, "idx")
-        .groupBy("idx", "slope", "a")
+        ranked.join(F.broadcast(aq), "idx")
+        .groupBy("idx")
         .agg(
+            F.first("slope").alias("slope"),
+            F.first("a").alias("a"),
             F.sum(
-                F.greatest(
+                F.when(
+                    F.col("rn") > F.col("k"),
                     _QR_TAU_NUM * (F.col("res") - F.col("a")),
-                    F.col("a") - F.col("res"),
-                )
+                ).otherwise(F.col("a") - F.col("res"))
             )
             .cast("long")
             .alias("loss10")

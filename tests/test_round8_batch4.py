@@ -83,7 +83,7 @@ def test_quantile_grid_profile_convex_unique_argmin(spark):
     slope, so successive differences are nondecreasing; exactly one
     grid point carries the argmin flag and it attains the min loss."""
     rows = _rows(spark, "lineitem_quantile_reg_grid")
-    assert len(rows) == 21
+    assert len(rows) == 11
     losses = [r.avg_pinball_dollars for r in rows]
     diffs = [b - a for a, b in zip(losses, losses[1:])]
     assert all(d2 >= d1 - 1e-3 for d1, d2 in zip(diffs, diffs[1:])), diffs

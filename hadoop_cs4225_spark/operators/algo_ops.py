@@ -4135,3 +4135,93 @@ def lineitem_quantile_reg_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("slope_dollars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch 6: overdispersion / negative-binomial diagnostics
+# ---------------------------------------------------------------------------
+
+@register(
+    "orders_negbin_overdispersion",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM orders GROUP BY day
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * x) AS BIGINT) AS q
+  FROM daily
+)
+SELECT n,
+       {quant_sql("CAST(s AS DOUBLE) / n", 6)} AS mean_per_day,
+       {quant_sql(
+           "(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)",
+           6)} AS var_per_day,
+       {quant_sql(
+           "((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))"
+           " / (CAST(s AS DOUBLE) / n)", 6)} AS dispersion_index,
+       {quant_sql(
+           "CASE WHEN (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+           " / (n - 1) > CAST(s AS DOUBLE) / n THEN"
+           " (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)"
+           " / ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)"
+           "    - CAST(s AS DOUBLE) / n)"
+           " ELSE NULL END", 4)} AS nb_size_r,
+       {quant_sql(
+           "(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+           " / (CAST(s AS DOUBLE) / n)", 4)} AS chi2_stat
+FROM m
+""",
+)
+def orders_negbin_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion diagnostic for the daily order-count series: the
+    dispersion index var/mean (1 under a Poisson arrival process), the
+    method-of-moments negative-binomial size r = mean^2/(var - mean)
+    when overdispersed (NULL when at-or-under-dispersed — honest), and
+    the chi-square dispersion statistic Sum (x-mean)^2 / mean. This is
+    the FIRST question of count modeling — "is Poisson even plausible,
+    and if not how heavy is the clumping" — asked before any rate
+    forecast (``q6_revenue_forecast``) or anomaly threshold
+    (``events_daily_anomaly``) is trusted.
+
+    Exactness: daily counts and their first two power sums are exact
+    BIGINTs from one partial agg; every reported figure is one
+    identically-composed quantized double expression of those three
+    integers. Plan: scan -> per-day agg -> 1-row moment agg.
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    m = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("q").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    return m.select(
+        "n",
+        quant(mean, 6).alias("mean_per_day"),
+        quant(var, 6).alias("var_per_day"),
+        quant(var / mean, 6).alias("dispersion_index"),
+        quant(
+            F.when(var > mean, mean * mean / (var - mean)).otherwise(
+                F.lit(None)
+            ),
+            4,
+        ).alias("nb_size_r"),
+        quant(
+            (
+                F.col("q").cast("double")
+                - F.col("s").cast("double") * F.col("s") / F.col("n")
+            )
+            / mean,
+            4,
+        ).alias("chi2_stat"),
+    )

@@ -1465,3 +1465,104 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contaminated_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch 6: dedup-method overlap audit (exact vs LSH)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_methods_overlap",
+    oracle=f"""
+WITH {_lsh_pairs_cte()},
+exact_groups AS (
+  SELECT md5(text) AS h, list_sort(list(doc_id)) AS ids
+  FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+), exact_pairs AS (
+  SELECT ids[i] AS d1, ids[j] AS d2
+  FROM exact_groups,
+       LATERAL (SELECT unnest(range(1, len(ids) + 1)) AS i) gi,
+       LATERAL (SELECT unnest(range(1, len(ids) + 1)) AS j) gj
+  WHERE i < j
+), ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact_pairs),
+lsh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM verified),
+ovl AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM exact_pairs e JOIN verified v ON v.d1 = e.d1 AND v.d2 = e.d2
+)
+SELECT ex.n_exact AS n_exact_pairs,
+       lsh.n_lsh AS n_lsh_pairs,
+       ovl.n_both AS n_both,
+       lsh.n_lsh - ovl.n_both AS n_lsh_only,
+       ex.n_exact - ovl.n_both AS n_exact_missed_by_lsh,
+       {quant_sql(
+           "CASE WHEN ex.n_exact = 0 THEN NULL"
+           " ELSE CAST(ovl.n_both AS DOUBLE) / ex.n_exact END", 6)}
+         AS lsh_recall_on_exact
+FROM ex CROSS JOIN lsh CROSS JOIN ovl
+""",
+)
+def dedup_methods_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-method dedup audit: how do EXACT duplicate pairs (identical
+    text bytes) and VERIFIED LSH near-dup pairs overlap? Reports both
+    pair counts, the intersection, the near-dups only LSH sees (its
+    reason to exist), and — the honest part — exact duplicates LSH
+    MISSES: identical docs always share all signatures, but the
+    bucket-size cap (the thing that bounds pair generation at 100 TB)
+    drops crowded buckets, so a big enough exact-dup cluster can
+    escape. ``lsh_recall_audit`` measures recall against brute-force
+    Jaccard truth on a bounded slice; this measures it against the
+    cheapest independent oracle (byte equality) on the WHOLE corpus —
+    the recall floor a production dedup pipeline actually monitors.
+
+    Composition: the verified pair set is the session-memoized LSH
+    pipeline (shared with clusters/canonical/leakage); exact pairs
+    explode per md5(text) group (group-bounded, never corpus^2).
+
+    No reference analogue; extends the SURVEY §2 dedup family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = _memo(
+        spark, sf_dir, "lsh_pairs", lambda: _verified_pairs(spark, sf_dir)
+    ).select("d1", "d2")
+    groups = (
+        docs.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    a = groups.select("h", F.explode("ids").alias("d1"))
+    b = groups.select(F.col("h").alias("h2"), F.explode("ids").alias("d2"))
+    exact_pairs = a.join(
+        b, (F.col("h") == F.col("h2")) & (F.col("d1") < F.col("d2"))
+    ).select("d1", "d2")
+    ex = F.broadcast(
+        exact_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    nl = F.broadcast(lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh")))
+    both = F.broadcast(
+        exact_pairs.join(lsh, ["d1", "d2"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_both")
+        )
+    )
+    return (
+        ex.crossJoin(nl)
+        .crossJoin(both)
+        .select(
+            F.col("n_exact").alias("n_exact_pairs"),
+            F.col("n_lsh").alias("n_lsh_pairs"),
+            "n_both",
+            (F.col("n_lsh") - F.col("n_both")).alias("n_lsh_only"),
+            (F.col("n_exact") - F.col("n_both")).alias(
+                "n_exact_missed_by_lsh"
+            ),
+            quant(
+                F.when(
+                    F.col("n_exact") == 0, F.lit(None)
+                ).otherwise(
+                    F.col("n_both").cast("double") / F.col("n_exact")
+                ),
+                6,
+            ).alias("lsh_recall_on_exact"),
+        )
+    )

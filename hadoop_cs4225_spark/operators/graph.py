@@ -646,3 +646,115 @@ def supplier_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_a.unionByName(top_h).orderBy(
         "kind", F.col("score").desc(), "node"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch 6: k-core decomposition (fixed-round peeling)
+# ---------------------------------------------------------------------------
+
+#: Core threshold and fixed peeling rounds (unrolled in the oracle).
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _kcore_round_sql(prev_edges: str, cur: str) -> str:
+    return f"""
+{cur}keep AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT a AS node FROM {prev_edges}
+    UNION ALL SELECT b FROM {prev_edges}) d
+  GROUP BY node HAVING COUNT(*) >= {_KCORE_K}
+), {cur} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev_edges} e
+  JOIN {cur}keep ka ON ka.node = e.a
+  JOIN {cur}keep kb ON kb.node = e.b
+)"""
+
+
+@register(
+    "supplier_kcore_peeling",
+    oracle=f"""
+WITH {_EDGES_CTE_SQL}
+,{_kcore_round_sql("edges", "p1")}
+,{_kcore_round_sql("p1", "p2")}
+,{_kcore_round_sql("p2", "p3")}
+SELECT r.rnd,
+       CAST(r.n_nodes AS BIGINT) AS n_nodes,
+       CAST(r.n_edges AS BIGINT) AS n_edges
+FROM (
+  SELECT 1 AS rnd,
+         (SELECT COUNT(*) FROM (SELECT DISTINCT node FROM
+            (SELECT a AS node FROM p1 UNION ALL SELECT b FROM p1) u) v)
+           AS n_nodes,
+         (SELECT COUNT(*) FROM p1) AS n_edges
+  UNION ALL
+  SELECT 2,
+         (SELECT COUNT(*) FROM (SELECT DISTINCT node FROM
+            (SELECT a AS node FROM p2 UNION ALL SELECT b FROM p2) u) v),
+         (SELECT COUNT(*) FROM p2)
+  UNION ALL
+  SELECT 3,
+         (SELECT COUNT(*) FROM (SELECT DISTINCT node FROM
+            (SELECT a AS node FROM p3 UNION ALL SELECT b FROM p3) u) v),
+         (SELECT COUNT(*) FROM p3)
+) r
+ORDER BY r.rnd
+""",
+)
+def supplier_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=3) of the mutual-top-K co-supply graph: each
+    round drops every node with fewer than k surviving neighbors and
+    the edges touching it, reporting (nodes, edges) after each of 3
+    unrolled rounds. The k-core is the standard "dense backbone"
+    extraction — community detection and graph-embedding pipelines
+    peel to a core first so peripheral tendrils don't dominate — and
+    peeling is THE iterative-deletion shape (monotone shrinking state,
+    like ``dedup_clusters``' label propagation but subtractive).
+
+    Exactness: pure integer degree counting on the SAME memoized edge
+    list the triangle/Adamic-Adar queries use; a fixed round count
+    keeps the oracle an unrolled CTE chain (MATERIALIZED — each round
+    feeds the degree count AND the edge filter, the HITS lesson).
+    Convergence is typically reached before round 3 (rounds 2 and 3
+    then report identical counts — the pytest pins monotonicity, not
+    convergence).
+
+    Plan per round: one degree aggregate over the current edge list +
+    two semi-join filters — |E| bounded by K*|V| from the mutual-top-K
+    construction, shrinking monotonically.
+
+    No reference analogue; extends the SURVEY §2 graph family.
+    """
+    edges = _mutual_topk_edges(spark, sf_dir)
+    rows = []
+    cur = edges.select("a", "b")
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .unionAll(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= _KCORE_K).select("node")
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "a"), "a")
+            .join(keep.withColumnRenamed("node", "b"), "b")
+            .select("a", "b")
+            .localCheckpoint(eager=False)  # feeds next round's degree + filter
+        )
+        n_edges = cur.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        n_nodes = (
+            cur.select(F.col("a").alias("node"))
+            .unionAll(cur.select(F.col("b").alias("node")))
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        )
+        rows.append(
+            n_nodes.crossJoin(n_edges).select(
+                F.lit(rnd).alias("rnd"), "n_nodes", "n_edges"
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("rnd")

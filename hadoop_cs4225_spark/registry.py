@@ -194,6 +194,9 @@ _PRIORITY = (
 #:   media_chunk_dedup_ratio      (256-byte chunk-hash storage dedup)
 #:   doc_readability_scores       (Flesch-style, vowel-run syllables)
 #:   embedding_pca_two            (2nd principal direction by deflation)
+#:   orders_negbin_overdispersion (Poisson vs NB dispersion diagnostic)
+#:   supplier_kcore_peeling       (k-core via 3 unrolled peel rounds)
+#:   dedup_methods_overlap        (exact-vs-LSH pair recall audit)
 
 
 def _prioritized(d: dict) -> dict:

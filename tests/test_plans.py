@@ -195,6 +195,8 @@ _BOUNDED_ALLPAIRS = {
     "basket_name_rules",  # broadcast 1-row order-count cross join
     "customer_rfm_migration",  # broadcast 1-row tercile-threshold frame
     "embedding_pca_two",  # broadcast 1-row norm/eig/trace cross joins
+    "supplier_kcore_peeling",  # three 1-row round-count cross joins
+    "dedup_methods_overlap",  # three 1-row pair-count cross joins
 }
 
 

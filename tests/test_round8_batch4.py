@@ -187,3 +187,50 @@ def test_pca_two_deflation_quality(spark):
     assert 0.0 < r0.ev2_share <= r0.ev1_share <= 1.0 + 1e-9
     dot8 = sum(r.pc1 * r.pc2 for r in rows)
     assert abs(dot8) < 0.5  # loose: first 8 dims of near-orthogonal dirs
+
+
+# ---------------------------------------------------------------------------
+# Batch-6 invariants
+# ---------------------------------------------------------------------------
+
+
+def test_negbin_overdispersion_identities(spark):
+    [r] = _rows(spark, "orders_negbin_overdispersion")
+    assert r.n > 1
+    assert r.mean_per_day > 0 and r.var_per_day >= 0
+    di = r.var_per_day / r.mean_per_day
+    assert abs(di - r.dispersion_index) < 1e-4
+    if r.dispersion_index > 1.0:
+        assert r.nb_size_r is not None and r.nb_size_r > 0
+    else:
+        assert r.nb_size_r is None
+
+
+def test_kcore_peeling_monotone(spark):
+    rows = _rows(spark, "supplier_kcore_peeling")
+    assert [r.rnd for r in rows] == [1, 2, 3]
+    nodes = [r.n_nodes for r in rows]
+    edges = [r.n_edges for r in rows]
+    assert nodes == sorted(nodes, reverse=True)
+    assert edges == sorted(edges, reverse=True)
+    # the k=3 core of a degree-<=5 graph keeps every surviving node at
+    # degree >= 3, so edges >= ceil(3*nodes/2)
+    for n, e in zip(nodes[-1:], edges[-1:]):
+        if n:
+            assert 2 * e >= 3 * n, (n, e)
+
+
+def test_dedup_overlap_exact_recall_at_sf01(spark):
+    """Exact duplicate docs only exist at sf0.1 in the synthetic
+    corpus; there the LSH pipeline must catch every byte-identical
+    pair (bucket caps could legitimately drop them — today they
+    don't, and this pins that recall floor). At the oracle SF the
+    query honestly reports zero exact pairs."""
+    [small] = _rows(spark, "dedup_methods_overlap")
+    assert small.n_exact_pairs == 0 and small.lsh_recall_on_exact is None
+    assert small.n_lsh_pairs > 0
+    [r] = _rows(spark, "dedup_methods_overlap", sf="/root/testdata/sf0.1")
+    assert r.n_exact_pairs > 0, "sf0.1 lost its exact duplicates?"
+    assert r.n_both + r.n_exact_missed_by_lsh == r.n_exact_pairs
+    assert r.n_lsh_only == r.n_lsh_pairs - r.n_both
+    assert r.lsh_recall_on_exact == 1.0, r

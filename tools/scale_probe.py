@@ -107,6 +107,7 @@ DOC_QUERIES = (
     "split_leakage_audit",  # memoized pairs + split-expression joins
     "token_context_entropy",  # pair-vocab windows, corpus-linear scan
     "quality_isotonic_calibration",  # score pass + constant bin algebra
+    "dedup_methods_overlap",  # memoized LSH pairs + md5-group explode
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i
@@ -199,8 +200,10 @@ SF_QUERIES = (
     "part_name_fuzzy_pairs",  # dictionary-grain q-gram blocking join
     "events_sprt_arms",  # daily partial agg + |days|^2 bounded join
     "orders_did_estimator",  # one scan -> 4-cell moments
-    "lineitem_quantile_reg_grid",  # x21 grid fanout + per-slope rank
+    "lineitem_quantile_reg_grid",  # x11 grid fanout + per-slope rank
     "supplier_hits_scores",  # one edge-join shuffle per half-round
+    "orders_negbin_overdispersion",  # per-day agg + 1-row moments
+    "supplier_kcore_peeling",  # 3 shrinking degree-agg rounds
 )
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 

@@ -37,15 +37,24 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark(app_name="spark-graft-bench")
     queries = registry.get_queries()
-    # Headline = the driver's correctness window; the shared constant +
-    # assert keep this split pinned to registry._PRIORITY (if _PRIORITY
-    # drifts, tests/test_oracle_parity.py::test_priority_window_integrity
-    # and this assert both fire rather than silently diverging).
+    # Headline = the driver's correctness window: the first 50 queries
+    # in iteration order — registry._PRIORITY first, then (while
+    # _PRIORITY is mid-round short of 50) an auto-fill tail in
+    # registration order. The auto-fill contract is enforced by
+    # tests/test_oracle_parity.py::test_priority_window_integrity
+    # (every tail slot must be a previously-driver-checked green), so
+    # the headline set absorbing registration-order queries is
+    # deliberate, not silent (ADVICE r8).
     assert len(registry._PRIORITY) <= registry.PRIORITY_WINDOW
     headline = set(list(queries)[: registry.PRIORITY_WINDOW])
 
-    # Warmup: touch the session + parquet footers once.
+    # Warmup: touch the session + parquet footers once, then build the
+    # session-memoized shared frames (LSH pairs, cluster labels, ANN
+    # bucket/IVF assignments, co-supply edges, daily event rollups) so
+    # no timed query is charged a whole family's pipeline build just
+    # for running first (VERDICT r8 task 4).
     queries["word_count"](spark, sf_dir).limit(1).collect()
+    registry.warm_shared_frames(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in sorted(queries):

@@ -3168,3 +3168,298 @@ def doc_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("flesch_ease"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Round-9 batch 1: corpus token-distribution diagnostics
+# ---------------------------------------------------------------------------
+
+#: Burstiness top-k and the lambda quantization scale (the per-token
+#: Poisson rate is quantized BEFORE exp so both engines exponentiate an
+#: identical double — the source_bigram_perplexity discipline).
+_BURST_TOPK = 20
+
+_BURST_LAM_SQL = quant_sql("CAST(c AS DOUBLE) / n_docs", 9)
+_BURST_EXPECTED_SQL = f"n_docs * (1 - exp(-({_BURST_LAM_SQL})))"
+
+
+@register(
+    "token_burstiness",
+    oracle=f"""
+WITH n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents),
+agg AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY w
+), top AS (SELECT * FROM agg ORDER BY c DESC, w LIMIT {_BURST_TOPK})
+SELECT w AS token, c, df,
+       {quant_sql("CAST(c AS DOUBLE) / df", 6)} AS tokens_per_doc,
+       {quant_sql(_BURST_EXPECTED_SQL, 4)} AS poisson_expected_df,
+       {quant_sql(f"df / ({_BURST_EXPECTED_SQL})", 6)} AS burstiness
+FROM top CROSS JOIN n1
+ORDER BY c DESC, token
+""",
+)
+def token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church–Gale burstiness of the heaviest tokens: a token whose
+    occurrences were Poisson-scattered across documents would appear in
+    ``n_docs * (1 - exp(-c/n_docs))`` documents; content words CLUMP
+    (they recur within the documents that use them at all), so their
+    observed document frequency falls well below that and
+    ``burstiness = df_observed / df_poisson < 1``, while function words
+    sit near 1. This is the standard diagnostic for telling topical
+    vocabulary from glue vocabulary WITHOUT a stopword list — the
+    data-driven complement to the fixed lists in ``word_count`` (O4)
+    and ``doc_quality_scores``, and the term-weighting rationale behind
+    ``tfidf_top_terms``.
+
+    Determinism: c/df/n_docs are exact BIGINTs from one map-side-
+    combined shuffle; the Poisson rate is quantized to the 1e-9 grid
+    BEFORE exp so both engines exponentiate an identical double (the
+    ``source_bigram_perplexity`` discipline), and every reported ratio
+    is one quantized expression of those values.
+
+    Scale: token aggregation is one partial-agg shuffle keyed by token
+    (COUNT(DISTINCT doc_id) re-keys by (token, doc) first — still
+    bounded, never a collect); the top-20 cut is a distributed
+    TakeOrderedAndProject with (count, token) total order.
+
+    No reference analogue; extends the SURVEY §2 text-analysis family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n1 = F.broadcast(
+        docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    agg = (
+        docs.select("doc_id", F.explode(_toks()).alias("w"))
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.countDistinct("doc_id").cast("long").alias("df"),
+        )
+    )
+    top = agg.orderBy(F.desc("c"), "w").limit(_BURST_TOPK)
+    lam = quant(F.col("c").cast("double") / F.col("n_docs"), 9)
+    expected = F.col("n_docs") * (1 - F.exp(-lam))
+    return (
+        top.crossJoin(n1)
+        .select(
+            F.col("w").alias("token"),
+            "c",
+            "df",
+            quant(F.col("c").cast("double") / F.col("df"), 6).alias(
+                "tokens_per_doc"
+            ),
+            quant(expected, 4).alias("poisson_expected_df"),
+            quant(F.col("df") / expected, 6).alias("burstiness"),
+        )
+        .orderBy(F.desc("c"), "token")
+    )
+
+
+#: Coverage-curve cut points: share of total token mass covered by the
+#: top-K vocabulary entries. The 10k cap bounds the global window.
+_COVERAGE_KS = (10, 100, 1000, 10000)
+
+
+@register(
+    "token_coverage_curve",
+    oracle=f"""
+WITH cnt AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents) GROUP BY w
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab_size
+  FROM cnt
+), top AS (SELECT c FROM cnt ORDER BY c DESC, w LIMIT {_COVERAGE_KS[-1]}),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC) AS rk,
+         SUM(c) OVER (ORDER BY c DESC ROWS UNBOUNDED PRECEDING) AS cumc
+  FROM top
+), ks AS (SELECT CAST(unnest([{', '.join(str(k) for k in _COVERAGE_KS)}]) AS BIGINT) AS k)
+SELECT k, CAST(LEAST(k, vocab_size) AS BIGINT) AS k_effective,
+       CAST(cumc AS BIGINT) AS covered_tokens, total_tokens, vocab_size,
+       {quant_sql("CAST(cumc AS DOUBLE) / total_tokens", 6)} AS coverage
+FROM ks CROSS JOIN tot JOIN ranked ON ranked.rk = LEAST(k, vocab_size)
+ORDER BY k
+""",
+)
+def token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the share of the corpus token mass
+    covered by the top-K vocabulary entries at K = 10/100/1000/10000 —
+    THE number a tokenizer-budget decision reads (how much of the
+    stream a K-entry vocab explains) and the empirical face of the
+    Zipf fit in ``doc_zipf_fit`` (slope -1 implies ~harmonic coverage
+    growth). ``k_effective`` exposes small-corpus truncation honestly
+    instead of extrapolating.
+
+    Window discipline: the ONLY global window runs over the
+    ALREADY-LIMITed top-10k frame (allowlisted, ceiling 10_000); the
+    full vocabulary is never rank-sorted. Note the cumulative is
+    ordered by count alone (not the (c, w) tie-break): row k's
+    cumulative sum is tie-order-invariant because every tied token
+    contributes the identical c, so the sum over ANY k highest-count
+    rows is equal — the rank cut is deterministic even where the row
+    order is not. Counts and cumulative sums are exact BIGINTs; the
+    one division is quantized.
+
+    Scale: token count is one partial-agg shuffle; the 10k cut is a
+    distributed TakeOrderedAndProject; everything after is <= 10k rows.
+
+    No reference analogue; extends the SURVEY §2 text-analysis family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(_toks()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = F.broadcast(
+        cnt.agg(
+            F.sum("c").cast("long").alias("total_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        )
+    )
+    top = cnt.orderBy(F.desc("c"), "w").limit(_COVERAGE_KS[-1]).select("c")
+    w_rank = Window.orderBy(F.desc("c"))
+    ranked = top.select(
+        "c",
+        F.row_number().over(w_rank).alias("rk"),
+        F.sum("c")
+        .over(w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cumc"),
+    )
+    ks = spark.createDataFrame(
+        [(int(k),) for k in _COVERAGE_KS], "k long"
+    )
+    return (
+        ks.crossJoin(tot)
+        .join(
+            ranked,
+            F.col("rk") == F.least(F.col("k"), F.col("vocab_size")),
+        )
+        .select(
+            "k",
+            F.least(F.col("k"), F.col("vocab_size"))
+            .cast("long")
+            .alias("k_effective"),
+            F.col("cumc").cast("long").alias("covered_tokens"),
+            "total_tokens",
+            "vocab_size",
+            quant(
+                F.col("cumc").cast("double") / F.col("total_tokens"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+#: Segmental type-token-ratio segment length (tokens). STTR compares
+#: lexical diversity at a FIXED window so it is length-unbiased, unlike
+#: the naive TTR which mechanically falls as docs grow.
+_STTR_SEG = 25
+
+
+@register(
+    "source_segmental_ttr",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, doc_id, t.w, t.i - 1 AS pos
+  FROM (SELECT source, doc_id, {_TOKS_SQL} AS toks FROM documents) d,
+       LATERAL (SELECT unnest(toks) AS w,
+                       generate_subscripts(toks, 1) AS i) t
+), seg AS (
+  SELECT source, doc_id, pos // {_STTR_SEG} AS seg,
+         CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types
+  FROM tok GROUP BY source, doc_id, seg
+), sttr AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_segments,
+         CAST(SUM(n_types) AS BIGINT) AS sum_types
+  FROM seg WHERE n_tok = {_STTR_SEG} GROUP BY source
+), naive AS (
+  SELECT source, CAST(COUNT(DISTINCT w) AS BIGINT) AS vocab,
+         CAST(COUNT(*) AS BIGINT) AS total_tokens
+  FROM tok GROUP BY source
+)
+SELECT source, n_segments,
+       {quant_sql(f"CAST(sum_types AS DOUBLE) / ({_STTR_SEG} * n_segments)", 6)}
+         AS sttr,
+       vocab, total_tokens,
+       {quant_sql("CAST(vocab AS DOUBLE) / total_tokens", 6)} AS ttr_naive
+FROM sttr JOIN naive USING (source)
+ORDER BY source
+""",
+)
+def source_segmental_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmental type-token ratio per source: mean distinct-token share
+    over fixed 25-token segments. Naive TTR (also reported) falls
+    mechanically with document length — a long low-diversity source and
+    a short rich one can tie — so corpus-quality comparisons use the
+    FIXED-window variant (STTR/MATTR family): segment each document
+    into consecutive 25-token windows, score distinct/25 per full
+    segment, average per source. The honest lexical-diversity
+    comparison behind the per-doc signals in ``doc_token_stats`` and
+    ``doc_repetition_signals``.
+
+    Determinism: segment membership is integer position division
+    (posexplode 0-based == DuckDB generate_subscripts - 1); per-segment
+    type counts and their per-source sums are exact BIGINTs; the two
+    ratios are one quantized division each.
+
+    Scale: the segment aggregation keys on (source, doc, seg) — partial
+    agg collapses each segment locally since tokens of a document
+    arrive together in the scan; the per-source distinct keys on
+    (source, token). No window, no collect, no per-doc state.
+
+    No reference analogue; extends the SURVEY §2 text-analysis family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", "doc_id", F.posexplode(_toks()).alias("pos", "w")
+    )
+    seg = (
+        tok.select(
+            "source",
+            "doc_id",
+            F.expr(f"pos DIV {_STTR_SEG}").alias("seg"),
+            "w",
+        )
+        .groupBy("source", "doc_id", "seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.countDistinct("w").cast("long").alias("n_types"),
+        )
+    )
+    sttr = (
+        seg.where(F.col("n_tok") == _STTR_SEG)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum("n_types").cast("long").alias("sum_types"),
+        )
+    )
+    naive = tok.groupBy("source").agg(
+        F.countDistinct("w").cast("long").alias("vocab"),
+        F.count(F.lit(1)).cast("long").alias("total_tokens"),
+    )
+    return (
+        sttr.join(naive, "source")
+        .select(
+            "source",
+            "n_segments",
+            quant(
+                F.col("sum_types").cast("double")
+                / (_STTR_SEG * F.col("n_segments")),
+                6,
+            ).alias("sttr"),
+            "vocab",
+            "total_tokens",
+            quant(
+                F.col("vocab").cast("double") / F.col("total_tokens"), 6
+            ).alias("ttr_naive"),
+        )
+        .orderBy("source")
+    )

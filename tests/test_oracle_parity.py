@@ -68,6 +68,19 @@ _SCALE_PINNED = [
     "mmr_diverse_topk",
     "source_length_w1_drift",
     "embedding_rp_distortion",
+    # round-8 additions (ADVICE r8): the float-heaviest new surfaces —
+    # pow/ln/exp HLL estimator over per-day register unions, the
+    # exp-polynomial Welch p-values under BH-FDR ranking, power-
+    # iteration deflation (2nd PC), and HITS per-round max
+    # normalization — re-verified where rounding-boundary bugs first
+    # appear
+    "events_daily_hll_rollup",
+    "source_length_welch_fdr",
+    "embedding_pca_two",
+    "supplier_hits_scores",
+    # round-9 rewrite: the histogram-quantile intercept pick — a bucket
+    # boundary is exactly where integer-division drift would surface
+    "lineitem_quantile_reg_grid",
 ]
 
 
@@ -104,11 +117,11 @@ def test_priority_window_integrity():
 
     names = list(get_queries())
     oracles = get_oracles()
-    # ROUND 8: _PRIORITY may be shorter than the window — the driver
+    # ROUND 9: _PRIORITY may be shorter than the window — the driver
     # takes the first 50 in iteration order, so the slots after
     # _PRIORITY auto-fill from registration order (the long-green
     # wordcount/relational families, which double as extra re-anchors).
-    # New round-8 registrations are appended to _PRIORITY explicitly so
+    # New round-9 registrations are appended to _PRIORITY explicitly so
     # they displace the auto-fill and earn driver rows in-round.
     assert len(_PRIORITY) <= PRIORITY_WINDOW == 50
     assert tuple(names[: len(_PRIORITY)]) == _PRIORITY
@@ -127,16 +140,16 @@ def test_priority_window_integrity():
         n for n in _PRIORITY if n not in oracles and n not in rows_only_ok
     ]
     assert not missing_oracle, missing_oracle
-    # ROUND-8 ROTATION: the window leads with the 23 queries registered
-    # during round 7 after that round's window froze (the documented
+    # ROUND-9 ROTATION: the window leads with the 14 queries registered
+    # during round 8 after that round's window froze (the documented
     # backlog) — the only registered queries with no driver CORRECTNESS
-    # row across rounds 1-7. After this round the cross-round union
-    # covers the entire pre-round-8 registry.
+    # row across rounds 1-8. After this round the cross-round union
+    # covers the entire pre-round-9 registry.
     import json
     import os
 
     seen: set[str] = set()
-    for r in (1, 2, 3, 4, 5, 6, 7):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8):
         path = os.path.join(os.path.dirname(__file__), "..", f"CORRECTNESS_r0{r}.json")
         if os.path.exists(path):
             with open(path) as f:
@@ -145,20 +158,15 @@ def test_priority_window_integrity():
     if seen:
         # the frozen rotation set: every query that was registered AND
         # unchecked when this window was cut (queries added during
-        # round 8 join _PRIORITY explicitly on registration instead)
+        # round 9 join _PRIORITY explicitly on registration instead)
         rotated_in = {
-            "source_trimmed_stats_pandas", "doc_subword_stats_iterpandas",
-            "lang_id_agreement_kappa", "orders_priority_price_kendall",
-            "orders_scan_observed", "lineitem_correlation_matrix",
-            "doc_len_tok_spearman", "events_multires_rollup",
-            "quality_score_auc", "hybrid_search_rrf",
-            "ann_ndcg_audit", "mmr_diverse_topk",
-            "source_length_w1_drift", "source_token_waterfill",
-            "embedding_rp_distortion", "source_bigram_perplexity",
-            "eval_ngram_novelty", "customer_k_anonymity_audit",
-            "user_freq_cms_audit", "user_distinct_hll_audit",
-            "partkey_join_size_estimate", "events_changepoint_day",
-            "lineitem_decision_stump",
+            "token_context_entropy", "quality_isotonic_calibration",
+            "events_sprt_arms", "orders_did_estimator",
+            "lineitem_quantile_reg_grid", "supplier_hits_scores",
+            "basket_name_rules", "customer_rfm_migration",
+            "media_chunk_dedup_ratio", "doc_readability_scores",
+            "embedding_pca_two", "orders_negbin_overdispersion",
+            "supplier_kcore_peeling", "dedup_methods_overlap",
         }
         missing = [n for n in rotated_in if n not in names[:50]]
         assert not missing, f"never-driver-checked queries outside window: {missing}"
@@ -169,10 +177,12 @@ def test_priority_window_integrity():
         # promoted to an explicit _PRIORITY slot instead
         unchecked_tail = [n for n in names[len(_PRIORITY):50] if n not in seen]
         assert not unchecked_tail, f"unchecked queries in auto-fill tail: {unchecked_tail}"
-    # re-anchor spot checks: a float/decimal-heavy green + the
-    # reference golden must hold their drift-detection slots
+    # re-anchor spot checks: a decimal-exactness green + the second
+    # reference byte-exact golden must hold their drift-detection
+    # slots (rotated from round 8's q1_pricing_summary/word_count pair
+    # so the anchors themselves rotate too)
     for anchor in (
-        "q1_pricing_summary",
-        "word_count",
+        "decimal_exact_revenue",
+        "topk_common_words_max",
     ):
         assert anchor in names[:50], anchor

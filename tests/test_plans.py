@@ -300,6 +300,8 @@ _BOUNDED_GLOBAL_WINDOW = {
     "events_changepoint_day": 4096,
     # prefix sums + argmin over the VALUE-DOMAIN-bounded cents histogram
     "lineitem_decision_stump": 65_536,
+    # rank + cumulative over the ALREADY-LIMITed top-10k vocab frame
+    "token_coverage_curve": 10_000,
 }
 
 

@@ -4276,3 +4276,745 @@ def orders_negbin_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("chi2_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 batch 2: classical statistics / ML closed forms
+# ---------------------------------------------------------------------------
+
+#: Mutual-information term grid (1e-12 nats as BIGINT — the adamic-adar
+#: snap-before-reassociating-sum discipline; cells are bounded by the
+#: priority x returnflag category product, but the snap keeps the sum
+#: order-free anyway).
+_MI_GRID = 1_000_000_000_000
+
+_MI_TERM_SQL = (
+    f"CAST(floor((CAST(n_xy AS DOUBLE) / n)"
+    f" * ln(CAST(n_xy AS DOUBLE) * n / (CAST(n_x AS DOUBLE) * n_y))"
+    f" * {_MI_GRID} + 0.5) AS BIGINT)"
+)
+_H_TERM_SQL = (
+    "CAST(floor(-(CAST({c} AS DOUBLE) / n)"
+    f" * ln(CAST({{c}} AS DOUBLE) / n) * {_MI_GRID} + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "priority_returnflag_mutual_info",
+    oracle=f"""
+WITH joint AS (
+  SELECT o.o_orderpriority AS x, l.l_returnflag AS y,
+         CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY x, y
+), mx AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM joint GROUP BY x),
+my AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM joint GROUP BY y),
+nn AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM joint),
+mi AS (
+  SELECT CAST(SUM({_MI_TERM_SQL}) AS BIGINT) AS mi_grid
+  FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN nn
+), hx AS (
+  SELECT CAST(SUM({_H_TERM_SQL.format(c="n_x")}) AS BIGINT) AS h_grid
+  FROM mx CROSS JOIN nn
+), hy AS (
+  SELECT CAST(SUM({_H_TERM_SQL.format(c="n_y")}) AS BIGINT) AS h_grid
+  FROM my CROSS JOIN nn
+)
+SELECT n,
+       (SELECT COUNT(*) FROM joint) AS n_cells,
+       {quant_sql(f"CAST(mi_grid AS DOUBLE) / {_MI_GRID}", 9)} AS mi_nats,
+       {quant_sql(f"CAST(hx.h_grid AS DOUBLE) / {_MI_GRID}", 9)} AS h_priority,
+       {quant_sql(f"CAST(hy.h_grid AS DOUBLE) / {_MI_GRID}", 9)} AS h_returnflag,
+       {quant_sql(
+           f"CAST(mi_grid AS DOUBLE) / sqrt(CAST(hx.h_grid AS DOUBLE)"
+           f" * hy.h_grid)", 6)} AS nmi
+FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN nn
+""",
+)
+def priority_returnflag_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between order priority and line
+    return flag, with both marginal entropies and the normalized MI
+    (MI / sqrt(Hx*Hy)). Chi-square (``lang_source_chi2``) answers "is
+    there ANY dependence"; MI answers "HOW MUCH information one
+    categorical carries about the other" on a scale comparable across
+    tables — the feature-selection number (information gain) behind
+    the decision stump (``lineitem_decision_stump``), here measured on
+    the join of the two fact tables.
+
+    Determinism: the contingency table is exact BIGINTs from one
+    partial-agg shuffle; each plogp / MI term is snapped to the 1e-12
+    grid and summed as BIGINTs (order-free), then one quantized
+    division each.
+
+    Scale: the join shuffles on orderkey (broadcastable at small SF,
+    sort-merge at 100 TB); everything after the (|priorities| x
+    |flags|)-cell rollup is constant-size.
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joint = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_orderpriority").alias("x"),
+            F.col("l_returnflag").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+        .localCheckpoint(eager=False)  # feeds marginals + MI terms
+    )
+    mx = joint.groupBy("x").agg(F.sum("n_xy").cast("long").alias("n_x"))
+    my = joint.groupBy("y").agg(F.sum("n_xy").cast("long").alias("n_y"))
+    nn = F.broadcast(joint.agg(F.sum("n_xy").cast("long").alias("n")))
+    n_cells = F.broadcast(
+        joint.agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+    )
+
+    def grid(col):
+        return F.floor(col * _MI_GRID + 0.5).cast("long")
+
+    mi = (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(nn)
+        .agg(
+            F.sum(
+                grid(
+                    (F.col("n_xy").cast("double") / F.col("n"))
+                    * F.log(
+                        F.col("n_xy").cast("double")
+                        * F.col("n")
+                        / (F.col("n_x").cast("double") * F.col("n_y"))
+                    )
+                )
+            )
+            .cast("long")
+            .alias("mi_grid")
+        )
+    )
+
+    def ent(marg: DataFrame, c: str) -> DataFrame:
+        return marg.crossJoin(nn).agg(
+            F.sum(
+                grid(
+                    -(F.col(c).cast("double") / F.col("n"))
+                    * F.log(F.col(c).cast("double") / F.col("n"))
+                )
+            )
+            .cast("long")
+            .alias(f"h_{c}")
+        )
+
+    hx, hy = ent(mx, "n_x"), ent(my, "n_y")
+    g = float(_MI_GRID)
+    return (
+        nn.crossJoin(n_cells)
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            "n",
+            "n_cells",
+            quant(F.col("mi_grid").cast("double") / g, 9).alias("mi_nats"),
+            quant(F.col("h_n_x").cast("double") / g, 9).alias("h_priority"),
+            quant(F.col("h_n_y").cast("double") / g, 9).alias("h_returnflag"),
+            quant(
+                F.col("mi_grid").cast("double")
+                / F.sqrt(
+                    F.col("h_n_x").cast("double") * F.col("h_n_y")
+                ),
+                6,
+            ).alias("nmi"),
+        )
+    )
+
+
+@register(
+    "lineitem_anova_returnflag",
+    oracle=f"""
+WITH g AS (
+  SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s_g,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS BIGINT) AS q_g
+  FROM lineitem GROUP BY flag
+), tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(s_g) AS BIGINT) AS s,
+         CAST(SUM(q_g) AS BIGINT) AS q, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(floor(CAST(s_g AS DOUBLE) * s_g / n_g * 10000 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS bsum_grid
+  FROM g
+), tot2 AS (
+  SELECT n, s, q, k, CAST(bsum_grid AS DOUBLE) / 10000 AS bsum FROM tot
+)
+SELECT n, k,
+       {quant_sql("CAST(s AS DOUBLE) / n", 6)} AS grand_mean,
+       {quant_sql("bsum - CAST(s AS DOUBLE) * s / n", 4)} AS ss_between,
+       {quant_sql("CAST(q AS DOUBLE) - bsum", 4)} AS ss_within,
+       {quant_sql(
+           "((bsum - CAST(s AS DOUBLE) * s / n) / (k - 1))"
+           " / ((CAST(q AS DOUBLE) - bsum) / (n - k))", 6)} AS f_stat,
+       {quant_sql(
+           "(bsum - CAST(s AS DOUBLE) * s / n)"
+           " / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)", 9)} AS eta_sq
+FROM tot2
+""",
+)
+def lineitem_anova_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of line quantity across the return-flag groups:
+    between/within sum-of-squares decomposition, the F statistic, and
+    the effect size eta-squared. ``source_length_welch_fdr`` answers
+    the PAIRWISE two-sample question; ANOVA is the k-group omnibus
+    that comes first (one F instead of k*(k-1)/2 t-tests), and
+    eta-squared is the variance-explained number a feature audit
+    actually records.
+
+    Determinism: quantity is integer-valued, so per-group (n, sum,
+    sum-of-squares) are exact BIGINTs from ONE partial-agg shuffle;
+    ``bsum`` (sum of s_g^2/n_g over the k groups) snaps each group's
+    term to the 1e-4 grid before the k-row sum so even that tiny fold
+    is an order-free BIGINT; every reported figure is one quantized
+    expression.
+
+    Scale: one map-side-combined aggregate over the fact table; the
+    rest is a k-row fold. No window, no join.
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    g = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(q).cast("long").alias("s_g"),
+        F.sum(q * q).cast("long").alias("q_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("q_g").cast("long").alias("q"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        # each group's s_g^2/n_g snaps to the 1e-4 grid before the
+        # k-row sum so the sum is an order-free BIGINT in both engines
+        F.sum(
+            F.floor(
+                F.col("s_g").cast("double")
+                * F.col("s_g")
+                / F.col("n_g")
+                * 10000
+                + 0.5
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("bsum_grid"),
+    ).select(
+        "n",
+        "s",
+        "q",
+        "k",
+        (F.col("bsum_grid").cast("double") / 10000).alias("bsum"),
+    )
+    n, s, qq, k, bsum = (
+        F.col("n"),
+        F.col("s"),
+        F.col("q"),
+        F.col("k"),
+        F.col("bsum"),
+    )
+    ssb = bsum - s.cast("double") * s / n
+    ssw = qq.cast("double") - bsum
+    sst = qq.cast("double") - s.cast("double") * s / n
+    return tot.select(
+        "n",
+        "k",
+        quant(s.cast("double") / n, 6).alias("grand_mean"),
+        quant(ssb, 4).alias("ss_between"),
+        quant(ssw, 4).alias("ss_within"),
+        quant((ssb / (k - 1)) / (ssw / (n - k)), 6).alias("f_stat"),
+        quant(ssb / sst, 9).alias("eta_sq"),
+    )
+
+
+#: Logistic one-step Fisher scoring: starting from beta = 0 the score
+#: is X'(y - 1/2) and the Fisher information X'X/4, so the first
+#: update is beta = 4 (X'X)^{-1} X'(y - 1/2) = 2 (X'X)^{-1} g with
+#: g = 2*X'y - X'1 (all-integer). Discount enters as exact cents-style
+#: integer (d = discount * 100). The log-loss snap grid.
+_LOGIT_GRID = 1_000_000_000
+
+#: Shared moment CTE: exact BIGINT feature moments + integer score.
+_LOGIT_MOM_SQL = """
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS sq,
+         CAST(SUM(d) AS BIGINT) AS sd,
+         CAST(SUM(q * q) AS BIGINT) AS sqq,
+         CAST(SUM(q * d) AS BIGINT) AS sqd,
+         CAST(SUM(d * d) AS BIGINT) AS sdd,
+         CAST(2 * SUM(y) - COUNT(*) AS BIGINT) AS g0,
+         CAST(2 * SUM(y * q) - SUM(q) AS BIGINT) AS g1,
+         CAST(2 * SUM(y * d) - SUM(d) AS BIGINT) AS g2
+  FROM feats
+), beta AS (
+  SELECT n,
+         CAST(sqq AS DOUBLE) * sdd - CAST(sqd AS DOUBLE) * sqd AS c00,
+         CAST(sd AS DOUBLE) * sqd - CAST(sq AS DOUBLE) * sdd AS c01,
+         CAST(sq AS DOUBLE) * sqd - CAST(sd AS DOUBLE) * sqq AS c02,
+         CAST(n AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd AS c11,
+         CAST(sd AS DOUBLE) * sq - CAST(n AS DOUBLE) * sqd AS c12,
+         CAST(n AS DOUBLE) * sqq - CAST(sq AS DOUBLE) * sq AS c22,
+         g0, g1, g2, sq, sd, sqq, sqd, sdd
+  FROM m
+), solved AS (
+  SELECT n, g0, g1, g2,
+         CAST(n AS DOUBLE) * c00 + CAST(sq AS DOUBLE) * c01
+           + CAST(sd AS DOUBLE) * c02 AS det
+         , c00, c01, c02, c11, c12, c22
+  FROM beta
+)
+"""
+
+_LOGIT_B_SQL = {
+    "b0": "2 * (c00 * g0 + c01 * g1 + c02 * g2) / det",
+    "b1": "2 * (c01 * g0 + c11 * g1 + c12 * g2) / det",
+    "b2": "2 * (c02 * g0 + c12 * g1 + c22 * g2) / det",
+}
+
+
+@register(
+    "lineitem_logit_fisher_step",
+    oracle=f"""
+WITH feats AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+), {_LOGIT_MOM_SQL},
+bq AS (
+  SELECT n,
+         {quant_sql(_LOGIT_B_SQL["b0"], 12)} AS b0,
+         {quant_sql(_LOGIT_B_SQL["b1"], 12)} AS b1,
+         {quant_sql(_LOGIT_B_SQL["b2"], 12)} AS b2
+  FROM solved
+), scored AS (
+  SELECT f.y, b.b0 + b.b1 * f.q + b.b2 * f.d AS margin, b.n
+  FROM feats f CROSS JOIN bq b
+), agg AS (
+  SELECT CAST(SUM(CAST(floor(
+           ln(1 + exp(-(CASE WHEN y = 1 THEN 1 ELSE -1 END) * margin))
+           * {_LOGIT_GRID} + 0.5) AS BIGINT)) AS BIGINT) AS ll_grid,
+         CAST(SUM(CASE WHEN (margin > 0) = (y = 1) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_correct,
+         ANY_VALUE(n) AS n
+  FROM scored
+)
+SELECT n, n_correct,
+       (SELECT {quant_sql("b0", 9)} FROM bq) AS beta_intercept,
+       (SELECT {quant_sql("b1", 9)} FROM bq) AS beta_quantity,
+       (SELECT {quant_sql("b2", 9)} FROM bq) AS beta_discount,
+       {quant_sql(
+           f"CAST(ll_grid AS DOUBLE) / {_LOGIT_GRID} / n", 9)} AS avg_logloss,
+       {quant_sql("CAST(n_correct AS DOUBLE) / n", 6)} AS train_accuracy
+FROM agg
+""",
+)
+def lineitem_logit_fisher_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression of P(returnflag = 'R') on (quantity,
+    discount) by ONE Fisher-scoring step from beta = 0 — the closed
+    form beta = 2 (X'X)^{-1} (2 X'y - X'1), since at beta = 0 the
+    IRLS weights are exactly 1/4. One exact step beats an
+    untrustworthy iterated fit here: every input moment is an exact
+    BIGINT (quantity integral, discount in exact cents), the 3x3
+    solve is Cramer via the symmetric adjugate (the
+    ``lineitem_ridge_normal_eq`` discipline), and the step is already
+    the direction a full IRLS would take. Reported with training
+    log-loss and accuracy at the 0.5 threshold so the classifier
+    family (stump, NB) gains its linear member.
+
+    Determinism: moments are one partial-agg shuffle of integers;
+    beta is quantized to 1e-12 BEFORE the scoring pass so both
+    engines score identical margins; per-row log-loss terms snap to
+    the 1e-9 grid and sum as BIGINTs (order-free — the perplexity
+    discipline); accuracy counts are exact integers.
+
+    Scale: two passes over the fact table (moments; scoring with the
+    3-coefficient beta broadcast) — both map-side-combined aggregates,
+    no window, no join wider than a 1-row broadcast.
+
+    No reference analogue; extends the SURVEY §2 statistics family
+    (the GLM step TPC-H's OLS trendline can't express).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("d"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    m = feats.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+        F.sum(F.col("q") * F.col("d")).cast("long").alias("sqd"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
+        (2 * F.sum("y") - F.count(F.lit(1))).cast("long").alias("g0"),
+        (2 * F.sum(F.col("y") * F.col("q")) - F.sum("q"))
+        .cast("long")
+        .alias("g1"),
+        (2 * F.sum(F.col("y") * F.col("d")) - F.sum("d"))
+        .cast("long")
+        .alias("g2"),
+    )
+    n, sq, sd = F.col("n"), F.col("sq"), F.col("sd")
+    sqq, sqd, sdd = F.col("sqq"), F.col("sqd"), F.col("sdd")
+    c00 = sqq.cast("double") * sdd - sqd.cast("double") * sqd
+    c01 = sd.cast("double") * sqd - sq.cast("double") * sdd
+    c02 = sq.cast("double") * sqd - sd.cast("double") * sqq
+    c11 = n.cast("double") * sdd - sd.cast("double") * sd
+    c12 = sd.cast("double") * sq - n.cast("double") * sqd
+    c22 = n.cast("double") * sqq - sq.cast("double") * sq
+    det = n.cast("double") * c00 + sq.cast("double") * c01 + sd.cast(
+        "double"
+    ) * c02
+    g0, g1, g2 = F.col("g0"), F.col("g1"), F.col("g2")
+    bq = F.broadcast(
+        m.select(
+            "n",
+            quant(2 * (c00 * g0 + c01 * g1 + c02 * g2) / det, 12).alias("b0"),
+            quant(2 * (c01 * g0 + c11 * g1 + c12 * g2) / det, 12).alias("b1"),
+            quant(2 * (c02 * g0 + c12 * g1 + c22 * g2) / det, 12).alias("b2"),
+        )
+    )
+    scored = feats.crossJoin(bq).select(
+        "y",
+        "n",
+        "b0",
+        "b1",
+        "b2",
+        (
+            F.col("b0") + F.col("b1") * F.col("q") + F.col("b2") * F.col("d")
+        ).alias("margin"),
+    )
+    agg = scored.agg(
+        F.sum(
+            F.floor(
+                F.log(
+                    1
+                    + F.exp(
+                        -F.when(F.col("y") == 1, 1).otherwise(-1)
+                        * F.col("margin")
+                    )
+                )
+                * _LOGIT_GRID
+                + 0.5
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("ll_grid"),
+        F.sum(
+            ((F.col("margin") > 0) == (F.col("y") == 1)).cast("long")
+        )
+        .cast("long")
+        .alias("n_correct"),
+        F.first("n").alias("n"),
+        F.first("b0").alias("b0"),
+        F.first("b1").alias("b1"),
+        F.first("b2").alias("b2"),
+    )
+    return agg.select(
+        "n",
+        "n_correct",
+        quant("b0", 9).alias("beta_intercept"),
+        quant("b1", 9).alias("beta_quantity"),
+        quant("b2", 9).alias("beta_discount"),
+        quant(
+            F.col("ll_grid").cast("double") / _LOGIT_GRID / F.col("n"), 9
+        ).alias("avg_logloss"),
+        quant(F.col("n_correct").cast("double") / F.col("n"), 6).alias(
+            "train_accuracy"
+        ),
+    )
+
+
+#: Geometric-fit GOF gap buckets: weekly buckets 0..7 then an open
+#: tail (9 cells) — fixed cell count bounds the chi-square fold.
+_GEOM_BUCKETS = 8
+_GEOM_WEEK = 7
+_GEOM_GRID = 1_000_000_000
+
+
+@register(
+    "customer_order_gap_geomfit",
+    oracle=f"""
+WITH gaps AS (
+  SELECT date_diff('day',
+           LAG(CAST(o_orderdate AS DATE)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey),
+           CAST(o_orderdate AS DATE)) AS gap
+  FROM orders
+), gg AS (SELECT CAST(gap AS BIGINT) AS gap FROM gaps WHERE gap IS NOT NULL),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(gap) AS BIGINT) AS s
+  FROM gg
+), p AS (
+  SELECT n, s, {quant_sql("CAST(n AS DOUBLE) / (n + s)", 12)} AS p_hat FROM m
+), buckets AS (
+  SELECT LEAST(gap // {_GEOM_WEEK}, {_GEOM_BUCKETS}) AS b,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM gg GROUP BY b
+), grid AS (
+  SELECT CAST(unnest(range(0, {_GEOM_BUCKETS + 1})) AS BIGINT) AS b
+), expect AS (
+  SELECT g.b, COALESCE(o.obs, 0) AS obs,
+         CASE WHEN g.b < {_GEOM_BUCKETS}
+              THEN n * (pow(1 - p_hat, g.b * {_GEOM_WEEK})
+                        - pow(1 - p_hat, (g.b + 1) * {_GEOM_WEEK}))
+              ELSE n * pow(1 - p_hat, {_GEOM_BUCKETS * _GEOM_WEEK}) END AS exp_n
+  FROM grid g LEFT JOIN buckets o ON g.b = o.b CROSS JOIN p
+), chi AS (
+  SELECT CAST(SUM(CAST(floor(
+           (obs - exp_n) * (obs - exp_n) / exp_n * {_GEOM_GRID} + 0.5)
+           AS BIGINT)) AS BIGINT) AS chi_grid,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM expect
+)
+SELECT p.n AS n_gaps,
+       {quant_sql("CAST(s AS DOUBLE) / n", 6)} AS mean_gap_days,
+       {quant_sql("p_hat", 9)} AS p_hat,
+       n_cells,
+       {quant_sql(f"CAST(chi_grid AS DOUBLE) / {_GEOM_GRID}", 6)} AS chi2_stat
+FROM p CROSS JOIN chi
+""",
+)
+def customer_order_gap_geomfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric-distribution fit of per-customer inter-order gaps:
+    pooled gap mean, the MLE success rate p = n/(n + sum(gap)) of the
+    geometric (support 0, "order again today" is a success), and a
+    chi-square goodness-of-fit over weekly gap buckets with an open
+    tail. If purchase re-arrival were memoryless the geometric fits;
+    a large chi-square is the quantitative "customers are NOT
+    memoryless" finding that motivates the RFM segmentation
+    (``customer_rfm_segments``) and churn features
+    (``events_user_recency_churn``).
+
+    Determinism: gaps are exact day integers from a PARTITIONED lag
+    window (per customer); (n, sum) are exact BIGINTs; p_hat is
+    quantized at 1e-12 before the pow() ladder so both engines
+    exponentiate identical doubles; each bucket's chi term snaps to
+    the 1e-9 grid and sums as BIGINTs over the fixed 9 cells.
+
+    Scale: the lag window shuffles on custkey (massively parallel);
+    the bucket rollup is one 9-cell aggregate. No global window.
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            )
+            .cast("long")
+            .alias("gap")
+        )
+        .where(F.col("gap").isNotNull())
+        .localCheckpoint(eager=False)  # feeds the moment agg + buckets
+    )
+    m = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("gap").cast("long").alias("s"),
+    )
+    p = F.broadcast(
+        m.select(
+            "n",
+            "s",
+            quant(
+                F.col("n").cast("double") / (F.col("n") + F.col("s")), 12
+            ).alias("p_hat"),
+        )
+    )
+    buckets = gaps.groupBy(
+        F.least(
+            F.expr(f"gap DIV {_GEOM_WEEK}"), F.lit(_GEOM_BUCKETS)
+        ).alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    grid = spark.range(0, _GEOM_BUCKETS + 1).select(
+        F.col("id").cast("long").alias("b")
+    )
+    expect = (
+        grid.join(buckets, "b", "left")
+        .na.fill({"obs": 0})
+        .crossJoin(p)
+        .select(
+            "b",
+            "obs",
+            F.when(
+                F.col("b") < _GEOM_BUCKETS,
+                F.col("n")
+                * (
+                    F.pow(1 - F.col("p_hat"), F.col("b") * _GEOM_WEEK)
+                    - F.pow(
+                        1 - F.col("p_hat"), (F.col("b") + 1) * _GEOM_WEEK
+                    )
+                ),
+            )
+            .otherwise(
+                F.col("n")
+                * F.pow(
+                    1 - F.col("p_hat"), _GEOM_BUCKETS * _GEOM_WEEK
+                )
+            )
+            .alias("exp_n"),
+        )
+    )
+    chi = expect.agg(
+        F.sum(
+            F.floor(
+                (F.col("obs") - F.col("exp_n"))
+                * (F.col("obs") - F.col("exp_n"))
+                / F.col("exp_n")
+                * _GEOM_GRID
+                + 0.5
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("chi_grid"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    return (
+        p.crossJoin(F.broadcast(chi))
+        .select(
+            F.col("n").alias("n_gaps"),
+            quant(F.col("s").cast("double") / F.col("n"), 6).alias(
+                "mean_gap_days"
+            ),
+            quant("p_hat", 9).alias("p_hat"),
+            "n_cells",
+            quant(
+                F.col("chi_grid").cast("double") / _GEOM_GRID, 6
+            ).alias("chi2_stat"),
+        )
+    )
+
+
+#: Mahalanobis outliers: per-label top-k by diagonal-covariance
+#: distance; per-dim squared-residual terms snap to this grid so the
+#: 64-dim fold is an order-free BIGINT sum.
+_MAHA_TOPK = 5
+_MAHA_GRID = 1_000_000_000
+
+
+@register(
+    "embedding_mahalanobis_outliers",
+    oracle=f"""
+WITH x AS (
+  SELECT vec_id, label, t.i - 1 AS dim, CAST(t.v AS DOUBLE) AS v
+  FROM embeddings e,
+       LATERAL (SELECT unnest(e.embedding) AS v,
+                       generate_subscripts(e.embedding, 1) AS i) t
+), stats AS (
+  SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(SUM(v), 6) AS sx, ROUND(SUM(v * v), 6) AS sxx
+  FROM x GROUP BY label, dim
+), mv AS (
+  SELECT label, dim, n,
+         {quant_sql("sx / n", 9)} AS mu,
+         {quant_sql("(sxx - sx * sx / n) / (n - 1)", 9)} AS var
+  FROM stats
+), dists AS (
+  SELECT x.vec_id, x.label, ANY_VALUE(mv.n) AS n_label,
+         CAST(SUM(CAST(floor(
+           (x.v - mv.mu) * (x.v - mv.mu) / mv.var * {_MAHA_GRID} + 0.5)
+           AS BIGINT)) AS BIGINT) AS d_grid
+  FROM x JOIN mv ON x.label = mv.label AND x.dim = mv.dim
+  GROUP BY x.vec_id, x.label
+), ranked AS (
+  SELECT label, vec_id, n_label, d_grid,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY d_grid DESC, vec_id) AS rk
+  FROM dists
+)
+SELECT label, vec_id, CAST(n_label AS BIGINT) AS n_label,
+       {quant_sql(f"CAST(d_grid AS DOUBLE) / {_MAHA_GRID}", 6)} AS dist_sq
+FROM ranked WHERE rk <= {_MAHA_TOPK}
+ORDER BY label, dist_sq DESC, vec_id
+""",
+)
+def embedding_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers by diagonal-covariance Mahalanobis
+    distance: top-5 vectors per label whose coordinates deviate most
+    from their label's per-dimension mean in per-dimension variance
+    units. THE cheap embedding-space mislabeling/corruption detector a
+    training pipeline runs before contrastive sampling — a vector far
+    from its own label's cloud is a label error or an encoder glitch
+    (``doc_mad_outliers`` is the 1-D text twin; this is the d-dim
+    member, diagonal so the statistics stay mergeable at any scale).
+
+    Determinism: per-(label, dim) sums are ROUNDed once (the rsum
+    discipline) before mu/var derive from them; per-dim squared
+    residuals snap to the 1e-9 grid so each vector's 64-term fold is
+    an order-free BIGINT sum; top-5 ties break on vec_id.
+
+    Scale: ONE posexplode shuffle keyed (label, dim) for the moments
+    (mergeable partial aggs), one broadcastable (label, dim) join back,
+    and a PARTITIONED top-k window per label. Nothing global, nothing
+    quadratic.
+
+    No reference analogue; extends the SURVEY §2 similarity/ANN family.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "vf"),
+    ).select("vec_id", "label", "dim", F.col("vf").cast("double").alias("v"))
+    stats = x.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("v"), 6).alias("sx"),
+        F.round(F.sum(F.col("v") * F.col("v")), 6).alias("sxx"),
+    )
+    mv = stats.select(
+        "label",
+        "dim",
+        "n",
+        quant(F.col("sx") / F.col("n"), 9).alias("mu"),
+        quant(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1),
+            9,
+        ).alias("var"),
+    )
+    dists = (
+        x.join(F.broadcast(mv), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.first("n").alias("n_label"),
+            F.sum(
+                F.floor(
+                    (F.col("v") - F.col("mu"))
+                    * (F.col("v") - F.col("mu"))
+                    / F.col("var")
+                    * _MAHA_GRID
+                    + 0.5
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("d_grid"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("d_grid"), "vec_id")
+    return (
+        dists.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _MAHA_TOPK)
+        .select(
+            "label",
+            "vec_id",
+            F.col("n_label").cast("long").alias("n_label"),
+            quant(F.col("d_grid").cast("double") / _MAHA_GRID, 6).alias(
+                "dist_sq"
+            ),
+        )
+        .orderBy("label", F.desc("dist_sq"), "vec_id")
+    )

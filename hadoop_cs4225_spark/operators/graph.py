@@ -62,7 +62,7 @@ nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg)
 """
 
 
-def _iter_sql(prev: str, cur: str) -> str:
+def _iter_sql(prev: str, cur: str, materialized: bool = False) -> str:
     # Per-ITERATION quantization (12 dp, the events_daily_ewma
     # recursive-smoothing discipline): each engine sums per-node
     # contributions in its own order, so without a per-step snap the
@@ -70,8 +70,12 @@ def _iter_sql(prev: str, cur: str) -> str:
     # land a final value on the 9-dp grid boundary — the rare
     # whole-suite flake this replaced. With inputs re-identical every
     # round, only the FINAL step's reassociation meets the 9-dp grid.
+    # The last two rounds are MATERIALIZED: both feed the convergence
+    # delta AND their successor/output, and DuckDB's default inlining
+    # would re-expand the whole iteration history per consumer (the
+    # HITS lesson).
     return f"""
-{cur} AS (
+{cur} AS {"MATERIALIZED " if materialized else ""}(
   SELECT e.dst AS node,
          {quant_sql(
              f"{TELEPORT} / (SELECT n FROM nn)"
@@ -91,10 +95,19 @@ def _iter_sql(prev: str, cur: str) -> str:
 WITH {_EDGES_SQL},
 r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS r FROM deg)
 ,{_iter_sql("r0", "r1")}
-,{_iter_sql("r1", "r2")}
-,{_iter_sql("r2", "r3")}
-SELECT node, {quant_sql("r", 9)} AS rank_q
-FROM r3
+,{_iter_sql("r1", "r2", materialized=True)}
+,{_iter_sql("r2", "r3", materialized=True)}
+,delta AS MATERIALIZED (
+  SELECT r3.node, r3.r, abs(r3.r - r2.r) AS dv
+  FROM r3 JOIN r2 ON r3.node = r2.node
+), resid AS (
+  SELECT CAST(SUM(CAST(floor(dv * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS sgrid
+  FROM delta
+)
+SELECT node, {quant_sql("r", 9)} AS rank_q,
+       {quant_sql("dv", 9)} AS delta_q,
+       {quant_sql("CAST(sgrid AS DOUBLE) / 1e12", 9)} AS l1_residual
+FROM delta CROSS JOIN resid
 ORDER BY rank_q DESC, node
 LIMIT {TOP_K}
 """,
@@ -107,6 +120,15 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines sum per-node contributions in different orders, so raw
     doubles differ in the last ulp; the quantizer absorbs that (same
     policy as functions/numeric.py).
+
+    Convergence honesty (VERDICT r8 task 5): a fixed 3-round unroll
+    silently truncates on a graph that hasn't stabilized, so the
+    output now carries the evidence — per-node ``delta_q``
+    (|r3 - r2|) and the global ``l1_residual`` (sum of |r3 - r2| over
+    ALL nodes, snapped per-node to the 1e-12 grid so the sum is an
+    order-free BIGINT). A 100x graph whose residual is still large
+    shows it in every row instead of hiding behind a converged-looking
+    top-20.
     """
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -136,7 +158,8 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = deg.crossJoin(F.broadcast(nn)).select(
         F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("r")
     )
-    for _ in range(N_ITERS):
+    prev = None
+    for i in range(N_ITERS):
         ranks = (
             edges_deg.join(ranks, edges_deg.src == ranks.node)
             .select(F.col("dst"), (F.col("r") / F.col("d")).alias("contrib"))
@@ -153,8 +176,33 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
+        if i >= N_ITERS - 2:
+            # the last two rounds each feed TWO consumers (successor/
+            # output + the convergence delta) — materialize like the
+            # oracle's AS MATERIALIZED
+            ranks = ranks.localCheckpoint(eager=False)
+        if i == N_ITERS - 2:
+            prev = ranks
+    delta = ranks.join(
+        prev.select("node", F.col("r").alias("r_prev")), "node"
+    ).select("node", "r", F.abs(F.col("r") - F.col("r_prev")).alias("dv"))
+    resid = F.broadcast(
+        delta.agg(
+            F.sum(F.floor(F.col("dv") * 1e12 + 0.5).cast("long"))
+            .cast("long")
+            .alias("sgrid")
+        )
+    )
     return (
-        ranks.select("node", quant("r", 9).alias("rank_q"))
+        delta.crossJoin(resid)
+        .select(
+            "node",
+            quant("r", 9).alias("rank_q"),
+            quant("dv", 9).alias("delta_q"),
+            quant(F.col("sgrid").cast("double") / 1e12, 9).alias(
+                "l1_residual"
+            ),
+        )
         .orderBy(F.col("rank_q").desc(), "node")
         .limit(TOP_K)
     )
@@ -329,8 +377,8 @@ _LPA_BASE = 1 << 32
 _LPA_MAXL = 1 << 31
 
 
-def _lpa_round_sql(labels: str, rnd: int) -> str:
-    return f"""lpa{rnd} AS (
+def _lpa_round_sql(labels: str, rnd: int, materialized: bool = False) -> str:
+    return f"""lpa{rnd} AS {"MATERIALIZED " if materialized else ""}(
   SELECT m.src AS v,
          CAST({_LPA_MAXL} - (MAX(m.key) % {_LPA_BASE}) AS BIGINT) AS label
   FROM (
@@ -351,11 +399,16 @@ WITH {_EDGES_CTE_SQL}, nodes AS (
   SELECT a AS v FROM edges UNION SELECT b AS v FROM edges
 ), lpa0 AS (
   SELECT v, v AS label FROM nodes
-), {_lpa_round_sql("lpa0", 1)}, {_lpa_round_sql("lpa1", 2)},
-   {_lpa_round_sql("lpa2", 3)}
+), {_lpa_round_sql("lpa0", 1)}, {_lpa_round_sql("lpa1", 2, materialized=True)},
+   {_lpa_round_sql("lpa2", 3, materialized=True)}, chg AS (
+  SELECT CAST(SUM(CASE WHEN l3.label <> l2.label THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_changed_last_round
+  FROM lpa3 l3 JOIN lpa2 l2 ON l3.v = l2.v
+)
 SELECT label AS community, COUNT(*) AS size,
-       CAST(MIN(v) AS BIGINT) AS min_member
-FROM lpa{_LPA_ROUNDS}
+       CAST(MIN(v) AS BIGINT) AS min_member,
+       ANY_VALUE(n_changed_last_round) AS n_changed_last_round
+FROM lpa{_LPA_ROUNDS} CROSS JOIN chg
 GROUP BY label
 ORDER BY community
 """,
@@ -379,6 +432,12 @@ def supplier_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_clusters. Round count is deliberately small: on a
     mutual-top-K graph LPA stabilizes fast, and the oracle unrolls the
     IDENTICAL three rounds, so parity checks the whole fixpoint.
+
+    Convergence honesty (VERDICT r8 task 5): ``n_changed_last_round``
+    reports how many nodes still switched label in round 3 — 0 means
+    the unroll reached the fixpoint; nonzero means a deeper graph
+    needs more rounds and SAYS so in the output instead of silently
+    truncating.
     """
     edges = _mutual_topk_edges(spark, sf_dir)
     directed = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
@@ -388,7 +447,8 @@ def supplier_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = directed.select(F.col("src").alias("v")).distinct().select(
         "v", F.col("v").alias("label")
     )
-    for _ in range(_LPA_ROUNDS):
+    prev = None
+    for i in range(_LPA_ROUNDS):
         msgs = (
             directed.join(labels, directed.dst == labels.v)
             .groupBy("src", "label")
@@ -404,10 +464,38 @@ def supplier_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("label")
         ).select(F.col("src").alias("v"), "label")
+        if i >= _LPA_ROUNDS - 2:
+            # the last two label frames each feed two consumers (the
+            # next round / the rollup AND the change count) — the
+            # oracle's AS MATERIALIZED twin
+            labels = labels.localCheckpoint(eager=False)
+        if i == _LPA_ROUNDS - 2:
+            prev = labels
+    # convergence honesty (VERDICT r8 task 5): how many nodes still
+    # changed label in the final round — 0 means the fixed unroll
+    # reached the fixpoint, nonzero means a deeper graph needs more
+    # rounds and says so in every output row
+    chg = F.broadcast(
+        labels.join(
+            prev.select("v", F.col("label").alias("label_prev")), "v"
+        ).agg(
+            F.sum(
+                (F.col("label") != F.col("label_prev")).cast("long")
+            )
+            .cast("long")
+            .alias("n_changed_last_round")
+        )
+    )
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("size"), F.min("v").cast("long").alias("min_member"))
-        .select(F.col("label").alias("community"), "size", "min_member")
+        .crossJoin(chg)
+        .select(
+            F.col("label").alias("community"),
+            "size",
+            "min_member",
+            "n_changed_last_round",
+        )
         .orderBy("community")
     )
 
@@ -561,14 +649,23 @@ h0 AS (SELECT DISTINCT c, 1.0 AS v FROM pairs)
 ,{_hits_hub_sql("a2", "h2")}
 ,{_hits_auth_sql("h2", "a3")}
 ,{_hits_hub_sql("a3", "h3")}
+,da AS MATERIALIZED (
+  SELECT a3.s, a3.v, abs(a3.v - a2.v) AS dv FROM a3 JOIN a2 ON a3.s = a2.s
+), dh AS MATERIALIZED (
+  SELECT h3.c, h3.v, abs(h3.v - h2.v) AS dv FROM h3 JOIN h2 ON h3.c = h2.c
+)
 SELECT * FROM (
-  SELECT 'supplier' AS kind, s AS node, {quant_sql("v", 9)} AS score
-  FROM a3 ORDER BY score DESC, node LIMIT {_HITS_TOP_K}
+  SELECT 'supplier' AS kind, s AS node, {quant_sql("v", 9)} AS score,
+         {quant_sql("dv", 9)} AS delta_q,
+         {quant_sql("(SELECT MAX(dv) FROM da)", 9)} AS max_delta
+  FROM da ORDER BY score DESC, node LIMIT {_HITS_TOP_K}
 )
 UNION ALL
 SELECT * FROM (
-  SELECT 'customer' AS kind, c AS node, {quant_sql("v", 9)} AS score
-  FROM h3 ORDER BY score DESC, node LIMIT {_HITS_TOP_K}
+  SELECT 'customer' AS kind, c AS node, {quant_sql("v", 9)} AS score,
+         {quant_sql("dv", 9)} AS delta_q,
+         {quant_sql("(SELECT MAX(dv) FROM dh)", 9)} AS max_delta
+  FROM dh ORDER BY score DESC, node LIMIT {_HITS_TOP_K}
 )
 ORDER BY kind, score DESC, node
 """,
@@ -592,6 +689,12 @@ def supplier_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-score table plus a 1-row broadcast max — |E| rows move per
     round, |V| state, fixed depth. Same cost envelope as
     ``pagerank_trade_network``.
+
+    Convergence honesty (VERDICT r8 task 5): ``delta_q`` is the
+    per-node score movement in the final round and ``max_delta`` the
+    maximum movement over ALL nodes of that kind — a graph whose
+    scores are still swinging at round 3 reports it in-band instead of
+    presenting a truncated iteration as converged.
 
     No reference analogue; extends the SURVEY §2 graph family.
     """
@@ -621,31 +724,39 @@ def supplier_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             other, quant(F.col("v") / F.col("mx"), 12).alias("v")
         )
 
-    a = None
-    for _ in range(_HITS_ITERS):
+    a = a_prev = h_prev = None
+    for i in range(_HITS_ITERS):
         a = half(h, "c", "s")
         h = half(a, "s", "c")
-    top_a = (
-        a.select(
-            F.lit("supplier").alias("kind"),
-            F.col("s").alias("node"),
-            quant("v", 9).alias("score"),
+        if i == _HITS_ITERS - 2:
+            # penultimate round's scores feed the convergence deltas;
+            # they are cheap projections over already-checkpointed raw
+            # frames, so keeping the handles costs nothing extra
+            a_prev, h_prev = a, h
+
+    def deltas(cur: DataFrame, prev: DataFrame, key: str, kind: str) -> DataFrame:
+        d = cur.join(
+            prev.select(key, F.col("v").alias("v_prev")), key
+        ).select(
+            key, "v", F.abs(F.col("v") - F.col("v_prev")).alias("dv")
         )
-        .orderBy(F.col("score").desc(), "node")
-        .limit(_HITS_TOP_K)
-    )
-    top_h = (
-        h.select(
-            F.lit("customer").alias("kind"),
-            F.col("c").alias("node"),
-            quant("v", 9).alias("score"),
+        mx = F.broadcast(d.agg(F.max("dv").alias("mx")))
+        return (
+            d.crossJoin(mx)
+            .select(
+                F.lit(kind).alias("kind"),
+                F.col(key).alias("node"),
+                quant("v", 9).alias("score"),
+                quant("dv", 9).alias("delta_q"),
+                quant("mx", 9).alias("max_delta"),
+            )
+            .orderBy(F.col("score").desc(), "node")
+            .limit(_HITS_TOP_K)
         )
-        .orderBy(F.col("score").desc(), "node")
-        .limit(_HITS_TOP_K)
-    )
-    return top_a.unionByName(top_h).orderBy(
-        "kind", F.col("score").desc(), "node"
-    )
+
+    return deltas(a, a_prev, "s", "supplier").unionByName(
+        deltas(h, h_prev, "c", "customer")
+    ).orderBy("kind", F.col("score").desc(), "node")
 
 
 # ---------------------------------------------------------------------------
@@ -675,28 +786,46 @@ def _kcore_round_sql(prev_edges: str, cur: str) -> str:
     "supplier_kcore_peeling",
     oracle=f"""
 WITH {_EDGES_CTE_SQL}
-,{_kcore_round_sql("edges", "p1")}
+, edges_m AS MATERIALIZED (SELECT a, b FROM edges)
+,{_kcore_round_sql("edges_m", "p1")}
 ,{_kcore_round_sql("p1", "p2")}
 ,{_kcore_round_sql("p2", "p3")}
-SELECT r.rnd,
-       CAST(r.n_nodes AS BIGINT) AS n_nodes,
-       CAST(r.n_edges AS BIGINT) AS n_edges
-FROM (
-  SELECT 1 AS rnd,
-         (SELECT COUNT(*) FROM (SELECT DISTINCT node FROM
+, c0 AS (
+  SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT node FROM
+            (SELECT a AS node FROM edges_m UNION ALL SELECT b FROM edges_m) u) v)
+           AS n_nodes,
+         (SELECT COUNT(*) FROM edges_m) AS n_edges
+), c1 AS (
+  SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT node FROM
             (SELECT a AS node FROM p1 UNION ALL SELECT b FROM p1) u) v)
            AS n_nodes,
          (SELECT COUNT(*) FROM p1) AS n_edges
+), c2 AS (
+  SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT node FROM
+            (SELECT a AS node FROM p2 UNION ALL SELECT b FROM p2) u) v)
+           AS n_nodes,
+         (SELECT COUNT(*) FROM p2) AS n_edges
+), c3 AS (
+  SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT node FROM
+            (SELECT a AS node FROM p3 UNION ALL SELECT b FROM p3) u) v)
+           AS n_nodes,
+         (SELECT COUNT(*) FROM p3) AS n_edges
+)
+SELECT r.rnd,
+       CAST(r.n_nodes AS BIGINT) AS n_nodes,
+       CAST(r.n_edges AS BIGINT) AS n_edges,
+       CAST(r.prev_nodes - r.n_nodes AS BIGINT) AS n_dropped_nodes,
+       (r.prev_nodes = r.n_nodes AND r.prev_edges = r.n_edges) AS converged
+FROM (
+  SELECT 1 AS rnd, c1.n_nodes, c1.n_edges,
+         c0.n_nodes AS prev_nodes, c0.n_edges AS prev_edges
+  FROM c1 CROSS JOIN c0
   UNION ALL
-  SELECT 2,
-         (SELECT COUNT(*) FROM (SELECT DISTINCT node FROM
-            (SELECT a AS node FROM p2 UNION ALL SELECT b FROM p2) u) v),
-         (SELECT COUNT(*) FROM p2)
+  SELECT 2, c2.n_nodes, c2.n_edges, c1.n_nodes, c1.n_edges
+  FROM c2 CROSS JOIN c1
   UNION ALL
-  SELECT 3,
-         (SELECT COUNT(*) FROM (SELECT DISTINCT node FROM
-            (SELECT a AS node FROM p3 UNION ALL SELECT b FROM p3) u) v),
-         (SELECT COUNT(*) FROM p3)
+  SELECT 3, c3.n_nodes, c3.n_edges, c2.n_nodes, c2.n_edges
+  FROM c3 CROSS JOIN c2
 ) r
 ORDER BY r.rnd
 """,
@@ -728,6 +857,20 @@ def supplier_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _mutual_topk_edges(spark, sf_dir)
     rows = []
     cur = edges.select("a", "b")
+
+    def counts(frame: DataFrame) -> DataFrame:
+        n_edges = frame.agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges")
+        )
+        n_nodes = (
+            frame.select(F.col("a").alias("node"))
+            .unionAll(frame.select(F.col("b").alias("node")))
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        )
+        return n_nodes.crossJoin(n_edges)
+
+    prev_counts = counts(cur)
     for rnd in range(1, _KCORE_ROUNDS + 1):
         deg = (
             cur.select(F.col("a").alias("node"))
@@ -742,18 +885,31 @@ def supplier_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("a", "b")
             .localCheckpoint(eager=False)  # feeds next round's degree + filter
         )
-        n_edges = cur.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-        n_nodes = (
-            cur.select(F.col("a").alias("node"))
-            .unionAll(cur.select(F.col("b").alias("node")))
-            .distinct()
-            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-        )
+        cur_counts = counts(cur)
         rows.append(
-            n_nodes.crossJoin(n_edges).select(
-                F.lit(rnd).alias("rnd"), "n_nodes", "n_edges"
+            cur_counts.crossJoin(
+                prev_counts.select(
+                    F.col("n_nodes").alias("prev_nodes"),
+                    F.col("n_edges").alias("prev_edges"),
+                )
+            ).select(
+                F.lit(rnd).alias("rnd"),
+                "n_nodes",
+                "n_edges",
+                # convergence honesty (VERDICT r8 task 5): the peel's
+                # per-round shrinkage; a final round that still drops
+                # nodes means the fixed unroll has NOT reached the
+                # k-core and reports it in-band
+                (F.col("prev_nodes") - F.col("n_nodes"))
+                .cast("long")
+                .alias("n_dropped_nodes"),
+                (
+                    (F.col("prev_nodes") == F.col("n_nodes"))
+                    & (F.col("prev_edges") == F.col("n_edges"))
+                ).alias("converged"),
             )
         )
+        prev_counts = cur_counts
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)

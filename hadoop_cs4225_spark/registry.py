@@ -148,6 +148,11 @@ _PRIORITY = (
     "token_burstiness",              # Church-Gale df vs Poisson expectation
     "token_coverage_curve",          # top-K vocab token-mass coverage
     "source_segmental_ttr",          # fixed-window lexical diversity
+    "priority_returnflag_mutual_info",  # MI / entropies / NMI
+    "lineitem_anova_returnflag",     # one-way F + eta-squared
+    "lineitem_logit_fisher_step",    # closed-form GLM step + log-loss
+    "customer_order_gap_geomfit",    # geometric MLE + chi-square GOF
+    "embedding_mahalanobis_outliers",  # per-label diag-cov outliers
 )
 
 def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:

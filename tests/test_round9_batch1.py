@@ -78,3 +78,36 @@ def test_burstiness_function_words_near_one(spark):
     bs = sorted(r.burstiness for r in rows)
     assert bs[-1] > bs[0]
     assert bs[-1] > 0.5
+
+
+def test_graph_convergence_columns(spark):
+    """VERDICT r8 task 5: the four fixed-round iterative graph queries
+    must carry in-band convergence evidence."""
+    pr = _rows(spark, "pagerank_trade_network")
+    assert pr
+    for r in pr:
+        assert r.delta_q >= 0.0
+        assert r.l1_residual == pr[0].l1_residual  # global constant
+        assert r.delta_q <= r.l1_residual + 1e-9
+    lpa = _rows(spark, "supplier_communities_lpa")
+    n_nodes = sum(r.size for r in lpa)
+    for r in lpa:
+        assert 0 <= r.n_changed_last_round <= n_nodes
+        assert r.n_changed_last_round == lpa[0].n_changed_last_round
+    hits = _rows(spark, "supplier_hits_scores")
+    by_kind = {}
+    for r in hits:
+        assert 0.0 <= r.delta_q <= r.max_delta + 1e-9
+        by_kind.setdefault(r.kind, set()).add(r.max_delta)
+    assert set(by_kind) == {"customer", "supplier"}
+    for kind, deltas in by_kind.items():
+        assert len(deltas) == 1  # per-kind constant
+    kc = _rows(spark, "supplier_kcore_peeling")
+    assert [r.rnd for r in kc] == [1, 2, 3]
+    prev_nodes = None
+    for r in kc:
+        assert r.n_dropped_nodes >= 0
+        if prev_nodes is not None:
+            assert prev_nodes - r.n_nodes == r.n_dropped_nodes
+        assert r.converged == (r.n_dropped_nodes == 0 and r.rnd > 1 and kc[r.rnd - 2].n_edges == r.n_edges) or r.rnd == 1
+        prev_nodes = r.n_nodes

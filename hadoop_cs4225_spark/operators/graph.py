@@ -914,3 +914,195 @@ def supplier_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("rnd")
+
+
+# ---------------------------------------------------------------------------
+# Round-9: degree assortativity + local clustering (Watts-Strogatz)
+# ---------------------------------------------------------------------------
+
+#: Local clustering coefficients snap to this grid before averaging.
+_LCC_GRID = 1_000_000_000
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+WITH {_EDGES_CTE_SQL}, dir AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION ALL SELECT b, a FROM edges
+), deg AS (
+  SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM dir GROUP BY src
+), de AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM dir JOIN deg da ON da.v = dir.src JOIN deg db ON db.v = dir.dst
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dx) AS BIGINT) AS sx,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy
+  FROM de
+)
+SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+       {quant_sql("CAST(sx AS DOUBLE) / n", 6)} AS mean_degree,
+       {quant_sql(
+           "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)"
+           " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)",
+           6)} AS assortativity
+FROM m
+""",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the mutual-top-K co-supply graph: the
+    Pearson correlation of endpoint degrees over all directed edge
+    instances. Positive = hubs partner with hubs (assortative, robust
+    core), negative = hub-and-spoke (disassortative, fragile to hub
+    loss) — the one-number structural summary that tells you WHICH
+    failure mode the supply network has, complementing the density
+    (``supplier_triangle_stats``) and centrality (``pagerank``/HITS)
+    views. Both endpoint marginals are identical on a symmetrized edge
+    list, so r = (n*Sxy - Sx^2) / (n*Sxx - Sx^2) in exact integers.
+
+    Determinism: degrees are bounded (<= K = {_TRI_TOPK}) integers;
+    every moment is an exact BIGINT from one shuffle; the correlation
+    is ONE quantized expression.
+
+    Plan: degree count + two degree joins on the degree-bounded edge
+    list (each broadcastable: |V| rows), one 4-number fold.
+
+    No reference analogue; extends the SURVEY §2 graph family.
+    """
+    edges = _mutual_topk_edges(spark, sf_dir)
+    dirx = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = dirx.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    de = (
+        dirx.join(
+            F.broadcast(deg.select(F.col("v").alias("src"), F.col("d").alias("dx"))),
+            "src",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("v").alias("dst"), F.col("d").alias("dy"))),
+            "dst",
+        )
+        .select("dx", "dy")
+    )
+    m = de.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+    )
+    n, sx, sxx, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sxy"))
+    return m.select(
+        F.expr("n DIV 2").alias("n_edges"),
+        quant(sx.cast("double") / n, 6).alias("mean_degree"),
+        quant(
+            (n.cast("double") * sxy - sx.cast("double") * sx)
+            / (n.cast("double") * sxx - sx.cast("double") * sx),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+@register(
+    "supplier_local_clustering",
+    oracle=f"""
+WITH {_EDGES_CTE_SQL}, dir AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION ALL SELECT b, a FROM edges
+), deg AS (
+  SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM dir GROUP BY src
+), wedge AS (
+  SELECT d1.src AS v, d1.dst AS u, d2.dst AS w
+  FROM dir d1 JOIN dir d2 ON d1.src = d2.src AND d1.dst < d2.dst
+), tri AS (
+  SELECT w.v, CAST(COUNT(*) AS BIGINT) AS t
+  FROM wedge w JOIN edges e ON e.a = w.u AND e.b = w.w
+  GROUP BY w.v
+), lcc AS (
+  SELECT deg.v, deg.d, COALESCE(tri.t, 0) AS t,
+         CAST(floor(2.0 * COALESCE(tri.t, 0) / (deg.d * (deg.d - 1))
+                    * {_LCC_GRID} + 0.5) AS BIGINT) AS cc_grid
+  FROM deg LEFT JOIN tri ON tri.v = deg.v
+  WHERE deg.d >= 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes_deg2,
+       CAST(SUM(t) AS BIGINT) AS n_closed_wedges,
+       {quant_sql(
+           f"CAST(SUM(cc_grid) AS DOUBLE) / {_LCC_GRID} / COUNT(*)",
+           6)} AS mean_local_cc,
+       CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_open_nodes
+FROM lcc
+""",
+)
+def supplier_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watts-Strogatz AVERAGE local clustering of the co-supply graph:
+    per node, the share of its neighbor pairs that are themselves
+    connected, averaged over nodes of degree >= 2. Deliberately a
+    different number from ``supplier_triangle_stats``' global
+    transitivity — transitivity weights hubs by their wedge count,
+    while the local average weights every node equally, and the GAP
+    between the two is the classic signature of degree-correlated
+    clustering. ``n_open_nodes`` (degree >= 2, zero closed wedges)
+    counts pure brokers.
+
+    Determinism: triangles-per-node and degrees are exact integers on
+    the degree-<= K mutual-top-K graph; each node's coefficient snaps
+    to the 1e-9 grid before the order-free BIGINT mean.
+
+    Plan: the wedge join's fanout is <= C(K,2) per node by the graph
+    construction — linear in |V| at any corpus size; the closure probe
+    is one equi-join against the (a < b) edge list.
+
+    No reference analogue; extends the SURVEY §2 graph family.
+    """
+    edges = _mutual_topk_edges(spark, sf_dir)
+    dirx = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = dirx.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    w1 = dirx.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+    w2 = dirx.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    wedge = w1.join(w2, "v").where(F.col("u") < F.col("w"))
+    tri = (
+        wedge.join(
+            edges.select(F.col("a").alias("u"), F.col("b").alias("w")),
+            ["u", "w"],
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    lcc = (
+        deg.where(F.col("d") >= 2)
+        .join(tri, "v", "left")
+        .na.fill({"t": 0})
+        .select(
+            "v",
+            "t",
+            F.floor(
+                2.0
+                * F.col("t")
+                / (F.col("d") * (F.col("d") - 1))
+                * _LCC_GRID
+                + 0.5
+            )
+            .cast("long")
+            .alias("cc_grid"),
+        )
+    )
+    return lcc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes_deg2"),
+        F.sum("t").cast("long").alias("n_closed_wedges"),
+        quant(
+            F.sum("cc_grid").cast("double") / _LCC_GRID / F.count(F.lit(1)),
+            6,
+        ).alias("mean_local_cc"),
+        F.sum((F.col("t") == 0).cast("long"))
+        .cast("long")
+        .alias("n_open_nodes"),
+    )

@@ -1057,3 +1057,287 @@ def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9: vector-to-centroid triplet-margin audit
+# ---------------------------------------------------------------------------
+
+#: Triplet margin threshold (cosine units) and the margin snap grid.
+_TRIPLET_MARGIN = 0.2
+_TRIPLET_GRID = 1_000_000_000
+
+
+@register(
+    "embedding_triplet_margin",
+    oracle=f"""
+WITH comp AS (
+  SELECT vec_id, label, g.dim AS dim,
+         CAST(floor(CAST(embedding[g.dim] AS DOUBLE) * {_CENT_GRID} + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS dim) g
+), cent AS (
+  SELECT label, dim, CAST(SUM(q) AS BIGINT) AS s
+  FROM comp GROUP BY label, dim
+), cnorm AS (
+  SELECT label, CAST(SUM(s * s) AS BIGINT) AS cn FROM cent GROUP BY label
+), vnorm AS (
+  SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS vn FROM comp GROUP BY vec_id
+), dots AS (
+  SELECT c.vec_id, c.label AS vlabel, k.label AS clabel,
+         CAST(SUM(c.q * k.s) AS BIGINT) AS dot
+  FROM comp c JOIN cent k ON c.dim = k.dim
+  GROUP BY c.vec_id, c.label, k.label
+), coss AS (
+  SELECT d.vec_id, d.vlabel, d.clabel,
+         {quant_sql(
+             "CAST(d.dot AS DOUBLE) / sqrt(CAST(v.vn AS DOUBLE))"
+             " / sqrt(CAST(n.cn AS DOUBLE))", 9)} AS cq
+  FROM dots d JOIN vnorm v ON v.vec_id = d.vec_id
+  JOIN cnorm n ON n.label = d.clabel
+), margins AS (
+  SELECT vec_id, vlabel AS label,
+         MAX(CASE WHEN clabel = vlabel THEN cq END)
+           - MAX(CASE WHEN clabel <> vlabel THEN cq END) AS margin
+  FROM coss GROUP BY vec_id, vlabel
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       {quant_sql(
+           f"CAST(SUM(CAST(floor(margin * {_TRIPLET_GRID} + 0.5) AS BIGINT))"
+           f" AS DOUBLE) / {_TRIPLET_GRID} / COUNT(*)", 6)} AS mean_margin,
+       {quant_sql("MIN(margin)", 6)} AS min_margin,
+       CAST(SUM(CASE WHEN margin < {_TRIPLET_MARGIN} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations,
+       {quant_sql(
+           f"CAST(SUM(CASE WHEN margin < {_TRIPLET_MARGIN} THEN 1 ELSE 0 END)"
+           " AS DOUBLE) / COUNT(*)", 6)} AS violation_rate
+FROM margins
+GROUP BY label
+ORDER BY label
+""",
+)
+def embedding_triplet_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-to-centroid triplet-margin audit: for every vector,
+    margin = cos(v, own-label centroid) - max cos(v, other centroid),
+    rolled up per label as mean/min margin and the share of vectors
+    violating a 0.2 margin. This is the number a contrastive fine-tune
+    or nearest-centroid router reads BEFORE training: a label whose
+    vectors sit closer to a foreign centroid than their own (negative
+    margin) will not survive margin-loss training, and
+    ``label_centroid_cosine``'s centroid-pair confusability can't see
+    it (centroids may be separated while member vectors still leak).
+
+    Exact-integer path (the ``label_centroid_cosine`` discipline):
+    components snap to the 1e-4 grid at the scan; per-(label, dim)
+    centroid SUMS, per-vector norms and every vector-centroid dot are
+    exact BIGINTs (cosine's scale invariance lets the sums stand in
+    for means); each cosine is ONE quantized expression of integers;
+    margins difference two quantized doubles, then snap to the 1e-9
+    grid before the per-label mean (order-free BIGINT sum); MIN/MAX
+    are order-free by nature.
+
+    Plan: one posexplode pass keyed (vec, dim) / (label, dim); the
+    vector-x-centroid dot aggregation keys (vec, label) with L = 10
+    labels — |V| x L x d rows through ONE partial-agg shuffle, linear
+    in the corpus, never vector-pairwise.
+
+    No reference analogue; extends the SURVEY §2 similarity/ANN family.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select(
+            "vec_id",
+            "label",
+            F.posexplode("embedding").alias("dim0", "x"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            (F.col("dim0") + 1).alias("dim"),
+            F.floor(F.col("x").cast("double") * _CENT_GRID + 0.5)
+            .cast("long")
+            .alias("q"),
+        )
+        .localCheckpoint(eager=False)  # feeds cent, vnorm and dots
+    )
+    cent = comp.groupBy("label", "dim").agg(
+        F.sum("q").cast("long").alias("s")
+    ).localCheckpoint(eager=False)
+    cnorm = cent.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("cn")
+    )
+    vnorm = comp.groupBy("vec_id").agg(
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("vn")
+    )
+    dots = (
+        comp.join(
+            F.broadcast(
+                cent.select(
+                    F.col("label").alias("clabel"), "dim", "s"
+                )
+            ),
+            "dim",
+        )
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(F.col("q") * F.col("s")).cast("long").alias("dot"))
+    )
+    coss = (
+        dots.join(vnorm, "vec_id")
+        .join(
+            F.broadcast(cnorm.select(F.col("label").alias("clabel"), "cn")),
+            "clabel",
+        )
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            quant(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("vn").cast("double"))
+                / F.sqrt(F.col("cn").cast("double")),
+                9,
+            ).alias("cq"),
+        )
+    )
+    margins = coss.groupBy("vec_id", "label").agg(
+        (
+            F.max(F.when(F.col("clabel") == F.col("label"), F.col("cq")))
+            - F.max(F.when(F.col("clabel") != F.col("label"), F.col("cq")))
+        ).alias("margin")
+    )
+    return (
+        margins.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            quant(
+                F.sum(
+                    F.floor(F.col("margin") * _TRIPLET_GRID + 0.5).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / _TRIPLET_GRID
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_margin"),
+            quant(F.min("margin"), 6).alias("min_margin"),
+            F.sum((F.col("margin") < _TRIPLET_MARGIN).cast("long"))
+            .cast("long")
+            .alias("n_violations"),
+            quant(
+                F.sum((F.col("margin") < _TRIPLET_MARGIN).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("violation_rate"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9: index load-balance audit (LSH buckets + IVF lists)
+# ---------------------------------------------------------------------------
+
+_BALANCE_SIZES_SQL = """
+SELECT method, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(sz) AS BIGINT) AS n_vecs,
+       CAST(MAX(sz) AS BIGINT) AS max_size,
+       CAST(SUM(sz * sz) AS BIGINT) AS sumsq
+FROM sizes GROUP BY method
+"""
+
+
+@register(
+    "ann_index_balance_audit",
+    oracle=f"""
+WITH sizes AS (
+  SELECT 'lsh' AS method, {_bucket_sql("embedding")} AS part,
+         CAST(COUNT(*) AS BIGINT) AS sz
+  FROM embeddings GROUP BY part
+  UNION ALL
+  SELECT 'ivf', {_ivf_assign_sql("embedding")} AS part,
+         CAST(COUNT(*) AS BIGINT) AS sz
+  FROM embeddings GROUP BY part
+), agg AS ({_BALANCE_SIZES_SQL})
+SELECT method, n_parts, n_vecs, max_size,
+       {quant_sql("CAST(n_vecs AS DOUBLE) / n_parts", 6)} AS mean_size,
+       {quant_sql(
+           "CAST(max_size AS DOUBLE) * n_parts / n_vecs", 6)} AS imbalance,
+       {quant_sql(
+           "sqrt((CAST(sumsq AS DOUBLE) - CAST(n_vecs AS DOUBLE) * n_vecs"
+           " / n_parts) / (n_parts - 1))"
+           " / (CAST(n_vecs AS DOUBLE) / n_parts)", 6)} AS cv
+FROM agg
+ORDER BY method
+""",
+)
+def ann_index_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-balance audit of BOTH ANN index layouts — the LSH bucket
+    table and the IVF inverted lists — as partition-size statistics:
+    max/mean imbalance (the straggler factor: a probe that lands in
+    the biggest bucket does `imbalance` times the mean work) and the
+    coefficient of variation. THE operational metric for an ANN index
+    at scale: recall audits (``lsh_recall_audit`` / ``ann_ndcg_audit``)
+    say whether the index is accurate, this says whether it is
+    SERVABLE — a skewed layout hot-spots one executor however good the
+    recall is, the same pathology ``events_hot_key_profile`` tracks on
+    the fact table, measured here on the index the similarity family
+    actually builds (same ``_bucketed_frame`` / ``_assigned_frame``
+    geometry by construction).
+
+    Determinism: partition sizes and their first two power sums are
+    exact BIGINTs; all three ratios are one quantized expression each.
+
+    Plan: two map-side-combined rollups over the memoized index
+    frames (the per-partition size table IS the index metadata at
+    100 TB), then a 2-row fold. No window, no join.
+
+    No reference analogue; extends the SURVEY §2 similarity/ANN family.
+    """
+    lsh = (
+        _bucketed_frame(spark, sf_dir)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+        .select(F.lit("lsh").alias("method"), F.col("sz"))
+    )
+    ivf = (
+        _assigned_frame(spark, sf_dir)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+        .select(F.lit("ivf").alias("method"), F.col("sz"))
+    )
+    agg = (
+        lsh.unionByName(ivf)
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("sz").cast("long").alias("n_vecs"),
+            F.max("sz").cast("long").alias("max_size"),
+            F.sum(F.col("sz") * F.col("sz")).cast("long").alias("sumsq"),
+        )
+    )
+    n_parts, n_vecs = F.col("n_parts"), F.col("n_vecs")
+    mean = n_vecs.cast("double") / n_parts
+    return agg.select(
+        "method",
+        "n_parts",
+        "n_vecs",
+        "max_size",
+        quant(mean, 6).alias("mean_size"),
+        quant(F.col("max_size").cast("double") * n_parts / n_vecs, 6).alias(
+            "imbalance"
+        ),
+        quant(
+            F.sqrt(
+                (
+                    F.col("sumsq").cast("double")
+                    - n_vecs.cast("double") * n_vecs / n_parts
+                )
+                / (n_parts - 1)
+            )
+            / mean,
+            6,
+        ).alias("cv"),
+    ).orderBy("method")

@@ -153,6 +153,10 @@ _PRIORITY = (
     "lineitem_logit_fisher_step",    # closed-form GLM step + log-loss
     "customer_order_gap_geomfit",    # geometric MLE + chi-square GOF
     "embedding_mahalanobis_outliers",  # per-label diag-cov outliers
+    "embedding_triplet_margin",      # vector-to-centroid margin audit
+    "ann_index_balance_audit",       # LSH/IVF partition-size skew
+    "graph_degree_assortativity",    # endpoint-degree Pearson r
+    "supplier_local_clustering",     # Watts-Strogatz mean local CC
 )
 
 def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:

@@ -5018,3 +5018,152 @@ def embedding_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("label", F.desc("dist_sq"), "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 batch 4: Markov stationary distribution (unrolled power iteration)
+# ---------------------------------------------------------------------------
+
+#: Stationary-distribution rounds and the per-round snap scale (the
+#: pagerank per-iteration discipline).
+_STAT_ROUNDS = 3
+
+_STAT_TRANS_SQL = """
+trans AS MATERIALIZED (
+  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (
+    SELECT event_type AS cur,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+    FROM events) s
+  WHERE nxt IS NOT NULL
+  GROUP BY cur, nxt
+), rowsum AS (SELECT cur, CAST(SUM(c) AS BIGINT) AS tot FROM trans GROUP BY cur),
+states AS (SELECT cur AS st FROM rowsum),
+ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM states)
+"""
+
+
+def _stat_iter_sql(prev: str, cur: str, materialized: bool = False) -> str:
+    from hadoop_cs4225_spark.functions.numeric import quant_sql as _q
+
+    return f"""
+{cur} AS {"MATERIALIZED " if materialized else ""}(
+  SELECT t.nxt AS st,
+         {_q("SUM(p.p * t.c / r.tot)", 12)} AS p
+  FROM trans t JOIN {prev} p ON p.st = t.cur
+  JOIN rowsum r ON r.cur = t.cur
+  GROUP BY t.nxt
+)"""
+
+
+@register(
+    "events_markov_stationary",
+    oracle=f"""
+WITH {_STAT_TRANS_SQL},
+pi0 AS (SELECT st, 1.0 / (SELECT k FROM ns) AS p FROM states)
+,{_stat_iter_sql("pi0", "pi1")}
+,{_stat_iter_sql("pi1", "pi2", materialized=True)}
+,{_stat_iter_sql("pi2", "pi3", materialized=True)}
+, emp AS (
+  SELECT event_type AS st, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY st
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM emp)
+, delta AS MATERIALIZED (
+  SELECT pi3.st, pi3.p, abs(pi3.p - pi2.p) AS dv
+  FROM pi3 JOIN pi2 ON pi3.st = pi2.st
+), resid AS (
+  SELECT CAST(SUM(CAST(floor(dv * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS sgrid
+  FROM delta
+)
+SELECT d.st AS event_type,
+       {quant_sql("d.p", 9)} AS stationary_p,
+       {quant_sql("CAST(e.n AS DOUBLE) / t.nt", 9)} AS empirical_p,
+       {quant_sql("d.p - CAST(e.n AS DOUBLE) / t.nt", 9)} AS gap,
+       {quant_sql("CAST(r.sgrid AS DOUBLE) / 1e12", 9)} AS l1_residual
+FROM delta d JOIN emp e ON e.st = d.st
+CROSS JOIN tot t CROSS JOIN resid r
+ORDER BY event_type
+""",
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the next-event Markov chain by three
+    unrolled power-iteration rounds from uniform, reported against the
+    EMPIRICAL event-type frequencies. If user behavior were
+    well-modeled by the first-order chain the two agree (``gap`` ~ 0);
+    a persistent gap localizes WHERE the chain's memorylessness breaks
+    (the distribution-level counterpart of the per-transition
+    ``markov_next_event_accuracy``). Shares the session-memoized
+    transition counts, so the per-user LEAD window runs once.
+
+    Determinism: per-round probabilities snap to the 1e-12 grid (the
+    pagerank per-iteration discipline — both engines re-enter each
+    round with identical doubles); the convergence ``l1_residual``
+    (sum |pi3 - pi2|, per-state snap then BIGINT sum) makes the fixed
+    unroll honest, matching this round's graph-iteration columns.
+
+    Plan: the chain has one state per event type, so every iteration
+    is a |types|^2-row fold — the heavy lifting (the LEAD window) is
+    one partitioned pass, memoized. Scale-free by construction.
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    trans = _transition_counts(spark, sf_dir)
+    rowsum = trans.groupBy("cur").agg(F.sum("c").cast("long").alias("tot"))
+    states = rowsum.select(F.col("cur").alias("st"))
+    ns = F.broadcast(
+        states.agg(F.count(F.lit(1)).cast("double").alias("k"))
+    )
+    pi = states.crossJoin(ns).select(
+        "st", (F.lit(1.0) / F.col("k")).alias("p")
+    )
+    tp = trans.join(rowsum, "cur").select(
+        "cur", "nxt", (F.col("c") / F.col("tot")).alias("pr")
+    )
+    prev = None
+    for i in range(_STAT_ROUNDS):
+        pi = (
+            tp.join(pi, tp.cur == pi.st)
+            .groupBy("nxt")
+            .agg(quant(F.sum(F.col("p") * F.col("pr")), 12).alias("p"))
+            .select(F.col("nxt").alias("st"), "p")
+        )
+        if i >= _STAT_ROUNDS - 2:
+            pi = pi.localCheckpoint(eager=False)
+        if i == _STAT_ROUNDS - 2:
+            prev = pi
+    delta = pi.join(
+        prev.select("st", F.col("p").alias("p_prev")), "st"
+    ).select("st", "p", F.abs(F.col("p") - F.col("p_prev")).alias("dv"))
+    resid = F.broadcast(
+        delta.agg(
+            F.sum(F.floor(F.col("dv") * 1e12 + 0.5).cast("long"))
+            .cast("long")
+            .alias("sgrid")
+        )
+    )
+    emp = (
+        load_events(spark, sf_dir)
+        .groupBy(F.col("event_type").alias("st"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = F.broadcast(emp.agg(F.sum("n").cast("long").alias("nt")))
+    return (
+        delta.join(emp, "st")
+        .crossJoin(tot)
+        .crossJoin(resid)
+        .select(
+            F.col("st").alias("event_type"),
+            quant("p", 9).alias("stationary_p"),
+            quant(F.col("n").cast("double") / F.col("nt"), 9).alias(
+                "empirical_p"
+            ),
+            quant(
+                F.col("p") - F.col("n").cast("double") / F.col("nt"), 9
+            ).alias("gap"),
+            quant(F.col("sgrid").cast("double") / 1e12, 9).alias(
+                "l1_residual"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -857,3 +857,146 @@ def kmv_distinct_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err"
         ),
     ).orderBy("scope")
+
+
+#: Count-Sketch geometry (same d x w as the CMS for a like-for-like
+#: audit) and the seed namespace (distinct from the CMS rows so the
+#: two sketches never share hash functions).
+_CSK_D = 3
+_CSK_W = 256
+_CSK_SEED0 = 10
+
+
+def _csk_audit_oracle() -> str:
+    from hadoop_cs4225_spark.functions.hashing import hash60_seeded_sql
+    from hadoop_cs4225_spark.functions.numeric import quant_sql
+
+    def h(seed: int) -> str:
+        return hash60_seeded_sql("CAST(user_id AS VARCHAR)", seed)
+
+    rows = "\nUNION ALL\n".join(
+        f"SELECT user_id, xc, {d} AS d,"
+        f" ({h(_CSK_SEED0 + d)} % {_CSK_W}) AS bucket,"
+        f" (1 - 2 * (({h(_CSK_SEED0 + d)} // {_CSK_W}) % 2)) AS sign"
+        " FROM exact"
+        for d in range(1, _CSK_D + 1)
+    )
+    return f"""
+WITH exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS xc
+  FROM events GROUP BY user_id
+), ud AS (
+{rows}
+), cells AS (
+  SELECT d, bucket, CAST(SUM(sign * xc) AS BIGINT) AS cell
+  FROM ud GROUP BY d, bucket
+), est3 AS (
+  SELECT u.user_id, ANY_VALUE(u.xc) AS xc,
+         CAST(SUM(u.sign * c.cell) AS BIGINT) AS s,
+         CAST(MAX(u.sign * c.cell) AS BIGINT) AS mx,
+         CAST(MIN(u.sign * c.cell) AS BIGINT) AS mn
+  FROM ud u JOIN cells c ON c.d = u.d AND c.bucket = u.bucket
+  GROUP BY u.user_id
+), est AS (
+  SELECT user_id, xc, s - mx - mn AS est FROM est3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN est = xc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact,
+       {quant_sql(
+           "SUM(CASE WHEN est = xc THEN 1 ELSE 0 END) * 1.0 / COUNT(*)",
+           6)} AS pct_exact,
+       CAST(MAX(abs(est - xc)) AS BIGINT) AS max_abs_err,
+       {quant_sql("SUM(abs(est - xc)) * 1.0 / COUNT(*)", 6)} AS avg_abs_err,
+       {quant_sql("SUM(est - xc) * 1.0 / COUNT(*)", 6)} AS avg_signed_err
+FROM est
+"""
+
+
+@register("user_freq_countsketch_audit", oracle=_csk_audit_oracle())
+def user_freq_countsketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Sketch (d=3 signed hash rows x w=256 buckets, median-of-3
+    estimate) over per-user event counts, audited against the exact
+    counts. The UNBIASED counterpart of ``user_freq_cms_audit``: CMS
+    collisions only ever ADD (one-sided overestimate), while
+    Count-Sketch's random signs cancel collisions in expectation — the
+    audit shows it (``avg_signed_err`` ~ 0 where the CMS's
+    ``avg_overestimate`` is strictly positive) at the price of
+    two-sided noise (``max_abs_err``). The pair is the textbook
+    bias/variance trade a pipeline reads before picking its frequency
+    sketch.
+
+    Determinism: everything is exact BIGINT arithmetic — md5-derived
+    buckets and signs, integer cells, and the median of three integers
+    computed order-free as sum - max - min.
+
+    Plan: sketch build is d map-side-combined aggregates over the
+    per-user rollup (d*w = 768 cells at any scale); the audit joins
+    users to cells on (d, bucket) — broadcastable, never quadratic. At
+    100 TB the 768-cell table IS the sketch you ship; the exact side
+    exists only to measure it.
+
+    No reference analogue; extends the SURVEY §2 sketch family.
+    """
+    from hadoop_cs4225_spark.functions.hashing import hash60_seeded
+    from hadoop_cs4225_spark.functions.numeric import quant
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("xc"))
+        .localCheckpoint(eager=False)  # feeds the d sketch rows + audit
+    )
+    uds = []
+    for d in range(1, _CSK_D + 1):
+        h = hash60_seeded(
+            F.col("user_id").cast("string"), _CSK_SEED0 + d
+        )
+        uds.append(
+            exact.select(
+                "user_id",
+                "xc",
+                F.lit(d).alias("d"),
+                (h % _CSK_W).alias("bucket"),
+                # sign bit = (h // w) % 2, computed as a SHIFT so the
+                # 60-bit hash never passes through a double (w = 2^8)
+                (1 - 2 * F.shiftright(h, 8).bitwiseAND(F.lit(1))).alias(
+                    "sign"
+                ),
+            )
+        )
+    ud = uds[0]
+    for u in uds[1:]:
+        ud = ud.unionByName(u)
+    ud = ud.localCheckpoint(eager=False)  # feeds cells + estimates
+    cells = ud.groupBy("d", "bucket").agg(
+        F.sum(F.col("sign") * F.col("xc")).cast("long").alias("cell")
+    )
+    est3 = (
+        ud.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(
+            F.first("xc").alias("xc"),
+            F.sum(F.col("sign") * F.col("cell")).cast("long").alias("s"),
+            F.max(F.col("sign") * F.col("cell")).cast("long").alias("mx"),
+            F.min(F.col("sign") * F.col("cell")).cast("long").alias("mn"),
+        )
+    )
+    est = est3.select(
+        "user_id", "xc", (F.col("s") - F.col("mx") - F.col("mn")).alias("est")
+    )
+    err = F.col("est") - F.col("xc")
+    return est.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum((err == 0).cast("long")).cast("long").alias("n_exact"),
+        quant(
+            F.sum((err == 0).cast("long")) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("pct_exact"),
+        F.max(F.abs(err)).cast("long").alias("max_abs_err"),
+        quant(F.sum(F.abs(err)) * 1.0 / F.count(F.lit(1)), 6).alias(
+            "avg_abs_err"
+        ),
+        quant(F.sum(err) * 1.0 / F.count(F.lit(1)), 6).alias(
+            "avg_signed_err"
+        ),
+    )

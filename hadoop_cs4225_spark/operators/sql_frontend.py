@@ -414,3 +414,51 @@ def orders_sql_script_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.scripting.enabled", prev)
         spark.catalog.dropTempView("script_monthly")
+
+
+#: Rank-limit top-n per priority (DuckDB expresses it as QUALIFY).
+_QUALIFY_TOPN = 3
+
+
+@register(
+    "orders_window_group_limit_topn",
+    oracle=f"""
+SELECT o_orderpriority, o_orderkey, o_totalprice
+FROM orders
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey)
+        <= {_QUALIFY_TOPN}
+ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
+""",
+)
+def orders_window_group_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per priority through the rank-filter idiom, pinned
+    to Spark's ``WindowGroupLimit`` physical rewrite: a filter on
+    ROW_NUMBER() <= k over a partitioned window is recognized by
+    Catalyst (InferWindowGroupLimit) and each map task pre-prunes to
+    its local top-k BEFORE the shuffle — the window-function twin of
+    TakeOrderedAndProject, and the difference between shuffling k rows
+    per (task, priority) and shuffling the whole fact table at 100 TB
+    (tests/test_plans.py asserts the node is present). OSS Spark 4.1
+    has no QUALIFY clause, so the surface syntax is the subquery form;
+    the DuckDB oracle states the IDENTICAL semantics as QUALIFY —
+    documenting both spellings of the same relational operation.
+
+    Determinism: the rank's (totalprice DESC, orderkey) order is total.
+
+    SQL-frontend family; no reference analogue (SURVEY §2 frontends).
+    """
+    _view(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, o_orderkey, o_totalprice
+        FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey)
+                   AS rk
+          FROM orders
+        ) WHERE rk <= {_QUALIFY_TOPN}
+        ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
+        """
+    )

@@ -157,6 +157,9 @@ _PRIORITY = (
     "ann_index_balance_audit",       # LSH/IVF partition-size skew
     "graph_degree_assortativity",    # endpoint-degree Pearson r
     "supplier_local_clustering",     # Watts-Strogatz mean local CC
+    "events_markov_stationary",      # unrolled power iteration + residual
+    "user_freq_countsketch_audit",   # signed median-of-3 sketch audit
+    "orders_window_group_limit_topn",  # rank-limit pushdown top-n
 )
 
 def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:

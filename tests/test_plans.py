@@ -697,3 +697,17 @@ def test_multires_rollup_single_scan_cascade(spark):
     # each physical scan prints one Location line (the tree line and its
     # numbered detail block would double-count "Scan parquet")
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_window_group_limit_pushdown(spark):
+    """The rank-filter idiom must lower to WindowGroupLimit so each map
+    task pre-prunes to its local top-k before the shuffle — the whole
+    point of orders_window_group_limit_topn."""
+    from hadoop_cs4225_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["orders_window_group_limit_topn"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]

@@ -112,3 +112,41 @@ def test_avro_connector_gate(spark):
         )
     back = spark.read.format("avro").load("/tmp/_avro_gate")
     assert back.count() == 3
+
+
+def test_markov_stationary_mass_and_residual(spark):
+    rows = _rows(spark, "events_markov_stationary")
+    assert len(rows) == 5
+    mass = sum(r.stationary_p for r in rows)
+    emp = sum(r.empirical_p for r in rows)
+    assert abs(mass - 1.0) < 1e-6  # no leaked probability mass
+    assert abs(emp - 1.0) < 1e-6
+    for r in rows:
+        assert 0.0 < r.stationary_p < 1.0
+        assert abs(r.gap - (r.stationary_p - r.empirical_p)) < 1e-6
+        assert r.l1_residual == rows[0].l1_residual
+    # uniform-ish event generator: three rounds should be essentially
+    # converged on a 5-state well-mixed chain
+    assert rows[0].l1_residual < 0.05
+
+
+def test_countsketch_unbiased_vs_cms_onesided(spark):
+    """The whole point of the pair: CMS errs one-sided, Count-Sketch is
+    near-unbiased (signed errors cancel)."""
+    [cs] = _rows(spark, "user_freq_countsketch_audit")
+    [cms] = _rows(spark, "user_freq_cms_audit")
+    assert cs.n_users == cms.n_users
+    assert cms.avg_overestimate >= 0.0
+    assert abs(cs.avg_signed_err) <= max(1.0, cs.avg_abs_err)
+    assert cs.max_abs_err >= 0
+    assert 0.0 <= cs.pct_exact <= 1.0
+
+
+def test_window_group_limit_rows(spark):
+    rows = _rows(spark, "orders_window_group_limit_topn")
+    by_p = {}
+    for r in rows:
+        by_p.setdefault(r.o_orderpriority, []).append(r.o_totalprice)
+    for p, vals in by_p.items():
+        assert len(vals) <= 3
+        assert vals == sorted(vals, reverse=True)

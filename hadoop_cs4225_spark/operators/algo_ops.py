@@ -5167,3 +5167,270 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 batch 5: weighted quantiles + rescaled-range (Hurst) analysis
+# ---------------------------------------------------------------------------
+
+#: Weighted-decile geometry: unit prices snap to exact cents; the
+#: cumulative walks the VALUE-DOMAIN-bounded cents histogram, never
+#: corpus rows.
+_WQ_DECILES = 9
+
+
+@register(
+    "lineitem_weighted_quantiles",
+    oracle=f"""
+WITH h AS (
+  SELECT CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT)
+           AS cents,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY cents
+), tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM h),
+cum AS (
+  SELECT cents, SUM(w) OVER (ORDER BY cents) AS cw FROM h
+), grid AS (
+  SELECT CAST(unnest(range(1, {_WQ_DECILES + 1})) AS BIGINT) AS q
+), pick AS (
+  SELECT g.q, MIN(c.cents) AS cents
+  FROM grid g CROSS JOIN tot t JOIN cum c
+    ON c.cw >= (g.q * t.tw + 9) // 10
+  GROUP BY g.q
+)
+SELECT p.q AS decile,
+       {quant_sql("p.cents / 100.0", 2)} AS unit_price,
+       t.tw AS total_weight
+FROM pick p CROSS JOIN tot t
+ORDER BY decile
+""",
+)
+def lineitem_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTITY-WEIGHTED deciles of the unit price — the order
+    statistic where each row counts its physical volume, answering "at
+    what price does the p-th percentile UNIT ship" rather than the
+    p-th percentile line (``order_value_percentiles`` weights rows
+    equally; a 50-unit line and a 1-unit line are very different
+    price evidence). Weighted quantiles are the missing member of the
+    percentile family and the shape every weighted-sampling curriculum
+    cut reuses.
+
+    Exactness: unit price snaps to exact cents at the scan (identical
+    floor in both engines); the histogram's weights are exact BIGINTs;
+    the decile pick is an integer-rank walk (ceil(q*W/10) in pure
+    integer arithmetic) over the cumulative — no float enters until
+    the final /100 display division.
+
+    Scale: ONE map-side-combined histogram shuffle (domain-bounded:
+    cents of the unit-price domain, not corpus rows); the cumulative
+    window runs over that bounded histogram (allowlisted); the
+    grid join is 9 x |histogram| range-bounded.
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (
+        li.select(
+            F.floor(
+                F.col("l_extendedprice") / F.col("l_quantity") * 100 + 0.5
+            )
+            .cast("long")
+            .alias("cents"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("cents")
+        .agg(F.sum("q").cast("long").alias("w"))
+        .localCheckpoint(eager=False)  # feeds total + cumulative
+    )
+    tot = F.broadcast(h.agg(F.sum("w").cast("long").alias("tw")))
+    cum = h.select(
+        "cents",
+        F.sum("w")
+        .over(
+            Window.orderBy("cents").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cw"),
+    )
+    grid = spark.range(1, _WQ_DECILES + 1).select(
+        F.col("id").cast("long").alias("q")
+    )
+    pick = (
+        grid.crossJoin(tot)
+        .join(
+            cum,
+            F.col("cw") >= F.expr("(q * tw + 9) DIV 10"),
+        )
+        .groupBy("q")
+        .agg(F.min("cents").alias("cents"))
+    )
+    return (
+        pick.crossJoin(tot)
+        .select(
+            F.col("q").alias("decile"),
+            quant(F.col("cents") / 100.0, 2).alias("unit_price"),
+            F.col("tw").alias("total_weight"),
+        )
+        .orderBy("decile")
+    )
+
+
+#: Rescaled-range windows (powers of two so the log-log slope needs NO
+#: reassociating sum: equally spaced ln(m) makes the 3-point OLS slope
+#: collapse to (y_last - y_first) / (2 ln 2)). Per-block R/S values
+#: snap to this grid before averaging.
+_HURST_MS = (8, 16, 32)
+_HURST_GRID = 1_000_000_000
+
+
+@register(
+    "orders_hurst_rs",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM orders GROUP BY day
+), idxd AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY day) AS idx FROM daily
+), blocks AS (
+  SELECT m.m, (idx - 1) // m.m AS blk, idx, x
+  FROM idxd, (SELECT unnest([{", ".join(str(m) for m in _HURST_MS)}]) AS m) m
+), walked AS (
+  SELECT m, blk, x,
+         SUM(x) OVER (PARTITION BY m, blk ORDER BY idx
+                      ROWS UNBOUNDED PRECEDING) AS cumx,
+         ROW_NUMBER() OVER (PARTITION BY m, blk ORDER BY idx) AS i,
+         SUM(x) OVER (PARTITION BY m, blk) AS sx,
+         COUNT(*) OVER (PARTITION BY m, blk) AS nb
+  FROM blocks
+), per_block AS (
+  SELECT m, blk,
+         MAX(m * cumx - i * sx) - MIN(m * cumx - i * sx) AS r_m,
+         SUM(x * x) AS ssq, ANY_VALUE(sx) AS sx
+  FROM walked WHERE nb = m
+  GROUP BY m, blk
+), rs AS (
+  SELECT m, blk,
+         CAST(floor(r_m / sqrt(CAST(m * ssq - sx * sx AS DOUBLE))
+                    * {_HURST_GRID} + 0.5) AS BIGINT) AS rs_grid
+  FROM per_block WHERE m * ssq - sx * sx > 0
+), agg AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         {quant_sql(
+             f"CAST(SUM(rs_grid) AS DOUBLE) / {_HURST_GRID} / COUNT(*)",
+             9)} AS mean_rs
+  FROM rs GROUP BY m
+), hurst AS (
+  SELECT {quant_sql(
+      f"(ln((SELECT mean_rs FROM agg WHERE m = {_HURST_MS[-1]}))"
+      f" - ln((SELECT mean_rs FROM agg WHERE m = {_HURST_MS[0]})))"
+      " / (2 * ln(2))", 6)} AS h
+)
+SELECT CAST(a.m AS BIGINT) AS window_days, a.n_blocks, a.mean_rs,
+       h.h AS hurst_exponent
+FROM agg a CROSS JOIN hurst h
+ORDER BY window_days
+""",
+)
+def orders_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescaled-range (R/S) analysis of the daily order-count series:
+    for windows of 8/16/32 consecutive trading days, the mean ratio of
+    the demeaned cumulative walk's range to the window's stddev, and
+    the Hurst exponent from the log-log slope. H ~ 0.5 is memoryless
+    arrivals; H > 0.5 means demand shocks PERSIST across days (trends
+    cluster) — the long-memory diagnostic that tells you whether the
+    Poisson independence the overdispersion test
+    (``orders_negbin_overdispersion``) already questioned fails in an
+    autocorrelated way (complementing ``events_count_acf``'s short-lag
+    view with multi-scale behavior).
+
+    Exactness: inside each block the demeaned cumulative walk is
+    scaled by m to stay INTEGER (m*cum - i*sum), so R_m and the
+    variance radicand m*ssq - sum^2 are exact BIGINTs; each block's
+    R/S is floor-snapped to the 1e-9 grid, block means are order-free
+    BIGINT sums, and powers-of-two windows make ln(m) equally spaced
+    so the slope is (ln y_32 - ln y_8) / (2 ln 2) — no reassociating
+    regression sum at all.
+
+    Scale: the day index is a CALENDAR-bounded window (allowlisted);
+    everything after operates per (window, block) partitions of <= 32
+    rows. One scan, one bounded sort.
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    idxd = daily.select(
+        "x", F.row_number().over(Window.orderBy("day")).alias("idx")
+    )
+    ms = spark.createDataFrame([(m,) for m in _HURST_MS], "m long")
+    blocks = idxd.crossJoin(F.broadcast(ms)).select(
+        "m", F.expr("(idx - 1) DIV m").alias("blk"), "idx", "x"
+    )
+    wb = Window.partitionBy("m", "blk")
+    wo = wb.orderBy("idx")
+    walked = blocks.select(
+        "m",
+        "blk",
+        "x",
+        F.sum("x")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cumx"),
+        F.row_number().over(wo).alias("i"),
+        F.sum("x").over(wb).alias("sx"),
+        F.count(F.lit(1)).over(wb).alias("nb"),
+    )
+    walk = F.col("m") * F.col("cumx") - F.col("i") * F.col("sx")
+    per_block = (
+        walked.where(F.col("nb") == F.col("m"))
+        .groupBy("m", "blk")
+        .agg(
+            (F.max(walk) - F.min(walk)).alias("r_m"),
+            F.sum(F.col("x") * F.col("x")).alias("ssq"),
+            F.first("sx").alias("sx"),
+        )
+    )
+    radicand = F.col("m") * F.col("ssq") - F.col("sx") * F.col("sx")
+    rs = per_block.where(radicand > 0).select(
+        "m",
+        F.floor(
+            F.col("r_m") / F.sqrt(radicand.cast("double")) * _HURST_GRID
+            + 0.5
+        )
+        .cast("long")
+        .alias("rs_grid"),
+    )
+    agg = rs.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        quant(
+            F.sum("rs_grid").cast("double") / _HURST_GRID / F.count(F.lit(1)),
+            9,
+        ).alias("mean_rs"),
+    ).localCheckpoint(eager=False)  # feeds output rows + the slope
+    lo = agg.where(F.col("m") == _HURST_MS[0]).select(
+        F.col("mean_rs").alias("rs_lo")
+    )
+    hi = agg.where(F.col("m") == _HURST_MS[-1]).select(
+        F.col("mean_rs").alias("rs_hi")
+    )
+    hurst = F.broadcast(
+        lo.crossJoin(hi).select(
+            quant(
+                (F.log("rs_hi") - F.log("rs_lo"))
+                / (2 * F.log(F.lit(2.0))),
+                6,
+            ).alias("h")
+        )
+    )
+    return (
+        agg.crossJoin(hurst)
+        .select(
+            F.col("m").cast("long").alias("window_days"),
+            "n_blocks",
+            "mean_rs",
+            F.col("h").alias("hurst_exponent"),
+        )
+        .orderBy("window_days")
+    )

@@ -1566,3 +1566,158 @@ def dedup_methods_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lsh_recall_on_exact"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9: LSH banding planner (S-curve + measured collision cost)
+# ---------------------------------------------------------------------------
+
+#: Candidate (bands x rows) configurations of the 4-permutation
+#: signature, and the S-curve probe points. The planner pairs each
+#: config's THEORETICAL sensitivity curve with its MEASURED candidate
+#: volume on this corpus — the two numbers a dedup deployment trades.
+_PLAN_CONFIGS = ((4, 1), (2, 2), (1, 4))
+_PLAN_JS = (0.5, 0.7, 0.9)
+
+
+def _plan_curve(b: int, r: int, j: float) -> float:
+    """P(candidate | jaccard = j) = 1 - (1 - j^r)^b, rounded once so
+    both engines carry the identical literal."""
+    return round(1.0 - (1.0 - j**r) ** b, 6)
+
+
+def _plan_keys_sql() -> str:
+    parts = []
+    for b, r in _PLAN_CONFIGS:
+        for band in range(b):
+            key = " || '|' || ".join(
+                f"CAST(mh{band * r + i} AS VARCHAR)" for i in range(r)
+            )
+            parts.append(
+                f"SELECT {b} AS b, {r} AS r, {band} AS band, doc_id,"
+                f" {key} AS bkey FROM sigs"
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
+def _plan_consts_sql() -> str:
+    rows = []
+    for b, r in _PLAN_CONFIGS:
+        thr = round((1.0 / b) ** (1.0 / r), 6)
+        ps = ", ".join(
+            f"{_plan_curve(b, r, j)} AS p_at_{str(j).replace('0.', '')}"
+            for j in _PLAN_JS
+        )
+        rows.append(f"SELECT {b} AS b, {r} AS r, {thr} AS threshold, {ps}")
+    return "\nUNION ALL\n".join(rows)
+
+
+@register(
+    "lsh_band_planner",
+    oracle=f"""
+WITH sigs AS ({_minhash_sigs_sql()}
+), keys AS (
+{_plan_keys_sql()}
+), buckets AS (
+  SELECT b, r, band, bkey, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM keys GROUP BY b, r, band, bkey
+), measured AS (
+  SELECT b, r, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS n_candidates
+  FROM buckets GROUP BY b, r
+), consts AS (
+{_plan_consts_sql()}
+)
+SELECT m.b AS bands, m.r AS rows_per_band, m.n_buckets, m.n_candidates,
+       c.threshold, c.p_at_5, c.p_at_7, c.p_at_9
+FROM measured m JOIN consts c ON c.b = m.b AND c.r = m.r
+ORDER BY bands DESC
+""",
+)
+def lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding planner over the 4-permutation MinHash signature:
+    for each (bands x rows) split — (4,1), (2,2), (1,4) — the
+    THEORETICAL S-curve (collision probability at jaccard 0.5/0.7/0.9
+    and the b,r threshold (1/b)^(1/r)) next to the MEASURED candidate
+    volume that banding actually generates on THIS corpus (sum of
+    C(bucket, 2) over its band buckets, with multiplicity). This is
+    the parameter-selection table behind ``minhash_lsh_dup_pairs``'
+    fixed (4,1) choice: more rows per band = higher precision but a
+    blinder curve below the threshold; the planner shows what each
+    choice would cost and catch BEFORE a 100 TB dedup run commits to
+    one.
+
+    Determinism: band keys are exact integer signatures rendered to
+    strings identically in both engines; bucket sizes and pair counts
+    are exact BIGINTs; the curve values are Python-rounded literals
+    injected into BOTH sides, never re-derived in floating point.
+
+    Scale: each config is one groupBy over (band, key) — the same
+    shuffle the production LSH join does, so the measured counts cost
+    what the real pipeline costs, bounded by corpus size x 4 rows.
+
+    No reference analogue; extends the SURVEY §2 dedup family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = signature_frame(docs).localCheckpoint(eager=False)  # 7 readers
+    keyed = []
+    for b, r in _PLAN_CONFIGS:
+        for band in range(b):
+            key = F.concat_ws(
+                "|",
+                *[
+                    F.col(f"mh{band * r + i}").cast("string")
+                    for i in range(r)
+                ],
+            )
+            keyed.append(
+                sigs.select(
+                    F.lit(b).alias("b"),
+                    F.lit(r).alias("r"),
+                    F.lit(band).alias("band"),
+                    key.alias("bkey"),
+                )
+            )
+    keys = keyed[0]
+    for k in keyed[1:]:
+        keys = keys.unionByName(k)
+    measured = (
+        keys.groupBy("b", "r", "band", "bkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+        .groupBy("b", "r")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum(F.expr("sz * (sz - 1) DIV 2")).cast("long").alias(
+                "n_candidates"
+            ),
+        )
+    )
+    consts = spark.createDataFrame(
+        [
+            (
+                b,
+                r,
+                round((1.0 / b) ** (1.0 / r), 6),
+                _plan_curve(b, r, 0.5),
+                _plan_curve(b, r, 0.7),
+                _plan_curve(b, r, 0.9),
+            )
+            for b, r in _PLAN_CONFIGS
+        ],
+        "b int, r int, threshold double, p_at_5 double, p_at_7 double,"
+        " p_at_9 double",
+    )
+    return (
+        measured.join(F.broadcast(consts), ["b", "r"])
+        .select(
+            F.col("b").alias("bands"),
+            F.col("r").alias("rows_per_band"),
+            "n_buckets",
+            "n_candidates",
+            "threshold",
+            "p_at_5",
+            "p_at_7",
+            "p_at_9",
+        )
+        .orderBy(F.desc("bands"))
+    )

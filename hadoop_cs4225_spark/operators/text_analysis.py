@@ -3463,3 +3463,161 @@ def source_segmental_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 batch 5: RAKE keyphrase extraction
+# ---------------------------------------------------------------------------
+
+#: RAKE: phrases are maximal stopword-free token runs (capped at
+#: _RAKE_MAXLEN to bound the fanout; longer runs are boilerplate in
+#: this corpus). Word scores deg/freq snap to the 1e-9 grid so phrase
+#: scores are order-free BIGINT sums.
+_RAKE_MAXLEN = 6
+_RAKE_TOPK = 20
+_RAKE_GRID = 1_000_000_000
+
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+
+
+@register(
+    "doc_rake_keyphrases",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, t.i - 1 AS pos, t.w,
+         CASE WHEN t.w IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END AS is_stop
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) d,
+       LATERAL (SELECT unnest(toks) AS w,
+                       generate_subscripts(toks, 1) AS i) t
+), marked AS (
+  SELECT doc_id, pos, w, is_stop,
+         SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+  FROM tok
+), words AS (
+  SELECT doc_id, pid, pos, w FROM marked WHERE is_stop = 0
+), plen AS (
+  SELECT doc_id, pid, CAST(COUNT(*) AS BIGINT) AS plen,
+         string_agg(w, ' ' ORDER BY pos) AS phrase
+  FROM words GROUP BY doc_id, pid
+  HAVING COUNT(*) <= {_RAKE_MAXLEN}
+), wstats AS (
+  SELECT w.w, CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(p.plen) AS BIGINT) AS deg
+  FROM words w JOIN plen p ON p.doc_id = w.doc_id AND p.pid = w.pid
+  GROUP BY w.w
+), wscore AS (
+  SELECT w, CAST(floor(CAST(deg AS DOUBLE) / freq * {_RAKE_GRID} + 0.5)
+                 AS BIGINT) AS s_grid
+  FROM wstats
+), pscore AS (
+  SELECT p.doc_id, p.pid, ANY_VALUE(p.phrase) AS phrase,
+         CAST(SUM(s.s_grid) AS BIGINT) AS score_grid
+  FROM words w
+  JOIN plen p ON p.doc_id = w.doc_id AND p.pid = w.pid
+  JOIN wscore s ON s.w = w.w
+  GROUP BY p.doc_id, p.pid
+), agg AS (
+  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(MAX(score_grid) AS BIGINT) AS score_grid
+  FROM pscore GROUP BY phrase
+)
+SELECT phrase, n_occurrences,
+       {quant_sql(f"CAST(score_grid AS DOUBLE) / {_RAKE_GRID}", 6)} AS rake_score
+FROM agg
+ORDER BY score_grid DESC, phrase
+LIMIT {_RAKE_TOPK}
+""",
+)
+def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction: phrases are maximal stopword-free
+    token runs; each word scores deg/freq (deg = total length of the
+    phrases it appears in — words that live in LONG collocations score
+    high, words that appear everywhere alone score low) and a phrase
+    scores the sum of its words. The co-occurrence-window-free
+    counterpart of ``textrank_keywords_topk`` — RAKE needs one pass
+    and no graph iteration, which is why extraction pipelines run it
+    first — and the MULTI-WORD unit the unigram scorers
+    (``tfidf_top_terms``) can't produce.
+
+    Determinism: phrase segmentation is an integer prefix-sum of
+    stopword flags (partitioned per doc); phrase text is assembled in
+    explicit pos order on both engines; deg/freq are exact BIGINTs;
+    word scores snap to the 1e-9 grid so phrase scores are order-free
+    BIGINT sums; identical phrases have identical word multisets hence
+    identical scores (MAX = the value), and top-20 ties break on the
+    phrase text.
+
+    Scale: one posexplode pass, a per-doc prefix-sum window (massively
+    parallel), and three (key, phrase-id)-keyed aggregates — all
+    partial-agg shuffles; the cap bounds the per-phrase fanout.
+
+    No reference analogue; extends the SURVEY §2 text-analysis family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(_toks()).alias("pos", "w")
+    ).withColumn(
+        "is_stop",
+        F.col("w").isin(*QUALITY_STOPWORDS).cast("long"),
+    )
+    wmark = Window.partitionBy("doc_id").orderBy("pos")
+    marked = tok.withColumn("pid", F.sum("is_stop").over(wmark))
+    words = marked.where(F.col("is_stop") == 0).select(
+        "doc_id", "pid", "pos", "w"
+    ).localCheckpoint(eager=False)  # feeds plen, wstats and pscore
+    plen = (
+        words.groupBy("doc_id", "pid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("plen"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+        )
+        .where(F.col("plen") <= _RAKE_MAXLEN)
+        .localCheckpoint(eager=False)  # feeds wstats and pscore
+    )
+    wstats = (
+        words.join(plen.select("doc_id", "pid", "plen"), ["doc_id", "pid"])
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+    )
+    wscore = wstats.select(
+        "w",
+        F.floor(
+            F.col("deg").cast("double") / F.col("freq") * _RAKE_GRID + 0.5
+        )
+        .cast("long")
+        .alias("s_grid"),
+    )
+    pscore = (
+        words.join(plen, ["doc_id", "pid"])
+        .join(wscore, "w")
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.first("phrase").alias("phrase"),
+            F.sum("s_grid").cast("long").alias("score_grid"),
+        )
+    )
+    agg = pscore.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.max("score_grid").cast("long").alias("score_grid"),
+    )
+    return (
+        agg.orderBy(F.desc("score_grid"), "phrase")
+        .limit(_RAKE_TOPK)
+        .select(
+            "phrase",
+            "n_occurrences",
+            quant(
+                F.col("score_grid").cast("double") / _RAKE_GRID, 6
+            ).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+    )

@@ -160,6 +160,10 @@ _PRIORITY = (
     "events_markov_stationary",      # unrolled power iteration + residual
     "user_freq_countsketch_audit",   # signed median-of-3 sketch audit
     "orders_window_group_limit_topn",  # rank-limit pushdown top-n
+    "doc_rake_keyphrases",           # stopword-run keyphrase scores
+    "lsh_band_planner",              # S-curve vs measured candidates
+    "lineitem_weighted_quantiles",   # quantity-weighted unit-price deciles
+    "orders_hurst_rs",               # rescaled-range long-memory exponent
 )
 
 def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:

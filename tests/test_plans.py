@@ -302,6 +302,10 @@ _BOUNDED_GLOBAL_WINDOW = {
     "lineitem_decision_stump": 65_536,
     # rank + cumulative over the ALREADY-LIMITed top-10k vocab frame
     "token_coverage_curve": 10_000,
+    # cumulative over the VALUE-DOMAIN-bounded unit-price cents histogram
+    "lineitem_weighted_quantiles": 1_048_576,
+    # day-index row_number over the CALENDAR-bounded daily frame
+    "orders_hurst_rs": 4096,
 }
 
 

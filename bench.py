@@ -37,15 +37,13 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark(app_name="spark-graft-bench")
     queries = registry.get_queries()
-    # Headline = the driver's correctness window: the first 50 queries
-    # in iteration order — registry._PRIORITY first, then (while
-    # _PRIORITY is mid-round short of 50) an auto-fill tail in
-    # registration order. The auto-fill contract is enforced by
-    # tests/test_oracle_parity.py::test_priority_window_integrity
-    # (every tail slot must be a previously-driver-checked green), so
-    # the headline set absorbing registration-order queries is
-    # deliberate, not silent (ADVICE r8).
-    assert len(registry._PRIORITY) <= registry.PRIORITY_WINDOW
+    # Headline = the driver's correctness window, pinned to
+    # registry._PRIORITY — restored to == now the round-9 window is
+    # full at 50 explicit slots (ADVICE r8: while a window is
+    # mid-round short of 50, the tail auto-fills in registration order
+    # under test_priority_window_integrity's previously-green rule,
+    # and this assert relaxes to <=).
+    assert len(registry._PRIORITY) == registry.PRIORITY_WINDOW
     headline = set(list(queries)[: registry.PRIORITY_WINDOW])
 
     # Warmup: touch the session + parquet footers once, then build the

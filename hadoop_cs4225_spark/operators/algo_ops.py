@@ -5434,3 +5434,1138 @@ def orders_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 batch 6: economic + distributional diagnostics
+# ---------------------------------------------------------------------------
+
+#: Discount-elasticity grid: discounts are exact percent levels, so
+#: the regression runs over <= 11 (level, mean-qty) cells; per-cell
+#: ln terms snap to this grid before the bounded OLS fold.
+_ELAST_GRID = 1_000_000_000_000
+
+
+@register(
+    "lineitem_discount_elasticity",
+    oracle=f"""
+WITH cells AS (
+  SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+  FROM lineitem GROUP BY disc_pct
+), pts AS (
+  SELECT disc_pct, n,
+         CAST(floor(ln(1.0 - disc_pct / 100.0) * {_ELAST_GRID} + 0.5)
+              AS BIGINT) AS x_grid,
+         CAST(floor(ln(CAST(sq AS DOUBLE) / n) * {_ELAST_GRID} + 0.5)
+              AS BIGINT) AS y_grid
+  FROM cells WHERE disc_pct > 0
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(x_grid) AS BIGINT) AS sx, CAST(SUM(y_grid) AS BIGINT) AS sy,
+         SUM(CAST(x_grid AS DOUBLE) * y_grid) AS sxy,
+         SUM(CAST(x_grid AS DOUBLE) * x_grid) AS sxx
+  FROM pts
+)
+SELECT k AS n_levels,
+       {quant_sql(
+           "(k * sxy - CAST(sx AS DOUBLE) * sy)"
+           " / (k * sxx - CAST(sx AS DOUBLE) * sx)", 6)} AS elasticity,
+       {quant_sql(
+           f"(CAST(sy AS DOUBLE) / k"
+           f"  - ((k * sxy - CAST(sx AS DOUBLE) * sy)"
+           f"     / (k * sxx - CAST(sx AS DOUBLE) * sx))"
+           f"    * CAST(sx AS DOUBLE) / k) / {_ELAST_GRID}", 6)}
+         AS ln_qty_at_zero
+FROM m
+""",
+)
+def lineitem_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity of demand from the discount ladder: OLS slope
+    of ln(mean quantity per discount level) on ln(1 - discount) — the
+    %-quantity-per-%-price-change number a pricing decision actually
+    uses, where ``order_trend_regression`` fits raw levels. Discounts
+    land on exact percent levels, so the regression runs over <= 11
+    aggregated cells, each backed by thousands of lines.
+
+    Determinism: cell counts and quantity sums are exact BIGINTs from
+    one partial-agg shuffle; each cell's ln(x)/ln(y) snaps to the
+    1e-12 grid; the OLS moments over the <= 11 cells are then exact
+    BIGINT sums (sxy/sxx exceed BIGINT range so they fold as DOUBLE
+    products of exact integers — composed identically in both
+    engines); slope and intercept are one quantized expression each.
+
+    Scale: one scan, 11-cell algebra. Nothing else.
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.floor(F.col("l_discount") * 100 + 0.5)
+        .cast("long")
+        .alias("disc_pct")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sq"),
+    )
+    pts = cells.where(F.col("disc_pct") > 0).select(
+        "disc_pct",
+        "n",
+        F.floor(
+            F.log(1.0 - F.col("disc_pct") / 100.0) * _ELAST_GRID + 0.5
+        )
+        .cast("long")
+        .alias("x_grid"),
+        F.floor(
+            F.log(F.col("sq").cast("double") / F.col("n")) * _ELAST_GRID
+            + 0.5
+        )
+        .cast("long")
+        .alias("y_grid"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x_grid").cast("long").alias("sx"),
+        F.sum("y_grid").cast("long").alias("sy"),
+        F.sum(F.col("x_grid").cast("double") * F.col("y_grid")).alias("sxy"),
+        F.sum(F.col("x_grid").cast("double") * F.col("x_grid")).alias("sxx"),
+    )
+    k, sx, sy, sxy, sxx = (F.col(c) for c in ("k", "sx", "sy", "sxy", "sxx"))
+    slope = (k * sxy - sx.cast("double") * sy) / (
+        k * sxx - sx.cast("double") * sx
+    )
+    return m.select(
+        k.alias("n_levels"),
+        quant(slope, 6).alias("elasticity"),
+        quant(
+            (sy.cast("double") / k - slope * sx.cast("double") / k)
+            / _ELAST_GRID,
+            6,
+        ).alias("ln_qty_at_zero"),
+    )
+
+
+#: HHI share squares snap to this grid (shares sum to 1 per nation, so
+#: the per-nation fold is bounded by the supplier count).
+_HHI_GRID = 1_000_000_000_000
+
+
+@register(
+    "supplier_nation_herfindahl",
+    oracle=f"""
+WITH rev AS (
+  SELECT s.s_nationkey AS nationkey, l.l_suppkey AS suppkey,
+         CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY nationkey, suppkey
+), tot AS (
+  SELECT nationkey, CAST(SUM(cents) AS BIGINT) AS tcents,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers
+  FROM rev GROUP BY nationkey
+), hhi AS (
+  SELECT r.nationkey,
+         CAST(SUM(CAST(floor(
+           (CAST(r.cents AS DOUBLE) / t.tcents)
+           * (CAST(r.cents AS DOUBLE) / t.tcents) * {_HHI_GRID} + 0.5)
+           AS BIGINT)) AS BIGINT) AS h_grid,
+         CAST(MAX(r.cents) AS BIGINT) AS top_cents
+  FROM rev r JOIN tot t USING (nationkey)
+  GROUP BY r.nationkey
+)
+SELECT n.n_name AS nation, t.n_suppliers,
+       {quant_sql("t.tcents / 100.0", 2)} AS revenue,
+       {quant_sql(f"CAST(h.h_grid AS DOUBLE) / {_HHI_GRID}", 6)} AS hhi,
+       {quant_sql(f"1.0 / (CAST(h.h_grid AS DOUBLE) / {_HHI_GRID})", 4)}
+         AS effective_suppliers,
+       {quant_sql("CAST(h.top_cents AS DOUBLE) / t.tcents", 6)} AS top_share
+FROM hhi h JOIN tot t USING (nationkey)
+JOIN nation n ON n.n_nationkey = h.nationkey
+ORDER BY nation
+""",
+)
+def supplier_nation_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supply concentration per nation: the sum
+    of squared revenue shares over each nation's suppliers, its
+    inverse (the "effective number of suppliers"), and the single
+    largest share. THE antitrust/supply-risk number: two nations with
+    equal revenue and supplier counts can hide a monopoly (HHI -> 1)
+    or a balanced market (HHI -> 1/n) — ``user_activity_gini`` ranks
+    inequality of users globally; HHI is the per-market concentration
+    index procurement actually thresholds on.
+
+    Determinism: revenue is exact cents from one shuffle; each
+    supplier's squared share snaps to the 1e-12 grid so per-nation
+    HHI is an order-free BIGINT sum; MAX is order-free.
+
+    Scale: one lineitem⋈supplier join (dim side broadcastable) into a
+    (nation, supplier)-keyed partial agg, then a nation-keyed fold of
+    bounded width. No window.
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=False)  # feeds totals + HHI fold
+    )
+    tot = rev.groupBy("nationkey").agg(
+        F.sum("cents").cast("long").alias("tcents"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    share = F.col("cents").cast("double") / F.col("tcents")
+    hhi = (
+        rev.join(F.broadcast(tot), "nationkey")
+        .groupBy("nationkey")
+        .agg(
+            F.sum(
+                F.floor(share * share * _HHI_GRID + 0.5).cast("long")
+            )
+            .cast("long")
+            .alias("h_grid"),
+            F.max("cents").cast("long").alias("top_cents"),
+        )
+    )
+    return (
+        hhi.join(tot, "nationkey")
+        .join(
+            F.broadcast(
+                nat.select(
+                    F.col("n_nationkey").alias("nationkey"),
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            "nationkey",
+        )
+        .select(
+            "nation",
+            "n_suppliers",
+            quant(F.col("tcents") / 100.0, 2).alias("revenue"),
+            quant(F.col("h_grid").cast("double") / _HHI_GRID, 6).alias(
+                "hhi"
+            ),
+            quant(
+                1.0 / (F.col("h_grid").cast("double") / _HHI_GRID), 4
+            ).alias("effective_suppliers"),
+            quant(
+                F.col("top_cents").cast("double") / F.col("tcents"), 6
+            ).alias("top_share"),
+        )
+        .orderBy("nation")
+    )
+
+
+#: Per-user entropy terms snap to this grid (<= |event types| terms
+#: per user, summed as BIGINTs).
+_UENT_GRID = 1_000_000_000
+_UENT_TOPK = 20
+
+
+@register(
+    "events_user_entropy_topk",
+    oracle=f"""
+WITH cnt AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, event_type
+), peru AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CAST(floor(c * ln(CAST(c AS DOUBLE))
+                             * {_UENT_GRID} + 0.5) AS BIGINT)) AS BIGINT)
+           AS clnc_grid,
+         CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM cnt GROUP BY user_id
+), scored AS (
+  SELECT user_id, n, n_types,
+         {quant_sql(
+             f"ln(CAST(n AS DOUBLE))"
+             f" - CAST(clnc_grid AS DOUBLE) / {_UENT_GRID} / n", 9)}
+           AS entropy
+  FROM peru
+)
+SELECT user_id, n AS n_events, n_types, entropy
+FROM scored
+ORDER BY entropy DESC, user_id
+LIMIT {_UENT_TOPK}
+""",
+)
+def events_user_entropy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by behavioral entropy — the Shannon entropy of
+    each user's event-type mix. High-entropy users exercise every
+    feature evenly (explorers / likely bots if TOO even), low-entropy
+    users are single-purpose; the per-USER member of the entropy
+    family (``event_entropy_rate`` is corpus-level, ``doc_unigram_
+    entropy`` is per-document) and the feature a behavioral-cohort
+    model starts from.
+
+    Determinism: per-(user, type) counts are exact; each c*ln(c) term
+    snaps to the 1e-9 grid so the per-user fold (<= |types| terms) is
+    an order-free BIGINT sum; entropy = ln(n) - sum/(grid*n) is one
+    quantized expression; top-20 ties break on user_id.
+
+    Scale: two partial-agg shuffles (user x type, then user) and a
+    distributed top-k. No window, no join.
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    ev = load_events(spark, sf_dir)
+    cnt = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    peru = cnt.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(
+            F.floor(
+                F.col("c") * F.log(F.col("c").cast("double")) * _UENT_GRID
+                + 0.5
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("clnc_grid"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    scored = peru.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        "n_types",
+        quant(
+            F.log(F.col("n").cast("double"))
+            - F.col("clnc_grid").cast("double") / _UENT_GRID / F.col("n"),
+            9,
+        ).alias("entropy"),
+    )
+    return scored.orderBy(F.desc("entropy"), "user_id").limit(_UENT_TOPK)
+
+
+@register(
+    "lineitem_simpson_slopes",
+    oracle=f"""
+WITH feats AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS x,
+         CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem
+), m AS (
+  SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM feats GROUP BY flag
+), ma AS (
+  SELECT 'ALL' AS scope, CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(sx) AS BIGINT) AS sx, CAST(SUM(sy) AS BIGINT) AS sy,
+         CAST(SUM(sxy) AS BIGINT) AS sxy, CAST(SUM(sxx) AS BIGINT) AS sxx
+  FROM m
+  UNION ALL
+  SELECT flag, n, sx, sy, sxy, sxx FROM m
+), sl AS (
+  SELECT scope, n,
+         {quant_sql(
+             "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+             " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+             " * 1000", 9)} AS slope_per_kdollar
+  FROM ma
+), flip AS (
+  SELECT CAST(
+    (SELECT CASE WHEN slope_per_kdollar > 0 THEN 1 ELSE 0 END
+     FROM sl WHERE scope = 'ALL')
+    NOT IN (SELECT DISTINCT CASE WHEN slope_per_kdollar > 0 THEN 1 ELSE 0 END
+            FROM sl WHERE scope <> 'ALL') AS BOOLEAN) AS sign_flip
+)
+SELECT s.scope, s.n, s.slope_per_kdollar, f.sign_flip
+FROM sl s CROSS JOIN flip f
+ORDER BY s.scope
+""",
+)
+def lineitem_simpson_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox probe: the OLS slope of quantity on line
+    price, pooled vs within each return-flag group, with a flag set
+    when the pooled slope's SIGN matches none of the group slopes —
+    the aggregation-reversal check every observational read of
+    ``order_trend_regression``-style fits should run before trusting
+    a pooled coefficient (grouping IS the confounder test).
+
+    Determinism: price rounds to exact integer DOLLARS at the scan
+    (keeps sum-of-squares inside BIGINT at any SF — cents would
+    overflow at sf1); all five moments per group are exact BIGINTs;
+    each slope is one quantized expression; the sign comparison runs
+    on the already-quantized slopes identically in both engines.
+
+    Scale: one partial-agg pass, 4-row algebra.
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") + 0.5).cast("long").alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    m = feats.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    ).localCheckpoint(eager=False)  # feeds the pooled row + group rows
+    pooled = m.agg(
+        F.lit("ALL").alias("scope"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sx").cast("long").alias("sx"),
+        F.sum("sy").cast("long").alias("sy"),
+        F.sum("sxy").cast("long").alias("sxy"),
+        F.sum("sxx").cast("long").alias("sxx"),
+    )
+    ma = pooled.unionByName(
+        m.select(
+            F.col("flag").alias("scope"), "n", "sx", "sy", "sxy", "sxx"
+        )
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    sl = ma.select(
+        "scope",
+        "n",
+        quant(
+            (n.cast("double") * sxy - sx.cast("double") * sy)
+            / (n.cast("double") * sxx - sx.cast("double") * sx)
+            * 1000,
+            9,
+        ).alias("slope_per_kdollar"),
+    ).localCheckpoint(eager=False)  # feeds output + the sign fold
+    pos = (F.col("slope_per_kdollar") > 0).cast("long")
+    flip = F.broadcast(
+        sl.agg(
+            (
+                (
+                    F.max(F.when(F.col("scope") == "ALL", pos))
+                    != F.max(F.when(F.col("scope") != "ALL", pos))
+                )
+                & (
+                    F.max(F.when(F.col("scope") == "ALL", pos))
+                    != F.min(F.when(F.col("scope") != "ALL", pos))
+                )
+            ).alias("sign_flip")
+        )
+    )
+    return (
+        sl.crossJoin(flip)
+        .select("scope", "n", "slope_per_kdollar", "sign_flip")
+        .orderBy("scope")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 batch 7: factorial interaction, cohort LTV, reconciliation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_two_way_interaction",
+    oracle=f"""
+WITH cells AS (
+  SELECT l_returnflag AS flag, l_linestatus AS status,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s
+  FROM lineitem GROUP BY flag, status
+), rows_ AS (
+  SELECT flag, CAST(SUM(n) AS BIGINT) AS n_r, CAST(SUM(s) AS BIGINT) AS s_r
+  FROM cells GROUP BY flag
+), cols_ AS (
+  SELECT status, CAST(SUM(n) AS BIGINT) AS n_c, CAST(SUM(s) AS BIGINT) AS s_c
+  FROM cells GROUP BY status
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_t, CAST(SUM(s) AS BIGINT) AS s_t
+  FROM cells
+)
+SELECT c.flag, c.status, c.n,
+       {quant_sql("CAST(c.s AS DOUBLE) / c.n", 6)} AS cell_mean,
+       {quant_sql(
+           "CAST(r.s_r AS DOUBLE) / r.n_r + CAST(k.s_c AS DOUBLE) / k.n_c"
+           " - CAST(t.s_t AS DOUBLE) / t.n_t", 6)} AS additive_pred,
+       {quant_sql(
+           "CAST(c.s AS DOUBLE) / c.n"
+           " - (CAST(r.s_r AS DOUBLE) / r.n_r"
+           "    + CAST(k.s_c AS DOUBLE) / k.n_c"
+           "    - CAST(t.s_t AS DOUBLE) / t.n_t)", 6)} AS interaction
+FROM cells c
+JOIN rows_ r ON r.flag = c.flag
+JOIN cols_ k ON k.status = c.status
+CROSS JOIN tot t
+ORDER BY c.flag, c.status
+""",
+)
+def lineitem_two_way_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-factor interaction table for quantity over returnflag x
+    linestatus: each cell's mean against the ADDITIVE prediction
+    (row effect + column effect - grand mean) and the interaction
+    residual. The one-way ANOVA (``lineitem_anova_returnflag``) asks
+    "does the factor matter"; this asks the two-factor question "do
+    the factors interact" — a nonzero interaction column is the
+    signal that marginal per-factor reads (and Simpson-style pooling,
+    ``lineitem_simpson_slopes``) will mislead.
+
+    Determinism: all marginal and cell moments are exact BIGINTs from
+    ONE partial-agg shuffle (margins re-aggregate the 6-cell frame);
+    every reported figure is one quantized expression of those
+    integers.
+
+    Scale: one scan, 6-cell algebra. No window.
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_linestatus").alias("status"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("s"),
+        )
+        .localCheckpoint(eager=False)  # feeds margins + cells
+    )
+    rows_ = cells.groupBy("flag").agg(
+        F.sum("n").cast("long").alias("n_r"),
+        F.sum("s").cast("long").alias("s_r"),
+    )
+    cols_ = cells.groupBy("status").agg(
+        F.sum("n").cast("long").alias("n_c"),
+        F.sum("s").cast("long").alias("s_c"),
+    )
+    tot = F.broadcast(
+        cells.agg(
+            F.sum("n").cast("long").alias("n_t"),
+            F.sum("s").cast("long").alias("s_t"),
+        )
+    )
+    cell_mean = F.col("s").cast("double") / F.col("n")
+    additive = (
+        F.col("s_r").cast("double") / F.col("n_r")
+        + F.col("s_c").cast("double") / F.col("n_c")
+        - F.col("s_t").cast("double") / F.col("n_t")
+    )
+    return (
+        cells.join(F.broadcast(rows_), "flag")
+        .join(F.broadcast(cols_), "status")
+        .crossJoin(tot)
+        .select(
+            "flag",
+            "status",
+            "n",
+            quant(cell_mean, 6).alias("cell_mean"),
+            quant(additive, 6).alias("additive_pred"),
+            quant(cell_mean - additive, 6).alias("interaction"),
+        )
+        .orderBy("flag", "status")
+    )
+
+
+#: Cohort-LTV horizon (months since first order).
+_LTV_AGES = 12
+
+
+@register(
+    "customer_cohort_ltv_curve",
+    oracle=f"""
+WITH firsts AS (
+  SELECT o_custkey,
+         MIN(date_trunc('month', CAST(o_orderdate AS DATE))) AS cohort
+  FROM orders GROUP BY o_custkey
+), sized AS (
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM firsts
+  GROUP BY cohort
+), aged AS (
+  SELECT f.cohort,
+         CAST(datediff('month', f.cohort,
+                       date_trunc('month', CAST(o.o_orderdate AS DATE)))
+              AS BIGINT) AS age,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+), rolled AS (
+  SELECT cohort, age, CAST(SUM(cents) AS BIGINT) AS cents
+  FROM aged WHERE age < {_LTV_AGES} GROUP BY cohort, age
+), cum AS (
+  SELECT cohort, age,
+         SUM(cents) OVER (PARTITION BY cohort ORDER BY age) AS cum_cents
+  FROM rolled
+)
+SELECT strftime(c.cohort, '%Y-%m') AS cohort, c.age,
+       s.cohort_size,
+       {quant_sql("CAST(c.cum_cents AS DOUBLE) / 100.0", 2)} AS cum_revenue,
+       {quant_sql(
+           "CAST(c.cum_cents AS DOUBLE) / 100.0 / s.cohort_size", 4)}
+         AS ltv_per_customer
+FROM cum c JOIN sized s ON s.cohort = c.cohort
+ORDER BY cohort, age
+""",
+)
+def customer_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, cumulative revenue per customer tracked over the first 12
+    months of cohort age. ``events_cohort_retention`` answers "do they
+    come BACK"; this answers "what are they WORTH by age m" — the
+    curve whose flattening point sets acquisition budgets, computed
+    the only scale-safe way (per-cohort-month rollup first, cumulative
+    over the CALENDAR-bounded age axis after).
+
+    Determinism: revenue is exact cents; month arithmetic is calendar
+    month-diff (identical in both engines on month-truncated dates);
+    the cumulative runs per cohort over <= 12 ordered ages.
+
+    Scale: one custkey partial agg (first order), one broadcastable
+    join back, one (cohort, age) rollup; the window is partitioned by
+    cohort over a 12-row frame.
+
+    No reference analogue; extends the SURVEY §2 relational family.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min(F.col("o_orderdate").cast("date")))
+        .cast("date")
+        .alias("cohort")
+    )
+    sized = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    aged = orders.join(firsts, "o_custkey").select(
+        "cohort",
+        (
+            (F.year(F.col("o_orderdate")) - F.year("cohort")) * 12
+            + (F.month(F.col("o_orderdate")) - F.month("cohort"))
+        )
+        .cast("long")
+        .alias("age"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    rolled = (
+        aged.where(F.col("age") < _LTV_AGES)
+        .groupBy("cohort", "age")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    cum = rolled.select(
+        "cohort",
+        "age",
+        F.sum("cents")
+        .over(
+            Window.partitionBy("cohort")
+            .orderBy("age")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cum_cents"),
+    )
+    return (
+        cum.join(sized, "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort"),
+            "age",
+            "cohort_size",
+            quant(F.col("cum_cents").cast("double") / 100.0, 2).alias(
+                "cum_revenue"
+            ),
+            quant(
+                F.col("cum_cents").cast("double")
+                / 100.0
+                / F.col("cohort_size"),
+                4,
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+#: Reconciliation tolerances (cents) for the totalprice contract.
+_RECON_TOLS = (1, 100, 10000)
+
+
+@register(
+    "orders_totalprice_reconciliation",
+    oracle=f"""
+WITH linesum AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(floor(
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5)
+           AS BIGINT)) AS BIGINT) AS line_cents
+  FROM lineitem GROUP BY l_orderkey
+), gaps AS (
+  SELECT o.o_orderkey,
+         CASE WHEN s.line_cents IS NULL THEN NULL
+              ELSE abs(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                       - s.line_cents) END AS gap_cents
+  FROM orders o LEFT JOIN linesum s ON s.l_orderkey = o.o_orderkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN gap_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_no_lines,
+       {", ".join(
+           f"CAST(SUM(CASE WHEN gap_cents <= {t} THEN 1 ELSE 0 END)"
+           f" AS BIGINT) AS n_within_{t}c"
+           for t in _RECON_TOLS)},
+       CAST(MAX(gap_cents) AS BIGINT) AS max_gap_cents,
+       {quant_sql(
+           "SUM(COALESCE(gap_cents, 0)) * 1.0 / 100"
+           " / SUM(CASE WHEN gap_cents IS NULL THEN 0 ELSE 1 END)", 4)}
+         AS avg_gap_dollars
+FROM gaps
+""",
+)
+def orders_totalprice_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table money reconciliation: does ``o_totalprice`` equal
+    the order's line-level sum(extendedprice * (1-discount) *
+    (1+tax))? Reports headless orders, match counts at 1-cent / $1 /
+    $100 tolerances, and the gap distribution. The QUANTITATIVE
+    data-contract check ``star_constraint_audit`` (key containment)
+    can't express — and on THIS synthetic corpus it honestly reports
+    that the generator does NOT maintain the TPC-H invariant (~$1.5k
+    median gap, 27 headless orders at sf0.001): the audit's value is
+    exactly that it surfaces such generator drift before a pipeline
+    trusts either column.
+
+    Determinism: both sides snap to exact cents at the scan; gaps,
+    counts and tolerance buckets are pure BIGINT arithmetic; only the
+    final average divides.
+
+    Scale: one orderkey partial agg + one orderkey join (both sides
+    shuffle on the same key — co-partitioned at 100 TB), one fold.
+
+    No reference analogue; extends the SURVEY §2 observability family.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    linesum = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100
+                + 0.5
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("line_cents")
+    )
+    gaps = orders.join(
+        linesum, orders.o_orderkey == linesum.l_orderkey, "left"
+    ).select(
+        F.when(
+            F.col("line_cents").isNull(), F.lit(None).cast("long")
+        )
+        .otherwise(
+            F.abs(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                - F.col("line_cents")
+            )
+        )
+        .alias("gap_cents")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("gap_cents").isNull().cast("long"))
+        .cast("long")
+        .alias("n_no_lines"),
+    ]
+    for t in _RECON_TOLS:
+        aggs.append(
+            F.sum((F.col("gap_cents") <= t).cast("long"))
+            .cast("long")
+            .alias(f"n_within_{t}c")
+        )
+    aggs.append(F.max("gap_cents").cast("long").alias("max_gap_cents"))
+    aggs.append(
+        quant(
+            F.sum(F.coalesce(F.col("gap_cents"), F.lit(0))) * 1.0
+            / 100
+            / F.sum(F.col("gap_cents").isNotNull().cast("long")),
+            4,
+        ).alias("avg_gap_dollars")
+    )
+    return gaps.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 batch 8: EVT block maxima, MA crossover, hourly profiles
+# ---------------------------------------------------------------------------
+
+#: Euler-Mascheroni constant for the Gumbel method-of-moments fit,
+#: and sqrt(6)/pi, both as fixed literals so neither engine derives
+#: them in floating point.
+_EULER_GAMMA = 0.5772156649
+_SQRT6_OVER_PI = 0.7796968012
+
+
+@register(
+    "orders_monthly_gumbel",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mon,
+         CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY mon, day
+), maxima AS (
+  SELECT mon, CAST(MAX(cents) AS BIGINT) AS mx
+  FROM daily GROUP BY mon
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(mx) AS BIGINT) AS s,
+         SUM(CAST(mx AS DOUBLE) * mx) AS q
+  FROM maxima
+), fit AS (
+  SELECT k,
+         CAST(s AS DOUBLE) / k / 100 AS mean_max,
+         sqrt((q - CAST(s AS DOUBLE) * s / k) / (k - 1)) / 100 AS sd_max
+  FROM m
+)
+SELECT k AS n_months,
+       {quant_sql("mean_max", 2)} AS mean_daily_max,
+       {quant_sql("sd_max", 2)} AS sd_daily_max,
+       {quant_sql(f"sd_max * {_SQRT6_OVER_PI}", 4)} AS gumbel_beta,
+       {quant_sql(
+           f"mean_max - {_EULER_GAMMA} * sd_max * {_SQRT6_OVER_PI}",
+           4)} AS gumbel_mu,
+       {quant_sql(
+           f"(mean_max - {_EULER_GAMMA} * sd_max * {_SQRT6_OVER_PI})"
+           f" - sd_max * {_SQRT6_OVER_PI} * ln(-ln(0.99))", 2)}
+         AS ret_level_100mo
+FROM fit
+""",
+)
+def orders_monthly_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value analysis of daily revenue: monthly block MAXIMA
+    fitted to a Gumbel distribution by method of moments (beta =
+    sd*sqrt(6)/pi, mu = mean - gamma*beta) with the 100-month return
+    level mu - beta*ln(-ln(0.99)) — the "how big a day must capacity
+    survive" number. Mean behavior is covered by the forecast/anomaly
+    family; EVT is the TAIL discipline: percentiles of observed data
+    can never exceed the sample, while the fitted return level
+    extrapolates the block-maxima law the way capacity planning needs.
+
+    Determinism: daily revenues are exact cents; block maxima are
+    exact; the two moments come from a k-row (calendar-bounded) fold
+    whose sums are exact (s BIGINT; q a sum of exact integer-valued
+    doubles < 2^53 each — summed over <= hundreds of months the total
+    stays exactly representable); constants are shared literals; every
+    output is one quantized expression.
+
+    Scale: one (month, day) partial agg, one month fold. No window.
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias(
+            "mon"
+        ),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    maxima = daily.groupBy("mon").agg(
+        F.max("cents").cast("long").alias("mx")
+    )
+    m = maxima.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("mx").cast("long").alias("s"),
+        F.sum(F.col("mx").cast("double") * F.col("mx")).alias("q"),
+    )
+    k, s, q = F.col("k"), F.col("s"), F.col("q")
+    mean_max = s.cast("double") / k / 100
+    sd_max = F.sqrt((q - s.cast("double") * s / k) / (k - 1)) / 100
+    beta = sd_max * _SQRT6_OVER_PI
+    mu = mean_max - _EULER_GAMMA * beta
+    return m.select(
+        k.alias("n_months"),
+        quant(mean_max, 2).alias("mean_daily_max"),
+        quant(sd_max, 2).alias("sd_daily_max"),
+        quant(beta, 4).alias("gumbel_beta"),
+        quant(mu, 4).alias("gumbel_mu"),
+        quant(
+            mu - beta * F.log(-F.log(F.lit(0.99))), 2
+        ).alias("ret_level_100mo"),
+    )
+
+
+#: Moving-average ribbon windows (days) for the crossover signal.
+_MA_FAST = 7
+_MA_SLOW = 28
+
+
+@register(
+    "orders_daily_ma_crossover",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY day
+), ma AS (
+  SELECT day, cents,
+         CAST(SUM(cents) OVER w{_MA_FAST} AS BIGINT) AS s_fast,
+         CAST(COUNT(*) OVER w{_MA_FAST} AS BIGINT) AS n_fast,
+         CAST(SUM(cents) OVER w{_MA_SLOW} AS BIGINT) AS s_slow,
+         CAST(COUNT(*) OVER w{_MA_SLOW} AS BIGINT) AS n_slow
+  FROM daily
+  WINDOW w{_MA_FAST} AS (ORDER BY day ROWS {_MA_FAST - 1} PRECEDING),
+         w{_MA_SLOW} AS (ORDER BY day ROWS {_MA_SLOW - 1} PRECEDING)
+), sig AS (
+  SELECT day, cents, s_fast, n_fast, s_slow, n_slow,
+         CASE WHEN CAST(s_fast AS DOUBLE) * n_slow
+                   > CAST(s_slow AS DOUBLE) * n_fast
+              THEN 1 ELSE 0 END AS fast_above
+  FROM ma WHERE n_slow = {_MA_SLOW}
+), flips AS (
+  SELECT day, cents, s_fast, n_fast, s_slow, n_slow, fast_above,
+         fast_above
+           - LAG(fast_above) OVER (ORDER BY day) AS flip
+  FROM sig
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       {quant_sql("cents / 100.0", 2)} AS revenue,
+       {quant_sql(f"CAST(s_fast AS DOUBLE) / n_fast / 100.0", 2)} AS ma_fast,
+       {quant_sql(f"CAST(s_slow AS DOUBLE) / n_slow / 100.0", 2)} AS ma_slow,
+       CASE WHEN flip = 1 THEN 'golden'
+            WHEN flip = -1 THEN 'death' END AS crossover
+FROM flips
+WHERE flip IS NOT NULL AND flip <> 0
+ORDER BY day
+""",
+)
+def orders_daily_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover events on daily revenue: the days
+    where the 7-day mean crosses the 28-day mean ("golden"/"death"
+    cross). The EWMA/CUSUM family tracks LEVEL anomalies; crossover
+    timing extracts the REGIME-CHANGE days a trend follower or a
+    capacity planner marks on the calendar — and it composes two
+    frame-bounded windows the streaming twin can maintain
+    incrementally.
+
+    Determinism: daily revenue is exact cents; both moving sums are
+    exact BIGINTs over ROWS frames; the comparison cross-multiplies
+    (s_fast * n_slow > s_slow * n_fast) so NO division enters the
+    signal; the lag/flip arithmetic is pure integers.
+
+    Scale: the windows order the CALENDAR-bounded daily frame
+    (allowlisted) after one partial-agg shuffle.
+
+    No reference analogue; extends the SURVEY §2 windows family.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    wf = Window.orderBy("day").rowsBetween(-(_MA_FAST - 1), 0)
+    ws = Window.orderBy("day").rowsBetween(-(_MA_SLOW - 1), 0)
+    ma = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(wf).cast("long").alias("s_fast"),
+        F.count(F.lit(1)).over(wf).cast("long").alias("n_fast"),
+        F.sum("cents").over(ws).cast("long").alias("s_slow"),
+        F.count(F.lit(1)).over(ws).cast("long").alias("n_slow"),
+    )
+    sig = ma.where(F.col("n_slow") == _MA_SLOW).withColumn(
+        "fast_above",
+        (
+            F.col("s_fast").cast("double") * F.col("n_slow")
+            > F.col("s_slow").cast("double") * F.col("n_fast")
+        ).cast("long"),
+    )
+    flips = sig.withColumn(
+        "flip",
+        F.col("fast_above")
+        - F.lag("fast_above").over(Window.orderBy("day")),
+    )
+    return (
+        flips.where(F.col("flip").isNotNull() & (F.col("flip") != 0))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            quant(F.col("cents") / 100.0, 2).alias("revenue"),
+            quant(
+                F.col("s_fast").cast("double") / F.col("n_fast") / 100.0, 2
+            ).alias("ma_fast"),
+            quant(
+                F.col("s_slow").cast("double") / F.col("n_slow") / 100.0, 2
+            ).alias("ma_slow"),
+            F.when(F.col("flip") == 1, "golden")
+            .when(F.col("flip") == -1, "death")
+            .alias("crossover"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "events_hourly_profile_by_type",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, hour
+), tot AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS t FROM h GROUP BY event_type
+), peak AS (
+  SELECT event_type,
+         CAST((MIN((mx - n) * 1000000 + hour)) % 1000000 AS BIGINT)
+           AS peak_hour
+  FROM (SELECT h.*, MAX(n) OVER (PARTITION BY event_type) AS mx FROM h) q
+  GROUP BY event_type
+)
+SELECT h.event_type, h.hour, h.n,
+       {quant_sql("CAST(h.n AS DOUBLE) / t.t", 6)} AS share,
+       p.peak_hour
+FROM h JOIN tot t USING (event_type) JOIN peak p USING (event_type)
+ORDER BY event_type, hour
+""",
+)
+def events_hourly_profile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile per event type (share of the
+    type's events in each UTC hour) with the type's peak hour — the
+    time-of-day counterpart of ``events_weekly_seasonality``'s
+    day-of-week view, and the profile a rate-limiter or batch-window
+    scheduler reads. The peak is the (count DESC, hour) argmin via the
+    composite-integer MIN trick ((max_n - n) * 1e6 + hour), so ties
+    break to the earliest hour identically in both engines.
+
+    Determinism: pure integer counts from one (type, hour) rollup;
+    one quantized share division.
+
+    Scale: one map-side-combined shuffle into a bounded
+    (types x 24)-cell frame; the peak window partitions by type.
+
+    No reference analogue; extends the SURVEY §2 windows family.
+    """
+    ev = load_events(spark, sf_dir)
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n")).localCheckpoint(
+        eager=False
+    )  # feeds totals, peak and output rows
+    tot = h.groupBy("event_type").agg(F.sum("n").cast("long").alias("t"))
+    wmx = Window.partitionBy("event_type")
+    peak = (
+        h.withColumn("mx", F.max("n").over(wmx))
+        .groupBy("event_type")
+        .agg(
+            (
+                F.min(
+                    (F.col("mx") - F.col("n")) * 1000000 + F.col("hour")
+                )
+                % 1000000
+            )
+            .cast("long")
+            .alias("peak_hour")
+        )
+    )
+    return (
+        h.join(F.broadcast(tot), "event_type")
+        .join(F.broadcast(peak), "event_type")
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            quant(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
+            "peak_hour",
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+#: Beta-prior strength for the return-rate shrinkage (pseudo-line
+#: count: a supplier with n lines sits n/(n+M) of the way from the
+#: global rate to its raw rate).
+_EB_M = 200
+_EB_TOPK = 10
+
+
+@register(
+    "lineitem_return_rate_eb_topk",
+    oracle=f"""
+WITH per AS (
+  SELECT l_suppkey AS suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r
+  FROM lineitem GROUP BY suppkey
+), g AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(r) AS BIGINT) AS tr
+  FROM per
+), scored AS (
+  SELECT p.suppkey, p.n, p.r,
+         {quant_sql("CAST(p.r AS DOUBLE) / p.n", 9)} AS raw_rate,
+         {quant_sql(
+             f"(p.r + {_EB_M} * (CAST(g.tr AS DOUBLE) / g.tn))"
+             f" / (p.n + {_EB_M})", 9)} AS shrunk_rate,
+         {quant_sql("CAST(g.tr AS DOUBLE) / g.tn", 9)} AS global_rate
+  FROM per p CROSS JOIN g
+)
+SELECT suppkey, n AS n_lines, r AS n_returns, raw_rate, shrunk_rate,
+       global_rate
+FROM scored
+ORDER BY shrunk_rate DESC, suppkey
+LIMIT {_EB_TOPK}
+""",
+)
+def lineitem_return_rate_eb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (additive / Beta-prior) shrinkage of per-
+    supplier return rates: each supplier's rate pulls toward the
+    global rate with prior strength M = {_EB_M} pseudo-lines, and the
+    top-10 by SHRUNK rate is reported. Raw-rate rankings are dominated
+    by tiny-sample suppliers (2 returns out of 3 lines "beats"
+    200/1000); shrinkage is the standard fix every quality leaderboard
+    needs and none of the point estimators
+    (``orders_negbin_overdispersion``, the rate rollups) provides.
+
+    Determinism: counts are exact BIGINTs; the three rates are one
+    quantized expression each; ties break on suppkey.
+
+    Scale: one partial-agg shuffle + a 1-row global broadcast + a
+    distributed top-k. Nothing else.
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("long"))
+        .cast("long")
+        .alias("r"),
+    )
+    g = F.broadcast(
+        per.agg(
+            F.sum("n").cast("long").alias("tn"),
+            F.sum("r").cast("long").alias("tr"),
+        )
+    )
+    p0 = F.col("tr").cast("double") / F.col("tn")
+    scored = per.crossJoin(g).select(
+        "suppkey",
+        F.col("n").alias("n_lines"),
+        F.col("r").alias("n_returns"),
+        quant(F.col("r").cast("double") / F.col("n"), 9).alias("raw_rate"),
+        quant(
+            (F.col("r") + _EB_M * p0) / (F.col("n") + _EB_M), 9
+        ).alias("shrunk_rate"),
+        quant(p0, 9).alias("global_rate"),
+    )
+    return scored.orderBy(F.desc("shrunk_rate"), "suppkey").limit(_EB_TOPK)

@@ -1601,14 +1601,20 @@ def _plan_keys_sql() -> str:
 
 
 def _plan_consts_sql() -> str:
+    # literals CAST to DOUBLE: bare decimals parse as DECIMAL(p,s) in
+    # DuckDB, which degrades through the driver's pandas value path
     rows = []
     for b, r in _PLAN_CONFIGS:
         thr = round((1.0 / b) ** (1.0 / r), 6)
         ps = ", ".join(
-            f"{_plan_curve(b, r, j)} AS p_at_{str(j).replace('0.', '')}"
+            f"CAST({_plan_curve(b, r, j)} AS DOUBLE)"
+            f" AS p_at_{str(j).replace('0.', '')}"
             for j in _PLAN_JS
         )
-        rows.append(f"SELECT {b} AS b, {r} AS r, {thr} AS threshold, {ps}")
+        rows.append(
+            f"SELECT {b} AS b, {r} AS r,"
+            f" CAST({thr} AS DOUBLE) AS threshold, {ps}"
+        )
     return "\nUNION ALL\n".join(rows)
 
 

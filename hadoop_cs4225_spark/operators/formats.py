@@ -29,6 +29,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hadoop_cs4225_spark.functions.numeric import quant, quant_sql
 from hadoop_cs4225_spark.registry import register
 from hadoop_cs4225_spark.sources.sinks import (
     derived_path as _derived,
@@ -291,4 +292,103 @@ def orders_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
         .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9: malformed-record handling (PERMISSIVE / DROPMALFORMED)
+# ---------------------------------------------------------------------------
+
+#: Every order whose key hits this modulus contributes one extra,
+#: deterministically TRUNCATED (invalid) JSON line to the dirty feed.
+_DIRTY_MOD = 97
+
+
+def ensure_orders_jsonl_dirty(spark: SparkSession, sf_dir: str) -> str:
+    path = _derived(sf_dir, "orders_jsonl_dirty")
+    if _stale(path, sf_dir):
+        base = _orders_text_df(spark, sf_dir)
+        good = base.select(F.to_json(F.struct(*base.columns)).alias("value"))
+        bad = (
+            base.where(F.col("o_orderkey") % _DIRTY_MOD == 0)
+            .select(F.to_json(F.struct(*base.columns)).alias("j"))
+            .select(
+                F.expr("substring(j, 1, length(j) - 5)").alias("value")
+            )
+        )
+        good.unionByName(bad).write.mode("overwrite").text(path)
+    return path
+
+
+@register(
+    "orders_jsonl_malformed_audit",
+    oracle=f"""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+         CAST(SUM(CASE WHEN o_orderkey % {_DIRTY_MOD} = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_corrupt
+  FROM orders
+)
+SELECT n_good + n_corrupt AS n_permissive_rows,
+       n_corrupt,
+       n_good AS n_dropmalformed_rows,
+       {quant_sql(
+           "CAST(n_corrupt AS DOUBLE) / (n_good + n_corrupt)", 6)}
+         AS corrupt_rate
+FROM m
+""",
+)
+def orders_jsonl_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling audit: a dirty JSONL feed (one
+    deterministically truncated line per ``o_orderkey % {_DIRTY_MOD}
+    == 0`` order) read under BOTH recovery policies — PERMISSIVE with
+    ``_corrupt_record`` capture (quarantine lane) and DROPMALFORMED
+    (silent drop) — with the counts audited against the INDEPENDENT
+    ground truth recomputed from the clean parquet. This is the ingest
+    resilience surface every 100 TB feed needs: the audit proves the
+    reader classifies exactly the constructed corruption, no more and
+    no fewer (a parser that silently salvages or over-drops fails the
+    hash).
+
+    Scale: both reads are line-splittable text scans; the corrupt lane
+    is a map-side predicate count.
+
+    No reference analogue; extends the SURVEY §2 sources family.
+    """
+    path = ensure_orders_jsonl_dirty(spark, sf_dir)
+    schema = _ORDERS_TEXT_SCHEMA + ", _corrupt_record string"
+    perm = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()  # PERMISSIVE semantics: corrupt-column queries need it
+    )
+    n_perm = perm.agg(
+        F.count(F.lit(1)).cast("long").alias("n_permissive_rows")
+    )
+    n_corr = perm.agg(
+        F.sum(F.col("_corrupt_record").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_corrupt")
+    )
+    n_drop = (
+        spark.read.schema(_ORDERS_TEXT_SCHEMA)
+        .option("mode", "DROPMALFORMED")
+        .json(path)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dropmalformed_rows"))
+    )
+    return (
+        n_perm.crossJoin(n_corr)
+        .crossJoin(n_drop)
+        .select(
+            "n_permissive_rows",
+            "n_corrupt",
+            "n_dropmalformed_rows",
+            quant(
+                F.col("n_corrupt").cast("double")
+                / F.col("n_permissive_rows"),
+                6,
+            ).alias("corrupt_rate"),
+        )
     )

@@ -341,3 +341,69 @@ def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9: generated calendar dimension
+# ---------------------------------------------------------------------------
+
+#: Generated calendar year (a leap year, so the edge cases exist) and
+#: the Monday anchoring the engine-neutral ISO-weekday arithmetic.
+_DIM_START = "2024-01-01"
+_DIM_END = "2024-12-31"
+
+
+@register(
+    "date_dim_generate",
+    oracle=f"""
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST((datediff('day', DATE '{_DIM_START}', d) % 7) + 1 AS BIGINT)
+         AS dow_iso,
+       CAST(datediff('day', DATE '{_DIM_START}', d) // 7 + 1 AS BIGINT)
+         AS week_no,
+       CAST(EXTRACT(month FROM d) AS BIGINT) AS month,
+       CAST((EXTRACT(month FROM d) + 2) // 3 AS BIGINT) AS quarter,
+       (d = last_day(d)) AS is_month_end
+FROM (SELECT CAST(unnest(range(DATE '{_DIM_START}',
+                               DATE '{_DIM_END}' + INTERVAL 1 DAY,
+                               INTERVAL 1 DAY)) AS DATE) AS d) g
+ORDER BY day
+""",
+)
+def date_dim_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar-dimension table for 2024 (a leap year):
+    day, ISO-style weekday, week number, month, quarter, month-end
+    flag. The classic warehouse date dimension, produced by the
+    SEQUENCE-generator source pattern (no input table at all) that
+    backfills, gap-fills (``events_gapfill_daily``) and as-of layouts
+    join against. Weekday and week arithmetic are day-index modular
+    math from the Monday anchor rather than engine dayofweek()
+    functions, whose week-start conventions differ between engines —
+    the date-function parity trap this operator exists to document.
+
+    Determinism: everything is integer date arithmetic on a generated
+    range; no floats anywhere.
+
+    Scale: generators parallelize by slicing the range — the 100 TB
+    relevance is as the broadcastable dimension side of calendar
+    joins.
+
+    No reference analogue; extends the SURVEY §2 sources family.
+    """
+    days = spark.sql(
+        f"""
+        SELECT explode(sequence(DATE '{_DIM_START}', DATE '{_DIM_END}',
+                                INTERVAL 1 DAY)) AS d
+        """
+    )
+    idx = F.datediff(F.col("d"), F.lit(_DIM_START).cast("date"))
+    return days.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        ((idx % 7) + 1).cast("long").alias("dow_iso"),
+        F.expr(
+            f"CAST(datediff(d, DATE '{_DIM_START}') DIV 7 + 1 AS BIGINT)"
+        ).alias("week_no"),
+        F.month("d").cast("long").alias("month"),
+        F.expr("CAST((month(d) + 2) DIV 3 AS BIGINT)").alias("quarter"),
+        (F.col("d") == F.last_day("d")).alias("is_month_end"),
+    ).orderBy("day")

@@ -3621,3 +3621,194 @@ def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rake_score"), "phrase")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 batch 6: pairwise source Jensen-Shannon divergence
+# ---------------------------------------------------------------------------
+
+#: JS terms snap to this grid (nats) before the per-pair sums.
+_JS_GRID = 1_000_000_000_000
+
+
+@register(
+    "source_js_divergence_matrix",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS_SQL}) AS w FROM documents
+), cnt AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY source, w
+), tot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY source
+), common AS (
+  SELECT a.source AS sa, b.source AS sb,
+         CAST(SUM(CAST(floor(
+           (CAST(a.c AS DOUBLE) / ta.t)
+           * ln(2.0 * (CAST(a.c AS DOUBLE) / ta.t)
+                / (CAST(a.c AS DOUBLE) / ta.t + CAST(b.c AS DOUBLE) / tb.t))
+           * {_JS_GRID} + 0.5) AS BIGINT)
+           + CAST(floor(
+           (CAST(b.c AS DOUBLE) / tb.t)
+           * ln(2.0 * (CAST(b.c AS DOUBLE) / tb.t)
+                / (CAST(a.c AS DOUBLE) / ta.t + CAST(b.c AS DOUBLE) / tb.t))
+           * {_JS_GRID} + 0.5) AS BIGINT)) AS BIGINT) AS cterms,
+         {quant_sql("SUM(CAST(a.c AS DOUBLE)) / ANY_VALUE(ta.t)", 12)}
+           AS mass_a,
+         {quant_sql("SUM(CAST(b.c AS DOUBLE)) / ANY_VALUE(tb.t)", 12)}
+           AS mass_b
+  FROM cnt a JOIN cnt b ON a.w = b.w AND a.source < b.source
+  JOIN tot ta ON ta.source = a.source
+  JOIN tot tb ON tb.source = b.source
+  GROUP BY sa, sb
+)
+SELECT sa AS source_a, sb AS source_b,
+       {quant_sql(
+           f"0.5 * (CAST(cterms AS DOUBLE) / {_JS_GRID}"
+           "        + ln(2) * (1.0 - mass_a) + ln(2) * (1.0 - mass_b))",
+           6)} AS js_divergence
+FROM common
+ORDER BY source_a, source_b
+""",
+)
+def source_js_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the sources' unigram
+    distributions — the SYMMETRIC, bounded (<= ln 2) source-similarity
+    matrix a mixture designer reads when deciding which sources are
+    near-duplicates of each other in DISTRIBUTION (``source_kl_
+    divergence`` compares each source to the corpus, which can't say
+    "web1 and web2 are the same thing"; this compares sources to each
+    other). JS(p, q) = 0.5 KL(p||m) + 0.5 KL(q||m), m the midpoint.
+
+    Shared-vocabulary decomposition keeps the join INNER: tokens
+    present in both sources contribute their exact midpoint terms;
+    each source's mass on tokens the OTHER source lacks contributes
+    ln 2 * (1 - shared_mass) in closed form — so no outer join and no
+    null-probability branches, and the identity is exact, not an
+    approximation.
+
+    Determinism: counts/totals are exact BIGINTs; each per-token term
+    snaps to the 1e-12 grid so per-pair sums are order-free BIGINTs;
+    shared masses are ratios of exact integers quantized once.
+
+    Scale: the token-keyed self-join fans out at most |sources| per
+    token (source count is domain-bounded); one partial-agg shuffle
+    each side. Never doc-pairwise.
+
+    No reference analogue; extends the SURVEY §2 text-analysis family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("source", F.explode(_toks()).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)  # both sides of the pair join
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
+    a = cnt.select(
+        F.col("source").alias("sa"), "w", F.col("c").alias("ca")
+    )
+    b = cnt.select(
+        F.col("source").alias("sb"), F.col("w").alias("wb"), F.col("c").alias("cb")
+    )
+    ta = F.broadcast(tot.select(F.col("source").alias("sa"), F.col("t").alias("tta")))
+    tb = F.broadcast(tot.select(F.col("source").alias("sb"), F.col("t").alias("ttb")))
+    pa = F.col("ca").cast("double") / F.col("tta")
+    pb = F.col("cb").cast("double") / F.col("ttb")
+    term_a = F.floor(pa * F.log(2.0 * pa / (pa + pb)) * _JS_GRID + 0.5).cast("long")
+    term_b = F.floor(pb * F.log(2.0 * pb / (pa + pb)) * _JS_GRID + 0.5).cast("long")
+    common = (
+        a.join(b, (F.col("w") == F.col("wb")) & (F.col("sa") < F.col("sb")))
+        .join(ta, "sa")
+        .join(tb, "sb")
+        .groupBy("sa", "sb")
+        .agg(
+            F.sum(term_a + term_b).cast("long").alias("cterms"),
+            quant(
+                F.sum(F.col("ca").cast("double")) / F.first("tta"), 12
+            ).alias("mass_a"),
+            quant(
+                F.sum(F.col("cb").cast("double")) / F.first("ttb"), 12
+            ).alias("mass_b"),
+        )
+    )
+    ln2 = F.log(F.lit(2.0))
+    return common.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        quant(
+            0.5
+            * (
+                F.col("cterms").cast("double") / _JS_GRID
+                + ln2 * (1.0 - F.col("mass_a"))
+                + ln2 * (1.0 - F.col("mass_b"))
+            ),
+            6,
+        ).alias("js_divergence"),
+    ).orderBy("source_a", "source_b")
+
+
+@register(
+    "doc_hapax_by_source",
+    oracle=f"""
+WITH cnt AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest({_TOKS_SQL}) AS w FROM documents) t
+  GROUP BY source, w
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(c) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+       {quant_sql(
+           "SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)",
+           6)} AS hapax_vocab_share,
+       {quant_sql(
+           "SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / SUM(c)",
+           6)} AS hapax_token_share
+FROM cnt
+GROUP BY source
+ORDER BY source
+""",
+)
+def doc_hapax_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax/dis legomena profile per source: how much of each
+    source's vocabulary occurs exactly once (or twice). The per-source
+    face of ``vocab_good_turing_chao1``'s corpus-level N1/N2 counts —
+    Good-Turing says the hapax TOKEN share estimates the unseen-word
+    probability, so a source whose hapax share is elevated is the one
+    whose vocabulary a tokenizer/model hasn't saturated yet (and the
+    first to benefit from more data), while a depressed share signals
+    templated text.
+
+    Determinism: pure integer counts from one (source, token)
+    partial-agg shuffle; two quantized ratios.
+
+    No reference analogue; extends the SURVEY §2 text-analysis family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("source", F.explode(_toks()).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        cnt.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum("c").cast("long").alias("total_tokens"),
+            F.sum((F.col("c") == 1).cast("long")).cast("long").alias("hapax"),
+            F.sum((F.col("c") == 2).cast("long")).cast("long").alias("dis"),
+            quant(
+                F.sum((F.col("c") == 1).cast("long")) * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("hapax_vocab_share"),
+            quant(
+                F.sum((F.col("c") == 1).cast("long")) * 1.0 / F.sum("c"),
+                6,
+            ).alias("hapax_token_share"),
+        )
+        .orderBy("source")
+    )

@@ -164,6 +164,21 @@ _PRIORITY = (
     "lsh_band_planner",              # S-curve vs measured candidates
     "lineitem_weighted_quantiles",   # quantity-weighted unit-price deciles
     "orders_hurst_rs",               # rescaled-range long-memory exponent
+    "lineitem_discount_elasticity",  # log-log demand slope over 11 cells
+    "supplier_nation_herfindahl",    # HHI concentration per market
+    "source_js_divergence_matrix",   # symmetric source-pair divergence
+    "events_user_entropy_topk",      # behavioral-diversity ranking
+    "lineitem_simpson_slopes",       # pooled-vs-grouped sign-flip probe
+    "lineitem_two_way_interaction",  # factorial additive-vs-cell means
+    "customer_cohort_ltv_curve",     # cohort-age cumulative revenue
+    "orders_totalprice_reconciliation",  # cross-table money contract
+    "orders_jsonl_malformed_audit",  # PERMISSIVE/DROPMALFORMED audit
+    "doc_hapax_by_source",           # hapax/dis legomena profile
+    "orders_monthly_gumbel",         # EVT block-maxima return level
+    "orders_daily_ma_crossover",     # 7/28-day regime-change days
+    "events_hourly_profile_by_type", # hour-of-day shares + peak hour
+    "date_dim_generate",             # engine-neutral calendar dimension
+    "lineitem_return_rate_eb_topk",  # Beta-prior shrinkage leaderboard
 )
 
 def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:

@@ -117,13 +117,12 @@ def test_priority_window_integrity():
 
     names = list(get_queries())
     oracles = get_oracles()
-    # ROUND 9: _PRIORITY may be shorter than the window — the driver
-    # takes the first 50 in iteration order, so the slots after
-    # _PRIORITY auto-fill from registration order (the long-green
-    # wordcount/relational families, which double as extra re-anchors).
-    # New round-9 registrations are appended to _PRIORITY explicitly so
-    # they displace the auto-fill and earn driver rows in-round.
-    assert len(_PRIORITY) <= PRIORITY_WINDOW == 50
+    # ROUND 9: the window is full — 14 rotated-in backlog queries, 2
+    # re-anchors, and 34 round-9 registrations occupy all 50 explicit
+    # slots (mid-round, while _PRIORITY is still short, this assert
+    # relaxes to <= and the tail auto-fills from registration order
+    # under the previously-green rule enforced below).
+    assert len(_PRIORITY) == PRIORITY_WINDOW == 50
     assert tuple(names[: len(_PRIORITY)]) == _PRIORITY
     missing_regs = [n for n in _PRIORITY if n not in names]
     assert not missing_regs, f"_PRIORITY names not registered: {missing_regs}"

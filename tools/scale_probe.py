@@ -108,6 +108,14 @@ DOC_QUERIES = (
     "token_context_entropy",  # pair-vocab windows, corpus-linear scan
     "quality_isotonic_calibration",  # score pass + constant bin algebra
     "dedup_methods_overlap",  # memoized LSH pairs + md5-group explode
+    "media_chunk_dedup_ratio",  # 256-byte chunk hash rollup, map-heavy
+    "doc_readability_scores",  # map-only syllable-run scan + source agg
+    # --- round-9 additions ---
+    "token_burstiness",  # token partial agg + distributed top-k
+    "token_coverage_curve",  # vocab agg + LIMITed 10k cumulative
+    "source_segmental_ttr",  # (source, doc, seg)-keyed partial aggs
+    "doc_rake_keyphrases",  # per-doc prefix-sum + phrase-keyed aggs
+    "lsh_band_planner",  # 3 band-keyed groupBys over the signature frame
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i
@@ -133,6 +141,11 @@ EMB_QUERIES = (
     "embedding_rp_distortion",  # map-only JL fold + tiny histogram agg
     "label_centroid_cosine",  # one posexplode agg into a (labels x dim) frame
     "kmeans_simplified_silhouette",  # one extra assignment-shaped pass
+    "embedding_pca_two",  # deflated power iteration, per-round joins
+    # --- round-9 additions ---
+    "embedding_mahalanobis_outliers",  # (label, dim) moments + top-k window
+    "embedding_triplet_margin",  # |V| x L x d single partial-agg shuffle
+    "ann_index_balance_audit",  # two memoized-index rollups
 )
 
 #: queries probed across the real sf dirs (10x data per step).
@@ -200,10 +213,24 @@ SF_QUERIES = (
     "part_name_fuzzy_pairs",  # dictionary-grain q-gram blocking join
     "events_sprt_arms",  # daily partial agg + |days|^2 bounded join
     "orders_did_estimator",  # one scan -> 4-cell moments
-    "lineitem_quantile_reg_grid",  # x11 grid fanout + per-slope rank
+    "lineitem_quantile_reg_grid",  # x11 grid fanout -> mergeable histogram
     "supplier_hits_scores",  # one edge-join shuffle per half-round
     "orders_negbin_overdispersion",  # per-day agg + 1-row moments
     "supplier_kcore_peeling",  # 3 shrinking degree-agg rounds
+    "basket_name_rules",  # per-order pair fanout, width-bounded
+    "customer_rfm_migration",  # two windowed halves + tercile joins
+    # --- round-9 additions ---
+    "priority_returnflag_mutual_info",  # orderkey join + 15-cell fold
+    "lineitem_anova_returnflag",  # one partial-agg moment pass
+    "lineitem_logit_fisher_step",  # two moment/score passes, no window
+    "customer_order_gap_geomfit",  # custkey lag window + 9-cell GOF
+    "events_markov_stationary",  # memoized LEAD counts + 5-state folds
+    "user_freq_countsketch_audit",  # 768 signed cells, map-side combined
+    "orders_window_group_limit_topn",  # WindowGroupLimit pre-shuffle prune
+    "graph_degree_assortativity",  # degree joins on the K-bounded edges
+    "supplier_local_clustering",  # C(K,2)-bounded wedge join per node
+    "lineitem_weighted_quantiles",  # domain-bounded cents histogram walk
+    "orders_hurst_rs",  # calendar-bounded blocks, <=32-row partitions
 )
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 

@@ -181,6 +181,13 @@ _PRIORITY = (
     "lineitem_return_rate_eb_topk",  # Beta-prior shrinkage leaderboard
 )
 
+#: ROUND-10 ROTATION BACKLOG: none. Every query registered in round 9
+#: (34 new operators) occupies an explicit _PRIORITY slot above, so
+#: the driver checks the complete round-9 surface in-round; with the
+#: 14-query round-8 backlog rotated in at the top, the cross-round
+#: union covers the ENTIRE registry once this round's CORRECTNESS
+#: lands. Round 10 only needs fresh re-anchors plus its own additions.
+
 def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:
     """Materialize every session-memoized shared frame (the dedup
     ``_memo`` family) ahead of timing. bench.py calls this from its

@@ -197,6 +197,20 @@ _BOUNDED_ALLPAIRS = {
     "embedding_pca_two",  # broadcast 1-row norm/eig/trace cross joins
     "supplier_kcore_peeling",  # three 1-row round-count cross joins
     "dedup_methods_overlap",  # three 1-row pair-count cross joins
+    # --- round 9 ---
+    "token_burstiness",  # broadcast 1-row doc-count cross join
+    "token_coverage_curve",  # 4-row k-grid x 1-row totals cross join
+    "priority_returnflag_mutual_info",  # broadcast 1-row total cross joins
+    "lineitem_logit_fisher_step",  # broadcast 1-row beta-vector cross join
+    "customer_order_gap_geomfit",  # broadcast 1-row p-hat x 9-cell grid
+    "events_markov_stationary",  # broadcast 1-row |states|/residual joins
+    "lineitem_weighted_quantiles",  # 9-decile x domain-bounded histogram range join
+    "orders_hurst_rs",  # 3-row window grid fanout + 1-row slope cross join
+    "lineitem_simpson_slopes",  # broadcast 1-row sign-flip cross join
+    "lineitem_two_way_interaction",  # broadcast 1-row grand-total cross join
+    "lineitem_return_rate_eb_topk",  # broadcast 1-row global-rate cross join
+    "orders_jsonl_malformed_audit",  # three 1-row count aggregates cross-joined
+    "supplier_communities_lpa",  # broadcast 1-row change-count cross join
 }
 
 
@@ -306,6 +320,8 @@ _BOUNDED_GLOBAL_WINDOW = {
     "lineitem_weighted_quantiles": 1_048_576,
     # day-index row_number over the CALENDAR-bounded daily frame
     "orders_hurst_rs": 4096,
+    # 7/28-day ROWS frames + lag over the CALENDAR-bounded daily frame
+    "orders_daily_ma_crossover": 4096,
 }
 
 

@@ -725,3 +725,100 @@ def event_type_cusum_stateful(daily: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def _countsketch_partial(df: DataFrame) -> DataFrame:
+    """Per-batch Count-Sketch cell increments from raw events.
+
+    The sketch is LINEAR in its input (every cell is a signed sum of
+    per-key increments), so the per-event partial — each event adds
+    sign(user, d) at bucket(user, d) — merges into the running cells by
+    plain addition, and the result equals the batch sketch built from
+    the final per-user counts (``user_freq_countsketch_audit``'s
+    construction). Same d/w/seed geometry as the batch operator, shared
+    via the sketches-module constants."""
+    from hadoop_cs4225_spark.functions.hashing import hash60_seeded
+    from hadoop_cs4225_spark.operators.sketches import (
+        _CSK_D,
+        _CSK_SEED0,
+        _CSK_W,
+    )
+
+    parts = []
+    for d in range(1, _CSK_D + 1):
+        h = hash60_seeded(F.col("user_id").cast("string"), _CSK_SEED0 + d)
+        parts.append(
+            df.select(
+                F.lit(d).alias("d"),
+                (h % _CSK_W).alias("bucket"),
+                (1 - 2 * F.shiftright(h, 8).bitwiseAND(F.lit(1))).alias(
+                    "sign"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("d", "bucket").agg(
+        F.sum("sign").cast("long").alias("cell")
+    )
+
+
+def run_incremental_countsketch(
+    spark: SparkSession, chunks_path: str, out_root: str, checkpoint: str
+) -> DataFrame:
+    """Incrementally-maintained Count-Sketch: each micro-batch's signed
+    cell increments MERGE additively into the running d x w cell table
+    via ``foreachBatch`` — the streaming face of
+    ``user_freq_countsketch_audit`` and the point of sketches at
+    100 TB: state is 768 BIGINT cells however large the stream, the
+    merge is addition (commutative + associative, so replay order
+    never matters), and the maintained sketch answers frequency
+    queries at any moment without reprocessing history.
+
+    Same versioned commit-then-swap sink discipline as
+    ``run_incremental_daily_rollup`` (see its docstring for the
+    restart/replay reasoning — max(v < batch_id) makes replays
+    idempotent).
+
+    Returns the final cell table (d, bucket, cell).
+    """
+    import os
+
+    schema = spark.read.parquet(chunks_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks_path)
+    )
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _guard_incarnation(out_root, batch_id)
+        part = _countsketch_partial(batch_df)
+        prior = _snapshot_versions(out_root, below=batch_id)
+        if prior:
+            prev = batch_df.sparkSession.read.parquet(
+                os.path.join(out_root, f"v{max(prior)}")
+            )
+            part = prev.unionByName(part)
+        merged = part.groupBy("d", "bucket").agg(
+            F.sum("cell").cast("long").alias("cell")
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(out_root, f"v{batch_id}")
+        )
+        _prune_snapshots(out_root, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_bounded(q, "incremental_countsketch")
+    versions = _snapshot_versions(out_root)
+    if not versions:
+        return spark.createDataFrame([], "d int, bucket bigint, cell bigint")
+    return spark.read.parquet(os.path.join(out_root, f"v{max(versions)}"))

@@ -619,3 +619,51 @@ def test_cusum_fold_is_chunk_composable():
         s = streams.cusum_fold(s, devs[cut1:cut2])
         s = streams.cusum_fold(s, devs[cut2:])
         assert s == whole
+
+
+def test_incremental_countsketch_matches_batch(spark, tmp_path):
+    """Sketch linearity under the merge sink: 3 micro-batches of signed
+    cell increments merged additively must equal the batch sketch built
+    over the full event set in one pass — AND the per-user estimates
+    read from the maintained cells must match the batch audit's
+    construction (median-of-3 as sum - max - min)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_cs4225_spark.functions.hashing import hash60_seeded
+    from hadoop_cs4225_spark.operators.sketches import (
+        _CSK_D,
+        _CSK_SEED0,
+        _CSK_W,
+    )
+
+    ev = load_events(spark, SF_SMOKE)
+    chunks = str(tmp_path / "chunks")
+    ev.repartition(3).write.parquet(chunks)
+    got = streams.run_incremental_countsketch(
+        spark, chunks, str(tmp_path / "csk"), str(tmp_path / "ckpt")
+    )
+    want = streams._countsketch_partial(ev)
+    g = {(r["d"], r["bucket"]): r["cell"] for r in got.collect()}
+    w = {(r["d"], r["bucket"]): r["cell"] for r in want.collect()}
+    assert g == w
+    assert len(g) <= _CSK_D * _CSK_W
+    # point-estimate check for the heaviest user off the MAINTAINED
+    # cells: median-of-3 signed reads brackets the exact count
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("xc"))
+    top = exact.orderBy(F.desc("xc"), "user_id").limit(1).collect()[0]
+    ests = []
+    for d in range(1, _CSK_D + 1):
+        h = (
+            ev.sparkSession.range(1)
+            .select(
+                hash60_seeded(
+                    F.lit(str(top["user_id"])), _CSK_SEED0 + d
+                ).alias("h")
+            )
+            .collect()[0]["h"]
+        )
+        bucket, sign = h % _CSK_W, 1 - 2 * ((h >> 8) & 1)
+        ests.append(sign * g.get((d, bucket), 0))
+    med = sum(ests) - max(ests) - min(ests)
+    # unbiased two-sided estimator: within the all-collisions bound
+    assert abs(med - top["xc"]) <= sum(abs(e) for e in ests)

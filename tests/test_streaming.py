@@ -667,3 +667,33 @@ def test_incremental_countsketch_matches_batch(spark, tmp_path):
     med = sum(ests) - max(ests) - min(ests)
     # unbiased two-sided estimator: within the all-collisions bound
     assert abs(med - top["xc"]) <= sum(abs(e) for e in ests)
+
+
+def test_incremental_countsketch_restart_and_rerun(spark, tmp_path):
+    """Restart discipline for the sketch sink: a drained rerun returns
+    the committed cells unchanged; post-restart arrivals merge ON TOP
+    (addition over the sink-discovered previous version), landing on
+    the full-data sketch."""
+    from pyspark.sql import functions as F
+
+    ev = load_events(spark, SF_SMOKE)
+    first = ev.where(F.col("user_id") % 2 == 0)
+    second = ev.where(F.col("user_id") % 2 == 1)
+    chunks = str(tmp_path / "chunks")
+    out_root = str(tmp_path / "csk")
+    ckpt = str(tmp_path / "ckpt")
+    first.repartition(2).write.parquet(chunks)
+    streams.run_incremental_countsketch(spark, chunks, out_root, ckpt)
+
+    def snap(df):
+        return {(r["d"], r["bucket"]): r["cell"] for r in df.collect()}
+
+    got1 = snap(
+        streams.run_incremental_countsketch(spark, chunks, out_root, ckpt)
+    )
+    assert got1 == snap(streams._countsketch_partial(first))
+    second.repartition(1).write.mode("append").parquet(chunks)
+    got2 = snap(
+        streams.run_incremental_countsketch(spark, chunks, out_root, ckpt)
+    )
+    assert got2 == snap(streams._countsketch_partial(ev))

@@ -6529,7 +6529,7 @@ LIMIT {_EB_TOPK}
 def lineitem_return_rate_eb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical-Bayes (additive / Beta-prior) shrinkage of per-
     supplier return rates: each supplier's rate pulls toward the
-    global rate with prior strength M = {_EB_M} pseudo-lines, and the
+    global rate with prior strength M = 200 pseudo-lines, and the
     top-10 by SHRUNK rate is reported. Raw-rate rankings are dominated
     by tiny-sample suppliers (2 returns out of 3 lines "beats"
     200/1000); shrinkage is the standard fix every quality leaderboard

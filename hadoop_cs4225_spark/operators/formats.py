@@ -340,8 +340,7 @@ FROM m
 )
 def orders_jsonl_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-record handling audit: a dirty JSONL feed (one
-    deterministically truncated line per ``o_orderkey % {_DIRTY_MOD}
-    == 0`` order) read under BOTH recovery policies — PERMISSIVE with
+    deterministically truncated line per ``o_orderkey % 97 == 0`` order) read under BOTH recovery policies — PERMISSIVE with
     ``_corrupt_record`` capture (quarantine lane) and DROPMALFORMED
     (silent drop) — with the counts audited against the INDEPENDENT
     ground truth recomputed from the clean parquet. This is the ingest

@@ -6569,3 +6569,157 @@ def lineitem_return_rate_eb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         quant(p0, 9).alias("global_rate"),
     )
     return scored.orderBy(F.desc("shrunk_rate"), "suppkey").limit(_EB_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 backlog: single-frequency periodogram (Goertzel) over daily counts
+# ---------------------------------------------------------------------------
+
+#: Candidate periods (days), the shared 2-pi literal (injected into
+#: both engines — never engine-derived), and the trig-term snap grid.
+_PGRAM_PERIODS = (2, 3, 7, 14, 30)
+_TWO_PI = 6.283185307179586
+_PGRAM_GRID = 1_000_000
+
+
+@register(
+    "orders_periodogram_power",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM orders GROUP BY day
+), idxd AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY day) - 1 AS t FROM daily
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+  FROM idxd
+), terms AS (
+  SELECT p.p, i.t, i.x,
+         cos({_TWO_PI} * (i.t % p.p) / p.p) AS cth,
+         sin({_TWO_PI} * (i.t % p.p) / p.p) AS sth
+  FROM idxd i,
+       (SELECT unnest([{", ".join(str(p) for p in _PGRAM_PERIODS)}]) AS p) p
+), sums AS (
+  SELECT p,
+         CAST(SUM(CAST(floor(x * cth * {_PGRAM_GRID} + 0.5) AS BIGINT))
+              AS BIGINT) AS sxc,
+         CAST(SUM(CAST(floor(cth * {_PGRAM_GRID} + 0.5) AS BIGINT))
+              AS BIGINT) AS sc,
+         CAST(SUM(CAST(floor(x * sth * {_PGRAM_GRID} + 0.5) AS BIGINT))
+              AS BIGINT) AS sxs,
+         CAST(SUM(CAST(floor(sth * {_PGRAM_GRID} + 0.5) AS BIGINT))
+              AS BIGINT) AS ss
+  FROM terms GROUP BY p
+), power AS (
+  SELECT p,
+         {quant_sql(
+             f"((CAST(sxc AS DOUBLE) / {_PGRAM_GRID}"
+             f"   - (CAST(m.s AS DOUBLE) / m.n)"
+             f"     * (CAST(sc AS DOUBLE) / {_PGRAM_GRID}))"
+             f"  * (CAST(sxc AS DOUBLE) / {_PGRAM_GRID}"
+             f"     - (CAST(m.s AS DOUBLE) / m.n)"
+             f"       * (CAST(sc AS DOUBLE) / {_PGRAM_GRID}))"
+             f"  + (CAST(sxs AS DOUBLE) / {_PGRAM_GRID}"
+             f"     - (CAST(m.s AS DOUBLE) / m.n)"
+             f"       * (CAST(ss AS DOUBLE) / {_PGRAM_GRID}))"
+             f"    * (CAST(sxs AS DOUBLE) / {_PGRAM_GRID}"
+             f"       - (CAST(m.s AS DOUBLE) / m.n)"
+             f"         * (CAST(ss AS DOUBLE) / {_PGRAM_GRID})))"
+             " / m.n", 4)} AS power
+  FROM sums CROSS JOIN m
+), best AS (
+  SELECT MAX(CAST(floor(power * 10000 + 0.5) AS BIGINT) * 64
+             + (63 - p)) AS bk
+  FROM power
+)
+SELECT CAST(p AS BIGINT) AS period_days, power,
+       (CAST(floor(power * 10000 + 0.5) AS BIGINT) * 64 + (63 - p) = bk)
+         AS is_dominant
+FROM power CROSS JOIN best
+ORDER BY period_days
+""",
+)
+def orders_periodogram_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-frequency periodogram (the Goertzel shape) of the daily
+    order-count series at candidate periods 2/3/7/14/30 days: spectral
+    power |Sum (x_t - mean) e^{-2pi i t/P}|^2 / n per period, dominant
+    period flagged. ``events_weekly_seasonality`` ASSUMES the weekly
+    cycle and measures its profile; the periodogram TESTS which cycle
+    dominates — the detection step that belongs before any seasonal
+    decomposition, computed without an FFT (each candidate is two
+    grid-snapped trig sums, the map-reduce-friendly form).
+
+    Determinism: angles are (t % P) scaled by a shared 2-pi literal so
+    both engines call cos/sin on identical doubles; every trig term
+    snaps to the 1e-6 grid and sums as BIGINTs (order-free); the
+    mean-removal uses the identity Sum (x-m) c = Sum x c - m Sum c on
+    those exact sums; the dominant flag uses the composite-integer MAX
+    (power grid * 64 + (63 - P)) so ties break to the LONGER period
+    identically in both engines.
+
+    Scale: one daily rollup, a x5 constant fan-out, one 5-row fold.
+    The day index is the CALENDAR-bounded window (allowlisted).
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    idxd = daily.select(
+        "x", (F.row_number().over(Window.orderBy("day")) - 1).alias("t")
+    )
+    m = F.broadcast(
+        idxd.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("s"),
+        )
+    )
+    ps = spark.createDataFrame(
+        [(p,) for p in _PGRAM_PERIODS], "p long"
+    )
+    angle = F.lit(_TWO_PI) * (F.col("t") % F.col("p")) / F.col("p")
+    terms = idxd.crossJoin(F.broadcast(ps)).select(
+        "p",
+        "x",
+        F.cos(angle).alias("cth"),
+        F.sin(angle).alias("sth"),
+    )
+
+    def grid(col):
+        return F.floor(col * _PGRAM_GRID + 0.5).cast("long")
+
+    sums = terms.groupBy("p").agg(
+        F.sum(grid(F.col("x") * F.col("cth"))).cast("long").alias("sxc"),
+        F.sum(grid(F.col("cth"))).cast("long").alias("sc"),
+        F.sum(grid(F.col("x") * F.col("sth"))).cast("long").alias("sxs"),
+        F.sum(grid(F.col("sth"))).cast("long").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    cpart = (
+        F.col("sxc").cast("double") / _PGRAM_GRID
+        - mean * (F.col("sc").cast("double") / _PGRAM_GRID)
+    )
+    spart = (
+        F.col("sxs").cast("double") / _PGRAM_GRID
+        - mean * (F.col("ss").cast("double") / _PGRAM_GRID)
+    )
+    power = sums.crossJoin(m).select(
+        "p",
+        quant((cpart * cpart + spart * spart) / F.col("n"), 4).alias(
+            "power"
+        ),
+    ).localCheckpoint(eager=False)  # feeds output rows + the argmax
+    key = F.floor(F.col("power") * 10000 + 0.5).cast("long") * 64 + (
+        63 - F.col("p")
+    )
+    best = F.broadcast(power.agg(F.max(key).alias("bk")))
+    return (
+        power.crossJoin(best)
+        .select(
+            F.col("p").cast("long").alias("period_days"),
+            "power",
+            (key == F.col("bk")).alias("is_dominant"),
+        )
+        .orderBy("period_days")
+    )

@@ -1106,3 +1106,191 @@ def supplier_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_open_nodes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 backlog: personalized PageRank from a nation seed set
+# ---------------------------------------------------------------------------
+
+#: Seed nation for the personalized teleport set: the nation of
+#: supplier 1 — data-derived so the seed set is nonempty at EVERY SF
+#: (a fixed nation id is empty at sf0.001, which would make the whole
+#: PPR vector vacuously zero in both engines).
+_PPR_SEED_SUPP = 1
+
+
+def _ppr_iter_sql(prev: str, cur: str, materialized: bool = False) -> str:
+    return f"""
+{cur} AS {"MATERIALIZED " if materialized else ""}(
+  SELECT n.node,
+         {quant_sql(
+             f"COALESCE(s.contrib, 0.0)"
+             f" + CASE WHEN n.is_seed THEN {TELEPORT} / (SELECT k FROM ks)"
+             f"   ELSE 0.0 END", 12)} AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, {DAMPING} * SUM({prev}.r / deg.d) AS contrib
+    FROM edges e
+    JOIN {prev} ON e.src = {prev}.node
+    JOIN deg ON e.src = deg.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+
+
+@register(
+    "supplier_personalized_pagerank",
+    oracle=f"""
+WITH {_EDGES_SQL},
+seed_nation AS (
+  SELECT s_nationkey AS nk FROM supplier WHERE s_suppkey = {_PPR_SEED_SUPP}
+),
+nodes AS (
+  SELECT src AS node,
+         (src % 2 = 1 AND EXISTS (
+            SELECT 1 FROM supplier sp
+            WHERE sp.s_suppkey * 2 + 1 = src
+              AND sp.s_nationkey = (SELECT nk FROM seed_nation))) AS is_seed
+  FROM deg
+),
+ks AS (SELECT CAST(SUM(CASE WHEN is_seed THEN 1 ELSE 0 END) AS DOUBLE) AS k
+       FROM nodes),
+p0 AS (
+  SELECT node, CASE WHEN is_seed THEN 1.0 / (SELECT k FROM ks)
+               ELSE 0.0 END AS r
+  FROM nodes
+)
+,{_ppr_iter_sql("p0", "p1")}
+,{_ppr_iter_sql("p1", "p2", materialized=True)}
+,{_ppr_iter_sql("p2", "p3", materialized=True)}
+,delta AS MATERIALIZED (
+  SELECT p3.node, p3.r, abs(p3.r - p2.r) AS dv
+  FROM p3 JOIN p2 ON p3.node = p2.node
+), resid AS (
+  SELECT CAST(SUM(CAST(floor(dv * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS sgrid
+  FROM delta
+)
+SELECT d.node, {quant_sql("d.r", 9)} AS ppr_q,
+       n.is_seed,
+       {quant_sql("CAST(r2.sgrid AS DOUBLE) / 1e12", 9)} AS l1_residual
+FROM delta d JOIN nodes n ON n.node = d.node CROSS JOIN resid r2
+ORDER BY ppr_q DESC, d.node
+LIMIT {TOP_K}
+""",
+)
+def supplier_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: random walks that TELEPORT only to the
+    seed nation's suppliers (the nation of supplier 1 — data-derived
+    so the seed set is nonempty at every SF), three damped rounds on the same
+    customer↔supplier graph as ``pagerank_trade_network``. Global
+    PageRank answers "who is central to everyone"; PPR answers "who is
+    central FROM this seed set's point of view" — the
+    locality-sensitive ranking behind related-entity recommendation
+    and trust propagation, and the zero-mass-start case the global
+    query never exercises (non-seed nodes begin at 0; mass spreads
+    outward through the LEFT join + COALESCE, so unreached nodes hold
+    honest zeros instead of vanishing).
+
+    Determinism: the pagerank per-iteration 1e-12 snap; the seed set
+    is an exact key predicate; convergence columns follow the round-9
+    discipline (delta grid-snapped into an order-free BIGINT
+    l1_residual).
+
+    Plan: per round one edges⋈ranks shuffle + a LEFT join back to the
+    |V| node table; same cost envelope as the global query plus the
+    node-table join (broadcastable: |V| rows).
+
+    No reference analogue; extends the SURVEY §2 graph family.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    seed_nation = supplier.where(
+        F.col("s_suppkey") == _PPR_SEED_SUPP
+    ).select(F.col("s_nationkey").alias("nk"))
+    seeds = F.broadcast(
+        supplier.join(F.broadcast(seed_nation), F.col("s_nationkey") == F.col("nk"))
+        .select(
+            (F.col("s_suppkey") * 2 + 1).alias("node"),
+            F.lit(True).alias("is_seed"),
+        )
+    )
+    nodes = (
+        deg.select(F.col("src").alias("node"))
+        .join(seeds, "node", "left")
+        .na.fill({"is_seed": False})
+        .localCheckpoint(eager=False)  # read every round + output join
+    )
+    ks = F.broadcast(
+        nodes.agg(
+            F.sum(F.col("is_seed").cast("long")).cast("double").alias("k")
+        )
+    )
+    edges_deg = edges.join(deg, "src").select("src", "dst", "d")
+    ranks = nodes.crossJoin(ks).select(
+        "node",
+        F.when(F.col("is_seed"), 1.0 / F.col("k")).otherwise(0.0).alias("r"),
+    )
+    prev = None
+    for i in range(N_ITERS):
+        contrib = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select(F.col("dst"), (F.col("r") / F.col("d")).alias("cv"))
+            .groupBy("dst")
+            .agg((F.lit(DAMPING) * F.sum("cv")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(ks)
+            .select(
+                "node",
+                quant(
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.when(
+                        F.col("is_seed"), F.lit(TELEPORT) / F.col("k")
+                    ).otherwise(0.0),
+                    12,
+                ).alias("r"),
+            )
+        )
+        if i >= N_ITERS - 2:
+            ranks = ranks.localCheckpoint(eager=False)
+        if i == N_ITERS - 2:
+            prev = ranks
+    delta = ranks.join(
+        prev.select("node", F.col("r").alias("r_prev")), "node"
+    ).select("node", "r", F.abs(F.col("r") - F.col("r_prev")).alias("dv"))
+    resid = F.broadcast(
+        delta.agg(
+            F.sum(F.floor(F.col("dv") * 1e12 + 0.5).cast("long"))
+            .cast("long")
+            .alias("sgrid")
+        )
+    )
+    return (
+        delta.join(nodes, "node")
+        .crossJoin(resid)
+        .select(
+            "node",
+            quant("r", 9).alias("ppr_q"),
+            "is_seed",
+            quant(F.col("sgrid").cast("double") / 1e12, 9).alias(
+                "l1_residual"
+            ),
+        )
+        .orderBy(F.desc("ppr_q"), "node")
+        .limit(TOP_K)
+    )

@@ -1341,3 +1341,174 @@ def ann_index_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cv"),
     ).orderBy("method")
+
+
+# ---------------------------------------------------------------------------
+# Round-10 backlog: multi-vector (late-interaction / MaxSim) retrieval
+# ---------------------------------------------------------------------------
+
+#: MaxSim geometry: the 64-dim embedding splits into 4 contiguous
+#: 16-dim subvectors (the multi-vector stand-in this corpus affords —
+#: a real late-interaction encoder emits per-token vectors; the
+#: SCORING algebra is identical). Per-(query-sub) maxima snap to this
+#: grid so the 4-term score fold is an order-free BIGINT sum.
+_MAXSIM_SUBS = 4
+_MAXSIM_SUBDIM = 16
+_MAXSIM_QUERY = 0
+_MAXSIM_TOPK = 10
+_MAXSIM_GRID = 1_000_000_000
+
+
+@register(
+    "embedding_maxsim_topk",
+    oracle=f"""
+WITH comp AS (
+  SELECT vec_id, label, (g.i - 1) // {_MAXSIM_SUBDIM} AS sub,
+         (g.i - 1) % {_MAXSIM_SUBDIM} AS k,
+         CAST(floor(CAST(embedding[g.i] AS DOUBLE) * {_CENT_GRID} + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) g
+), norms AS (
+  SELECT vec_id, sub, CAST(SUM(q * q) AS BIGINT) AS nrm
+  FROM comp GROUP BY vec_id, sub
+), qside AS (
+  SELECT sub AS qs, k, q AS qq FROM comp WHERE vec_id = {_MAXSIM_QUERY}
+), qnorm AS (
+  SELECT sub AS qs, nrm AS qn FROM norms WHERE vec_id = {_MAXSIM_QUERY}
+), dots AS (
+  SELECT c.vec_id, ANY_VALUE(c.label) AS label, c.sub AS ds, qd.qs,
+         CAST(SUM(c.q * qd.qq) AS BIGINT) AS dot
+  FROM comp c JOIN qside qd ON qd.k = c.k
+  WHERE c.vec_id <> {_MAXSIM_QUERY}
+  GROUP BY c.vec_id, c.sub, qd.qs
+), coss AS (
+  SELECT d.vec_id, d.label, d.qs,
+         {quant_sql(
+             "CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE))"
+             " / sqrt(CAST(qn.qn AS DOUBLE))", 9)} AS cq
+  FROM dots d
+  JOIN norms n ON n.vec_id = d.vec_id AND n.sub = d.ds
+  JOIN qnorm qn ON qn.qs = d.qs
+), mx AS (
+  SELECT vec_id, ANY_VALUE(label) AS label, qs,
+         CAST(floor(MAX(cq) * {_MAXSIM_GRID} + 0.5) AS BIGINT) AS mx_grid
+  FROM coss GROUP BY vec_id, qs
+), scored AS (
+  SELECT vec_id, ANY_VALUE(label) AS label,
+         CAST(SUM(mx_grid) AS BIGINT) AS s_grid
+  FROM mx GROUP BY vec_id
+)
+SELECT vec_id, label,
+       {quant_sql(f"CAST(s_grid AS DOUBLE) / {_MAXSIM_GRID}", 6)}
+         AS maxsim_score
+FROM scored
+ORDER BY s_grid DESC, vec_id
+LIMIT {_MAXSIM_TOPK}
+""",
+)
+def embedding_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (MaxSim) retrieval: each vector splits into 4
+    contiguous 16-dim subvectors; a document scores the SUM over the
+    query's subvectors of its best-matching subvector cosine —
+    the ColBERT scoring algebra, where single-vector cosine
+    (``cosine_topk_brute``) forces one global embedding to carry every
+    aspect, MaxSim lets different parts of the query match different
+    parts of the document. Top-10 for query vec {_MAXSIM_QUERY}. (A
+    real late-interaction encoder emits per-token vectors; this corpus
+    affords subvector splits — the PLUMBING and scoring are identical,
+    which is what the operator demonstrates.)
+
+    Exact-integer path: components snap to the 1e-4 grid; per-(vec,
+    sub) norms and all subvector dots are exact BIGINTs; each cosine
+    is one quantized expression; per-query-sub maxima are order-free
+    MAX of quantized values, snapped to the 1e-9 grid so the 4-term
+    score fold is an order-free BIGINT sum; ties break on vec_id.
+
+    Plan: one posexplode pass; the dot aggregation keys (vec, doc-sub,
+    query-sub) with a 4x16-row broadcast query side — |V| x 16 rows
+    through one partial-agg shuffle, linear in the corpus. At 100 TB
+    the doc-side subvectors are the stored index; MaxSim probes stay
+    one broadcast join per query.
+
+    No reference analogue; extends the SURVEY §2 similarity/ANN family.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select(
+            "vec_id",
+            "label",
+            F.posexplode("embedding").alias("dim0", "x"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.expr(f"dim0 DIV {_MAXSIM_SUBDIM}").alias("sub"),
+            (F.col("dim0") % _MAXSIM_SUBDIM).alias("k"),
+            F.floor(F.col("x").cast("double") * _CENT_GRID + 0.5)
+            .cast("long")
+            .alias("q"),
+        )
+        .localCheckpoint(eager=False)  # feeds norms, query side, dots
+    )
+    norms = comp.groupBy("vec_id", "sub").agg(
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("nrm")
+    ).localCheckpoint(eager=False)  # doc side + query side
+    qside = F.broadcast(
+        comp.where(F.col("vec_id") == _MAXSIM_QUERY).select(
+            F.col("sub").alias("qs"), "k", F.col("q").alias("qq")
+        )
+    )
+    qnorm = F.broadcast(
+        norms.where(F.col("vec_id") == _MAXSIM_QUERY).select(
+            F.col("sub").alias("qs"), F.col("nrm").alias("qn")
+        )
+    )
+    dots = (
+        comp.where(F.col("vec_id") != _MAXSIM_QUERY)
+        .join(qside, "k")
+        .groupBy("vec_id", F.col("sub").alias("ds"), "qs")
+        .agg(
+            F.first("label").alias("label"),
+            F.sum(F.col("q") * F.col("qq")).cast("long").alias("dot"),
+        )
+    )
+    coss = (
+        dots.join(
+            norms.withColumnRenamed("sub", "ds"), ["vec_id", "ds"]
+        )
+        .join(qnorm, "qs")
+        .select(
+            "vec_id",
+            "label",
+            "qs",
+            quant(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("nrm").cast("double"))
+                / F.sqrt(F.col("qn").cast("double")),
+                9,
+            ).alias("cq"),
+        )
+    )
+    mx = coss.groupBy("vec_id", "qs").agg(
+        F.first("label").alias("label"),
+        F.floor(F.max("cq") * _MAXSIM_GRID + 0.5).cast("long").alias(
+            "mx_grid"
+        ),
+    )
+    scored = mx.groupBy("vec_id").agg(
+        F.first("label").alias("label"),
+        F.sum("mx_grid").cast("long").alias("s_grid"),
+    )
+    return (
+        scored.orderBy(F.desc("s_grid"), "vec_id")
+        .limit(_MAXSIM_TOPK)
+        .select(
+            "vec_id",
+            "label",
+            quant(F.col("s_grid").cast("double") / _MAXSIM_GRID, 6).alias(
+                "maxsim_score"
+            ),
+        )
+        .orderBy(F.desc("maxsim_score"), "vec_id")
+    )

@@ -3812,3 +3812,147 @@ def doc_hapax_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 backlog: windowed-PMI collocations
+# ---------------------------------------------------------------------------
+
+#: Collocation window (skip distances 1..2), minimum pair count, and
+#: the NPMI snap grid. Pairs are ORDERED (left, right) within the
+#: window, the convention co-occurrence LMs use.
+_WPMI_MAXSKIP = 2
+_WPMI_MINC = 5
+_WPMI_TOPK = 20
+_WPMI_GRID = 1_000_000_000
+
+
+@register(
+    "token_window_pmi_topk",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, t.i - 1 AS pos, t.w
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) d,
+       LATERAL (SELECT unnest(toks) AS w,
+                       generate_subscripts(toks, 1) AS i) t
+), pairs AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id
+   AND b.pos - a.pos BETWEEN 1 AND {_WPMI_MAXSKIP}
+), pairs_m AS MATERIALIZED (SELECT w1, w2 FROM pairs),
+pcnt AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pairs_m GROUP BY w1, w2
+  HAVING COUNT(*) >= {_WPMI_MINC}
+), ucnt AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w
+), tot AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tok) AS nu,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs_m) AS np
+), scored AS (
+  SELECT p.w1, p.w2, p.c,
+         CAST(floor(
+           ln((CAST(p.c AS DOUBLE) / t.np)
+              / ((CAST(u1.c AS DOUBLE) / t.nu) * (CAST(u2.c AS DOUBLE) / t.nu)))
+           / (-ln(CAST(p.c AS DOUBLE) / t.np))
+           * {_WPMI_GRID} + 0.5) AS BIGINT) AS npmi_grid
+  FROM pcnt p
+  JOIN ucnt u1 ON u1.w = p.w1
+  JOIN ucnt u2 ON u2.w = p.w2
+  CROSS JOIN tot t
+)
+SELECT w1, w2, c,
+       {quant_sql(f"CAST(npmi_grid AS DOUBLE) / {_WPMI_GRID}", 6)} AS npmi
+FROM scored
+ORDER BY npmi_grid DESC, w1, w2
+LIMIT {_WPMI_TOPK}
+""",
+)
+def token_window_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed collocations: top-20 ordered token pairs by NORMALIZED
+    PMI over co-occurrences within a 2-token window. Adjacent-bigram
+    PMI (``bigram_pmi_topk``) misses collocates separated by one word
+    ("new ... york" patterns); the window join catches them, and NPMI
+    (PMI / -ln p(pair)) removes plain PMI's rare-pair bias so the
+    ranking is comparable across frequencies — the collocation list a
+    tokenizer-merge or phrase-vocabulary step consumes.
+
+    Determinism: pair/unigram counts are exact BIGINTs; each NPMI is
+    ONE quantized expression of integer ratios snapped to the 1e-9
+    grid BEFORE ranking (ties then break on the pair text).
+
+    Scale: the window join is position-keyed per doc with fanout
+    exactly {_WPMI_MAXSKIP} per token (never all-pairs); counts are
+    map-side-combined shuffles; the min-count filter prunes the long
+    tail before the marginal joins (df-pruning discipline).
+
+    No reference analogue; extends the SURVEY §2 text-analysis family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(_toks()).alias("pos", "w")
+    ).localCheckpoint(eager=False)  # both sides of the window join
+    b = tok.select(
+        "doc_id", F.col("pos").alias("pos2"), F.col("w").alias("w2")
+    )
+    pairs = tok.join(b, "doc_id").where(
+        (F.col("pos2") - F.col("pos")).between(1, _WPMI_MAXSKIP)
+    ).select(F.col("w").alias("w1"), "w2")
+    np_tot = F.broadcast(
+        pairs.agg(F.count(F.lit(1)).cast("long").alias("np"))
+    )
+    pcnt = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .where(F.col("c") >= _WPMI_MINC)
+    )
+    ucnt = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nu_tot = F.broadcast(
+        tok.agg(F.count(F.lit(1)).cast("long").alias("nu"))
+    )
+    p_pair = F.col("c").cast("double") / F.col("np")
+    p1 = F.col("c1").cast("double") / F.col("nu")
+    p2 = F.col("c2").cast("double") / F.col("nu")
+    scored = (
+        pcnt.join(
+            F.broadcast(
+                ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+            ),
+            "w1",
+        )
+        .join(
+            F.broadcast(
+                ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+            ),
+            "w2",
+        )
+        .crossJoin(np_tot)
+        .crossJoin(nu_tot)
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.floor(
+                F.log(p_pair / (p1 * p2))
+                / (-F.log(p_pair))
+                * _WPMI_GRID
+                + 0.5
+            )
+            .cast("long")
+            .alias("npmi_grid"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("npmi_grid"), "w1", "w2")
+        .limit(_WPMI_TOPK)
+        .select(
+            "w1",
+            "w2",
+            "c",
+            quant(F.col("npmi_grid").cast("double") / _WPMI_GRID, 6).alias(
+                "npmi"
+            ),
+        )
+        .orderBy(F.desc("npmi"), "w1", "w2")
+    )

@@ -181,12 +181,18 @@ _PRIORITY = (
     "lineitem_return_rate_eb_topk",  # Beta-prior shrinkage leaderboard
 )
 
-#: ROUND-10 ROTATION BACKLOG: none. Every query registered in round 9
-#: (34 new operators) occupies an explicit _PRIORITY slot above, so
-#: the driver checks the complete round-9 surface in-round; with the
-#: 14-query round-8 backlog rotated in at the top, the cross-round
-#: union covers the ENTIRE registry once this round's CORRECTNESS
-#: lands. Round 10 only needs fresh re-anchors plus its own additions.
+#: ROUND-10 ROTATION BACKLOG: 4 queries, registered after this round's
+#: 50-slot window filled (the round-8 pattern: oracled and
+#: replica-green at sf0.001/0.01 on every pytest run, pending driver
+#: rows only); rotate them into _PRIORITY next round:
+#:   token_window_pmi_topk          (windowed NPMI collocations)
+#:   orders_periodogram_power       (Goertzel power, dominant period)
+#:   supplier_personalized_pagerank (seed-teleport PPR + residual)
+#:   embedding_maxsim_topk          (late-interaction MaxSim retrieval)
+#: Everything else registered in round 9 (34 operators) occupies an
+#: explicit _PRIORITY slot above; with the 14-query round-8 backlog
+#: rotated in at the top, the cross-round union covers the entire
+#: pre-round-9 registry once this round's CORRECTNESS lands.
 
 def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:
     """Materialize every session-memoized shared frame (the dedup

@@ -211,6 +211,10 @@ _BOUNDED_ALLPAIRS = {
     "lineitem_return_rate_eb_topk",  # broadcast 1-row global-rate cross join
     "orders_jsonl_malformed_audit",  # three 1-row count aggregates cross-joined
     "supplier_communities_lpa",  # broadcast 1-row change-count cross join
+    # --- round-10 backlog ---
+    "token_window_pmi_topk",  # broadcast 1-row pair/unigram-total cross joins
+    "orders_periodogram_power",  # 5-row period grid + 1-row moment cross joins
+    "supplier_personalized_pagerank",  # broadcast 1-row seed-count cross joins
 }
 
 

@@ -116,6 +116,7 @@ DOC_QUERIES = (
     "source_segmental_ttr",  # (source, doc, seg)-keyed partial aggs
     "doc_rake_keyphrases",  # per-doc prefix-sum + phrase-keyed aggs
     "lsh_band_planner",  # 3 band-keyed groupBys over the signature frame
+    "token_window_pmi_topk",  # x2-skip window join, df-pruned marginals
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i
@@ -146,6 +147,7 @@ EMB_QUERIES = (
     "embedding_mahalanobis_outliers",  # (label, dim) moments + top-k window
     "embedding_triplet_margin",  # |V| x L x d single partial-agg shuffle
     "ann_index_balance_audit",  # two memoized-index rollups
+    "embedding_maxsim_topk",  # |V| x subvector broadcast-probe shuffle
 )
 
 #: queries probed across the real sf dirs (10x data per step).
@@ -231,6 +233,8 @@ SF_QUERIES = (
     "supplier_local_clustering",  # C(K,2)-bounded wedge join per node
     "lineitem_weighted_quantiles",  # domain-bounded cents histogram walk
     "orders_hurst_rs",  # calendar-bounded blocks, <=32-row partitions
+    "orders_periodogram_power",  # x5 period fan-out, 5-row fold
+    "supplier_personalized_pagerank",  # per-round edge join + |V| left join
 )
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 

@@ -347,6 +347,25 @@ def timed(fn, spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def exponent_adjudicated(fn, spark, dirs, sizes, ts) -> float:
+    """Exponent between the two largest sizes, RE-MEASURED once if the
+    first estimate crosses the super-linear threshold: a 45-minute
+    probe run accumulates GC/page-cache noise, and a single slow x4
+    execution fakes a quadratic verdict (round-9: jaccard prefix join
+    measured 0.44 and 1.59 in consecutive full runs; standalone
+    re-timing gave 0.63-0.66). On a flag, both top sizes are re-timed
+    and the per-size MIN is used — the bench_compare min-over-runs
+    discipline applied only where it matters, so the probe stays
+    single-pass for the (vast) non-flagged majority."""
+    k0, k1 = sizes[-2], sizes[-1]
+    exp = math.log(ts[k1] / ts[k0]) / math.log(k1 / k0)
+    if exp > SUPERLINEAR:
+        for k in (k0, k1):
+            ts[k] = min(ts[k], timed(fn, spark, dirs[k]))
+        exp = math.log(ts[k1] / ts[k0]) / math.log(k1 / k0)
+    return exp
+
+
 def main() -> int:
     quick = "--quick" in sys.argv
     registry.load_all()
@@ -361,7 +380,7 @@ def main() -> int:
         timed(fn, spark, dirs[copies[0]])  # warm: session + codegen
         ts = {k: timed(fn, spark, dirs[k]) for k in copies}
         k0, k1 = copies[-2], copies[-1]
-        exp = math.log(ts[k1] / ts[k0]) / math.log(k1 / k0)
+        exp = exponent_adjudicated(fn, spark, dirs, copies, ts)
         rows.append((name, f"x{k0}->x{k1}", ts, exp))
 
     for k in copies:
@@ -375,7 +394,7 @@ def main() -> int:
                 timed(fn, spark, dirs[k])
         ts = {k: timed(fn, spark, dirs[k]) for k in copies}
         k0, k1 = copies[-2], copies[-1]
-        exp = math.log(ts[k1] / ts[k0]) / math.log(k1 / k0)
+        exp = exponent_adjudicated(fn, spark, dirs, copies, ts)
         rows.append((name, f"x{k0}->x{k1}", ts, exp))
 
     sf_names = SF_QUERIES[:2] if quick else SF_QUERIES
@@ -386,7 +405,12 @@ def main() -> int:
             for d in SF_DIRS[1:]:
                 timed(fn, spark, d)
         ts = {d.rsplit("sf", 1)[1]: timed(fn, spark, d) for d in SF_DIRS}
+        sf_dirs_by_tag = {d.rsplit("sf", 1)[1]: d for d in SF_DIRS}
         exp = math.log(ts["0.1"] / ts["0.01"]) / math.log(10)
+        if exp > SUPERLINEAR:
+            for tag in ("0.01", "0.1"):
+                ts[tag] = min(ts[tag], timed(fn, spark, sf_dirs_by_tag[tag]))
+            exp = math.log(ts["0.1"] / ts["0.01"]) / math.log(10)
         rows.append((name, "sf0.01->sf0.1", ts, exp))
 
     lines = [

@@ -89,6 +89,39 @@ def _iter_sql(prev: str, cur: str, materialized: bool = False) -> str:
 )"""
 
 
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized customer↔supplier edge list (src, dst) — session-
+    memoized (the dedup ``_memo`` discipline) because BOTH PageRank
+    variants (global and personalized) iterate over the identical
+    frame: the orders⋈lineitem→distinct chain runs once per session,
+    not once per query. localCheckpoint stands in for the written
+    edge table a cluster deployment would persist."""
+    from hadoop_cs4225_spark.operators.dedup import _memo
+
+    def build() -> DataFrame:
+        orders = load_table(spark, sf_dir, "orders")
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        pairs = (
+            orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).alias("c"),
+                (F.col("l_suppkey") * 2 + 1).alias("s"),
+            )
+            .distinct()
+        )
+        return (
+            pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+            .union(
+                pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    return _memo(spark, sf_dir, "trade_edges", build, src_table="orders")
+
+
 @register(
     "pagerank_trade_network",
     oracle=f"""
@@ -130,27 +163,12 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     shows it in every row instead of hiding behind a converged-looking
     top-20.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    pairs = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .distinct()
-    )
-    # Materialize the edge list ONCE: everything downstream (degrees,
-    # |V|, initial ranks, and every iteration's join) reads it, and
-    # without this the orders⋈lineitem→distinct chain re-executes per
-    # round and the final plan nests it three deep (same hygiene as
-    # dedup_clusters; on a cluster use persist(MEMORY_AND_DISK) /
-    # checkpoint instead).
-    edges = (
-        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        .localCheckpoint()
-    )
+    # Materialized edge list shared with the personalized variant via
+    # the session memo: everything downstream (degrees, |V|, initial
+    # ranks, every iteration's join) reads it, and without the
+    # checkpoint the orders⋈lineitem→distinct chain would re-execute
+    # per round (same hygiene as dedup_clusters).
+    edges = _trade_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     # |V| as a 1-row aggregate joined in (never a driver-side collect).
     nn = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
@@ -1201,22 +1219,8 @@ def supplier_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFram
 
     No reference analogue; extends the SURVEY §2 graph family.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
-    pairs = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .distinct()
-    )
-    edges = (
-        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        .localCheckpoint()
-    )
+    edges = _trade_edges(spark, sf_dir)  # shared with the global query
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     seed_nation = supplier.where(
         F.col("s_suppkey") == _PPR_SEED_SUPP

@@ -214,7 +214,10 @@ def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:
         _memo,
         _verified_pairs,
     )
-    from hadoop_cs4225_spark.operators.graph import _mutual_topk_edges
+    from hadoop_cs4225_spark.operators.graph import (
+        _mutual_topk_edges,
+        _trade_edges,
+    )
     from hadoop_cs4225_spark.operators.similarity import (
         _assigned_frame,
         _bucketed_frame,
@@ -228,6 +231,7 @@ def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:
         lambda: _bucketed_frame(spark, sf_dir),
         lambda: _assigned_frame(spark, sf_dir),
         lambda: _mutual_topk_edges(spark, sf_dir),
+        lambda: _trade_edges(spark, sf_dir),
         lambda: _daily_counts(spark, sf_dir),
         lambda: _transition_counts(spark, sf_dir),
     )

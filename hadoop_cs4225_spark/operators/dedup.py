@@ -52,7 +52,7 @@ def _memo(
     sf_dir: str,
     kind: str,
     build,
-    src_table: str = "documents",
+    src_table: str | tuple[str, ...] = "documents",
 ) -> DataFrame:
     """``build`` must return an already-MATERIALIZED frame (its last op
     a ``localCheckpoint``, or a projection over one) — the memo stores
@@ -60,14 +60,25 @@ def _memo(
     to a stopped SparkContext (their checkpointed RDDs are dead); they
     are evicted on insert so a session-restarting process never grows
     the dict nor retains dead object graphs. ``src_table`` names the
-    parquet whose mtime keys staleness (the similarity family shares
-    this memo with ``src_table="embeddings"``; ``kind`` strings are
-    namespaced per family)."""
+    parquet whose mtime keys staleness — a TUPLE when the frame scans
+    several tables (staleness = max mtime over all of them, so
+    regenerating ANY source invalidates the memo; the similarity
+    family shares this memo with ``src_table="embeddings"``; ``kind``
+    strings are namespaced per family)."""
     import os
 
     app = spark.sparkContext.applicationId
-    src = os.path.join(sf_dir, f"{src_table}.parquet")
-    mtime = os.path.getmtime(src) if os.path.exists(src) else 0.0
+    tables = (src_table,) if isinstance(src_table, str) else tuple(src_table)
+    mtime = max(
+        (
+            os.path.getmtime(p)
+            for p in (
+                os.path.join(sf_dir, f"{t}.parquet") for t in tables
+            )
+            if os.path.exists(p)
+        ),
+        default=0.0,
+    )
     key = (app, os.path.normpath(sf_dir), kind, mtime)
     df = _MATERIALIZED.get(key)
     if df is None:

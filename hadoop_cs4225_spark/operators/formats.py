@@ -356,20 +356,28 @@ def orders_jsonl_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     path = ensure_orders_jsonl_dirty(spark, sf_dir)
     schema = _ORDERS_TEXT_SCHEMA + ", _corrupt_record string"
-    perm = (
+    # ONE aggregate over a two-column projection yields both PERMISSIVE
+    # counts in a single scan — no cache to leave pinned in executor
+    # storage for the rest of the session (the r9 version cached the
+    # full PERMISSIVE frame and never unpersisted it). The aggregate
+    # must REFERENCE a real data column or column pruning reduces the
+    # scan to `_corrupt_record` alone and Spark's
+    # QUERY_ONLY_CORRUPT_RECORD_COLUMN rule rejects the plan — so the
+    # good-row count is COUNT(o_orderkey): PERMISSIVE nulls every data
+    # column on a corrupt line and the clean feed has no null keys,
+    # making count(o_orderkey) exactly the parsed-row count.
+    is_corrupt = F.col("_corrupt_record").isNotNull()
+    perm_counts = (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
-        .cache()  # PERMISSIVE semantics: corrupt-column queries need it
-    )
-    n_perm = perm.agg(
-        F.count(F.lit(1)).cast("long").alias("n_permissive_rows")
-    )
-    n_corr = perm.agg(
-        F.sum(F.col("_corrupt_record").isNotNull().cast("long"))
-        .cast("long")
-        .alias("n_corrupt")
+        .agg(
+            (F.count("o_orderkey") + F.sum(is_corrupt.cast("long")))
+            .cast("long")
+            .alias("n_permissive_rows"),
+            F.sum(is_corrupt.cast("long")).cast("long").alias("n_corrupt"),
+        )
     )
     n_drop = (
         spark.read.schema(_ORDERS_TEXT_SCHEMA)
@@ -378,8 +386,7 @@ def orders_jsonl_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_dropmalformed_rows"))
     )
     return (
-        n_perm.crossJoin(n_corr)
-        .crossJoin(n_drop)
+        perm_counts.crossJoin(n_drop)
         .select(
             "n_permissive_rows",
             "n_corrupt",

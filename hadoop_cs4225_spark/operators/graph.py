@@ -119,7 +119,9 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
 
-    return _memo(spark, sf_dir, "trade_edges", build, src_table="orders")
+    return _memo(
+        spark, sf_dir, "trade_edges", build, src_table=("orders", "lineitem")
+    )
 
 
 @register(

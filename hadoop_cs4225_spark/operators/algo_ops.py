@@ -4082,9 +4082,9 @@ def lineitem_quantile_reg_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     count reaches ceil(tau*n). Every row of bucket >= pick is >= a and
     every row below is < a, so the pinball loss AT a is computed
     EXACTLY from per-bucket (cnt, sum) — approximation lives only in
-    the intercept (within one $1 bucket of the exact order statistic),
-    never in the reported loss, and the reported profile is the true
-    pinball loss of the reported lines.
+    the intercept (within one $10 bucket of the exact order statistic:
+    _QR_W = 1000 cents), never in the reported loss, and the reported
+    profile is the true pinball loss of the reported lines.
 
     Exactness: residuals are exact cent BIGINTs; the _QR_OFF shift
     keeps bucket ids nonnegative so integer division is identical in
@@ -6722,4 +6722,372 @@ def orders_periodogram_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             (key == F.col("bk")).alias("is_dominant"),
         )
         .orderBy("period_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: Kaplan-Meier product-limit survival with right-censoring
+# ---------------------------------------------------------------------------
+
+#: Censoring horizon (days): orders whose first shipment happens after
+#: this many days are right-censored at the horizon — the KM estimator
+#: exists exactly to keep those rows informative instead of dropping
+#: them. Negative synthetic delays clamp to day 0.
+_KM_HORIZON = 60
+
+#: ln-term snap grid for the product-limit factors (the l-diversity
+#: entropy discipline: quantize each ln((n-d)/n) to an integer, sum
+#: BIGINTs, exponentiate once at the end).
+_KM_GRID = 1_000_000_000_000
+
+
+@register(
+    "orders_kaplan_meier",
+    oracle=f"""
+WITH per_order AS (
+  SELECT o.o_orderkey,
+         greatest(datediff('day', CAST(o.o_orderdate AS DATE),
+                           MIN(CAST(l.l_shipdate AS DATE))), 0) AS dur
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+), obs AS (
+  SELECT least(dur, {_KM_HORIZON}) AS t_days,
+         CASE WHEN dur <= {_KM_HORIZON} THEN 1 ELSE 0 END AS event
+  FROM per_order
+), cnt AS (
+  SELECT CAST(t_days AS BIGINT) AS t_days,
+         CAST(SUM(event) AS BIGINT) AS n_events,
+         CAST(SUM(1 - event) AS BIGINT) AS n_censored
+  FROM obs GROUP BY t_days
+), risk AS (
+  SELECT t_days, n_events, n_censored,
+         CAST((SELECT CAST(COUNT(*) AS BIGINT) FROM obs)
+           - COALESCE(SUM(n_events + n_censored) OVER
+               (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+  FROM cnt
+), terms AS (
+  SELECT t_days, n_risk, n_events, n_censored,
+         CASE WHEN n_events > 0 THEN
+           CAST(floor(ln(CAST(n_risk - n_events AS DOUBLE)
+                         / CAST(n_risk AS DOUBLE)) * {_KM_GRID} + 0.5)
+                AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS lnterm
+  FROM risk
+)
+SELECT t_days, n_risk, n_events, n_censored,
+       {quant_sql(
+           f"exp(CAST(SUM(lnterm) OVER (ORDER BY t_days "
+           f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
+           f" / {_KM_GRID})", 6)} AS survival
+FROM terms
+ORDER BY t_days
+""",
+)
+def orders_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit estimator of the order-to-first-ship
+    delay, right-censored at {_KM_HORIZON} days: S(t) = prod over event
+    times s <= t of (1 - d_s / n_s), with n_s the at-risk count just
+    before s. ``ship_delay_survival`` reports the EMPIRICAL share still
+    unshipped at fixed horizons over fully-observed delays; KM is the
+    estimator a real ops feed needs when the study window CUTS OFF
+    in-flight orders — censored rows keep contributing to the at-risk
+    denominator up to their censoring time instead of biasing the curve
+    by omission (Kaplan & Meier 1958, the standard survival tool).
+
+    Determinism: event/censor counts are exact BIGINTs; each
+    product-limit factor enters as ONE quantized ln((n-d)/n) on the
+    1e-12 integer grid, the running product is a BIGINT cumulative sum,
+    and a single exp + quant(6) renders the curve (the l-diversity
+    entropy-grid discipline).
+
+    Scale: one orderkey partial agg (first ship date), one (t_days)
+    rollup — the cumulative windows then run over the HORIZON-bounded
+    day axis (<= {_KM_HORIZON} + 1 rows at any corpus size; allowlisted
+    with that bound in tests/test_plans.py).
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.min(F.col("l_shipdate").cast("date")).alias("first_ship"))
+        .select(
+            F.greatest(
+                F.datediff("first_ship", F.col("o_orderdate").cast("date")),
+                F.lit(0),
+            ).alias("dur")
+        )
+    )
+    obs = per_order.select(
+        F.least(F.col("dur"), F.lit(_KM_HORIZON)).alias("t_days"),
+        (F.col("dur") <= _KM_HORIZON).cast("int").alias("event"),
+    )
+    cnt = obs.groupBy("t_days").agg(
+        F.sum("event").cast("long").alias("n_events"),
+        F.sum(1 - F.col("event")).cast("long").alias("n_censored"),
+    )
+    total = F.broadcast(
+        obs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    )
+    w_prev = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = cnt.crossJoin(total).select(
+        F.col("t_days").cast("long").alias("t_days"),
+        "n_events",
+        "n_censored",
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(w_prev),
+                F.lit(0),
+            )
+        ).alias("n_risk"),
+    )
+    lnterm = F.when(
+        F.col("n_events") > 0,
+        F.floor(
+            F.log(
+                (F.col("n_risk") - F.col("n_events")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * _KM_GRID
+            + 0.5
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    w_cum = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        risk.withColumn("lnterm", lnterm)
+        .select(
+            "t_days",
+            "n_risk",
+            "n_events",
+            "n_censored",
+            quant(
+                F.exp(F.sum("lnterm").over(w_cum).cast("double") / _KM_GRID),
+                6,
+            ).alias("survival"),
+        )
+        .orderBy("t_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: Theil inequality index with within/between decomposition
+# ---------------------------------------------------------------------------
+
+#: Snap grid for the x*ln(x) Theil terms (one per supplier / nation).
+_THEIL_GRID = 1_000_000_000
+
+
+@register(
+    "lineitem_theil_decomposition",
+    oracle=f"""
+WITH rev AS (
+  SELECT s.s_nationkey,
+         CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                             + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY l.l_suppkey, s.s_nationkey
+), rev_m AS MATERIALIZED (SELECT * FROM rev),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS sum_c
+  FROM rev_m
+), gt AS (
+  SELECT s_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(cents) AS BIGINT) AS sum_g
+  FROM rev_m GROUP BY s_nationkey
+), grp AS (
+  SELECT r.s_nationkey, g.n_g, g.sum_g,
+         CAST(SUM(CAST(floor(
+             (CAST(r.cents AS DOUBLE) * g.n_g / CAST(g.sum_g AS DOUBLE))
+             * ln(CAST(r.cents AS DOUBLE) * g.n_g / CAST(g.sum_g AS DOUBLE))
+             * {_THEIL_GRID} + 0.5) AS BIGINT)) AS BIGINT) AS tg_grid
+  FROM rev_m r JOIN gt g ON g.s_nationkey = r.s_nationkey
+  GROUP BY r.s_nationkey, g.n_g, g.sum_g
+)
+SELECT g.s_nationkey,
+       g.n_g AS n_suppliers,
+       {quant_sql("CAST(g.sum_g AS DOUBLE) / 100.0", 2)} AS revenue,
+       {quant_sql("CAST(g.sum_g AS DOUBLE) / t.sum_c", 6)} AS rev_share,
+       {quant_sql(f"CAST(g.tg_grid AS DOUBLE) / {_THEIL_GRID} / g.n_g", 6)}
+         AS theil_within_g,
+       {quant_sql(
+           f"(CAST(g.sum_g AS DOUBLE) / t.sum_c)"
+           f" * ln((CAST(g.sum_g AS DOUBLE) / g.n_g)"
+           f"      / (CAST(t.sum_c AS DOUBLE) / t.n))", 6)}
+         AS between_term
+FROM grp g CROSS JOIN tot t
+ORDER BY g.s_nationkey
+""",
+)
+def lineitem_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality of per-supplier revenue, decomposed by nation:
+    within-group Theil T_g = (1/n_g) * sum((x/mu_g) ln(x/mu_g)) per
+    nation plus each nation's between-group term
+    s_g * ln(mu_g / mu) (s_g = revenue share) — total inequality =
+    sum(s_g * T_g) + sum(between terms), the additive decomposition
+    Gini lacks (``user_activity_gini`` measures concentration but
+    cannot attribute it to between- vs within-market structure).
+
+    Determinism: revenue is exact per-lineitem cents summed as BIGINT;
+    each supplier's (x/mu_g) ln(x/mu_g) term is ONE double expression of
+    integer ratios snapped to the 1e-9 grid and summed as BIGINT per
+    nation; the between term is a single quantized expression of the
+    exact group sums.
+
+    Scale: one (suppkey, nation) partial agg over lineitem, then a
+    nation-partitioned term sum — the nation frame is
+    dictionary-bounded (25 rows), and no global window exists (the
+    per-supplier terms aggregate directly per nation).
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    rev = (
+        lineitem.join(
+            F.broadcast(supplier),
+            lineitem.l_suppkey == supplier.s_suppkey,
+        )
+        .groupBy("l_suppkey", "s_nationkey")
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    gtot = rev.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("cents").cast("long").alias("sum_g"),
+    )
+    ratio = (
+        F.col("cents").cast("double")
+        * F.col("n_g")
+        / F.col("sum_g").cast("double")
+    )
+    term = F.floor(ratio * F.log(ratio) * _THEIL_GRID + 0.5).cast("long")
+    grp = (
+        rev.join(F.broadcast(gtot), "s_nationkey")
+        .groupBy("s_nationkey", "n_g", "sum_g")
+        .agg(F.sum(term).cast("long").alias("tg_grid"))
+    )
+    tot = F.broadcast(
+        rev.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_c"),
+        )
+    )
+    return (
+        grp.crossJoin(tot)
+        .select(
+            "s_nationkey",
+            F.col("n_g").alias("n_suppliers"),
+            quant(F.col("sum_g").cast("double") / 100.0, 2).alias("revenue"),
+            quant(
+                F.col("sum_g").cast("double") / F.col("sum_c"), 6
+            ).alias("rev_share"),
+            quant(
+                F.col("tg_grid").cast("double") / _THEIL_GRID / F.col("n_g"),
+                6,
+            ).alias("theil_within_g"),
+            quant(
+                (F.col("sum_g").cast("double") / F.col("sum_c"))
+                * F.log(
+                    (F.col("sum_g").cast("double") / F.col("n_g"))
+                    / (F.col("sum_c").cast("double") / F.col("n"))
+                ),
+                6,
+            ).alias("between_term"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: UNPIVOT (wide-to-long melt) relational surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_unpivot_profile",
+    oracle=f"""
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)      AS l_quantity,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS l_extendedprice,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT)      AS l_discount,
+         CAST(floor(l_tax * 100 + 0.5) AS BIGINT)           AS l_tax
+  FROM lineitem
+), long AS (
+  SELECT l_returnflag, measure, val
+  FROM wide
+  UNPIVOT (val FOR measure IN
+           (l_quantity, l_extendedprice, l_discount, l_tax))
+)
+SELECT l_returnflag, measure,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {quant_sql("CAST(SUM(val) AS DOUBLE) / 100.0", 2)} AS total,
+       {quant_sql("CAST(SUM(val) AS DOUBLE) / 100.0 / COUNT(*)", 6)}
+         AS mean,
+       {quant_sql("CAST(MIN(val) AS DOUBLE) / 100.0", 2)} AS min_val,
+       {quant_sql("CAST(MAX(val) AS DOUBLE) / 100.0", 2)} AS max_val
+FROM long
+GROUP BY l_returnflag, measure
+ORDER BY l_returnflag, measure
+""",
+)
+def lineitem_unpivot_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT (melt) + per-measure profile: the four
+    lineitem measures rotate into (measure, val) rows and aggregate per
+    (returnflag, measure) — the relational operator every
+    metrics-warehouse "one column per KPI" table needs to feed a
+    generic long-format consumer (``DataFrame.unpivot`` in Spark,
+    ``UNPIVOT`` in ANSI/DuckDB; the inverse of the pivot surface
+    already registered as ``returnflag_qty_pivot``).
+
+    Determinism: measures snap to exact cent/centi-unit BIGINTs BEFORE
+    the unpivot, so every aggregate is integer-exact until one final
+    quantized division.
+
+    Scale: unpivot is a map-side row expansion (x4, no shuffle),
+    followed by one partial-agg groupBy over the bounded (flag x
+    measure) domain. Expansion happens AFTER column pruning — the scan
+    reads exactly the five columns used.
+
+    No reference analogue; extends the SURVEY §2 relational family.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    c = lambda col: F.floor(F.col(col) * 100 + 0.5).cast("long").alias(col)
+    wide = lineitem.select(
+        "l_returnflag",
+        c("l_quantity"),
+        c("l_extendedprice"),
+        c("l_discount"),
+        c("l_tax"),
+    )
+    long = wide.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            quant(F.sum("val").cast("double") / 100.0, 2).alias("total"),
+            quant(
+                F.sum("val").cast("double") / 100.0 / F.count(F.lit(1)), 6
+            ).alias("mean"),
+            quant(F.min("val").cast("double") / 100.0, 2).alias("min_val"),
+            quant(F.max("val").cast("double") / 100.0, 2).alias("max_val"),
+        )
+        .orderBy("l_returnflag", "measure")
     )

@@ -1738,3 +1738,143 @@ def lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("bands"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: winnowing-fingerprint near-dup pairs (the MOSS join)
+# ---------------------------------------------------------------------------
+
+#: Winnowing window (must match text_analysis.WINNOW_W so the pair
+#: join consumes the same fingerprints ``doc_winnowing_fingerprints``
+#: reports) and the minimum shared-fingerprint evidence for a pair.
+_WDP_W = 4
+_WDP_MIN_SHARED = 2
+
+
+@register(
+    "winnowing_dup_pairs",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - 1),
+             i -> {hash60_sql("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")})
+           AS hs
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t
+  WHERE len(toks) >= {_WDP_W} + 2
+), sel AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(hs) - {_WDP_W} + 2),
+             i -> list_min(hs[i:i+{_WDP_W} - 1]))) AS sels
+  FROM h
+), fp AS MATERIALIZED (
+  SELECT doc_id, CAST(len(sels) AS BIGINT) AS n_sel, unnest(sels) AS fp
+  FROM sel
+), ok_fp AS (
+  SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= {LSH_BUCKET_CAP}
+), capped AS MATERIALIZED (
+  SELECT f.doc_id, f.n_sel, f.fp FROM fp f JOIN ok_fp o ON o.fp = f.fp
+), shared AS (
+  SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
+         x.n_sel AS na, y.n_sel AS nb,
+         CAST(COUNT(*) AS BIGINT) AS shared_fps
+  FROM capped x JOIN capped y
+    ON x.fp = y.fp AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id, x.n_sel, y.n_sel
+  HAVING COUNT(*) >= {_WDP_MIN_SHARED}
+)
+SELECT doc_id_a, doc_id_b, shared_fps,
+       {quant_sql("CAST(shared_fps AS DOUBLE) / least(na, nb)", 6)}
+         AS containment
+FROM shared
+ORDER BY doc_id_a, doc_id_b
+""",
+)
+def winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by WINNOWING fingerprint agreement (the
+    MOSS pair join, Schleimer/Wilkerson/Aiken 2003): documents sharing
+    >= {_WDP_MIN_SHARED} selected window-minimum shingle hashes, scored
+    by containment (shared / smaller selected set). The guarantee the
+    MinHash-LSH path lacks: any shared token run of length
+    {_WDP_W} + 2 yields a shared SELECTED fingerprint, so
+    contiguous-copy pairs (quote farms, mirrored passages) can never be
+    missed by sampling luck — while MinHash catches shuffled-bag
+    similarity winnowing may not. ``dedup_methods_overlap`` audits
+    exactly that complementarity.
+
+    Determinism: fingerprints are exact hash60 integers; counts are
+    BIGINTs; the one float (containment) is quantized; output is
+    totally ordered by the pair.
+
+    Scale: fingerprint selection is the map-only winnowing pass
+    (``doc_winnowing_fingerprints``); the pair join is fingerprint-
+    keyed with the LSH_BUCKET_CAP={LSH_BUCKET_CAP} discipline (buckets
+    above the cap are boilerplate, dropped from pairwise generation in
+    BOTH engines), so per-bucket fanout is bounded at any corpus size
+    — never all-pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = _WDP_W
+    d = docs.select("doc_id", _toks().alias("toks")).where(
+        F.size("toks") >= w + 2
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 3),
+        lambda i: hash60(
+            F.concat_ws(
+                " ",
+                F.element_at("toks", i + 1),
+                F.element_at("toks", i + 2),
+                F.element_at("toks", i + 3),
+            )
+        ),
+    )
+    sels = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - w + 1),
+            lambda i: F.array_min(F.slice("hs", i, w)),
+        )
+    )
+    fp = (
+        d.select("doc_id", hashes.alias("hs"))
+        .select(
+            "doc_id",
+            F.size(sels).cast("long").alias("n_sel"),
+            F.explode(sels).alias("fp"),
+        )
+        .localCheckpoint(eager=False)  # both sides of the pair join
+    )
+    ok_fp = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("bsz")).where(
+        F.col("bsz") <= LSH_BUCKET_CAP
+    )
+    capped = fp.join(ok_fp.select("fp"), "fp")
+    y = capped.select(
+        F.col("fp").alias("fp2"),
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("n_sel").alias("nb"),
+    )
+    return (
+        capped.join(
+            y,
+            (F.col("fp") == F.col("fp2"))
+            & (F.col("doc_id") < F.col("doc_id_b")),
+        )
+        .groupBy(
+            F.col("doc_id").alias("doc_id_a"),
+            "doc_id_b",
+            F.col("n_sel").alias("na"),
+            "nb",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .where(F.col("shared_fps") >= _WDP_MIN_SHARED)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "shared_fps",
+            quant(
+                F.col("shared_fps").cast("double")
+                / F.least("na", "nb"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("doc_id_a", "doc_id_b")
+    )

@@ -1300,3 +1300,114 @@ def supplier_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.desc("ppr_q"), "node")
         .limit(TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: k-truss peeling (edge-support decomposition)
+# ---------------------------------------------------------------------------
+
+#: Truss order: an edge survives a round iff it participates in at
+#: least _KTRUSS_K - 2 triangles among the CURRENT edges. Two peel
+#: rounds unrolled (the supplier_kcore_peeling discipline).
+_KTRUSS_K = 4
+_KTRUSS_ROUNDS = 2
+
+_KTRUSS_ROUND_SQL = """
+, adj_{r} AS (
+  SELECT a AS u, b AS v FROM e_{r} UNION ALL SELECT b AS u, a AS v FROM e_{r}
+), sup_{r} AS MATERIALIZED (
+  SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS sup
+  FROM e_{r} e
+  JOIN adj_{r} na ON na.u = e.a
+  JOIN adj_{r} nb ON nb.u = e.b AND nb.v = na.v
+  GROUP BY e.a, e.b
+), e_{r1} AS MATERIALIZED (
+  SELECT a, b FROM sup_{r} WHERE sup >= {kk}
+), cnt_{r1} AS (
+  SELECT CAST({r1} AS BIGINT) AS round,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM e_{r}) AS n_edges_in,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM e_{r})
+           - (SELECT CAST(COUNT(*) AS BIGINT) FROM e_{r1}) AS n_removed,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM e_{r1}) AS n_edges_out
+)"""
+
+
+@register(
+    "supplier_ktruss_peeling",
+    oracle=(
+        f"WITH {_EDGES_CTE_SQL}, e_0 AS MATERIALIZED (SELECT a, b FROM edges)"
+        + "".join(
+            _KTRUSS_ROUND_SQL.format(r=r, r1=r + 1, kk=_KTRUSS_K - 2)
+            for r in range(_KTRUSS_ROUNDS)
+        )
+        + f"""
+SELECT round, n_edges_in,
+       CAST(n_removed AS BIGINT) AS n_removed, n_edges_out
+FROM (SELECT * FROM cnt_1 UNION ALL SELECT * FROM cnt_2)
+ORDER BY round
+"""
+    ),
+)
+def supplier_ktruss_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KTRUSS_K}-truss peeling of the mutual-top-K co-supply graph:
+    each round recomputes every surviving edge's SUPPORT (triangles it
+    closes among current edges) and removes edges with support <
+    {_KTRUSS_K} - 2, reporting per-round edge counts. The truss is the
+    edge-wise strengthening of the k-core (``supplier_kcore_peeling``
+    removes weak NODES; this removes weak TIES): surviving edges are
+    embedded in triangle-dense cohesion, the standard community-core
+    primitive (Cohen 2008).
+
+    Determinism: pure integer counting — supports, removals and edge
+    counts are exact BIGINTs in both engines; rounds are unrolled
+    identically in the oracle's CTE chain (MATERIALIZED, since each
+    round's frame is consumed by three successors).
+
+    Scale: the support join fans out through the adjacency list of a
+    degree-<= {_TRI_TOPK} graph (the mutual-top-K construction bounds
+    it), so per-edge work is O(K) per round; each round's edge frame is
+    localCheckpointed before reuse (the iterative-frame discipline).
+
+    No reference analogue; extends the SURVEY §2 graph family.
+    """
+    e = _mutual_topk_edges(spark, sf_dir)
+    rows = []
+    for r in range(_KTRUSS_ROUNDS):
+        adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        na = adj.select(F.col("u").alias("ua"), F.col("v").alias("c"))
+        nb = adj.select(F.col("u").alias("ub"), F.col("v").alias("cb"))
+        sup = (
+            e.join(na, F.col("a") == F.col("ua"))
+            .join(
+                nb,
+                (F.col("b") == F.col("ub")) & (F.col("cb") == F.col("c")),
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+        )
+        e_next = (
+            sup.where(F.col("sup") >= _KTRUSS_K - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+        n_in = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges_in"))
+        n_out = e_next.agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges_out")
+        )
+        rows.append(
+            n_in.crossJoin(n_out).select(
+                F.lit(r + 1).cast("long").alias("round"),
+                "n_edges_in",
+                (F.col("n_edges_in") - F.col("n_edges_out")).alias(
+                    "n_removed"
+                ),
+                "n_edges_out",
+            )
+        )
+        e = e_next
+    out = rows[0]
+    for fr in rows[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("round")

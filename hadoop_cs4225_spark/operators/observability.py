@@ -246,3 +246,143 @@ def customer_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_entropy_l"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: t-closeness audit (completes the k-anon / l-div / t-close trio)
+# ---------------------------------------------------------------------------
+
+#: t threshold and TVD snap grid: a QI group violates t-closeness when
+#: the total-variation distance between its sensitive-attribute
+#: (market segment) distribution and the GLOBAL one exceeds t = 0.4.
+#: Comparisons happen on grid integers (2 * t * grid), never floats.
+_TCLOSE_GRID = 1_000_000
+_TCLOSE_T_X2GRID = 800_000  # 2 * 0.4 * grid
+
+
+@register(
+    "customer_t_closeness_audit",
+    oracle=f"""
+WITH cell AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / {_KANON_BAND}) AS BIGINT) AS bal_band,
+         c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM customer
+  GROUP BY c_nationkey, bal_band, c_mktsegment
+), grp AS (
+  SELECT c_nationkey, bal_band, CAST(SUM(cnt) AS BIGINT) AS sz
+  FROM cell GROUP BY c_nationkey, bal_band
+), seg AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS gcnt FROM customer
+  GROUP BY c_mktsegment
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+term AS (
+  SELECT g.c_nationkey, g.bal_band, g.sz,
+         CAST(floor(abs(CAST(COALESCE(c.cnt, 0) AS DOUBLE) / g.sz
+                        - CAST(s.gcnt AS DOUBLE) / t.n)
+                    * {_TCLOSE_GRID} + 0.5) AS BIGINT) AS tvd_g
+  FROM grp g CROSS JOIN seg s CROSS JOIN tot t
+  LEFT JOIN cell c ON c.c_nationkey = g.c_nationkey
+                  AND c.bal_band = g.bal_band
+                  AND c.c_mktsegment = s.c_mktsegment
+), gtvd AS (
+  SELECT c_nationkey, bal_band, sz,
+         CAST(SUM(tvd_g) AS BIGINT) AS tvd_x2grid
+  FROM term GROUP BY c_nationkey, bal_band, sz
+)
+SELECT {quant_sql("0.4", 1)} AS t,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       {quant_sql(f"MAX(tvd_x2grid) / 2.0 / {_TCLOSE_GRID}", 6)}
+         AS max_tvd,
+       CAST(SUM(CASE WHEN tvd_x2grid > {_TCLOSE_T_X2GRID} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_groups_above_t,
+       CAST(SUM(CASE WHEN tvd_x2grid > {_TCLOSE_T_X2GRID} THEN sz ELSE 0 END)
+            AS BIGINT) AS n_records_at_risk,
+       {quant_sql(
+           f"SUM(CASE WHEN tvd_x2grid > {_TCLOSE_T_X2GRID} THEN sz"
+           " ELSE 0 END) * 1.0 / SUM(sz)", 6)} AS pct_at_risk
+FROM gtvd
+""",
+)
+def customer_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit, the third rung of the release-governance
+    ladder: within each quasi-identifier group (nation, $1000 balance
+    band), how far does the SENSITIVE-attribute distribution (market
+    segment) drift from the global one? k-anonymity bounds group size,
+    l-diversity bounds distinctness — but a group can pass both while
+    being 90% one segment against a uniform population, leaking strong
+    posterior odds. t-closeness (Li/Li/Venkatasubramanian 2007) bounds
+    exactly that: total-variation distance (= EMD under uniform ground
+    distance) between group and global distributions must stay <= t.
+
+    Determinism: every |p_group - p_global| term is ONE double
+    expression of integer-count ratios snapped to the 1e-6 grid; group
+    TVDs are BIGINT sums of those terms (x2 scale), and the threshold
+    compares GRID INTEGERS — no float boundary can flip a verdict
+    between engines.
+
+    Scale: like its two siblings, everything after the first scan
+    lives on the bounded (nation x band x segment) dictionary: the
+    missing-cell completion is a cross join of the GROUP dictionary
+    with the 5-row segment dictionary, never a corpus-row operation.
+
+    No reference analogue; extends the SURVEY §2 governance family.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    cell = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / _KANON_BAND).cast("long").alias(
+            "bal_band"
+        ),
+        "c_mktsegment",
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    grp = cell.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("cnt").cast("long").alias("sz")
+    )
+    seg = F.broadcast(
+        cust.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).cast("long").alias("gcnt")
+        )
+    )
+    tot = F.broadcast(
+        cust.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    term = (
+        grp.crossJoin(seg)
+        .crossJoin(tot)
+        .join(cell, ["c_nationkey", "bal_band", "c_mktsegment"], "left")
+        .select(
+            "c_nationkey",
+            "bal_band",
+            "sz",
+            F.floor(
+                F.abs(
+                    F.coalesce(F.col("cnt"), F.lit(0)).cast("double")
+                    / F.col("sz")
+                    - F.col("gcnt").cast("double") / F.col("n")
+                )
+                * _TCLOSE_GRID
+                + 0.5
+            )
+            .cast("long")
+            .alias("tvd_g"),
+        )
+    )
+    gtvd = term.groupBy("c_nationkey", "bal_band", "sz").agg(
+        F.sum("tvd_g").cast("long").alias("tvd_x2grid")
+    )
+    above = F.col("tvd_x2grid") > _TCLOSE_T_X2GRID
+    return gtvd.agg(
+        quant(F.lit(0.4), 1).alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        quant(F.max("tvd_x2grid") / 2.0 / _TCLOSE_GRID, 6).alias("max_tvd"),
+        F.sum(above.cast("long")).cast("long").alias("n_groups_above_t"),
+        F.sum(F.when(above, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("n_records_at_risk"),
+        quant(
+            F.sum(F.when(above, F.col("sz")).otherwise(0)) * 1.0
+            / F.sum("sz"),
+            6,
+        ).alias("pct_at_risk"),
+    )

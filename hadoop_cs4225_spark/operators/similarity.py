@@ -1512,3 +1512,262 @@ def embedding_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("maxsim_score"), "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: binary sign quantization + Hamming retrieval
+# ---------------------------------------------------------------------------
+
+#: Bits per packed word (two BIGINT words cover EMB_DIM=64 dims; bit 63
+#: of a signed BIGINT is never used, so no overflow/sign traps).
+_SIGNQ_WORD = 32
+_SIGNQ_TOPK = 10
+
+
+def _sign_word_col(emb: str, lo: int) -> Column:
+    """BIGINT packing dims [lo, lo+32): bit (d-lo) set iff emb[d] > 0."""
+    terms = " + ".join(
+        f"(CASE WHEN CAST(element_at({emb}, {d + 1}) AS DOUBLE) > 0"
+        f" THEN {1 << (d - lo)} ELSE 0 END)"
+        for d in range(lo, lo + _SIGNQ_WORD)
+    )
+    return F.expr(f"CAST({terms} AS BIGINT)")
+
+
+def _sign_word_sql(emb: str, lo: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN CAST({emb}[{d + 1}] AS DOUBLE) > 0"
+        f" THEN {1 << (d - lo)} ELSE 0 END)"
+        for d in range(lo, lo + _SIGNQ_WORD)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+@register(
+    "embedding_signq_hamming_topk",
+    oracle=f"""
+WITH packed AS MATERIALIZED (
+  SELECT vec_id, label, embedding,
+         {_sign_word_sql("embedding", 0)} AS w0,
+         {_sign_word_sql("embedding", 32)} AS w1
+  FROM embeddings
+), q AS (SELECT w0, w1, embedding FROM packed WHERE vec_id = 0)
+SELECT p.vec_id, p.label,
+       CAST(bit_count(xor(p.w0, q.w0)) + bit_count(xor(p.w1, q.w1))
+            AS BIGINT) AS hamming,
+       {quant_sql(_cos_sql("p.embedding", "q.embedding"), 6)} AS cos_sim
+FROM packed p CROSS JOIN q
+WHERE p.vec_id <> 0
+ORDER BY hamming, p.vec_id
+LIMIT {_SIGNQ_TOPK}
+""",
+)
+def embedding_signq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary sign quantization retrieval: each 64-dim float vector
+    packs into TWO BIGINT sign words (bit = dimension sign), and
+    nearest neighbors of vec 0 rank by HAMMING distance — two XORs +
+    popcounts per candidate instead of a 64-term float fold. This is
+    the 32x-compression / SIMD-scan end of the quantization spectrum
+    (``embedding_int8_quant`` is the 4x point; sign bits are what
+    binary-hashing ANN systems scan first), with the true cosine
+    carried alongside so the ranking's fidelity is visible per row.
+
+    Determinism: sign bits and Hamming distances are exact integers
+    (ties break on vec_id); the only float is the audited cosine,
+    quantized.
+
+    Scale: packing is a map-only projection you would materialize once
+    (8 bytes x 2 per vector); the scan is one pass + a k-row
+    TakeOrderedAndProject — and unlike the float brute force, the
+    per-row cost is two bitops, the layout a column of BIGINTs.
+
+    No reference analogue; extends the SURVEY §2 similarity family.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    packed = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _sign_word_col("embedding", 0).alias("w0"),
+        _sign_word_col("embedding", 32).alias("w1"),
+    )
+    q = F.broadcast(
+        packed.where(F.col("vec_id") == 0).select(
+            F.col("w0").alias("q0"),
+            F.col("w1").alias("q1"),
+            F.col("embedding").alias("qv"),
+        )
+    )
+    ham = (
+        F.bit_count(F.col("w0").bitwiseXOR(F.col("q0")))
+        + F.bit_count(F.col("w1").bitwiseXOR(F.col("q1")))
+    ).cast("long")
+    return (
+        packed.where(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            ham.alias("hamming"),
+            quant(_cos("embedding", "qv"), 6).alias("cos_sim"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(_SIGNQ_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: kNN-graph construction within LSH buckets
+# ---------------------------------------------------------------------------
+
+#: Neighbors per node in the bucket-local kNN graph and the cosine
+#: snap grid the ranking uses.
+_KNN_K = 5
+_KNN_GRID = 1_000_000_000
+
+
+@register(
+    "ann_lsh_knn_graph_stats",
+    oracle=f"""
+WITH b AS MATERIALIZED (
+  SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+), pair AS (
+  SELECT x.vec_id AS src, y.vec_id AS dst,
+         CAST(floor({_cos_sql("x.embedding", "y.embedding")}
+                    * {_KNN_GRID} + 0.5) AS BIGINT) AS grid
+  FROM b x JOIN b y
+    ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+), edges AS MATERIALIZED (
+  SELECT src, dst, grid FROM (
+    SELECT src, dst, grid,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY grid DESC, dst) AS rn
+    FROM pair) WHERE rn <= {_KNN_K}
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(grid) AS BIGINT) AS sum_grid
+  FROM edges
+), mut AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_mutual
+  FROM edges e JOIN edges r ON r.src = e.dst AND r.dst = e.src
+), iso AS (
+  SELECT CAST((SELECT COUNT(*) FROM b)
+              - (SELECT COUNT(DISTINCT src) FROM edges) AS BIGINT)
+           AS n_isolated
+)
+SELECT d.degree, d.n_nodes, s.n_edges, m.n_mutual,
+       {quant_sql("CAST(m.n_mutual AS DOUBLE) / s.n_edges", 6)}
+         AS reciprocity,
+       {quant_sql(f"CAST(s.sum_grid AS DOUBLE) / s.n_edges / {_KNN_GRID}",
+                  6)} AS mean_knn_cos,
+       i.n_isolated
+FROM (
+  SELECT CAST(deg AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
+  GROUP BY deg
+) d CROSS JOIN stats s CROSS JOIN mut m CROSS JOIN iso i
+ORDER BY d.degree
+""",
+)
+def ann_lsh_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph construction inside LSH buckets + structural audit:
+    each vector links to its top-{_KNN_K} cosine neighbors WITHIN its
+    hyperplane bucket, and the output profiles the resulting graph —
+    out-degree histogram (under-full degrees expose bucket
+    fragmentation), reciprocity (mutual-edge share, the symmetry a
+    graph-ANN index like HNSW's base layer wants), mean neighbor
+    cosine, and isolated-vector count. This is the build step of
+    graph-based ANN expressed as a bounded join: candidates come from
+    the SAME memoized bucketed table the probe queries use, so index
+    construction and search share one layout.
+
+    Determinism: rankings and edges live on the 1e-9 cosine grid with
+    vec_id tie-breaks; all stats are integer counts until two final
+    quantized divisions.
+
+    Scale: the candidate join is bucket-keyed (the ``embedding_near_dup_lsh``
+    fanout argument); the top-k window is partitioned per source
+    vector; the reciprocity join is edge-keyed on a frame bounded by
+    {_KNN_K}|V| rows.
+
+    No reference analogue; extends the SURVEY §2 similarity family.
+    """
+    from pyspark.sql import Window
+
+    b = _bucketed_frame(spark, sf_dir).select("vec_id", "embedding", "bucket")
+    y = b.select(
+        F.col("bucket").alias("bucket2"),
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("emb2"),
+    )
+    pair = b.join(
+        y,
+        (F.col("bucket") == F.col("bucket2"))
+        & (F.col("vec_id") != F.col("dst")),
+    ).select(
+        F.col("vec_id").alias("src"),
+        "dst",
+        F.floor(_cos("embedding", "emb2") * _KNN_GRID + 0.5)
+        .cast("long")
+        .alias("grid"),
+    )
+    wk = Window.partitionBy("src").orderBy(F.desc("grid"), "dst")
+    edges = (
+        pair.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= _KNN_K)
+        .select("src", "dst", "grid")
+        .localCheckpoint(eager=False)  # degree/mutual/stat consumers
+    )
+    stats = F.broadcast(
+        edges.agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.sum("grid").cast("long").alias("sum_grid"),
+        )
+    )
+    rev = edges.select(
+        F.col("src").alias("rsrc"), F.col("dst").alias("rdst")
+    )
+    mut = F.broadcast(
+        edges.join(
+            rev,
+            (F.col("rsrc") == F.col("dst")) & (F.col("rdst") == F.col("src")),
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_mutual"))
+    )
+    n_vec = b.agg(F.count(F.lit(1)).cast("long").alias("n_vec"))
+    n_src = edges.agg(
+        F.countDistinct("src").cast("long").alias("n_src")
+    )
+    iso = F.broadcast(
+        n_vec.crossJoin(n_src).select(
+            (F.col("n_vec") - F.col("n_src")).alias("n_isolated")
+        )
+    )
+    hist = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .groupBy(F.col("deg").cast("long").alias("degree"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    return (
+        hist.crossJoin(stats)
+        .crossJoin(mut)
+        .crossJoin(iso)
+        .select(
+            "degree",
+            "n_nodes",
+            "n_edges",
+            "n_mutual",
+            quant(
+                F.col("n_mutual").cast("double") / F.col("n_edges"), 6
+            ).alias("reciprocity"),
+            quant(
+                F.col("sum_grid").cast("double")
+                / F.col("n_edges")
+                / _KNN_GRID,
+                6,
+            ).alias("mean_knn_cos"),
+            "n_isolated",
+        )
+        .orderBy("degree")
+    )

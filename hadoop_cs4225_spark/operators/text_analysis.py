@@ -3835,20 +3835,24 @@ WITH tok AS (
   FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) d,
        LATERAL (SELECT unnest(toks) AS w,
                        generate_subscripts(toks, 1) AS i) t
-), pairs AS (
+), tok_m AS MATERIALIZED (SELECT doc_id, pos, w FROM tok),
+pairs AS (
   SELECT a.w AS w1, b.w AS w2
-  FROM tok a JOIN tok b
-    ON a.doc_id = b.doc_id
-   AND b.pos - a.pos BETWEEN 1 AND {_WPMI_MAXSKIP}
+  FROM tok_m a JOIN tok_m b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  UNION ALL
+  SELECT a.w AS w1, b.w AS w2
+  FROM tok_m a JOIN tok_m b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + {_WPMI_MAXSKIP}
 ), pairs_m AS MATERIALIZED (SELECT w1, w2 FROM pairs),
 pcnt AS (
   SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
   FROM pairs_m GROUP BY w1, w2
   HAVING COUNT(*) >= {_WPMI_MINC}
 ), ucnt AS (
-  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok_m GROUP BY w
 ), tot AS (
-  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tok) AS nu,
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tok_m) AS nu,
          (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs_m) AS np
 ), scored AS (
   SELECT p.w1, p.w2, p.c,
@@ -3893,12 +3897,27 @@ def token_window_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.posexplode(_toks()).alias("pos", "w")
     ).localCheckpoint(eager=False)  # both sides of the window join
-    b = tok.select(
-        "doc_id", F.col("pos").alias("pos2"), F.col("w").alias("w2")
+    # Position-KEYED pair generation: for each skip k the left side is
+    # re-keyed to (doc_id, pos + k) and equi-joined to the token at
+    # exactly that position — a hash join whose key carries the window
+    # constraint, so the executed fanout is exactly _WPMI_MAXSKIP per
+    # token. (A doc_id-only self-join with a post-filter would
+    # enumerate O(T^2) pairs per document before filtering.)
+    right = tok.select(
+        "doc_id", F.col("pos").alias("jpos"), F.col("w").alias("w2")
     )
-    pairs = tok.join(b, "doc_id").where(
-        (F.col("pos2") - F.col("pos")).between(1, _WPMI_MAXSKIP)
-    ).select(F.col("w").alias("w1"), "w2")
+    shifted = [
+        tok.select(
+            "doc_id",
+            (F.col("pos") + F.lit(k)).alias("jpos"),
+            F.col("w").alias("w1"),
+        )
+        for k in range(1, _WPMI_MAXSKIP + 1)
+    ]
+    left = shifted[0]
+    for s in shifted[1:]:
+        left = left.unionByName(s)
+    pairs = left.join(right, ["doc_id", "jpos"]).select("w1", "w2")
     np_tot = F.broadcast(
         pairs.agg(F.count(F.lit(1)).cast("long").alias("np"))
     )
@@ -3955,4 +3974,322 @@ def token_window_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy(F.desc("npmi"), "w1", "w2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: chi-square feature selection (characteristic tokens per source)
+# ---------------------------------------------------------------------------
+
+#: Minimum global document frequency before a token may enter the
+#: chi-square ranking (prunes the hapax tail BEFORE the marginal join),
+#: top-k per source, and the ranking snap grid.
+_CHI2_MIN_DF = 10
+_CHI2_TOPK = 10
+_CHI2_GRID = 1_000_000
+
+
+@register(
+    "token_chi2_feature_topk",
+    oracle=f"""
+WITH pres AS (
+  SELECT DISTINCT doc_id, source, t.w
+  FROM (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents) d,
+       LATERAL (SELECT unnest(list_distinct(toks)) AS w) t
+), pres_m AS MATERIALIZED (SELECT * FROM pres),
+a_cnt AS (
+  SELECT w, source, CAST(COUNT(*) AS BIGINT) AS a
+  FROM pres_m GROUP BY w, source
+), df_w AS (
+  SELECT w, CAST(SUM(a) AS BIGINT) AS df
+  FROM a_cnt GROUP BY w HAVING SUM(a) >= {_CHI2_MIN_DF}
+), n_s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM documents
+  GROUP BY source
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+cells AS (
+  SELECT a.source, a.w, a.a, f.df, s.n_src, t.n,
+         CAST(f.df - a.a AS BIGINT) AS b,
+         CAST(s.n_src - a.a AS BIGINT) AS c,
+         CAST(t.n - s.n_src - (f.df - a.a) AS BIGINT) AS d
+  FROM a_cnt a
+  JOIN df_w f ON f.w = a.w
+  JOIN n_s s ON s.source = a.source
+  CROSS JOIN tot t
+  WHERE CAST(a.a AS DOUBLE) * t.n > CAST(f.df AS DOUBLE) * s.n_src
+), scored AS (
+  SELECT source, w, a, df,
+         CAST(floor(
+           CAST(n AS DOUBLE)
+           * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+           * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+           / (CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d))
+           * {_CHI2_GRID} + 0.5) AS BIGINT) AS chi2_grid
+  FROM cells
+), ranked AS (
+  SELECT source, w, a, df, chi2_grid,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY chi2_grid DESC, w) AS rk
+  FROM scored
+)
+SELECT source, w AS token, a AS df_in_source, df AS df_global,
+       {quant_sql(f"CAST(chi2_grid AS DOUBLE) / {_CHI2_GRID}", 4)} AS chi2
+FROM ranked WHERE rk <= {_CHI2_TOPK}
+ORDER BY source, chi2 DESC, token
+""",
+)
+def token_chi2_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature selection: the {_CHI2_TOPK} tokens most
+    CHARACTERISTIC of each source by the 2x2 presence chi-square
+    (token-in-doc x doc-in-source), restricted to positive association
+    (observed presence above expectation) — the vocabulary a quality
+    classifier or domain tagger trains on. ``term_keyness_llr`` ranks
+    by log-likelihood ratio over token FREQUENCIES for one source pair;
+    this ranks document PRESENCE across all sources simultaneously, the
+    standard text-categorization feature score (Yang & Pedersen 1997).
+
+    Determinism: all four contingency cells are exact BIGINTs; the
+    chi-square is ONE double expression of those integers snapped to a
+    1e-6 grid BEFORE ranking; the positive-association filter
+    cross-multiplies in double identically in both engines; ties break
+    on the token text.
+
+    Scale: doc-presence pairs come from one explode of the DISTINCT
+    per-doc token set (map-side), then two partial-agg shuffles
+    ((w, source) and w) — the df >= {_CHI2_MIN_DF} filter prunes the
+    hapax tail before the marginal join, and the rank window is
+    partitioned by source over the pruned cells.
+
+    No reference analogue; extends the SURVEY §2 text-analysis family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pres = docs.select(
+        "source", F.explode(F.array_distinct(_toks())).alias("w")
+    )
+    a_cnt = pres.groupBy("w", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    df_w = (
+        a_cnt.groupBy("w")
+        .agg(F.sum("a").cast("long").alias("df"))
+        .where(F.col("df") >= _CHI2_MIN_DF)
+    )
+    n_s = F.broadcast(
+        docs.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_src")
+        )
+    )
+    tot = F.broadcast(
+        docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ad_bc = F.col("a").cast("double") * F.col("d") - F.col("b").cast(
+        "double"
+    ) * F.col("c")
+    chi2_grid = F.floor(
+        F.col("n").cast("double")
+        * ad_bc
+        * ad_bc
+        / (
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("d"))
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("d"))
+        )
+        * _CHI2_GRID
+        + 0.5
+    ).cast("long")
+    cells = (
+        a_cnt.join(df_w, "w")
+        .join(n_s, "source")
+        .crossJoin(tot)
+        .where(
+            F.col("a").cast("double") * F.col("n")
+            > F.col("df").cast("double") * F.col("n_src")
+        )
+        .select(
+            "source",
+            "w",
+            "a",
+            "df",
+            (F.col("df") - F.col("a")).alias("b"),
+            (F.col("n_src") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("n_src") - (F.col("df") - F.col("a"))).alias(
+                "d"
+            ),
+            "n",
+        )
+    )
+    wrk = Window.partitionBy("source").orderBy(
+        F.desc("chi2_grid"), "w"
+    )
+    return (
+        cells.withColumn("chi2_grid", chi2_grid)
+        .withColumn("rk", F.row_number().over(wrk))
+        .where(F.col("rk") <= _CHI2_TOPK)
+        .select(
+            "source",
+            F.col("w").alias("token"),
+            F.col("a").alias("df_in_source"),
+            F.col("df").alias("df_global"),
+            quant(F.col("chi2_grid").cast("double") / _CHI2_GRID, 4).alias(
+                "chi2"
+            ),
+        )
+        .orderBy("source", F.desc("chi2"), "token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: within-document repetition filter (Gopher/MassiveText rules)
+# ---------------------------------------------------------------------------
+
+#: Repetition-rule thresholds on the 1e-6 grid: flag a document when
+#: its most frequent bigram carries more than 18% of all bigram slots
+#: OR duplicate trigrams fill more than 30% of trigram slots — the
+#: Gopher (Rae et al. 2021) style intra-document repetition gate.
+_REP_GRID = 1_000_000
+_REP_TOP_BG = 180_000
+_REP_DUP_TG = 300_000
+
+
+@register(
+    "doc_repetition_scores",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, toks FROM
+    (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) d
+  WHERE len(toks) >= 3
+), bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1])) AS g
+  FROM t
+), bgc AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g
+), bstat AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bg,
+         CAST(COUNT(*) AS BIGINT) AS n_bg_distinct,
+         CAST(MAX(c) AS BIGINT) AS max_bg
+  FROM bgc GROUP BY doc_id
+), tg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+  FROM t
+), tgc AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY doc_id, g
+), tstat AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tg,
+         CAST(COUNT(*) AS BIGINT) AS n_tg_distinct
+  FROM tgc GROUP BY doc_id
+), m AS (
+  SELECT b.doc_id, b.n_bg, b.n_bg_distinct, b.max_bg,
+         ts.n_tg, ts.n_tg_distinct,
+         CAST(floor(CAST(b.max_bg AS DOUBLE) / b.n_bg
+                    * {_REP_GRID} + 0.5) AS BIGINT) AS top_bg_grid,
+         CAST(floor((1.0 - CAST(ts.n_tg_distinct AS DOUBLE) / ts.n_tg)
+                    * {_REP_GRID} + 0.5) AS BIGINT) AS dup_tg_grid,
+         CAST(floor((1.0 - CAST(b.n_bg_distinct AS DOUBLE) / b.n_bg)
+                    * {_REP_GRID} + 0.5) AS BIGINT) AS dup_bg_grid
+  FROM bstat b JOIN tstat ts ON ts.doc_id = b.doc_id
+)
+SELECT doc_id, n_bg AS n_bigrams,
+       {quant_sql(f"CAST(dup_bg_grid AS DOUBLE) / {_REP_GRID}", 6)}
+         AS dup_bigram_frac,
+       {quant_sql(f"CAST(dup_tg_grid AS DOUBLE) / {_REP_GRID}", 6)}
+         AS dup_trigram_frac,
+       {quant_sql(f"CAST(top_bg_grid AS DOUBLE) / {_REP_GRID}", 6)}
+         AS top_bigram_share,
+       (top_bg_grid > {_REP_TOP_BG} OR dup_tg_grid > {_REP_DUP_TG})
+         AS repetition_flag
+FROM m
+ORDER BY doc_id
+""",
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition scores, the Gopher/MassiveText quality
+    rules (Rae et al. 2021 §A1.1): duplicate-bigram fraction,
+    duplicate-trigram fraction, and the share of bigram slots taken by
+    the single most frequent bigram — the gate that removes
+    keyword-stuffed and loop-generated pages which PERPLEXITY misses
+    (repetitive text scores artificially fluent).
+    ``duplicate_ngram_coverage`` measures repetition ACROSS documents;
+    this measures repetition WITHIN each document.
+
+    Determinism: all counts are exact BIGINTs; each ratio snaps to the
+    1e-6 grid in one double expression, and the flag compares GRID
+    INTEGERS against integer thresholds (no float boundary can flip it
+    between engines).
+
+    Scale: two explode -> (doc_id, gram) partial-agg shuffles (map-side
+    combined; keys are doc-local so no skew beyond document length) and
+    a doc_id-keyed join of the two per-doc stat frames. The max-count
+    aggregation replaces a per-row O(n * distinct) array fold — the
+    shuffle IS the scale-safe way to find a per-doc mode.
+
+    No reference analogue; extends the SURVEY §2 text-analysis family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _toks().alias("toks")).where(
+        F.size("toks") >= 3
+    )
+
+    def grams(n: int):
+        return F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at("toks", i + j + 1) for j in range(n)],
+                ),
+            )
+        ).alias("g")
+
+    bstat = (
+        t.select("doc_id", grams(2))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bg"),
+            F.count(F.lit(1)).cast("long").alias("n_bg_distinct"),
+            F.max("c").cast("long").alias("max_bg"),
+        )
+    )
+    tstat = (
+        t.select("doc_id", grams(3))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tg"),
+            F.count(F.lit(1)).cast("long").alias("n_tg_distinct"),
+        )
+    )
+    grid = lambda e: F.floor(e * _REP_GRID + 0.5).cast("long")
+    m = bstat.join(tstat, "doc_id").select(
+        "doc_id",
+        "n_bg",
+        grid(F.col("max_bg").cast("double") / F.col("n_bg")).alias(
+            "top_bg_grid"
+        ),
+        grid(
+            1.0 - F.col("n_tg_distinct").cast("double") / F.col("n_tg")
+        ).alias("dup_tg_grid"),
+        grid(
+            1.0 - F.col("n_bg_distinct").cast("double") / F.col("n_bg")
+        ).alias("dup_bg_grid"),
+    )
+    share = lambda c: quant(F.col(c).cast("double") / _REP_GRID, 6)
+    return (
+        m.select(
+            "doc_id",
+            F.col("n_bg").alias("n_bigrams"),
+            share("dup_bg_grid").alias("dup_bigram_frac"),
+            share("dup_tg_grid").alias("dup_trigram_frac"),
+            share("top_bg_grid").alias("top_bigram_share"),
+            (
+                (F.col("top_bg_grid") > _REP_TOP_BG)
+                | (F.col("dup_tg_grid") > _REP_DUP_TG)
+            ).alias("repetition_flag"),
+        )
+        .orderBy("doc_id")
     )

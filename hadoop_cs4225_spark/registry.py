@@ -111,88 +111,77 @@ def load_all() -> None:
 
 #: Driver-correctness priority window. The driver records CORRECTNESS
 #: rows for the FIRST 50 queries in ``queries()`` iteration order.
-#: ROUND-9 ROTATION (this window): round 8's window went 50/50 green
-#: (all hash-match, zero err), bringing the cross-round union to
-#: 271/285 with zero red rows ever. The 14 queries registered during
-#: round 8 AFTER that window froze (the backlog enumerated in this
-#: docstring last round) lead this window — all 14 oracled and
-#: replica-green at sf0.001/0.01/0.1 on every pytest run. Two
-#: re-anchors follow for drift detection (a decimal-exactness green
-#: and the second reference byte-exact golden — rotated from round 8's
-#: q1_pricing_summary/word_count pair so anchors themselves rotate),
-#: then round-9's new registrations fill the remaining slots so they
-#: earn driver rows in the same round they land. Everything rotated
-#: out stays verified by the local oracle replica
+#: ROUND-10 ROTATION (this window): round 9's window went 50/50 green,
+#: bringing the cross-round union to 319/323 driver-checked with zero
+#: red rows ever. This window closes the remaining gap and starts the
+#: STALENESS rotation (VERDICT r9 task 4): (1) the 4-query round-9
+#: backlog leads (the only registered queries without a driver row);
+#: (2) round-10's new registrations follow so they earn driver rows
+#: the same round they land; (3) the remaining slots hold the 36
+#: queries whose driver rows are OLDEST (last checked r01-r03 —
+#: includes the byte-exact golden ``topk_common_words_min`` and the
+#: two documented rows-only entries ``approx_distinct_parts`` /
+#: ``orders_profile``, whose weaker rows-only check refreshes too).
+#: After this window lands, every registered query has a driver row
+#: and the maximum row age drops from 9 rounds to 5. Everything
+#: rotated out stays verified by the local oracle replica
 #: (tests/test_oracle_parity.py runs every oracle on every pytest run)
 #: plus the sf0.01/sf0.1 scale pins.
 _PRIORITY = (
-    # --- round-8 backlog: registered after the r8 window froze ---
-    "token_context_entropy",         # branching entropy for segmentation
-    "quality_isotonic_calibration",  # PAV via the minimax identity
-    "events_sprt_arms",              # Wald sequential test over days
-    "orders_did_estimator",          # difference-in-differences + SE
-    "lineitem_quantile_reg_grid",    # tau=0.9 pinball loss, histogram grid
-    "supplier_hits_scores",          # HITS hubs/authorities, 3 rounds
-    "basket_name_rules",             # association rules: support/conf/lift
-    "customer_rfm_migration",        # segment transition matrix, fixed bands
-    "media_chunk_dedup_ratio",       # 256-byte chunk-hash storage dedup
-    "doc_readability_scores",        # Flesch-style, vowel-run syllables
-    "embedding_pca_two",             # 2nd principal direction by deflation
-    "orders_negbin_overdispersion",  # Poisson vs NB dispersion diagnostic
-    "supplier_kcore_peeling",        # k-core via 3 unrolled peel rounds
-    "dedup_methods_overlap",         # exact-vs-LSH pair recall audit
-    # --- re-anchors: decimal-exactness green + reference golden ---
-    "decimal_exact_revenue",
-    "topk_common_words_max",
-    # --- round-9 additions (registered this round; driver rows now) ---
-    "token_burstiness",              # Church-Gale df vs Poisson expectation
-    "token_coverage_curve",          # top-K vocab token-mass coverage
-    "source_segmental_ttr",          # fixed-window lexical diversity
-    "priority_returnflag_mutual_info",  # MI / entropies / NMI
-    "lineitem_anova_returnflag",     # one-way F + eta-squared
-    "lineitem_logit_fisher_step",    # closed-form GLM step + log-loss
-    "customer_order_gap_geomfit",    # geometric MLE + chi-square GOF
-    "embedding_mahalanobis_outliers",  # per-label diag-cov outliers
-    "embedding_triplet_margin",      # vector-to-centroid margin audit
-    "ann_index_balance_audit",       # LSH/IVF partition-size skew
-    "graph_degree_assortativity",    # endpoint-degree Pearson r
-    "supplier_local_clustering",     # Watts-Strogatz mean local CC
-    "events_markov_stationary",      # unrolled power iteration + residual
-    "user_freq_countsketch_audit",   # signed median-of-3 sketch audit
-    "orders_window_group_limit_topn",  # rank-limit pushdown top-n
-    "doc_rake_keyphrases",           # stopword-run keyphrase scores
-    "lsh_band_planner",              # S-curve vs measured candidates
-    "lineitem_weighted_quantiles",   # quantity-weighted unit-price deciles
-    "orders_hurst_rs",               # rescaled-range long-memory exponent
-    "lineitem_discount_elasticity",  # log-log demand slope over 11 cells
-    "supplier_nation_herfindahl",    # HHI concentration per market
-    "source_js_divergence_matrix",   # symmetric source-pair divergence
-    "events_user_entropy_topk",      # behavioral-diversity ranking
-    "lineitem_simpson_slopes",       # pooled-vs-grouped sign-flip probe
-    "lineitem_two_way_interaction",  # factorial additive-vs-cell means
-    "customer_cohort_ltv_curve",     # cohort-age cumulative revenue
-    "orders_totalprice_reconciliation",  # cross-table money contract
-    "orders_jsonl_malformed_audit",  # PERMISSIVE/DROPMALFORMED audit
-    "doc_hapax_by_source",           # hapax/dis legomena profile
-    "orders_monthly_gumbel",         # EVT block-maxima return level
-    "orders_daily_ma_crossover",     # 7/28-day regime-change days
-    "events_hourly_profile_by_type", # hour-of-day shares + peak hour
-    "date_dim_generate",             # engine-neutral calendar dimension
-    "lineitem_return_rate_eb_topk",  # Beta-prior shrinkage leaderboard
+    # --- round-9 backlog: registered after the r9 window froze ---
+    "token_window_pmi_topk",         # windowed NPMI collocations
+    "orders_periodogram_power",      # Goertzel power, dominant period
+    "supplier_personalized_pagerank",  # seed-teleport PPR + residual
+    "embedding_maxsim_topk",         # late-interaction MaxSim retrieval
+    # --- round-10 additions (registered this round; driver rows now) ---
+    "orders_kaplan_meier",           # product-limit survival, censored
+    "lineitem_theil_decomposition",  # within/between-nation inequality
+    "lineitem_unpivot_profile",      # UNPIVOT melt + per-measure stats
+    "token_chi2_feature_topk",       # chi-square characteristic tokens
+    "doc_repetition_scores",         # Gopher intra-doc repetition gate
+    "winnowing_dup_pairs",           # MOSS fingerprint pair join
+    "embedding_signq_hamming_topk",  # 1-bit quantization + Hamming scan
+    "ann_lsh_knn_graph_stats",       # bucket-local kNN-graph audit
+    "supplier_ktruss_peeling",       # edge-support truss decomposition
+    "customer_t_closeness_audit",    # sensitive-distribution drift gate
+    # --- staleness rotation: driver rows last refreshed r01-r03 ---
+    "topk_common_words_min",         # reference golden, variant 1
+    "topk_words_per_lang",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q4_order_priority",
+    "q18_large_volume_orders",
+    "customer_order_counts",
+    "customers_without_orders",
+    "big_spender_customers",
+    "region_status_grid",
+    "brand_revenue",
+    "skew_salted_agg",
+    "approx_distinct_parts",         # rows-only (HLL sketch, README.md)
+    "customer_running_spend",
+    "order_neighbors",
+    "region_nation_rollup",
+    "status_priority_cube",
+    "returnflag_qty_pivot",
+    "nation_customer_lists",
+    "order_quartiles",
+    "event_props_extract",
+    "event_type_prop_stats",
+    "string_edit_distance",
+    "conditional_expr_coverage",
+    "doc_token_stats",
+    "doc_quality_scores",
+    "lang_id_heuristic",
+    "doc_fingerprints",
+    "clean_corpus_stats",
+    "token_positions",
+    "ngram_jaccard_topk",
+    "ann_lsh_multiprobe_topk",
+    "cosine_topk_brute",
+    "weighted_minhash_signatures",
+    "events_range_join",
+    "orders_profile",                # rows-only (pandas twin, README.md)
 )
-
-#: ROUND-10 ROTATION BACKLOG: 4 queries, registered after this round's
-#: 50-slot window filled (the round-8 pattern: oracled and
-#: replica-green at sf0.001/0.01 on every pytest run, pending driver
-#: rows only); rotate them into _PRIORITY next round:
-#:   token_window_pmi_topk          (windowed NPMI collocations)
-#:   orders_periodogram_power       (Goertzel power, dominant period)
-#:   supplier_personalized_pagerank (seed-teleport PPR + residual)
-#:   embedding_maxsim_topk          (late-interaction MaxSim retrieval)
-#: Everything else registered in round 9 (34 operators) occupies an
-#: explicit _PRIORITY slot above; with the 14-query round-8 backlog
-#: rotated in at the top, the cross-round union covers the entire
-#: pre-round-9 registry once this round's CORRECTNESS lands.
 
 def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:
     """Materialize every session-memoized shared frame (the dedup
@@ -240,6 +229,50 @@ def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:
         # memo then hands the materialized frame to every consumer.
         build().count()
     return len(builders)
+
+
+def warm_derived_layouts(spark: SparkSession, sf_dir: str) -> int:
+    """Materialize every mtime-guarded DERIVED LAYOUT (partitioned /
+    bucketed / z-ordered tables, the IVF-PQ index, the dirty JSONL
+    feed) ahead of timing (VERDICT r9 task 6): these are write-once
+    physical designs a cluster deployment builds as a pipeline step,
+    so the bench should measure the PROBE cost of
+    ``ivf_pq_index_probe`` / ``bucketed_segment_revenue`` /
+    the partition-pruning family — not charge whichever query runs
+    first with the one-off layout build. Idempotent (each ensure_* is
+    freshness-guarded on the source parquet mtime). Returns the number
+    of layouts ensured."""
+    load_all()
+    from hadoop_cs4225_spark.operators.bucketed import (
+        _BUCKETED,
+        ensure_bucketed,
+    )
+    from hadoop_cs4225_spark.operators.formats import (
+        ensure_orders_jsonl_dirty,
+    )
+    from hadoop_cs4225_spark.operators.partitioned import (
+        ensure_events_by_day,
+        ensure_events_by_user,
+        ensure_events_nested,
+        ensure_events_zorder,
+    )
+    from hadoop_cs4225_spark.operators.pq import ensure_ivf_pq_index
+
+    n = 0
+    for ensure in (
+        ensure_events_by_day,
+        ensure_events_nested,
+        ensure_events_zorder,
+        ensure_events_by_user,
+        ensure_ivf_pq_index,
+        ensure_orders_jsonl_dirty,
+    ):
+        ensure(spark, sf_dir)
+        n += 1
+    for t, k in _BUCKETED:
+        ensure_bucketed(spark, sf_dir, t, k)
+        n += 1
+    return n
 
 
 def _prioritized(d: dict) -> dict:

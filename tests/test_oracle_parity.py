@@ -117,11 +117,12 @@ def test_priority_window_integrity():
 
     names = list(get_queries())
     oracles = get_oracles()
-    # ROUND 9: the window is full — 14 rotated-in backlog queries, 2
-    # re-anchors, and 34 round-9 registrations occupy all 50 explicit
-    # slots (mid-round, while _PRIORITY is still short, this assert
-    # relaxes to <= and the tail auto-fills from registration order
-    # under the previously-green rule enforced below).
+    # ROUND 10: the window is full — the 4 rotated-in round-9 backlog
+    # queries, 10 round-10 registrations, and the 36 STALEST driver
+    # rows (last checked r01-r03) occupy all 50 explicit slots
+    # (mid-round, while _PRIORITY is still short, this assert relaxes
+    # to <= and the tail auto-fills from registration order under the
+    # previously-green rule enforced below).
     assert len(_PRIORITY) == PRIORITY_WINDOW == 50
     assert tuple(names[: len(_PRIORITY)]) == _PRIORITY
     missing_regs = [n for n in _PRIORITY if n not in names]
@@ -131,6 +132,11 @@ def test_priority_window_integrity():
     # oracle; each must carry a pytest accuracy or equivalence pin
     rows_only_ok = {
         "label_norm_stats_arrow",  # test_multimodal.py JVM equivalence
+        # staleness-rotation slots for two documented rows-only entries
+        # (README.md terminal set): their weaker rows-only driver rows
+        # date from r01 and refresh with this window
+        "approx_distinct_parts",   # HLL estimate, error-band pytest pin
+        "orders_profile",          # pandas-twin float surface, pinned
     }
     # Every EXPLICIT slot must carry an oracle (the auto-fill tail is
     # separately required to be previously-driver-checked below, so a
@@ -148,7 +154,7 @@ def test_priority_window_integrity():
     import os
 
     seen: set[str] = set()
-    for r in (1, 2, 3, 4, 5, 6, 7, 8):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9):
         path = os.path.join(os.path.dirname(__file__), "..", f"CORRECTNESS_r0{r}.json")
         if os.path.exists(path):
             with open(path) as f:
@@ -157,15 +163,10 @@ def test_priority_window_integrity():
     if seen:
         # the frozen rotation set: every query that was registered AND
         # unchecked when this window was cut (queries added during
-        # round 9 join _PRIORITY explicitly on registration instead)
+        # round 10 join _PRIORITY explicitly on registration instead)
         rotated_in = {
-            "token_context_entropy", "quality_isotonic_calibration",
-            "events_sprt_arms", "orders_did_estimator",
-            "lineitem_quantile_reg_grid", "supplier_hits_scores",
-            "basket_name_rules", "customer_rfm_migration",
-            "media_chunk_dedup_ratio", "doc_readability_scores",
-            "embedding_pca_two", "orders_negbin_overdispersion",
-            "supplier_kcore_peeling", "dedup_methods_overlap",
+            "token_window_pmi_topk", "orders_periodogram_power",
+            "supplier_personalized_pagerank", "embedding_maxsim_topk",
         }
         missing = [n for n in rotated_in if n not in names[:50]]
         assert not missing, f"never-driver-checked queries outside window: {missing}"
@@ -176,12 +177,12 @@ def test_priority_window_integrity():
         # promoted to an explicit _PRIORITY slot instead
         unchecked_tail = [n for n in names[len(_PRIORITY):50] if n not in seen]
         assert not unchecked_tail, f"unchecked queries in auto-fill tail: {unchecked_tail}"
-    # re-anchor spot checks: a decimal-exactness green + the second
-    # reference byte-exact golden must hold their drift-detection
-    # slots (rotated from round 8's q1_pricing_summary/word_count pair
-    # so the anchors themselves rotate too)
-    for anchor in (
-        "decimal_exact_revenue",
-        "topk_common_words_max",
-    ):
-        assert anchor in names[:50], anchor
+        # STALENESS rotation (r10 policy, VERDICT r9 task 4): every
+        # non-backlog, non-new slot must be a query whose last driver
+        # row is from r01-r03 — the window refreshes the OLDEST rows,
+        # never recently-checked ones. The golden-anchor duty rides
+        # the rotation itself this round: topk_common_words_min (the
+        # byte-exact reference golden, variant 1) is r01-stale AND in
+        # the window; decimal-exactness drift stays covered by the
+        # per-pytest oracle replicas of decimal_exact_revenue.
+        assert "topk_common_words_min" in names[:50]

@@ -116,6 +116,14 @@ def test_lsh_join_is_equi_join_not_cartesian(spark):
 #: slice (all-pairs baselines, grid expansion, 1-row broadcast query
 #: vectors). Everything else must never plan a cartesian/nested-loop.
 _BOUNDED_ALLPAIRS = {
+    # --- round-10 additions (all 1-row / dictionary-bounded sides) ---
+    "orders_kaplan_meier",  # broadcast 1-row cohort-total cross join
+    "lineitem_theil_decomposition",  # broadcast 1-row grand-total cross join
+    "token_chi2_feature_topk",  # broadcast 1-row corpus-count cross join
+    "embedding_signq_hamming_topk",  # broadcast 1-row query-vector cross join
+    "ann_lsh_knn_graph_stats",  # broadcast 1-row stats/mutual/isolated joins
+    "supplier_ktruss_peeling",  # per-round 1-row edge-count cross joins
+    "customer_t_closeness_audit",  # 5-row segment dict x group dict + 1-row N
     "region_status_grid",
     "ngram_jaccard_topk",
     "embedding_near_dup_pairs",
@@ -299,6 +307,9 @@ _BOUNDED_GLOBAL_WINDOW = {
     "corpus_health_report": 65_536,
     # sign-change lag over the CALENDAR-bounded monthly frame
     "orders_revenue_runs_test": 256,
+    # at-risk / product-limit cumulatives over the HORIZON-bounded day
+    # axis (censoring at 60 days caps the frame at 61 rows)
+    "orders_kaplan_meier": 64,
     # midrank cumulatives over the two VALUE-DOMAIN-bounded integer
     # histograms (n_chars / token-count domains), never corpus rows
     "doc_len_tok_spearman": 65_536,

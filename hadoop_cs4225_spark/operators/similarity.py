@@ -118,13 +118,18 @@ def _bucket_sql(emb: str) -> str:
 
 
 def _bucketed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``(vec_id, label, embedding, bucket)`` localCheckpointed once per
-    (session, sf) — the dedup ``_MATERIALIZED`` discipline for the LSH
-    side: four registered queries (buckets histogram, single-probe,
-    multiprobe, near-dup join) plus the recall audit all need the same
-    8-plane fold, and the memo makes it compute once. At 100 TB this IS
-    the bucketed vector table you write once (``ann_lsh_buckets``
-    docstring) rather than re-deriving per query."""
+    """``(vec_id, label, embedding, bucket, norm)`` localCheckpointed
+    once per (session, sf) — the dedup ``_MATERIALIZED`` discipline for
+    the LSH side: four registered queries (buckets histogram,
+    single-probe, multiprobe, near-dup join) plus the recall audit and
+    the kNN-graph build all need the same 8-plane fold, and the memo
+    makes it compute once. ``norm`` (= sqrt of the self-dot, the exact
+    value ``_cos`` computes per PAIR) rides along so pairwise
+    within-bucket stages fold only the cross dot per candidate — one
+    64-dim fold instead of three, bit-identical cosines (VERDICT r9
+    task 3: the verify stage was the near-dup join's growth term). At
+    100 TB this IS the bucketed vector table you write once
+    (``ann_lsh_buckets`` docstring) rather than re-deriving per query."""
     from hadoop_cs4225_spark.operators.dedup import _memo
 
     return _memo(
@@ -135,6 +140,7 @@ def _bucketed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id", "label", "embedding",
             _bucket_col("embedding").alias("bucket"),
+            F.sqrt(_dot("embedding", "embedding")).alias("norm"),
         )
         .localCheckpoint(eager=False),
         src_table="embeddings",
@@ -614,14 +620,18 @@ def ivf_ann_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_near_dup_lsh",
     oracle=f"""
-WITH b AS (
-  SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket
+WITH b AS MATERIALIZED (
+  SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket,
+         sqrt({_dot_sql("embedding", "embedding")}) AS norm
   FROM embeddings
+), cand AS (
+  SELECT a.vec_id AS v1, c.vec_id AS v2,
+         {_dot_sql("a.embedding", "c.embedding")} / (a.norm * c.norm)
+           AS cos_raw
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 )
-SELECT a.vec_id AS v1, c.vec_id AS v2,
-       {quant_sql(_cos_sql("a.embedding", "c.embedding"), 6)} AS cos_sim
-FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-WHERE {_cos_sql("a.embedding", "c.embedding")} >= 0.3
+SELECT v1, v2, {quant_sql("cos_raw", 6)} AS cos_sim
+FROM cand WHERE cos_raw >= 0.3
 ORDER BY cos_sim DESC, v1, v2
 """,
 )
@@ -637,24 +647,46 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a global cartesian; skewed buckets split under AQE. Same
     candidate-generation → exact-verify shape as MinHash-LSH dedup
     (``dedup.py``).
+
+    ROUND-10 REWRITE (VERDICT r9 task 3: suite-max exponent 1.15, the
+    verify stage the growth term): per-candidate work drops from SIX
+    64-dim folds (Catalyst does not CSE the cosine across the filter
+    and the projection, and each cosine folded both self-dots per
+    pair) to ONE — norms ride precomputed on the shared bucketed frame
+    and the raw cosine is projected once, filtered, then quantized.
+    ``dot / (norm_a * norm_b)`` is the bit-identical expression the old
+    per-pair ``_cos`` computed, so the output (and the recall
+    ``lsh_recall_audit`` measures) is unchanged in both engines.
     """
-    b = _bucketed_frame(spark, sf_dir).select("vec_id", "embedding", "bucket")
+    b = _bucketed_frame(spark, sf_dir).select(
+        "vec_id", "embedding", "bucket", "norm"
+    )
     a = b.select(
         F.col("vec_id").alias("v1"),
         F.col("embedding").alias("e1"),
+        F.col("norm").alias("n1"),
         "bucket",
     )
     c = b.select(
         F.col("vec_id").alias("v2"),
         F.col("embedding").alias("e2"),
+        F.col("norm").alias("n2"),
         "bucket",
     )
-    cos = _cos("e1", "e2")
-    return (
+    cand = (
         a.join(c, "bucket")
         .where(F.col("v1") < F.col("v2"))
-        .where(cos >= 0.3)
-        .select("v1", "v2", quant(cos, 6).alias("cos_sim"))
+        .select(
+            "v1",
+            "v2",
+            (_dot("e1", "e2") / (F.col("n1") * F.col("n2"))).alias(
+                "cos_raw"
+            ),
+        )
+    )
+    return (
+        cand.where(F.col("cos_raw") >= 0.3)
+        .select("v1", "v2", quant(F.col("cos_raw"), 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "v1", "v2")
     )
 
@@ -1630,11 +1662,13 @@ _KNN_GRID = 1_000_000_000
     "ann_lsh_knn_graph_stats",
     oracle=f"""
 WITH b AS MATERIALIZED (
-  SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket
+  SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket,
+         sqrt({_dot_sql("embedding", "embedding")}) AS norm
   FROM embeddings
 ), pair AS (
   SELECT x.vec_id AS src, y.vec_id AS dst,
-         CAST(floor({_cos_sql("x.embedding", "y.embedding")}
+         CAST(floor({_dot_sql("x.embedding", "y.embedding")}
+                    / (x.norm * y.norm)
                     * {_KNN_GRID} + 0.5) AS BIGINT) AS grid
   FROM b x JOIN b y
     ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
@@ -1695,11 +1729,14 @@ def ann_lsh_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    b = _bucketed_frame(spark, sf_dir).select("vec_id", "embedding", "bucket")
+    b = _bucketed_frame(spark, sf_dir).select(
+        "vec_id", "embedding", "bucket", "norm"
+    )
     y = b.select(
         F.col("bucket").alias("bucket2"),
         F.col("vec_id").alias("dst"),
         F.col("embedding").alias("emb2"),
+        F.col("norm").alias("norm2"),
     )
     pair = b.join(
         y,
@@ -1708,7 +1745,12 @@ def ann_lsh_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("vec_id").alias("src"),
         "dst",
-        F.floor(_cos("embedding", "emb2") * _KNN_GRID + 0.5)
+        F.floor(
+            _dot("embedding", "emb2")
+            / (F.col("norm") * F.col("norm2"))
+            * _KNN_GRID
+            + 0.5
+        )
         .cast("long")
         .alias("grid"),
     )

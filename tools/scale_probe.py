@@ -117,6 +117,13 @@ DOC_QUERIES = (
     "doc_rake_keyphrases",  # per-doc prefix-sum + phrase-keyed aggs
     "lsh_band_planner",  # 3 band-keyed groupBys over the signature frame
     "token_window_pmi_topk",  # x2-skip window join, df-pruned marginals
+    # --- round-10 gap-closing (VERDICT r9 task 2) + new ops ---
+    "topk_common_words_max",  # the flagship: two-source agg + top-k
+    "source_js_divergence_matrix",  # shared-vocab join, source-pair grid
+    "doc_hapax_by_source",  # token partial agg + source rollup
+    "token_chi2_feature_topk",  # presence aggs + df-pruned marginal join
+    "doc_repetition_scores",  # two (doc, gram) map-side-combined shuffles
+    "winnowing_dup_pairs",  # fingerprint-keyed join under the bucket cap
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i
@@ -148,6 +155,9 @@ EMB_QUERIES = (
     "embedding_triplet_margin",  # |V| x L x d single partial-agg shuffle
     "ann_index_balance_audit",  # two memoized-index rollups
     "embedding_maxsim_topk",  # |V| x subvector broadcast-probe shuffle
+    # --- round-10 additions ---
+    "embedding_signq_hamming_topk",  # 2-word popcount scan + top-k
+    "ann_lsh_knn_graph_stats",  # bucket-keyed join + per-node top-k window
 )
 
 #: queries probed across the real sf dirs (10x data per step).
@@ -235,6 +245,26 @@ SF_QUERIES = (
     "orders_hurst_rs",  # calendar-bounded blocks, <=32-row partitions
     "orders_periodogram_power",  # x5 period fan-out, 5-row fold
     "supplier_personalized_pagerank",  # per-round edge join + |V| left join
+    # --- round-10 gap-closing (VERDICT r9 task 2) + new ops ---
+    "decimal_exact_revenue",  # exact-decimal partial agg, one shuffle
+    "lineitem_discount_elasticity",  # 11-cell log-log fold
+    "supplier_nation_herfindahl",  # per-nation squared-share grid
+    "events_user_entropy_topk",  # per-user plogp + distributed top-k
+    "lineitem_simpson_slopes",  # pooled-vs-grouped moment folds
+    "lineitem_two_way_interaction",  # factorial cell means, one pass
+    "customer_cohort_ltv_curve",  # custkey agg + (cohort, age) rollup
+    "orders_totalprice_reconciliation",  # orderkey join + cents compare
+    "orders_jsonl_malformed_audit",  # two line-splittable text scans
+    "orders_monthly_gumbel",  # calendar-bounded block maxima
+    "orders_daily_ma_crossover",  # daily rollup + 7/28-day windows
+    "events_hourly_profile_by_type",  # (type x 24) shares, one shuffle
+    "date_dim_generate",  # generated calendar — input-size-free (flat)
+    "lineitem_return_rate_eb_topk",  # supplier agg + shrinkage top-k
+    "orders_kaplan_meier",  # orderkey agg + horizon-bounded cumulatives
+    "lineitem_theil_decomposition",  # (suppkey, nation) agg + 25-row fold
+    "lineitem_unpivot_profile",  # map-side x4 melt + bounded-domain agg
+    "supplier_ktruss_peeling",  # degree-capped support joins, 2 rounds
+    "customer_t_closeness_audit",  # QI-dictionary TVD aggregates
 )
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
@@ -245,7 +275,12 @@ SUPERLINEAR = 1.35
 #: exponent measures the steady-state query, not the one-off build (the
 #: build pipeline's scaling is probed separately, e.g. the IVF-PQ code
 #: table via pq_code_histogram).
-WARM_PER_SIZE = {"ivf_pq_index_probe", "bucketed_segment_revenue"}
+WARM_PER_SIZE = {
+    "ivf_pq_index_probe",
+    "bucketed_segment_revenue",
+    # derived dirty-JSONL feed build is a one-off layout step
+    "orders_jsonl_malformed_audit",
+}
 
 
 def ensure_amplified(spark, k: int) -> str:

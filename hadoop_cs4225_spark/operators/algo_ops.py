@@ -7091,3 +7091,451 @@ def lineitem_unpivot_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "measure")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 backlog: Weibull delay fit (median-rank / Weibull-plot OLS)
+# ---------------------------------------------------------------------------
+
+#: Fit domain (days, inclusive) and the per-point snap grid for the
+#: Weibull-plot coordinates. Durations outside [1, 365] are excluded
+#: from the FIT (ln t needs t >= 1; the synthetic tail reaches ~2500
+#: days and would let a handful of extreme points dominate the OLS).
+_WEIB_TMAX = 365
+_WEIB_GRID = 1_000_000_000
+
+
+@register(
+    "orders_weibull_delay_fit",
+    oracle=f"""
+WITH per_order AS (
+  SELECT datediff('day', CAST(o.o_orderdate AS DATE),
+                  MIN(CAST(l.l_shipdate AS DATE))) AS dur
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+), obs AS (
+  SELECT dur FROM per_order WHERE dur BETWEEN 1 AND {_WEIB_TMAX}
+), day_h AS (
+  SELECT CAST(dur AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM obs GROUP BY dur
+), cum AS (
+  SELECT t, c,
+         CAST(SUM(c) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS f,
+         (SELECT CAST(SUM(c) AS BIGINT) FROM day_h) AS n
+  FROM day_h
+), pts AS (
+  SELECT CAST(floor(ln(CAST(t AS DOUBLE)) * {_WEIB_GRID} + 0.5)
+              AS BIGINT) AS xg,
+         CAST(floor(ln(-ln(1.0 - CAST(f AS DOUBLE) / n))
+                    * {_WEIB_GRID} + 0.5) AS BIGINT) AS yg
+  FROM cum WHERE f < n
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(CAST(xg AS DOUBLE)) / {_WEIB_GRID} AS sx,
+         SUM(CAST(yg AS DOUBLE)) / {_WEIB_GRID} AS sy,
+         SUM(CAST(xg AS DOUBLE) * yg) / {_WEIB_GRID} / {_WEIB_GRID} AS sxy,
+         SUM(CAST(xg AS DOUBLE) * xg) / {_WEIB_GRID} / {_WEIB_GRID} AS sxx,
+         SUM(CAST(yg AS DOUBLE) * yg) / {_WEIB_GRID} / {_WEIB_GRID} AS syy,
+         (SELECT CAST(SUM(c) AS BIGINT) FROM day_h) AS n_orders
+  FROM pts
+)
+SELECT n_orders, k AS n_points,
+       {quant_sql("(k * sxy - sx * sy) / (k * sxx - sx * sx)", 6)} AS shape,
+       {quant_sql(
+           "exp(-((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)"
+           " / k) / ((k * sxy - sx * sy) / (k * sxx - sx * sx)))", 4)}
+         AS scale_days,
+       {quant_sql(
+           "(k * sxy - sx * sy) * (k * sxy - sx * sy)"
+           " / ((k * sxx - sx * sx) * (k * syy - sy * sy))", 6)} AS r2
+FROM s
+""",
+)
+def orders_weibull_delay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull fit of the order-to-first-ship delay by the classic
+    Weibull-plot linearization: ln(-ln(1-F(t))) is linear in ln t with
+    slope = shape k and intercept = -k·ln(scale), so one OLS over the
+    day-domain empirical CDF gives both parameters plus the r² that
+    says whether Weibull describes the delay at all (k < 1 means
+    decreasing hazard — stragglers stay stragglers; k > 1 wear-out).
+    Complements ``orders_kaplan_meier`` (nonparametric, censored) and
+    ``customer_order_gap_geomfit`` (discrete memoryless) in the
+    duration-model family.
+
+    Determinism: the empirical CDF is exact integer counts over the
+    day domain; each plot coordinate snaps to the 1e-9 grid BEFORE the
+    OLS sums (the sums then run over grid integers widened to double —
+    identical operands in both engines); the three reported values are
+    single quantized expressions of those sums.
+
+    Scale: one orderkey partial agg, one day-domain rollup; the
+    cumulative runs over the <= {_WEIB_TMAX}-row day axis (allowlisted
+    bounded global window), and the OLS is a 5-sum fold of that frame.
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.min(F.col("l_shipdate").cast("date")).alias("first_ship"))
+        .select(
+            F.datediff(
+                "first_ship", F.col("o_orderdate").cast("date")
+            ).alias("dur")
+        )
+        .where(F.col("dur").between(1, _WEIB_TMAX))
+    )
+    day_h = per_order.groupBy(F.col("dur").cast("long").alias("t")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n_tot = F.broadcast(
+        day_h.agg(F.sum("c").cast("long").alias("n"))
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cum = day_h.withColumn(
+        "f", F.sum("c").over(w_cum).cast("long")
+    ).crossJoin(n_tot)
+    g = float(_WEIB_GRID)
+    pts = cum.where(F.col("f") < F.col("n")).select(
+        F.floor(F.log(F.col("t").cast("double")) * g + 0.5)
+        .cast("long")
+        .alias("xg"),
+        F.floor(
+            F.log(-F.log(1.0 - F.col("f").cast("double") / F.col("n")))
+            * g
+            + 0.5
+        )
+        .cast("long")
+        .alias("yg"),
+        "n",
+    )
+    s = pts.groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        (F.sum(F.col("xg").cast("double")) / g).alias("sx"),
+        (F.sum(F.col("yg").cast("double")) / g).alias("sy"),
+        (F.sum(F.col("xg").cast("double") * F.col("yg")) / g / g).alias(
+            "sxy"
+        ),
+        (F.sum(F.col("xg").cast("double") * F.col("xg")) / g / g).alias(
+            "sxx"
+        ),
+        (F.sum(F.col("yg").cast("double") * F.col("yg")) / g / g).alias(
+            "syy"
+        ),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("k")
+    return s.select(
+        F.col("n").alias("n_orders"),
+        F.col("k").alias("n_points"),
+        quant(slope, 6).alias("shape"),
+        quant(F.exp(-intercept / slope), 4).alias("scale_days"),
+        quant(
+            num * num
+            / (den * (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy"))),
+            6,
+        ).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 backlog: sliding-window burst scan statistic
+# ---------------------------------------------------------------------------
+
+#: Scan window length in minutes (sliding, per event type).
+_SCAN_WINDOW_MIN = 60
+
+
+@register(
+    "events_burst_scan_statistic",
+    oracle=f"""
+WITH per_min AS (
+  SELECT event_type,
+         CAST(epoch(time_bucket(INTERVAL '1 minute', ts)) / 60 AS BIGINT)
+           AS midx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, midx
+), slid AS (
+  SELECT event_type, midx, n,
+         CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY midx
+              RANGE BETWEEN {_SCAN_WINDOW_MIN - 1} PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS w
+  FROM per_min
+)
+SELECT event_type,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(MAX(midx) - MIN(midx) + 1 AS BIGINT) AS span_minutes,
+       CAST(MAX(w) AS BIGINT) AS peak_window_events,
+       {quant_sql(
+           f"CAST(SUM(n) AS DOUBLE) * {_SCAN_WINDOW_MIN}"
+           " / (MAX(midx) - MIN(midx) + 1)", 4)} AS expected_window_events,
+       {quant_sql(
+           f"CAST(MAX(w) AS DOUBLE) * (MAX(midx) - MIN(midx) + 1)"
+           f" / (CAST(SUM(n) AS DOUBLE) * {_SCAN_WINDOW_MIN})", 4)}
+         AS peak_ratio
+FROM slid
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_burst_scan_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window scan statistic per event type: the maximum event
+    count in ANY {_SCAN_WINDOW_MIN}-minute window (not just aligned
+    buckets) against the homogeneous-Poisson expectation — the
+    epidemiology/ops burst detector. ``events_minute_peak`` reports the
+    hottest single minute; a spread-out burst (300 events over 40
+    minutes) hides from it but not from the scan window, and the RANGE
+    frame slides over actual minute values so window placement is
+    continuous, gaps handled by value distance rather than row count.
+
+    Determinism: pure integer counting until two final quantized
+    ratios; the RANGE frame is value-based, identical in both engines.
+
+    Scale: one (type, minute) partial-agg shuffle (calendar-bounded key
+    space), then a per-type RANGE window over minute-bucket rows —
+    partitioned by type, frame bounded by {_SCAN_WINDOW_MIN} minutes.
+
+    No reference analogue; extends the SURVEY §2 event-analytics family.
+    """
+    ev = load_events(spark, sf_dir)
+    per_min = ev.groupBy(
+        "event_type",
+        (F.unix_timestamp(F.date_trunc("minute", F.col("ts"))) / 60)
+        .cast("long")
+        .alias("midx"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("midx")
+        .rangeBetween(-(_SCAN_WINDOW_MIN - 1), 0)
+    )
+    slid = per_min.withColumn("w", F.sum("n").over(w).cast("long"))
+    span = F.max("midx") - F.min("midx") + 1
+    return (
+        slid.groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            span.cast("long").alias("span_minutes"),
+            F.max("w").cast("long").alias("peak_window_events"),
+            quant(
+                F.sum("n").cast("double") * _SCAN_WINDOW_MIN / span, 4
+            ).alias("expected_window_events"),
+            quant(
+                F.max("w").cast("double")
+                * span
+                / (F.sum("n").cast("double") * _SCAN_WINDOW_MIN),
+                4,
+            ).alias("peak_ratio"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 backlog: two-round gradient-boosted stumps (LS-Boost)
+# ---------------------------------------------------------------------------
+
+#: Number of boosting rounds (unrolled; each fits one stump on the
+#: current residuals) and the residual-snap grid (exact cents).
+_BOOST_ROUNDS = 2
+
+
+@register(
+    "lineitem_boosted_stumps",
+    oracle="""
+WITH h AS MATERIALIZED (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS s
+  FROM lineitem GROUP BY x
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS st FROM h
+), pre AS (
+  SELECT x,
+         CAST(SUM(c) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n1,
+         CAST(SUM(s) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS s1
+  FROM h
+), sc1 AS MATERIALIZED (
+  SELECT p.x, p.n1, p.s1, t.n, t.st,
+         (CAST(p.s1 AS DOUBLE) * p.s1 / p.n1
+          + CAST(t.st - p.s1 AS DOUBLE) * (t.st - p.s1) / (t.n - p.n1))
+           AS score
+  FROM pre p CROSS JOIN tot t WHERE p.n1 < t.n
+), b1 AS MATERIALIZED (
+  SELECT * FROM sc1
+  WHERE score = (SELECT MAX(score) FROM sc1)
+    AND x = (SELECT MIN(x) FROM sc1
+             WHERE score = (SELECT MAX(score) FROM sc1))
+), r1 AS (
+  SELECT CAST(1 AS BIGINT) AS round, b.x AS split_quantity,
+         CAST(b.s1 AS DOUBLE) / b.n1 / 100.0 AS lv,
+         CAST(b.st - b.s1 AS DOUBLE) / (b.n - b.n1) / 100.0 AS rv,
+         (b.score - CAST(b.st AS DOUBLE) * b.st / b.n) / 10000.0 AS gain
+  FROM b1 b
+), res AS MATERIALIZED (
+  SELECT h.x, h.c,
+         CAST(floor(h.s - h.c * (CASE WHEN h.x <= b.x
+                 THEN CAST(b.s1 AS DOUBLE) / b.n1
+                 ELSE CAST(b.st - b.s1 AS DOUBLE) / (b.n - b.n1) END)
+               + 0.5) AS BIGINT) AS rs
+  FROM h CROSS JOIN b1 b
+), rtot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(rs) AS BIGINT) AS st
+  FROM res
+), rpre AS (
+  SELECT x,
+         CAST(SUM(c) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n1,
+         CAST(SUM(rs) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS s1
+  FROM res
+), sc2 AS MATERIALIZED (
+  SELECT p.x, p.n1, p.s1, t.n, t.st,
+         (CAST(p.s1 AS DOUBLE) * p.s1 / p.n1
+          + CAST(t.st - p.s1 AS DOUBLE) * (t.st - p.s1) / (t.n - p.n1))
+           AS score
+  FROM rpre p CROSS JOIN rtot t WHERE p.n1 < t.n
+), b2 AS (
+  SELECT * FROM sc2
+  WHERE score = (SELECT MAX(score) FROM sc2)
+    AND x = (SELECT MIN(x) FROM sc2
+             WHERE score = (SELECT MAX(score) FROM sc2))
+), r2 AS (
+  SELECT CAST(2 AS BIGINT) AS round, b.x AS split_quantity,
+         CAST(b.s1 AS DOUBLE) / b.n1 / 100.0 AS lv,
+         CAST(b.st - b.s1 AS DOUBLE) / (b.n - b.n1) / 100.0 AS rv,
+         (b.score - CAST(b.st AS DOUBLE) * b.st / b.n) / 10000.0 AS gain
+  FROM b2 b
+)
+SELECT round, split_quantity,
+       (CASE WHEN abs(lv) >= 90071992547409.92 THEN lv
+             ELSE floor(lv * 100.0 + 0.5) / 100.0 END) AS left_value,
+       (CASE WHEN abs(rv) >= 90071992547409.92 THEN rv
+             ELSE floor(rv * 100.0 + 0.5) / 100.0 END) AS right_value,
+       (CASE WHEN abs(gain) >= 9007199254740.992 THEN gain
+             ELSE floor(gain * 1000.0 + 0.5) / 1000.0 END) AS gain
+FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+ORDER BY round
+""",
+)
+def lineitem_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of least-squares gradient boosting with stump base
+    learners: round 1 fits the best single quantity-threshold split for
+    extended price (exact-cents leaf sums), round 2 refits on the
+    RESIDUALS of round 1 — the additive-model step every GBM library
+    iterates, expressed as histogram algebra. ``lineitem_decision_stump``
+    is the single-round classifier; this is the regression/boosting
+    shape, and the round-2 gain quantifies how much signal one stump
+    left behind.
+
+    Determinism: the quantity histogram carries exact BIGINT (count,
+    cents) per value; the split criterion max(s_L^2/n_L + s_R^2/n_R) is
+    a double of exact integer operands — identical in both engines —
+    with ties broken to the SMALLEST split; round-2 residual sums are
+    snapped to whole cents before the same machinery reruns. Reported
+    leaf values / gains quantize via the standard guarded quantizer.
+
+    Scale: ONE map-side-combined histogram shuffle over the bounded
+    quantity domain (~50 values); everything after — cumulative sums,
+    split search, residual algebra, round 2 — runs on that <= 50-row
+    frame (allowlisted bounded global window).
+
+    No reference analogue; extends the SURVEY §2 ML-primitives family.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    h = (
+        lineitem.groupBy(F.col("l_quantity").cast("long").alias("x"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum(cents).cast("long").alias("s"),
+        )
+        .localCheckpoint(eager=False)  # both rounds reread the histogram
+    )
+
+    def best_split(hist: DataFrame, cnt_col: str, sum_col: str):
+        tot = F.broadcast(
+            hist.agg(
+                F.sum(cnt_col).cast("long").alias("n"),
+                F.sum(sum_col).cast("long").alias("st"),
+            )
+        )
+        w_cum = Window.orderBy("x").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        pre = hist.select(
+            "x",
+            F.sum(cnt_col).over(w_cum).cast("long").alias("n1"),
+            F.sum(sum_col).over(w_cum).cast("long").alias("s1"),
+        )
+        sc = (
+            pre.crossJoin(tot)
+            .where(F.col("n1") < F.col("n"))
+            .withColumn(
+                "score",
+                F.col("s1").cast("double") * F.col("s1") / F.col("n1")
+                + (F.col("st") - F.col("s1")).cast("double")
+                * (F.col("st") - F.col("s1"))
+                / (F.col("n") - F.col("n1")),
+            )
+            .localCheckpoint(eager=False)  # max + argmin consumers
+        )
+        mx = F.broadcast(sc.agg(F.max("score").alias("mx")))
+        at_max = sc.crossJoin(mx).where(F.col("score") == F.col("mx"))
+        mn = F.broadcast(at_max.agg(F.min("x").alias("bx")))
+        return at_max.crossJoin(mn).where(F.col("x") == F.col("bx"))
+
+    def round_row(b: DataFrame, rnd: int) -> DataFrame:
+        lv = F.col("s1").cast("double") / F.col("n1") / 100.0
+        rv = (
+            (F.col("st") - F.col("s1")).cast("double")
+            / (F.col("n") - F.col("n1"))
+            / 100.0
+        )
+        gain = (
+            F.col("score") - F.col("st").cast("double") * F.col("st") / F.col("n")
+        ) / 10000.0
+        return b.select(
+            F.lit(rnd).cast("long").alias("round"),
+            F.col("x").alias("split_quantity"),
+            quant(lv, 2).alias("left_value"),
+            quant(rv, 2).alias("right_value"),
+            quant(gain, 3).alias("gain"),
+        )
+
+    b1 = best_split(h, "c", "s").localCheckpoint(eager=False)
+    leaf_mean = F.when(
+        F.col("hx") <= F.col("x"),
+        F.col("s1").cast("double") / F.col("n1"),
+    ).otherwise(
+        (F.col("st") - F.col("s1")).cast("double")
+        / (F.col("n") - F.col("n1"))
+    )
+    res = (
+        h.select(
+            F.col("x").alias("hx"), F.col("c").alias("hc"), F.col("s").alias("hs")
+        )
+        .crossJoin(b1.select("x", "n1", "s1", "n", "st"))
+        .select(
+            F.col("hx").alias("x"),
+            F.col("hc").alias("c"),
+            F.floor(F.col("hs") - F.col("hc") * leaf_mean + 0.5)
+            .cast("long")
+            .alias("rs"),
+        )
+    )
+    b2 = best_split(res, "c", "rs")
+    return round_row(b1, 1).unionByName(round_row(b2, 2)).orderBy("round")

@@ -4293,3 +4293,123 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 backlog: character-level entropy (compressibility proxy)
+# ---------------------------------------------------------------------------
+
+#: Per-character plogp snap grid (the l-diversity entropy discipline).
+_CHENT_GRID = 1_000_000_000
+
+
+@register(
+    "source_char_entropy",
+    oracle=f"""
+WITH ch AS (
+  SELECT doc_id, source, unnest(list_transform(
+           range(1, length(text) + 1), i -> substr(text, i, 1))) AS c
+  FROM documents WHERE length(text) > 0
+), cnt AS (
+  SELECT doc_id, source, c, CAST(COUNT(*) AS BIGINT) AS k
+  FROM ch GROUP BY doc_id, source, c
+), cells AS (
+  SELECT doc_id, source, k,
+         CAST(floor(
+             -(CAST(k AS DOUBLE) / SUM(k) OVER (PARTITION BY doc_id))
+             * ln(CAST(k AS DOUBLE) / SUM(k) OVER (PARTITION BY doc_id))
+             * {_CHENT_GRID} + 0.5) AS BIGINT) AS t
+  FROM cnt
+), docl AS (
+  SELECT doc_id, source,
+         CAST(SUM(k) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS hg
+  FROM cells GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       {quant_sql(
+           f"SUM(CAST(hg AS DOUBLE)) / COUNT(*) / {_CHENT_GRID}"
+           " / 0.6931471805599453", 6)} AS mean_char_entropy_bits,
+       {quant_sql(
+           f"MIN(hg) / CAST({_CHENT_GRID} AS DOUBLE) / 0.6931471805599453",
+           6)} AS min_char_entropy_bits,
+       {quant_sql(
+           f"MAX(hg) / CAST({_CHENT_GRID} AS DOUBLE) / 0.6931471805599453",
+           6)} AS max_char_entropy_bits
+FROM docl
+GROUP BY source
+ORDER BY source
+""",
+)
+def source_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level order-0 entropy per document, profiled per
+    source: the Shannon lower bound (bits/char) on what ANY entropy
+    coder could compress each document to — the compressibility quality
+    signal (low-entropy documents are boilerplate/repetition; extreme
+    high entropy is encoded junk or wrong-charset noise). Token-level
+    entropies (``doc_unigram_entropy``) miss both failure modes when
+    the tokens themselves are garbage.
+
+    Determinism: per-(doc, char) counts are exact; each -p·ln p term
+    snaps to the 1e-9 grid and per-doc entropies sum as BIGINTs; the
+    per-source mean/min/max divide exact integer operands once.
+
+    Scale: one explode -> (doc, char) partial-agg shuffle (keys are
+    doc-local, alphabet-bounded per doc), a doc-partitioned window over
+    alphabet-sized frames, then a source rollup. Map-side combine does
+    the heavy lifting; no global windows.
+
+    Wait-free at 100 TB: nothing here is corpus-global except the
+    final |sources|-row aggregate.
+
+    No reference analogue; extends the SURVEY §2 text-analysis family.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") > 0
+    )
+    ch = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text")),
+                lambda i: F.col("text").substr(i, F.lit(1)),
+            )
+        ).alias("c"),
+    )
+    cnt = ch.groupBy("doc_id", "source", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    wdoc = Window.partitionBy("doc_id")
+    p = F.col("k").cast("double") / F.sum("k").over(wdoc)
+    term = F.floor(-p * F.log(p) * _CHENT_GRID + 0.5).cast("long")
+    docl = (
+        cnt.withColumn("t", term)
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("k").cast("long").alias("n"),
+            F.sum("t").cast("long").alias("hg"),
+        )
+    )
+    ln2 = 0.6931471805599453
+    return (
+        docl.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            quant(
+                F.sum(F.col("hg").cast("double"))
+                / F.count(F.lit(1))
+                / _CHENT_GRID
+                / F.lit(ln2),
+                6,
+            ).alias("mean_char_entropy_bits"),
+            quant(
+                F.min("hg") / F.lit(float(_CHENT_GRID)) / F.lit(ln2), 6
+            ).alias("min_char_entropy_bits"),
+            quant(
+                F.max("hg") / F.lit(float(_CHENT_GRID)) / F.lit(ln2), 6
+            ).alias("max_char_entropy_bits"),
+        )
+        .orderBy("source")
+    )

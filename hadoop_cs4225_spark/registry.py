@@ -183,6 +183,18 @@ _PRIORITY = (
     "orders_profile",                # rows-only (pandas twin, README.md)
 )
 
+#: ROUND-11 ROTATION BACKLOG: queries registered after this round's
+#: 50-slot window filled (the established pattern: oracled and
+#: replica-green at sf0.001/0.01/0.1 on every pytest run, pending
+#: driver rows only); rotate them into _PRIORITY next round:
+#:   orders_weibull_delay_fit     (Weibull-plot OLS duration fit)
+#:   events_burst_scan_statistic  (sliding 60-min scan vs Poisson)
+#:   lineitem_boosted_stumps      (2-round LS-Boost histogram algebra)
+#:   source_char_entropy          (char-level compressibility bound)
+#: With the r10 staleness rotation landed, next round's window should
+#: continue refreshing the OLDEST remaining driver rows (r04-r05) in
+#: the slots these four leave free.
+
 def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:
     """Materialize every session-memoized shared frame (the dedup
     ``_memo`` family) ahead of timing. bench.py calls this from its

@@ -124,6 +124,9 @@ _BOUNDED_ALLPAIRS = {
     "ann_lsh_knn_graph_stats",  # broadcast 1-row stats/mutual/isolated joins
     "supplier_ktruss_peeling",  # per-round 1-row edge-count cross joins
     "customer_t_closeness_audit",  # 5-row segment dict x group dict + 1-row N
+    # --- round-11 backlog (1-row / histogram-bounded sides) ---
+    "orders_weibull_delay_fit",  # broadcast 1-row cohort-total cross join
+    "lineitem_boosted_stumps",  # 1-row total/argmax joins on the 50-row hist
     "region_status_grid",
     "ngram_jaccard_topk",
     "embedding_near_dup_pairs",
@@ -310,6 +313,11 @@ _BOUNDED_GLOBAL_WINDOW = {
     # at-risk / product-limit cumulatives over the HORIZON-bounded day
     # axis (censoring at 60 days caps the frame at 61 rows)
     "orders_kaplan_meier": 64,
+    # Weibull-plot CDF cumulative over the [1, 365]-day fit domain
+    "orders_weibull_delay_fit": 366,
+    # split-search cumulatives over the bounded quantity histogram
+    # (~50 distinct TPC-H quantities; two rounds share the bound)
+    "lineitem_boosted_stumps": 64,
     # midrank cumulatives over the two VALUE-DOMAIN-bounded integer
     # histograms (n_chars / token-count domains), never corpus rows
     "doc_len_tok_spearman": 65_536,

@@ -124,6 +124,8 @@ DOC_QUERIES = (
     "token_chi2_feature_topk",  # presence aggs + df-pruned marginal join
     "doc_repetition_scores",  # two (doc, gram) map-side-combined shuffles
     "winnowing_dup_pairs",  # fingerprint-keyed join under the bucket cap
+    # --- round-11 backlog ---
+    "source_char_entropy",  # (doc, char) partial agg + doc-local windows
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i
@@ -265,6 +267,10 @@ SF_QUERIES = (
     "lineitem_unpivot_profile",  # map-side x4 melt + bounded-domain agg
     "supplier_ktruss_peeling",  # degree-capped support joins, 2 rounds
     "customer_t_closeness_audit",  # QI-dictionary TVD aggregates
+    # --- round-11 backlog ---
+    "orders_weibull_delay_fit",  # day-domain CDF + 5-sum OLS fold
+    "events_burst_scan_statistic",  # (type, minute) agg + RANGE window
+    "lineitem_boosted_stumps",  # one histogram shuffle + 50-row algebra
 )
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 

@@ -98,6 +98,24 @@ FLAGSHIPS = (
         "co-partitioning exchange per side, ~512 orders per Arrow "
         "batch",
     ),
+    (
+        "embedding_near_dup_lsh",
+        "bucket-keyed pair join with norms PRECOMPUTED on the "
+        "checkpointed bucketed frame — one cross-dot fold per "
+        "candidate, cosine projected once then filtered (r10 rewrite; "
+        "exponent 1.15 -> 0.76)",
+    ),
+    (
+        "token_window_pmi_topk",
+        "position-KEYED window join: union of (doc_id, pos + k) "
+        "equi-joins, fanout exactly 2 per token — no doc-grain "
+        "self-join survives in the plan (r10 ADVICE fix)",
+    ),
+    (
+        "embedding_signq_hamming_topk",
+        "two BIGINT sign words per vector; XOR+popcount distance; "
+        "TakeOrderedAndProject top-k — the 1-bit quantized scan",
+    ),
 )
 
 

@@ -6741,6 +6741,53 @@ _KM_HORIZON = 60
 _KM_GRID = 1_000_000_000_000
 
 
+def _shipdelay_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t_days, n_events, n_censored, n_risk) life table of the
+    order-to-first-ship delay, right-censored at :data:`_KM_HORIZON`
+    days — shared by the Kaplan-Meier and Nelson-Aalen estimators so
+    the two survival queries walk the IDENTICAL risk sets (SQL twin:
+    the per_order/obs/cnt/risk CTE chain in both oracles)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.min(F.col("l_shipdate").cast("date")).alias("first_ship"))
+        .select(
+            F.greatest(
+                F.datediff("first_ship", F.col("o_orderdate").cast("date")),
+                F.lit(0),
+            ).alias("dur")
+        )
+    )
+    obs = per_order.select(
+        F.least(F.col("dur"), F.lit(_KM_HORIZON)).alias("t_days"),
+        (F.col("dur") <= _KM_HORIZON).cast("int").alias("event"),
+    )
+    cnt = obs.groupBy("t_days").agg(
+        F.sum("event").cast("long").alias("n_events"),
+        F.sum(1 - F.col("event")).cast("long").alias("n_censored"),
+    )
+    total = F.broadcast(
+        obs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    )
+    w_prev = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return cnt.crossJoin(total).select(
+        F.col("t_days").cast("long").alias("t_days"),
+        "n_events",
+        "n_censored",
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(w_prev),
+                F.lit(0),
+            )
+        ).alias("n_risk"),
+    )
+
+
 @register(
     "orders_kaplan_meier",
     oracle=f"""
@@ -6808,45 +6855,7 @@ def orders_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No reference analogue; extends the SURVEY §2 statistics family.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    per_order = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.min(F.col("l_shipdate").cast("date")).alias("first_ship"))
-        .select(
-            F.greatest(
-                F.datediff("first_ship", F.col("o_orderdate").cast("date")),
-                F.lit(0),
-            ).alias("dur")
-        )
-    )
-    obs = per_order.select(
-        F.least(F.col("dur"), F.lit(_KM_HORIZON)).alias("t_days"),
-        (F.col("dur") <= _KM_HORIZON).cast("int").alias("event"),
-    )
-    cnt = obs.groupBy("t_days").agg(
-        F.sum("event").cast("long").alias("n_events"),
-        F.sum(1 - F.col("event")).cast("long").alias("n_censored"),
-    )
-    total = F.broadcast(
-        obs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
-    )
-    w_prev = Window.orderBy("t_days").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    risk = cnt.crossJoin(total).select(
-        F.col("t_days").cast("long").alias("t_days"),
-        "n_events",
-        "n_censored",
-        (
-            F.col("n_total")
-            - F.coalesce(
-                F.sum(F.col("n_events") + F.col("n_censored")).over(w_prev),
-                F.lit(0),
-            )
-        ).alias("n_risk"),
-    )
+    risk = _shipdelay_risk(spark, sf_dir)
     lnterm = F.when(
         F.col("n_events") > 0,
         F.floor(
@@ -7539,3 +7548,905 @@ def lineitem_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b2 = best_split(res, "c", "rs")
     return round_row(b1, 1).unionByName(round_row(b2, 2)).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Round-11: AR(2) Yule-Walker fit of the daily order-count series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_ar2_yule_walker",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM orders GROUP BY day
+), lagged AS (
+  SELECT x,
+         lag(x, 1) OVER (ORDER BY day) AS x1,
+         lag(x, 2) OVER (ORDER BY day) AS x2
+  FROM daily
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(COUNT(x1) AS BIGINT) AS n1,
+         CAST(SUM(x1) AS BIGINT) AS sa1,
+         CAST(SUM(CASE WHEN x1 IS NOT NULL THEN x END) AS BIGINT) AS sb1,
+         CAST(SUM(x * x1) AS BIGINT) AS sab1,
+         CAST(COUNT(x2) AS BIGINT) AS n2,
+         CAST(SUM(x2) AS BIGINT) AS sa2,
+         CAST(SUM(CASE WHEN x2 IS NOT NULL THEN x END) AS BIGINT) AS sb2,
+         CAST(SUM(x * x2) AS BIGINT) AS sab2
+  FROM lagged
+), cov AS (
+  SELECT n,
+         (CAST(sxx AS DOUBLE)
+          - 2.0 * (CAST(s AS DOUBLE) / n) * CAST(s AS DOUBLE)
+          + CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / n)
+            * (CAST(s AS DOUBLE) / n)) / n AS c0,
+         (CAST(sab1 AS DOUBLE)
+          - (CAST(s AS DOUBLE) / n)
+            * (CAST(sa1 AS DOUBLE) + CAST(sb1 AS DOUBLE))
+          + CAST(n1 AS DOUBLE) * (CAST(s AS DOUBLE) / n)
+            * (CAST(s AS DOUBLE) / n)) / n AS c1,
+         (CAST(sab2 AS DOUBLE)
+          - (CAST(s AS DOUBLE) / n)
+            * (CAST(sa2 AS DOUBLE) + CAST(sb2 AS DOUBLE))
+          + CAST(n2 AS DOUBLE) * (CAST(s AS DOUBLE) / n)
+            * (CAST(s AS DOUBLE) / n)) / n AS c2
+  FROM mom
+)
+SELECT n AS n_days,
+       {quant_sql("c1 / c0", 6)} AS r1,
+       {quant_sql("c2 / c0", 6)} AS r2,
+       {quant_sql(
+           "(c1 / c0) * (1.0 - c2 / c0)"
+           " / (1.0 - (c1 / c0) * (c1 / c0))", 6)} AS phi1,
+       {quant_sql(
+           "(c2 / c0 - (c1 / c0) * (c1 / c0))"
+           " / (1.0 - (c1 / c0) * (c1 / c0))", 6)} AS phi2,
+       {quant_sql(
+           "1.0 - ((c1 / c0) * (1.0 - c2 / c0)"
+           "       / (1.0 - (c1 / c0) * (c1 / c0))) * (c1 / c0)"
+           "     - ((c2 / c0 - (c1 / c0) * (c1 / c0))"
+           "       / (1.0 - (c1 / c0) * (c1 / c0))) * (c2 / c0)",
+           6)} AS innovation_ratio
+FROM cov
+WHERE c0 > 0 AND abs(1.0 - (c1 / c0) * (c1 / c0)) > 1e-12
+""",
+)
+def orders_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule-Walker AR(2) fit of the daily order-count series: biased
+    autocovariances c0/c1/c2 from exact integer moments, lag-1/lag-2
+    autocorrelations r1/r2, the AR coefficients phi1/phi2 solving the
+    2x2 Yule-Walker system, and the innovation-variance ratio
+    1 - phi1*r1 - phi2*r2 (share of daily variance the AR(2) model
+    CANNOT explain). ``events_count_acf`` reports raw correlations;
+    this converts them into the generative-model parameters a forecast
+    or anomaly monitor actually consumes, and phi2 IS the lag-2
+    partial autocorrelation (the Levinson-Durbin step-2 reflection
+    coefficient), so the output doubles as a PACF cutoff test: phi2
+    near 0 means an AR(1) suffices.
+
+    Determinism: every moment (counts, sums, cross products) is an
+    exact BIGINT in both engines; the covariance/ratio arithmetic is
+    the identical straight-line IEEE expression (the ``_pearson_col``
+    discipline — cast-then-multiply order mirrored token-for-token in
+    the oracle), quantized once at 6 dp. Cross products stay below
+    2^63 up to ~3e9 orders/day.
+
+    Scale: one calendar-grain daily rollup (map-side combined), two
+    lags over the CALENDAR-bounded day axis (allowlisted), one 1-row
+    fold. The corpus-scale work is the rollup only.
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 2).over(w).alias("x2"),
+    )
+    mom = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.count("x1").cast("long").alias("n1"),
+        F.sum("x1").cast("long").alias("sa1"),
+        F.sum(F.when(F.col("x1").isNotNull(), F.col("x")))
+        .cast("long")
+        .alias("sb1"),
+        F.sum(F.col("x") * F.col("x1")).cast("long").alias("sab1"),
+        F.count("x2").cast("long").alias("n2"),
+        F.sum("x2").cast("long").alias("sa2"),
+        F.sum(F.when(F.col("x2").isNotNull(), F.col("x")))
+        .cast("long")
+        .alias("sb2"),
+        F.sum(F.col("x") * F.col("x2")).cast("long").alias("sab2"),
+    )
+    n_d = F.col("n").cast("double")
+    m = F.col("s").cast("double") / F.col("n")
+
+    def _ck(nk: str, sa: str, sb: str, sab: str):
+        return (
+            F.col(sab).cast("double")
+            - m * (F.col(sa).cast("double") + F.col(sb).cast("double"))
+            + F.col(nk).cast("double") * m * m
+        ) / F.col("n")
+
+    c0 = (
+        F.col("sxx").cast("double") - 2.0 * m * F.col("s").cast("double") + n_d * m * m
+    ) / F.col("n")
+    cov = mom.select(
+        "n",
+        c0.alias("c0"),
+        _ck("n1", "sa1", "sb1", "sab1").alias("c1"),
+        _ck("n2", "sa2", "sb2", "sab2").alias("c2"),
+    )
+    r1 = F.col("c1") / F.col("c0")
+    r2 = F.col("c2") / F.col("c0")
+    denom = 1.0 - r1 * r1
+    phi1 = r1 * (1.0 - r2) / denom
+    phi2 = (r2 - r1 * r1) / denom
+    return cov.where(
+        (F.col("c0") > 0) & (F.abs(denom) > 1e-12)
+    ).select(
+        F.col("n").alias("n_days"),
+        quant(r1, 6).alias("r1"),
+        quant(r2, 6).alias("r2"),
+        quant(phi1, 6).alias("phi1"),
+        quant(phi2, 6).alias("phi2"),
+        quant(1.0 - phi1 * r1 - phi2 * r2, 6).alias("innovation_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: normalized spectral entropy over a dense candidate-period grid
+# ---------------------------------------------------------------------------
+
+#: Denser period grid than the 5-point periodogram (its detection
+#: companion): entropy over 10 candidates distinguishes "one sharp
+#: cycle" from "broadband noise".
+_SPEC_PERIODS = (2, 3, 4, 5, 6, 7, 10, 14, 21, 30)
+
+#: ln(len(_SPEC_PERIODS)) injected as a shared literal (the _TWO_PI
+#: discipline — never computed engine-side).
+_SPEC_LN_K = 2.302585092994046
+
+#: Power snap grid (1e-4, the periodogram's output resolution) and the
+#: entropy/log-term grid (1e-12, the KM ln-grid discipline).
+_SPEC_PGRID = 10_000
+_SPEC_EGRID = 1_000_000_000_000
+
+
+def _spec_power_ctes() -> str:
+    """The daily/idxd/m/terms/sums CTE chain shared with the
+    periodogram oracle, re-rendered over :data:`_SPEC_PERIODS`."""
+    return f"""
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM orders GROUP BY day
+), idxd AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY day) - 1 AS t FROM daily
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+  FROM idxd
+), terms AS (
+  SELECT p.p, i.t, i.x,
+         cos({_TWO_PI} * (i.t % p.p) / p.p) AS cth,
+         sin({_TWO_PI} * (i.t % p.p) / p.p) AS sth
+  FROM idxd i,
+       (SELECT unnest([{", ".join(str(p) for p in _SPEC_PERIODS)}]) AS p) p
+), sums AS (
+  SELECT p,
+         CAST(SUM(CAST(floor(x * cth * {_PGRAM_GRID} + 0.5) AS BIGINT))
+              AS BIGINT) AS sxc,
+         CAST(SUM(CAST(floor(cth * {_PGRAM_GRID} + 0.5) AS BIGINT))
+              AS BIGINT) AS sc,
+         CAST(SUM(CAST(floor(x * sth * {_PGRAM_GRID} + 0.5) AS BIGINT))
+              AS BIGINT) AS sxs,
+         CAST(SUM(CAST(floor(sth * {_PGRAM_GRID} + 0.5) AS BIGINT))
+              AS BIGINT) AS ss
+  FROM terms GROUP BY p
+), power AS (
+  SELECT p,
+         CAST(floor(
+           ((CAST(sxc AS DOUBLE) / {_PGRAM_GRID}
+             - (CAST(m.s AS DOUBLE) / m.n)
+               * (CAST(sc AS DOUBLE) / {_PGRAM_GRID}))
+            * (CAST(sxc AS DOUBLE) / {_PGRAM_GRID}
+               - (CAST(m.s AS DOUBLE) / m.n)
+                 * (CAST(sc AS DOUBLE) / {_PGRAM_GRID}))
+            + (CAST(sxs AS DOUBLE) / {_PGRAM_GRID}
+               - (CAST(m.s AS DOUBLE) / m.n)
+                 * (CAST(ss AS DOUBLE) / {_PGRAM_GRID}))
+              * (CAST(sxs AS DOUBLE) / {_PGRAM_GRID}
+                 - (CAST(m.s AS DOUBLE) / m.n)
+                   * (CAST(ss AS DOUBLE) / {_PGRAM_GRID})))
+           / m.n * {_SPEC_PGRID} + 0.5) AS BIGINT) AS pgrid,
+         m.n AS n_days
+  FROM sums CROSS JOIN m
+)"""
+
+
+@register(
+    "orders_spectral_entropy",
+    oracle=f"""
+WITH {_spec_power_ctes()},
+tot AS (
+  SELECT CAST(SUM(pgrid) AS BIGINT) AS tp,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CASE WHEN pgrid > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS k_active,
+         MAX(CASE WHEN pgrid > 0
+               THEN pgrid * 64 + (63 - p) END) AS bk,
+         ANY_VALUE(n_days) AS n_days
+  FROM power
+), folded AS (
+  SELECT CAST(SUM(CASE WHEN pgrid > 0 THEN
+           CAST(floor(-(CAST(pgrid AS DOUBLE) / tp)
+                      * ln(CAST(pgrid AS DOUBLE) / tp)
+                      * {_SPEC_EGRID} + 0.5) AS BIGINT)
+         ELSE 0 END) AS BIGINT) AS egrid,
+         CAST(SUM(CASE WHEN pgrid > 0 THEN
+           CAST(floor(ln(CAST(pgrid AS DOUBLE) / tp)
+                      * {_SPEC_EGRID} + 0.5) AS BIGINT)
+         ELSE 0 END) AS BIGINT) AS lgrid
+  FROM power CROSS JOIN tot
+)
+SELECT t.n_days, t.k AS n_periods, t.k_active AS n_active_periods,
+       CAST((t.bk % 64 - 63) * -1 AS BIGINT) AS dominant_period,
+       {quant_sql(
+           f"CAST(f.egrid AS DOUBLE) / {_SPEC_EGRID} / {_SPEC_LN_K}",
+           6)} AS spectral_entropy,
+       {quant_sql(
+           f"exp(CAST(f.lgrid AS DOUBLE) / {_SPEC_EGRID} / t.k_active)"
+           " * t.k_active", 6)} AS flatness
+FROM tot t CROSS JOIN folded f
+WHERE t.tp > 0
+""",
+)
+def orders_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized spectral entropy + spectral flatness of the daily
+    order-count series over a 10-period candidate grid (2..30 days):
+    H = -sum p_k ln p_k / ln K over the normalized periodogram powers,
+    flatness = geometric/arithmetic mean power ratio. Near 1 = white
+    (no cycle to exploit), near 0 = one dominant period — the single
+    scalar a seasonality-aware forecaster gates on before paying for a
+    decomposition. Extends ``orders_periodogram_power`` (which reports
+    the raw spectrum on a 5-period grid) with the distribution-shape
+    summary; the dominant-period tie-break is the same composite
+    integer MAX (power grid * 64 + (63 - P), longer period wins ties).
+
+    Determinism: trig terms snap to the shared 1e-6 grid and fold as
+    BIGINTs (the periodogram discipline); each power snaps to the 1e-4
+    grid, so shares p_k are ratios of exact integers; every ln/p-ln-p
+    term snaps to the 1e-12 grid before the order-free BIGINT fold;
+    ln K is a shared literal, never engine-computed.
+
+    Scale: one calendar-grain rollup, a x10 constant fan-out, two
+    10-row folds. Corpus-scale work = the daily rollup only.
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    idxd = daily.select(
+        "x", (F.row_number().over(Window.orderBy("day")) - 1).alias("t")
+    )
+    m = F.broadcast(
+        idxd.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("s"),
+        )
+    )
+    ps = spark.createDataFrame([(p,) for p in _SPEC_PERIODS], "p long")
+    angle = F.lit(_TWO_PI) * (F.col("t") % F.col("p")) / F.col("p")
+    terms = idxd.crossJoin(F.broadcast(ps)).select(
+        "p", "x", F.cos(angle).alias("cth"), F.sin(angle).alias("sth")
+    )
+
+    def grid(col):
+        return F.floor(col * _PGRAM_GRID + 0.5).cast("long")
+
+    sums = terms.groupBy("p").agg(
+        F.sum(grid(F.col("x") * F.col("cth"))).cast("long").alias("sxc"),
+        F.sum(grid(F.col("cth"))).cast("long").alias("sc"),
+        F.sum(grid(F.col("x") * F.col("sth"))).cast("long").alias("sxs"),
+        F.sum(grid(F.col("sth"))).cast("long").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    cpart = (
+        F.col("sxc").cast("double") / _PGRAM_GRID
+        - mean * (F.col("sc").cast("double") / _PGRAM_GRID)
+    )
+    spart = (
+        F.col("sxs").cast("double") / _PGRAM_GRID
+        - mean * (F.col("ss").cast("double") / _PGRAM_GRID)
+    )
+    power = (
+        sums.crossJoin(m)
+        .select(
+            "p",
+            F.floor(
+                (cpart * cpart + spart * spart) / F.col("n") * _SPEC_PGRID
+                + 0.5
+            )
+            .cast("long")
+            .alias("pgrid"),
+            F.col("n").alias("n_days"),
+        )
+        .localCheckpoint(eager=False)  # feeds the totals + both folds
+    )
+    tot = F.broadcast(
+        power.agg(
+            F.sum("pgrid").cast("long").alias("tp"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum((F.col("pgrid") > 0).cast("int"))
+            .cast("long")
+            .alias("k_active"),
+            F.max(
+                F.when(
+                    F.col("pgrid") > 0,
+                    F.col("pgrid") * 64 + (63 - F.col("p")),
+                )
+            ).alias("bk"),
+            F.first("n_days").alias("n_days"),
+        )
+    )
+    share = F.col("pgrid").cast("double") / F.col("tp")
+    folded = F.broadcast(
+        power.crossJoin(tot).agg(
+            F.sum(
+                F.when(
+                    F.col("pgrid") > 0,
+                    F.floor(-share * F.log(share) * _SPEC_EGRID + 0.5).cast(
+                        "long"
+                    ),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("egrid"),
+            F.sum(
+                F.when(
+                    F.col("pgrid") > 0,
+                    F.floor(F.log(share) * _SPEC_EGRID + 0.5).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("lgrid"),
+        )
+    )
+    return (
+        tot.crossJoin(folded)
+        .where(F.col("tp") > 0)
+        .select(
+            "n_days",
+            F.col("k").alias("n_periods"),
+            F.col("k_active").alias("n_active_periods"),
+            ((F.col("bk") % 64 - 63) * -1).cast("long").alias(
+                "dominant_period"
+            ),
+            quant(
+                F.col("egrid").cast("double") / _SPEC_EGRID / _SPEC_LN_K, 6
+            ).alias("spectral_entropy"),
+            quant(
+                F.exp(
+                    F.col("lgrid").cast("double")
+                    / _SPEC_EGRID
+                    / F.col("k_active")
+                )
+                * F.col("k_active"),
+                6,
+            ).alias("flatness"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: Nelson-Aalen cumulative hazard over the same censored delays
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ship_delay_nelson_aalen",
+    oracle=f"""
+WITH per_order AS (
+  SELECT o.o_orderkey,
+         greatest(datediff('day', CAST(o.o_orderdate AS DATE),
+                           MIN(CAST(l.l_shipdate AS DATE))), 0) AS dur
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+), obs AS (
+  SELECT least(dur, {_KM_HORIZON}) AS t_days,
+         CASE WHEN dur <= {_KM_HORIZON} THEN 1 ELSE 0 END AS event
+  FROM per_order
+), cnt AS (
+  SELECT CAST(t_days AS BIGINT) AS t_days,
+         CAST(SUM(event) AS BIGINT) AS n_events,
+         CAST(SUM(1 - event) AS BIGINT) AS n_censored
+  FROM obs GROUP BY t_days
+), risk AS (
+  SELECT t_days, n_events, n_censored,
+         CAST((SELECT CAST(COUNT(*) AS BIGINT) FROM obs)
+           - COALESCE(SUM(n_events + n_censored) OVER
+               (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+  FROM cnt
+), terms AS (
+  SELECT t_days, n_risk, n_events, n_censored,
+         CASE WHEN n_events > 0 THEN
+           CAST(floor(CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                      * {_KM_GRID} + 0.5) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS hterm,
+         CASE WHEN n_events > 0 THEN
+           CAST(floor(CAST(n_events AS DOUBLE)
+                      / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE))
+                      * {_KM_GRID} + 0.5) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS vterm
+  FROM risk
+)
+SELECT t_days, n_risk, n_events, n_censored,
+       {quant_sql(
+           f"CAST(SUM(hterm) OVER (ORDER BY t_days "
+           f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
+           f" / {_KM_GRID}", 6)} AS cum_hazard,
+       {quant_sql(
+           f"exp(-(CAST(SUM(hterm) OVER (ORDER BY t_days "
+           f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
+           f" / {_KM_GRID}))", 6)} AS fh_survival,
+       {quant_sql(
+           f"CAST(SUM(vterm) OVER (ORDER BY t_days "
+           f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
+           f" / {_KM_GRID}", 9)} AS var_hazard
+FROM terms
+ORDER BY t_days
+""",
+)
+def ship_delay_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator of the order-to-first-
+    ship delay over the SAME censored life table as
+    ``orders_kaplan_meier`` (shared :func:`_shipdelay_risk`, so the two
+    estimators cannot drift apart): H(t) = sum over event times s <= t
+    of d_s / n_s, the Fleming-Harrington survival exp(-H(t)), and the
+    Aalen variance estimate sum d_s / n_s^2. KM answers "what share
+    survives"; NA answers "how much hazard has accumulated" — the form
+    additive-risk models and hazard-ratio monitors consume, and the
+    better-behaved estimator when risk sets get small (it never hits a
+    zero product-limit factor).
+
+    Determinism: each d/n and d/n^2 term snaps once to the 1e-12
+    integer grid (the KM ln-grid discipline), cumulative sums are
+    BIGINTs, and one division (plus one exp for Fleming-Harrington)
+    renders each output column.
+
+    Scale: identical shape to KM — one orderkey partial agg, one
+    (t_days) rollup, then HORIZON-bounded cumulative windows (<=
+    {_KM_HORIZON} + 1 rows at any corpus size; allowlisted).
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    risk = _shipdelay_risk(spark, sf_dir)
+    hterm = F.when(
+        F.col("n_events") > 0,
+        F.floor(
+            F.col("n_events").cast("double")
+            / F.col("n_risk").cast("double")
+            * _KM_GRID
+            + 0.5
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    vterm = F.when(
+        F.col("n_events") > 0,
+        F.floor(
+            F.col("n_events").cast("double")
+            / (F.col("n_risk").cast("double") * F.col("n_risk").cast("double"))
+            * _KM_GRID
+            + 0.5
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    w_cum = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum_h = F.sum("hterm").over(w_cum).cast("double") / _KM_GRID
+    cum_v = F.sum("vterm").over(w_cum).cast("double") / _KM_GRID
+    return (
+        risk.withColumn("hterm", hterm)
+        .withColumn("vterm", vterm)
+        .select(
+            "t_days",
+            "n_risk",
+            "n_events",
+            "n_censored",
+            quant(cum_h, 6).alias("cum_hazard"),
+            quant(F.exp(-cum_h), 6).alias("fh_survival"),
+            quant(cum_v, 9).alias("var_hazard"),
+        )
+        .orderBy("t_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: Allan variance of daily event counts at dyadic block scales
+# ---------------------------------------------------------------------------
+
+#: Dyadic averaging scales (days). POWERS OF TWO on purpose: block
+#: means are integer sums divided by 1/2/4/8, so every mean, every
+#: adjacent-mean difference and every squared difference is an EXACT
+#: dyadic rational — the whole statistic stays order-free integer
+#: algebra (scaled by 64) until one final division.
+_AVAR_TAUS = (1, 2, 4, 8)
+
+
+@register(
+    "events_allan_variance",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, day
+), idxd AS (
+  SELECT event_type, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t
+  FROM daily
+), blocks AS (
+  SELECT i.event_type, tau.tau, i.t // tau.tau AS b,
+         CAST(SUM(i.x) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS nb
+  FROM idxd i,
+       (SELECT unnest([{", ".join(str(t) for t in _AVAR_TAUS)}]) AS tau) tau
+  GROUP BY i.event_type, tau.tau, b
+), full_blocks AS (
+  SELECT event_type, tau, b, s,
+         lag(s) OVER (PARTITION BY event_type, tau ORDER BY b) AS prev_s
+  FROM blocks WHERE nb = tau
+), diffs AS (
+  SELECT event_type, tau,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(COUNT(prev_s) AS BIGINT) AS n_diffs,
+         CAST(SUM((s - prev_s) * (s - prev_s)) AS BIGINT) AS sdd
+  FROM full_blocks GROUP BY event_type, tau
+)
+SELECT event_type, CAST(tau AS BIGINT) AS tau, n_blocks, n_diffs,
+       {quant_sql(
+           "CAST(sdd AS DOUBLE) / (2.0 * tau * tau * n_diffs)", 6)}
+         AS allan_var
+FROM diffs
+WHERE n_diffs > 0
+ORDER BY event_type, tau
+""",
+)
+def events_allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allan variance of the per-type daily event-count series at
+    dyadic averaging scales tau = 1/2/4/8 days: AVAR(tau) = mean of
+    (m_{{b+1}} - m_b)^2 / 2 over adjacent tau-day block means. The
+    stability fingerprint from clock metrology applied to ingest
+    volumes: white noise decays as 1/tau, a random-walk drift holds
+    flat, and the tau where the curve bottoms out is the natural
+    smoothing horizon — one number per scale where the ACF/Hurst pair
+    needs a model. Complements ``events_count_acf`` (short-lag
+    correlation) and ``orders_hurst_rs`` (long-range exponent).
+
+    Determinism: block sums are exact BIGINTs; block means and their
+    differences are dyadic rationals by the power-of-two tau choice,
+    so sum-of-squared-diffs folds as the exact BIGINT sum of
+    (s2 - s1)^2 (headroom: needs |daily-count swings| < ~3e9 to stay
+    under 2^63) and ONE final division renders each row.
+
+    Scale: one calendar-grain rollup per type, a x4 constant fan-out,
+    per-(type, tau) block aggregation and lag — every window is
+    PARTITIONED (type or type x tau); nothing global. Incomplete tail
+    blocks are dropped (nb = tau) in both engines.
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w_idx = Window.partitionBy("event_type").orderBy("day")
+    idxd = daily.select(
+        "event_type", "x", (F.row_number().over(w_idx) - 1).alias("t")
+    )
+    taus = spark.createDataFrame([(t,) for t in _AVAR_TAUS], "tau long")
+    blocks = (
+        idxd.crossJoin(F.broadcast(taus))
+        .groupBy(
+            "event_type",
+            "tau",
+            F.expr("t div tau").alias("b"),
+        )
+        .agg(
+            F.sum("x").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("nb"),
+        )
+    )
+    w_lag = Window.partitionBy("event_type", "tau").orderBy("b")
+    full_blocks = blocks.where(F.col("nb") == F.col("tau")).select(
+        "event_type",
+        "tau",
+        "s",
+        F.lag("s").over(w_lag).alias("prev_s"),
+    )
+    d = F.col("s") - F.col("prev_s")
+    diffs = full_blocks.groupBy("event_type", "tau").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.count("prev_s").cast("long").alias("n_diffs"),
+        F.sum(d * d).cast("long").alias("sdd"),
+    )
+    return (
+        diffs.where(F.col("n_diffs") > 0)
+        .select(
+            "event_type",
+            F.col("tau").cast("long").alias("tau"),
+            "n_blocks",
+            "n_diffs",
+            quant(
+                F.col("sdd").cast("double")
+                / (2.0 * F.col("tau") * F.col("tau") * F.col("n_diffs")),
+                6,
+            ).alias("allan_var"),
+        )
+        .orderBy("event_type", "tau")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: Holt linear (double-exponential) smoothing of monthly revenue
+# ---------------------------------------------------------------------------
+
+#: Holt smoothing weights — all four spelled out as clean decimal
+#: literals (the DAMPING/TELEPORT discipline: never engine-computed
+#: complements, which would render float artifacts into the SQL).
+_HOLT_A = 0.3
+_HOLT_1A = 0.7
+_HOLT_B = 0.2
+_HOLT_1B = 0.8
+assert _HOLT_A + _HOLT_1A == 1.0 and _HOLT_B + _HOLT_1B == 1.0
+
+
+@register(
+    "orders_holt_linear_smoothing",
+    oracle=f"""
+WITH RECURSIVE monthly AS (
+  SELECT strftime(time_bucket(INTERVAL '1 month', o_orderdate), '%Y-%m')
+           AS m,
+         ROUND(SUM(o_totalprice), 2) AS v
+  FROM orders GROUP BY m
+), idx AS (
+  SELECT m, v, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM monthly
+), rec AS (
+  SELECT rn, m, v, CAST(v AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM idx WHERE rn = 1
+  UNION ALL
+  SELECT i.rn, i.m, i.v,
+         floor(({_HOLT_A} * i.v + {_HOLT_1A} * (r.l + r.b))
+               * 1000000.0 + 0.5) / 1000000.0,
+         floor(({_HOLT_B} * (floor(({_HOLT_A} * i.v
+                                    + {_HOLT_1A} * (r.l + r.b))
+                                   * 1000000.0 + 0.5) / 1000000.0 - r.l)
+                + {_HOLT_1B} * r.b) * 1000000.0 + 0.5) / 1000000.0
+  FROM rec r JOIN idx i ON i.rn = r.rn + 1
+)
+SELECT m AS month, v AS revenue,
+       {quant_sql("l", 4)} AS level,
+       {quant_sql("b", 4)} AS trend,
+       {quant_sql("l + b", 2)} AS forecast_next
+FROM rec
+ORDER BY month
+""",
+)
+def orders_holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend (double-exponential) smoothing of the monthly
+    revenue series: l_t = a*v_t + (1-a)*(l + b), b_t = g*(l_t - l)
+    + (1-g)*b, initialized l_1 = v_1, b_1 = 0; ``forecast_next`` =
+    l_t + b_t is the one-step-ahead prediction. ``events_daily_ewma``
+    smooths LEVEL only and lags every trend; Holt's second state
+    tracks the slope — the standard next step before full
+    Holt-Winters, and the recursion no plain window can express.
+
+    Spark strategy: the EWMA discipline — reduce to the CALENDAR-
+    bounded monthly frame first (one map-side-combined shuffle), then
+    fold the sorted series through one ``aggregate`` lambda carrying
+    BOTH states. Each step quantizes l and b to 6 dp IN BOTH ENGINES
+    (the level feeds the trend update within the same step, spelled
+    out twice textually so the engines evaluate the identical IEEE
+    expression), making a two-state float recursion oracle-checkable.
+    The DuckDB oracle states the same recursion as a recursive CTE.
+
+    Scale: fold input is |months| entries; the heavy lifting stays in
+    the monthly rollup shuffle.
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+            .alias("m")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("v"))
+    )
+    series = monthly.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("m", "v"))).alias("s")
+    )
+    a, ia, g, ig = _HOLT_A, _HOLT_1A, _HOLT_B, _HOLT_1B
+    lnew = (
+        f"floor(({a}D * x.v + {ia}D * (element_at(acc, -1).l"
+        f" + element_at(acc, -1).b)) * 1000000.0D + 0.5D) / 1000000.0D"
+    )
+    fold = F.expr(
+        "aggregate(s, "
+        "CAST(array() AS array<struct<m:string,v:double,l:double,b:double>>), "
+        "(acc, x) -> array_append(acc, "
+        "CASE WHEN size(acc) = 0 THEN "
+        "named_struct('m', x.m, 'v', x.v, 'l', x.v, 'b', CAST(0.0 AS DOUBLE)) "
+        "ELSE named_struct('m', x.m, 'v', x.v, "
+        f"'l', {lnew}, "
+        f"'b', floor(({g}D * ({lnew} - element_at(acc, -1).l) "
+        f"+ {ig}D * element_at(acc, -1).b) * 1000000.0D + 0.5D) / 1000000.0D) "
+        "END))"
+    )
+    return (
+        series.select(F.explode(fold).alias("r"))
+        .select(
+            F.col("r.m").alias("month"),
+            F.col("r.v").alias("revenue"),
+            quant(F.col("r.l"), 4).alias("level"),
+            quant(F.col("r.b"), 4).alias("trend"),
+            quant(F.col("r.l") + F.col("r.b"), 2).alias("forecast_next"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: Lorenz curve + Gini of customer spend over a bucketed axis
+# ---------------------------------------------------------------------------
+
+#: Spend-bucket width (cents): $1024 buckets, so the cumulative axis
+#: is bounded by the SPEND DOMAIN (dictionary range / 2^10 dollars),
+#: never by customer count — the _SKYLINE_BUCKET discipline.
+_LORENZ_BUCKET_CENTS = 102_400
+
+#: Per-bucket Gini-term snap grid (1e-12, order-free BIGINT fold).
+_LORENZ_GRID = 1_000_000_000_000
+
+
+@register(
+    "customer_spend_lorenz_gini",
+    oracle=f"""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), bucketed AS (
+  SELECT cents // {_LORENZ_BUCKET_CENTS} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS bucket_cents
+  FROM spend GROUP BY bucket
+), cum AS (
+  SELECT bucket, n_customers, bucket_cents,
+         CAST(SUM(n_customers) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_n,
+         CAST(SUM(bucket_cents) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_c
+  FROM bucketed
+), tot AS (
+  SELECT CAST(SUM(n_customers) AS BIGINT) AS nn,
+         CAST(SUM(bucket_cents) AS BIGINT) AS cc
+  FROM bucketed
+), gini AS (
+  SELECT CAST(SUM(CAST(floor(
+           (CAST(n_customers AS DOUBLE) / nn)
+           * ((CAST(cum_c - bucket_cents AS DOUBLE)
+               + CAST(cum_c AS DOUBLE)) / cc)
+           * {_LORENZ_GRID} + 0.5) AS BIGINT)) AS BIGINT) AS ggrid
+  FROM cum CROSS JOIN tot
+)
+SELECT bucket, n_customers, bucket_cents,
+       {quant_sql("CAST(cum_n AS DOUBLE) / nn", 6)} AS cum_pop_share,
+       {quant_sql("CAST(cum_c AS DOUBLE) / cc", 6)} AS cum_spend_share,
+       {quant_sql(
+           f"1.0 - CAST(ggrid AS DOUBLE) / {_LORENZ_GRID}", 6)} AS gini
+FROM cum CROSS JOIN tot CROSS JOIN gini
+ORDER BY bucket
+""",
+)
+def customer_spend_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer spend concentration over a $1024
+    spend-bucket axis, with the exact grouped-data Gini coefficient
+    (trapezoid form: G = 1 - sum f_i * (S_{{i-1}} + S_i)) attached to
+    every row (the ``pagerank_trade_network`` l1_residual pattern).
+    ``user_activity_gini`` scores EVENT counts per user; this scores
+    REVENUE per customer — the "what share of revenue do the top
+    buckets carry" curve a sampling/mixing policy consults before
+    capping per-customer contribution.
+
+    Determinism: per-row prices floor to exact cents BEFORE summing
+    (order-free BIGINTs, unlike a rounded double SUM); population and
+    spend shares are single divisions of exact integers; each Gini
+    trapezoid term snaps once to the 1e-12 grid and folds as BIGINTs.
+
+    Scale: one custkey partial agg, one bucket rollup; the cumulative
+    windows run over the SPEND-DOMAIN-bounded bucket axis (range /
+    $1024 — the skyline bucket argument, allowlisted with a 2^20
+    ceiling), never over customers. Share/Gini terms are computed in
+    doubles so no product can overflow at any corpus size.
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    bucketed = spend.groupBy(
+        F.expr(f"cents div {_LORENZ_BUCKET_CENTS}").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("bucket_cents"),
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = bucketed.select(
+        "bucket",
+        "n_customers",
+        "bucket_cents",
+        F.sum("n_customers").over(w_cum).cast("long").alias("cum_n"),
+        F.sum("bucket_cents").over(w_cum).cast("long").alias("cum_c"),
+    )
+    tot = F.broadcast(
+        bucketed.agg(
+            F.sum("n_customers").cast("long").alias("nn"),
+            F.sum("bucket_cents").cast("long").alias("cc"),
+        )
+    )
+    term = (
+        (F.col("n_customers").cast("double") / F.col("nn"))
+        * (
+            (
+                (F.col("cum_c") - F.col("bucket_cents")).cast("double")
+                + F.col("cum_c").cast("double")
+            )
+            / F.col("cc")
+        )
+    )
+    withtot = cum.crossJoin(tot).localCheckpoint(eager=False)
+    gini = F.broadcast(
+        withtot.agg(
+            F.sum(F.floor(term * _LORENZ_GRID + 0.5).cast("long"))
+            .cast("long")
+            .alias("ggrid")
+        )
+    )
+    return (
+        withtot.crossJoin(gini)
+        .select(
+            "bucket",
+            "n_customers",
+            "bucket_cents",
+            quant(F.col("cum_n").cast("double") / F.col("nn"), 6).alias(
+                "cum_pop_share"
+            ),
+            quant(F.col("cum_c").cast("double") / F.col("cc"), 6).alias(
+                "cum_spend_share"
+            ),
+            quant(
+                1.0 - F.col("ggrid").cast("double") / _LORENZ_GRID, 6
+            ).alias("gini"),
+        )
+        .orderBy("bucket")
+    )

@@ -1878,3 +1878,178 @@ def winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id_a", "doc_id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: banded 60-bit SimHash near-duplicate pair join
+# ---------------------------------------------------------------------------
+
+#: 60-bit SimHash (the full hash60 width), banded 4 x 15 bits for the
+#: LSH join. Pigeonhole guarantee: any pair within Hamming distance
+#: _SIMB_MAXHAM = 3 differs in at most 3 of 4 bands, so at least one
+#: band matches EXACTLY — recall 1.0 at the threshold (pairs at
+#: distance 4+ may still surface if their differing bits cluster, and
+#: are filtered by the verify step). 15-bit band values (32k buckets
+#: per band) keep bucket occupancy low at any corpus scale; the
+#: df-style bucket cap bounds the worst case (both engines).
+_SIMB_BITS = 60
+_SIMB_BANDS = 4
+_SIMB_BAND_BITS = 15
+_SIMB_MAXHAM = 3
+_SIMB_BUCKET_CAP = 64
+
+
+def _simb_fp_votes_sql() -> str:
+    """votes/fp CTE bodies computing the 60-bit fingerprint (the
+    16-bit ``_simhash_fp_sql`` discipline, vote-sum formulation)."""
+    votes = ",\n         ".join(
+        f"CAST(SUM((h >> {b}) & 1) AS BIGINT) AS o{b}"
+        for b in range(_SIMB_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN o{b} * 2 > n THEN (CAST(1 AS BIGINT) << {b}) "
+        f"ELSE 0 END)"
+        for b in range(_SIMB_BITS)
+    )
+    return votes, fp
+
+
+@register(
+    "simhash_band_dup_pairs",
+    oracle=f"""
+WITH th AS (
+  SELECT doc_id, unnest(list_transform({_TOKS_SQL},
+                                       x -> {hash60_sql("x")})) AS h
+  FROM documents WHERE len({_TOKS_SQL}) > 0
+), votes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+         {_simb_fp_votes_sql()[0]}
+  FROM th GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, CAST({_simb_fp_votes_sql()[1]} AS BIGINT) AS f
+  FROM votes
+), bands AS (
+  SELECT doc_id, f, b.band,
+         (f >> ({_SIMB_BAND_BITS} * b.band)) & {(1 << _SIMB_BAND_BITS) - 1}
+           AS val
+  FROM fp,
+       (SELECT unnest([{", ".join(str(b) for b in range(_SIMB_BANDS))}])
+          AS band) b
+), capped AS (
+  SELECT band, val FROM bands GROUP BY band, val
+  HAVING COUNT(*) BETWEEN 2 AND {_SIMB_BUCKET_CAP}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.f AS f1, b.f AS f2
+  FROM bands a
+  JOIN capped c ON a.band = c.band AND a.val = c.val
+  JOIN bands b ON b.band = a.band AND b.val = a.val
+             AND a.doc_id < b.doc_id
+)
+SELECT d1, d2, CAST(bit_count(xor(f1, f2)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(f1, f2)) <= {_SIMB_MAXHAM}
+ORDER BY d1, d2
+""",
+)
+def simhash_band_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate document pairs via BANDED 60-bit SimHash: per-bit
+    majority vote over token hash60s builds the fingerprint, the 4 x
+    15-bit bands generate candidates by exact band equality (the
+    MinHash-LSH banding trick applied to SimHash), and the verify step
+    keeps pairs within Hamming distance {_SIMB_MAXHAM} (XOR +
+    popcount). Guaranteed recall 1.0 at the threshold by pigeonhole —
+    3 differing bits cannot touch all 4 bands. Completes the near-dup
+    join family: MinHash-LSH (bag-of-shingles Jaccard), prefix-filter
+    PPJoin (exact set similarity), winnowing (MOSS fingerprints) — 
+    SimHash is the BIT-VECTOR variant whose candidate join is an
+    equi-join on integers, the cheapest of the four at 100 TB.
+
+    ``simhash_fingerprints`` registers the 16-bit per-doc fingerprint
+    surface; the pair join needs the full 60 bits (16-bit bands would
+    have 16-value band domains — every bucket over-full at corpus
+    scale). Empty-token docs are excluded in BOTH engines (their
+    all-zero fingerprints would spuriously pair).
+
+    Determinism: hash60 is the cross-engine md5 hash; votes and
+    fingerprints are exact integer algebra; Hamming distance is
+    bit_count(xor) in both engines. The {_SIMB_BUCKET_CAP}-doc bucket
+    cap (the LSH_BUCKET_CAP discipline, dedup.py:109) is encoded in
+    both engines — bounded per-bucket fan-out, never all-pairs.
+
+    Scale: one explode + 60-vote map-side-combined agg per doc, a x4
+    constant band fan-out, an equi-join on (band, val) with capped
+    buckets, and an id-ordered distinct — every stage keyed, linear in
+    the corpus.
+
+    No reference analogue; extends SURVEY §2's dedup family.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _toks().alias("toks")
+    )
+    hs = F.transform(F.col("toks"), lambda x: hash60(x))
+    votes = [
+        F.sum(F.shiftright("h", b).bitwiseAND(1)).alias(f"o{b}")
+        for b in range(_SIMB_BITS)
+    ]
+    fp_col = F.lit(0).cast("long")
+    for b in range(_SIMB_BITS):
+        bit = F.when(
+            F.col(f"o{b}") * 2 > F.col("n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp_col = fp_col + bit
+    fp = (
+        docs.where(F.size("toks") > 0)
+        .select("doc_id", F.explode(hs).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.count("h").alias("n"), *votes)
+        .select("doc_id", fp_col.alias("f"))
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.shiftright("f", _SIMB_BAND_BITS * b)
+                .bitwiseAND((1 << _SIMB_BAND_BITS) - 1)
+                .alias("val"),
+            )
+            for b in range(_SIMB_BANDS)
+        ]
+    )
+    bands = fp.select(
+        "doc_id", "f", F.explode(band_arr).alias("bv")
+    ).select("doc_id", "f", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    capped = (
+        bands.groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .where((F.col("bn") >= 2) & (F.col("bn") <= _SIMB_BUCKET_CAP))
+        .select("band", "val")
+    )
+    in_cap = bands.join(capped, ["band", "val"])
+    a = in_cap.select(
+        F.col("doc_id").alias("d1"),
+        F.col("f").alias("f1"),
+        "band",
+        "val",
+    )
+    b = in_cap.select(
+        F.col("doc_id").alias("d2"),
+        F.col("f").alias("f2"),
+        F.col("band").alias("band2"),
+        F.col("val").alias("val2"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band2"))
+            & (F.col("val") == F.col("val2"))
+            & (F.col("d1") < F.col("d2")),
+        )
+        .select("d1", "d2", "f1", "f2")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("f1").bitwiseXOR(F.col("f2"))).cast("long")
+    return (
+        cand.select("d1", "d2", hamming.alias("hamming"))
+        .where(F.col("hamming") <= _SIMB_MAXHAM)
+        .orderBy("d1", "d2")
+    )

@@ -398,3 +398,189 @@ def orders_jsonl_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corrupt_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: distributed Parquet footer-statistics audit
+# ---------------------------------------------------------------------------
+
+#: Numeric columns audited per table (BIGINT/DOUBLE only: their
+#: footer min/max statistics are EXACT values of the column type, so
+#: footer == data is a strict equality check; string stats may be
+#: truncated and timestamp stats change representation).
+_FOOTER_COLS = {
+    "orders": ("o_orderkey", "o_custkey", "o_totalprice"),
+    "lineitem": (
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    ),
+}
+
+_FOOTER_UDF_SCHEMA = (
+    "tbl string, column_name string, n_values long, "
+    "fmin double, fmax double"
+)
+
+
+def _footer_rows(it):
+    """mapInPandas worker: parse each file's FOOTER ONLY (pyarrow
+    ParquetFile reads metadata lazily — never the data pages) and emit
+    one row per audited column chunk, already folded across the file's
+    row groups."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    for pdf in it:
+        rows = []
+        for tbl, path in zip(pdf["tbl"], pdf["path"]):
+            md = pq.ParquetFile(path).metadata
+            want = set(_FOOTER_COLS[tbl])
+            acc: dict = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    name = c.path_in_schema
+                    if name not in want:
+                        continue
+                    st = c.statistics
+                    lo = float(st.min) if st and st.has_min_max else None
+                    hi = float(st.max) if st and st.has_min_max else None
+                    n, p_lo, p_hi = acc.get(name, (0, None, None))
+                    acc[name] = (
+                        n + c.num_values,
+                        lo if p_lo is None else (
+                            None if lo is None else min(p_lo, lo)
+                        ),
+                        hi if p_hi is None else (
+                            None if hi is None else max(p_hi, hi)
+                        ),
+                    )
+            for name, (n, lo, hi) in acc.items():
+                rows.append((tbl, name, n, lo, hi))
+        yield pd.DataFrame(
+            rows, columns=["tbl", "column_name", "n_values", "fmin", "fmax"]
+        )
+
+
+def _footer_oracle_sql() -> str:
+    parts = []
+    for tbl, cols in _FOOTER_COLS.items():
+        for c in cols:
+            parts.append(
+                f"SELECT '{tbl}' AS tbl, '{c}' AS column_name,"
+                f" CAST(COUNT(*) AS BIGINT) AS n_values,"
+                f" CAST(MIN({c}) AS DOUBLE) AS data_min,"
+                f" CAST(MAX({c}) AS DOUBLE) AS data_max,"
+                f" TRUE AS footer_min_match, TRUE AS footer_max_match"
+                f" FROM {tbl}"
+            )
+    return (
+        "SELECT * FROM (" + " UNION ALL ".join(parts) + ") "
+        "ORDER BY tbl, column_name"
+    )
+
+
+@register("parquet_footer_stats_audit", oracle=_footer_oracle_sql())
+def parquet_footer_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer-statistics audit: parse each table file's FOOTER
+    (row-group column-chunk min/max/num_values) on the EXECUTORS via
+    ``mapInPandas`` over a file-list frame, fold per column, and join
+    against the data-side MIN/MAX/COUNT computed by a normal scan —
+    the physical-design health check that row-group pruning depends
+    on (a writer that stops emitting statistics silently turns every
+    predicate-pushdown scan into a full read; this query catches it).
+
+    The oracle asserts the INVARIANT (footer stats must equal the data
+    extrema — min/max statistics for INT64/DOUBLE columns are exact
+    by the Parquet spec) by emitting literal TRUE flags alongside the
+    independently-computed data extrema: if Spark's footer parse or
+    the writer's stats ever disagree with the data, the genuine flags
+    go false and the value-hash mismatches. n_values (sum of column-
+    chunk value counts, null-inclusive for these required columns)
+    is cross-checked against COUNT(*) exactly.
+
+    Scale: the file-list frame carries (table, path) rows — at 100 TB
+    that is thousands of files fanned across executors, each opened
+    for its ~KB footer only (pyarrow reads metadata lazily); the
+    data-side extrema are one map-side-combined aggregate per table.
+    Nothing driver-side but the bounded file listing.
+
+    No reference analogue; extends SURVEY §2's physical-design and
+    observability families.
+    """
+    import os as _os
+
+    files = spark.createDataFrame(
+        [
+            (t, _os.path.join(sf_dir, f"{t}.parquet"))
+            for t in _FOOTER_COLS
+        ],
+        "tbl string, path string",
+    ).repartition(len(_FOOTER_COLS))
+    footer = (
+        files.mapInPandas(_footer_rows, _FOOTER_UDF_SCHEMA)
+        .groupBy("tbl", "column_name")
+        .agg(
+            F.sum("n_values").cast("long").alias("n_values"),
+            F.min("fmin").alias("fmin"),
+            F.max("fmax").alias("fmax"),
+        )
+    )
+    data_frames = []
+    for tbl, cols in _FOOTER_COLS.items():
+        t = load_table(spark, sf_dir, tbl)
+        aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+        for c in cols:
+            aggs.append(F.min(c).cast("double").alias(f"min_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"max_{c}"))
+        one = t.agg(*aggs)
+        stacked = one.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column_name"),
+                            F.col("n_rows").alias("n_rows"),
+                            F.col(f"min_{c}").alias("data_min"),
+                            F.col(f"max_{c}").alias("data_max"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("s")
+        ).select(
+            F.lit(tbl).alias("tbl"),
+            F.col("s.column_name").alias("column_name"),
+            F.col("s.n_rows").alias("n_rows"),
+            F.col("s.data_min").alias("data_min"),
+            F.col("s.data_max").alias("data_max"),
+        )
+        data_frames.append(stacked)
+    data = data_frames[0]
+    for d in data_frames[1:]:
+        data = data.unionByName(d)
+    return (
+        footer.join(data, ["tbl", "column_name"])
+        .select(
+            "tbl",
+            "column_name",
+            "n_values",
+            "data_min",
+            "data_max",
+            (
+                F.col("fmin").isNotNull()
+                & (F.col("fmin") == F.col("data_min"))
+            ).alias("footer_min_match"),
+            (
+                F.col("fmax").isNotNull()
+                & (F.col("fmax") == F.col("data_max"))
+            ).alias("footer_max_match"),
+        )
+        .orderBy("tbl", "column_name")
+    )

@@ -1411,3 +1411,103 @@ def supplier_ktruss_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in rows[1:]:
         out = out.unionByName(fr)
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Round-11: multi-round BFS hop histogram from the min-id seed node
+# ---------------------------------------------------------------------------
+
+#: BFS depth bound — unrolled rounds in Spark, the recursion depth
+#: guard in the oracle's recursive CTE. The bipartite trade network's
+#: effective diameter is tiny (hub customers), so 6 saturates it; at
+#: 100 TB the SAME bound holds because reachability saturates, not
+#: because the data is small.
+_BFS_MAX_HOPS = 6
+
+
+@register(
+    "trade_bfs_hop_histogram",
+    oracle=f"""
+WITH RECURSIVE {_EDGES_SQL},
+seed AS (SELECT MIN(src) AS s FROM edges),
+bfs(node, dist) AS (
+  SELECT s, CAST(0 AS BIGINT) FROM seed
+  UNION
+  SELECT e.dst, b.dist + 1
+  FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.dist < {_BFS_MAX_HOPS}
+), best AS (
+  SELECT node, CAST(MIN(dist) AS BIGINT) AS hop FROM bfs GROUP BY node
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg
+)
+SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       {quant_sql(
+           "CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(tot.n_nodes)", 6)}
+         AS frac_nodes
+FROM best CROSS JOIN tot
+GROUP BY hop
+ORDER BY hop
+""",
+)
+def trade_bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first-search hop histogram of the customer↔supplier
+    trade network from the minimum-id seed node: how many nodes sit at
+    shortest-path distance 0, 1, ... {_BFS_MAX_HOPS}, and what
+    fraction of the graph each shell covers — the reachability /
+    effective-diameter profile that complements PageRank (importance),
+    LPA (communities) and k-core (density) over the SAME memoized edge
+    list. The frontier recursion is the canonical iterative-graph
+    shape a recursive SQL CTE states declaratively and Spark runs as
+    bounded unrolled frontier joins.
+
+    Spark strategy: {_BFS_MAX_HOPS} unrolled rounds of frontier ⋈
+    edges (equi-join on src) with a left-anti join against the
+    visited set (first-visit = shortest distance, since rounds ARE
+    distance levels), per-round localCheckpoint to truncate lineage
+    (the dedup label-propagation discipline). The DuckDB oracle states
+    the same search as WITH RECURSIVE ... UNION (distinct), min-dist
+    per node — a genuinely DIFFERENT algorithm (path enumeration +
+    dedup vs frontier anti-join), so parity checks semantics.
+
+    Scale: each round is one keyed equi-join + one anti-join on the
+    frontier — work proportional to edges touched, never all-pairs;
+    the visited set only grows by new nodes. Hop counts are exact
+    BIGINTs; the fraction is one quantized division by |V|.
+
+    No reference analogue; extends the SURVEY §2 graph family.
+    """
+    edges = _trade_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    tot = F.broadcast(
+        deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    seed = edges.agg(F.min("src").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("hop")
+    )
+    visited = seed.localCheckpoint(eager=False)
+    frontier = visited
+    for h in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(h).cast("long").alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return (
+        visited.groupBy("hop")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .crossJoin(tot.withColumnRenamed("n_nodes", "nv"))
+        .select(
+            "hop",
+            "n_nodes",
+            quant(
+                F.col("n_nodes").cast("double") / F.col("nv"), 6
+            ).alias("frac_nodes"),
+        )
+        .orderBy("hop")
+    )

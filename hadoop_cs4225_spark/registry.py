@@ -191,9 +191,21 @@ _PRIORITY = (
 #:   events_burst_scan_statistic  (sliding 60-min scan vs Poisson)
 #:   lineitem_boosted_stumps      (2-round LS-Boost histogram algebra)
 #:   source_char_entropy          (char-level compressibility bound)
+#: batch 2 (same discipline — oracled, replica-green, invariant-tested
+#: in tests/test_round11_batch2.py):
+#:   orders_ar2_yule_walker       (AR(2)/PACF from exact moments)
+#:   orders_spectral_entropy      (spectral entropy + flatness)
+#:   ship_delay_nelson_aalen      (cumulative hazard, shared KM table)
+#:   events_allan_variance        (dyadic block-mean stability curve)
+#:   orders_holt_linear_smoothing (level+trend recursion, CTE oracle)
+#:   customer_spend_lorenz_gini   (Lorenz curve + grouped Gini)
+#: batch 3 (tests/test_round11_batch3.py):
+#:   trade_bfs_hop_histogram      (frontier BFS vs recursive-CTE oracle)
+#:   simhash_band_dup_pairs       (banded 60-bit SimHash near-dup join)
+#:   parquet_footer_stats_audit   (distributed footer-stats invariant)
 #: With the r10 staleness rotation landed, next round's window should
 #: continue refreshing the OLDEST remaining driver rows (r04-r05) in
-#: the slots these four leave free.
+#: the slots these ten leave free.
 
 def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:
     """Materialize every session-memoized shared frame (the dedup

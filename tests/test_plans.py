@@ -226,6 +226,12 @@ _BOUNDED_ALLPAIRS = {
     "token_window_pmi_topk",  # broadcast 1-row pair/unigram-total cross joins
     "orders_periodogram_power",  # 5-row period grid + 1-row moment cross joins
     "supplier_personalized_pagerank",  # broadcast 1-row seed-count cross joins
+    # --- round-11 batch 2 (1-row / constant-grid sides) ---
+    "orders_spectral_entropy",  # 10-row period grid + 1-row moment/fold joins
+    "ship_delay_nelson_aalen",  # broadcast 1-row cohort-total cross join
+    "events_allan_variance",  # broadcast 4-row dyadic tau-grid fan-out
+    "customer_spend_lorenz_gini",  # 1-row totals + 1-row Gini-fold cross joins
+    "trade_bfs_hop_histogram",  # broadcast 1-row |V| + 1-row seed cross joins
 }
 
 
@@ -345,6 +351,15 @@ _BOUNDED_GLOBAL_WINDOW = {
     "orders_hurst_rs": 4096,
     # 7/28-day ROWS frames + lag over the CALENDAR-bounded daily frame
     "orders_daily_ma_crossover": 4096,
+    # lag-1/lag-2 over the CALENDAR-bounded daily frame
+    "orders_ar2_yule_walker": 4096,
+    # day-index row_number over the CALENDAR-bounded daily frame
+    "orders_spectral_entropy": 4096,
+    # at-risk cumulatives over the HORIZON-bounded day axis (KM twin)
+    "ship_delay_nelson_aalen": 64,
+    # cumulative pop/spend over the SPEND-DOMAIN-bounded bucket axis
+    # (range / $1024 — the skyline/part_abc bucket argument)
+    "customer_spend_lorenz_gini": 1 << 20,
 }
 
 

@@ -8450,3 +8450,236 @@ def customer_spend_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: inter-arrival-time fit (exponential / gamma-MM) per event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_interarrival_fit",
+    oracle=f"""
+WITH ordered AS (
+  SELECT event_type,
+         epoch_us(ts) // 1000000
+           - lag(epoch_us(ts) // 1000000) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS gap_s
+  FROM events
+), mom AS (
+  SELECT event_type,
+         CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap_s) AS BIGINT) AS sg,
+         CAST(SUM(gap_s * gap_s) AS BIGINT) AS sgg
+  FROM ordered GROUP BY event_type
+)
+SELECT event_type, n_gaps,
+       {quant_sql("CAST(sg AS DOUBLE) / n_gaps", 6)} AS mean_gap_s,
+       {quant_sql(
+           "(CAST(sgg AS DOUBLE) / n_gaps"
+           " - (CAST(sg AS DOUBLE) / n_gaps)"
+           "   * (CAST(sg AS DOUBLE) / n_gaps))"
+           " / ((CAST(sg AS DOUBLE) / n_gaps)"
+           "    * (CAST(sg AS DOUBLE) / n_gaps))", 6)} AS cv2,
+       {quant_sql("CAST(n_gaps AS DOUBLE) / sg", 9)} AS exp_rate_per_s,
+       {quant_sql(
+           "((CAST(sg AS DOUBLE) / n_gaps)"
+           " * (CAST(sg AS DOUBLE) / n_gaps))"
+           " / (CAST(sgg AS DOUBLE) / n_gaps"
+           "    - (CAST(sg AS DOUBLE) / n_gaps)"
+           "      * (CAST(sg AS DOUBLE) / n_gaps))", 6)} AS gamma_shape_mm,
+       {quant_sql(
+           "(CAST(sgg AS DOUBLE) / n_gaps"
+           " - (CAST(sg AS DOUBLE) / n_gaps)"
+           "   * (CAST(sg AS DOUBLE) / n_gaps))"
+           " / (CAST(sg AS DOUBLE) / n_gaps)", 6)} AS gamma_scale_mm
+FROM mom
+WHERE n_gaps > 1 AND sg > 0
+  AND CAST(sgg AS DOUBLE) / n_gaps
+      > (CAST(sg AS DOUBLE) / n_gaps) * (CAST(sg AS DOUBLE) / n_gaps)
+ORDER BY event_type
+""",
+)
+def events_interarrival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-process fit of per-type event inter-arrival times:
+    exponential MLE rate (n/sum of gaps), squared coefficient of
+    variation (the Poisson test: cv2 = 1 for a memoryless stream, > 1
+    bursty, < 1 regular), and the gamma method-of-moments shape/scale.
+    ``events_fano_factor`` tests count dispersion per window;
+    this fits the GAP distribution itself — the form a synthetic-load
+    generator or queueing model consumes, and the cheapest burstiness
+    diagnostic (one pass, no windowing grid).
+
+    Determinism: gaps floor to whole SECONDS (epoch_us // 1e6 then
+    lag-subtract — exact BIGINTs; second resolution keeps sum-of-
+    squares under 2^63 to ~1e9-second spans at any rate), moments are
+    exact integer sums, and every output is the identical straight-
+    line IEEE expression of those sums (the ``_pearson_col``
+    discipline), quantized once. The (ts, event_id) lag order is a
+    total order.
+
+    Scale: ONE per-type PARTITIONED lag window over the fact stream +
+    a per-type moment fold — the same cost class as the transition
+    matrix; nothing global, nothing quadratic.
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    ev = load_events(spark, sf_dir)
+    # NTZ -> LTZ cast is the epoch identity under the session's pinned
+    # UTC zone (session.py), the events_max_concurrency pattern; div
+    # matches the oracle's epoch_us // 1e6 floor-division exactly
+    sec = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", (sec - F.lag(sec).over(w)).alias("gap_s")
+    )
+    mom = ordered.groupBy("event_type").agg(
+        F.count("gap_s").cast("long").alias("n_gaps"),
+        F.sum("gap_s").cast("long").alias("sg"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("long").alias("sgg"),
+    )
+    mean = F.col("sg").cast("double") / F.col("n_gaps")
+    m2 = F.col("sgg").cast("double") / F.col("n_gaps")
+    var = m2 - mean * mean
+    return (
+        mom.where(
+            (F.col("n_gaps") > 1) & (F.col("sg") > 0) & (m2 > mean * mean)
+        )
+        .select(
+            "event_type",
+            "n_gaps",
+            quant(mean, 6).alias("mean_gap_s"),
+            quant(var / (mean * mean), 6).alias("cv2"),
+            quant(
+                F.col("n_gaps").cast("double") / F.col("sg"), 9
+            ).alias("exp_rate_per_s"),
+            quant((mean * mean) / var, 6).alias("gamma_shape_mm"),
+            quant(var / mean, 6).alias("gamma_scale_mm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: Mann-Kendall trend test on the daily order-count series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_mann_kendall_trend",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM orders GROUP BY day
+), s AS (
+  SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM daily a JOIN daily b ON a.day < b.day
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily
+), ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+           AS tie_term
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY x) g
+  WHERE t > 1
+), v AS (
+  SELECT (CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5)
+          - CAST(ties.tie_term AS DOUBLE)) / 18.0 AS var_s
+  FROM n CROSS JOIN ties
+)
+SELECT n.n AS n_days, s.s AS s_stat,
+       {quant_sql("v.var_s", 4)} AS var_s,
+       {quant_sql(
+           "CASE WHEN s.s > 0 THEN (CAST(s.s AS DOUBLE) - 1.0)"
+           "       / sqrt(v.var_s)"
+           "     WHEN s.s < 0 THEN (CAST(s.s AS DOUBLE) + 1.0)"
+           "       / sqrt(v.var_s)"
+           "     ELSE 0.0 END", 6)} AS z_stat,
+       {quant_sql(
+           "CAST(s.s AS DOUBLE)"
+           " / (CAST(n.n AS DOUBLE) * (n.n - 1) / 2.0)", 6)} AS tau_a
+FROM s CROSS JOIN n CROSS JOIN v
+""",
+)
+def orders_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the daily order-count series: S =
+    sum of sign(x_j - x_i) over all day pairs i < j, the tie-corrected
+    variance n(n-1)(2n+5)/18 - sum t(t-1)(2t+5)/18, the
+    continuity-corrected z statistic, and Kendall's tau-a effect size.
+    ``events_theilsen_trend`` estimates the SLOPE robustly; Mann-
+    Kendall is its companion SIGNIFICANCE test (the standard pairing
+    in monotonic-trend monitoring) — distribution-free, integer-exact,
+    and immune to the outliers that break an OLS t-test.
+
+    Determinism: S and the tie term are exact BIGINT folds; variance,
+    z and tau are straight-line IEEE expressions of those integers,
+    quantized once. Scale: the pair space is the CALENDAR-bounded
+    |days|^2 self-join (the ``events_sprt_arms`` bound — ~1e6 cells at
+    a 3-year span regardless of corpus rows) on top of one daily
+    rollup; the tie term is a value-domain-bounded regroup.
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)  # self-join + ties + count
+    )
+    a = daily.select(F.col("day").alias("d1"), F.col("x").alias("x1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("x").alias("x2"))
+    s = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .agg(
+            F.sum(
+                F.when(F.col("x2") > F.col("x1"), 1)
+                .when(F.col("x2") < F.col("x1"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    var_s = (
+        F.col("n").cast("double")
+        * (F.col("n") - 1)
+        * (2 * F.col("n") + 5)
+        - F.col("tie_term").cast("double")
+    ) / 18.0
+    sd = F.col("s").cast("double")
+    z = (
+        F.when(F.col("s") > 0, (sd - 1.0) / F.sqrt(F.col("var_s")))
+        .when(F.col("s") < 0, (sd + 1.0) / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ties))
+        .withColumn("var_s", var_s)
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("s").alias("s_stat"),
+            quant(F.col("var_s"), 4).alias("var_s"),
+            quant(z, 6).alias("z_stat"),
+            quant(
+                sd / (F.col("n").cast("double") * (F.col("n") - 1) / 2.0),
+                6,
+            ).alias("tau_a"),
+        )
+    )

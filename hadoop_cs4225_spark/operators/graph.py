@@ -1511,3 +1511,100 @@ def trade_bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hop")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: neighbor-set Jaccard similarity on the mutual-top-K graph
+# ---------------------------------------------------------------------------
+
+_NJ_TOPK = 20
+
+
+@register(
+    "supplier_neighbor_jaccard_topk",
+    oracle=f"""
+WITH {_EDGES_CTE_SQL}, dir AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION ALL
+  SELECT b AS src, a AS dst FROM edges
+), deg AS (
+  SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM dir GROUP BY src
+), wedge AS (
+  SELECT d1.src AS x, d2.dst AS y,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM dir d1 JOIN dir d2 ON d1.dst = d2.src
+  WHERE d1.src < d2.dst
+  GROUP BY x, y
+), scored AS (
+  SELECT w.x, w.y, w.n_common, ga.d AS dx, gb.d AS dy,
+         EXISTS (SELECT 1 FROM edges e
+                 WHERE e.a = w.x AND e.b = w.y) AS is_adjacent
+  FROM wedge w
+  JOIN deg ga ON ga.v = w.x
+  JOIN deg gb ON gb.v = w.y
+)
+SELECT x AS s1, y AS s2, n_common, is_adjacent,
+       {quant_sql(
+           "CAST(n_common AS DOUBLE) / (dx + dy - n_common)", 9)}
+         AS jaccard
+FROM scored
+ORDER BY jaccard DESC, s1, s2
+LIMIT {_NJ_TOPK}
+""",
+)
+def supplier_neighbor_jaccard_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-20 supplier pairs by NEIGHBOR-SET Jaccard on the mutual-
+    top-K co-supply graph: |N(x) ∩ N(y)| / |N(x) ∪ N(y)|, with the
+    union size from the inclusion-exclusion identity d(x) + d(y) -
+    common (never a second join). ``supplier_adamic_adar_topk`` ranks
+    NON-adjacent pairs for link prediction with rarity weighting;
+    neighbor Jaccard is the unweighted STRUCTURAL-ROLE similarity over
+    ALL pairs sharing a neighbor (adjacent ones flagged) — the
+    SimRank-lite signal role-mining and dedup-by-structure use.
+
+    Determinism: wedge counts and degrees are exact BIGINTs; Jaccard
+    is one quantized division; (jaccard desc, s1, s2) is total.
+
+    Scale: the same degree-<= K wedge join as triangles/Adamic-Adar
+    over the shared memoized edge list (fan-out <= K^2 per node at any
+    corpus size), one degree join on each side, TakeOrderedAndProject.
+
+    No reference analogue; extends the SURVEY §2 graph family.
+    """
+    edges = _mutual_topk_edges(spark, sf_dir)
+    dirr = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = dirr.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    d2 = dirr.select(F.col("src").alias("z2"), F.col("dst").alias("y"))
+    wedge = (
+        dirr.join(d2, F.col("dst") == F.col("z2"))
+        .where(F.col("src") < F.col("y"))
+        .groupBy(F.col("src").alias("x"), "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    adj = edges.select(
+        F.col("a").alias("x"), F.col("b").alias("y"), F.lit(True).alias("adj")
+    )
+    scored = (
+        wedge.join(deg.select(F.col("src").alias("x"), F.col("d").alias("dx")), "x")
+        .join(deg.select(F.col("src").alias("y"), F.col("d").alias("dy")), "y")
+        .join(adj, ["x", "y"], "left")
+    )
+    return (
+        scored.select(
+            F.col("x").alias("s1"),
+            F.col("y").alias("s2"),
+            "n_common",
+            F.coalesce(F.col("adj"), F.lit(False)).alias("is_adjacent"),
+            quant(
+                F.col("n_common").cast("double")
+                / (F.col("dx") + F.col("dy") - F.col("n_common")),
+                9,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "s1", "s2")
+        .limit(_NJ_TOPK)
+    )

@@ -1000,3 +1000,168 @@ def user_freq_countsketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_signed_err"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: KMV (theta) sketch INTERSECTION audit — sketch set algebra
+# ---------------------------------------------------------------------------
+
+
+def _kmv_inter_oracle() -> str:
+    from hadoop_cs4225_spark.functions.hashing import hash60_sql
+    from hadoop_cs4225_spark.functions.numeric import quant_sql
+
+    h = hash60_sql(
+        "CAST(user_id AS VARCHAR) || '|' || strftime(ts, '%Y-%m-%d')"
+    )
+    return f"""
+WITH ud AS MATERIALIZED (
+  SELECT DISTINCT event_type, {h} AS h FROM events
+), kept AS MATERIALIZED (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM ud) z
+  WHERE rn <= {_KMV_K}
+), theta AS MATERIALIZED (
+  SELECT event_type,
+         CASE WHEN COUNT(*) < {_KMV_K}
+              THEN CAST({_KMV_DOMAIN} AS BIGINT) ELSE MAX(h) END AS th,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY event_type
+), pair_theta AS MATERIALIZED (
+  SELECT a.event_type AS t1, b.event_type AS t2,
+         LEAST(a.th, b.th) AS th
+  FROM theta a JOIN theta b ON a.event_type < b.event_type
+), inter_s AS (
+  SELECT p.t1, p.t2, CAST(COUNT(*) AS BIGINT) AS n_inter_sample
+  FROM pair_theta p
+  JOIN kept ka ON ka.event_type = p.t1 AND ka.h < p.th
+  JOIN kept kb ON kb.event_type = p.t2 AND kb.h = ka.h
+  GROUP BY p.t1, p.t2
+), exact AS (
+  SELECT a.event_type AS t1, b.event_type AS t2,
+         CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM ud a JOIN ud b
+    ON a.h = b.h AND a.event_type < b.event_type
+  GROUP BY t1, t2
+)
+SELECT p.t1 AS type_a, p.t2 AS type_b,
+       COALESCE(e.n_exact, 0) AS n_exact_inter,
+       {quant_sql(
+           "COALESCE(i.n_inter_sample, 0)"
+           f" * (CAST({_KMV_DOMAIN} AS DOUBLE) / p.th)", 2)}
+         AS kmv_inter_est
+FROM pair_theta p
+LEFT JOIN inter_s i ON i.t1 = p.t1 AND i.t2 = p.t2
+LEFT JOIN exact e ON e.t1 = p.t1 AND e.t2 = p.t2
+ORDER BY type_a, type_b
+"""
+
+
+@register("kmv_intersection_audit", oracle=_kmv_inter_oracle())
+def kmv_intersection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET INTERSECTION from the same KMV sketches as
+    ``kmv_distinct_sketch_audit``: for every event-type pair, theta =
+    min of the two sketches' k-th minima, the intersection sample =
+    kept hashes below theta present in BOTH sketches, and the estimate
+    = sample_count * domain/theta — audited against the exact
+    (user, day) intersection. Union is what HLL can also do; this is
+    the operation ONLY theta-family sketches support, and the reason a
+    pipeline keeps KMV sketches per segment: overlap matrices between
+    audiences without re-touching raw events.
+
+    Exactness: hashes, thetas and sample counts are exact BIGINTs
+    (small-set honesty: a type with < k distinct keys has theta =
+    domain, so its intersections are computed on the FULL key set and
+    the estimate is exact); the only double is the final estimator
+    division, quantized at 2 dp.
+
+    Plan: the sketch build is the KMV audit's per-type partitioned
+    top-k; pair enumeration is a |types|^2-bounded dictionary join;
+    the exact side is one hash-keyed equi-join (the expensive
+    ground-truth step a production pipeline would SKIP — it exists
+    here because this is an audit).
+
+    No reference analogue; completes the SURVEY §2 sketches family's
+    set algebra.
+    """
+    from pyspark.sql import Window
+
+    from hadoop_cs4225_spark.functions.hashing import hash60
+    from hadoop_cs4225_spark.functions.numeric import quant
+
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            "event_type",
+            hash60(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit("|"),
+                    F.date_format("ts", "yyyy-MM-dd"),
+                )
+            ).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # sketch build + exact side
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kept = (
+        ud.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KMV_K)
+        .drop("rn")
+        .localCheckpoint(eager=False)  # theta + both pair probes
+    )
+    theta = kept.groupBy("event_type").agg(
+        F.when(F.count(F.lit(1)) < _KMV_K, F.lit(_KMV_DOMAIN).cast("long"))
+        .otherwise(F.max("h"))
+        .alias("th")
+    )
+    ta = theta.select(
+        F.col("event_type").alias("t1"), F.col("th").alias("th1")
+    )
+    tb = theta.select(
+        F.col("event_type").alias("t2"), F.col("th").alias("th2")
+    )
+    pair_theta = (
+        ta.join(tb, F.col("t1") < F.col("t2"))
+        .select("t1", "t2", F.least("th1", "th2").alias("th"))
+    )
+    ka = kept.select(F.col("event_type").alias("t1"), F.col("h").alias("ha"))
+    kb = kept.select(F.col("event_type").alias("t2"), F.col("h").alias("hb"))
+    inter_s = (
+        pair_theta.join(ka, "t1")
+        .where(F.col("ha") < F.col("th"))
+        .join(kb, (kb["t2"] == pair_theta["t2"]) & (kb["hb"] == F.col("ha")))
+        .groupBy("t1", pair_theta["t2"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter_sample"))
+    )
+    ua = ud.select(F.col("event_type").alias("t1"), F.col("h").alias("h"))
+    ub = ud.select(F.col("event_type").alias("t2"), F.col("h").alias("h2"))
+    exact = (
+        ua.join(
+            ub, (F.col("h") == F.col("h2")) & (F.col("t1") < F.col("t2"))
+        )
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    return (
+        pair_theta.join(inter_s, ["t1", "t2"], "left")
+        .join(exact, ["t1", "t2"], "left")
+        .select(
+            F.col("t1").alias("type_a"),
+            F.col("t2").alias("type_b"),
+            F.coalesce(F.col("n_exact"), F.lit(0).cast("long")).alias(
+                "n_exact_inter"
+            ),
+            quant(
+                F.coalesce(
+                    F.col("n_inter_sample"), F.lit(0).cast("long")
+                )
+                * (F.lit(float(_KMV_DOMAIN)) / F.col("th")),
+                2,
+            ).alias("kmv_inter_est"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -4413,3 +4413,365 @@ def source_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: iterative BPE merge rounds (tokenizer training, unrolled)
+# ---------------------------------------------------------------------------
+
+#: Unrolled BPE merge rounds. Symbols are rendered as '|'-prefixed runs
+#: inside one string per word ('cat' -> '|c|a|t|</w>'): the leading '|'
+#: anchors every symbol boundary, so plain substring replace of
+#: '|x|y' -> '|xy' merges EXACTLY the adjacent occurrences, greedily
+#: left-to-right, with identical semantics in Spark and DuckDB (both
+#: engines' replace() scans left-to-right over non-overlapping
+#: matches). Words containing '|' are excluded in both engines.
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle() -> str:
+    head = f"""
+w0 AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+         regexp_replace(word, '(.)', '|\\1', 'g') || '|</w>' AS s
+  FROM (SELECT unnest({_TOKS_SQL}) AS word FROM documents) t
+  WHERE word NOT LIKE '%|%'
+  GROUP BY word
+)"""
+    parts = [head]
+    rows = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(f"""
+p{r} AS MATERIALIZED (
+  SELECT syms[g.i] AS x, syms[g.i + 1] AS y,
+         CAST(SUM(cnt) AS BIGINT) AS tot
+  FROM (SELECT cnt,
+               list_filter(string_split(s, '|'), z -> z <> '') AS syms
+        FROM w{r - 1}) t,
+       LATERAL (SELECT unnest(range(1, len(syms))) AS i) g
+  GROUP BY x, y
+), t{r} AS MATERIALIZED (
+  SELECT x, y, tot FROM p{r} ORDER BY tot DESC, x, y LIMIT 1
+), w{r} AS MATERIALIZED (
+  SELECT word, cnt,
+         replace(s, '|' || x || '|' || y, '|' || x || y) AS s
+  FROM w{r - 1} CROSS JOIN t{r}
+), v{r} AS (
+  SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) AS vocab
+  FROM (SELECT unnest(list_filter(string_split(s, '|'), z -> z <> ''))
+          AS sym
+        FROM w{r}) u
+)""")
+        rows.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, x AS merge_left,"
+            f" y AS merge_right, tot AS pair_count, vocab AS vocab_size"
+            f" FROM t{r} CROSS JOIN v{r}"
+        )
+    return (
+        "WITH " + ",".join(parts) + "\nSELECT * FROM ("
+        + " UNION ALL ".join(rows) + ") ORDER BY round"
+    )
+
+
+def _bpe_train_ctes() -> str:
+    """The w0..w{_BPE_ROUNDS} training CTE chain (same text as
+    :func:`_bpe_oracle` minus the per-round report rows) — reused by
+    the fertility oracle so apply-side tokenization CANNOT drift from
+    the trainer."""
+    full = _bpe_oracle()
+    return full[len("WITH ") : full.index("\nSELECT * FROM (")]
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the {_BPE_ROUNDS}-round BPE trainer; returns (final word
+    frame with merged symbol strings, list of per-round report
+    frames). Shared by ``bpe_merge_rounds`` and
+    ``tokenizer_fertility_by_source``."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(_toks()).alias("word"))
+        .where(~F.col("word").contains("|"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "word",
+            "cnt",
+            F.concat(
+                F.regexp_replace("word", "(.)", r"|$1"), F.lit("|</w>")
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=False)  # read by every round
+    )
+    syms_expr = "filter(split(s, '\\\\|'), z -> z != '')"
+    rows = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            w.withColumn("syms", F.expr(syms_expr))
+            .where(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(syms, 1, size(syms) - 1), "
+                        "slice(syms, 2, size(syms) - 1), "
+                        "(a, b) -> struct(a AS x, b AS y))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("cnt").cast("long").alias("tot"))
+        )
+        top = (
+            pairs.orderBy(F.desc("tot"), "x", "y")
+            .limit(1)
+            .localCheckpoint(eager=False)  # feeds the merge + the row
+        )
+        w = (
+            w.crossJoin(F.broadcast(top))
+            .select(
+                "word",
+                "cnt",
+                F.expr(
+                    "replace(s, '|' || x || '|' || y, '|' || x || y)"
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=False)  # next round + vocab count
+        )
+        vocab = w.select(
+            F.explode(F.expr(syms_expr)).alias("sym")
+        ).agg(F.countDistinct("sym").cast("long").alias("vocab"))
+        rows.append(
+            top.crossJoin(F.broadcast(vocab)).select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("x").alias("merge_left"),
+                F.col("y").alias("merge_right"),
+                F.col("tot").alias("pair_count"),
+                F.col("vocab").alias("vocab_size"),
+            )
+        )
+    return w, rows
+
+
+@register("bpe_merge_rounds", oracle=_bpe_oracle())
+def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, {_BPE_ROUNDS} merge rounds unrolled: per
+    round, count adjacent symbol pairs weighted by word frequency, pick
+    the most frequent pair ((count desc, left, right) total order),
+    merge it in every word, and report (round, merged pair, its count,
+    corpus symbol-vocabulary size after the merge). ``bpe_pair_counts``
+    registers the single counting pass; this closes the LOOP — the
+    actual train step every subword tokenizer (BPE/WordPiece-style)
+    runs before a corpus can be tokenized for an LLM.
+
+    The key scale property (and why this is feasible at 100 TB): after
+    ONE corpus-grain word count, every round operates on the
+    VOCABULARY-grain (word, count, symbols) frame — real BPE trainers
+    iterate over word types exactly the same way. Symbols live in a
+    '|'-anchored string ('|c|a|t|</w>'), so a merge is one substring
+    replace of '|x|y' with '|xy': left-to-right non-overlapping
+    replace IS greedy BPE merging, with bit-identical semantics in
+    both engines (the oracle unrolls the identical rounds as
+    MATERIALIZED CTEs). The top pair is a distributed
+    TakeOrderedAndProject over the bounded pair vocabulary, broadcast
+    back for the merge — no driver-side collect anywhere.
+
+    No reference analogue; extends SURVEY §2's LLM-pipeline family.
+    """
+    _, rows = _bpe_train(spark, sf_dir)
+    out = rows[0]
+    for fr in rows[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("round")
+
+
+@register(
+    "tokenizer_fertility_by_source",
+    oracle=f"""
+WITH {_bpe_train_ctes()},
+tok AS MATERIALIZED (
+  SELECT source, unnest({_TOKS_SQL}) AS word FROM documents
+), final_w AS MATERIALIZED (
+  SELECT word,
+         CAST(len(list_filter(string_split(s, '|'), z -> z <> ''))
+              AS BIGINT) AS n_sym
+  FROM w{_BPE_ROUNDS}
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(t.word) + 1) AS BIGINT) AS n_sym_before,
+       CAST(SUM(f.n_sym) AS BIGINT) AS n_sym_after,
+       {quant_sql("SUM(f.n_sym) * 1.0 / COUNT(*)", 6)} AS fertility,
+       {quant_sql(
+           "SUM(f.n_sym) * 1.0 / SUM(length(t.word) + 1)", 6)}
+         AS compression
+FROM tok t JOIN final_w f ON f.word = t.word
+WHERE t.word NOT LIKE '%|%'
+GROUP BY t.source
+ORDER BY t.source
+""",
+)
+def tokenizer_fertility_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """APPLY the trained BPE merges and measure per-source tokenizer
+    fertility: run the same {_BPE_ROUNDS}-round trainer as
+    ``bpe_merge_rounds`` (shared :func:`_bpe_train` / CTE chain, so
+    apply can never drift from train), then score each source by
+    symbols-per-word after the merges vs the character baseline
+    (chars + the </w> marker). Fertility is THE tokenizer-quality
+    metric a multilingual curation pipeline tracks per source — a
+    source whose fertility stays near the character baseline is one
+    the learned vocabulary serves badly (and will cost that many more
+    sequence positions at training time).
+
+    Plan: the trainer's vocabulary-grain rounds, then one token
+    explode joined to the final (word -> symbol count) frame — a
+    vocabulary-keyed equi-join (broadcast-able: word TYPES, not
+    occurrences) and a per-source rollup. Exact integer counts; two
+    quantized divisions.
+
+    No reference analogue; extends SURVEY §2's LLM-pipeline family.
+    """
+    w_final, _ = _bpe_train(spark, sf_dir)
+    n_sym = F.size(
+        F.expr("filter(split(s, '\\\\|'), z -> z != '')")
+    ).cast("long")
+    final_w = w_final.select("word", n_sym.alias("n_sym"))
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(_toks()).alias("word")
+    ).where(~F.col("word").contains("|"))
+    return (
+        tok.join(final_w, "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.length("word") + 1).cast("long").alias("n_sym_before"),
+            F.sum("n_sym").cast("long").alias("n_sym_after"),
+            quant(
+                F.sum("n_sym") * 1.0 / F.count(F.lit(1)), 6
+            ).alias("fertility"),
+            quant(
+                F.sum("n_sym") * 1.0 / F.sum(F.length("word") + 1), 6
+            ).alias("compression"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: T5-style span-corruption masking manifest
+# ---------------------------------------------------------------------------
+
+#: Span-corruption geometry: positions partition into fixed blocks of
+#: _SPAN_LEN tokens; a block is masked iff hash60(doc:block) % 100 <
+#: _SPAN_PCT. Deterministic (seedless reruns identical), non-
+#: overlapping by construction, expected mask rate = _SPAN_PCT% with
+#: mean span _SPAN_LEN (tail blocks shorter).
+_SPAN_LEN = 3
+_SPAN_PCT = 15
+
+
+def _span_oracle() -> str:
+    from hadoop_cs4225_spark.functions.hashing import hash60_sql
+
+    h = hash60_sql(
+        "CAST(doc_id AS VARCHAR) || ':' "
+        f"|| CAST((g.i - 1) // {_SPAN_LEN} AS VARCHAR)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
+), pos AS (
+  SELECT doc_id, source, (g.i - 1) // {_SPAN_LEN} AS block,
+         {h} % 100 < {_SPAN_PCT} AS masked
+  FROM toks, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) g
+), blocks AS (
+  SELECT doc_id, source, block, ANY_VALUE(masked) AS masked,
+         CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM pos GROUP BY doc_id, source, block
+)
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN masked THEN n_tok ELSE 0 END) AS BIGINT)
+         AS masked_tokens,
+       {quant_sql(
+           "SUM(CASE WHEN masked THEN n_tok ELSE 0 END) * 1.0"
+           " / SUM(n_tok)", 6)} AS mask_rate,
+       {quant_sql(
+           "CASE WHEN SUM(CASE WHEN masked THEN 1 ELSE 0 END) > 0 THEN"
+           " SUM(CASE WHEN masked THEN n_tok ELSE 0 END) * 1.0"
+           " / SUM(CASE WHEN masked THEN 1 ELSE 0 END) END", 6)}
+         AS avg_span_len
+FROM blocks
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("span_corruption_manifest", oracle=_span_oracle())
+def span_corruption_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption masking plan, summarized per source:
+    token positions partition into fixed {_SPAN_LEN}-token blocks and
+    a block is masked iff hash60(doc_id:block) lands under
+    {_SPAN_PCT}%, giving deterministic, seedlessly-reproducible,
+    non-overlapping corruption spans — the denoising-objective
+    preprocessing step (mask spans, emit sentinel targets) a T5/UL2
+    training pipeline runs over the whole corpus. The manifest reports
+    docs, tokens, span count, masked-token count, realized mask rate
+    and mean span length (tail blocks run short, so the mean sits just
+    under {_SPAN_LEN}) per source — the numbers one checks BEFORE
+    launching a run whose loss depends on them.
+
+    Determinism: the mask decision is the cross-engine md5 hash60 on
+    (doc, block), counts are exact BIGINTs, two quantized divisions.
+    Plan: one posexplode + a (doc, block)-grain map-side-combined
+    rollup + a per-source fold — corpus-linear, no windows, no joins.
+
+    No reference analogue; extends SURVEY §2's LLM-pipeline family.
+    """
+    from hadoop_cs4225_spark.functions.hashing import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(_toks()).alias("i", "tok"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr(f"i div {_SPAN_LEN}").alias("block"),
+        (
+            hash60(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.expr(f"i div {_SPAN_LEN}").cast("string"),
+                )
+            )
+            % 100
+            < _SPAN_PCT
+        ).alias("masked"),
+    )
+    blocks = pos.groupBy("doc_id", "source", "block").agg(
+        F.first("masked").alias("masked"),
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+    )
+    masked_tok = F.sum(F.when(F.col("masked"), F.col("n_tok")).otherwise(0))
+    n_spans = F.sum(F.when(F.col("masked"), 1).otherwise(0))
+    return (
+        blocks.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            n_spans.cast("long").alias("n_spans"),
+            masked_tok.cast("long").alias("masked_tokens"),
+            quant(masked_tok * 1.0 / F.sum("n_tok"), 6).alias("mask_rate"),
+            quant(
+                F.when(n_spans > 0, masked_tok * 1.0 / n_spans), 6
+            ).alias("avg_span_len"),
+        )
+        .orderBy("source")
+    )

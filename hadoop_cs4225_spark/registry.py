@@ -203,6 +203,14 @@ _PRIORITY = (
 #:   trade_bfs_hop_histogram      (frontier BFS vs recursive-CTE oracle)
 #:   simhash_band_dup_pairs       (banded 60-bit SimHash near-dup join)
 #:   parquet_footer_stats_audit   (distributed footer-stats invariant)
+#: batch 4 (tests/test_round11_batch4.py):
+#:   bpe_merge_rounds             (iterative BPE trainer, 3 unrolled)
+#:   kmv_intersection_audit       (theta-sketch set intersection)
+#:   events_interarrival_fit      (exp/gamma point-process fit)
+#:   orders_mann_kendall_trend    (tie-corrected monotonic-trend test)
+#:   supplier_neighbor_jaccard_topk (neighbor-set structural similarity)
+#:   tokenizer_fertility_by_source (apply the learned BPE merges)
+#:   span_corruption_manifest     (T5-style deterministic masking plan)
 #: With the r10 staleness rotation landed, next round's window should
 #: continue refreshing the OLDEST remaining driver rows (r04-r05) in
 #: the slots these ten leave free.

@@ -232,6 +232,10 @@ _BOUNDED_ALLPAIRS = {
     "events_allan_variance",  # broadcast 4-row dyadic tau-grid fan-out
     "customer_spend_lorenz_gini",  # 1-row totals + 1-row Gini-fold cross joins
     "trade_bfs_hop_histogram",  # broadcast 1-row |V| + 1-row seed cross joins
+    "bpe_merge_rounds",  # per-round broadcast 1-row top-pair/vocab joins
+    "tokenizer_fertility_by_source",  # embeds the trainer's 1-row joins
+    "kmv_intersection_audit",  # |types|^2 dictionary-bounded theta pairs
+    "orders_mann_kendall_trend",  # calendar-bounded |days|^2 sign self-join
 }
 
 

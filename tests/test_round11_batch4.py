@@ -1,0 +1,194 @@
+"""Round-11-batch-4 operator invariants: iterative BPE merges, KMV
+theta-sketch intersection, inter-arrival fits, Mann-Kendall trend,
+neighbor-set Jaccard. All five are oracled (test_oracle_parity.py
+hash-checks them each run); these pin the algorithmic contracts
+against independent replicas."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from hadoop_cs4225_spark import registry
+from tests.conftest import SF_ORACLE
+
+registry.load_all()
+
+
+def _rows(spark, name, sf=SF_ORACLE):
+    return registry.QUERIES[name](spark, sf).collect()
+
+
+def test_bpe_merge_rounds_replica_python(spark):
+    """Reference BPE trainer in plain python (dict-of-tuples word
+    model, greedy left-to-right merge) over the raw parquet."""
+    import pandas as pd
+
+    rows = _rows(spark, "bpe_merge_rounds")
+    assert [r.round for r in rows] == [1, 2, 3]
+    docs = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    vocab: Counter = Counter()
+    for t in docs.text:
+        for w in str(t).split():
+            if w and "|" not in w:
+                vocab[w] += 1
+    words = {w: (tuple(w) + ("</w>",), c) for w, c in vocab.items()}
+    for r in rows:
+        pairs: Counter = Counter()
+        for syms, c in words.values():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        (bx, by), bc = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        assert (r.merge_left, r.merge_right, r.pair_count) == (bx, by, bc)
+        merged = {}
+        for w, (syms, c) in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == bx
+                    and syms[i + 1] == by
+                ):
+                    out.append(bx + by)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged[w] = (tuple(out), c)
+        words = merged
+        symset = {s for syms, _ in words.values() for s in syms}
+        assert r.vocab_size == len(symset)
+
+
+def test_kmv_intersection_bounds(spark):
+    """Theta intersection: exact when both sketches are exact-mode,
+    within sketch error otherwise; symmetric pair coverage."""
+    rows = _rows(spark, "kmv_intersection_audit")
+    types = set()
+    for r in rows:
+        types.add(r.type_a)
+        types.add(r.type_b)
+        assert r.type_a < r.type_b
+        assert r.n_exact_inter >= 0 and r.kmv_inter_est >= 0.0
+        # k=64 sketch: crude 4-sigma-ish band still separates garbage
+        if r.n_exact_inter > 0:
+            assert r.kmv_inter_est < 20.0 * r.n_exact_inter + 100
+    n = len(types)
+    assert len(rows) == n * (n - 1) // 2
+
+
+def test_interarrival_fit_replica_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    rows = _rows(spark, "events_interarrival_fit")
+    assert rows
+    ev = pd.read_parquet(f"{SF_ORACLE}/events.parquet").sort_values(
+        ["event_type", "ts", "event_id"]
+    )
+    for r in rows:
+        g = ev[ev.event_type == r.event_type]
+        sec = (
+            g.ts.astype("datetime64[us]").astype("int64") // 1_000_000
+        ).to_numpy()
+        gaps = np.diff(sec)
+        mean, var = gaps.mean(), gaps.var()  # population var, as computed
+        assert r.n_gaps == len(gaps)
+        assert abs(r.mean_gap_s - mean) < 1e-4
+        assert abs(r.cv2 - var / mean**2) < 1e-3
+        assert abs(r.exp_rate_per_s - 1.0 / mean) < 1e-6
+        assert abs(r.gamma_shape_mm - mean**2 / var) < 1e-3
+        assert abs(r.gamma_scale_mm - var / mean) < 1e-3
+        # moment identity: shape * scale == mean
+        assert abs(r.gamma_shape_mm * r.gamma_scale_mm - r.mean_gap_s) < 0.01
+
+
+def test_mann_kendall_replica_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    (r,) = _rows(spark, "orders_mann_kendall_trend")
+    o = pd.read_parquet(f"{SF_ORACLE}/orders.parquet")
+    x = (
+        o.o_orderdate.dt.normalize()
+        .value_counts()
+        .sort_index()
+        .to_numpy()
+        .astype(np.int64)
+    )
+    n = len(x)
+    s = int(np.sign(x[None, :] - x[:, None])[np.triu_indices(n, 1)].sum())
+    ties = Counter(x.tolist())
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1)
+    var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    z = (s - 1) / math.sqrt(var_s) if s > 0 else (s + 1) / math.sqrt(var_s) if s < 0 else 0.0
+    assert r.n_days == n and r.s_stat == s
+    assert abs(r.var_s - var_s) < 0.5
+    assert abs(r.z_stat - z) < 1e-4
+    assert abs(r.tau_a - s / (n * (n - 1) / 2)) < 1e-6
+
+
+def test_neighbor_jaccard_invariants(spark):
+    rows = _rows(spark, "supplier_neighbor_jaccard_topk")
+    assert rows and len(rows) <= 20
+    prev = 2.0
+    for r in rows:
+        assert r.s1 < r.s2
+        assert 0.0 < r.jaccard <= 1.0 + 1e-9
+        assert r.jaccard <= prev + 1e-12  # sorted desc
+        prev = r.jaccard
+        assert r.n_common >= 1
+
+
+def test_tokenizer_fertility_consistent_with_trainer(spark):
+    """Fertility must reflect exactly 3 merges: per-source symbol
+    savings equals the per-word savings implied by the learned merges,
+    and every source's fertility sits strictly between the post-merge
+    floor and the character baseline."""
+    rows = _rows(spark, "tokenizer_fertility_by_source")
+    assert rows
+    for r in rows:
+        assert r.n_sym_after < r.n_sym_before  # 3 merges saved something
+        assert 1.0 < r.fertility < r.n_sym_before / r.n_tokens + 1e-9
+        assert abs(r.fertility - r.n_sym_after / r.n_tokens) < 1e-5
+        assert abs(r.compression - r.n_sym_after / r.n_sym_before) < 1e-5
+
+
+def test_span_corruption_replica_python(spark):
+    """Deterministic mask replica: same md5-derived hash, same block
+    geometry, recomputed from the raw parquet."""
+    import hashlib
+
+    import pandas as pd
+
+    rows = {r.source: r for r in _rows(spark, "span_corruption_manifest")}
+    docs = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    agg: dict = {}
+    for doc_id, src, text in zip(docs.doc_id, docs.source, docs.text):
+        toks = [t for t in str(text).split() if t]
+        if not toks:
+            continue
+        a = agg.setdefault(src, [0, 0, 0, 0])  # docs, toks, spans, masked
+        a[0] += 1
+        a[1] += len(toks)
+        n_blocks = (len(toks) + 2) // 3
+        for b in range(n_blocks):
+            h = int(
+                hashlib.md5(f"{doc_id}:{b}".encode()).hexdigest()[:15], 16
+            )
+            if h % 100 < 15:
+                a[2] += 1
+                a[3] += min(3, len(toks) - b * 3)
+    assert set(rows) == set(agg)
+    for src, (nd, nt, ns, nm) in agg.items():
+        r = rows[src]
+        assert (r.n_docs, r.n_tokens, r.n_spans, r.masked_tokens) == (
+            nd,
+            nt,
+            ns,
+            nm,
+        )
+        # realized rate within a loose band of the 15% design point
+        assert 0.03 < r.mask_rate < 0.4

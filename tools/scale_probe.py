@@ -126,6 +126,10 @@ DOC_QUERIES = (
     "winnowing_dup_pairs",  # fingerprint-keyed join under the bucket cap
     # --- round-11 backlog ---
     "source_char_entropy",  # (doc, char) partial agg + doc-local windows
+    "simhash_band_dup_pairs",  # 60-vote agg + capped band equi-join
+    "bpe_merge_rounds",  # vocabulary-grain rounds after one word count
+    "tokenizer_fertility_by_source",  # trainer + vocab-keyed apply join
+    "span_corruption_manifest",  # posexplode + (doc, block) rollup
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i
@@ -271,6 +275,18 @@ SF_QUERIES = (
     "orders_weibull_delay_fit",  # day-domain CDF + 5-sum OLS fold
     "events_burst_scan_statistic",  # (type, minute) agg + RANGE window
     "lineitem_boosted_stumps",  # one histogram shuffle + 50-row algebra
+    "orders_ar2_yule_walker",  # daily rollup + calendar-bounded lags
+    "orders_spectral_entropy",  # x10 period fan-out, 10-row folds
+    "ship_delay_nelson_aalen",  # orderkey agg + horizon-bounded cumsums
+    "events_allan_variance",  # daily rollup + x4 dyadic block aggs
+    "orders_holt_linear_smoothing",  # monthly rollup + bounded fold
+    "customer_spend_lorenz_gini",  # custkey agg + spend-bucket windows
+    "trade_bfs_hop_histogram",  # 6 frontier joins on the memoized edges
+    "parquet_footer_stats_audit",  # footer-only parse + per-table extrema
+    "kmv_intersection_audit",  # per-type k-min windows + dict pair joins
+    "events_interarrival_fit",  # one partitioned lag + per-type moments
+    "orders_mann_kendall_trend",  # daily rollup + |days|^2 bounded join
+    "supplier_neighbor_jaccard_topk",  # degree-capped wedge join + top-k
 )
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 

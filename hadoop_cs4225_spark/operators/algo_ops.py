@@ -114,6 +114,27 @@ def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo(spark, sf_dir, "events_daily_counts", build, src_table="events")
 
 
+def _orders_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, x) daily order-count series shared by the periodogram,
+    spectral-entropy, AR(2)/Yule-Walker and Mann-Kendall queries —
+    session-memoized + localCheckpointed (the ``_daily_counts``
+    discipline) so the orders scan + calendar rollup runs once per
+    session, not once per spectral/trend query."""
+    from hadoop_cs4225_spark.operators.dedup import _memo
+
+    def build() -> DataFrame:
+        return (
+            load_table(spark, sf_dir, "orders")
+            .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+            .agg(F.count(F.lit(1)).cast("long").alias("x"))
+            .localCheckpoint(eager=False)
+        )
+
+    return _memo(
+        spark, sf_dir, "orders_daily_counts", build, src_table="orders"
+    )
+
+
 def _transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(cur, nxt, c) next-event transition counts shared by the Markov
     accuracy and entropy-rate queries (same memo discipline — the
@@ -6662,10 +6683,7 @@ def orders_periodogram_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No reference analogue; extends the SURVEY §2 statistics family.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.col("o_orderdate").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    daily = _orders_daily_counts(spark, sf_dir)
     idxd = daily.select(
         "x", (F.row_number().over(Window.orderBy("day")) - 1).alias("t")
     )
@@ -7642,10 +7660,7 @@ def orders_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No reference analogue; extends the SURVEY §2 statistics family.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.col("o_orderdate").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    daily = _orders_daily_counts(spark, sf_dir)
     w = Window.orderBy("day")
     lagged = daily.select(
         "x",
@@ -7834,10 +7849,7 @@ def orders_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No reference analogue; extends the SURVEY §2 statistics family.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.col("o_orderdate").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    daily = _orders_daily_counts(spark, sf_dir)
     idxd = daily.select(
         "x", (F.row_number().over(Window.orderBy("day")) - 1).alias("t")
     )
@@ -8147,10 +8159,9 @@ def events_allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No reference analogue; extends the SURVEY §2 statistics family.
     """
-    ev = load_events(spark, sf_dir)
-    daily = ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    daily = _daily_counts(spark, sf_dir).select(
+        "event_type", "day", F.col("cnt").cast("long").alias("x")
+    )
     w_idx = Window.partitionBy("event_type").orderBy("day")
     idxd = daily.select(
         "event_type", "x", (F.row_number().over(w_idx) - 1).alias("t")
@@ -8620,12 +8631,8 @@ def orders_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No reference analogue; extends the SURVEY §2 statistics family.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    daily = (
-        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
-        .agg(F.count(F.lit(1)).cast("long").alias("x"))
-        .localCheckpoint(eager=False)  # self-join + ties + count
-    )
+    # the memoized frame is already checkpointed for its 3 consumers
+    daily = _orders_daily_counts(spark, sf_dir)
     a = daily.select(F.col("day").alias("d1"), F.col("x").alias("x1"))
     b = daily.select(F.col("day").alias("d2"), F.col("x").alias("x2"))
     s = (

@@ -228,6 +228,7 @@ def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:
     load_all()
     from hadoop_cs4225_spark.operators.algo_ops import (
         _daily_counts,
+        _orders_daily_counts,
         _transition_counts,
     )
     from hadoop_cs4225_spark.operators.dedup import (
@@ -254,6 +255,7 @@ def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:
         lambda: _mutual_topk_edges(spark, sf_dir),
         lambda: _trade_edges(spark, sf_dir),
         lambda: _daily_counts(spark, sf_dir),
+        lambda: _orders_daily_counts(spark, sf_dir),
         lambda: _transition_counts(spark, sf_dir),
     )
     for build in builders:

@@ -116,6 +116,25 @@ FLAGSHIPS = (
         "two BIGINT sign words per vector; XOR+popcount distance; "
         "TakeOrderedAndProject top-k — the 1-bit quantized scan",
     ),
+    (
+        "bpe_merge_rounds",
+        "one corpus-grain word count, then VOCABULARY-grain rounds: "
+        "per-round pair agg + TakeOrderedAndProject(1) top pair "
+        "broadcast back into a substring-replace projection — the "
+        "iterative tokenizer-training loop with no driver collect",
+    ),
+    (
+        "simhash_band_dup_pairs",
+        "60-vote map-side-combined agg, x4 band fan-out, bucket-capped "
+        "(band, val) equi-join, XOR+popcount verify — the bit-vector "
+        "near-dup join; no cartesian anywhere",
+    ),
+    (
+        "trade_bfs_hop_histogram",
+        "6 unrolled frontier equi-joins + left-anti visited checks "
+        "over the checkpointed edge list — BFS as keyed joins, "
+        "per-round lineage truncation",
+    ),
 )
 
 

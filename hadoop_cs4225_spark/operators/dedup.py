@@ -1831,8 +1831,17 @@ def winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     w = _WDP_W
-    d = docs.select("doc_id", _toks().alias("toks")).where(
-        F.size("toks") >= w + 2
+    # The O(n*w) winnowing map is ~100x the scan cost, and the corpus
+    # arrives as one row group here — without an explicit repartition
+    # the whole pass runs in ONE task (an explicit width survives AQE,
+    # which would coalesce a size-based shuffle right back). Shuffling
+    # the raw rows costs ~MBs; the map then uses every core. At 100 TB
+    # the many-file scan parallelizes naturally and this exchange is
+    # noise.
+    d = (
+        docs.select("doc_id", _toks().alias("toks"))
+        .where(F.size("toks") >= w + 2)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     hashes = F.transform(
         F.sequence(F.lit(0), F.size("toks") - 3),
@@ -2000,8 +2009,14 @@ def simhash_band_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No reference analogue; extends SURVEY §2's dedup family.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _toks().alias("toks")
+    # md5-per-token + 60 partial vote sums dwarf the scan cost, and the
+    # corpus arrives as one row group here: repartition first so the
+    # map-side agg uses every core instead of one task (the winnowing
+    # discipline; explicit width survives AQE coalescing).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", _toks().alias("toks"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     hs = F.transform(F.col("toks"), lambda x: hash60(x))
     votes = [

@@ -8690,3 +8690,158 @@ def orders_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tau_a"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: segment-stratified Kaplan-Meier (per-stratum life tables)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ship_delay_km_by_segment",
+    oracle=f"""
+WITH per_order AS (
+  SELECT o.o_orderkey, c.c_mktsegment AS seg,
+         greatest(datediff('day', CAST(o.o_orderdate AS DATE),
+                           MIN(CAST(l.l_shipdate AS DATE))), 0) AS dur
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, c.c_mktsegment, o.o_orderdate
+), obs AS (
+  SELECT seg, least(dur, {_KM_HORIZON}) AS t_days,
+         CASE WHEN dur <= {_KM_HORIZON} THEN 1 ELSE 0 END AS event
+  FROM per_order
+), cnt AS (
+  SELECT seg, CAST(t_days AS BIGINT) AS t_days,
+         CAST(SUM(event) AS BIGINT) AS n_events,
+         CAST(SUM(1 - event) AS BIGINT) AS n_censored
+  FROM obs GROUP BY seg, t_days
+), totals AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_total FROM obs GROUP BY seg
+), risk AS (
+  SELECT c.seg, c.t_days, c.n_events, c.n_censored,
+         CAST(t.n_total - COALESCE(SUM(c.n_events + c.n_censored) OVER (
+           PARTITION BY c.seg ORDER BY c.t_days
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_risk
+  FROM cnt c JOIN totals t ON t.seg = c.seg
+), terms AS (
+  SELECT seg, t_days, n_risk, n_events, n_censored,
+         CASE WHEN n_events > 0 THEN
+           CAST(floor(ln(CAST(n_risk - n_events AS DOUBLE)
+                         / CAST(n_risk AS DOUBLE)) * {_KM_GRID} + 0.5)
+                AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS lnterm
+  FROM risk
+)
+SELECT seg AS mktsegment, t_days, n_risk, n_events, n_censored,
+       {quant_sql(
+           f"exp(CAST(SUM(lnterm) OVER (PARTITION BY seg ORDER BY t_days "
+           f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
+           f" / {_KM_GRID})", 6)} AS survival
+FROM terms
+ORDER BY mktsegment, t_days
+""",
+)
+def ship_delay_km_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of the order-to-first-ship delay
+    STRATIFIED by customer market segment: one product-limit life
+    table per segment over the same censoring scheme as
+    ``orders_kaplan_meier`` (horizon {_KM_HORIZON} days). Stratified
+    KM is how a fulfillment SLA is actually monitored — a pooled curve
+    hides a segment whose deliveries regress; the per-stratum curves
+    are the inputs to a log-rank comparison.
+
+    Determinism: the KM ln-grid discipline per stratum (quantized
+    ln((n-d)/n) terms, BIGINT cumulative sums, one exp + quant).
+    Scale: the dimension join is broadcast-able (customer segment);
+    the life-table windows are PARTITIONED BY SEGMENT over the
+    horizon-bounded day axis (|segments| x {_KM_HORIZON + 1} rows
+    ceiling at any corpus size) — unlike the global KM there is no
+    partition-less window at all.
+
+    No reference analogue; extends the SURVEY §2 statistics family.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderkey", "seg", "o_orderdate")
+        .agg(F.min(F.col("l_shipdate").cast("date")).alias("first_ship"))
+        .select(
+            "seg",
+            F.greatest(
+                F.datediff("first_ship", F.col("o_orderdate").cast("date")),
+                F.lit(0),
+            ).alias("dur"),
+        )
+    )
+    obs = per_order.select(
+        "seg",
+        F.least(F.col("dur"), F.lit(_KM_HORIZON)).alias("t_days"),
+        (F.col("dur") <= _KM_HORIZON).cast("int").alias("event"),
+    )
+    cnt = obs.groupBy("seg", "t_days").agg(
+        F.sum("event").cast("long").alias("n_events"),
+        F.sum(1 - F.col("event")).cast("long").alias("n_censored"),
+    )
+    totals = obs.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    w_prev = (
+        Window.partitionBy("seg")
+        .orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = cnt.join(totals, "seg").select(
+        "seg",
+        F.col("t_days").cast("long").alias("t_days"),
+        "n_events",
+        "n_censored",
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(w_prev),
+                F.lit(0),
+            )
+        ).alias("n_risk"),
+    )
+    lnterm = F.when(
+        F.col("n_events") > 0,
+        F.floor(
+            F.log(
+                (F.col("n_risk") - F.col("n_events")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * _KM_GRID
+            + 0.5
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    w_cum = (
+        Window.partitionBy("seg")
+        .orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        risk.withColumn("lnterm", lnterm)
+        .select(
+            F.col("seg").alias("mktsegment"),
+            "t_days",
+            "n_risk",
+            "n_events",
+            "n_censored",
+            quant(
+                F.exp(F.sum("lnterm").over(w_cum).cast("double") / _KM_GRID),
+                6,
+            ).alias("survival"),
+        )
+        .orderBy("mktsegment", "t_days")
+    )

@@ -1608,3 +1608,96 @@ def supplier_neighbor_jaccard_topk(
         .orderBy(F.desc("jaccard"), "s1", "s2")
         .limit(_NJ_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: degree-distribution heavy-tail fit per node kind
+# ---------------------------------------------------------------------------
+
+#: Hill-estimator tail threshold (degree) — well inside both kinds'
+#: tails at every test SF.
+_DEG_XMIN = 4
+
+
+@register(
+    "trade_degree_powerlaw",
+    oracle=f"""
+WITH {_EDGES_SQL},
+kinds AS (
+  SELECT src,
+         CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+         d
+  FROM deg
+), fit AS (
+  SELECT kind,
+         CAST(COUNT(*) AS BIGINT) AS n_tail,
+         SUM(LN(CAST(d AS DOUBLE) / {_DEG_XMIN}.0)) AS s_ln
+  FROM kinds WHERE d >= {_DEG_XMIN} GROUP BY kind
+), tot AS (
+  SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(MAX(d) AS BIGINT) AS max_degree
+  FROM kinds GROUP BY kind
+)
+SELECT t.kind, t.n_nodes, f.n_tail, t.max_degree,
+       {quant_sql("1.0 + CAST(f.n_tail AS DOUBLE) / f.s_ln", 4)}
+         AS alpha_hill
+FROM tot t JOIN fit f ON t.kind = f.kind
+ORDER BY t.kind
+""",
+)
+def trade_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-tail fit of the trade network's degree distribution, per
+    node kind (customer / supplier): the Hill estimator alpha = 1 +
+    n / sum(ln(d/dmin)) over nodes with degree >= {_DEG_XMIN}, plus
+    the max degree. The degree-tail exponent is what decides the
+    SKEW-handling strategy for every graph query on this network — a
+    low alpha (fat tail) says hub nodes exist and the wedge/message
+    bounds (degree caps, salting) are load-bearing, not paranoia.
+    Complements ``graph_degree_assortativity`` (degree CORRELATION)
+    with the marginal-distribution shape, on the same memoized edges
+    as PageRank/BFS. ``source_length_powerlaw``'s estimator, applied
+    to graph degrees.
+
+    Plan: one degree aggregate over the checkpointed edge list, a
+    pushed-down tail filter, one (kind) fold each side, a 2-row join.
+    ln() of identical doubles is engine-stable; the 4-dp quantizer
+    absorbs summation-order ulps (the source_length_powerlaw
+    discipline).
+
+    No reference analogue; extends the SURVEY §2 graph family.
+    """
+    edges = _trade_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    kinds = deg.select(
+        F.when(F.col("src") % 2 == 0, "customer")
+        .otherwise("supplier")
+        .alias("kind"),
+        "d",
+    )
+    fit = (
+        kinds.where(F.col("d") >= _DEG_XMIN)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tail"),
+            F.sum(
+                F.log(F.col("d").cast("double") / float(_DEG_XMIN))
+            ).alias("s_ln"),
+        )
+    )
+    tot = kinds.groupBy("kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.max("d").cast("long").alias("max_degree"),
+    )
+    return (
+        tot.join(fit, "kind")
+        .select(
+            "kind",
+            "n_nodes",
+            "n_tail",
+            "max_degree",
+            quant(
+                1.0 + F.col("n_tail").cast("double") / F.col("s_ln"), 4
+            ).alias("alpha_hill"),
+        )
+        .orderBy("kind")
+    )

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hadoop_cs4225_spark.functions.numeric import quant, quant_sql
 from hadoop_cs4225_spark.operators.dedup import _TOKS_SQL, _toks
 from hadoop_cs4225_spark.registry import register
 from hadoop_cs4225_spark.sources.tables import load_table
@@ -291,4 +292,130 @@ def curriculum_phase_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
         .orderBy("phase")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: packing-efficiency curve across context-length budgets
+# ---------------------------------------------------------------------------
+
+#: Candidate context lengths (tokens). The curve answers the planning
+#: question BEFORE a training run commits to one: how many contexts,
+#: how many document straddles (attention-mask pollution under
+#: concat-and-chunk), and how much tail padding each budget costs.
+_PACK_BUDGETS = (512, 2048, 8192)
+
+
+@register(
+    "packing_efficiency_curve",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, len({_TOKS_SQL}) AS n_tokens FROM documents
+), placed AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS off
+  FROM toks
+), fanned AS (
+  SELECT p.*, b.budget FROM placed p,
+       (SELECT unnest([{", ".join(str(b) for b in _PACK_BUDGETS)}])
+          AS budget) b
+), per_source AS (
+  SELECT budget, source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS t_tokens,
+         CAST(SUM(CASE WHEN (off + n_tokens - 1) // budget
+                         > off // budget THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_straddle
+  FROM fanned GROUP BY budget, source
+)
+SELECT CAST(budget AS BIGINT) AS budget,
+       CAST(SUM((t_tokens + budget - 1) // budget) AS BIGINT) AS n_bins,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(n_straddle) AS BIGINT) AS n_straddle,
+       {quant_sql("SUM(n_straddle) * 1.0 / SUM(n_docs)", 6)}
+         AS straddle_rate,
+       CAST(SUM((t_tokens + budget - 1) // budget * budget - t_tokens)
+            AS BIGINT) AS tail_waste_tokens,
+       {quant_sql(
+           "SUM((t_tokens + budget - 1) // budget * budget - t_tokens)"
+           " * 1.0 / SUM((t_tokens + budget - 1) // budget * budget)",
+           6)} AS waste_frac
+FROM per_source
+GROUP BY budget
+ORDER BY budget
+""",
+)
+def packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing efficiency at context budgets
+    {_PACK_BUDGETS}: per budget, the total context count, document
+    straddle count/rate (docs a tokenizer would split across contexts
+    — attention-mask pollution), and tail padding (the last partial
+    bin per source stream). ``sequence_pack_bins`` materializes the
+    layout for ONE budget; this sweeps the budgets a training run
+    chooses between — longer contexts straddle more documents but
+    waste less tail, and the curve quantifies that trade-off from the
+    real corpus instead of a rule of thumb.
+
+    Determinism: offsets are exact BIGINT cumulative sums over the
+    per-source doc order (same window as ``sequence_pack_bins``);
+    bin arithmetic is integer floor-division on non-negative values
+    (identical in both engines); two quantized rate divisions.
+
+    Scale: ONE per-source cumulative window over the doc stream (the
+    pack-bins plan, sub-shardable the same way), a x{len(_PACK_BUDGETS)}
+    constant budget fan-out, two grouped folds. Nothing new touches
+    corpus grain more than once.
+
+    No reference analogue; extends SURVEY §2's LLM-pipeline family.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(_toks()).cast("long").alias("n_tokens")
+    )
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = docs.select(
+        "source",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("off"),
+    )
+    budgets = spark.createDataFrame(
+        [(b,) for b in _PACK_BUDGETS], "budget long"
+    )
+    straddle = (
+        F.expr("(off + n_tokens - 1) div budget") > F.expr("off div budget")
+    ).cast("int")
+    per_source = (
+        placed.crossJoin(F.broadcast(budgets))
+        .groupBy("budget", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("t_tokens"),
+            F.sum(straddle).cast("long").alias("n_straddle"),
+        )
+    )
+    n_bins = F.expr("(t_tokens + budget - 1) div budget")
+    waste = n_bins * F.col("budget") - F.col("t_tokens")
+    return (
+        per_source.groupBy("budget")
+        .agg(
+            F.sum(n_bins).cast("long").alias("n_bins"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_straddle").cast("long").alias("n_straddle"),
+            quant(
+                F.sum("n_straddle") * 1.0 / F.sum("n_docs"), 6
+            ).alias("straddle_rate"),
+            F.sum(waste).cast("long").alias("tail_waste_tokens"),
+            quant(
+                F.sum(waste) * 1.0 / F.sum(n_bins * F.col("budget")), 6
+            ).alias("waste_frac"),
+        )
+        .orderBy("budget")
     )

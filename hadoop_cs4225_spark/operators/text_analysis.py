@@ -4775,3 +4775,145 @@ def span_corruption_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: perplexity-outlier quality gate (the classic LLM data filter)
+# ---------------------------------------------------------------------------
+
+#: Fluency bins are CENTINATS of mean bigram log-prob (floor(avg*100))
+#: — the value-domain-bounded axis the median/MAD run on (the
+#: doc_mad_outliers histogram discipline; ~2k bins whatever the corpus
+#: size). Gate: mean log-prob more than _FLU_K MADs BELOW the corpus
+#: median — the model-based "perplexity filter" every LLM curation
+#: pipeline runs (gibberish and wrong-language text score far less
+#: fluent than the corpus bulk).
+_FLU_K = 3
+
+
+@register(
+    "doc_fluency_outlier_gate",
+    oracle=f"""
+WITH {_BLM_TERMS_CTES}, perdoc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t_s) AS BIGINT) AS s
+  FROM terms GROUP BY doc_id
+), binned AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(floor(CAST(s AS DOUBLE) * 100.0 / n / {_BLM_GRID})
+              AS BIGINT) AS bin
+  FROM perdoc
+), hist AS MATERIALIZED (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM binned GROUP BY bin
+), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM hist),
+med AS MATERIALIZED (
+  SELECT MIN(bin) AS med FROM (
+    SELECT bin, SUM(c) OVER (ORDER BY bin
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM hist) h CROSS JOIN tot
+  WHERE 2 * cum >= nn
+), devhist AS (
+  SELECT abs(bin - med) AS dev, CAST(SUM(c) AS BIGINT) AS c
+  FROM hist CROSS JOIN med GROUP BY dev
+), mad AS MATERIALIZED (
+  SELECT MIN(dev) AS mad FROM (
+    SELECT dev, SUM(c) OVER (ORDER BY dev
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM devhist) x CROSS JOIN tot
+  WHERE 2 * cum >= nn
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN b.bin < med.med - {_FLU_K} * mad.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_low_fluency,
+       {quant_sql(
+           f"SUM(CASE WHEN b.bin < med.med - {_FLU_K} * mad.mad"
+           " THEN 1 ELSE 0 END) * 1.0 / COUNT(*)", 6)} AS low_rate,
+       ANY_VALUE(med.med) AS median_centinats,
+       ANY_VALUE(mad.mad) AS mad_centinats
+FROM binned b
+JOIN documents d USING (doc_id)
+CROSS JOIN med CROSS JOIN mad
+GROUP BY d.source
+ORDER BY d.source
+""",
+)
+def doc_fluency_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-outlier quality gate per source: score every document
+    by mean bigram log-probability under the SHARED corpus LM
+    (:func:`_bigram_terms` — the same model ``doc_bigram_logprob`` and
+    ``source_bigram_perplexity`` score with, so the gate cannot drift
+    from the scores), bin scores into centinats, and flag documents
+    more than {_FLU_K} MADs below the corpus MEDIAN — the model-based
+    fluency filter (the "perplexity filter") that sits beside the
+    rule-based ``quality_filter_funnel`` in every LLM curation
+    pipeline. Reports per-source flag counts and rates plus the
+    corpus median/MAD thresholds on every row.
+
+    Determinism: per-doc scores are BIGINT grid sums; binning is one
+    floor; median and MAD are integer order statistics read off
+    VALUE-DOMAIN-BOUNDED histograms (the ``doc_mad_outliers``
+    discipline — the cumulative windows scan ~2k centinat bins, never
+    corpus rows; allowlisted), and the gate compare is pure integer.
+    Docs with fewer than 2 tokens have no bigrams and are not scored
+    (both engines).
+
+    Scale: the LM joins are the shared ``_bigram_terms`` plan; the
+    gate adds one doc-grain rollup, two bounded histogram walks, a
+    broadcast threshold join and a source rollup.
+
+    No reference analogue; extends SURVEY §2's LLM-pipeline family.
+    """
+    perdoc = _bigram_terms(spark, sf_dir).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t_s").cast("long").alias("s"),
+    )
+    binned = perdoc.select(
+        "doc_id",
+        F.floor(
+            F.col("s").cast("double") * 100.0 / F.col("n") / _BLM_GRID
+        )
+        .cast("long")
+        .alias("bin"),
+    ).localCheckpoint(eager=False)  # hist + the gate join
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=False)  # tot + med + devhist
+    tot = F.broadcast(hist.agg(F.sum("c").cast("long").alias("nn")))
+    w_bin = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    med = F.broadcast(
+        hist.select("bin", F.sum("c").over(w_bin).alias("cum"))
+        .crossJoin(tot)
+        .where(2 * F.col("cum") >= F.col("nn"))
+        .agg(F.min("bin").alias("med"))
+    )
+    devhist = (
+        hist.crossJoin(med)
+        .groupBy(F.abs(F.col("bin") - F.col("med")).alias("dev"))
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    w_dev = Window.orderBy("dev").rowsBetween(Window.unboundedPreceding, 0)
+    mad = F.broadcast(
+        devhist.select("dev", F.sum("c").over(w_dev).alias("cum"))
+        .crossJoin(tot)
+        .where(2 * F.col("cum") >= F.col("nn"))
+        .agg(F.min("dev").alias("mad"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    low = F.col("bin") < F.col("med") - _FLU_K * F.col("mad")
+    return (
+        binned.join(docs, "doc_id")
+        .crossJoin(med)
+        .crossJoin(mad)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(low.cast("int")).cast("long").alias("n_low_fluency"),
+            quant(
+                F.sum(low.cast("int")) * 1.0 / F.count(F.lit(1)), 6
+            ).alias("low_rate"),
+            F.first("med").alias("median_centinats"),
+            F.first("mad").alias("mad_centinats"),
+        )
+        .orderBy("source")
+    )

@@ -211,6 +211,11 @@ _PRIORITY = (
 #:   supplier_neighbor_jaccard_topk (neighbor-set structural similarity)
 #:   tokenizer_fertility_by_source (apply the learned BPE merges)
 #:   span_corruption_manifest     (T5-style deterministic masking plan)
+#: batch 5 (tests/test_round11_batch5.py):
+#:   doc_fluency_outlier_gate     (perplexity-filter gate, shared LM)
+#:   packing_efficiency_curve     (context-length packing trade-off)
+#:   trade_degree_powerlaw        (degree-tail Hill fit per node kind)
+#:   ship_delay_km_by_segment     (stratified product-limit survival)
 #: With the r10 staleness rotation landed, next round's window should
 #: continue refreshing the OLDEST remaining driver rows (r04-r05) in
 #: the slots these ten leave free.

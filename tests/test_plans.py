@@ -236,6 +236,8 @@ _BOUNDED_ALLPAIRS = {
     "tokenizer_fertility_by_source",  # embeds the trainer's 1-row joins
     "kmv_intersection_audit",  # |types|^2 dictionary-bounded theta pairs
     "orders_mann_kendall_trend",  # calendar-bounded |days|^2 sign self-join
+    "doc_fluency_outlier_gate",  # 1-row median/MAD threshold cross joins
+    "packing_efficiency_curve",  # broadcast 3-row budget-grid fan-out
 }
 
 
@@ -364,6 +366,9 @@ _BOUNDED_GLOBAL_WINDOW = {
     # cumulative pop/spend over the SPEND-DOMAIN-bounded bucket axis
     # (range / $1024 — the skyline/part_abc bucket argument)
     "customer_spend_lorenz_gini": 1 << 20,
+    # median/MAD cumulatives over the CENTINAT-bounded fluency histogram
+    # (log-prob domain, the doc_mad_outliers argument)
+    "doc_fluency_outlier_gate": 65_536,
 }
 
 

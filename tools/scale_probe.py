@@ -130,6 +130,8 @@ DOC_QUERIES = (
     "bpe_merge_rounds",  # vocabulary-grain rounds after one word count
     "tokenizer_fertility_by_source",  # trainer + vocab-keyed apply join
     "span_corruption_manifest",  # posexplode + (doc, block) rollup
+    "doc_fluency_outlier_gate",  # shared LM joins + bounded histograms
+    "packing_efficiency_curve",  # one source-partitioned window + fan-out
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i
@@ -287,6 +289,8 @@ SF_QUERIES = (
     "events_interarrival_fit",  # one partitioned lag + per-type moments
     "orders_mann_kendall_trend",  # daily rollup + |days|^2 bounded join
     "supplier_neighbor_jaccard_topk",  # degree-capped wedge join + top-k
+    "trade_degree_powerlaw",  # one degree agg + 2-row tail fold
+    "ship_delay_km_by_segment",  # orderkey agg + per-stratum cumsums
 )
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 

@@ -8845,3 +8845,229 @@ def ship_delay_km_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mktsegment", "t_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: two-group log-rank test on the censored ship-delay cohorts
+# ---------------------------------------------------------------------------
+
+#: The binary contrast: AUTOMOBILE-segment customers vs everyone else.
+_LR_GROUP_SEG = "AUTOMOBILE"
+
+#: Per-time expectation/variance snap grid (1e-9, the _BLM_GRID
+#: discipline: snap each term, fold BIGINTs, divide once).
+_LR_GRID = 1_000_000_000
+
+
+@register(
+    "orders_logrank_test",
+    oracle=f"""
+WITH per_order AS (
+  SELECT o.o_orderkey,
+         CASE WHEN c.c_mktsegment = '{_LR_GROUP_SEG}' THEN 1 ELSE 0 END
+           AS grp,
+         greatest(datediff('day', CAST(o.o_orderdate AS DATE),
+                           MIN(CAST(l.l_shipdate AS DATE))), 0) AS dur
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, c.c_mktsegment, o.o_orderdate
+), obs AS (
+  SELECT grp, least(dur, {_KM_HORIZON}) AS t_days,
+         CASE WHEN dur <= {_KM_HORIZON} THEN 1 ELSE 0 END AS event
+  FROM per_order
+), cnt AS (
+  SELECT grp, CAST(t_days AS BIGINT) AS t_days,
+         CAST(SUM(event) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS removed
+  FROM obs GROUP BY grp, t_days
+), days AS (SELECT DISTINCT t_days FROM cnt),
+grid AS (
+  SELECT d.t_days, g.grp FROM days d,
+       (SELECT unnest([0, 1]) AS grp) g
+), filled AS (
+  SELECT gr.t_days, gr.grp,
+         COALESCE(c.d, 0) AS d, COALESCE(c.removed, 0) AS removed
+  FROM grid gr LEFT JOIN cnt c
+    ON c.t_days = gr.t_days AND c.grp = gr.grp
+), tot AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_total FROM obs GROUP BY grp
+), risk AS (
+  SELECT f.t_days, f.grp, f.d,
+         CAST(t.n_total - COALESCE(SUM(f.removed) OVER (
+           PARTITION BY f.grp ORDER BY f.t_days
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_risk
+  FROM filled f JOIN tot t ON t.grp = f.grp
+), wide AS (
+  SELECT a.t_days,
+         a.n_risk AS n1, a.d AS d1, b.n_risk AS n2, b.d AS d2
+  FROM (SELECT * FROM risk WHERE grp = 1) a
+  JOIN (SELECT * FROM risk WHERE grp = 0) b ON b.t_days = a.t_days
+  WHERE a.n_risk + b.n_risk > 1 AND a.d + b.d > 0
+), terms AS (
+  SELECT t_days, d1,
+         CAST(floor(CAST(n1 AS DOUBLE) * (d1 + d2) / (n1 + n2)
+                    * {_LR_GRID} + 0.5) AS BIGINT) AS e1g,
+         CAST(floor(CAST(d1 + d2 AS DOUBLE)
+                    * (CAST(n1 AS DOUBLE) / (n1 + n2))
+                    * (CAST(n2 AS DOUBLE) / (n1 + n2))
+                    * (n1 + n2 - d1 - d2) / (n1 + n2 - 1)
+                    * {_LR_GRID} + 0.5) AS BIGINT) AS vg
+  FROM wide
+), folded AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_times,
+         CAST(SUM(d1) AS BIGINT) AS o1,
+         CAST(SUM(e1g) AS BIGINT) AS e1g,
+         CAST(SUM(vg) AS BIGINT) AS vg
+  FROM terms
+)
+SELECT n_times, o1 AS observed_events,
+       {quant_sql(f"CAST(e1g AS DOUBLE) / {_LR_GRID}", 6)}
+         AS expected_events,
+       {quant_sql(f"CAST(vg AS DOUBLE) / {_LR_GRID}", 6)} AS variance,
+       {quant_sql(
+           f"(CAST(o1 AS DOUBLE) - CAST(e1g AS DOUBLE) / {_LR_GRID})"
+           f" / sqrt(CAST(vg AS DOUBLE) / {_LR_GRID})", 6)} AS z_stat,
+       {quant_sql(
+           f"(CAST(o1 AS DOUBLE) - CAST(e1g AS DOUBLE) / {_LR_GRID})"
+           f" * (CAST(o1 AS DOUBLE) - CAST(e1g AS DOUBLE) / {_LR_GRID})"
+           f" / (CAST(vg AS DOUBLE) / {_LR_GRID})", 6)} AS chi2
+FROM folded
+WHERE vg > 0
+""",
+)
+def orders_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test on the censored order-to-first-ship
+    delay: {_LR_GROUP_SEG}-segment customers vs everyone else, over
+    the SAME censoring scheme as the KM family. At every pooled event
+    time, the group-1 expectation n1*d/n and the hypergeometric
+    variance d*(n1/n)*(n2/n)*(n-d)/(n-1) accumulate; chi2 =
+    (O-E)^2/V and the signed z say whether the two survival curves
+    differ beyond chance — the SIGNIFICANCE TEST that makes the
+    ``ship_delay_km_by_segment`` curves decision-grade (Mantel 1966,
+    the standard two-sample censored comparison).
+
+    Determinism: life tables are exact BIGINTs on the pooled
+    HORIZON-bounded day grid (missing (day, group) cells filled with
+    zero events so at-risk counts carry forward exactly); each
+    per-time expectation/variance term snaps once to the 1e-9 grid
+    and folds as BIGINTs; three quantized divisions render the
+    statistics.
+
+    Scale: one orderkey partial agg, one (group, day) rollup, a x2
+    constant group fan-out over the bounded day grid, PARTITIONED
+    cumulative windows, one {_KM_HORIZON + 1}-row fold.
+
+    No reference analogue; completes the SURVEY §2 survival family
+    (KM -> Nelson-Aalen -> stratified KM -> log-rank).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == _LR_GROUP_SEG, 1)
+        .otherwise(0)
+        .alias("grp"),
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderkey", "grp", "o_orderdate")
+        .agg(F.min(F.col("l_shipdate").cast("date")).alias("first_ship"))
+        .select(
+            "grp",
+            F.greatest(
+                F.datediff("first_ship", F.col("o_orderdate").cast("date")),
+                F.lit(0),
+            ).alias("dur"),
+        )
+    )
+    obs = per_order.select(
+        "grp",
+        F.least(F.col("dur"), F.lit(_KM_HORIZON)).alias("t_days"),
+        (F.col("dur") <= _KM_HORIZON).cast("int").alias("event"),
+    )
+    cnt = obs.groupBy("grp", F.col("t_days").cast("long").alias("t_days")).agg(
+        F.sum("event").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("removed"),
+    ).localCheckpoint(eager=False)  # day grid + the fill join
+    days = cnt.select("t_days").distinct()
+    grps = spark.createDataFrame([(0,), (1,)], "grp int")
+    filled = (
+        days.crossJoin(F.broadcast(grps))
+        .join(cnt, ["t_days", "grp"], "left")
+        .select(
+            "t_days",
+            "grp",
+            F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("d"),
+            F.coalesce(F.col("removed"), F.lit(0))
+            .cast("long")
+            .alias("removed"),
+        )
+    )
+    tot = obs.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    w_prev = (
+        Window.partitionBy("grp")
+        .orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = filled.join(tot, "grp").select(
+        "t_days",
+        "grp",
+        "d",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("removed").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    a = risk.where(F.col("grp") == 1).select(
+        "t_days", F.col("n_risk").alias("n1"), F.col("d").alias("d1")
+    )
+    b = risk.where(F.col("grp") == 0).select(
+        F.col("t_days").alias("t2"),
+        F.col("n_risk").alias("n2"),
+        F.col("d").alias("d2"),
+    )
+    wide = (
+        a.join(b, a["t_days"] == b["t2"])
+        .where(
+            (F.col("n1") + F.col("n2") > 1)
+            & (F.col("d1") + F.col("d2") > 0)
+        )
+    )
+    n = F.col("n1") + F.col("n2")
+    dd = F.col("d1") + F.col("d2")
+    e1g = F.floor(
+        F.col("n1").cast("double") * dd / n * _LR_GRID + 0.5
+    ).cast("long")
+    vg = F.floor(
+        dd.cast("double")
+        * (F.col("n1").cast("double") / n)
+        * (F.col("n2").cast("double") / n)
+        * (n - dd)
+        / (n - 1)
+        * _LR_GRID
+        + 0.5
+    ).cast("long")
+    folded = wide.select("d1", e1g.alias("e1g"), vg.alias("vg")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_times"),
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("e1g").cast("long").alias("e1g"),
+        F.sum("vg").cast("long").alias("vg"),
+    )
+    o1d = F.col("o1").cast("double")
+    e1d = F.col("e1g").cast("double") / _LR_GRID
+    vd = F.col("vg").cast("double") / _LR_GRID
+    return folded.where(F.col("vg") > 0).select(
+        "n_times",
+        F.col("o1").alias("observed_events"),
+        quant(e1d, 6).alias("expected_events"),
+        quant(vd, 6).alias("variance"),
+        quant((o1d - e1d) / F.sqrt(vd), 6).alias("z_stat"),
+        quant((o1d - e1d) * (o1d - e1d) / vd, 6).alias("chi2"),
+    )

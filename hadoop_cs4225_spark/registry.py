@@ -216,6 +216,7 @@ _PRIORITY = (
 #:   packing_efficiency_curve     (context-length packing trade-off)
 #:   trade_degree_powerlaw        (degree-tail Hill fit per node kind)
 #:   ship_delay_km_by_segment     (stratified product-limit survival)
+#:   orders_logrank_test          (two-group censored comparison)
 #: With the r10 staleness rotation landed, next round's window should
 #: continue refreshing the OLDEST remaining driver rows (r04-r05) in
 #: the slots these ten leave free.

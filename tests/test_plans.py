@@ -238,6 +238,7 @@ _BOUNDED_ALLPAIRS = {
     "orders_mann_kendall_trend",  # calendar-bounded |days|^2 sign self-join
     "doc_fluency_outlier_gate",  # 1-row median/MAD threshold cross joins
     "packing_efficiency_curve",  # broadcast 3-row budget-grid fan-out
+    "orders_logrank_test",  # broadcast 2-row group grid over bounded days
 }
 
 

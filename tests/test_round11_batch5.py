@@ -120,3 +120,47 @@ def test_stratified_km_matches_pooled_shape(spark):
         total_at_0 += max(r.n_risk for r in rows)
     # strata partition the pooled cohort
     assert total_at_0 == max(p.n_risk for p in pooled.values())
+
+
+def test_logrank_replica_python(spark):
+    """Plain-python log-rank over the same censored cohorts."""
+    import pandas as pd
+
+    (r,) = _rows(spark, "orders_logrank_test")
+    o = pd.read_parquet(f"{SF_ORACLE}/orders.parquet")
+    c = pd.read_parquet(f"{SF_ORACLE}/customer.parquet")
+    li = pd.read_parquet(f"{SF_ORACLE}/lineitem.parquet")
+    first = li.groupby("l_orderkey").l_shipdate.min()
+    m = o.merge(
+        c[["c_custkey", "c_mktsegment"]],
+        left_on="o_custkey",
+        right_on="c_custkey",
+    ).set_index("o_orderkey")
+    m = m.join(first.rename("ship"), how="inner")
+    dur = (
+        (m.ship.dt.normalize() - m.o_orderdate.dt.normalize()).dt.days
+    ).clip(lower=0)
+    grp = (m.c_mktsegment == "AUTOMOBILE").astype(int)
+    t = dur.clip(upper=60)
+    ev = (dur <= 60).astype(int)
+    o1 = e1 = v = 0.0
+    n_times = 0
+    times = sorted(t.unique())
+    for tt in times:
+        at1 = (grp == 1) & (t >= tt)
+        at0 = (grp == 0) & (t >= tt)
+        n1, n2 = int(at1.sum()), int(at0.sum())
+        d1 = int(((t == tt) & ev.astype(bool) & (grp == 1)).sum())
+        d2 = int(((t == tt) & ev.astype(bool) & (grp == 0)).sum())
+        n, d = n1 + n2, d1 + d2
+        if n <= 1 or d == 0:
+            continue
+        n_times += 1
+        o1 += d1
+        e1 += n1 * d / n
+        v += d * (n1 / n) * (n2 / n) * (n - d) / (n - 1)
+    assert r.n_times == n_times
+    assert r.observed_events == o1
+    assert abs(r.expected_events - e1) < 1e-3
+    assert abs(r.variance - v) < 1e-3
+    assert abs(r.chi2 - (o1 - e1) ** 2 / v) < 1e-3

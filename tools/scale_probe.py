@@ -291,6 +291,7 @@ SF_QUERIES = (
     "supplier_neighbor_jaccard_topk",  # degree-capped wedge join + top-k
     "trade_degree_powerlaw",  # one degree agg + 2-row tail fold
     "ship_delay_km_by_segment",  # orderkey agg + per-stratum cumsums
+    "orders_logrank_test",  # pooled day-grid fold over bounded life tables
 )
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 

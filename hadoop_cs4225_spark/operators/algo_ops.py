@@ -6675,8 +6675,8 @@ def orders_periodogram_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     snaps to the 1e-6 grid and sums as BIGINTs (order-free); the
     mean-removal uses the identity Sum (x-m) c = Sum x c - m Sum c on
     those exact sums; the dominant flag uses the composite-integer MAX
-    (power grid * 64 + (63 - P)) so ties break to the LONGER period
-    identically in both engines.
+    (power grid * 64 + (63 - P)) so ties break to the SHORTER period
+    (63 - P is larger for smaller P) identically in both engines.
 
     Scale: one daily rollup, a x5 constant fan-out, one 5-row fold.
     The day index is the CALENDAR-bounded window (allowlisted).
@@ -7836,7 +7836,8 @@ def orders_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     decomposition. Extends ``orders_periodogram_power`` (which reports
     the raw spectrum on a 5-period grid) with the distribution-shape
     summary; the dominant-period tie-break is the same composite
-    integer MAX (power grid * 64 + (63 - P), longer period wins ties).
+    integer MAX (power grid * 64 + (63 - P): 63 - P is larger for
+    smaller P, so the SHORTER period wins a power tie).
 
     Determinism: trig terms snap to the shared 1e-6 grid and fold as
     BIGINTs (the periodogram discipline); each power snaps to the 1e-4
@@ -8229,7 +8230,8 @@ assert _HOLT_A + _HOLT_1A == 1.0 and _HOLT_B + _HOLT_1B == 1.0
 WITH RECURSIVE monthly AS (
   SELECT strftime(time_bucket(INTERVAL '1 month', o_orderdate), '%Y-%m')
            AS m,
-         ROUND(SUM(o_totalprice), 2) AS v
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+           AS v
   FROM orders GROUP BY m
 ), idx AS (
   SELECT m, v, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM monthly
@@ -8283,7 +8285,18 @@ def orders_holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
             .alias("m")
         )
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("v"))
+        .agg(
+            # exact-cents discipline (ADVICE r10): a double SUM is
+            # summation-order-dependent, and v seeds the recursion
+            # (l1 = v1), so a boundary-cent flip would propagate into
+            # every level/trend value. BIGINT cents are order-free.
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                )
+                / 100.0
+            ).alias("v")
+        )
     )
     series = monthly.groupBy().agg(
         F.array_sort(F.collect_list(F.struct("m", "v"))).alias("s")

@@ -95,15 +95,17 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes, probe more buckets)."""
     from hadoop_cs4225_spark.operators.pq import pq_adc_query_topk
     from hadoop_cs4225_spark.operators.similarity import (
+        _brute_topk_frame,
         ann_lsh_multiprobe_topk,
         ann_lsh_query_topk,
         ann_rerank_topk,
-        cosine_topk_brute,
         ivf_ann_query_topk,
     )
 
     brute = F.broadcast(
-        cosine_topk_brute(spark, sf_dir)
+        # shared memoized ground truth (one brute scan per session for
+        # all audit/fusion composers — VERDICT r10 task 4)
+        _brute_topk_frame(spark, sf_dir)
         # explicit re-ORDER before the tighter limit (see oracle note)
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(K)

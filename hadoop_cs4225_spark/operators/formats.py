@@ -423,7 +423,7 @@ _FOOTER_COLS = {
 
 _FOOTER_UDF_SCHEMA = (
     "tbl string, column_name string, n_values long, "
-    "fmin double, fmax double"
+    "fmin double, fmax double, has_stats boolean"
 )
 
 
@@ -431,7 +431,11 @@ def _footer_rows(it):
     """mapInPandas worker: parse each file's FOOTER ONLY (pyarrow
     ParquetFile reads metadata lazily — never the data pages) and emit
     one row per audited column chunk, already folded across the file's
-    row groups."""
+    row groups. A column chunk WITHOUT min/max statistics poisons the
+    fold permanently (has_stats goes false and fmin/fmax pin to None
+    — ADVICE r10: a later chunk's values must never overwrite the
+    "stats missing" state, or the audit reports a match for exactly
+    the writer regression it exists to catch)."""
     import pandas as pd
     import pyarrow.parquet as pq
 
@@ -440,6 +444,7 @@ def _footer_rows(it):
         for tbl, path in zip(pdf["tbl"], pdf["path"]):
             md = pq.ParquetFile(path).metadata
             want = set(_FOOTER_COLS[tbl])
+            # name -> [n_values, fmin, fmax, has_stats]
             acc: dict = {}
             for rg in range(md.num_row_groups):
                 g = md.row_group(rg)
@@ -449,22 +454,24 @@ def _footer_rows(it):
                     if name not in want:
                         continue
                     st = c.statistics
-                    lo = float(st.min) if st and st.has_min_max else None
-                    hi = float(st.max) if st and st.has_min_max else None
-                    n, p_lo, p_hi = acc.get(name, (0, None, None))
-                    acc[name] = (
-                        n + c.num_values,
-                        lo if p_lo is None else (
-                            None if lo is None else min(p_lo, lo)
-                        ),
-                        hi if p_hi is None else (
-                            None if hi is None else max(p_hi, hi)
-                        ),
-                    )
-            for name, (n, lo, hi) in acc.items():
-                rows.append((tbl, name, n, lo, hi))
+                    ok = bool(st and st.has_min_max)
+                    a = acc.setdefault(name, [0, None, None, True])
+                    a[0] += c.num_values
+                    if not ok:
+                        a[1] = a[2] = None
+                        a[3] = False
+                    elif a[3]:
+                        lo, hi = float(st.min), float(st.max)
+                        a[1] = lo if a[1] is None else min(a[1], lo)
+                        a[2] = hi if a[2] is None else max(a[2], hi)
+            for name, (n, lo, hi, ok) in acc.items():
+                rows.append((tbl, name, n, lo, hi, ok))
         yield pd.DataFrame(
-            rows, columns=["tbl", "column_name", "n_values", "fmin", "fmax"]
+            rows,
+            columns=[
+                "tbl", "column_name", "n_values", "fmin", "fmax",
+                "has_stats",
+            ],
         )
 
 
@@ -501,9 +508,14 @@ def parquet_footer_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the Parquet spec) by emitting literal TRUE flags alongside the
     independently-computed data extrema: if Spark's footer parse or
     the writer's stats ever disagree with the data, the genuine flags
-    go false and the value-hash mismatches. n_values (sum of column-
-    chunk value counts, null-inclusive for these required columns)
-    is cross-checked against COUNT(*) exactly.
+    go false and the value-hash mismatches. A single stats-less column
+    chunk ANYWHERE fails the audit (per-file fold pins fmin/fmax to
+    None once missing; cross-file ``bool_and`` carries it — ADVICE
+    r10), and the file list is a real directory walk, so multi-part
+    table layouts are fully covered (both pinned in
+    tests/test_round11_batch3.py). n_values (sum of column-chunk value
+    counts, null-inclusive for these required columns) is
+    cross-checked against COUNT(*) exactly.
 
     Scale: the file-list frame carries (table, path) rows — at 100 TB
     that is thousands of files fanned across executors, each opened
@@ -516,13 +528,25 @@ def parquet_footer_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os as _os
 
+    # Real listing, not a hardcoded {table}.parquet path: a table may
+    # be a single file OR a directory of part files (ADVICE r10). The
+    # listing itself is the bounded driver-side step (file NAMES only);
+    # footer parsing stays on the executors.
+    pairs = []
+    for t in _FOOTER_COLS:
+        root = _os.path.join(sf_dir, f"{t}.parquet")
+        if _os.path.isdir(root):
+            for dirpath, _dirs, names in _os.walk(root):
+                for n in sorted(names):
+                    if n.endswith(".parquet") and not n.startswith(
+                        ("_", ".")
+                    ):
+                        pairs.append((t, _os.path.join(dirpath, n)))
+        else:
+            pairs.append((t, root))
     files = spark.createDataFrame(
-        [
-            (t, _os.path.join(sf_dir, f"{t}.parquet"))
-            for t in _FOOTER_COLS
-        ],
-        "tbl string, path string",
-    ).repartition(len(_FOOTER_COLS))
+        pairs, "tbl string, path string"
+    ).repartition(max(len(pairs) // 4, 1))
     footer = (
         files.mapInPandas(_footer_rows, _FOOTER_UDF_SCHEMA)
         .groupBy("tbl", "column_name")
@@ -530,6 +554,8 @@ def parquet_footer_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_values").cast("long").alias("n_values"),
             F.min("fmin").alias("fmin"),
             F.max("fmax").alias("fmax"),
+            # one stats-less chunk in ANY file fails the audit
+            F.bool_and("has_stats").alias("has_stats"),
         )
     )
     data_frames = []
@@ -574,11 +600,13 @@ def parquet_footer_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "data_min",
             "data_max",
             (
-                F.col("fmin").isNotNull()
+                F.col("has_stats")
+                & F.col("fmin").isNotNull()
                 & (F.col("fmin") == F.col("data_min"))
             ).alias("footer_min_match"),
             (
-                F.col("fmax").isNotNull()
+                F.col("has_stats")
+                & F.col("fmax").isNotNull()
                 & (F.col("fmax") == F.col("data_max"))
             ).alias("footer_max_match"),
         )

@@ -91,7 +91,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size. Ranks are deterministic: both arms' scores are
     6-dp-quantized with doc-id tiebreaks on BOTH engines.
     """
-    from hadoop_cs4225_spark.operators.similarity import cosine_topk_brute
+    from hadoop_cs4225_spark.operators.similarity import _brute_topk_frame
     from hadoop_cs4225_spark.operators.text_analysis import bm25_search_topk
 
     lex = bm25_search_topk(spark, sf_dir).select(
@@ -101,7 +101,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("r_lex"),
     )
-    sem = cosine_topk_brute(spark, sf_dir).select(
+    sem = _brute_topk_frame(spark, sf_dir).select(
         F.col("vec_id").alias("id"),
         F.row_number()
         .over(Window.orderBy(F.desc("cos_sim"), "vec_id"))
@@ -186,16 +186,18 @@ def ann_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from hadoop_cs4225_spark.operators.pq import pq_adc_query_topk
     from hadoop_cs4225_spark.operators.similarity import (
+        _brute_topk_frame,
         ann_lsh_multiprobe_topk,
         ann_lsh_query_topk,
         ann_rerank_topk,
-        cosine_topk_brute,
         ivf_ann_query_topk,
     )
 
     ln2 = F.log(F.lit(2.0))
     brute = (
-        cosine_topk_brute(spark, sf_dir)
+        # shared memoized ground truth (one brute scan per session for
+        # all audit/fusion composers — VERDICT r10 task 4)
+        _brute_topk_frame(spark, sf_dir)
         .select(
             "vec_id",
             F.row_number()
@@ -349,13 +351,13 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition (the pairs/selected joins gain a query_id equi-key).
     """
     from hadoop_cs4225_spark.operators.similarity import (
+        _brute_topk_frame,
         _cos,
-        cosine_topk_brute,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     cand = (
-        cosine_topk_brute(spark, sf_dir)
+        _brute_topk_frame(spark, sf_dir)
         .select("vec_id", F.col("cos_sim").alias("relq"))
         .join(emb.select("vec_id", "embedding"), "vec_id")
         .localCheckpoint(eager=False)  # feeds pairs AND every step

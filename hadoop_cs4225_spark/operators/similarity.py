@@ -182,6 +182,29 @@ def cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _brute_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cosine_topk_brute``'s 10-row result, localCheckpointed once
+    per (session, sf) — the SHARED exact ground truth (VERDICT r10
+    task 4): four composers (``ann_recall_audit``, ``ann_ndcg_audit``,
+    ``hybrid_search_rrf``, ``mmr_diverse_topk``) each need the brute
+    all-vectors cosine scan, and without the memo every audit re-pays
+    it. The registered ``cosine_topk_brute`` query itself keeps its
+    own live plan so its bench row still measures the scan. At 100 TB
+    this is the materialized eval ground-truth table a deployment
+    writes once per query set and joins against from every audit."""
+    from hadoop_cs4225_spark.operators.dedup import _memo
+
+    return _memo(
+        spark,
+        sf_dir,
+        "sim:brute_topk",
+        lambda: cosine_topk_brute(spark, sf_dir).localCheckpoint(
+            eager=False
+        ),
+        src_table="embeddings",
+    )
+
+
 @register(
     "embedding_near_dup_pairs",
     oracle=f"""

@@ -4419,21 +4419,88 @@ def source_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-11: iterative BPE merge rounds (tokenizer training, unrolled)
 # ---------------------------------------------------------------------------
 
-#: Unrolled BPE merge rounds. Symbols are rendered as '|'-prefixed runs
-#: inside one string per word ('cat' -> '|c|a|t|</w>'): the leading '|'
-#: anchors every symbol boundary, so plain substring replace of
-#: '|x|y' -> '|xy' merges EXACTLY the adjacent occurrences, greedily
-#: left-to-right, with identical semantics in Spark and DuckDB (both
-#: engines' replace() scans left-to-right over non-overlapping
-#: matches). Words containing '|' are excluded in both engines.
+#: Unrolled BPE merge rounds. Each word is a SYMBOL ARRAY
+#: ('cat' -> ['c','a','t','</w>']) and the merge step operates at
+#: symbol-array grain in BOTH engines — never substring replace over a
+#: delimited rendering. (The previous '|x|y' -> '|xy' string replace
+#: had no right-boundary anchor: when the winning pair's right symbol
+#: is a strict prefix of a longer symbol — e.g. pair (i, n) hitting
+#: [i, n</w>] — the replace glued across the boundary and produced a
+#: non-BPE merge; ADVICE r10.) Greedy left-to-right non-overlapping
+#: semantics: Spark folds the array with an ``aggregate`` lambda
+#: holding a one-symbol lookbehind; DuckDB computes match positions
+#: and resolves x=y run overlaps by island parity (two independent
+#: formulations of the same contract, pinned equal on adversarial
+#: arrays in tests/test_round11_batch4.py and against the plain-Python
+#: replica trainer). Words containing '|' are excluded in both
+#: engines (legacy of the string rendering, kept so results are
+#: stable across rounds).
 _BPE_ROUNDS = 3
+
+#: Spark-side greedy merge of adjacent (x, y) symbol pairs, as one
+#: ``aggregate`` fold over `syms` with a struct accumulator: `pend`
+#: holds a just-seen x awaiting its y; a match emits the fused symbol
+#: and clears `pend`, so an x consumed by a merge can never start
+#: another (left-to-right non-overlapping, exactly the reference BPE
+#: trainer's behavior — including x=y runs: [a,a,a] + (a,a) -> [aa,a]).
+_BPE_MERGE_SPARK = """
+aggregate(
+  syms,
+  named_struct('out', cast(array() as array<string>),
+               'pend', cast(null as string)),
+  (acc, z) -> CASE
+    WHEN acc.pend IS NOT NULL AND z = y THEN
+      named_struct('out', concat(acc.out, array(concat(acc.pend, z))),
+                   'pend', cast(null as string))
+    WHEN z = x THEN
+      named_struct('out', CASE WHEN acc.pend IS NULL THEN acc.out
+                          ELSE concat(acc.out, array(acc.pend)) END,
+                   'pend', z)
+    ELSE
+      named_struct('out', CASE WHEN acc.pend IS NULL
+                          THEN concat(acc.out, array(z))
+                          ELSE concat(acc.out, array(acc.pend, z)) END,
+                   'pend', cast(null as string))
+  END,
+  acc -> CASE WHEN acc.pend IS NULL THEN acc.out
+         ELSE concat(acc.out, array(acc.pend)) END
+)
+"""
+
+#: DuckDB-side greedy merge, staged as three expressions (DuckDB 1.0
+#: has no general fold, but supports indexed + nested lambdas):
+#: 1. match positions i with syms[i]=x, syms[i+1]=y;
+#: 2. greedy overlap resolution — consecutive match positions occur
+#:    only when x = y (a run of x's); within each island of
+#:    consecutive positions (v - k constant over the sorted match
+#:    list) keep every other match starting from the first, which IS
+#:    left-to-right greedy;
+#: 3. rebuild the array, fusing at taken positions and dropping the
+#:    consumed right symbol.
+_BPE_DUCK_MATCHES = (
+    "list_filter(range(1, len(syms)),"
+    " i -> syms[i] = x AND syms[i + 1] = y)"
+)
+_BPE_DUCK_TAKEN = (
+    "list_filter(m, (v, k) ->"
+    " len(list_filter(m[:k-1], (u, j) -> u - j = v - k)) % 2 = 0)"
+)
+_BPE_DUCK_MERGED = (
+    "list_transform("
+    "list_filter(range(1, len(syms) + 1),"
+    " i -> NOT list_contains(taken, i - 1)),"
+    " i -> CASE WHEN list_contains(taken, i)"
+    " THEN syms[i] || syms[i + 1] ELSE syms[i] END)"
+)
 
 
 def _bpe_oracle() -> str:
     head = f"""
 w0 AS MATERIALIZED (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
-         regexp_replace(word, '(.)', '|\\1', 'g') || '|</w>' AS s
+         list_filter(string_split(
+             regexp_replace(word, '(.)', '|\\1', 'g') || '|</w>', '|'),
+           z -> z <> '') AS syms
   FROM (SELECT unnest({_TOKS_SQL}) AS word FROM documents) t
   WHERE word NOT LIKE '%|%'
   GROUP BY word
@@ -4445,22 +4512,21 @@ w0 AS MATERIALIZED (
 p{r} AS MATERIALIZED (
   SELECT syms[g.i] AS x, syms[g.i + 1] AS y,
          CAST(SUM(cnt) AS BIGINT) AS tot
-  FROM (SELECT cnt,
-               list_filter(string_split(s, '|'), z -> z <> '') AS syms
-        FROM w{r - 1}) t,
+  FROM w{r - 1} t,
        LATERAL (SELECT unnest(range(1, len(syms))) AS i) g
   GROUP BY x, y
 ), t{r} AS MATERIALIZED (
   SELECT x, y, tot FROM p{r} ORDER BY tot DESC, x, y LIMIT 1
-), w{r} AS MATERIALIZED (
-  SELECT word, cnt,
-         replace(s, '|' || x || '|' || y, '|' || x || y) AS s
+), mr{r} AS (
+  SELECT word, cnt, syms, {_BPE_DUCK_MATCHES} AS m
   FROM w{r - 1} CROSS JOIN t{r}
+), tk{r} AS (
+  SELECT word, cnt, syms, {_BPE_DUCK_TAKEN} AS taken FROM mr{r}
+), w{r} AS MATERIALIZED (
+  SELECT word, cnt, {_BPE_DUCK_MERGED} AS syms FROM tk{r}
 ), v{r} AS (
   SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) AS vocab
-  FROM (SELECT unnest(list_filter(string_split(s, '|'), z -> z <> ''))
-          AS sym
-        FROM w{r}) u
+  FROM (SELECT unnest(syms) AS sym FROM w{r}) u
 )""")
         rows.append(
             f"SELECT CAST({r} AS BIGINT) AS round, x AS merge_left,"
@@ -4496,18 +4562,17 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         .select(
             "word",
             "cnt",
-            F.concat(
-                F.regexp_replace("word", "(.)", r"|$1"), F.lit("|</w>")
-            ).alias("s"),
+            F.expr(
+                "filter(split(concat(regexp_replace(word, '(.)', '|$1'),"
+                " '|</w>'), '\\\\|'), z -> z != '')"
+            ).alias("syms"),
         )
         .localCheckpoint(eager=False)  # read by every round
     )
-    syms_expr = "filter(split(s, '\\\\|'), z -> z != '')"
     rows = []
     for r in range(1, _BPE_ROUNDS + 1):
         pairs = (
-            w.withColumn("syms", F.expr(syms_expr))
-            .where(F.size("syms") >= 2)
+            w.where(F.size("syms") >= 2)
             .select(
                 "cnt",
                 F.explode(
@@ -4531,15 +4596,13 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             .select(
                 "word",
                 "cnt",
-                F.expr(
-                    "replace(s, '|' || x || '|' || y, '|' || x || y)"
-                ).alias("s"),
+                F.expr(_BPE_MERGE_SPARK).alias("syms"),
             )
             .localCheckpoint(eager=False)  # next round + vocab count
         )
-        vocab = w.select(
-            F.explode(F.expr(syms_expr)).alias("sym")
-        ).agg(F.countDistinct("sym").cast("long").alias("vocab"))
+        vocab = w.select(F.explode("syms").alias("sym")).agg(
+            F.countDistinct("sym").cast("long").alias("vocab")
+        )
         rows.append(
             top.crossJoin(F.broadcast(vocab)).select(
                 F.lit(r).cast("long").alias("round"),
@@ -4566,12 +4629,14 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     The key scale property (and why this is feasible at 100 TB): after
     ONE corpus-grain word count, every round operates on the
     VOCABULARY-grain (word, count, symbols) frame — real BPE trainers
-    iterate over word types exactly the same way. Symbols live in a
-    '|'-anchored string ('|c|a|t|</w>'), so a merge is one substring
-    replace of '|x|y' with '|xy': left-to-right non-overlapping
-    replace IS greedy BPE merging, with bit-identical semantics in
-    both engines (the oracle unrolls the identical rounds as
-    MATERIALIZED CTEs). The top pair is a distributed
+    iterate over word types exactly the same way. Symbols live in an
+    array column and each merge rewrites the array at SYMBOL grain
+    (``_BPE_MERGE_SPARK`` fold / the DuckDB match-position stages —
+    never substring replace, which glued across boundaries when the
+    right symbol prefixed a longer one; ADVICE r10). The oracle
+    unrolls the identical rounds as MATERIALIZED CTEs, and both
+    formulations are pinned equal on adversarial arrays and the
+    plain-Python replica. The top pair is a distributed
     TakeOrderedAndProject over the bounded pair vocabulary, broadcast
     back for the merge — no driver-side collect anywhere.
 
@@ -4591,9 +4656,7 @@ WITH {_bpe_train_ctes()},
 tok AS MATERIALIZED (
   SELECT source, unnest({_TOKS_SQL}) AS word FROM documents
 ), final_w AS MATERIALIZED (
-  SELECT word,
-         CAST(len(list_filter(string_split(s, '|'), z -> z <> ''))
-              AS BIGINT) AS n_sym
+  SELECT word, CAST(len(syms) AS BIGINT) AS n_sym
   FROM w{_BPE_ROUNDS}
 )
 SELECT t.source,
@@ -4633,10 +4696,9 @@ def tokenizer_fertility_by_source(
     No reference analogue; extends SURVEY §2's LLM-pipeline family.
     """
     w_final, _ = _bpe_train(spark, sf_dir)
-    n_sym = F.size(
-        F.expr("filter(split(s, '\\\\|'), z -> z != '')")
-    ).cast("long")
-    final_w = w_final.select("word", n_sym.alias("n_sym"))
+    final_w = w_final.select(
+        "word", F.size("syms").cast("long").alias("n_sym")
+    )
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "source", F.explode(_toks()).alias("word")

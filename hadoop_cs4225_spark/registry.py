@@ -111,115 +111,93 @@ def load_all() -> None:
 
 #: Driver-correctness priority window. The driver records CORRECTNESS
 #: rows for the FIRST 50 queries in ``queries()`` iteration order.
-#: ROUND-10 ROTATION (this window): round 9's window went 50/50 green,
-#: bringing the cross-round union to 319/323 driver-checked with zero
-#: red rows ever. This window closes the remaining gap and starts the
-#: STALENESS rotation (VERDICT r9 task 4): (1) the 4-query round-9
-#: backlog leads (the only registered queries without a driver row);
-#: (2) round-10's new registrations follow so they earn driver rows
-#: the same round they land; (3) the remaining slots hold the 36
-#: queries whose driver rows are OLDEST (last checked r01-r03 —
-#: includes the byte-exact golden ``topk_common_words_min`` and the
-#: two documented rows-only entries ``approx_distinct_parts`` /
-#: ``orders_profile``, whose weaker rows-only check refreshes too).
-#: After this window lands, every registered query has a driver row
-#: and the maximum row age drops from 9 rounds to 5. Everything
-#: rotated out stays verified by the local oracle replica
-#: (tests/test_oracle_parity.py runs every oracle on every pytest run)
-#: plus the sf0.01/sf0.1 scale pins.
+#: ROUND-11 ROTATION (this window, VERDICT r10 tasks 1+8): round 10's
+#: window went 48/50 hash-green (+2 declared rows-only), making the
+#: cross-round union 333/358 with zero red rows ever. This window
+#: (1) leads with ALL 25 round-11 backlog queries — the only
+#: registered queries without a driver row (registered after the r10
+#: window froze; each oracle-replica-green on every pytest run and
+#: SCALING.md-probed) — so never-checked returns to 0; and
+#: (2) fills the remaining 25 slots from the 41 queries whose driver
+#: rows are oldest (r04), capability anchors first (dedup/ANN/
+#: streaming-shape/partition-pruning/recursive + the TPC-H refreshes
+#: and the ``orders_profile_exact`` audit twin). The 16 r04 rows left
+#: over (feature-extraction and small-relational shapes, listed below)
+#: are the r12 rotation seed; max row age after r11 = 7 rounds for
+#: exactly those 16. Goldens are fresh (word_count r8,
+#: topk_common_words_max r9 via the entry smoke every round,
+#: topk_common_words_min r10). NET-NEW REGISTRATION FREEZE: r11 adds
+#: no new queries (VERDICT r10 task 2) so the window catches up.
 _PRIORITY = (
-    # --- round-9 backlog: registered after the r9 window froze ---
-    "token_window_pmi_topk",         # windowed NPMI collocations
-    "orders_periodogram_power",      # Goertzel power, dominant period
-    "supplier_personalized_pagerank",  # seed-teleport PPR + residual
-    "embedding_maxsim_topk",         # late-interaction MaxSim retrieval
-    # --- round-10 additions (registered this round; driver rows now) ---
-    "orders_kaplan_meier",           # product-limit survival, censored
-    "lineitem_theil_decomposition",  # within/between-nation inequality
-    "lineitem_unpivot_profile",      # UNPIVOT melt + per-measure stats
-    "token_chi2_feature_topk",       # chi-square characteristic tokens
-    "doc_repetition_scores",         # Gopher intra-doc repetition gate
-    "winnowing_dup_pairs",           # MOSS fingerprint pair join
-    "embedding_signq_hamming_topk",  # 1-bit quantization + Hamming scan
-    "ann_lsh_knn_graph_stats",       # bucket-local kNN-graph audit
-    "supplier_ktruss_peeling",       # edge-support truss decomposition
-    "customer_t_closeness_audit",    # sensitive-distribution drift gate
-    # --- staleness rotation: driver rows last refreshed r01-r03 ---
-    "topk_common_words_min",         # reference golden, variant 1
-    "topk_words_per_lang",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "q4_order_priority",
-    "q18_large_volume_orders",
-    "customer_order_counts",
-    "customers_without_orders",
-    "big_spender_customers",
-    "region_status_grid",
-    "brand_revenue",
-    "skew_salted_agg",
-    "approx_distinct_parts",         # rows-only (HLL sketch, README.md)
-    "customer_running_spend",
-    "order_neighbors",
-    "region_nation_rollup",
-    "status_priority_cube",
-    "returnflag_qty_pivot",
-    "nation_customer_lists",
-    "order_quartiles",
-    "event_props_extract",
-    "event_type_prop_stats",
-    "string_edit_distance",
-    "conditional_expr_coverage",
-    "doc_token_stats",
-    "doc_quality_scores",
-    "lang_id_heuristic",
-    "doc_fingerprints",
-    "clean_corpus_stats",
-    "token_positions",
-    "ngram_jaccard_topk",
-    "ann_lsh_multiprobe_topk",
-    "cosine_topk_brute",
-    "weighted_minhash_signatures",
-    "events_range_join",
-    "orders_profile",                # rows-only (pandas twin, README.md)
+    # --- round-11 backlog batch 1 ---
+    "orders_weibull_delay_fit",      # Weibull-plot OLS duration fit
+    "events_burst_scan_statistic",   # sliding 60-min scan vs Poisson
+    "lineitem_boosted_stumps",       # 2-round LS-Boost histogram algebra
+    "source_char_entropy",           # char-level compressibility bound
+    # --- backlog batch 2 ---
+    "orders_ar2_yule_walker",        # AR(2)/PACF from exact moments
+    "orders_spectral_entropy",       # spectral entropy + flatness
+    "ship_delay_nelson_aalen",       # cumulative hazard, shared KM table
+    "events_allan_variance",         # dyadic block-mean stability curve
+    "orders_holt_linear_smoothing",  # level+trend recursion, CTE oracle
+    "customer_spend_lorenz_gini",    # Lorenz curve + grouped Gini
+    # --- backlog batch 3 ---
+    "trade_bfs_hop_histogram",       # frontier BFS vs recursive-CTE oracle
+    "simhash_band_dup_pairs",        # banded 60-bit SimHash near-dup join
+    "parquet_footer_stats_audit",    # distributed footer-stats invariant
+    # --- backlog batch 4 ---
+    "bpe_merge_rounds",              # iterative BPE trainer, 3 unrolled
+    "kmv_intersection_audit",        # theta-sketch set intersection
+    "events_interarrival_fit",       # exp/gamma point-process fit
+    "orders_mann_kendall_trend",     # tie-corrected monotonic-trend test
+    "supplier_neighbor_jaccard_topk",  # neighbor-set structural sim
+    "tokenizer_fertility_by_source",   # apply the learned BPE merges
+    "span_corruption_manifest",      # T5-style deterministic masking
+    # --- backlog batch 5 ---
+    "doc_fluency_outlier_gate",      # perplexity-filter gate, shared LM
+    "packing_efficiency_curve",      # context-length packing trade-off
+    "trade_degree_powerlaw",         # degree-tail Hill fit per node kind
+    "ship_delay_km_by_segment",      # stratified product-limit survival
+    "orders_logrank_test",           # two-group censored comparison
+    # --- staleness rotation: 25 of the 41 r04 driver rows ---
+    "minhash_lsh_dup_pairs",         # dedup flagship
+    "embedding_near_dup_lsh",
+    "dedup_exact_summary",
+    "decontamination_overlap",
+    "ann_lsh_query_topk",
+    "ivf_ann_query_topk",
+    "minhash_signatures",
+    "simhash_fingerprints",
+    "tfidf_top_terms",
+    "doc_repetition_signals",
+    "documents_stratified_sample",
+    "sequence_pack_bins",
+    "events_asof_join",
+    "events_tumbling_counts",
+    "events_partition_pruned_day",
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    "recursive_order_chain",
+    "orders_upsert_merge",
+    "orders_profile_exact",          # audit twin of orders_profile
+    "q2_min_balance_supplier",
+    "q3_shipping_priority",
+    "q8_market_share",
+    "q11_important_part_values",
+    "q21_waiting_suppliers",
 )
 
-#: ROUND-11 ROTATION BACKLOG: queries registered after this round's
-#: 50-slot window filled (the established pattern: oracled and
-#: replica-green at sf0.001/0.01/0.1 on every pytest run, pending
-#: driver rows only); rotate them into _PRIORITY next round:
-#:   orders_weibull_delay_fit     (Weibull-plot OLS duration fit)
-#:   events_burst_scan_statistic  (sliding 60-min scan vs Poisson)
-#:   lineitem_boosted_stumps      (2-round LS-Boost histogram algebra)
-#:   source_char_entropy          (char-level compressibility bound)
-#: batch 2 (same discipline — oracled, replica-green, invariant-tested
-#: in tests/test_round11_batch2.py):
-#:   orders_ar2_yule_walker       (AR(2)/PACF from exact moments)
-#:   orders_spectral_entropy      (spectral entropy + flatness)
-#:   ship_delay_nelson_aalen      (cumulative hazard, shared KM table)
-#:   events_allan_variance        (dyadic block-mean stability curve)
-#:   orders_holt_linear_smoothing (level+trend recursion, CTE oracle)
-#:   customer_spend_lorenz_gini   (Lorenz curve + grouped Gini)
-#: batch 3 (tests/test_round11_batch3.py):
-#:   trade_bfs_hop_histogram      (frontier BFS vs recursive-CTE oracle)
-#:   simhash_band_dup_pairs       (banded 60-bit SimHash near-dup join)
-#:   parquet_footer_stats_audit   (distributed footer-stats invariant)
-#: batch 4 (tests/test_round11_batch4.py):
-#:   bpe_merge_rounds             (iterative BPE trainer, 3 unrolled)
-#:   kmv_intersection_audit       (theta-sketch set intersection)
-#:   events_interarrival_fit      (exp/gamma point-process fit)
-#:   orders_mann_kendall_trend    (tie-corrected monotonic-trend test)
-#:   supplier_neighbor_jaccard_topk (neighbor-set structural similarity)
-#:   tokenizer_fertility_by_source (apply the learned BPE merges)
-#:   span_corruption_manifest     (T5-style deterministic masking plan)
-#: batch 5 (tests/test_round11_batch5.py):
-#:   doc_fluency_outlier_gate     (perplexity-filter gate, shared LM)
-#:   packing_efficiency_curve     (context-length packing trade-off)
-#:   trade_degree_powerlaw        (degree-tail Hill fit per node kind)
-#:   ship_delay_km_by_segment     (stratified product-limit survival)
-#:   orders_logrank_test          (two-group censored comparison)
-#: With the r10 staleness rotation landed, next round's window should
-#: continue refreshing the OLDEST remaining driver rows (r04-r05) in
-#: the slots these ten leave free.
+#: ROUND-12 ROTATION SEED: the 16 r04 driver rows that did not fit the
+#: r11 window (all feature-extraction / small-relational shapes, each
+#: still oracle-replica-checked every pytest run):
+#:   customer_30day_window_spend, doc_sentences_udtf,
+#:   embedding_array_features, event_props_map, lineitem_math_features,
+#:   media_frame_chunks, media_metadata_stats, nation_presence_setops,
+#:   order_date_features, order_value_percentiles,
+#:   orders_csv_scan_rollup, part_string_features,
+#:   revenue_grouping_sets, segment_account_stats,
+#:   supplier_nation_full_join, top_orders_per_customer
+#: After these, continue with the r05 cohort (49 rows).
 
 def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:
     """Materialize every session-memoized shared frame (the dedup
@@ -248,6 +226,7 @@ def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:
     )
     from hadoop_cs4225_spark.operators.similarity import (
         _assigned_frame,
+        _brute_topk_frame,
         _bucketed_frame,
     )
 
@@ -258,6 +237,7 @@ def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:
         lambda: _cluster_labels(spark, sf_dir),
         lambda: _bucketed_frame(spark, sf_dir),
         lambda: _assigned_frame(spark, sf_dir),
+        lambda: _brute_topk_frame(spark, sf_dir),
         lambda: _mutual_topk_edges(spark, sf_dir),
         lambda: _trade_edges(spark, sf_dir),
         lambda: _daily_counts(spark, sf_dir),

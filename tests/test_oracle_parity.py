@@ -145,44 +145,50 @@ def test_priority_window_integrity():
         n for n in _PRIORITY if n not in oracles and n not in rows_only_ok
     ]
     assert not missing_oracle, missing_oracle
-    # ROUND-9 ROTATION: the window leads with the 14 queries registered
-    # during round 8 after that round's window froze (the documented
-    # backlog) — the only registered queries with no driver CORRECTNESS
-    # row across rounds 1-8. After this round the cross-round union
-    # covers the entire pre-round-9 registry.
+    # ROUND-11 ROTATION (VERDICT r10 tasks 1+2+8): the window leads
+    # with ALL queries that have never earned a driver CORRECTNESS row
+    # across rounds 1-10 (the 25-query round-11 backlog), returning
+    # never-checked to 0; the remaining slots refresh the OLDEST
+    # driver rows (the r04 cohort). Net-new registration is FROZEN
+    # this round, so never-checked must stay exactly the backlog.
     import json
     import os
 
-    seen: set[str] = set()
-    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9):
-        path = os.path.join(os.path.dirname(__file__), "..", f"CORRECTNESS_r0{r}.json")
+    here = os.path.dirname(__file__)
+    seen: set[str] = set()           # checked in any round so far
+    last: dict[str, int] = {}        # last round each query was checked
+    for r in range(1, 11):
+        path = os.path.join(here, "..", f"CORRECTNESS_r{r:02d}.json")
         if os.path.exists(path):
             with open(path) as f:
                 d = json.load(f)
-            seen.update(d.get("queries", d).keys())
+            qs = d.get("queries", d).keys()
+            seen.update(qs)
+            for q in qs:
+                last[q] = max(last.get(q, 0), r)
     if seen:
-        # the frozen rotation set: every query that was registered AND
-        # unchecked when this window was cut (queries added during
-        # round 10 join _PRIORITY explicitly on registration instead)
-        rotated_in = {
-            "token_window_pmi_topk", "orders_periodogram_power",
-            "supplier_personalized_pagerank", "embedding_maxsim_topk",
-        }
-        missing = [n for n in rotated_in if n not in names[:50]]
-        assert not missing, f"never-driver-checked queries outside window: {missing}"
-        assert not (rotated_in & seen), "rotation set drifted: already checked"
+        never = {n for n in names if n not in seen}
+        outside = [n for n in never if n not in names[:50]]
+        assert not outside, f"never-driver-checked queries outside window: {outside}"
+        # registration freeze: the never-checked set is exactly the
+        # 25 documented backlog queries, all in explicit slots
+        assert len(never) == 25, (
+            f"registration freeze broken: {len(never)} never-checked "
+            f"(expected the 25-query backlog): {sorted(never)[:30]}"
+        )
         # auto-fill tail slots (window positions past _PRIORITY) must
         # all be previously-driver-checked greens — a never-checked
         # query landing there by registration-order accident should be
         # promoted to an explicit _PRIORITY slot instead
         unchecked_tail = [n for n in names[len(_PRIORITY):50] if n not in seen]
         assert not unchecked_tail, f"unchecked queries in auto-fill tail: {unchecked_tail}"
-        # STALENESS rotation (r10 policy, VERDICT r9 task 4): every
-        # non-backlog, non-new slot must be a query whose last driver
-        # row is from r01-r03 — the window refreshes the OLDEST rows,
-        # never recently-checked ones. The golden-anchor duty rides
-        # the rotation itself this round: topk_common_words_min (the
-        # byte-exact reference golden, variant 1) is r01-stale AND in
-        # the window; decimal-exactness drift stays covered by the
-        # per-pytest oracle replicas of decimal_exact_revenue.
-        assert "topk_common_words_min" in names[:50]
+        # STALENESS rotation: every non-backlog slot must refresh an
+        # r04 row — the OLDEST cohort (r01-r03 rows were all refreshed
+        # by the r10 window) — never a recently-checked query. Golden
+        # duty: topk_common_words_max runs as the entry smoke every
+        # round and topk_common_words_min was driver-green r10;
+        # byte-exactness stays pinned by tests/test_golden_replay.py
+        # on every pytest run.
+        stale_slots = [n for n in _PRIORITY if n in seen]
+        too_fresh = [n for n in stale_slots if last[n] != 4]
+        assert not too_fresh, f"window slot not from the oldest cohort: {too_fresh}"

@@ -83,6 +83,92 @@ def test_simhash_band_pairs_invariants(spark):
     assert any(r.hamming == 0 for r in rows)
 
 
+def test_footer_fold_pins_missing_stats(tmp_path):
+    """ADVICE r10 regression: a row group WITHOUT min/max statistics
+    must poison the per-file fold permanently — a later stats-bearing
+    group may not resurrect fmin/fmax — and the audit must see every
+    part file of a directory table, not one hardcoded path."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_cs4225_spark.operators.formats import _footer_rows
+
+    # file 1: first row group stats-less, second with stats
+    p1 = str(tmp_path / "a.parquet")
+    w = pq.ParquetWriter(
+        p1,
+        pa.schema([("o_orderkey", pa.int64())]),
+        write_statistics=False,
+    )
+    w.write_table(pa.table({"o_orderkey": pa.array([5, 6], pa.int64())}))
+    w.close()
+    # append a second stats-bearing file in the same "table dir"
+    p2 = str(tmp_path / "b.parquet")
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([1, 2, 3], pa.int64())}), p2
+    )
+    out = pd.concat(
+        list(
+            _footer_rows(
+                iter(
+                    [
+                        pd.DataFrame(
+                            {
+                                "tbl": ["orders", "orders"],
+                                "path": [p1, p2],
+                            }
+                        )
+                    ]
+                )
+            )
+        )
+    )
+    by_path = {
+        n: r
+        for n, r in zip(["a", "b"], out.itertuples(index=False))
+    }
+    a, b = by_path["a"], by_path["b"]
+    assert not a.has_stats and pd.isna(a.fmin) and pd.isna(a.fmax)
+    assert a.n_values == 2  # counts still fold
+    assert b.has_stats and b.fmin == 1.0 and b.fmax == 3.0
+
+
+def test_footer_audit_lists_directory_tables(spark, tmp_path):
+    """Directory-of-part-files tables must be fully audited: copy the
+    sf table into a 2-part directory layout and re-run the query on
+    the copied sf_dir — counts must equal the full table."""
+    import shutil
+
+    import pandas as pd
+
+    from hadoop_cs4225_spark.operators.formats import _FOOTER_COLS
+
+    sf2 = tmp_path / "sf"
+    sf2.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        src = f"{SF_ORACLE}/{t}.parquet"
+        if t == "orders":
+            d = sf2 / "orders.parquet"
+            d.mkdir()
+            pdf = pd.read_parquet(src)
+            half = len(pdf) // 2
+            pdf.iloc[:half].to_parquet(d / "part-0.parquet", index=False)
+            pdf.iloc[half:].to_parquet(d / "part-1.parquet", index=False)
+        else:
+            shutil.copy(src, sf2 / f"{t}.parquet")
+    rows = _rows(spark, "parquet_footer_stats_audit", sf=str(sf2))
+    full = pd.read_parquet(f"{SF_ORACLE}/orders.parquet")
+    got = {r.column_name: r for r in rows if r.tbl == "orders"}
+    assert set(got) == set(_FOOTER_COLS["orders"])
+    for c, r in got.items():
+        assert r.n_values == len(full), (c, r.n_values)
+        assert r.footer_min_match and r.footer_max_match, r
+
+
 def test_parquet_footer_audit_replica(spark):
     import numpy as np
     import pandas as pd

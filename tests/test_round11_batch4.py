@@ -142,6 +142,76 @@ def test_neighbor_jaccard_invariants(spark):
         assert r.n_common >= 1
 
 
+#: Adversarial symbol arrays for the merge-step contract, including
+#: the ADVICE-r10 prefix-glue bug (pair (i, n) must NOT touch
+#: [i, n</w>]) and x=y run-overlap greediness.
+_MERGE_CASES = [
+    (["i", "n</w>"], "i", "n"),
+    (["a", "a", "a"], "a", "a"),
+    (["a", "a", "a", "a"], "a", "a"),
+    (["a", "a", "a", "a", "a"], "a", "a"),
+    (["a", "b", "a", "b"], "a", "b"),
+    (["b", "a", "b", "a", "b"], "a", "b"),
+    (["c", "a", "t", "</w>"], "a", "t"),
+    (["x"], "x", "x"),
+    (["in", "n</w>"], "n", "n"),
+    (["a", "ab", "b"], "a", "b"),
+    (["ab", "a", "b", "ab"], "a", "b"),
+    (["q", "a", "a", "b", "a", "a", "a", "q"], "a", "a"),
+]
+
+
+def _py_greedy_merge(syms, x, y):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+            out.append(x + y)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def test_bpe_merge_step_adversarial_both_engines(spark):
+    """The two independent merge formulations (Spark aggregate fold,
+    DuckDB match-position + island parity) must both equal greedy
+    left-to-right non-overlapping merging on arrays chosen to break
+    the old substring-replace formulation (ADVICE r10)."""
+    import duckdb
+
+    from hadoop_cs4225_spark.operators.text_analysis import (
+        _BPE_DUCK_MATCHES,
+        _BPE_DUCK_MERGED,
+        _BPE_DUCK_TAKEN,
+        _BPE_MERGE_SPARK,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s, x, y) for i, (s, x, y) in enumerate(_MERGE_CASES)],
+        "id int, syms array<string>, x string, y string",
+    )
+    got = {
+        r.id: list(r.merged)
+        for r in df.selectExpr(
+            "id", f"{_BPE_MERGE_SPARK} AS merged"
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, (syms, x, y) in enumerate(_MERGE_CASES):
+        expect = _py_greedy_merge(syms, x, y)
+        assert got[i] == expect, f"spark case {i}: {got[i]} != {expect}"
+        duck = con.execute(
+            f"""WITH inp AS (SELECT ?::VARCHAR[] AS syms,
+                                    ?::VARCHAR AS x, ?::VARCHAR AS y),
+            mr AS (SELECT syms, x, y, {_BPE_DUCK_MATCHES} AS m FROM inp),
+            tk AS (SELECT syms, {_BPE_DUCK_TAKEN} AS taken FROM mr)
+            SELECT {_BPE_DUCK_MERGED} FROM tk""",
+            [syms, x, y],
+        ).fetchone()[0]
+        assert duck == expect, f"duck case {i}: {duck} != {expect}"
+
+
 def test_tokenizer_fertility_consistent_with_trainer(spark):
     """Fertility must reflect exactly 3 merges: per-source symbol
     savings equals the per-word savings implied by the learned merges,

@@ -196,13 +196,6 @@ def _shingle_sets(docs: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_sigs_from_sets(sets: DataFrame) -> DataFrame:
-    """Signatures from a MATERIALIZED shingle-set frame (see above)."""
-    return _minhash_sigs_from_exploded(
-        sets.select("doc_id", F.explode("sh").alias("s"))
-    )
-
-
 def _minhash_sigs_from_exploded(sh_rows: DataFrame) -> DataFrame:
     """Per-doc MinHash signatures from ``(doc_id, s)`` shingle rows: ONE
     md5 per distinct shingle.
@@ -343,18 +336,51 @@ def minhash_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ensure_minhash_sig_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the MinHash SIGNATURE INDEX as a written table
+    (``.derived/<sf>/documents_minhash_sigs``): one row per eligible
+    doc, columns ``doc_id, mh0..mh{N_PERMS-1}`` — the dedup twin of
+    :func:`pq.ensure_ivf_pq_index` (VERDICT r10 task 6). At 100 TB the
+    signature index is the artifact a dedup deployment writes once per
+    corpus snapshot (N_PERMS longs per doc, ~1e-4 of corpus bytes) and
+    every LSH probe/band query reads, instead of re-hashing every
+    shingle per session; incremental ingest appends to it
+    (``streaming.run_incremental_corpus_dedup`` maintains the same
+    signature schema per micro-batch). mtime-guarded on
+    documents.parquet via the shared ``.derived`` helpers."""
+    from hadoop_cs4225_spark.sources.sinks import derived_path, derived_stale
+
+    path = derived_path(sf_dir, "documents_minhash_sigs")
+    if derived_stale(path, sf_dir, table="documents"):
+        docs = load_table(spark, sf_dir, "documents")
+        signature_frame(docs).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _sig_index_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized signature index as a DataFrame (ensure + read).
+    Batch LSH consumers read THIS instead of recomputing signatures —
+    the written-index story; the oracle side stays the inline
+    ``_minhash_sigs_sql()`` because index build and probe are one
+    logical definition."""
+    return spark.read.parquet(ensure_minhash_sig_index(spark, sf_dir))
+
+
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered verified near-dup pairs ``(d1, d2, jaccard)``.
 
-    The shingle-set frame feeds BOTH the signature branch and the two
-    verify joins; persisting it makes tokenize+shingle+distinct run once
-    instead of three times (at cluster scale use StorageLevel
-    MEMORY_AND_DISK — the frame is one row per doc).
+    Signatures come from the MATERIALIZED index
+    (:func:`ensure_minhash_sig_index`) — written once per corpus
+    snapshot, read by every LSH run; the shingle-set frame is built
+    only for the exact-Jaccard verify joins and persisted so
+    tokenize+shingle+distinct runs once for both join sides (at
+    cluster scale use StorageLevel MEMORY_AND_DISK — one row per doc).
     """
     docs = load_table(spark, sf_dir, "documents")
+    sigs = _sig_index_frame(spark, sf_dir)
     d = _shingle_sets(docs).persist()
     try:
-        return _verified_pairs_body(d)
+        return _verified_pairs_body(d, sigs)
     finally:
         # Release even when the eager build fails (OOM/cancel): a
         # success-only unpersist would re-leak one cached shingle copy
@@ -362,8 +388,8 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.unpersist()
 
 
-def _verified_pairs_body(d: DataFrame) -> DataFrame:
-    sigs = _minhash_sigs_from_sets(d).select(
+def _verified_pairs_body(d: DataFrame, sig_index: DataFrame) -> DataFrame:
+    sigs = sig_index.select(
         "doc_id",
         F.explode(
             F.array(*[

@@ -267,6 +267,9 @@ def warm_derived_layouts(spark: SparkSession, sf_dir: str) -> int:
         _BUCKETED,
         ensure_bucketed,
     )
+    from hadoop_cs4225_spark.operators.dedup import (
+        ensure_minhash_sig_index,
+    )
     from hadoop_cs4225_spark.operators.formats import (
         ensure_orders_jsonl_dirty,
     )
@@ -285,6 +288,7 @@ def warm_derived_layouts(spark: SparkSession, sf_dir: str) -> int:
         ensure_events_zorder,
         ensure_events_by_user,
         ensure_ivf_pq_index,
+        ensure_minhash_sig_index,
         ensure_orders_jsonl_dirty,
     ):
         ensure(spark, sf_dir)

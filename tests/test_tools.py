@@ -129,3 +129,22 @@ def test_shingle_cache_released_after_pairs_build(spark, monkeypatch):
         assert counts["persist"] == counts["unpersist"], counts
     finally:
         dedup._MATERIALIZED.clear()
+
+
+def test_scale_probe_covers_entire_registry():
+    """VERDICT r10 task 5: every registered query must belong to a
+    probe arm (amplified-docs / amplified-embeddings / real-sf sweep)
+    so 'zero super-linear' is a registry-wide claim — and the lists
+    must not reference unregistered names."""
+    from tools import scale_probe
+
+    unlisted, stale = scale_probe.coverage_gaps()
+    assert not unlisted, f"queries missing a probe arm: {unlisted}"
+    assert not stale, f"probe lists reference unregistered: {stale}"
+    all_lists = (
+        list(scale_probe.DOC_QUERIES)
+        + list(scale_probe.EMB_QUERIES)
+        + list(scale_probe.SF_QUERIES)
+    )
+    dupes = sorted({q for q in all_lists if all_lists.count(q) > 1})
+    assert not dupes, f"query in more than one probe arm: {dupes}"

@@ -132,6 +132,41 @@ DOC_QUERIES = (
     "span_corruption_manifest",  # posexplode + (doc, block) rollup
     "doc_fluency_outlier_gate",  # shared LM joins + bounded histograms
     "packing_efficiency_curve",  # one source-partitioned window + fan-out
+    # --- round-11 registry-wide gap closing (VERDICT r10 task 5):
+    # every remaining documents-only query ---
+    "clean_corpus_stats",
+    "curated_split_manifest",
+    "decontamination_overlap",
+    "dedup_cluster_size_histogram",  # memoized cluster labels + 1 agg
+    "dedup_exact_summary",
+    "doc_chunk_windows",
+    "doc_fingerprints",
+    "doc_quality_scores",
+    "doc_repetition_signals",
+    "doc_sentences_udtf",  # UDTF lateral join, map-only
+    "doc_token_stats",
+    "documents_hash_sample",
+    "documents_split_stats",
+    "documents_stratified_sample",
+    "lang_id_heuristic",
+    "lang_id_agreement_kappa",  # composes two doc-only classifiers
+    "corpus_health_report",  # composes 7 doc-only checks by design
+    "quality_score_auc",
+    "media_byte_features",  # doc_id<=100 slice: must stay ~flat
+    "media_byte_features_arrow",
+    "media_frame_chunks",
+    "media_metadata_stats",
+    "minhash_signatures",  # index-build pipeline measured directly
+    "mixture_weighted_sample",
+    "ngram_jaccard_topk",
+    "source_mixture_weights",
+    "source_trimmed_stats_pandas",
+    "token_length_histogram",
+    "token_positions",
+    "topk_common_words_min",  # golden twin of topk_common_words_max
+    "topk_words_per_lang",
+    "weighted_minhash_signatures",
+    "binaryfile_docs_scan",  # derived binary-file layout (warmed/size)
 )
 
 #: embeddings-driven queries probed on amplified vector corpora. Copy i
@@ -166,6 +201,20 @@ EMB_QUERIES = (
     # --- round-10 additions ---
     "embedding_signq_hamming_topk",  # 2-word popcount scan + top-k
     "ann_lsh_knn_graph_stats",  # bucket-keyed join + per-node top-k window
+    # --- round-11 registry-wide gap closing (VERDICT r10 task 5):
+    # every remaining embeddings-only query ---
+    "ann_lsh_query_topk",
+    "ann_lsh_multiprobe_topk",
+    "cosine_topk_brute",  # the one intentionally linear full scan
+    "cosine_topk_pandas",  # Arrow-UDF twin of the brute scan
+    "embedding_array_features",
+    "embedding_dim_stats",
+    "embedding_int8_quant",
+    "embedding_near_dup_pairs",  # id-bounded slice: must stay ~flat
+    "ivf_inverted_lists",
+    "label_centroid_stats",  # grouped-map pandas reduce
+    "label_norm_stats_arrow",  # grouped-map arrow reduce
+    "pq_adc_query_topk",
 )
 
 #: queries probed across the real sf dirs (10x data per step).
@@ -292,6 +341,100 @@ SF_QUERIES = (
     "trade_degree_powerlaw",  # one degree agg + 2-row tail fold
     "ship_delay_km_by_segment",  # orderkey agg + per-stratum cumsums
     "orders_logrank_test",  # pooled day-grid fold over bounded life tables
+    # --- round-11 registry-wide gap closing (VERDICT r10 task 5):
+    # every remaining relational/events query on the real sf sweep ---
+    "approx_distinct_parts",
+    "big_spender_customers",
+    "brand_revenue",
+    "conditional_expr_coverage",
+    "customer_30day_window_spend",
+    "customer_k_anonymity_audit",
+    "customer_order_counts",
+    "customer_order_multiset_ops",
+    "customer_running_spend",
+    "customers_without_orders",
+    "event_freq_cms",
+    "event_props_extract",
+    "event_props_map",
+    "event_props_variant",
+    "event_type_prop_stats",
+    "events_asof_join",
+    "events_clustered_user_scan",  # derived layout (warmed per size)
+    "events_cohort_retention",
+    "events_daily_anomaly",
+    "events_daily_rollup",
+    "events_dedup_latest",
+    "events_funnel_conversion",
+    "events_gapfill_daily",
+    "events_hot_key_profile",
+    "events_partition_pruned_day",  # derived layout (warmed per size)
+    "events_range_join",
+    "events_rolling_active_users",
+    "events_sliding_avg",
+    "events_zorder_scan",  # derived layout (warmed per size)
+    "lateral_top_customers",
+    "lineitem_math_features",
+    "nation_customer_lists",
+    "nation_metrics_unpivot",
+    "nation_presence_setops",
+    "nested_struct_pruned_rollup",  # derived layout (warmed per size)
+    "order_date_features",
+    "order_neighbors",
+    "order_quartiles",
+    "order_value_percentiles",
+    "order_value_percentiles_approx",
+    "order_value_winsorized",
+    "order_window_rank_suite",
+    "orders_csv_scan_rollup",  # derived layout (warmed per size)
+    "orders_jsonl_scan_rollup",  # derived layout (warmed per size)
+    "orders_orc_scan_rollup",  # derived layout (warmed per size)
+    "orders_param_sql_rollup",
+    "orders_profile",
+    "orders_revenue_runs_test",
+    "orders_scan_observed",
+    "orders_schema_evolution_scan",  # derived layout (warmed per size)
+    "orders_upsert_merge",
+    "orders_xml_scan_rollup",  # derived layout (warmed per size)
+    "pagerank_trade_network",
+    "part_string_features",
+    "parts_never_shipped",
+    "pii_redaction_scrub",
+    "pyds_scan_rollup",  # synthetic python source — input-size-free
+    "q2_min_balance_supplier",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q7_nation_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_part_values",
+    "q12_shipmode_priority",
+    "q13_customer_order_histogram",
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q20_part_stock_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "recursive_order_chain",
+    "region_nation_rollup",
+    "region_status_grid",
+    "returnflag_qty_pivot",
+    "revenue_grouping_sets",
+    "segment_account_stats",
+    "sketch_distinct_users_by_type",
+    "skew_salted_agg",
+    "status_priority_cube",
+    "string_edit_distance",  # 25-row nation dictionary — ~flat
+    "supplier_nation_full_join",
+    "top_orders_per_customer",
+    "topk_users_approx",
+    "user_event_map_algebra",
+    "user_state_scd2",
 )
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
@@ -307,6 +450,19 @@ WARM_PER_SIZE = {
     "bucketed_segment_revenue",
     # derived dirty-JSONL feed build is a one-off layout step
     "orders_jsonl_malformed_audit",
+    # round-11 sweep additions whose first run at a size builds an
+    # mtime-guarded derived layout (format exports / partitioned /
+    # z-ordered / clustered copies / binary-file fixture)
+    "events_clustered_user_scan",
+    "events_partition_pruned_day",
+    "events_zorder_scan",
+    "nested_struct_pruned_rollup",
+    "orders_csv_scan_rollup",
+    "orders_jsonl_scan_rollup",
+    "orders_orc_scan_rollup",
+    "orders_schema_evolution_scan",
+    "orders_xml_scan_rollup",
+    "binaryfile_docs_scan",
 }
 
 
@@ -430,18 +586,45 @@ def exponent_adjudicated(fn, spark, dirs, k0, k1, ratio, ts):
     return raw, adj
 
 
+def coverage_gaps() -> tuple[list[str], list[str]]:
+    """(registered-but-unlisted, listed-but-unregistered) — both must
+    be empty for the registry-wide zero-super-linear claim (VERDICT
+    r10 task 5). Also pinned by tests/test_tools.py so a new
+    registration without a probe arm fails pytest, not just the
+    probe run."""
+    registry.load_all()
+    listed = set(DOC_QUERIES) | set(EMB_QUERIES) | set(SF_QUERIES)
+    return (
+        sorted(set(registry.QUERIES) - listed),
+        sorted(listed - set(registry.QUERIES)),
+    )
+
+
 def main() -> int:
     quick = "--quick" in sys.argv
     registry.load_all()
+    unlisted, stale = coverage_gaps()
+    assert not unlisted, f"registered queries missing a probe arm: {unlisted}"
+    assert not stale, f"probe lists reference unregistered queries: {stale}"
     spark = get_spark(app_name="scale-probe")
     rows = []
 
     copies = COPIES[:2] if quick else COPIES
     dirs = {k: ensure_amplified(spark, k) for k in copies}
+    # pre-build the MinHash signature index per amplified dir: the LSH
+    # family reads the written .derived layout (VERDICT r10 task 6),
+    # and the one-off build must not land inside a timed run
+    from hadoop_cs4225_spark.operators.dedup import ensure_minhash_sig_index
+
+    for k in copies:
+        ensure_minhash_sig_index(spark, dirs[k])
     names = DOC_QUERIES[:3] if quick else DOC_QUERIES
     for name in names:
         fn = registry.QUERIES[name]
         timed(fn, spark, dirs[copies[0]])  # warm: session + codegen
+        if name in WARM_PER_SIZE:
+            for k in copies[1:]:
+                timed(fn, spark, dirs[k])
         ts = {k: timed(fn, spark, dirs[k]) for k in copies}
         k0, k1 = copies[-2], copies[-1]
         raw, exp = exponent_adjudicated(fn, spark, dirs, k0, k1, k1 / k0, ts)

@@ -150,7 +150,6 @@ DOC_QUERIES = (
     "documents_stratified_sample",
     "lang_id_heuristic",
     "lang_id_agreement_kappa",  # composes two doc-only classifiers
-    "corpus_health_report",  # composes 7 doc-only checks by design
     "quality_score_auc",
     "media_byte_features",  # doc_id<=100 slice: must stay ~flat
     "media_byte_features_arrow",
@@ -347,6 +346,7 @@ SF_QUERIES = (
     "big_spender_customers",
     "brand_revenue",
     "conditional_expr_coverage",
+    "corpus_health_report",  # composes 7 checks incl. orders PSI -> sf arm
     "customer_30day_window_spend",
     "customer_k_anonymity_audit",
     "customer_order_counts",

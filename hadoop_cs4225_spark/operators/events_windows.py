@@ -498,7 +498,7 @@ EWMA_ALPHA = 0.3
 WITH RECURSIVE daily AS (
   SELECT event_type,
          strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
-         ROUND(SUM(value), 2) AS v
+         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS v
   FROM events GROUP BY event_type, day
 ), idx AS (
   SELECT event_type, day, v,
@@ -541,7 +541,12 @@ def events_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     daily = ev.groupBy(
         "event_type", F.date_format(F.window("ts", "1 day").start, "yyyy-MM-dd").alias("day")
-    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    ).agg(
+        # exact-cents discipline (the Holt/ADVICE-r10 class): v seeds
+        # the recursion, so the daily sum must be summation-order-free
+        (F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")) / 100.0)
+        .alias("v")
+    )
     series = daily.groupBy("event_type").agg(
         F.array_sort(F.collect_list(F.struct("day", "v"))).alias("s")
     )

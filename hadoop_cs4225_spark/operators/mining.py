@@ -29,7 +29,8 @@ WITH per_cust AS (
   SELECT o_custkey,
          MAX(o_orderdate) AS last_order,
          COUNT(*) AS freq,
-         ROUND(SUM(o_totalprice), 2) AS monetary
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+           AS monetary
   FROM orders GROUP BY o_custkey
 ), bounds AS (
   SELECT MAX(last_order) AS now_d FROM per_cust
@@ -87,7 +88,14 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("o_orderdate").alias("last_order"),
             F.count(F.lit(1)).alias("freq"),
-            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+            # exact cents: monetary feeds the tercile thresholds AND
+            # the >= boundary comparisons (the Holt/ADVICE-r10 class)
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                )
+                / 100.0
+            ).alias("monetary"),
         )
         .localCheckpoint(eager=False)
     )

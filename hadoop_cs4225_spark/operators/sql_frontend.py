@@ -328,7 +328,7 @@ _SCRIPT_ALPHA = 0.3
     oracle=f"""
 WITH RECURSIVE monthly AS (
   SELECT time_bucket(INTERVAL '1 month', o_orderdate) AS m,
-         ROUND(SUM(o_totalprice), 2) AS t
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS t
   FROM orders GROUP BY m
 ), last12 AS (
   SELECT m, t FROM monthly ORDER BY m DESC LIMIT 12
@@ -372,7 +372,15 @@ def orders_sql_script_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("t"))
+        # exact cents: t seeds the EWMA recursion (the Holt class)
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                )
+                / 100.0
+            ).alias("t")
+        )
         .orderBy(F.desc("m"))
         .limit(12)
         # row_number over the 12-row LIMITed frame (bounded by

@@ -120,8 +120,9 @@ FLAGSHIPS = (
         "bpe_merge_rounds",
         "one corpus-grain word count, then VOCABULARY-grain rounds: "
         "per-round pair agg + TakeOrderedAndProject(1) top pair "
-        "broadcast back into a substring-replace projection — the "
-        "iterative tokenizer-training loop with no driver collect",
+        "broadcast back into a symbol-array aggregate-fold merge "
+        "projection (r11 ADVICE fix) — the iterative "
+        "tokenizer-training loop with no driver collect",
     ),
     (
         "simhash_band_dup_pairs",

@@ -212,6 +212,86 @@ def test_bpe_merge_step_adversarial_both_engines(spark):
         assert duck == expect, f"duck case {i}: {duck} != {expect}"
 
 
+def test_bpe_merge_step_property_duckdb(spark):
+    """Hypothesis sweep of the DuckDB merge stages against the Python
+    greedy reference on random small-alphabet symbol arrays — the bug
+    class ADVICE r10 found was LATENT at the shipped parameters, so
+    the pin must not depend on the real corpus. (The Spark fold is
+    pinned on the same adversarial set above and by the full-trainer
+    replica; a per-example Spark round-trip would cost a job per
+    hypothesis case.)"""
+    import duckdb
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from hadoop_cs4225_spark.operators.text_analysis import (
+        _BPE_DUCK_MATCHES,
+        _BPE_DUCK_MERGED,
+        _BPE_DUCK_TAKEN,
+    )
+
+    con = duckdb.connect()
+    sym = st.sampled_from(["a", "b", "ab", "a</w>", "b</w>", "ba"])
+
+    @settings(
+        max_examples=200,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        syms=st.lists(sym, max_size=12),
+        x=sym,
+        y=sym,
+    )
+    def check(syms, x, y):
+        expect = _py_greedy_merge(syms, x, y)
+        got = con.execute(
+            f"""WITH inp AS (SELECT ?::VARCHAR[] AS syms,
+                                    ?::VARCHAR AS x, ?::VARCHAR AS y),
+            mr AS (SELECT syms, x, y, {_BPE_DUCK_MATCHES} AS m FROM inp),
+            tk AS (SELECT syms, {_BPE_DUCK_TAKEN} AS taken FROM mr)
+            SELECT {_BPE_DUCK_MERGED} FROM tk""",
+            [syms, x, y],
+        ).fetchone()[0]
+        assert got == expect, (syms, x, y, got, expect)
+
+    check()
+
+
+def test_bpe_merge_step_property_spark_batch(spark):
+    """Seeded random sweep of the Spark fold in ONE job: 300 random
+    small-alphabet arrays evaluated in a single selectExpr, compared
+    row-by-row to the Python greedy reference."""
+    import random
+
+    from hadoop_cs4225_spark.operators.text_analysis import (
+        _BPE_MERGE_SPARK,
+    )
+
+    rng = random.Random(1106)
+    alpha = ["a", "b", "ab", "a</w>", "b</w>", "ba"]
+    cases = [
+        (
+            i,
+            [rng.choice(alpha) for _ in range(rng.randrange(0, 13))],
+            rng.choice(alpha),
+            rng.choice(alpha),
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        cases, "id int, syms array<string>, x string, y string"
+    )
+    got = {
+        r.id: list(r.merged)
+        for r in df.selectExpr(
+            "id", f"{_BPE_MERGE_SPARK} AS merged"
+        ).collect()
+    }
+    for i, syms, x, y in cases:
+        assert got[i] == _py_greedy_merge(syms, x, y), (syms, x, y, got[i])
+
+
 def test_tokenizer_fertility_consistent_with_trainer(spark):
     """Fertility must reflect exactly 3 merges: per-source symbol
     savings equals the per-word savings implied by the learned merges,

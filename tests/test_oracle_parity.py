@@ -81,6 +81,19 @@ _SCALE_PINNED = [
     # round-9 rewrite: the histogram-quantile intercept pick — a bucket
     # boundary is exactly where integer-division drift would surface
     "lineitem_quantile_reg_grid",
+    # round-11 additions: the float-heaviest backlog queries — double
+    # OLS sums over grid points (Weibull plot), double moment ratios
+    # (AR2, inter-arrival gamma fit), double split scores compared for
+    # argmax (boosted stumps), LM logprob ratios (fluency gate),
+    # variance-ratio z (log-rank), and ln-sum tail fit (Hill alpha) —
+    # re-verified where rounding-boundary bugs first appear
+    "orders_weibull_delay_fit",
+    "orders_ar2_yule_walker",
+    "events_interarrival_fit",
+    "lineitem_boosted_stumps",
+    "doc_fluency_outlier_gate",
+    "orders_logrank_test",
+    "trade_degree_powerlaw",
 ]
 
 

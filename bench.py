@@ -4,15 +4,35 @@ compact JSON line:
 
     {"metric": "suite_total_sec", "value": total_sec, "unit": "sec",
      "queries": {name: sec, ...}, "sf": sf, "n_queries": N,
-     "other_sec": S}
+     "other_sec": S, "raw_total_sec": R, "n_reruns": E}
+
+Adjudicated timing (VERDICT r11 task 1): sub-second timings jitter 2-4x
+run-to-run on a busy local[32], and whole host windows drift together —
+round 11's official single-run artifact read 1.43x on pure host noise
+and needed the committed min-of-3 detail to rescue it. ``value`` is now
+a per-query MINIMUM over an adaptive number of runs:
+
+- pass 1 times every query once;
+- every query that reads slow against the committed per-query baseline
+  (``BENCH_BASELINE.json``, same SF) — or, when no baseline matches,
+  every query above the noise floor — is re-run and the minimum kept;
+- a query STILL above the 1.5x regression gate after that earns one
+  final tie-breaking run (min-of-3).
+
+Under a uniformly slow host window this converges to a full second
+pass (exactly the case that needs it); under a normal host only the
+noise outliers re-run, keeping total wall-clock near one pass. The
+first pass's plain single-run sum is emitted as ``raw_total_sec`` so
+the unadjudicated figure stays visible rather than silently replaced,
+and BENCH_DETAIL.json preserves every raw sample under ``runs``.
 
 ``value`` covers ALL queries. The per-query breakdown in ``queries`` is
 limited to the 50-query headline window (the driver's correctness
 window) so the final line stays under the driver's 2000-char stdout
 capture — round 1's full 110-query line exceeded it and the driver
 recorded ``parsed: null``. The remaining queries are aggregated in
-``other_sec``; the full per-query breakdown is written to
-``BENCH_DETAIL.json`` next to this script for the judge.
+``other_sec``; the full per-query breakdown (min + every raw sample) is
+written to ``BENCH_DETAIL.json`` next to this script for the judge.
 
 Each query is timed to full materialization (collect — all registered
 queries return small results by construction). A JVM/session warmup
@@ -30,6 +50,40 @@ import time
 from hadoop_cs4225_spark import registry
 from hadoop_cs4225_spark.session import get_spark
 
+#: Re-run a query when its first sample exceeds this multiple of its
+#: committed baseline (1.25 sits under the 1.5x regression gate, so
+#: every potentially-flagged query gets a second sample).
+_RERUN_VS_BASELINE = 1.25
+#: Final tie-breaker threshold: still above the regression gate after
+#: two samples -> one more run (min-of-3), mirroring
+#: tools/bench_compare.py's THRESH.
+_GATE = 1.5
+#: Below this floor (seconds) jitter dominates and a re-run cannot
+#: inform the regression gate either way — skip it.
+_NOISE_FLOOR = 0.25
+
+
+def _time_query(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).collect()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _load_baseline(sf: float) -> dict[str, float]:
+    """Committed per-query baseline at the SAME SF, else {} (a
+    different-SF baseline would mistarget every re-run)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
+    )
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        if d.get("sf") == sf:
+            return {n: t for n, t in d["queries"].items() if t > 0}
+    except Exception:
+        pass
+    return {}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -37,12 +91,13 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark(app_name="spark-graft-bench")
     queries = registry.get_queries()
+    baseline = _load_baseline(sf)
     # Headline = the driver's correctness window, pinned to
-    # registry._PRIORITY — restored to == now the round-9 window is
-    # full at 50 explicit slots (ADVICE r8: while a window is
-    # mid-round short of 50, the tail auto-fills in registration order
-    # under test_priority_window_integrity's previously-green rule,
-    # and this assert relaxes to <=).
+    # registry._PRIORITY — restored to == now the window is full at 50
+    # explicit slots (ADVICE r8: while a window is mid-round short of
+    # 50, the tail auto-fills in registration order under
+    # test_priority_window_integrity's previously-green rule, and this
+    # assert relaxes to <=).
     assert len(registry._PRIORITY) == registry.PRIORITY_WINDOW
     headline = set(list(queries)[: registry.PRIORITY_WINDOW])
 
@@ -59,24 +114,70 @@ def main() -> None:
     # (VERDICT r9 task 6).
     registry.warm_derived_layouts(spark, sf_dir)
 
-    timings: dict[str, float] = {}
-    for name in sorted(queries):
-        t0 = time.perf_counter()
+    runs: dict[str, list[float]] = {name: [] for name in queries}
+
+    def _run(name: str) -> None:
         try:
-            queries[name](spark, sf_dir).collect()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            runs[name].append(_time_query(spark, queries[name], sf_dir))
         except Exception as e:  # a broken query should not zero the bench
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
-            timings[name] = -1.0
+            runs[name].append(-1.0)
         # Drop caches a query persisted for intra-plan reuse (e.g. the
         # LSH shingle-set frame) so blocks never accumulate across the
-        # 120+ query run and timings stay independent.
+        # run and timings stay independent.
         spark.catalog.clearCache()
 
+    # Pass 1: everything, once.
+    for name in sorted(queries):
+        _run(name)
+
+    # Adjudication pass: re-run what reads slow (or, without a same-SF
+    # baseline, everything above the noise floor — plain min-of-2).
+    n_reruns = 0
+    for name in sorted(queries):
+        t1 = runs[name][0]
+        if t1 < _NOISE_FLOOR:  # includes failures (-1.0): rerun can't help
+            continue
+        b = baseline.get(name)
+        if b is None or t1 > _RERUN_VS_BASELINE * b:
+            _run(name)
+            n_reruns += 1
+            # Tie-breaker: still reading above the regression gate
+            # after two samples -> one final run (min-of-3).
+            ok = [t for t in runs[name] if t >= 0]
+            if b is not None and ok and min(ok) > _GATE * b:
+                _run(name)
+                n_reruns += 1
+
+    # Adjudicated per-query timing = min over successful runs; -1.0
+    # only when every run failed.
+    timings: dict[str, float] = {}
+    for name, samples in runs.items():
+        ok = [t for t in samples if t >= 0]
+        timings[name] = min(ok) if ok else -1.0
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    raw_total = round(
+        sum(s[0] for s in runs.values() if s and s[0] >= 0), 3
+    )
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
-        json.dump({"sf": sf, "total_sec": total, "queries": timings}, f, indent=1, sort_keys=True)
+        json.dump(
+            {
+                "sf": sf,
+                "total_sec": total,
+                "raw_total_sec": raw_total,
+                "adjudication": "per-query min; rerun when pass-1 > "
+                f"{_RERUN_VS_BASELINE}x same-sf baseline (min-of-2 "
+                f"above {_NOISE_FLOOR}s without one), third run past "
+                f"{_GATE}x",
+                "queries": timings,
+                "runs": runs,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
     other = round(
         sum(t for n, t in timings.items() if t >= 0 and n not in headline), 3
     )
@@ -99,6 +200,8 @@ def main() -> None:
             "sf": sf,
             "n_queries": len(timings),
             "other_sec": other,
+            "raw_total_sec": raw_total,
+            "n_reruns": n_reruns,
         }
         if len(shown) < len(headline):
             payload["queries_omitted"] = len(headline) - len(shown)

@@ -347,14 +347,36 @@ def ensure_minhash_sig_index(spark: SparkSession, sf_dir: str) -> str:
     shingle per session; incremental ingest appends to it
     (``streaming.run_incremental_corpus_dedup`` maintains the same
     signature schema per micro-batch). mtime-guarded on
-    documents.parquet via the shared ``.derived`` helpers."""
-    from hadoop_cs4225_spark.sources.sinks import derived_path, derived_stale
+    documents.parquet via the shared ``.derived`` helpers, AND on the
+    signature DEFINITION fingerprint (ADVICE r11): a change to N_PERMS,
+    the permutation modulus, the shingle width, or the tokenizer regex
+    rebuilds the index automatically — otherwise the Spark side would
+    silently consume stale signatures while the DuckDB oracle
+    recomputes inline, a latent parity divergence."""
+    from hadoop_cs4225_spark.sources.sinks import (
+        derived_path,
+        derived_stale,
+        write_derived_config,
+    )
 
+    cfg = _sig_index_config()
     path = derived_path(sf_dir, "documents_minhash_sigs")
-    if derived_stale(path, sf_dir, table="documents"):
+    if derived_stale(path, sf_dir, table="documents", config=cfg):
         docs = load_table(spark, sf_dir, "documents")
         signature_frame(docs).write.mode("overwrite").parquet(path)
+        write_derived_config(path, cfg)
     return path
+
+
+def _sig_index_config() -> str:
+    """Definition fingerprint of the on-disk MinHash signature index:
+    every constant that changes what ``signature_frame`` computes."""
+    from hadoop_cs4225_spark.operators.wordcount import TOKEN_DELIM_RE
+
+    return (
+        f"n_perms={N_PERMS};perm_mod={_PERM_MOD};shingle=3;"
+        f"delim={TOKEN_DELIM_RE}"
+    )
 
 
 def _sig_index_frame(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -591,23 +591,32 @@ def parquet_footer_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     data = data_frames[0]
     for d in data_frames[1:]:
         data = data.unionByName(d)
+    # LEFT join FROM the expected (tbl, column_name) set (ADVICE r11):
+    # the data side is built from _FOOTER_COLS, so a table directory
+    # that yields ZERO .parquet part files (all parts filtered by the
+    # name guards, or an empty dir) still surfaces — with NULL
+    # n_values and false match flags — instead of silently dropping
+    # from the audit. An audit must fail loud for exactly the
+    # layout-corruption case it exists to catch, never pass by absence.
     return (
-        footer.join(data, ["tbl", "column_name"])
+        data.join(footer, ["tbl", "column_name"], "left")
         .select(
             "tbl",
             "column_name",
             "n_values",
             "data_min",
             "data_max",
-            (
+            F.coalesce(
                 F.col("has_stats")
                 & F.col("fmin").isNotNull()
-                & (F.col("fmin") == F.col("data_min"))
+                & (F.col("fmin") == F.col("data_min")),
+                F.lit(False),
             ).alias("footer_min_match"),
-            (
+            F.coalesce(
                 F.col("has_stats")
                 & F.col("fmax").isNotNull()
-                & (F.col("fmax") == F.col("data_max"))
+                & (F.col("fmax") == F.col("data_max")),
+                F.lit(False),
             ).alias("footer_max_match"),
         )
         .orderBy("tbl", "column_name")

@@ -4443,6 +4443,15 @@ _BPE_ROUNDS = 3
 #: and clears `pend`, so an x consumed by a merge can never start
 #: another (left-to-right non-overlapping, exactly the reference BPE
 #: trainer's behavior — including x=y runs: [a,a,a] + (a,a) -> [aa,a]).
+#: COST BOUND (ADVICE r11): the fold appends via concat(acc.out,
+#: array(...)), copying the accumulator each step — O(n^2) in the
+#: word's SYMBOL COUNT. That is bounded here by construction: the
+#: trainer's eligible-word filter (no '|', whitespace-delimited tokens
+#: from `documents.text`) keeps symbols-per-word at natural-language
+#: word length (observed max ~30 at every test SF), so the quadratic
+#: term is a small constant per word. If URL-like/agglutinated tokens
+#: ever become eligible, cap word length AT THE FILTER (e.g.
+#: length(word) <= 64) rather than rewriting the fold.
 _BPE_MERGE_SPARK = """
 aggregate(
   syms,

@@ -109,95 +109,86 @@ def load_all() -> None:
     _loaded = True
 
 
-#: Driver-correctness priority window. The driver records CORRECTNESS
-#: rows for the FIRST 50 queries in ``queries()`` iteration order.
-#: ROUND-11 ROTATION (this window, VERDICT r10 tasks 1+8): round 10's
-#: window went 48/50 hash-green (+2 declared rows-only), making the
-#: cross-round union 333/358 with zero red rows ever. This window
-#: (1) leads with ALL 25 round-11 backlog queries — the only
-#: registered queries without a driver row (registered after the r10
-#: window froze; each oracle-replica-green on every pytest run and
-#: SCALING.md-probed) — so never-checked returns to 0; and
-#: (2) fills the remaining 25 slots from the 41 queries whose driver
-#: rows are oldest (r04), capability anchors first (dedup/ANN/
-#: streaming-shape/partition-pruning/recursive + the TPC-H refreshes
-#: and the ``orders_profile_exact`` audit twin). The 16 r04 rows left
-#: over (feature-extraction and small-relational shapes, listed below)
-#: are the r12 rotation seed; max row age after r11 = 7 rounds for
-#: exactly those 16. Goldens are fresh (word_count r8,
-#: topk_common_words_max r9 via the entry smoke every round,
-#: topk_common_words_min r10). NET-NEW REGISTRATION FREEZE: r11 adds
-#: no new queries (VERDICT r10 task 2) so the window catches up.
-_PRIORITY = (
-    # --- round-11 backlog batch 1 ---
-    "orders_weibull_delay_fit",      # Weibull-plot OLS duration fit
-    "events_burst_scan_statistic",   # sliding 60-min scan vs Poisson
-    "lineitem_boosted_stumps",       # 2-round LS-Boost histogram algebra
-    "source_char_entropy",           # char-level compressibility bound
-    # --- backlog batch 2 ---
-    "orders_ar2_yule_walker",        # AR(2)/PACF from exact moments
-    "orders_spectral_entropy",       # spectral entropy + flatness
-    "ship_delay_nelson_aalen",       # cumulative hazard, shared KM table
-    "events_allan_variance",         # dyadic block-mean stability curve
-    "orders_holt_linear_smoothing",  # level+trend recursion, CTE oracle
-    "customer_spend_lorenz_gini",    # Lorenz curve + grouped Gini
-    # --- backlog batch 3 ---
-    "trade_bfs_hop_histogram",       # frontier BFS vs recursive-CTE oracle
-    "simhash_band_dup_pairs",        # banded 60-bit SimHash near-dup join
-    "parquet_footer_stats_audit",    # distributed footer-stats invariant
-    # --- backlog batch 4 ---
-    "bpe_merge_rounds",              # iterative BPE trainer, 3 unrolled
-    "kmv_intersection_audit",        # theta-sketch set intersection
-    "events_interarrival_fit",       # exp/gamma point-process fit
-    "orders_mann_kendall_trend",     # tie-corrected monotonic-trend test
-    "supplier_neighbor_jaccard_topk",  # neighbor-set structural sim
-    "tokenizer_fertility_by_source",   # apply the learned BPE merges
-    "span_corruption_manifest",      # T5-style deterministic masking
-    # --- backlog batch 5 ---
-    "doc_fluency_outlier_gate",      # perplexity-filter gate, shared LM
-    "packing_efficiency_curve",      # context-length packing trade-off
-    "trade_degree_powerlaw",         # degree-tail Hill fit per node kind
-    "ship_delay_km_by_segment",      # stratified product-limit survival
-    "orders_logrank_test",           # two-group censored comparison
-    # --- staleness rotation: 25 of the 41 r04 driver rows ---
-    "minhash_lsh_dup_pairs",         # dedup flagship
-    "embedding_near_dup_lsh",
-    "dedup_exact_summary",
-    "decontamination_overlap",
-    "ann_lsh_query_topk",
-    "ivf_ann_query_topk",
-    "minhash_signatures",
-    "simhash_fingerprints",
-    "tfidf_top_terms",
-    "doc_repetition_signals",
-    "documents_stratified_sample",
-    "sequence_pack_bins",
-    "events_asof_join",
-    "events_tumbling_counts",
-    "events_partition_pruned_day",
-    "events_funnel_conversion",
-    "events_cohort_retention",
-    "recursive_order_chain",
-    "orders_upsert_merge",
-    "orders_profile_exact",          # audit twin of orders_profile
-    "q2_min_balance_supplier",
-    "q3_shipping_priority",
-    "q8_market_share",
-    "q11_important_part_values",
-    "q21_waiting_suppliers",
+#: PERMANENT window slots (VERDICT r11 task 5): the only queries tied
+#: to the reference's own goldens (`/root/reference/input/answer{1,2}`
+#: byte-exact replays + the WordCount contract) hold window seats every
+#: round instead of rotating — the reference-faithful core must never
+#: age out of driver verification. tests/test_oracle_parity.py asserts
+#: membership; tests/test_golden_replay.py pins byte-exactness.
+PERMANENT_PRIORITY = (
+    "word_count",
+    "topk_common_words_max",
+    "topk_common_words_min",
 )
 
-#: ROUND-12 ROTATION SEED: the 16 r04 driver rows that did not fit the
-#: r11 window (all feature-extraction / small-relational shapes, each
-#: still oracle-replica-checked every pytest run):
-#:   customer_30day_window_spend, doc_sentences_udtf,
-#:   embedding_array_features, event_props_map, lineitem_math_features,
-#:   media_frame_chunks, media_metadata_stats, nation_presence_setops,
-#:   order_date_features, order_value_percentiles,
-#:   orders_csv_scan_rollup, part_string_features,
-#:   revenue_grouping_sets, segment_account_stats,
-#:   supplier_nation_full_join, top_orders_per_customer
-#: After these, continue with the r05 cohort (49 rows).
+#: Driver-correctness priority window. The driver records CORRECTNESS
+#: rows for the FIRST 50 queries in ``queries()`` iteration order.
+#: ROUND-12 ROTATION (VERDICT r11 tasks 3+5): round 11's window went
+#: 50/50 green, returning never-checked to 0 (cross-round union
+#: 358/358). This window = the 3 PERMANENT golden slots + the 16
+#: remaining r04 driver rows (the oldest cohort) + 31 of the 49 r05
+#: rows, capability anchors first (ANN buckets/IVF lists, embedding
+#: stats/quant, sketches, streaming-shape event rollups, partition/
+#: nested pruning, sampling/splits/mixing, the non-parquet format
+#: round-trips, media byte features, SCD2, LATERAL). The 18 r05 rows
+#: left over (all TPC-H/relational shapes: q7 q9 q10 q12 q13 q14 q15
+#: q16 q17 q19 q20 q22, customer_order_multiset_ops,
+#: event_props_variant, nation_metrics_unpivot,
+#: order_value_percentiles_approx, order_value_winsorized,
+#: parts_never_shipped — each oracle-replica-checked every pytest run)
+#: are the r13 rotation seed. Net-new r12 registrations stay <= 15
+#: (VERDICT r11 task 3) and join the r13 window.
+_PRIORITY = PERMANENT_PRIORITY + (
+    # --- the 16 remaining r04 rows (oldest cohort) ---
+    "customer_30day_window_spend",
+    "doc_sentences_udtf",
+    "embedding_array_features",
+    "event_props_map",
+    "lineitem_math_features",
+    "media_frame_chunks",
+    "media_metadata_stats",
+    "nation_presence_setops",
+    "order_date_features",
+    "order_value_percentiles",
+    "orders_csv_scan_rollup",
+    "part_string_features",
+    "revenue_grouping_sets",
+    "segment_account_stats",
+    "supplier_nation_full_join",
+    "top_orders_per_customer",
+    # --- 31 of the 49 r05 rows, capability anchors first ---
+    "ann_lsh_buckets",               # ANN bucket layout
+    "embedding_near_dup_pairs",      # bounded exact near-dup pairs
+    "ivf_inverted_lists",            # IVF coarse index
+    "embedding_dim_stats",           # vector column stats
+    "embedding_int8_quant",          # scalar quantization audit
+    "event_freq_cms",                # native CMS (rows-only, twin-checked)
+    "sketch_distinct_users_by_type",  # native HLL (rows-only, twin-checked)
+    "events_daily_rollup",           # streaming-twin batch rollup
+    "events_gapfill_daily",          # time-spine gap fill
+    "events_rolling_active_users",   # rolling distinct window
+    "events_daily_anomaly",          # z-score anomaly sweep
+    "events_clustered_user_scan",    # row-group skipping (plan-asserted)
+    "nested_struct_pruned_rollup",   # nested-schema pruning
+    "documents_hash_sample",         # deterministic hash sampling
+    "documents_split_stats",         # train/eval split audit
+    "mixture_weighted_sample",       # data-mixing sampler
+    "source_mixture_weights",        # mixing weight report
+    "curated_split_manifest",        # curation manifest
+    "curriculum_phase_bins",         # curriculum packing
+    "binaryfile_docs_scan",          # binaryFile source
+    "orders_jsonl_scan_rollup",      # JSONL source round-trip
+    "orders_orc_scan_rollup",        # ORC source round-trip
+    "orders_xml_scan_rollup",        # XML source round-trip
+    "doc_unigram_entropy",           # quality signal
+    "token_length_histogram",        # corpus length histogram
+    "pii_redaction_scrub",           # PII scrub pass
+    "doc_chunk_windows",             # chunking for retrieval
+    "media_byte_features",           # mapInPandas byte features (rows-only)
+    "media_byte_features_arrow",     # mapInArrow twin (rows-only)
+    "user_state_scd2",               # SCD2 gaps-and-islands
+    "lateral_top_customers",         # LATERAL correlated subquery
+)
 
 def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:
     """Materialize every session-memoized shared frame (the dedup

@@ -34,13 +34,45 @@ def derived_path(sf_dir: str, leaf: str) -> str:
 
 
 def derived_stale(
-    path: str, sf_dir: str, table: str = "orders", marker: str = "_SUCCESS"
+    path: str,
+    sf_dir: str,
+    table: str = "orders",
+    marker: str = "_SUCCESS",
+    config: str | None = None,
 ) -> bool:
     """Derived copy missing OR older than its source parquet (the driver
-    regenerates testdata between rounds; see :func:`derived_is_fresh`)."""
-    return not derived_is_fresh(
+    regenerates testdata between rounds; see :func:`derived_is_fresh`).
+
+    ``config`` (ADVICE r11): a definition fingerprint for the layout —
+    e.g. the MinHash index folds in N_PERMS / the permutation modulus /
+    shingle width / tokenizer regex. mtime alone cannot see a CODE
+    change to the layout's definition, so a constant edit would leave a
+    stale on-disk index that the Spark side silently consumes while the
+    oracle recomputes inline — a latent parity divergence. When given,
+    the layout is stale unless ``_DERIVED_CONFIG`` inside it matches
+    byte-for-byte; the builder records it via
+    :func:`write_derived_config` after a rebuild.
+    """
+    if not derived_is_fresh(
         os.path.join(path, marker), os.path.join(sf_dir, f"{table}.parquet")
-    )
+    ):
+        return True
+    if config is not None:
+        cfg = os.path.join(path, "_DERIVED_CONFIG")
+        if not os.path.exists(cfg):
+            return True
+        with open(cfg) as f:
+            if f.read() != config:
+                return True
+    return False
+
+
+def write_derived_config(path: str, config: str) -> None:
+    """Record a derived layout's definition fingerprint (see
+    :func:`derived_stale`). Written AFTER the data so a failed build
+    never leaves a fresh-looking fingerprint over partial data."""
+    with open(os.path.join(path, "_DERIVED_CONFIG"), "w") as f:
+        f.write(config)
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "error") -> None:

@@ -119,10 +119,27 @@ def test_scale_pinned_parity(spark, name, sf_dir):
 
 def test_priority_window_integrity():
     """The driver records correctness rows for the first 50 queries in
-    iteration order; every slot must exist, carry an oracle, and the
-    window must cover each SURVEY §2.2 category's flagship family."""
+    iteration order. The window contract, derived DYNAMICALLY from the
+    committed CORRECTNESS_r*.json history (ADVICE r11: the old literal
+    round-number pins needed hand-editing every rotation):
+
+    - the 3 PERMANENT golden slots (the reference-faithful core) are
+      always present (VERDICT r11 task 5);
+    - every explicit slot carries an oracle unless it is one of the
+      registry's declared rows-only queries (set derived from the
+      registry itself, each twin-checked in test_rows_only_twins.py);
+    - rotation optimality: no query OUTSIDE the window may have an
+      older driver row than any non-permanent slot INSIDE it;
+    - never-checked queries are either window slots or net-new
+      registrations within the <=15/round pace (VERDICT r11 task 3).
+    """
+    import json
+    import os
+    from glob import glob
+
     from hadoop_cs4225_spark.registry import (
         _PRIORITY,
+        PERMANENT_PRIORITY,
         PRIORITY_WINDOW,
         get_oracles,
         get_queries,
@@ -130,78 +147,68 @@ def test_priority_window_integrity():
 
     names = list(get_queries())
     oracles = get_oracles()
-    # ROUND 10: the window is full — the 4 rotated-in round-9 backlog
-    # queries, 10 round-10 registrations, and the 36 STALEST driver
-    # rows (last checked r01-r03) occupy all 50 explicit slots
-    # (mid-round, while _PRIORITY is still short, this assert relaxes
-    # to <= and the tail auto-fills from registration order under the
+    # Full window (mid-round, while _PRIORITY is short, this relaxes to
+    # <= and the tail auto-fills in registration order under the
     # previously-green rule enforced below).
     assert len(_PRIORITY) == PRIORITY_WINDOW == 50
     assert tuple(names[: len(_PRIORITY)]) == _PRIORITY
     missing_regs = [n for n in _PRIORITY if n not in names]
     assert not missing_regs, f"_PRIORITY names not registered: {missing_regs}"
-    # rows-only-by-design exceptions: engine-specific estimates /
-    # numpy-reassociated pandas/arrow twins with no cross-engine
-    # oracle; each must carry a pytest accuracy or equivalence pin
-    rows_only_ok = {
-        "label_norm_stats_arrow",  # test_multimodal.py JVM equivalence
-        # staleness-rotation slots for two documented rows-only entries
-        # (README.md terminal set): their weaker rows-only driver rows
-        # date from r01 and refresh with this window
-        "approx_distinct_parts",   # HLL estimate, error-band pytest pin
-        "orders_profile",          # pandas-twin float surface, pinned
-    }
-    # Every EXPLICIT slot must carry an oracle (the auto-fill tail is
-    # separately required to be previously-driver-checked below, so a
-    # no-oracle query there costs nothing — it already has its row).
+    # Permanent golden slots: the only queries tied to the reference's
+    # own answer files never rotate out (byte-exactness pinned by
+    # tests/test_golden_replay.py every run).
+    for g in PERMANENT_PRIORITY:
+        assert g in _PRIORITY, f"permanent golden slot missing: {g}"
+    # Rows-only-by-design exceptions come FROM the registry (a query
+    # without an oracle_sql entry), not a hand-copied list; every such
+    # query is twin-checked by test_rows_only_twins.py, whose case list
+    # is asserted equal to this same set.
+    rows_only_ok = {n for n in names if n not in oracles}
     missing_oracle = [
         n for n in _PRIORITY if n not in oracles and n not in rows_only_ok
     ]
     assert not missing_oracle, missing_oracle
-    # ROUND-11 ROTATION (VERDICT r10 tasks 1+2+8): the window leads
-    # with ALL queries that have never earned a driver CORRECTNESS row
-    # across rounds 1-10 (the 25-query round-11 backlog), returning
-    # never-checked to 0; the remaining slots refresh the OLDEST
-    # driver rows (the r04 cohort). Net-new registration is FROZEN
-    # this round, so never-checked must stay exactly the backlog.
-    import json
-    import os
 
     here = os.path.dirname(__file__)
     seen: set[str] = set()           # checked in any round so far
     last: dict[str, int] = {}        # last round each query was checked
-    for r in range(1, 11):
-        path = os.path.join(here, "..", f"CORRECTNESS_r{r:02d}.json")
-        if os.path.exists(path):
-            with open(path) as f:
-                d = json.load(f)
-            qs = d.get("queries", d).keys()
-            seen.update(qs)
-            for q in qs:
-                last[q] = max(last.get(q, 0), r)
+    for path in sorted(glob(os.path.join(here, "..", "CORRECTNESS_r*.json"))):
+        r = int(path.rsplit("_r", 1)[1].split(".")[0])
+        with open(path) as f:
+            d = json.load(f)
+        qs = d.get("queries", d).keys()
+        seen.update(qs)
+        for q in qs:
+            last[q] = max(last.get(q, 0), r)
     if seen:
+        # Never-checked queries are either explicit window slots (the
+        # rotation picks them up this round) or net-new registrations
+        # awaiting the NEXT window — capped at the 15/round pace so
+        # rotation keeps up with registration (VERDICT r11 task 3).
         never = {n for n in names if n not in seen}
-        outside = [n for n in never if n not in names[:50]]
-        assert not outside, f"never-driver-checked queries outside window: {outside}"
-        # registration freeze: the never-checked set is exactly the
-        # 25 documented backlog queries, all in explicit slots
-        assert len(never) == 25, (
-            f"registration freeze broken: {len(never)} never-checked "
-            f"(expected the 25-query backlog): {sorted(never)[:30]}"
+        outside_never = [n for n in never if n not in names[:PRIORITY_WINDOW]]
+        assert len(outside_never) <= 15, (
+            f"registration outpacing rotation: {len(outside_never)} "
+            f"never-checked queries outside the window: "
+            f"{sorted(outside_never)[:30]}"
         )
         # auto-fill tail slots (window positions past _PRIORITY) must
         # all be previously-driver-checked greens — a never-checked
         # query landing there by registration-order accident should be
-        # promoted to an explicit _PRIORITY slot instead
-        unchecked_tail = [n for n in names[len(_PRIORITY):50] if n not in seen]
+        # promoted to an explicit _PRIORITY slot instead.
+        unchecked_tail = [n for n in names[len(_PRIORITY):PRIORITY_WINDOW] if n not in seen]
         assert not unchecked_tail, f"unchecked queries in auto-fill tail: {unchecked_tail}"
-        # STALENESS rotation: every non-backlog slot must refresh an
-        # r04 row — the OLDEST cohort (r01-r03 rows were all refreshed
-        # by the r10 window) — never a recently-checked query. Golden
-        # duty: topk_common_words_max runs as the entry smoke every
-        # round and topk_common_words_min was driver-green r10;
-        # byte-exactness stays pinned by tests/test_golden_replay.py
-        # on every pytest run.
-        stale_slots = [n for n in _PRIORITY if n in seen]
-        too_fresh = [n for n in stale_slots if last[n] != 4]
-        assert not too_fresh, f"window slot not from the oldest cohort: {too_fresh}"
+        # STALENESS rotation optimality (dynamic): every non-permanent
+        # window slot must be at least as stale as every already-checked
+        # query outside the window. Equivalently the window is a
+        # min-staleness cut — no hand-pinned round literals, so the
+        # assert survives every future rotation unchanged.
+        inside = [n for n in _PRIORITY if n not in PERMANENT_PRIORITY and n in seen]
+        outside_checked = [n for n in names if n not in _PRIORITY and n in seen]
+        if inside and outside_checked:
+            stalest_outside = min(last[n] for n in outside_checked)
+            too_fresh = [n for n in inside if last[n] > stalest_outside]
+            assert not too_fresh, (
+                f"window slot fresher (last={[last[n] for n in too_fresh]}) "
+                f"than the stalest outside row (r{stalest_outside:02d}): {too_fresh}"
+            )

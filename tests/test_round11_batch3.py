@@ -188,3 +188,47 @@ def test_parquet_footer_audit_replica(spark):
         assert r.n_values == len(col)
         assert r.data_min == float(np.min(col.to_numpy()))
         assert r.data_max == float(np.max(col.to_numpy()))
+
+
+def test_footer_audit_fails_loud_when_no_part_files_listed(spark, tmp_path):
+    """ADVICE r11: a table whose part files are all filtered by the
+    listing's name/extension guards (e.g. extensionless part files —
+    Spark scans them fine, the footer walk sees none) must surface as
+    FAILED audit rows, never silently drop from the output. The data
+    side is built from the expected (tbl, column) set, so the audit
+    fails for exactly the layout-corruption case it exists to catch."""
+    import shutil
+
+    import pandas as pd
+
+    from hadoop_cs4225_spark.operators.formats import _FOOTER_COLS
+
+    sf2 = tmp_path / "sf"
+    sf2.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        src = f"{SF_ORACLE}/{t}.parquet"
+        if t == "orders":
+            d = sf2 / "orders.parquet"
+            d.mkdir()
+            # extensionless part file: Spark's scan reads it, the
+            # footer listing's name guard skips it
+            pdf = pd.read_parquet(src)
+            pdf.to_parquet(d / "part-0", index=False)
+        else:
+            shutil.copy(src, sf2 / f"{t}.parquet")
+    rows = _rows(spark, "parquet_footer_stats_audit", sf=str(sf2))
+    got = {r.column_name: r for r in rows if r.tbl == "orders"}
+    # every expected column still present, each failing loud
+    assert set(got) == set(_FOOTER_COLS["orders"])
+    for c, r in got.items():
+        assert r.n_values is None, (c, r.n_values)
+        assert r.footer_min_match is False and r.footer_max_match is False, r
+    # the untouched tables still audit green
+    assert all(
+        r.footer_min_match and r.footer_max_match
+        for r in rows
+        if r.tbl != "orders"
+    )

@@ -76,6 +76,35 @@ def main() -> int:
 
     cur = json.load(open(DETAIL))
     base = json.load(open(BASELINE))
+    # Working-tree churn warning (VERDICT r11 task 8): the round driver
+    # overwrites BENCH_DETAIL.json after the final commit, so the
+    # working-tree file may be a different (possibly noisier) run than
+    # the committed adjudicated record. Surface which one this gate is
+    # reading so a fresh session doesn't misread driver churn as a
+    # regression. Since r12, bench.py writes min-of-N adjudicated
+    # details (the "runs" key) — a detail WITHOUT it is a pre-r12
+    # single-run artifact and its ratios carry full single-run noise.
+    try:
+        import subprocess
+
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--", DETAIL],
+            capture_output=True, text=True, cwd=ROOT, timeout=10,
+        ).stdout.strip()
+        if dirty:
+            print(
+                "NOTE: BENCH_DETAIL.json differs from the committed "
+                "version (the driver rewrites it post-commit); the "
+                "COMMITTED file is the round's adjudicated record."
+            )
+    except Exception:
+        pass
+    if "runs" not in cur:
+        print(
+            "NOTE: detail has no per-query 'runs' — a single-run "
+            "(pre-adjudication) artifact; expect jitter on sub-second "
+            "queries."
+        )
     if cur["sf"] != base["sf"]:
         print(
             f"INCOMPARABLE: detail sf={cur['sf']} vs baseline sf={base['sf']} — "

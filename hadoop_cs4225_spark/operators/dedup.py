@@ -362,8 +362,13 @@ def ensure_minhash_sig_index(spark: SparkSession, sf_dir: str) -> str:
     cfg = _sig_index_config()
     path = derived_path(sf_dir, "documents_minhash_sigs")
     if derived_stale(path, sf_dir, table="documents", config=cfg):
-        docs = load_table(spark, sf_dir, "documents")
-        signature_frame(docs).write.mode("overwrite").parquet(path)
+        # Build FROM the written shingle-set layout (one tokenize pass
+        # per corpus snapshot serves both indexes); MIN is
+        # duplicate-insensitive so signatures over the distinct set
+        # equal signature_frame()'s — pinned in tests.
+        _minhash_sigs_from_exploded(
+            shingle_postings_frame(spark, sf_dir)
+        ).write.mode("overwrite").parquet(path)
         write_derived_config(path, cfg)
     return path
 
@@ -379,6 +384,123 @@ def _sig_index_config() -> str:
     )
 
 
+def ensure_shingle_sets(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the distinct 3-token SHINGLE SET per eligible doc as
+    a written layout (``.derived/<sf>/documents_shingle_sets``: one row
+    per doc, ``doc_id, sh array<string>``) — the postings artifact of
+    the whole set-similarity family (VERDICT r11 task 4).
+
+    Five registered queries (``jaccard_prefix_filter_pairs``,
+    ``shingle_containment_pairs``, ``shingle_idf_similarity_topk``,
+    ``decontamination_overlap``, ``eval_ngram_novelty``) plus the LSH
+    verify stage each re-derived this set from ``documents.text`` per
+    run — a regex tokenize + shingle transform + array_distinct over
+    the full corpus, the family's dominant cost. At 100 TB the shingle
+    postings are written once per corpus snapshot (the inverted-index
+    build every set-similarity deployment runs) and every join reads
+    them; storing the SET form (array per doc) serves both access
+    shapes map-side — ``explode`` for postings joins, the array itself
+    for in-row verify intersections — with zero extra shuffle.
+
+    mtime-guarded on documents.parquet AND on the shingle definition
+    fingerprint (shingle width / tokenizer regex / eligibility), the
+    ``_sig_index_config`` discipline. The DuckDB oracles keep
+    recomputing shingles inline: index build and probe are one logical
+    definition, so parity holds by construction.
+    """
+    from hadoop_cs4225_spark.sources.sinks import (
+        derived_path,
+        derived_stale,
+        write_derived_config,
+    )
+
+    cfg = _shingle_sets_config()
+    path = derived_path(sf_dir, "documents_shingle_sets")
+    if derived_stale(path, sf_dir, table="documents", config=cfg):
+        docs = load_table(spark, sf_dir, "documents")
+        _shingle_sets(docs).write.mode("overwrite").parquet(path)
+        write_derived_config(path, cfg)
+    return path
+
+
+def _shingle_sets_config() -> str:
+    """Definition fingerprint of the shingle-set layout: everything
+    that changes what ``_shingle_sets`` computes."""
+    from hadoop_cs4225_spark.operators.wordcount import TOKEN_DELIM_RE
+
+    return f"shingle=3;min_toks=3;distinct=1;delim={TOKEN_DELIM_RE}"
+
+
+def shingle_sets_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized shingle-set layout as a DataFrame (ensure +
+    read): ``(doc_id, sh array<string>)``, one row per eligible doc."""
+    return spark.read.parquet(ensure_shingle_sets(spark, sf_dir))
+
+
+def ensure_shingle_postings(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the statistics-bearing INVERTED INDEX over the
+    shingle sets (``.derived/<sf>/documents_shingle_postings``): one
+    row per (doc, distinct shingle) carrying
+
+    - ``df``  — the shingle's global document frequency,
+    - ``len`` — the doc's distinct-shingle count,
+    - ``rn``  — the shingle's rarity rank within its doc
+      (``row_number`` over ``(df, s)`` — the PPJoin prefix order).
+
+    The family's remaining per-query cost after the shingle-set layout
+    landed was NOT tokenization but the df-count shuffle + postings⋈df
+    join (+ the per-doc rank window for the prefix filter) that every
+    set-similarity query re-ran on identical input. df/len/rn are pure
+    corpus statistics, so they belong IN the written index — exactly
+    what Lucene/PPJoin index builds store — turning the df-band prune
+    (containment), the idf weight (idf cosine), and the prefix filter
+    (Jaccard join) into map-side predicates over one written table.
+    Consumers that only need ``(doc_id, s)`` read the same layout
+    column-pruned. Built FROM the shingle-set layout (no second
+    tokenize pass); same mtime + definition-fingerprint guard.
+    """
+    from hadoop_cs4225_spark.sources.sinks import (
+        derived_path,
+        derived_stale,
+        write_derived_config,
+    )
+
+    cfg = _shingle_sets_config() + ";stats=df,len,rn;rank=df,s"
+    path = derived_path(sf_dir, "documents_shingle_postings")
+    if derived_stale(path, sf_dir, table="documents", config=cfg):
+        sh = shingle_sets_frame(spark, sf_dir).select(
+            "doc_id", F.size("sh").cast("long").alias("len"),
+            F.explode("sh").alias("s"),
+        )
+        dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("df"))
+        wrank = Window.partitionBy("doc_id").orderBy("df", "s")
+        (
+            sh.join(dfreq, "s")
+            .select(
+                "doc_id", "s", "df", "len",
+                F.row_number().over(wrank).alias("rn"),
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        write_derived_config(path, cfg)
+    return path
+
+
+def shingle_postings_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, s)`` postings rows from the written inverted index —
+    column-pruned scan, no re-tokenization, no stats read."""
+    return spark.read.parquet(ensure_shingle_postings(spark, sf_dir)).select(
+        "doc_id", "s"
+    )
+
+
+def shingle_postings_stats_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ``(doc_id, s, df, len, rn)`` rows from the written inverted
+    index (see :func:`ensure_shingle_postings`)."""
+    return spark.read.parquet(ensure_shingle_postings(spark, sf_dir))
+
+
 def _sig_index_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized signature index as a DataFrame (ensure + read).
     Batch LSH consumers read THIS instead of recomputing signatures —
@@ -392,22 +514,15 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered verified near-dup pairs ``(d1, d2, jaccard)``.
 
     Signatures come from the MATERIALIZED index
-    (:func:`ensure_minhash_sig_index`) — written once per corpus
-    snapshot, read by every LSH run; the shingle-set frame is built
-    only for the exact-Jaccard verify joins and persisted so
-    tokenize+shingle+distinct runs once for both join sides (at
-    cluster scale use StorageLevel MEMORY_AND_DISK — one row per doc).
+    (:func:`ensure_minhash_sig_index`) and the exact-Jaccard verify
+    reads the MATERIALIZED shingle-set layout
+    (:func:`ensure_shingle_sets`) — both written once per corpus
+    snapshot; no query-time tokenization anywhere in the LSH pipeline
+    (VERDICT r11 task 4). The two verify join sides scan the same
+    written parquet (column-pruned, no persist needed).
     """
-    docs = load_table(spark, sf_dir, "documents")
     sigs = _sig_index_frame(spark, sf_dir)
-    d = _shingle_sets(docs).persist()
-    try:
-        return _verified_pairs_body(d, sigs)
-    finally:
-        # Release even when the eager build fails (OOM/cancel): a
-        # success-only unpersist would re-leak one cached shingle copy
-        # per retried failure.
-        d.unpersist()
+    return _verified_pairs_body(shingle_sets_frame(spark, sf_dir), sigs)
 
 
 def _verified_pairs_body(d: DataFrame, sig_index: DataFrame) -> DataFrame:
@@ -440,8 +555,16 @@ def _verified_pairs_body(d: DataFrame, sig_index: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("c.doc_id").alias("d2"))
         .distinct()
     )
-    s1 = d.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
-    s2 = d.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    # hint("merge"): the written layout's compressed footprint sits
+    # under the broadcast threshold, so Catalyst would otherwise build
+    # a decompressed hundreds-of-MB hashed relation of the shingle
+    # arrays for BOTH verify joins (the jaccard_prefix lesson).
+    s1 = d.hint("merge").select(
+        F.col("doc_id").alias("d1"), F.col("sh").alias("sh1")
+    )
+    s2 = d.hint("merge").select(
+        F.col("doc_id").alias("d2"), F.col("sh").alias("sh2")
+    )
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = F.size("sh1") + F.size("sh2") - F.size(F.array_intersect("sh1", "sh2"))
     jac = inter / union
@@ -501,16 +624,15 @@ def weighted_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     all map-side-combined. md5 is computed once per (shingle, replica)
     and split h1/h2 for all permutations (hash60 combiner).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    d = docs.select("doc_id", _toks().alias("toks")).where(F.size("toks") >= 3)
-    sh = d.select("doc_id", F.explode(F.array_distinct(_shingles())).alias("s"))
-    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # df comes stored in the written inverted index (VERDICT r11 task
+    # 4) — the weight is a map-side expression, no df aggregate/join.
+    sh = shingle_postings_stats_frame(spark, sf_dir)
     w = (
         F.when(F.col("df") == 1, F.lit(4))
         .when(F.col("df") <= 3, F.lit(2))
         .otherwise(F.lit(1))
     )
-    rep = sh.join(dfreq, "s").select(
+    rep = sh.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), w - 1)).alias("r"),
         F.col("s"),
@@ -891,10 +1013,11 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized verified-pair frame (``_MATERIALIZED``) — at 100 TB
     this audit is a sampled side-channel, never a full-corpus job.
     """
-    docs = load_table(spark, sf_dir, "documents").where(
+    # Slice predicate pushes down into the written shingle-set layout
+    # (VERDICT r11 task 4) — the audit reads only its bounded slice.
+    sets = shingle_sets_frame(spark, sf_dir).where(
         F.col("doc_id") <= AUDIT_SLICE
     )
-    sets = _shingle_sets(docs)
     a = sets.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
     b = sets.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
@@ -982,25 +1105,16 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     count → two broadcast-able size joins. No all-pairs anywhere —
     the pair set only contains docs sharing a mid-df shingle.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        docs.select("doc_id", _toks().alias("toks"))
-        .where(F.size("toks") >= 3)
-        .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("s"))
-    )
-    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    # Three consumers (sizes, both self-join sides) — materialize once,
-    # the shingle_idf_similarity_topk postings discipline; at scale this
-    # is the postings table you'd write to disk after the df prune.
+    # The df-band prune is a map-side predicate over the WRITTEN
+    # inverted index (VERDICT r11 task 4): df is stored per posting at
+    # index-build time, so no df aggregate or join runs per query. The
+    # three consumers (sizes, both self-join sides) each re-scan the
+    # column-pruned parquet — cheaper than the checkpoint that used to
+    # amortize the df join.
     pruned = (
-        sh.join(
-            df_counts.where(
-                F.col("df").between(CONTAIN_DF_MIN, CONTAIN_DF_MAX)
-            ),
-            "s",
-        )
+        shingle_postings_stats_frame(spark, sf_dir)
+        .where(F.col("df").between(CONTAIN_DF_MIN, CONTAIN_DF_MAX))
         .select("doc_id", "s")
-        .localCheckpoint(eager=False)
     )
     sizes = pruned.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = pruned.select(F.col("doc_id").alias("d1"), "s")
@@ -1340,21 +1454,13 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exponent 1.53; this form re-measures sub-linear). No global sorts,
     no cartesian anything.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _toks().alias("toks")
-    )
-    post = (
-        docs.where(F.size("toks") >= 3)
-        .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("tok"))
-        .localCheckpoint(eager=False)  # read by lens/df/rank
-    )
-    lens = post.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("len"))
-    df = post.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    wrank = Window.partitionBy("doc_id").orderBy("df", "tok")
-    ranked = (
-        post.join(df, "tok")
-        .join(lens, "doc_id")
-        .select("doc_id", "tok", "df", "len", F.row_number().over(wrank).alias("rn"))
+    # The ranked postings come from the WRITTEN inverted index
+    # (VERDICT r11 task 4): df / len / rn are corpus statistics stored
+    # at index-build time, so the prefix filter below is a map-side
+    # predicate over one parquet scan — no df shuffle, no join, no
+    # rank window at query time.
+    ranked = shingle_postings_stats_frame(spark, sf_dir).withColumnRenamed(
+        "s", "tok"
     )
     p_len = (
         F.col("len")
@@ -1388,8 +1494,15 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # linear in rows but spill-bound: the r10 scale probe measured
     # exponent 1.53 end-to-end; this form keeps the verify exchange at
     # |candidates| rows and re-measures ~0.9.
-    sets = docs.where(F.size("toks") >= 3).select(
-        "doc_id", F.array_distinct(_shingles()).alias("ss")
+    # hint("merge"): the written layout's COMPRESSED size sits under
+    # the broadcast threshold, so Catalyst would otherwise broadcast
+    # the full shingle-array table for BOTH verify joins — hundreds of
+    # MB decompressed, built twice. Sort-merge streams the arrays once
+    # per side; the verify exchange stays |candidates|+|docs| rows.
+    sets = (
+        shingle_sets_frame(spark, sf_dir)
+        .withColumnRenamed("sh", "ss")
+        .hint("merge")
     )
     inter = (
         cand.join(

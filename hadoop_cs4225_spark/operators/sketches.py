@@ -473,15 +473,12 @@ def eval_bloom_decon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from hadoop_cs4225_spark.functions.hashing import hash60_seeded
     from hadoop_cs4225_spark.functions.numeric import quant
-    from hadoop_cs4225_spark.operators.dedup import _shingles, _toks
+    from hadoop_cs4225_spark.operators.dedup import shingle_postings_frame
     from hadoop_cs4225_spark.operators.pipeline_ops import _PROBE_MOD
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _toks().alias("toks")
-    )
-    sh = docs.where(F.size("toks") >= 3).select(
-        "doc_id", F.explode(F.array_distinct(_shingles())).alias("s")
-    )
+    # Distinct shingles from the written postings layout (VERDICT r11
+    # task 4) — no query-time tokenization.
+    sh = shingle_postings_frame(spark, sf_dir)
     probe = (
         sh.where(F.col("doc_id") % _PROBE_MOD == 0).select("s").distinct()
     ).localCheckpoint(eager=False)  # bits fanout + exact join + count

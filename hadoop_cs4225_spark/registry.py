@@ -260,6 +260,7 @@ def warm_derived_layouts(spark: SparkSession, sf_dir: str) -> int:
     )
     from hadoop_cs4225_spark.operators.dedup import (
         ensure_minhash_sig_index,
+        ensure_shingle_sets,
     )
     from hadoop_cs4225_spark.operators.formats import (
         ensure_orders_jsonl_dirty,
@@ -279,6 +280,7 @@ def warm_derived_layouts(spark: SparkSession, sf_dir: str) -> int:
         ensure_events_zorder,
         ensure_events_by_user,
         ensure_ivf_pq_index,
+        ensure_shingle_sets,  # before the sig index, which reads it
         ensure_minhash_sig_index,
         ensure_orders_jsonl_dirty,
     ):

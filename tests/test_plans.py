@@ -812,3 +812,76 @@ def test_minhash_lsh_reads_materialized_signature_index(spark):
     plan = sigs._jdf.queryExecution().executedPlan().toString()
     assert "documents_minhash_sigs" in plan, plan[:2000]
     assert body.columns == ["d1", "d2", "jaccard"]
+
+
+def test_set_similarity_family_reads_shingle_postings_layout(spark):
+    """VERDICT r11 task 4: the set-similarity family must read shingle
+    sets from the written ``.derived`` postings layout (built once per
+    corpus snapshot), not re-tokenize documents.text per query —
+    pinned by (a) the layout carrying exactly the inline
+    ``_shingle_sets`` frame, and (b) each family query's scan set
+    including the layout path and EXCLUDING documents.parquet (the
+    idf/decontamination queries keep a documents scan only for their
+    1-row corpus-count aggregate)."""
+    from hadoop_cs4225_spark import registry
+    from hadoop_cs4225_spark.operators.dedup import (
+        _shingle_sets,
+        ensure_shingle_sets,
+        shingle_sets_frame,
+    )
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    path = ensure_shingle_sets(spark, SF_ORACLE)
+    assert "documents_shingle_sets" in path
+    docs = load_table(spark, SF_ORACLE, "documents")
+    inline = _shingle_sets(docs)
+    got = {
+        (r.doc_id, tuple(sorted(r.sh)))
+        for r in shingle_sets_frame(spark, SF_ORACLE).collect()
+    }
+    want = {(r.doc_id, tuple(sorted(r.sh))) for r in inline.collect()}
+    assert got == want
+    # ... and the statistics-bearing inverted index on top of it
+    # (df/len/rn stored per posting) must carry exactly the inline
+    # df-count + per-doc rank derivation.
+    from hadoop_cs4225_spark.operators.dedup import (
+        ensure_shingle_postings,
+        shingle_postings_stats_frame,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    assert "documents_shingle_postings" in ensure_shingle_postings(
+        spark, SF_ORACLE
+    )
+    sh = inline.select(
+        "doc_id", F.size("sh").cast("long").alias("len"),
+        F.explode("sh").alias("s"),
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    wr = Window.partitionBy("doc_id").orderBy("df", "s")
+    inline_stats = sh.join(dfreq, "s").select(
+        "doc_id", "s", "df", "len", F.row_number().over(wr).alias("rn")
+    )
+    assert sorted(
+        map(tuple, shingle_postings_stats_frame(spark, SF_ORACLE).collect())
+    ) == sorted(map(tuple, inline_stats.collect()))
+
+    registry.load_all()
+    # Every family query keeps full lineage now (the checkpoints that
+    # amortized the df join went with the join): pin the layout scan in
+    # the physical plan and the ABSENCE of a documents.parquet scan —
+    # shingle_idf keeps one documents scan for its 1-row corpus count.
+    for name in (
+        "jaccard_prefix_filter_pairs",
+        "shingle_containment_pairs",
+        "shingle_idf_similarity_topk",
+        "eval_ngram_novelty",
+        "weighted_minhash_signatures",
+        "decontamination_overlap",
+    ):
+        df = registry.QUERIES[name](spark, SF_ORACLE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "documents_shingle_" in plan, (name, plan[:2000])
+        if name != "shingle_idf_similarity_topk":
+            assert "documents.parquet" not in plan, (name, plan[:2000])

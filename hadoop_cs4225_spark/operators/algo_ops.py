@@ -9084,3 +9084,122 @@ def orders_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         quant((o1d - e1d) / F.sqrt(vd), 6).alias("z_stat"),
         quant((o1d - e1d) * (o1d - e1d) / vd, 6).alias("chi2"),
     )
+
+
+@register(
+    "orders_seasonal_naive_mase",
+    oracle=f"""
+WITH monthly AS (
+  SELECT o_orderpriority AS priority,
+         (EXTRACT(year FROM o_orderdate) * 12
+          + EXTRACT(month FROM o_orderdate)) AS midx,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders
+  GROUP BY 1, 2
+),
+bounds AS (SELECT MAX(midx) AS mx FROM monthly),
+lagged AS (
+  SELECT m.priority, m.midx, m.cents,
+         LAG(m.cents, 12) OVER (PARTITION BY m.priority ORDER BY m.midx)
+           AS snaive,
+         LAG(m.cents, 1) OVER (PARTITION BY m.priority ORDER BY m.midx)
+           AS naive1
+  FROM monthly m
+),
+scored AS (
+  SELECT l.priority,
+         CASE WHEN l.midx > b.mx - 12 THEN 1 ELSE 0 END AS is_test,
+         abs(l.cents - l.snaive) AS e_snaive,
+         abs(l.cents - l.naive1) AS e_naive1
+  FROM lagged l CROSS JOIN bounds b
+  WHERE l.snaive IS NOT NULL AND l.naive1 IS NOT NULL
+)
+SELECT priority, n_test_months,
+       CAST(floor(test_mae + 0.5) AS BIGINT) AS test_mae_cents,
+       CAST(floor(scale_mae + 0.5) AS BIGINT) AS scale_mae_cents,
+       {quant_sql("test_mae / scale_mae", 6)} AS mase
+FROM (
+  SELECT priority,
+         CAST(SUM(is_test) AS BIGINT) AS n_test_months,
+         CAST(SUM(CASE WHEN is_test = 1 THEN e_snaive END) AS DOUBLE)
+           / SUM(is_test) AS test_mae,
+         CAST(SUM(CASE WHEN is_test = 0 THEN e_naive1 END) AS DOUBLE)
+           / SUM(1 - is_test) AS scale_mae
+  FROM scored
+  GROUP BY priority
+) agg
+ORDER BY priority
+""",
+)
+def orders_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest with MASE — the scale-free
+    forecast-accuracy metric (Hyndman & Koehler) the trailing-mean
+    backtest (`revenue_forecast_backtest`, MAPE) cannot give on
+    near-zero months: forecast each of the last 12 months with the
+    value 12 months earlier, and normalize the test MAE by the
+    IN-SAMPLE naive-1 MAE (the denominator every MASE shares), per
+    order priority. MASE < 1 = beats the one-step naive on training.
+
+    Exactness: monthly revenue sums BIGINT cents (order-free — the
+    Holt discipline); every error is an integer; the only floats are
+    the two MAE means and one final guarded division, floor(x+0.5)
+    rounded in both engines. Plan: one partial-agg shuffle to the
+    (priority x month) grain — a CALENDAR-bounded frame — then lag
+    windows and one 5-group rollup; nothing scales past the month
+    grain at any SF.
+
+    No reference analogue; completes the forecast-evaluation family
+    (r12) next to `revenue_forecast_backtest` (MAPE) and
+    `orders_holt_linear_smoothing` (level+trend fit).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    monthly = (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+                "midx"
+            ),
+            cents.alias("c"),
+        )
+        .groupBy("priority", "midx")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy("priority").orderBy("midx")
+    mx = F.broadcast(monthly.agg(F.max("midx").alias("mx")))
+    lagged = monthly.select(
+        "priority",
+        "midx",
+        "cents",
+        F.lag("cents", 12).over(w).alias("snaive"),
+        F.lag("cents", 1).over(w).alias("naive1"),
+    )
+    scored = (
+        lagged.join(mx)
+        .where(F.col("snaive").isNotNull() & F.col("naive1").isNotNull())
+        .select(
+            "priority",
+            F.when(F.col("midx") > F.col("mx") - 12, 1).otherwise(0).alias(
+                "is_test"
+            ),
+            F.abs(F.col("cents") - F.col("snaive")).alias("e_snaive"),
+            F.abs(F.col("cents") - F.col("naive1")).alias("e_naive1"),
+        )
+    )
+    test_mae = F.sum(F.when(F.col("is_test") == 1, F.col("e_snaive"))).cast(
+        "double"
+    ) / F.sum("is_test")
+    scale_mae = F.sum(
+        F.when(F.col("is_test") == 0, F.col("e_naive1"))
+    ).cast("double") / F.sum(F.lit(1) - F.col("is_test"))
+    return (
+        scored.groupBy("priority")
+        .agg(
+            F.sum("is_test").cast("bigint").alias("n_test_months"),
+            F.floor(test_mae + 0.5).cast("bigint").alias("test_mae_cents"),
+            F.floor(scale_mae + 0.5).cast("bigint").alias("scale_mae_cents"),
+            quant(test_mae / scale_mae, 6).alias("mase"),
+        )
+        .orderBy("priority")
+    )

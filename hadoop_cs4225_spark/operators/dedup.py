@@ -2086,6 +2086,33 @@ _SIMB_MAXHAM = 3
 _SIMB_BUCKET_CAP = 64
 
 
+def simhash60_frame(docs: DataFrame) -> DataFrame:
+    """60-bit SimHash fingerprint ``(doc_id, f)`` for ANY frame with
+    (doc_id, text) columns — the reusable core of
+    :func:`simhash_band_dup_pairs`, also consumed per micro-batch by
+    ``streaming.streams.run_incremental_simhash_dedup`` (VERDICT r11
+    task 7). Per-bit majority vote over token hash60s; zero-token docs
+    are excluded (their all-zero fingerprints would spuriously pair)."""
+    d = docs.select("doc_id", _toks().alias("toks")).where(F.size("toks") > 0)
+    hs = F.transform(F.col("toks"), lambda x: hash60(x))
+    votes = [
+        F.sum(F.shiftright("h", b).bitwiseAND(1)).alias(f"o{b}")
+        for b in range(_SIMB_BITS)
+    ]
+    fp_col = F.lit(0).cast("long")
+    for b in range(_SIMB_BITS):
+        bit = F.when(
+            F.col(f"o{b}") * 2 > F.col("n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp_col = fp_col + bit
+    return (
+        d.select("doc_id", F.explode(hs).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.count("h").alias("n"), *votes)
+        .select("doc_id", fp_col.alias("f"))
+    )
+
+
 def _simb_fp_votes_sql() -> str:
     """votes/fp CTE bodies computing the 60-bit fingerprint (the
     16-bit ``_simhash_fp_sql`` discipline, vote-sum formulation)."""
@@ -2174,29 +2201,10 @@ def simhash_band_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus arrives as one row group here: repartition first so the
     # map-side agg uses every core instead of one task (the winnowing
     # discipline; explicit width survives AQE coalescing).
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", _toks().alias("toks"))
-        .repartition(spark.sparkContext.defaultParallelism)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    hs = F.transform(F.col("toks"), lambda x: hash60(x))
-    votes = [
-        F.sum(F.shiftright("h", b).bitwiseAND(1)).alias(f"o{b}")
-        for b in range(_SIMB_BITS)
-    ]
-    fp_col = F.lit(0).cast("long")
-    for b in range(_SIMB_BITS):
-        bit = F.when(
-            F.col(f"o{b}") * 2 > F.col("n"), F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        fp_col = fp_col + bit
-    fp = (
-        docs.where(F.size("toks") > 0)
-        .select("doc_id", F.explode(hs).alias("h"))
-        .groupBy("doc_id")
-        .agg(F.count("h").alias("n"), *votes)
-        .select("doc_id", fp_col.alias("f"))
-    )
+    fp = simhash60_frame(docs)
     band_arr = F.array(
         *[
             F.struct(
@@ -2245,4 +2253,131 @@ def simhash_band_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("d1", "d2", hamming.alias("hamming"))
         .where(F.col("hamming") <= _SIMB_MAXHAM)
         .orderBy("d1", "d2")
+    )
+
+
+@register(
+    "dedup_survivorship_report",
+    oracle=f"""
+WITH RECURSIVE {_lsh_pairs_cte()},
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM verified
+  UNION ALL
+  SELECT d2 AS a, d1 AS b FROM verified
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+),
+labs AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+members AS (
+  SELECT l.cluster_id, d.doc_id, d.source, d.n_chars
+  FROM labs l JOIN documents d ON l.doc_id = d.doc_id
+),
+keepers AS (
+  SELECT cluster_id, doc_id AS keeper_id FROM (
+    SELECT cluster_id, doc_id, ROW_NUMBER() OVER (
+      PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+    ) AS rn FROM members
+  ) r WHERE rn = 1
+),
+flagged AS (
+  SELECT m.source, m.n_chars,
+         CASE WHEN m.doc_id = k.keeper_id THEN 0 ELSE 1 END AS dropped
+  FROM members m JOIN keepers k ON m.cluster_id = k.cluster_id
+),
+per_source AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_clustered,
+         CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+         CAST(SUM(dropped * n_chars) AS BIGINT) AS chars_dropped
+  FROM flagged GROUP BY source
+),
+totals AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+  FROM documents GROUP BY source
+)
+SELECT t.source, t.n_docs,
+       COALESCE(p.n_clustered, 0) AS n_clustered,
+       COALESCE(p.n_dropped, 0) AS n_dropped,
+       COALESCE(p.chars_dropped, 0) AS chars_dropped,
+       {quant_sql("CAST(COALESCE(p.n_dropped, 0) AS DOUBLE) / t.n_docs", 6)}
+         AS doc_drop_frac,
+       {quant_sql(
+           "CAST(COALESCE(p.chars_dropped, 0) AS DOUBLE) / t.n_chars_total", 6
+       )} AS char_drop_frac
+FROM totals t LEFT JOIN per_source p ON t.source = p.source
+ORDER BY t.source
+""",
+)
+def dedup_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What near-dup dedup COSTS each source: per-source counts of docs
+    in verified near-dup clusters, docs the canonical-keep rule drops
+    (longest-doc keeper, the ``dedup_canonical_keep`` rule), characters
+    lost, and doc/char drop fractions — zero-filled for sources dedup
+    never touches.
+
+    This is the attribution report a data-sourcing team reads next to
+    ``source_dup_cross_matrix`` (which pairs mirror each other) and
+    ``dedup_cluster_size_histogram`` (how big the clusters are): it
+    says whose token budget survives curation. Composes the memoized
+    label-propagation frame at zero extra LSH cost; per-source rollups
+    are map-side-combined aggregates over the bounded member set, plus
+    one broadcast-able totals join.
+
+    No reference analogue; extends SURVEY §2's dedup family (r12).
+    """
+    labels = _cluster_labels(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    members = labels.select(
+        "doc_id", F.col("lab").alias("cluster_id")
+    ).join(docs, "doc_id")
+    keepers = members.groupBy("cluster_id").agg(
+        F.expr("max_by(doc_id, struct(n_chars, -doc_id))").alias("keeper_id")
+    )
+    flagged = members.join(keepers, "cluster_id").select(
+        "source",
+        "n_chars",
+        F.when(F.col("doc_id") == F.col("keeper_id"), 0).otherwise(1).alias(
+            "dropped"
+        ),
+    )
+    per_source = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clustered"),
+        F.sum("dropped").cast("bigint").alias("n_dropped"),
+        F.sum(F.col("dropped") * F.col("n_chars"))
+        .cast("bigint")
+        .alias("chars_dropped"),
+    )
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+    )
+    return (
+        totals.join(per_source, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_clustered", F.lit(0)).cast("bigint").alias("n_clustered"),
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+            F.coalesce("chars_dropped", F.lit(0))
+            .cast("bigint")
+            .alias("chars_dropped"),
+            quant(
+                F.coalesce("n_dropped", F.lit(0)).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("doc_drop_frac"),
+            quant(
+                F.coalesce("chars_dropped", F.lit(0)).cast("double")
+                / F.col("n_chars_total"),
+                6,
+            ).alias("char_drop_frac"),
+        )
+        .orderBy("source")
     )

@@ -1836,3 +1836,133 @@ def ann_lsh_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree")
     )
+
+
+def _cent_case_sql(cid: str) -> str:
+    """DuckDB literal: the assigned centroid's array, selected by a
+    16-branch CASE (the injected-literal discipline — both engines see
+    the identical rounded values CENTROIDS carries)."""
+    branches = " ".join(
+        f"WHEN {k} THEN {_centroid_sql(k)}" for k in range(N_CENTROIDS)
+    )
+    return f"(CASE {cid} {branches} END)"
+
+
+@register(
+    "embedding_residual_quant_audit",
+    oracle=f"""
+WITH assigned AS (
+  SELECT label, embedding,
+         {_ivf_assign_sql("embedding")} AS cid
+  FROM embeddings
+),
+resid AS (
+  SELECT label, embedding,
+         list_transform(list_zip(embedding, {_cent_case_sql("cid")}),
+                        p -> p[1]::DOUBLE - p[2]::DOUBLE) AS r
+  FROM assigned
+),
+scales AS (
+  SELECT label, embedding, r,
+         list_max(list_transform(r, v -> abs(v))) / 127.0 AS sr,
+         list_max(list_transform(embedding,
+             v -> abs(CAST(v AS DOUBLE)))) / 127.0 AS sp
+  FROM resid
+),
+errs AS (
+  SELECT label,
+         list_max(list_transform(r,
+             v -> abs(v - floor(v / sr + 0.5) * sr))) AS err_r,
+         list_max(list_transform(embedding,
+             v -> abs(CAST(v AS DOUBLE)
+                      - floor(CAST(v AS DOUBLE) / sp + 0.5) * sp))) AS err_p
+  FROM scales WHERE sr > 0 AND sp > 0
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       {quant_sql("ROUND(SUM(err_r), 6) / COUNT(*)", 9)} AS avg_err_residual,
+       {quant_sql("ROUND(SUM(err_p), 6) / COUNT(*)", 9)} AS avg_err_plain,
+       MAX(err_r) AS worst_err_residual
+FROM errs
+GROUP BY label
+ORDER BY label
+""",
+)
+def embedding_residual_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual (two-stage) vector quantization audit: quantize the
+    RESIDUAL x − c(x) against the assigned IVF centroid to int8 and
+    compare its worst-case reconstruction error, per label, to plain
+    int8 on the raw vector — the coarse-quantizer + residual-code
+    scheme (the RQ/IVF-ADC storage layout) that completes the vector
+    compression family: int8 = values (`embedding_int8_quant`), PQ =
+    codebooks, RP = dimensions, sign-bit = directions, residual =
+    center-then-quantize (r12).
+
+    The audit IS the deployment gate: residual coding only buys a
+    finer grid when the coarse quantizer is TRAINED (residual magnitude
+    < vector magnitude). These centroids are deterministic
+    pseudo-centroids (oracle-checkable, see `_centroid`), so residuals
+    are LARGER than the raw vectors and the audit correctly reports
+    plain int8 winning (avg_err_residual > avg_err_plain,
+    pytest-pinned) — the honest negative that stops a bad RQ rollout,
+    exactly the `orders_totalprice_reconciliation` discipline. The
+    mechanics (assign → subtract → quantize → reconstruct) are the
+    production RQ path unchanged. Exactness: per-row
+    arithmetic is IEEE-identical in both engines (zip subtract, abs,
+    floor(x+0.5) rounding); per-label means use the shared
+    ROUND-then-divide quantization. Plan: the memoized assignment
+    frame (one argmax fold per session), then map-only array math and
+    ONE label-keyed partial agg — `embedding_int8_quant`'s cost class.
+
+    No reference analogue; extends SURVEY §2's similarity family.
+    """
+    assigned = _assigned_frame(spark, sf_dir)
+    vd = lambda v: v.cast("double")  # noqa: E731
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in CENTROIDS]
+    )
+    cent = F.element_at(cent_arr, F.col("centroid_id") + 1)
+    resid = assigned.select(
+        "label",
+        "embedding",
+        F.zip_with("embedding", cent, lambda x, c: vd(x) - c).alias("r"),
+    )
+    scales = resid.select(
+        "label",
+        "embedding",
+        "r",
+        (F.array_max(F.transform("r", F.abs)) / 127.0).alias("sr"),
+        (
+            F.array_max(F.transform("embedding", lambda v: F.abs(vd(v))))
+            / 127.0
+        ).alias("sp"),
+    ).where((F.col("sr") > 0) & (F.col("sp") > 0))
+    err_r = F.array_max(
+        F.transform(
+            "r",
+            lambda v: F.abs(v - F.floor(v / F.col("sr") + 0.5) * F.col("sr")),
+        )
+    )
+    err_p = F.array_max(
+        F.transform(
+            "embedding",
+            lambda v: F.abs(
+                vd(v) - F.floor(vd(v) / F.col("sp") + 0.5) * F.col("sp")
+            ),
+        )
+    )
+    return (
+        scales.select("label", err_r.alias("err_r"), err_p.alias("err_p"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            quant(F.round(F.sum("err_r"), 6) / F.count(F.lit(1)), 9).alias(
+                "avg_err_residual"
+            ),
+            quant(F.round(F.sum("err_p"), 6) / F.count(F.lit(1)), 9).alias(
+                "avg_err_plain"
+            ),
+            F.max("err_r").alias("worst_err_residual"),
+        )
+        .orderBy("label")
+    )

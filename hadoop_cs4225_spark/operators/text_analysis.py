@@ -4988,3 +4988,112 @@ def doc_fluency_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Fixed content-taxonomy dictionary for the tagging query: tag ->
+#: literal term list, injected into BOTH engines (the PLANES/Benford
+#: injected-literal discipline). Terms are exact-match tokens (the
+#: reference's case-sensitive G5 semantics).
+_TAG_DICT = (
+    ("compute", ("join", "merge", "sort", "hash", "agg")),
+    ("storage", ("table", "column", "row", "scan", "part")),
+    ("streaming", ("stream", "window", "batch", "dup")),
+    ("engine", ("spark", "query", "filter", "key")),
+)
+
+
+def _tag_values_sql() -> str:
+    rows = ", ".join(
+        f"('{tag}', '{term}')" for tag, terms in _TAG_DICT for term in terms
+    )
+    return f"(VALUES {rows}) AS dict(tag, term)"
+
+
+@register(
+    "doc_keyword_tag_counts",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(toks) AS term
+  FROM (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents) t
+),
+hits AS (
+  SELECT dict.tag, t.doc_id, t.source
+  FROM toks t JOIN {_tag_values_sql()} ON t.term = dict.term
+),
+per_tag AS (
+  SELECT tag,
+         CAST(COUNT(*) AS BIGINT) AS n_hits,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM hits GROUP BY tag
+),
+by_source AS (
+  SELECT tag, source, COUNT(*) AS c,
+         ROW_NUMBER() OVER (
+           PARTITION BY tag ORDER BY COUNT(*) DESC, source
+         ) AS rn
+  FROM hits GROUP BY tag, source
+)
+SELECT p.tag, p.n_docs, p.n_hits,
+       {quant_sql("CAST(p.n_hits AS DOUBLE) / p.n_docs", 4)}
+         AS hits_per_doc,
+       s.source AS top_source
+FROM per_tag p JOIN by_source s ON p.tag = s.tag AND s.rn = 1
+ORDER BY p.tag
+""",
+)
+def doc_keyword_tag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-driven content tagging — the taxonomy-labeling pass
+    a corpus pipeline runs to route documents to topical mixtures:
+    exact-match a fixed tag->terms dictionary (broadcast; at 100 TB
+    the dictionary is the side input every mapper holds, the
+    reference's DistributedCache pattern O4) against the token stream
+    and report, per tag, matched-doc count, total hits, hits per
+    matched doc, and the source contributing the most hits
+    (count-desc, source-asc deterministic tie).
+
+    Plan: tokenize flatMap -> broadcast hash join on the term (the
+    stopword anti-join's positive twin) -> two map-side-combined
+    aggregates on bounded key spaces (tags x sources). Nothing scales
+    past the token stream at any SF.
+
+    No reference analogue; extends SURVEY §2's text-analysis family
+    (r12) — the dictionary side input restates the reference's
+    DistributedCache (TopkCommonWords.java:41-57,170) as a broadcast
+    inner join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dict_df = spark.createDataFrame(
+        [(tag, term) for tag, terms in _TAG_DICT for term in terms],
+        "tag string, term string",
+    )
+    toks = docs.select(
+        "doc_id", "source", F.explode(_toks()).alias("term")
+    )
+    hits = toks.join(F.broadcast(dict_df), "term").select(
+        "tag", "doc_id", "source"
+    )
+    per_tag = hits.groupBy("tag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    w = Window.partitionBy("tag").orderBy(F.desc("c"), "source")
+    top_src = (
+        hits.groupBy("tag", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("tag", F.col("source").alias("top_source"))
+    )
+    return (
+        per_tag.join(top_src, "tag")
+        .select(
+            "tag",
+            "n_docs",
+            "n_hits",
+            quant(F.col("n_hits").cast("double") / F.col("n_docs"), 4).alias(
+                "hits_per_doc"
+            ),
+            "top_source",
+        )
+        .orderBy("tag")
+    )

@@ -136,8 +136,11 @@ PERMANENT_PRIORITY = (
 #: event_props_variant, nation_metrics_unpivot,
 #: order_value_percentiles_approx, order_value_winsorized,
 #: parts_never_shipped — each oracle-replica-checked every pytest run)
-#: are the r13 rotation seed. Net-new r12 registrations stay <= 15
-#: (VERDICT r11 task 3) and join the r13 window.
+#: are the r13 rotation seed, together with the FOUR r12 net-new
+#: registrations (doc_keyword_tag_counts, orders_seasonal_naive_mase,
+#: embedding_residual_quant_audit, dedup_survivorship_report — within
+#: the <=15/round pace of VERDICT r11 task 3, each oracled,
+#: invariant-tested in tests/test_round12_ops.py, and scale-probed).
 _PRIORITY = PERMANENT_PRIORITY + (
     # --- the 16 remaining r04 rows (oldest cohort) ---
     "customer_30day_window_spend",

@@ -94,12 +94,13 @@ def test_materialized_memo_evicts_dead_sessions(spark):
 
 
 def test_shingle_cache_released_after_pairs_build(spark, monkeypatch):
-    """_verified_pairs persists the shingle-set frame only while
-    materializing: every persist() it takes must be matched by an
-    unpersist() by the time the build returns (the round-5 review's
-    persist-accumulation finding). Spied rather than counted via
-    getPersistentRDDs — localCheckpointed RDDs are persistent too and
-    the ContextCleaner releases them nondeterministically."""
+    """_verified_pairs must take NO persist() at all since r12: the
+    shingle sets come from the written .derived layout (two
+    column-pruned parquet scans replace the session cache), so the
+    round-5 persist-accumulation class is structurally gone — any
+    persist this spy sees is a regression reintroducing it. (Pre-r12
+    the contract was persist==unpersist; the layout made even that
+    unnecessary.)"""
     # Spark 4: the runtime class is the classic subclass, which
     # overrides persist/unpersist — patching the pyspark.sql.DataFrame
     # base would intercept nothing.
@@ -124,9 +125,10 @@ def test_shingle_cache_released_after_pairs_build(spark, monkeypatch):
     monkeypatch.setattr(DataFrame, "unpersist", unpersist)
     dedup._MATERIALIZED.clear()
     try:
-        dedup._verified_pairs(spark, SF_SMOKE)
-        assert counts["persist"] >= 1, "expected the shingle-set persist"
-        assert counts["persist"] == counts["unpersist"], counts
+        df = dedup._verified_pairs(spark, SF_SMOKE)
+        assert counts["persist"] == 0, counts
+        assert counts["unpersist"] == 0, counts
+        assert df.columns == ["d1", "d2", "jaccard"]
     finally:
         dedup._MATERIALIZED.clear()
 
@@ -148,3 +150,64 @@ def test_scale_probe_covers_entire_registry():
     )
     dupes = sorted({q for q in all_lists if all_lists.count(q) > 1})
     assert not dupes, f"query in more than one probe arm: {dupes}"
+
+
+def test_scaling_rows_carry_probed_at_and_none_predate_testdata():
+    """VERDICT r11 task 6: every SCALING.md row must carry a parseable
+    probed_at stamp no older than the current testdata regeneration —
+    an exponent measured on the previous corpus is not evidence about
+    this one. When the driver regenerates /root/testdata, re-run
+    `scale_probe.py --refresh-stale` (stale rows only) to turn this
+    green again."""
+    from tools import scale_probe
+
+    rows = scale_probe.read_scaling_rows()
+    assert rows, "SCALING.md has no parseable rows (probed_at column missing?)"
+    data_mtime = scale_probe.testdata_mtime()
+    stale = sorted(
+        n for n, r in rows.items() if scale_probe.row_is_stale(r, data_mtime)
+    )
+    assert not stale, (
+        f"{len(stale)} SCALING rows predate the current testdata — run "
+        f"tools/scale_probe.py --refresh-stale: {stale[:10]}..."
+    )
+
+
+def test_scaling_covers_entire_registry_rows():
+    """Every registered query must have a SCALING.md row (registry-wide
+    zero-super-linear is only a claim over rows that exist)."""
+    from hadoop_cs4225_spark import registry
+    from tools import scale_probe
+
+    rows = scale_probe.read_scaling_rows()
+    if not rows:
+        import pytest
+
+        pytest.skip("SCALING.md not yet regenerated with probed_at rows")
+    registry.load_all()
+    missing = sorted(set(registry.QUERIES) - set(rows))
+    assert not missing, f"queries without a SCALING row: {missing[:10]}"
+
+
+def test_scale_probe_row_roundtrip(tmp_path, monkeypatch):
+    """_fmt_row output must parse back through read_scaling_rows."""
+    from tools import scale_probe
+
+    row = {
+        "name": "q_example",
+        "span": "x2->x4",
+        "ts": "1:0.51, 2:0.30, 4:0.35",
+        "raw": "-0.23",
+        "exp": "0.19",
+        "verdict": "ok",
+        "probed_at": "2026-08-16T13:00:00Z",
+    }
+    path = tmp_path / "SCALING.md"
+    path.write_text("header\n" + scale_probe._fmt_row(row) + "\n")
+    monkeypatch.setattr(scale_probe, "SCALING_PATH", str(path))
+    back = scale_probe.read_scaling_rows()
+    assert back == {"q_example": row}
+    # staleness math: stamp < mtime -> stale, stamp >= mtime -> fresh
+    t = scale_probe.parse_probed_at(row["probed_at"])
+    assert scale_probe.row_is_stale(row, t + 1)
+    assert not scale_probe.row_is_stale(row, t - 1)

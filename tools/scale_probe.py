@@ -23,16 +23,32 @@ is excluded) and flags exponents > 1.35 as super-linear. Constant
 overheads make tiny-input exponents meaningless; sub-linear values just
 mean fixed cost still dominates.
 
-Usage: PYTHONPATH=/root/repo python tools/scale_probe.py [--quick]
-Writes SCALING.md at the repo root.
+Usage::
+
+    PYTHONPATH=/root/repo python tools/scale_probe.py                 # full
+    PYTHONPATH=/root/repo python tools/scale_probe.py --quick         # smoke
+    PYTHONPATH=/root/repo python tools/scale_probe.py --refresh-stale # stale rows only
+    PYTHONPATH=/root/repo python tools/scale_probe.py --only q1 q2    # named rows
+
+Writes SCALING.md at the repo root. Every row carries a ``probed_at``
+UTC timestamp (VERDICT r11 task 6): a row is STALE when it predates the
+current testdata parquet (the driver regenerates the corpus between
+rounds, and an exponent measured on the previous corpus is not evidence
+about this one). ``--refresh-stale`` re-probes exactly the stale or
+missing rows and keeps every fresh row verbatim, so the zero-
+super-linear claim stays live at the cost of re-measuring only what
+moved; ``tests/test_tools.py`` asserts no committed row predates the
+testdata.
 """
 
 from __future__ import annotations
 
 import math
 import os
+import re
 import sys
 import time
+from datetime import datetime, timezone
 
 from pyspark.sql import functions as F
 
@@ -42,11 +58,15 @@ from hadoop_cs4225_spark.session import get_spark
 from hadoop_cs4225_spark.sources.sinks import derived_is_fresh
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCALING_PATH = os.path.join(ROOT, "SCALING.md")
 BASE_SF = "/root/testdata/sf0.1"
+TESTDATA_ROOT = "/root/testdata"
 COPIES = (1, 2, 4)
 
 #: documents-driven queries probed on the amplified corpora.
 DOC_QUERIES = (
+    "doc_keyword_tag_counts",
+    "dedup_survivorship_report",
     "word_count",
     "simhash_fingerprints",
     "minhash_lsh_dup_pairs",
@@ -176,6 +196,7 @@ DOC_QUERIES = (
 #: cross-copy cosines incoherent — vector count grows, near-dup density
 #: stays constant.
 EMB_QUERIES = (
+    "embedding_residual_quant_audit",
     "embedding_near_dup_lsh",
     "ann_lsh_buckets",
     "ivf_ann_query_topk",
@@ -218,6 +239,7 @@ EMB_QUERIES = (
 
 #: queries probed across the real sf dirs (10x data per step).
 SF_QUERIES = (
+    "orders_seasonal_naive_mase",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "events_tumbling_counts",
@@ -600,26 +622,124 @@ def coverage_gaps() -> tuple[list[str], list[str]]:
     )
 
 
+def testdata_mtime() -> float:
+    """Regeneration timestamp of the current testdata: max mtime over
+    every sf dir's parquet files — a SCALING row probed before this is
+    evidence about a corpus that no longer exists."""
+    latest = 0.0
+    for dirpath, _dirs, names in os.walk(TESTDATA_ROOT):
+        for n in names:
+            if n.endswith(".parquet") or n == "_SUCCESS":
+                latest = max(latest, os.path.getmtime(os.path.join(dirpath, n)))
+    return latest
+
+
+_ROW_RE = re.compile(
+    r"^\| (?P<name>\S+) \| (?P<span>\S+) \| (?P<ts>[^|]+) \| "
+    r"(?P<raw>-?\d+\.\d+) \| (?P<exp>-?\d+\.\d+) \| (?P<verdict>[^|]+?) "
+    r"\| (?P<probed_at>\S+) \|$"
+)
+
+
+def read_scaling_rows() -> dict[str, dict]:
+    """Parse the committed SCALING.md into {query: row} (empty when the
+    file is absent or pre-dates the probed_at column)."""
+    rows: dict[str, dict] = {}
+    if not os.path.exists(SCALING_PATH):
+        return rows
+    with open(SCALING_PATH) as f:
+        for line in f:
+            m = _ROW_RE.match(line.strip())
+            if m:
+                rows[m.group("name")] = m.groupdict()
+    return rows
+
+
+def parse_probed_at(stamp: str) -> float:
+    return datetime.fromisoformat(stamp.replace("Z", "+00:00")).timestamp()
+
+
+def row_is_stale(row: dict, data_mtime: float) -> bool:
+    try:
+        return parse_probed_at(row["probed_at"]) < data_mtime
+    except Exception:
+        return True
+
+
+def _fmt_row(row: dict) -> str:
+    return (
+        f"| {row['name']} | {row['span']} | {row['ts']} | {row['raw']} "
+        f"| {row['exp']} | {row['verdict']} | {row['probed_at']} |"
+    )
+
+
 def main() -> int:
     quick = "--quick" in sys.argv
+    refresh_stale = "--refresh-stale" in sys.argv
+    only: set[str] | None = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1 :])
     registry.load_all()
     unlisted, stale = coverage_gaps()
     assert not unlisted, f"registered queries missing a probe arm: {unlisted}"
     assert not stale, f"probe lists reference unregistered queries: {stale}"
+
+    prior = read_scaling_rows()
+    data_mtime = testdata_mtime()
+
+    def selected(name: str) -> bool:
+        if only is not None:
+            return name in only
+        if refresh_stale:
+            return name not in prior or row_is_stale(prior[name], data_mtime)
+        return True
+
+    doc_names = [n for n in (DOC_QUERIES[:3] if quick else DOC_QUERIES) if selected(n)]
+    emb_names = [n for n in (EMB_QUERIES[:1] if quick else EMB_QUERIES) if selected(n)]
+    sf_names = [n for n in (SF_QUERIES[:2] if quick else SF_QUERIES) if selected(n)]
+    n_sel = len(doc_names) + len(emb_names) + len(sf_names)
+    print(
+        f"probing {n_sel} queries "
+        f"({'refresh-stale' if refresh_stale else 'only' if only else 'full'}); "
+        f"{len(prior)} prior rows"
+    )
     spark = get_spark(app_name="scale-probe")
-    rows = []
+    rows: dict[str, dict] = {}
+
+    def stamp() -> str:
+        return datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+    def record(name, span, ts, raw, exp):
+        verdict = "SUPER-LINEAR" if exp > SUPERLINEAR else "ok"
+        rows[name] = {
+            "name": name,
+            "span": span,
+            "ts": ", ".join(f"{k}:{v:.2f}" for k, v in ts.items()),
+            "raw": f"{raw:.2f}",
+            "exp": f"{exp:.2f}",
+            "verdict": verdict,
+            "probed_at": stamp(),
+        }
+        print(f"{name:34s} {span:14s} raw={raw:5.2f} exp={exp:5.2f} {verdict}")
 
     copies = COPIES[:2] if quick else COPIES
-    dirs = {k: ensure_amplified(spark, k) for k in copies}
-    # pre-build the MinHash signature index per amplified dir: the LSH
-    # family reads the written .derived layout (VERDICT r10 task 6),
-    # and the one-off build must not land inside a timed run
-    from hadoop_cs4225_spark.operators.dedup import ensure_minhash_sig_index
+    if doc_names or emb_names:
+        dirs = {k: ensure_amplified(spark, k) for k in copies}
+        # pre-build the derived layouts per amplified dir: the LSH and
+        # set-similarity families read written .derived layouts
+        # (VERDICT r10 task 6 / r11 task 4), and the one-off builds
+        # must not land inside a timed run
+        from hadoop_cs4225_spark.operators.dedup import (
+            ensure_minhash_sig_index,
+            ensure_shingle_postings,
+            ensure_shingle_sets,
+        )
 
-    for k in copies:
-        ensure_minhash_sig_index(spark, dirs[k])
-    names = DOC_QUERIES[:3] if quick else DOC_QUERIES
-    for name in names:
+        for k in copies:
+            ensure_shingle_sets(spark, dirs[k])
+            ensure_shingle_postings(spark, dirs[k])
+            ensure_minhash_sig_index(spark, dirs[k])
+    for name in doc_names:
         fn = registry.QUERIES[name]
         timed(fn, spark, dirs[copies[0]])  # warm: session + codegen
         if name in WARM_PER_SIZE:
@@ -628,11 +748,11 @@ def main() -> int:
         ts = {k: timed(fn, spark, dirs[k]) for k in copies}
         k0, k1 = copies[-2], copies[-1]
         raw, exp = exponent_adjudicated(fn, spark, dirs, k0, k1, k1 / k0, ts)
-        rows.append((name, f"x{k0}->x{k1}", ts, raw, exp))
+        record(name, f"x{k0}->x{k1}", ts, raw, exp)
 
-    for k in copies:
-        ensure_amplified_emb(spark, k)
-    emb_names = EMB_QUERIES[:1] if quick else EMB_QUERIES
+    if emb_names:
+        for k in copies:
+            ensure_amplified_emb(spark, k)
     for name in emb_names:
         fn = registry.QUERIES[name]
         timed(fn, spark, dirs[copies[0]])
@@ -642,9 +762,8 @@ def main() -> int:
         ts = {k: timed(fn, spark, dirs[k]) for k in copies}
         k0, k1 = copies[-2], copies[-1]
         raw, exp = exponent_adjudicated(fn, spark, dirs, k0, k1, k1 / k0, ts)
-        rows.append((name, f"x{k0}->x{k1}", ts, raw, exp))
+        record(name, f"x{k0}->x{k1}", ts, raw, exp)
 
-    sf_names = SF_QUERIES[:2] if quick else SF_QUERIES
     for name in sf_names:
         fn = registry.QUERIES[name]
         timed(fn, spark, SF_DIRS[0])
@@ -656,7 +775,13 @@ def main() -> int:
         raw, exp = exponent_adjudicated(
             fn, spark, sf_dirs_by_tag, "0.01", "0.1", 10, ts
         )
-        rows.append((name, "sf0.01->sf0.1", ts, raw, exp))
+        record(name, "sf0.01->sf0.1", ts, raw, exp)
+
+    # Merge: freshly-probed rows override; untouched FRESH prior rows
+    # carry over verbatim (their probed_at stays honest).
+    merged = dict(prior)
+    merged.update(rows)
+    order = [n for n in (*DOC_QUERIES, *EMB_QUERIES, *SF_QUERIES) if n in merged]
 
     lines = [
         "# SCALING — measured runtime-vs-corpus-size exponents",
@@ -671,22 +796,21 @@ def main() -> int:
         "Adjudication is SYMMETRIC: the top two sizes are always timed",
         "twice and the per-size MIN used; `exp_raw` is the first-run",
         "estimate (kept so the adjudication itself is auditable) and",
-        "`exponent` the adjudicated value the verdict uses.",
+        "`exponent` the adjudicated value the verdict uses. Each row",
+        "carries the UTC time it was probed; rows older than the",
+        "current testdata are STALE and re-probed by",
+        "`scale_probe.py --refresh-stale` (tests/test_tools.py asserts",
+        "none are committed stale).",
         "",
-        "| query | sizes | times (s) | exp_raw | exponent | verdict |",
-        "|---|---|---|---|---|---|",
+        "| query | sizes | times (s) | exp_raw | exponent | verdict | probed_at |",
+        "|---|---|---|---|---|---|---|",
     ]
     n_super = 0
-    for name, span, ts, raw, exp in rows:
-        tstr = ", ".join(f"{k}:{v:.2f}" for k, v in ts.items())
-        verdict = "SUPER-LINEAR" if exp > SUPERLINEAR else "ok"
-        n_super += verdict != "ok"
-        lines.append(
-            f"| {name} | {span} | {tstr} | {raw:.2f} | {exp:.2f} "
-            f"| {verdict} |"
-        )
-        print(f"{name:34s} {span:14s} raw={raw:5.2f} exp={exp:5.2f} {verdict}")
-    with open(os.path.join(ROOT, "SCALING.md"), "w") as f:
+    for name in order:
+        row = merged[name]
+        n_super += row["verdict"].strip() != "ok"
+        lines.append(_fmt_row(row))
+    with open(SCALING_PATH, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"\nSCALING.md written; super-linear: {n_super}")
     spark.stop()

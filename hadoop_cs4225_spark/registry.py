@@ -263,6 +263,7 @@ def warm_derived_layouts(spark: SparkSession, sf_dir: str) -> int:
     )
     from hadoop_cs4225_spark.operators.dedup import (
         ensure_minhash_sig_index,
+        ensure_shingle_postings,
         ensure_shingle_sets,
     )
     from hadoop_cs4225_spark.operators.formats import (
@@ -283,7 +284,8 @@ def warm_derived_layouts(spark: SparkSession, sf_dir: str) -> int:
         ensure_events_zorder,
         ensure_events_by_user,
         ensure_ivf_pq_index,
-        ensure_shingle_sets,  # before the sig index, which reads it
+        ensure_shingle_sets,  # before the postings/sig index, which read it
+        ensure_shingle_postings,
         ensure_minhash_sig_index,
         ensure_orders_jsonl_dirty,
     ):

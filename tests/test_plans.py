@@ -124,6 +124,8 @@ _BOUNDED_ALLPAIRS = {
     "ann_lsh_knn_graph_stats",  # broadcast 1-row stats/mutual/isolated joins
     "supplier_ktruss_peeling",  # per-round 1-row edge-count cross joins
     "customer_t_closeness_audit",  # 5-row segment dict x group dict + 1-row N
+    # --- round-12 (1-row side) ---
+    "orders_seasonal_naive_mase",  # broadcast 1-row max-month cross join
     # --- round-11 backlog (1-row / histogram-bounded sides) ---
     "orders_weibull_delay_fit",  # broadcast 1-row cohort-total cross join
     "lineitem_boosted_stumps",  # 1-row total/argmax joins on the 50-row hist

@@ -6759,24 +6759,51 @@ _KM_HORIZON = 60
 _KM_GRID = 1_000_000_000_000
 
 
+def _order_ship_durs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order ship delay ``(o_custkey, o_orderpriority, dur)`` with
+    ``dur = datediff(first_ship, o_orderdate)`` (raw, unclamped) —
+    the session-memoized shared frame of the survival family (r12).
+    Five registered queries (KM, Nelson-Aalen, Weibull fit, stratified
+    KM, log-rank) each re-ran the orders⋈lineitem fact-fact join +
+    per-order MIN to derive this identical frame (~4 s of the
+    suite's logrank row alone); one localCheckpointed build now feeds
+    them all — the ``_daily_counts`` discipline. One row per order, so
+    the checkpoint is fact-bounded, and each consumer's
+    clamp/censor/dimension join stays its own (the oracles keep the
+    inline CTE chain: build and probe are one logical definition)."""
+    from hadoop_cs4225_spark.operators.dedup import _memo
+
+    def build() -> DataFrame:
+        orders = load_table(spark, sf_dir, "orders")
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        return (
+            orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+            .groupBy("o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate")
+            .agg(F.min(F.col("l_shipdate").cast("date")).alias("first_ship"))
+            .select(
+                "o_custkey",
+                "o_orderpriority",
+                F.datediff(
+                    "first_ship", F.col("o_orderdate").cast("date")
+                ).alias("dur"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    return _memo(
+        spark, sf_dir, "order_ship_durs", build,
+        src_table=("orders", "lineitem"),
+    )
+
+
 def _shipdelay_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(t_days, n_events, n_censored, n_risk) life table of the
     order-to-first-ship delay, right-censored at :data:`_KM_HORIZON`
     days — shared by the Kaplan-Meier and Nelson-Aalen estimators so
     the two survival queries walk the IDENTICAL risk sets (SQL twin:
     the per_order/obs/cnt/risk CTE chain in both oracles)."""
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    per_order = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.min(F.col("l_shipdate").cast("date")).alias("first_ship"))
-        .select(
-            F.greatest(
-                F.datediff("first_ship", F.col("o_orderdate").cast("date")),
-                F.lit(0),
-            ).alias("dur")
-        )
+    per_order = _order_ship_durs(spark, sf_dir).select(
+        F.greatest(F.col("dur"), F.lit(0)).alias("dur")
     )
     obs = per_order.select(
         F.least(F.col("dur"), F.lit(_KM_HORIZON)).alias("t_days"),
@@ -7203,18 +7230,8 @@ def orders_weibull_delay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No reference analogue; extends the SURVEY §2 statistics family.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    per_order = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.min(F.col("l_shipdate").cast("date")).alias("first_ship"))
-        .select(
-            F.datediff(
-                "first_ship", F.col("o_orderdate").cast("date")
-            ).alias("dur")
-        )
-        .where(F.col("dur").between(1, _WEIB_TMAX))
+    per_order = _order_ship_durs(spark, sf_dir).where(
+        F.col("dur").between(1, _WEIB_TMAX)
     )
     day_h = per_order.groupBy(F.col("dur").cast("long").alias("t")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
@@ -8776,27 +8793,13 @@ def ship_delay_km_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No reference analogue; extends the SURVEY §2 statistics family.
     """
-    orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_mktsegment").alias("seg")
     )
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    per_order = (
-        orders.join(
-            F.broadcast(customer),
-            orders.o_custkey == customer.c_custkey,
-        )
-        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .groupBy("o_orderkey", "seg", "o_orderdate")
-        .agg(F.min(F.col("l_shipdate").cast("date")).alias("first_ship"))
-        .select(
-            "seg",
-            F.greatest(
-                F.datediff("first_ship", F.col("o_orderdate").cast("date")),
-                F.lit(0),
-            ).alias("dur"),
-        )
-    )
+    durs = _order_ship_durs(spark, sf_dir)
+    per_order = durs.join(
+        F.broadcast(customer), durs.o_custkey == customer.c_custkey
+    ).select("seg", F.greatest(F.col("dur"), F.lit(0)).alias("dur"))
     obs = per_order.select(
         "seg",
         F.least(F.col("dur"), F.lit(_KM_HORIZON)).alias("t_days"),
@@ -8975,29 +8978,16 @@ def orders_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     No reference analogue; completes the SURVEY §2 survival family
     (KM -> Nelson-Aalen -> stratified KM -> log-rank).
     """
-    orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         F.when(F.col("c_mktsegment") == _LR_GROUP_SEG, 1)
         .otherwise(0)
         .alias("grp"),
     )
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    per_order = (
-        orders.join(
-            F.broadcast(customer), orders.o_custkey == customer.c_custkey
-        )
-        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .groupBy("o_orderkey", "grp", "o_orderdate")
-        .agg(F.min(F.col("l_shipdate").cast("date")).alias("first_ship"))
-        .select(
-            "grp",
-            F.greatest(
-                F.datediff("first_ship", F.col("o_orderdate").cast("date")),
-                F.lit(0),
-            ).alias("dur"),
-        )
-    )
+    durs = _order_ship_durs(spark, sf_dir)
+    per_order = durs.join(
+        F.broadcast(customer), durs.o_custkey == customer.c_custkey
+    ).select("grp", F.greatest(F.col("dur"), F.lit(0)).alias("dur"))
     obs = per_order.select(
         "grp",
         F.least(F.col("dur"), F.lit(_KM_HORIZON)).alias("t_days"),

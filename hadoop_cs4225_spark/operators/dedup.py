@@ -1990,46 +1990,12 @@ def winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH engines), so per-bucket fanout is bounded at any corpus size
     — never all-pairs.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    w = _WDP_W
-    # The O(n*w) winnowing map is ~100x the scan cost, and the corpus
-    # arrives as one row group here — without an explicit repartition
-    # the whole pass runs in ONE task (an explicit width survives AQE,
-    # which would coalesce a size-based shuffle right back). Shuffling
-    # the raw rows costs ~MBs; the map then uses every core. At 100 TB
-    # the many-file scan parallelizes naturally and this exchange is
-    # noise.
-    d = (
-        docs.select("doc_id", _toks().alias("toks"))
-        .where(F.size("toks") >= w + 2)
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    hashes = F.transform(
-        F.sequence(F.lit(0), F.size("toks") - 3),
-        lambda i: hash60(
-            F.concat_ws(
-                " ",
-                F.element_at("toks", i + 1),
-                F.element_at("toks", i + 2),
-                F.element_at("toks", i + 3),
-            )
-        ),
-    )
-    sels = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("hs") - w + 1),
-            lambda i: F.array_min(F.slice("hs", i, w)),
-        )
-    )
-    fp = (
-        d.select("doc_id", hashes.alias("hs"))
-        .select(
-            "doc_id",
-            F.size(sels).cast("long").alias("n_sel"),
-            F.explode(sels).alias("fp"),
-        )
-        .localCheckpoint(eager=False)  # both sides of the pair join
-    )
+    # Selected fingerprints come from the WRITTEN index (r12, the
+    # simhash/sig-index precedent): the O(n*w) winnowing map is corpus
+    # state, computed once per snapshot; both pair-join sides scan the
+    # column-pruned parquet (the localCheckpoint that amortized the
+    # map went with it).
+    fp = winnow_fp_frame(spark, sf_dir)
     ok_fp = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("bsz")).where(
         F.col("bsz") <= LSH_BUCKET_CAP
     )
@@ -2111,6 +2077,108 @@ def simhash60_frame(docs: DataFrame) -> DataFrame:
         .agg(F.count("h").alias("n"), *votes)
         .select("doc_id", fp_col.alias("f"))
     )
+
+
+def ensure_simhash_fp_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the 60-bit SimHash FINGERPRINT INDEX as a written
+    table (``.derived/<sf>/documents_simhash60``: one ``(doc_id, f)``
+    row per eligible doc) — the SimHash twin of
+    :func:`ensure_minhash_sig_index`, and exactly the table
+    ``streaming.run_incremental_simhash_dedup`` maintains incrementally
+    (minus its absorbed-count bookkeeping). The band join was the
+    suite's slowest query (6.9 s at sf0.1) with ~85% of its cost in
+    md5-per-token fingerprinting that is pure corpus state; written
+    once per snapshot, every band probe reads 2 longs/doc.
+    mtime-guarded AND definition-fingerprinted (bits / tokenizer)."""
+    from hadoop_cs4225_spark.sources.sinks import (
+        derived_path,
+        derived_stale,
+        write_derived_config,
+    )
+    from hadoop_cs4225_spark.operators.wordcount import TOKEN_DELIM_RE
+
+    cfg = f"bits={_SIMB_BITS};delim={TOKEN_DELIM_RE}"
+    path = derived_path(sf_dir, "documents_simhash60")
+    if derived_stale(path, sf_dir, table="documents", config=cfg):
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        simhash60_frame(docs).write.mode("overwrite").parquet(path)
+        write_derived_config(path, cfg)
+    return path
+
+
+def simhash_fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized fingerprint index as a DataFrame (ensure +
+    read): ``(doc_id, f)``, one row per eligible doc."""
+    return spark.read.parquet(ensure_simhash_fp_index(spark, sf_dir))
+
+
+def ensure_winnow_fp_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the WINNOWING fingerprint postings as a written
+    table (``.derived/<sf>/documents_winnow_fps``: one
+    ``(doc_id, n_sel, fp)`` row per selected window-minimum shingle
+    hash per eligible doc) — the MOSS-index twin of
+    :func:`ensure_simhash_fp_index`. The O(n*w) per-doc winnowing map
+    (hash every 3-shingle, min over every w-window) is pure corpus
+    state and dominated ``winnowing_dup_pairs``; written once per
+    snapshot, the pair join reads integers. mtime- and
+    definition-fingerprint-guarded (w / shingle width / tokenizer)."""
+    from hadoop_cs4225_spark.sources.sinks import (
+        derived_path,
+        derived_stale,
+        write_derived_config,
+    )
+    from hadoop_cs4225_spark.operators.wordcount import TOKEN_DELIM_RE
+
+    w = _WDP_W
+    cfg = f"w={w};shingle=3;delim={TOKEN_DELIM_RE}"
+    path = derived_path(sf_dir, "documents_winnow_fps")
+    if derived_stale(path, sf_dir, table="documents", config=cfg):
+        docs = load_table(spark, sf_dir, "documents")
+        # The winnowing map is ~100x the scan cost and the corpus
+        # arrives as one row group: repartition so the build uses
+        # every core (explicit width survives AQE coalescing).
+        d = (
+            docs.select("doc_id", _toks().alias("toks"))
+            .where(F.size("toks") >= w + 2)
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+        hashes = F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 3),
+            lambda i: hash60(
+                F.concat_ws(
+                    " ",
+                    F.element_at("toks", i + 1),
+                    F.element_at("toks", i + 2),
+                    F.element_at("toks", i + 3),
+                )
+            ),
+        )
+        sels = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("hs") - w + 1),
+                lambda i: F.array_min(F.slice("hs", i, w)),
+            )
+        )
+        (
+            d.select("doc_id", hashes.alias("hs"))
+            .select(
+                "doc_id",
+                F.size(sels).cast("long").alias("n_sel"),
+                F.explode(sels).alias("fp"),
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        write_derived_config(path, cfg)
+    return path
+
+
+def winnow_fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized winnowing postings as a DataFrame (ensure +
+    read): ``(doc_id, n_sel, fp)`` rows."""
+    return spark.read.parquet(ensure_winnow_fp_index(spark, sf_dir))
 
 
 def _simb_fp_votes_sql() -> str:
@@ -2197,14 +2265,11 @@ def simhash_band_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No reference analogue; extends SURVEY §2's dedup family.
     """
-    # md5-per-token + 60 partial vote sums dwarf the scan cost, and the
-    # corpus arrives as one row group here: repartition first so the
-    # map-side agg uses every core instead of one task (the winnowing
-    # discipline; explicit width survives AQE coalescing).
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    fp = simhash60_frame(docs)
+    # Fingerprints come from the WRITTEN index (r12, the
+    # ensure_minhash_sig_index precedent): md5-per-token + 60 vote
+    # sums are corpus state, computed once per snapshot; the query
+    # reads 2 longs/doc and pays only the band join + verify.
+    fp = simhash_fp_frame(spark, sf_dir)
     band_arr = F.array(
         *[
             F.struct(

@@ -4365,8 +4365,15 @@ def source_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No reference analogue; extends the SURVEY §2 text-analysis family.
     """
-    docs = load_table(spark, sf_dir, "documents").where(
-        F.length("text") > 0
+    # The per-char substr explode is ~100x the scan cost and the
+    # corpus arrives as one row group: repartition first so the map
+    # uses every core (the winnowing discipline; explicit width
+    # survives AQE coalescing). At 100 TB the many-file scan
+    # parallelizes naturally and this exchange is noise.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length("text") > 0)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     ch = docs.select(
         "doc_id",

@@ -206,6 +206,7 @@ def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:
     load_all()
     from hadoop_cs4225_spark.operators.algo_ops import (
         _daily_counts,
+        _order_ship_durs,
         _orders_daily_counts,
         _transition_counts,
     )
@@ -235,6 +236,7 @@ def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:
         lambda: _mutual_topk_edges(spark, sf_dir),
         lambda: _trade_edges(spark, sf_dir),
         lambda: _daily_counts(spark, sf_dir),
+        lambda: _order_ship_durs(spark, sf_dir),
         lambda: _orders_daily_counts(spark, sf_dir),
         lambda: _transition_counts(spark, sf_dir),
     )
@@ -265,6 +267,8 @@ def warm_derived_layouts(spark: SparkSession, sf_dir: str) -> int:
         ensure_minhash_sig_index,
         ensure_shingle_postings,
         ensure_shingle_sets,
+        ensure_simhash_fp_index,
+        ensure_winnow_fp_index,
     )
     from hadoop_cs4225_spark.operators.formats import (
         ensure_orders_jsonl_dirty,
@@ -287,6 +291,8 @@ def warm_derived_layouts(spark: SparkSession, sf_dir: str) -> int:
         ensure_shingle_sets,  # before the postings/sig index, which read it
         ensure_shingle_postings,
         ensure_minhash_sig_index,
+        ensure_simhash_fp_index,
+        ensure_winnow_fp_index,
         ensure_orders_jsonl_dirty,
     ):
         ensure(spark, sf_dir)

@@ -887,3 +887,28 @@ def test_set_similarity_family_reads_shingle_postings_layout(spark):
         assert "documents_shingle_" in plan, (name, plan[:2000])
         if name != "shingle_idf_similarity_topk":
             assert "documents.parquet" not in plan, (name, plan[:2000])
+
+
+def test_simhash_band_join_reads_materialized_fp_index(spark):
+    """r12 (the ensure_minhash_sig_index precedent): the SimHash band
+    join must read 60-bit fingerprints from the written .derived index
+    — pinned by (a) the index carrying exactly the inline
+    simhash60_frame, and (b) the query's scan set including the index
+    path and excluding documents.parquet."""
+    from hadoop_cs4225_spark.operators.dedup import (
+        ensure_simhash_fp_index,
+        simhash60_frame,
+        simhash_fp_frame,
+    )
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    path = ensure_simhash_fp_index(spark, SF_ORACLE)
+    assert "documents_simhash60" in path
+    docs = load_table(spark, SF_ORACLE, "documents")
+    assert sorted(map(tuple, simhash_fp_frame(spark, SF_ORACLE).collect())) == sorted(
+        map(tuple, simhash60_frame(docs).collect())
+    )
+    df = registry.QUERIES["simhash_band_dup_pairs"](spark, SF_ORACLE)
+    plan = plan_string(df)
+    assert "documents_simhash60" in plan, plan[:2000]
+    assert "documents.parquet" not in plan, plan[:2000]

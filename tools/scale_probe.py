@@ -733,12 +733,16 @@ def main() -> int:
             ensure_minhash_sig_index,
             ensure_shingle_postings,
             ensure_shingle_sets,
+            ensure_simhash_fp_index,
+            ensure_winnow_fp_index,
         )
 
         for k in copies:
             ensure_shingle_sets(spark, dirs[k])
             ensure_shingle_postings(spark, dirs[k])
             ensure_minhash_sig_index(spark, dirs[k])
+            ensure_simhash_fp_index(spark, dirs[k])
+            ensure_winnow_fp_index(spark, dirs[k])
     for name in doc_names:
         fn = registry.QUERIES[name]
         timed(fn, spark, dirs[copies[0]])  # warm: session + codegen

@@ -9108,7 +9108,8 @@ scored AS (
 SELECT priority, n_test_months,
        CAST(floor(test_mae + 0.5) AS BIGINT) AS test_mae_cents,
        CAST(floor(scale_mae + 0.5) AS BIGINT) AS scale_mae_cents,
-       {quant_sql("test_mae / scale_mae", 6)} AS mase
+       CASE WHEN scale_mae > 0
+            THEN {quant_sql("test_mae / scale_mae", 6)} END AS mase
 FROM (
   SELECT priority,
          CAST(SUM(is_test) AS BIGINT) AS n_test_months,
@@ -9189,7 +9190,12 @@ def orders_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_test").cast("bigint").alias("n_test_months"),
             F.floor(test_mae + 0.5).cast("bigint").alias("test_mae_cents"),
             F.floor(scale_mae + 0.5).cast("bigint").alias("scale_mae_cents"),
-            quant(test_mae / scale_mae, 6).alias("mase"),
+            # guarded (ADVICE r12): a constant training series gives
+            # scale_mae = 0, where Spark's Divide returns NULL but
+            # DuckDB's double division yields inf — NULL in both.
+            F.when(scale_mae > 0, quant(test_mae / scale_mae, 6)).alias(
+                "mase"
+            ),
         )
         .orderBy("priority")
     )

@@ -375,12 +375,17 @@ def ensure_minhash_sig_index(spark: SparkSession, sf_dir: str) -> str:
 
 def _sig_index_config() -> str:
     """Definition fingerprint of the on-disk MinHash signature index:
-    every constant that changes what ``signature_frame`` computes."""
-    from hadoop_cs4225_spark.operators.wordcount import TOKEN_DELIM_RE
-
+    every constant that changes what ``signature_frame`` computes.
+    Includes the UPSTREAM shingle-set layout's full fingerprint
+    (ADVICE r12): the signatures are built FROM that layout, so a
+    definition change caught only by the set layout's fingerprint
+    (min_toks, distinct eligibility) must cascade into a signature
+    rebuild — otherwise the sig index would silently serve signatures
+    of the old shingle definition while the DuckDB oracle recomputes
+    inline."""
     return (
-        f"n_perms={N_PERMS};perm_mod={_PERM_MOD};shingle=3;"
-        f"delim={TOKEN_DELIM_RE}"
+        f"n_perms={N_PERMS};perm_mod={_PERM_MOD};"
+        f"sets=[{_shingle_sets_config()}]"
     )
 
 
@@ -499,6 +504,56 @@ def shingle_postings_stats_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full ``(doc_id, s, df, len, rn)`` rows from the written inverted
     index (see :func:`ensure_shingle_postings`)."""
     return spark.read.parquet(ensure_shingle_postings(spark, sf_dir))
+
+
+def ensure_shingle_prefix(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the PRE-TRUNCATED PPJoin prefix slice
+    (``.derived/<sf>/documents_shingle_prefix``): only the postings
+    rows satisfying ``rn <= len - ceil(t*len) + 1 AND df <= cap`` —
+    i.e. exactly the candidate-generating rows of
+    ``jaccard_prefix_filter_pairs`` (VERDICT r12 task 4). The prefix
+    predicate keeps ~(1-t) of each doc's postings, so the candidate
+    equi-join scans ~1/t less input than filtering the full stats
+    layout at query time (whose parquet row groups interleave prefix
+    and non-prefix rows, defeating row-group skipping). Built FROM the
+    stats layout (no recompute); its fingerprint folds in the postings
+    config AND the (t, df-cap) constants, so either definition moving
+    rebuilds the slice."""
+    from hadoop_cs4225_spark.sources.sinks import (
+        derived_path,
+        derived_stale,
+        write_derived_config,
+    )
+
+    cfg = (
+        _shingle_sets_config()
+        + ";stats=df,len,rn;rank=df,s"
+        + f";prefix=t{_PPJ_T_NUM}/{_PPJ_T_DEN};dfcap={_PPJ_DF_CAP}"
+    )
+    path = derived_path(sf_dir, "documents_shingle_prefix")
+    if derived_stale(path, sf_dir, table="documents", config=cfg):
+        p_len = (
+            F.col("len")
+            - F.expr(
+                f"({_PPJ_T_NUM} * len + {_PPJ_T_DEN} - 1) div {_PPJ_T_DEN}"
+            )
+            + 1
+        )
+        (
+            shingle_postings_stats_frame(spark, sf_dir)
+            .where((F.col("rn") <= p_len) & (F.col("df") <= _PPJ_DF_CAP))
+            .select("doc_id", F.col("s").alias("tok"), "len")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        write_derived_config(path, cfg)
+    return path
+
+
+def shingle_prefix_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The written PPJoin prefix slice (ensure + read):
+    ``(doc_id, tok, len)``."""
+    return spark.read.parquet(ensure_shingle_prefix(spark, sf_dir))
 
 
 def _sig_index_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1454,24 +1509,14 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exponent 1.53; this form re-measures sub-linear). No global sorts,
     no cartesian anything.
     """
-    # The ranked postings come from the WRITTEN inverted index
-    # (VERDICT r11 task 4): df / len / rn are corpus statistics stored
-    # at index-build time, so the prefix filter below is a map-side
-    # predicate over one parquet scan — no df shuffle, no join, no
-    # rank window at query time.
-    ranked = shingle_postings_stats_frame(spark, sf_dir).withColumnRenamed(
-        "s", "tok"
-    )
-    p_len = (
-        F.col("len")
-        - F.expr(
-            f"({_PPJ_T_NUM} * len + {_PPJ_T_DEN} - 1) div {_PPJ_T_DEN}"
-        )
-        + 1
-    )
-    prefix = ranked.where(
-        (F.col("rn") <= p_len) & (F.col("df") <= _PPJ_DF_CAP)
-    ).select("doc_id", "tok", "len")
+    # The candidate-generating rows come from the WRITTEN pre-truncated
+    # prefix slice (VERDICT r12 task 4, refining r11 task 4's stats
+    # layout): the rn/df prefix predicate was already map-side, but it
+    # still SCANNED every posting; the slice stores only the ~(1-t)
+    # fraction that can generate candidates, so the equi-join's input
+    # scan shrinks ~1/t — no df shuffle, no join, no rank window, and
+    # no discarded rows at query time.
+    prefix = shingle_prefix_frame(spark, sf_dir)
     a = prefix.select(
         F.col("doc_id").alias("d1"), F.col("tok").alias("t1"), F.col("len").alias("l1")
     )
@@ -2318,6 +2363,73 @@ def simhash_band_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("d1", "d2", hamming.alias("hamming"))
         .where(F.col("hamming") <= _SIMB_MAXHAM)
         .orderBy("d1", "d2")
+    )
+
+
+@register(
+    "dedup_near_dup_gc",
+    oracle=f"""
+WITH th AS (
+  SELECT doc_id, unnest(list_transform({_TOKS_SQL},
+                                       x -> {hash60_sql("x")})) AS h
+  FROM documents WHERE len({_TOKS_SQL}) > 0
+), votes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+         {_simb_fp_votes_sql()[0]}
+  FROM th GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, CAST({_simb_fp_votes_sql()[1]} AS BIGINT) AS f
+  FROM votes
+)
+SELECT f,
+       CAST(COUNT(*) AS BIGINT) AS group_size,
+       MIN(fp.doc_id) AS keeper_doc,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_victims,
+       CAST(SUM(d.n_chars) - ARG_MIN(d.n_chars, fp.doc_id) AS BIGINT)
+         AS reclaim_chars
+FROM fp JOIN documents d ON d.doc_id = fp.doc_id
+GROUP BY f HAVING COUNT(*) >= 2
+ORDER BY f
+""",
+)
+def dedup_near_dup_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GARBAGE-COLLECTION report over the written SimHash
+    fingerprint index (VERDICT r12 task 7): groups of documents whose
+    60-bit fingerprints are IDENTICAL (Hamming 0 — the delete-safe core
+    of the near-dup graph, no verify step needed), the keeper each
+    group retains (min doc_id, the ``dedup_canonical_keep``
+    first-writer rule), and the bytes a GC pass reclaims by dropping
+    the victims. This is the operational face of the dedup family: the
+    band join FINDS near-pairs for review; GC needs the conservative
+    exact-fingerprint subset it can delete unattended.
+
+    Consumes the same ``(doc_id, f)`` table the streaming twin
+    (``streaming.run_incremental_simhash_dedup``) maintains
+    incrementally, so at 100 TB the report runs against the
+    continuously-maintained index — one vocabulary-of-fingerprints
+    groupBy plus a doc-keyed join for byte sizes, no pair join at all.
+
+    Determinism: fingerprints are exact integer algebra over the
+    cross-engine md5 hash60; keeper and reclaim use MIN / ARG_MIN on
+    integer keys; output ordered by fingerprint.
+
+    No reference analogue; extends SURVEY §2's dedup family (r13).
+    """
+    fp = simhash_fp_frame(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        fp.join(docs, "doc_id")
+        .groupBy("f")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            F.min("doc_id").alias("keeper_doc"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_victims"),
+            (F.sum("n_chars") - F.min_by("n_chars", "doc_id"))
+            .cast("long")
+            .alias("reclaim_chars"),
+        )
+        .where(F.col("group_size") >= 2)
+        .orderBy("f")
     )
 
 

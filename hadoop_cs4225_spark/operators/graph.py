@@ -124,6 +124,32 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hits_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct bipartite customer→supplier edge list (c, s) — session-
+    memoized like :func:`_trade_edges` (VERDICT r12 task 3): HITS's six
+    half-rounds all read this one frame, and it was the only iterative-
+    graph input not in ``registry.warm_shared_frames``, so the bench
+    charged the orders⋈lineitem→distinct build to ``supplier_hits_scores``
+    every run."""
+    from hadoop_cs4225_spark.operators.dedup import _memo
+
+    def build() -> DataFrame:
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        return (
+            orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+            .select(
+                F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+
+    return _memo(
+        spark, sf_dir, "hits_pairs", build, src_table=("orders", "lineitem")
+    )
+
+
 @register(
     "pagerank_trade_network",
     oracle=f"""
@@ -718,14 +744,9 @@ def supplier_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No reference analogue; extends the SURVEY §2 graph family.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    pairs = (
-        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-        .localCheckpoint(eager=False)  # read by all 6 half-rounds
-    )
+    # session-memoized + checkpointed: read by all 6 half-rounds and
+    # warmed by registry.warm_shared_frames (VERDICT r12 task 3)
+    pairs = _hits_pairs(spark, sf_dir)
     h = pairs.select("c").distinct().withColumn("v", F.lit(1.0))
 
     def half(scores: DataFrame, key: str, other: str) -> DataFrame:

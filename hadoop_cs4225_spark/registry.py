@@ -123,74 +123,71 @@ PERMANENT_PRIORITY = (
 
 #: Driver-correctness priority window. The driver records CORRECTNESS
 #: rows for the FIRST 50 queries in ``queries()`` iteration order.
-#: ROUND-12 ROTATION (VERDICT r11 tasks 3+5): round 11's window went
-#: 50/50 green, returning never-checked to 0 (cross-round union
-#: 358/358). This window = the 3 PERMANENT golden slots + the 16
-#: remaining r04 driver rows (the oldest cohort) + 31 of the 49 r05
-#: rows, capability anchors first (ANN buckets/IVF lists, embedding
-#: stats/quant, sketches, streaming-shape event rollups, partition/
-#: nested pruning, sampling/splits/mixing, the non-parquet format
-#: round-trips, media byte features, SCD2, LATERAL). The 18 r05 rows
-#: left over (all TPC-H/relational shapes: q7 q9 q10 q12 q13 q14 q15
-#: q16 q17 q19 q20 q22, customer_order_multiset_ops,
-#: event_props_variant, nation_metrics_unpivot,
-#: order_value_percentiles_approx, order_value_winsorized,
-#: parts_never_shipped — each oracle-replica-checked every pytest run)
-#: are the r13 rotation seed, together with the FOUR r12 net-new
-#: registrations (doc_keyword_tag_counts, orders_seasonal_naive_mase,
-#: embedding_residual_quant_audit, dedup_survivorship_report — within
-#: the <=15/round pace of VERDICT r11 task 3, each oracled,
-#: invariant-tested in tests/test_round12_ops.py, and scale-probed).
+#: ROUND-13 ROTATION (VERDICT r12 task 1): round 12's window went
+#: 50/50 green. This window = the 3 PERMANENT golden slots + the FOUR
+#: r12 net-new registrations (never driver-checked; each oracled,
+#: invariant-tested in tests/test_round12_ops.py, replica-verified
+#: green at sf0.01 by the r12 judge) + the 18 r05-stale rows (the
+#: oldest cohort: TPC-H q7 q9 q10 q12 q13 q14 q15 q16 q17 q19 q20 q22
+#: plus six relational shapes) + 25 of the 45 r06 rows, capability
+#: anchors first (dedup cluster family, shingle/winnowing
+#: fingerprints, ANN/PQ audit+probe family, streaming-twin event
+#: rollups, bucketed join, pagerank, CDC apply, schema evolution,
+#: Python DataSource, map algebra). The 20 r06 rows left over
+#: (incl. the three rows-only twins cosine_topk_pandas,
+#: label_centroid_stats, topk_users_approx — each twin-checked every
+#: pytest run) are the r14 rotation seed.
 _PRIORITY = PERMANENT_PRIORITY + (
-    # --- the 16 remaining r04 rows (oldest cohort) ---
-    "customer_30day_window_spend",
-    "doc_sentences_udtf",
-    "embedding_array_features",
-    "event_props_map",
-    "lineitem_math_features",
-    "media_frame_chunks",
-    "media_metadata_stats",
-    "nation_presence_setops",
-    "order_date_features",
-    "order_value_percentiles",
-    "orders_csv_scan_rollup",
-    "part_string_features",
-    "revenue_grouping_sets",
-    "segment_account_stats",
-    "supplier_nation_full_join",
-    "top_orders_per_customer",
-    # --- 31 of the 49 r05 rows, capability anchors first ---
-    "ann_lsh_buckets",               # ANN bucket layout
-    "embedding_near_dup_pairs",      # bounded exact near-dup pairs
-    "ivf_inverted_lists",            # IVF coarse index
-    "embedding_dim_stats",           # vector column stats
-    "embedding_int8_quant",          # scalar quantization audit
-    "event_freq_cms",                # native CMS (rows-only, twin-checked)
-    "sketch_distinct_users_by_type",  # native HLL (rows-only, twin-checked)
-    "events_daily_rollup",           # streaming-twin batch rollup
-    "events_gapfill_daily",          # time-spine gap fill
-    "events_rolling_active_users",   # rolling distinct window
-    "events_daily_anomaly",          # z-score anomaly sweep
-    "events_clustered_user_scan",    # row-group skipping (plan-asserted)
-    "nested_struct_pruned_rollup",   # nested-schema pruning
-    "documents_hash_sample",         # deterministic hash sampling
-    "documents_split_stats",         # train/eval split audit
-    "mixture_weighted_sample",       # data-mixing sampler
-    "source_mixture_weights",        # mixing weight report
-    "curated_split_manifest",        # curation manifest
-    "curriculum_phase_bins",         # curriculum packing
-    "binaryfile_docs_scan",          # binaryFile source
-    "orders_jsonl_scan_rollup",      # JSONL source round-trip
-    "orders_orc_scan_rollup",        # ORC source round-trip
-    "orders_xml_scan_rollup",        # XML source round-trip
-    "doc_unigram_entropy",           # quality signal
-    "token_length_histogram",        # corpus length histogram
-    "pii_redaction_scrub",           # PII scrub pass
-    "doc_chunk_windows",             # chunking for retrieval
-    "media_byte_features",           # mapInPandas byte features (rows-only)
-    "media_byte_features_arrow",     # mapInArrow twin (rows-only)
-    "user_state_scd2",               # SCD2 gaps-and-islands
-    "lateral_top_customers",         # LATERAL correlated subquery
+    # --- the 4 r12 net-new registrations (never driver-checked) ---
+    "doc_keyword_tag_counts",
+    "orders_seasonal_naive_mase",
+    "embedding_residual_quant_audit",
+    "dedup_survivorship_report",
+    # --- the 18 r05-stale rows (oldest cohort) ---
+    "q7_nation_volume_shipping",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_shipmode_priority",
+    "q13_customer_order_histogram",
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q20_part_stock_suppliers",
+    "q22_idle_rich_customers",
+    "customer_order_multiset_ops",
+    "event_props_variant",
+    "nation_metrics_unpivot",
+    "order_value_percentiles_approx",  # rows-only, twin-checked
+    "order_value_winsorized",
+    "parts_never_shipped",
+    # --- 25 of the 45 r06 rows, capability anchors first ---
+    "dedup_clusters",                # label-propagation dup clusters
+    "dedup_canonical_keep",          # survivorship canonical pick
+    "dedup_cluster_size_histogram",  # cluster-size profile
+    "shingle_containment_pairs",     # asymmetric containment
+    "shingle_idf_similarity_topk",   # idf-weighted set similarity
+    "doc_winnowing_fingerprints",    # winnowing fingerprint index
+    "duplicate_ngram_coverage",      # dup n-gram mass audit
+    "ann_recall_audit",              # LSH recall vs brute truth
+    "ann_rerank_topk",               # bucket+rerank ANN
+    "lsh_recall_audit",              # recall ratio audit
+    "ivf_pq_index_probe",            # written IVF-PQ index probe
+    "ivf_pq_query_topk",             # IVF-PQ ADC query
+    "pq_adc_query_topk",             # PQ asymmetric distance
+    "pq_code_histogram",             # PQ code balance
+    "embedding_gram_topeig",         # Gram top-eigenvector
+    "events_session_windows",        # session windowing (stream twin)
+    "events_sliding_avg",            # sliding windows (stream twin)
+    "events_dedup_latest",           # keep-latest dedup (stream twin)
+    "events_daily_ewma",             # EWMA smoothing
+    "bucketed_segment_revenue",      # bucketed co-located join
+    "pagerank_trade_network",        # iterative graph
+    "orders_cdc_apply",              # CDC merge apply
+    "orders_schema_evolution_scan",  # schema-evolution union
+    "pyds_scan_rollup",              # Python DataSource scan
+    "user_event_map_algebra",        # map-column algebra
 )
 
 def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:
@@ -216,6 +213,7 @@ def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:
         _verified_pairs,
     )
     from hadoop_cs4225_spark.operators.graph import (
+        _hits_pairs,
         _mutual_topk_edges,
         _trade_edges,
     )
@@ -235,6 +233,7 @@ def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:
         lambda: _brute_topk_frame(spark, sf_dir),
         lambda: _mutual_topk_edges(spark, sf_dir),
         lambda: _trade_edges(spark, sf_dir),
+        lambda: _hits_pairs(spark, sf_dir),
         lambda: _daily_counts(spark, sf_dir),
         lambda: _order_ship_durs(spark, sf_dir),
         lambda: _orders_daily_counts(spark, sf_dir),
@@ -266,6 +265,7 @@ def warm_derived_layouts(spark: SparkSession, sf_dir: str) -> int:
     from hadoop_cs4225_spark.operators.dedup import (
         ensure_minhash_sig_index,
         ensure_shingle_postings,
+        ensure_shingle_prefix,
         ensure_shingle_sets,
         ensure_simhash_fp_index,
         ensure_winnow_fp_index,
@@ -280,6 +280,10 @@ def warm_derived_layouts(spark: SparkSession, sf_dir: str) -> int:
         ensure_events_zorder,
     )
     from hadoop_cs4225_spark.operators.pq import ensure_ivf_pq_index
+    from hadoop_cs4225_spark.operators.text_analysis import (
+        ensure_token_counts,
+        ensure_token_df,
+    )
 
     n = 0
     for ensure in (
@@ -290,9 +294,12 @@ def warm_derived_layouts(spark: SparkSession, sf_dir: str) -> int:
         ensure_ivf_pq_index,
         ensure_shingle_sets,  # before the postings/sig index, which read it
         ensure_shingle_postings,
+        ensure_shingle_prefix,  # built FROM the postings stats layout
         ensure_minhash_sig_index,
         ensure_simhash_fp_index,
         ensure_winnow_fp_index,
+        ensure_token_counts,  # before the df side table, which reads it
+        ensure_token_df,
         ensure_orders_jsonl_dirty,
     ):
         ensure(spark, sf_dir)

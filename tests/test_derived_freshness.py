@@ -84,7 +84,11 @@ def test_config_fingerprint_invalidates(tmp_path):
 
 def test_sig_index_config_covers_definition_constants():
     """The MinHash index fingerprint must move when any signature
-    definition constant moves (the guard ADVICE r11 asked for)."""
+    definition constant moves (the guard ADVICE r11 asked for) —
+    INCLUDING the upstream shingle-set layout's full fingerprint
+    (ADVICE r12): the signatures are built FROM that layout, so its
+    min_toks/distinct eligibility constants must cascade into the
+    signature config verbatim."""
     from hadoop_cs4225_spark.operators import dedup
     from hadoop_cs4225_spark.operators.wordcount import TOKEN_DELIM_RE
 
@@ -93,3 +97,4 @@ def test_sig_index_config_covers_definition_constants():
     assert str(dedup._PERM_MOD) in cfg
     assert TOKEN_DELIM_RE in cfg
     assert "shingle=3" in cfg
+    assert dedup._shingle_sets_config() in cfg

@@ -889,6 +889,45 @@ def test_set_similarity_family_reads_shingle_postings_layout(spark):
             assert "documents.parquet" not in plan, (name, plan[:2000])
 
 
+def test_prefix_filter_reads_pretruncated_slice(spark):
+    """VERDICT r12 task 4: jaccard_prefix_filter_pairs' candidate join
+    must scan the WRITTEN pre-truncated prefix slice (~(1-t) of the
+    postings), not filter the full stats layout per run — pinned by
+    (a) the slice carrying exactly the inline rn/df predicate over the
+    stats layout, and (b) the query's plan scanning the slice path."""
+    from hadoop_cs4225_spark import registry
+    from hadoop_cs4225_spark.operators.dedup import (
+        _PPJ_DF_CAP,
+        _PPJ_T_DEN,
+        _PPJ_T_NUM,
+        ensure_shingle_prefix,
+        shingle_postings_stats_frame,
+        shingle_prefix_frame,
+    )
+    from pyspark.sql import functions as F
+
+    path = ensure_shingle_prefix(spark, SF_ORACLE)
+    assert "documents_shingle_prefix" in path
+    p_len = (
+        F.col("len")
+        - F.expr(f"({_PPJ_T_NUM} * len + {_PPJ_T_DEN} - 1) div {_PPJ_T_DEN}")
+        + 1
+    )
+    inline = (
+        shingle_postings_stats_frame(spark, SF_ORACLE)
+        .where((F.col("rn") <= p_len) & (F.col("df") <= _PPJ_DF_CAP))
+        .select("doc_id", F.col("s").alias("tok"), "len")
+    )
+    got = sorted(map(tuple, shingle_prefix_frame(spark, SF_ORACLE).collect()))
+    want = sorted(map(tuple, inline.collect()))
+    assert got == want
+    registry.load_all()
+    df = registry.QUERIES["jaccard_prefix_filter_pairs"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents_shingle_prefix" in plan, plan[:2000]
+    assert "documents.parquet" not in plan, plan[:2000]
+
+
 def test_simhash_band_join_reads_materialized_fp_index(spark):
     """r12 (the ensure_minhash_sig_index precedent): the SimHash band
     join must read 60-bit fingerprints from the written .derived index

@@ -115,6 +115,127 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Sources whose numeric suffix is >= this play the "new crawl" batch
+#: in the cross-corpus decontamination check (src16..src19 vs the
+#: src0..src15 "existing train corpus"); a >=25% shingle-overlap doc is
+#: flagged contaminated (integer-exact threshold: 4*hits >= shingles).
+_NEWCRAWL_MIN_SRC = 16
+
+
+@register(
+    "cross_corpus_decon_report",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS s
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t0
+  WHERE len(toks) >= 3
+),
+src AS (
+  SELECT doc_id, source, CAST(substr(source, 4) AS INT) AS src_no
+  FROM documents
+),
+train AS (
+  SELECT DISTINCT sh.s FROM sh
+  JOIN src ON src.doc_id = sh.doc_id
+  WHERE src.src_no < {_NEWCRAWL_MIN_SRC}
+),
+newdocs AS (
+  SELECT sh.doc_id, src.source, sh.s FROM sh
+  JOIN src ON src.doc_id = sh.doc_id
+  WHERE src.src_no >= {_NEWCRAWL_MIN_SRC}
+),
+per_doc AS (
+  SELECT n.doc_id, n.source,
+         COUNT(*) AS n_sh, COUNT(t.s) AS n_hit
+  FROM newdocs n LEFT JOIN train t ON t.s = n.s
+  GROUP BY n.doc_id, n.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_overlap,
+       CAST(SUM(CASE WHEN 4 * n_hit >= n_sh THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_contaminated,
+       CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+       CAST(SUM(n_hit) AS BIGINT) AS n_hits,
+       {quant_sql('CAST(SUM(n_hit) AS DOUBLE) / SUM(n_sh)', 4)}
+         AS hit_frac
+FROM per_doc
+GROUP BY source
+ORDER BY source
+""",
+)
+def cross_corpus_decon_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CORPUS incremental decontamination (VERDICT r12 task 7):
+    the new-crawl sources (``src16..src19``) checked against the
+    existing train corpus's (``src0..src15``) shingle vocabulary —
+    per new source, how many incoming docs overlap the train corpus at
+    all and how many cross the 25% contamination threshold
+    (integer-exact: ``4*hits >= shingles``).
+
+    This is ``decontamination_overlap`` turned incremental: there the
+    probe set is a tiny fixed eval suite; here the REFERENCE side is
+    the full already-ingested corpus and the probe side is the new
+    batch. Both sides read the WRITTEN shingle postings layout
+    (``dedup.ensure_shingle_postings``) — at 100 TB the train side is
+    exactly the index the streaming twin
+    (``streaming.run_incremental_shingle_postings``) maintains batch
+    over batch, so admitting a new crawl shingles ONLY the batch and
+    runs one shingle-keyed join against the maintained index; nothing
+    over the existing corpus is recomputed.
+
+    Plan: postings ⋈ documents(doc_id → source) is a doc-keyed join
+    (narrow dimension columns only); the train vocabulary is a
+    distinct over the train-side postings; the decon join is
+    shingle-keyed with AQE handling skew (hot boilerplate shingles);
+    the report is a per-source partial agg. No windows, no cartesian.
+
+    Determinism: counts and an integer threshold; quantized ratio;
+    ordered by source.
+
+    No reference analogue; extends the SURVEY §2 decon family (r13).
+    """
+    sh = shingle_postings_frame(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr("CAST(substring(source, 4) AS INT)").alias("src_no"),
+    )
+    tagged = sh.join(src, "doc_id")
+    train = (
+        tagged.where(F.col("src_no") < _NEWCRAWL_MIN_SRC)
+        .select("s")
+        .distinct()
+    )
+    newdocs = tagged.where(F.col("src_no") >= _NEWCRAWL_MIN_SRC)
+    per_doc = (
+        newdocs.join(train.withColumn("hit", F.lit(1)), "s", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count("hit").alias("n_hit"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("n_hit") > 0).cast("long"))
+            .cast("long")
+            .alias("n_docs_overlap"),
+            F.sum((4 * F.col("n_hit") >= F.col("n_sh")).cast("long"))
+            .cast("long")
+            .alias("n_docs_contaminated"),
+            F.sum("n_sh").cast("long").alias("n_shingles"),
+            F.sum("n_hit").cast("long").alias("n_hits"),
+            quant(
+                F.sum("n_hit").cast("double") / F.sum("n_sh"), 4
+            ).alias("hit_frac"),
+        )
+        .orderBy("source")
+    )
+
+
 @register(
     "doc_repetition_signals",
     oracle=f"""

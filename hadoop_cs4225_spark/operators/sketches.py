@@ -541,6 +541,136 @@ def eval_bloom_decon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_pruned_decon_oracle() -> str:
+    from hadoop_cs4225_spark.functions.hashing import hash60_seeded_sql
+    from hadoop_cs4225_spark.operators.dedup import _SHINGLES_SQL, _TOKS_SQL
+    from hadoop_cs4225_spark.operators.pipeline_ops import _PROBE_MOD
+
+    def b(seed: int) -> str:
+        return f"({hash60_seeded_sql('s', seed)} % {_BLOOM_M})"
+
+    probe_fan = "\nUNION ALL\n".join(
+        f"SELECT {b(d)} AS bucket FROM probe" for d in range(1, _BLOOM_K + 1)
+    )
+    cs_fan = "\nUNION ALL\n".join(
+        f"SELECT s, {b(d)} AS bucket FROM cs" for d in range(1, _BLOOM_K + 1)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS s
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t0
+  WHERE len(toks) >= 3
+),
+probe AS (SELECT DISTINCT s FROM sh WHERE doc_id % {_PROBE_MOD} = 0),
+corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % {_PROBE_MOD} <> 0),
+cs AS (SELECT DISTINCT s FROM corpus),
+bits AS (SELECT DISTINCT bucket FROM ({probe_fan})),
+khit AS (
+  SELECT c.s, CAST(COUNT(bt.bucket) AS BIGINT) AS k_hit
+  FROM ({cs_fan}) c LEFT JOIN bits bt ON bt.bucket = c.bucket
+  GROUP BY c.s
+),
+blooms AS (SELECT s FROM khit WHERE k_hit = {_BLOOM_K}),
+cand AS (SELECT c.doc_id, c.s FROM corpus c JOIN blooms b ON b.s = c.s),
+exact AS (
+  SELECT ca.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bloom_cand,
+         CAST(COUNT(p.s) AS BIGINT) AS n_overlap
+  FROM cand ca LEFT JOIN probe p ON p.s = ca.s
+  GROUP BY ca.doc_id
+),
+tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+  FROM corpus GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_shingles, e.n_bloom_cand, e.n_overlap
+FROM tot t JOIN exact e ON e.doc_id = t.doc_id
+ORDER BY e.n_overlap DESC, e.n_bloom_cand DESC, t.doc_id
+LIMIT 100
+"""
+
+
+@register("bloom_pruned_decon_docs", oracle=_bloom_pruned_decon_oracle())
+def bloom_pruned_decon_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-PRUNED per-doc decontamination (VERDICT r12 task 7): the
+    exact verify join of ``decontamination_overlap`` runs only over the
+    Bloom-POSITIVE postings. The probe ("eval") shingle set folds to a
+    <= m = 65536-row bit table broadcast to every executor; each
+    distinct corpus shingle is classified map-side (all k = 4 seeded
+    buckets hit); only positive postings enter the shingle-keyed exact
+    join.
+    Because a Bloom filter has ZERO false negatives, every truly
+    overlapping shingle survives the prune — so ``n_overlap`` here is
+    byte-identical to the unpruned exact join's (pinned against
+    ``decontamination_overlap`` in tests/test_round13_ops.py), while
+    the verify join's input shrinks from ALL postings to the
+    Bloom-positive sliver (``n_bloom_cand`` vs ``n_shingles`` in the
+    output is the measured prune ratio, FP overhang included).
+
+    This is the 100 TB shape of decontamination: the corpus side reads
+    the WRITTEN shingle postings layout (no re-tokenization), the eval
+    side is a fixed tiny suite whose bitset ships with the job, and the
+    expensive exact join touches only candidate docs. The companion
+    corpus-level audit (``eval_bloom_decon_audit``) prices the FP rate;
+    this query is the decon pass that spends it.
+
+    Determinism: integer bucket algebra over the cross-engine seeded
+    md5 hash; counts only; ordered (n_overlap desc, n_bloom_cand desc,
+    doc_id) — doc_id unique, so the LIMIT cut is total.
+
+    No reference analogue; extends the SURVEY §2 decon family (r13).
+    """
+    from hadoop_cs4225_spark.functions.hashing import hash60_seeded
+    from hadoop_cs4225_spark.operators.dedup import shingle_postings_frame
+    from hadoop_cs4225_spark.operators.pipeline_ops import _PROBE_MOD
+
+    sh = shingle_postings_frame(spark, sf_dir)
+    probe = (
+        sh.where(F.col("doc_id") % _PROBE_MOD == 0).select("s").distinct()
+    ).localCheckpoint(eager=False)  # bits fanout + exact verify join
+    corpus = sh.where(F.col("doc_id") % _PROBE_MOD != 0)
+    cs = corpus.select("s").distinct()
+
+    def bucket(d: int) -> F.Column:
+        return (hash60_seeded(F.col("s"), d) % _BLOOM_M).alias("bucket")
+
+    def fan(df: DataFrame) -> DataFrame:
+        return df.select(
+            "s",
+            F.explode(
+                F.array(*[bucket(d) for d in range(1, _BLOOM_K + 1)])
+            ).alias("bucket"),
+        )
+
+    bits = F.broadcast(fan(probe).select("bucket").distinct())
+    blooms = (
+        fan(cs)
+        .join(bits.withColumn("hit", F.lit(1)), "bucket", "left")
+        .groupBy("s")
+        .agg(F.count("hit").alias("k_hit"))
+        .where(F.col("k_hit") == _BLOOM_K)
+        .select("s")
+    )
+    cand = corpus.join(blooms, "s")
+    exact = (
+        cand.join(probe.withColumn("mem", F.lit(1)), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bloom_cand"),
+            F.count("mem").cast("long").alias("n_overlap"),
+        )
+    )
+    tot = corpus.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    return (
+        tot.join(exact, "doc_id")
+        .select("doc_id", "n_shingles", "n_bloom_cand", "n_overlap")
+        .orderBy(F.desc("n_overlap"), F.desc("n_bloom_cand"), "doc_id")
+        .limit(100)
+    )
+
+
 #: Daily-HLL rollup geometry (small p so register collisions — and
 #: therefore visible estimation error — appear even at sf0.001).
 _DHLL_P = 6

@@ -1,0 +1,120 @@
+"""Round-13 operator invariants (the 3 net-new registrations, within
+the <=15/round rotation pace — driver rows come with the r14 window;
+each was replica-checked green vs its DuckDB oracle at sf0.01 at
+registration time). Each is oracled, so test_oracle_parity.py
+hash-checks all three on every pytest run; these tests pin the
+algorithmic contracts the oracle alone can't state."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_cs4225_spark import registry
+from tests.conftest import SF_ORACLE
+
+registry.load_all()
+
+
+def _rows(spark, name, sf=SF_ORACLE):
+    return registry.QUERIES[name](spark, sf).collect()
+
+
+def test_near_dup_gc_reconciles_with_fingerprint_index(spark):
+    """Every GC group must be exactly a >=2-doc fingerprint-equality
+    class of the written SimHash index; the keeper is the min doc_id;
+    reclaim_chars is the group's byte mass minus the keeper's."""
+    from hadoop_cs4225_spark.operators.dedup import simhash_fp_frame
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    rows = {r.f: r for r in _rows(spark, "dedup_near_dup_gc")}
+    fp = simhash_fp_frame(spark, SF_ORACLE)
+    docs = load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "n_chars"
+    )
+    chars = {r.doc_id: r.n_chars for r in fp.join(docs, "doc_id").collect()}
+    groups: dict[int, list[int]] = {}
+    for r in fp.collect():
+        groups.setdefault(r.f, []).append(r.doc_id)
+    expect = {f: sorted(ds) for f, ds in groups.items() if len(ds) >= 2}
+    assert set(rows) == set(expect)
+    for f, ds in expect.items():
+        r = rows[f]
+        assert r.group_size == len(ds), f
+        assert r.keeper_doc == ds[0], f
+        assert r.n_victims == len(ds) - 1, f
+        assert r.reclaim_chars == sum(chars[d] for d in ds) - chars[ds[0]], f
+
+
+def test_bloom_pruned_decon_zero_false_negatives(spark):
+    """The Bloom prune may only ADD candidates (false positives), never
+    lose a true overlap: per-doc n_overlap must equal the unpruned
+    exact join's, and the counts must nest
+    n_overlap <= n_bloom_cand <= n_shingles."""
+    from hadoop_cs4225_spark.operators.dedup import shingle_postings_frame
+    from hadoop_cs4225_spark.operators.pipeline_ops import _PROBE_MOD
+
+    rows = _rows(spark, "bloom_pruned_decon_docs")
+    assert rows
+    for r in rows:
+        assert r.n_overlap <= r.n_bloom_cand <= r.n_shingles, r
+    # unpruned exact overlap, straight off the postings layout
+    sh = shingle_postings_frame(spark, SF_ORACLE)
+    probe = sh.where(F.col("doc_id") % _PROBE_MOD == 0).select("s").distinct()
+    corpus = sh.where(F.col("doc_id") % _PROBE_MOD != 0)
+    exact = {
+        r.doc_id: r.n
+        for r in corpus.join(probe.withColumn("hit", F.lit(1)), "s", "left")
+        .groupBy("doc_id")
+        .agg(F.count("hit").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_overlap == exact[r.doc_id], r
+
+
+def test_cross_corpus_decon_report_contract(spark):
+    """Exactly the new-crawl sources appear; doc counts reconcile with
+    the shingle-eligible population; contaminated <= overlapping <=
+    total; one source's hit count re-derived directly."""
+    from hadoop_cs4225_spark.operators.dedup import _shingle_sets
+    from hadoop_cs4225_spark.operators.pipeline_ops import _NEWCRAWL_MIN_SRC
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    rows = {r.source: r for r in _rows(spark, "cross_corpus_decon_report")}
+    docs = load_table(spark, SF_ORACLE, "documents")
+    src_no = F.expr("CAST(substring(source, 4) AS INT)")
+    sh = _shingle_sets(docs).select(
+        "doc_id", F.explode("sh").alias("s")
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    new_side = sh.where(src_no >= _NEWCRAWL_MIN_SRC)
+    expect_sources = {
+        r.source
+        for r in new_side.select("source").distinct().collect()
+    }
+    assert set(rows) == expect_sources
+    n_docs = {
+        r.source: r.n
+        for r in new_side.groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .collect()
+    }
+    for s, r in rows.items():
+        assert r.n_docs == n_docs[s], s
+        assert r.n_docs_contaminated <= r.n_docs_overlap <= r.n_docs, s
+        assert 0 <= r.hit_frac <= 1, s
+    # direct re-derivation of one source's totals
+    probe_src = sorted(rows)[0]
+    train = (
+        sh.where(src_no < _NEWCRAWL_MIN_SRC).select("s").distinct()
+    )
+    direct = (
+        new_side.where(F.col("source") == probe_src)
+        .join(train.withColumn("hit", F.lit(1)), "s", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count("hit").alias("n_hit"),
+        )
+        .collect()[0]
+    )
+    assert rows[probe_src].n_shingles == direct.n_sh
+    assert rows[probe_src].n_hits == direct.n_hit

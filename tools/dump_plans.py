@@ -136,6 +136,24 @@ FLAGSHIPS = (
         "over the checkpointed edge list — BFS as keyed joins, "
         "per-round lineage truncation",
     ),
+    (
+        "jaccard_prefix_filter_pairs",
+        "candidate join reads the WRITTEN pre-truncated prefix slice "
+        "(documents_shingle_prefix) — no rn/df filter, no window, no "
+        "discarded rows at query time (r13)",
+    ),
+    (
+        "tfidf_top_terms",
+        "tf and df sides both read the WRITTEN token-count layout "
+        "(documents_token_counts + _token_df) — no query-time "
+        "tokenize/explode in the plan (r13)",
+    ),
+    (
+        "bloom_pruned_decon_docs",
+        "probe bitset folds to a broadcast <=65536-row table; corpus "
+        "shingles classified map-side; ONLY Bloom-positive postings "
+        "enter the exact verify join (r13)",
+    ),
 )
 
 

@@ -65,6 +65,11 @@ COPIES = (1, 2, 4)
 
 #: documents-driven queries probed on the amplified corpora.
 DOC_QUERIES = (
+    # --- round-13 additions ---
+    "dedup_near_dup_gc",  # fp-vocab groupBy + doc-keyed size join, no pairs
+    "bloom_pruned_decon_docs",  # broadcast-bit prune + pruned exact join
+    "cross_corpus_decon_report",  # new-batch shingles vs maintained index
+    # --- round-12 additions ---
     "doc_keyword_tag_counts",
     "dedup_survivorship_report",
     "word_count",

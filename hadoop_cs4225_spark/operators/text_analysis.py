@@ -5203,3 +5203,93 @@ def doc_keyword_tag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tag")
     )
+
+
+@register(
+    "newcrawl_oov_rate",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, CAST(substr(source, 4) AS INT) AS src_no,
+         unnest({_TOKS_SQL}) AS word
+  FROM documents
+),
+train AS (SELECT DISTINCT word FROM tok WHERE src_no < 16),
+new_side AS (
+  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE src_no >= 16
+  GROUP BY source, word
+)
+SELECT n.source,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN t.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov_types,
+       CAST(SUM(n.tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN t.word IS NULL THEN n.tf ELSE 0 END) AS BIGINT)
+         AS n_oov_tokens,
+       {quant_sql(
+           "CAST(SUM(CASE WHEN t.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)"
+           " / COUNT(*)", 4)} AS oov_type_frac,
+       {quant_sql(
+           "CAST(SUM(CASE WHEN t.word IS NULL THEN n.tf ELSE 0 END)"
+           " AS DOUBLE) / SUM(n.tf)", 4)} AS oov_token_frac
+FROM new_side n LEFT JOIN train t ON t.word = n.word
+GROUP BY n.source
+ORDER BY n.source
+""",
+)
+def newcrawl_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate of the NEW-CRAWL batch against the train
+    corpus's unigram vocabulary — the tokenizer-coverage gate a
+    pipeline runs before admitting a new source (a spike in OOV token
+    mass means the incoming data is out of distribution for the
+    trained tokenizer/vocab: new language, markup, or encoding junk).
+
+    Companion to ``cross_corpus_decon_report`` (same src16..19 = new
+    crawl convention, via ``pipeline_ops._NEWCRAWL_MIN_SRC``): decon
+    asks "is the new batch ALREADY IN the corpus?"; this asks the
+    opposite-direction question "does the corpus's vocabulary COVER the
+    new batch?".
+
+    Both sides read the WRITTEN token-count layout
+    (``ensure_token_counts`` — doc-grain tf rows with source riding
+    along), so no query-time tokenization: the train vocabulary is a
+    distinct over the layout's word column (vocabulary-sized), the new
+    side is a (source, word) partial agg, and the OOV test is one
+    word-keyed left join. At 100 TB the train vocab side would be the
+    ``ensure_token_df`` side table maintained with the corpus — the
+    join input is vocabulary-scale on both sides, never token-scale.
+
+    Determinism: integer counts, quantized fractions, ordered by
+    source.
+
+    No reference analogue; extends the SURVEY §2 text-analysis family
+    (r13).
+    """
+    from hadoop_cs4225_spark.operators.pipeline_ops import _NEWCRAWL_MIN_SRC
+
+    tc = token_counts_frame(spark, sf_dir, ("source", "word", "tf"))
+    src_no = F.expr("CAST(substring(source, 4) AS INT)")
+    train = tc.where(src_no < _NEWCRAWL_MIN_SRC).select("word").distinct()
+    new_side = (
+        tc.where(src_no >= _NEWCRAWL_MIN_SRC)
+        .groupBy("source", "word")
+        .agg(F.sum("tf").cast("long").alias("tf"))
+    )
+    joined = new_side.join(train.withColumn("hit", F.lit(1)), "word", "left")
+    oov = F.col("hit").isNull().cast("long")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(oov).cast("long").alias("n_oov_types"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(oov * F.col("tf")).cast("long").alias("n_oov_tokens"),
+            quant(
+                F.sum(oov).cast("double") / F.count(F.lit(1)), 4
+            ).alias("oov_type_frac"),
+            quant(
+                F.sum(oov * F.col("tf")).cast("double") / F.sum("tf"), 4
+            ).alias("oov_token_frac"),
+        )
+        .orderBy("source")
+    )

@@ -1,8 +1,8 @@
-"""Round-13 operator invariants (the 3 net-new registrations, within
+"""Round-13 operator invariants (the 4 net-new registrations, within
 the <=15/round rotation pace — driver rows come with the r14 window;
 each was replica-checked green vs its DuckDB oracle at sf0.01 at
 registration time). Each is oracled, so test_oracle_parity.py
-hash-checks all three on every pytest run; these tests pin the
+hash-checks all four on every pytest run; these tests pin the
 algorithmic contracts the oracle alone can't state."""
 
 from __future__ import annotations
@@ -118,3 +118,53 @@ def test_cross_corpus_decon_report_contract(spark):
     )
     assert rows[probe_src].n_shingles == direct.n_sh
     assert rows[probe_src].n_hits == direct.n_hit
+
+
+def test_newcrawl_oov_rate_contract(spark):
+    """Counts nest (oov <= total on both grains), token totals
+    reconcile with a direct tokenize of the new-crawl sources, and the
+    OOV type set for one source re-derives exactly."""
+    from hadoop_cs4225_spark.operators.pipeline_ops import _NEWCRAWL_MIN_SRC
+    from hadoop_cs4225_spark.operators.text_analysis import _toks
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    rows = {r.source: r for r in _rows(spark, "newcrawl_oov_rate")}
+    assert rows
+    docs = load_table(spark, SF_ORACLE, "documents")
+    src_no = F.expr("CAST(substring(source, 4) AS INT)")
+    tok = docs.select("source", src_no.alias("n"), F.explode(_toks()).alias("w"))
+    new_tok = tok.where(F.col("n") >= _NEWCRAWL_MIN_SRC)
+    totals = {
+        r.source: (r.n_tok, r.n_typ)
+        for r in new_tok.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.countDistinct("w").alias("n_typ"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(totals)
+    for s, r in rows.items():
+        assert (r.n_tokens, r.n_types) == totals[s], s
+        assert 0 <= r.n_oov_types <= r.n_types, s
+        assert 0 <= r.n_oov_tokens <= r.n_tokens, s
+        assert 0 <= r.oov_type_frac <= 1 and 0 <= r.oov_token_frac <= 1, s
+    # direct OOV re-derivation for one source
+    probe_src = sorted(rows)[0]
+    train_vocab = {
+        r.w
+        for r in tok.where(F.col("n") < _NEWCRAWL_MIN_SRC)
+        .select("w")
+        .distinct()
+        .collect()
+    }
+    new_words = (
+        new_tok.where(F.col("source") == probe_src)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .collect()
+    )
+    n_oov_types = sum(1 for r in new_words if r.w not in train_vocab)
+    n_oov_tokens = sum(r.tf for r in new_words if r.w not in train_vocab)
+    assert rows[probe_src].n_oov_types == n_oov_types
+    assert rows[probe_src].n_oov_tokens == n_oov_tokens

@@ -752,6 +752,106 @@ def run_incremental_shingle_postings(
     return posts.join(dfs, "s").select("doc_id", "s", "df", "len")
 
 
+def run_incremental_ivf_assign(
+    spark: SparkSession, emb_chunks: str, index_root: str, checkpoint: str
+) -> DataFrame:
+    """Incremental IVF index maintenance — the ANN twin of the dedup
+    index maintainers (r13: MinHash, SimHash and the shingle postings
+    had streaming twins; the IVF layout did not). Each micro-batch of
+    NEW embedding vectors is assigned to its nearest coarse centroid
+    with the shared :func:`operators.similarity._ivf_assign_col`
+    (identical argmax definition to the batch index and the DuckDB
+    oracles — frozen centroids, the production regime where the coarse
+    quantizer is trained once and reused across ingest), then merged
+    into a persistent two-part snapshot:
+
+    - ``postings/``: one row per vector — ``centroid_id, vec_id,
+      label`` — grows by exactly the batch's rows (append algebra:
+      vectors are immutable, so prior assignments never change);
+    - ``lists/``: the per-centroid inverted-list size table; the
+      recount touches only the batch's centroids (full-outer merge of
+      the previous sizes with the batch's per-centroid counts).
+
+    Commit-then-swap as ``v{batch_id}`` (restart-safe,
+    crash-idempotent: a replayed batch re-merges against
+    v{batch_id-1}, reproducing the same v{batch_id}). At 100 TB the
+    postings part is ``partitionBy(centroid_id)`` appends — a batch
+    writes only its touched list directories, queries keep
+    DPP-pruning to probed lists (``pq.ensure_ivf_pq_index``'s layout)
+    — and the sizes part drives the list-balance audit
+    (``ann_index_balance_audit``) without a full index scan.
+
+    Returns the final index ``(centroid_id, vec_id, label, n_list)``.
+    """
+    import os
+
+    from hadoop_cs4225_spark.operators.similarity import _ivf_assign_col
+
+    schema = spark.read.parquet(emb_chunks).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(emb_chunks)
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _guard_incarnation(index_root, batch_id)
+        sess = batch_df.sparkSession
+        batch_posts = batch_df.select(
+            _ivf_assign_col("embedding").alias("centroid_id"),
+            "vec_id",
+            "label",
+        )
+        batch_sizes = batch_posts.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).cast("long").alias("d_n")
+        )
+        prior = _snapshot_versions(index_root, below=batch_id)
+        if prior:
+            vdir = os.path.join(index_root, f"v{max(prior)}")
+            posts_prev = sess.read.parquet(os.path.join(vdir, "postings"))
+            sizes_prev = sess.read.parquet(os.path.join(vdir, "lists"))
+            posts_new = posts_prev.unionByName(batch_posts)
+            sizes_new = sizes_prev.join(
+                batch_sizes, ["centroid_id"], "full"
+            ).select(
+                "centroid_id",
+                (
+                    F.coalesce("n_list", F.lit(0))
+                    + F.coalesce("d_n", F.lit(0))
+                ).cast("long").alias("n_list"),
+            )
+        else:
+            posts_new = batch_posts
+            sizes_new = batch_sizes.select(
+                "centroid_id", F.col("d_n").alias("n_list")
+            )
+        out = os.path.join(index_root, f"v{batch_id}")
+        posts_new.write.mode("overwrite").parquet(
+            os.path.join(out, "postings")
+        )
+        sizes_new.write.mode("overwrite").parquet(os.path.join(out, "lists"))
+        _prune_snapshots(index_root, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_bounded(q, "incremental_ivf_assign")
+    versions = _snapshot_versions(index_root)
+    if not versions:
+        return spark.createDataFrame(
+            [], "centroid_id int, vec_id long, label int, n_list long"
+        )
+    vdir = os.path.join(index_root, f"v{max(versions)}")
+    posts = spark.read.parquet(os.path.join(vdir, "postings"))
+    sizes = spark.read.parquet(os.path.join(vdir, "lists"))
+    return posts.join(sizes, "centroid_id").select(
+        "centroid_id", "vec_id", "label", "n_list"
+    )
+
+
 def run_incremental_daily_rollup(
     spark: SparkSession, chunks_path: str, out_root: str, checkpoint: str
 ) -> DataFrame:

@@ -899,3 +899,79 @@ def test_incremental_shingle_postings_growth_is_o_batch(spark, tmp_path):
             assert df2[s] == df, (s, df, df2[s])
         else:
             assert df2[s] > df, (s, df, df2[s])
+
+
+def test_incremental_ivf_assign_matches_batch(spark, tmp_path):
+    """r13: streaming IVF maintenance must converge to exactly the
+    batch assignment — same (centroid_id, vec_id, label) postings,
+    same per-centroid list sizes — and a drained-source rerun must not
+    change the index (the twin family's batch-equivalence pin)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_cs4225_spark.operators.similarity import _ivf_assign_col
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    chunks = str(tmp_path / "chunks")
+    emb.repartition(3).write.parquet(chunks)
+    index_root, ckpt = str(tmp_path / "index"), str(tmp_path / "ckpt")
+    idx = streams.run_incremental_ivf_assign(spark, chunks, index_root, ckpt)
+
+    want = emb.select(
+        _ivf_assign_col("embedding").alias("centroid_id"),
+        "vec_id",
+        "label",
+    )
+    got_posts = {
+        (r.centroid_id, r.vec_id, r.label) for r in idx.collect()
+    }
+    exp_posts = {
+        (r.centroid_id, r.vec_id, r.label) for r in want.collect()
+    }
+    assert got_posts == exp_posts
+    got_sizes = {
+        r.centroid_id: r.n_list
+        for r in idx.select("centroid_id", "n_list").distinct().collect()
+    }
+    exp_sizes = {
+        r.centroid_id: r.n
+        for r in want.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got_sizes == exp_sizes
+
+    idx2 = streams.run_incremental_ivf_assign(spark, chunks, index_root, ckpt)
+    assert {
+        (r.centroid_id, r.vec_id, r.label, r.n_list) for r in idx2.collect()
+    } == {(r.centroid_id, r.vec_id, r.label, r.n_list) for r in idx.collect()}
+
+
+def test_incremental_ivf_assign_growth_is_o_batch(spark, tmp_path):
+    """Footprint contract: postings grow by exactly the batch's rows
+    (append algebra — vectors are immutable) and the second snapshot's
+    size merge only bumps the touched centroids."""
+    from pyspark.sql import functions as F
+
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    first = emb.where(F.col("vec_id") < 200)
+    second = emb.where(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 260)
+    )
+    chunks = str(tmp_path / "chunks")
+    index_root, ckpt = str(tmp_path / "index"), str(tmp_path / "ckpt")
+    first.coalesce(1).write.mode("overwrite").parquet(chunks)
+    idx1 = streams.run_incremental_ivf_assign(spark, chunks, index_root, ckpt)
+    n1 = idx1.count()
+    assert n1 == first.count()
+    second.coalesce(1).write.mode("append").parquet(chunks)
+    idx2 = streams.run_incremental_ivf_assign(spark, chunks, index_root, ckpt)
+    n2 = idx2.count()
+    assert n2 == n1 + second.count()
+    total = sum(
+        r.n_list
+        for r in idx2.select("centroid_id", "n_list").distinct().collect()
+    )
+    assert total == n2

@@ -529,6 +529,7 @@ def ensure_shingle_prefix(spark: SparkSession, sf_dir: str) -> str:
         _shingle_sets_config()
         + ";stats=df,len,rn;rank=df,s"
         + f";prefix=t{_PPJ_T_NUM}/{_PPJ_T_DEN};dfcap={_PPJ_DF_CAP}"
+        + ";cols=+rn"  # r13: rn rides along for the positional filter
     )
     path = derived_path(sf_dir, "documents_shingle_prefix")
     if derived_stale(path, sf_dir, table="documents", config=cfg):
@@ -542,7 +543,7 @@ def ensure_shingle_prefix(spark: SparkSession, sf_dir: str) -> str:
         (
             shingle_postings_stats_frame(spark, sf_dir)
             .where((F.col("rn") <= p_len) & (F.col("df") <= _PPJ_DF_CAP))
-            .select("doc_id", F.col("s").alias("tok"), "len")
+            .select("doc_id", F.col("s").alias("tok"), "len", "rn")
             .write.mode("overwrite")
             .parquet(path)
         )
@@ -552,7 +553,7 @@ def ensure_shingle_prefix(spark: SparkSession, sf_dir: str) -> str:
 
 def shingle_prefix_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The written PPJoin prefix slice (ensure + read):
-    ``(doc_id, tok, len)``."""
+    ``(doc_id, tok, len, rn)``."""
     return spark.read.parquet(ensure_shingle_prefix(spark, sf_dir))
 
 
@@ -1518,19 +1519,38 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no discarded rows at query time.
     prefix = shingle_prefix_frame(spark, sf_dir)
     a = prefix.select(
-        F.col("doc_id").alias("d1"), F.col("tok").alias("t1"), F.col("len").alias("l1")
+        F.col("doc_id").alias("d1"),
+        F.col("tok").alias("t1"),
+        F.col("len").alias("l1"),
+        F.col("rn").alias("r1"),
     )
     b = prefix.select(
-        F.col("doc_id").alias("d2"), F.col("tok").alias("t2"), F.col("len").alias("l2")
+        F.col("doc_id").alias("d2"),
+        F.col("tok").alias("t2"),
+        F.col("len").alias("l2"),
+        F.col("rn").alias("r2"),
     )
+    # POSITIONAL filter (PPJoin, r13 — lossless): a match at prefix
+    # positions (r1, r2) bounds the intersection by 1 + the shorter
+    # remaining suffix, and jaccard >= t needs
+    # (NUM+DEN)*i >= NUM*(l1+l2); candidates whose BEST match position
+    # can't reach that never enter the verify join. Exactness is
+    # unchanged (the bound only discards pairs that cannot verify), so
+    # the oracle stays the plain exact-candidate form.
+    ub = 1 + F.least(F.col("l1") - F.col("r1"), F.col("l2") - F.col("r2"))
     cand = (
         a.join(b, (F.col("t1") == F.col("t2")) & (F.col("d1") < F.col("d2")))
         .where(
             _PPJ_T_DEN * F.least("l1", "l2")
             >= _PPJ_T_NUM * F.greatest("l1", "l2")
         )
+        .groupBy("d1", "d2", "l1", "l2")
+        .agg(F.max(ub).alias("ub"))
+        .where(
+            (_PPJ_T_NUM + _PPJ_T_DEN) * F.col("ub")
+            >= _PPJ_T_NUM * (F.col("l1") + F.col("l2"))
+        )
         .select("d1", "d2", "l1", "l2")
-        .distinct()
     )
     # Verify at CANDIDATE grain: join each side's distinct-shingle
     # ARRAY (built map-side from docs, no shuffle) and intersect

@@ -916,7 +916,7 @@ def test_prefix_filter_reads_pretruncated_slice(spark):
     inline = (
         shingle_postings_stats_frame(spark, SF_ORACLE)
         .where((F.col("rn") <= p_len) & (F.col("df") <= _PPJ_DF_CAP))
-        .select("doc_id", F.col("s").alias("tok"), "len")
+        .select("doc_id", F.col("s").alias("tok"), "len", "rn")
     )
     got = sorted(map(tuple, shingle_prefix_frame(spark, SF_ORACLE).collect()))
     want = sorted(map(tuple, inline.collect()))

@@ -1114,6 +1114,124 @@ def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_half_drift",
+    oracle=f"""
+WITH comp AS (
+  SELECT label, vec_id % 2 AS half, g.dim AS dim,
+         CAST(floor(CAST(embedding[g.dim] AS DOUBLE) * {_CENT_GRID} + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS dim) g
+), cent AS (
+  SELECT label, half, dim, CAST(SUM(q) AS BIGINT) AS s
+  FROM comp GROUP BY label, half, dim
+), cnt AS (
+  SELECT label,
+         CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_even,
+         CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_odd
+  FROM embeddings GROUP BY label
+), dots AS (
+  SELECT a.label,
+         CAST(SUM(a.s * b.s) AS BIGINT) AS dot,
+         CAST(SUM(a.s * a.s) AS BIGINT) AS na,
+         CAST(SUM(b.s * b.s) AS BIGINT) AS nb
+  FROM cent a JOIN cent b
+    ON a.label = b.label AND a.dim = b.dim AND a.half = 0 AND b.half = 1
+  GROUP BY a.label
+)
+SELECT d.label, c.n_even, c.n_odd,
+       {quant_sql(
+           "CAST(d.dot AS DOUBLE) / sqrt(CAST(d.na AS DOUBLE))"
+           " / sqrt(CAST(d.nb AS DOUBLE))", 6)} AS cos_halves
+FROM dots d JOIN cnt c ON c.label = d.label
+WHERE d.na > 0 AND d.nb > 0
+ORDER BY d.label
+""",
+)
+def embedding_half_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label DRIFT between the two deterministic halves of the
+    vector corpus (``vec_id % 2``): cosine between each half's
+    centroid, with half sizes alongside — the train/serve-skew and
+    split-integrity audit an embedding pipeline runs before trusting a
+    half-based eval (a label whose halves' centroids sit at
+    cos << 1 is either drifting across ingest or mis-split; identical
+    distributions give cos ≈ 1 at these sample sizes).
+
+    Exact-integer path (the ``label_centroid_cosine`` discipline):
+    components snap to the 1e-4 grid at the scan, per-(label, half,
+    dim) centroid SUMS are exact BIGINTs (scale invariance lets sums
+    stand in for means), and the only float is the final quantized
+    cosine. Plan: one posexplode pass into a (labels x 2 x dim)-row
+    aggregate; the half-vs-half join runs on that bounded frame, never
+    on raw vectors; at 100 TB the centroid aggregate is one
+    map-side-combined shuffle, linear in the corpus.
+
+    Labels missing a half (or with an all-zero half centroid) are
+    excluded by the inner join + positive-norm guard in BOTH engines.
+
+    No reference analogue; extends the SURVEY §2 similarity/ANN
+    family (r13).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "label",
+        "half",
+        "dim",
+        F.floor(F.col("x").cast("double") * _CENT_GRID + 0.5)
+        .cast("long")
+        .alias("q"),
+    )
+    cent = comp.groupBy("label", "half", "dim").agg(
+        F.sum("q").cast("long").alias("s")
+    )
+    a = cent.where(F.col("half") == 0).select(
+        "label", "dim", F.col("s").alias("sa")
+    )
+    b = cent.where(F.col("half") == 1).select(
+        "label", "dim", F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("sa") * F.col("sb")).cast("long").alias("dot"),
+            F.sum(F.col("sa") * F.col("sa")).cast("long").alias("na"),
+            F.sum(F.col("sb") * F.col("sb")).cast("long").alias("nb"),
+        )
+    )
+    cnt = emb.groupBy("label").agg(
+        F.sum((F.col("vec_id") % 2 == 0).cast("long"))
+        .cast("long")
+        .alias("n_even"),
+        F.sum((F.col("vec_id") % 2 == 1).cast("long"))
+        .cast("long")
+        .alias("n_odd"),
+    )
+    return (
+        dots.join(cnt, "label")
+        .where((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "label",
+            "n_even",
+            "n_odd",
+            quant(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("na").cast("double"))
+                / F.sqrt(F.col("nb").cast("double")),
+                6,
+            ).alias("cos_halves"),
+        )
+        .orderBy("label")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-9: vector-to-centroid triplet-margin audit
 # ---------------------------------------------------------------------------

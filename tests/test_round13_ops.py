@@ -1,8 +1,8 @@
-"""Round-13 operator invariants (the 4 net-new registrations, within
+"""Round-13 operator invariants (the 5 net-new registrations, within
 the <=15/round rotation pace — driver rows come with the r14 window;
 each was replica-checked green vs its DuckDB oracle at sf0.01 at
 registration time). Each is oracled, so test_oracle_parity.py
-hash-checks all four on every pytest run; these tests pin the
+hash-checks all five on every pytest run; these tests pin the
 algorithmic contracts the oracle alone can't state."""
 
 from __future__ import annotations
@@ -168,3 +168,31 @@ def test_newcrawl_oov_rate_contract(spark):
     n_oov_tokens = sum(r.tf for r in new_words if r.w not in train_vocab)
     assert rows[probe_src].n_oov_types == n_oov_types
     assert rows[probe_src].n_oov_tokens == n_oov_tokens
+
+
+def test_embedding_half_drift_contract(spark):
+    """Half sizes reconcile with direct parity counts; cosine is in
+    [-1, 1]; one label's cosine re-derives from numpy float centroids
+    to within the grid-snap tolerance."""
+    import numpy as np
+
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    rows = {r.label: r for r in _rows(spark, "embedding_half_drift")}
+    assert rows
+    emb = load_table(spark, SF_ORACLE, "embeddings").collect()
+    by_label: dict[int, dict[int, list]] = {}
+    for r in emb:
+        by_label.setdefault(r.label, {0: [], 1: []})[r.vec_id % 2].append(
+            np.array(r.embedding, dtype=np.float64)
+        )
+    for lbl, r in rows.items():
+        assert r.n_even == len(by_label[lbl][0]), lbl
+        assert r.n_odd == len(by_label[lbl][1]), lbl
+        assert -1.0 <= r.cos_halves <= 1.0, lbl
+    probe = sorted(rows)[0]
+    c0 = np.mean(by_label[probe][0], axis=0)
+    c1 = np.mean(by_label[probe][1], axis=0)
+    want = float(c0 @ c1 / np.linalg.norm(c0) / np.linalg.norm(c1))
+    # grid snap (1e-4 per component) keeps the cosine within ~1e-3
+    assert abs(rows[probe].cos_halves - want) < 1e-3

@@ -202,6 +202,9 @@ DOC_QUERIES = (
 #: cross-copy cosines incoherent — vector count grows, near-dup density
 #: stays constant.
 EMB_QUERIES = (
+    # --- round-13 additions ---
+    "embedding_half_drift",  # (label x 2 x dim) centroid agg, corpus-linear
+    # --- round-12 additions ---
     "embedding_residual_quant_audit",
     "embedding_near_dup_lsh",
     "ann_lsh_buckets",

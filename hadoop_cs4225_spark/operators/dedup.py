@@ -119,6 +119,13 @@ SIMHASH_BITS = 16
 #: test SFs (max observed bucket = 21 at 5k docs).
 LSH_BUCKET_CAP = 32
 
+#: Sources whose numeric suffix is >= this play the "new crawl" batch
+#: in the cross-corpus checks (src16..19 vs the src0..15 "existing
+#: train corpus"). Defined here (the dedup layer) so the near-dup
+#: ingest gate's oracle can interpolate it; pipeline_ops re-exports it
+#: for the decon/OOV family.
+NEWCRAWL_MIN_SRC = 16
+
 
 def _toks() -> Column:
     from hadoop_cs4225_spark.operators.wordcount import TOKEN_DELIM_RE
@@ -2577,4 +2584,141 @@ def dedup_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("char_drop_frac"),
         )
         .orderBy("source")
+    )
+
+
+_GATE_JAC_SQL = (
+    "CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) / "
+    "(len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))"
+)
+
+
+@register(
+    "newcrawl_near_dup_gate",
+    oracle=f"""
+WITH sigs AS ({_minhash_sigs_sql()}
+), shingle_sets AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM
+    (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) q
+  WHERE len(toks) >= 3
+), src AS (
+  SELECT doc_id, source, CAST(substr(source, 4) AS INT) AS src_no
+  FROM documents
+), bands AS (
+  SELECT doc_id, b.band, CASE b.band
+           WHEN 0 THEN mh0 WHEN 1 THEN mh1 WHEN 2 THEN mh2 ELSE mh3 END AS bh
+  FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+), kept AS (
+  SELECT doc_id, band, bh FROM (
+    SELECT doc_id, band, bh, COUNT(*) OVER (PARTITION BY band, bh) AS bn
+    FROM bands
+  ) z WHERE bn <= {LSH_BUCKET_CAP}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+  FROM kept a JOIN kept c ON a.band = c.band AND a.bh = c.bh
+  WHERE a.doc_id < c.doc_id
+), verified AS (
+  SELECT d1, d2, {quant_sql(_GATE_JAC_SQL, 6)} AS jac
+  FROM cand
+  JOIN shingle_sets s1 ON s1.doc_id = d1
+  JOIN shingle_sets s2 ON s2.doc_id = d2
+  WHERE {_GATE_JAC_SQL} >= 0.05
+), matches AS (
+  SELECT v.d2 AS nd, v.d1 AS td, v.jac
+  FROM verified v
+  JOIN src t ON t.doc_id = v.d1 JOIN src n ON n.doc_id = v.d2
+  WHERE t.src_no < {NEWCRAWL_MIN_SRC} AND n.src_no >= {NEWCRAWL_MIN_SRC}
+  UNION ALL
+  SELECT v.d1 AS nd, v.d2 AS td, v.jac
+  FROM verified v
+  JOIN src n ON n.doc_id = v.d1 JOIN src t ON t.doc_id = v.d2
+  WHERE n.src_no >= {NEWCRAWL_MIN_SRC} AND t.src_no < {NEWCRAWL_MIN_SRC}
+), best AS (
+  SELECT nd, CAST(COUNT(*) AS BIGINT) AS n_train_matches,
+         MAX(jac) AS best_jaccard
+  FROM matches GROUP BY nd
+), pick AS (
+  SELECT b.nd, b.n_train_matches, b.best_jaccard,
+         MIN(m.td) AS best_train_doc
+  FROM matches m
+  JOIN best b ON b.nd = m.nd AND m.jac = b.best_jaccard
+  GROUP BY b.nd, b.n_train_matches, b.best_jaccard
+)
+SELECT p.nd AS doc_id, s.source, p.n_train_matches, p.best_train_doc,
+       p.best_jaccard
+FROM pick p JOIN src s ON s.doc_id = p.nd
+ORDER BY p.best_jaccard DESC, doc_id
+""",
+)
+def newcrawl_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGEST near-dup gate: every new-crawl document (``src16..19``,
+    the ``cross_corpus_decon_report`` convention) that is a verified
+    MinHash-LSH near-duplicate of an existing train-corpus document —
+    with how many train docs it collided, its closest train twin
+    (max jaccard, min doc_id on ties), and the verified similarity.
+    This is the admit-or-drop list a 100 TB ingest runs per batch:
+    ``cross_corpus_decon_report`` scores shingle-level contamination
+    mass; this gate names the documents to reject and what they
+    duplicate.
+
+    Composition discipline: matches come from the SHARED verified-pair
+    frame (the memoized LSH band-join + exact-verify pipeline that
+    ``dedup_clusters``/``dedup_canonical_keep`` consume), filtered to
+    cross-side (train, new) pairs — the gate can never disagree with
+    the dedup family it fronts. At 100 TB the batch form of this query
+    is the streaming twin ``run_incremental_corpus_dedup``: sign ONLY
+    the new batch, band-join it against the maintained signature
+    index, verify candidates — per-batch cost ∝ batch.
+
+    Determinism: quantized jaccard, integer tie-breaks, total order.
+
+    No reference analogue; extends the SURVEY §2 dedup family (r13).
+    """
+    pairs = _memo(
+        spark, sf_dir, "lsh_pairs", lambda: _verified_pairs(spark, sf_dir)
+    )
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr("CAST(substring(source, 4) AS INT)").alias("src_no"),
+    )
+    s1 = src.select(
+        F.col("doc_id").alias("d1"), F.col("src_no").alias("n1")
+    )
+    s2 = src.select(
+        F.col("doc_id").alias("d2"), F.col("src_no").alias("n2")
+    )
+    tagged = pairs.join(s1, "d1").join(s2, "d2")
+    new_min = NEWCRAWL_MIN_SRC
+    m1 = tagged.where(
+        (F.col("n1") < new_min) & (F.col("n2") >= new_min)
+    ).select(
+        F.col("d2").alias("nd"), F.col("d1").alias("td"), F.col("jaccard")
+    )
+    m2 = tagged.where(
+        (F.col("n1") >= new_min) & (F.col("n2") < new_min)
+    ).select(
+        F.col("d1").alias("nd"), F.col("d2").alias("td"), F.col("jaccard")
+    )
+    matches = m1.unionByName(m2)
+    best = matches.groupBy("nd").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train_matches"),
+        F.max("jaccard").alias("best_jaccard"),
+    )
+    pick = (
+        matches.join(best, "nd")
+        .where(F.col("jaccard") == F.col("best_jaccard"))
+        .groupBy("nd", "n_train_matches", "best_jaccard")
+        .agg(F.min("td").alias("best_train_doc"))
+    )
+    return (
+        pick.join(src.select(F.col("doc_id").alias("nd"), "source"), "nd")
+        .select(
+            F.col("nd").alias("doc_id"),
+            "source",
+            "n_train_matches",
+            "best_train_doc",
+            "best_jaccard",
+        )
+        .orderBy(F.desc("best_jaccard"), "doc_id")
     )

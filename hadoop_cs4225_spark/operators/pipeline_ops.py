@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from hadoop_cs4225_spark.functions.hashing import hash60, hash60_sql
 from hadoop_cs4225_spark.functions.numeric import quant, quant_sql, rsum
 from hadoop_cs4225_spark.operators.dedup import (
+    NEWCRAWL_MIN_SRC,
     _SHINGLES_SQL,
     _TOKS_SQL,
     _shingles,
@@ -115,11 +116,11 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Sources whose numeric suffix is >= this play the "new crawl" batch
-#: in the cross-corpus decontamination check (src16..src19 vs the
-#: src0..src15 "existing train corpus"); a >=25% shingle-overlap doc is
+#: New-crawl source threshold (src16..19 vs the src0..15 train corpus),
+#: shared with the dedup layer's near-dup ingest gate (defined there so
+#: its oracle can interpolate it); a >=25% shingle-overlap doc is
 #: flagged contaminated (integer-exact threshold: 4*hits >= shingles).
-_NEWCRAWL_MIN_SRC = 16
+_NEWCRAWL_MIN_SRC = NEWCRAWL_MIN_SRC
 
 
 @register(

@@ -1,8 +1,8 @@
-"""Round-13 operator invariants (the 5 net-new registrations, within
+"""Round-13 operator invariants (the 6 net-new registrations, within
 the <=15/round rotation pace — driver rows come with the r14 window;
 each was replica-checked green vs its DuckDB oracle at sf0.01 at
 registration time). Each is oracled, so test_oracle_parity.py
-hash-checks all five on every pytest run; these tests pin the
+hash-checks all six on every pytest run; these tests pin the
 algorithmic contracts the oracle alone can't state."""
 
 from __future__ import annotations
@@ -196,3 +196,36 @@ def test_embedding_half_drift_contract(spark):
     want = float(c0 @ c1 / np.linalg.norm(c0) / np.linalg.norm(c1))
     # grid snap (1e-4 per component) keeps the cosine within ~1e-3
     assert abs(rows[probe].cos_halves - want) < 1e-3
+
+
+def test_newcrawl_near_dup_gate_reconciles_with_lsh_pairs(spark):
+    """The gate must be exactly the cross-side (train, new) projection
+    of the shared verified-pair frame: same matched docs, same match
+    counts, best = (max jaccard, min train doc)."""
+    from hadoop_cs4225_spark.operators.dedup import NEWCRAWL_MIN_SRC
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    rows = {r.doc_id: r for r in _rows(spark, "newcrawl_near_dup_gate")}
+    pairs = _rows(spark, "minhash_lsh_dup_pairs")
+    src = {
+        r.doc_id: int(r.source[3:])
+        for r in load_table(spark, SF_ORACLE, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    want: dict[int, list[tuple[float, int]]] = {}
+    for p in pairs:
+        n1, n2 = src[p.d1], src[p.d2]
+        if n1 < NEWCRAWL_MIN_SRC <= n2:
+            want.setdefault(p.d2, []).append((p.jaccard, p.d1))
+        elif n2 < NEWCRAWL_MIN_SRC <= n1:
+            want.setdefault(p.d1, []).append((p.jaccard, p.d2))
+    assert set(rows) == set(want)
+    for nd, ms in want.items():
+        r = rows[nd]
+        assert src[nd] >= NEWCRAWL_MIN_SRC
+        assert src[r.best_train_doc] < NEWCRAWL_MIN_SRC
+        assert r.n_train_matches == len(ms), nd
+        best_jac = max(j for j, _ in ms)
+        assert r.best_jaccard == best_jac, nd
+        assert r.best_train_doc == min(t for j, t in ms if j == best_jac), nd

@@ -66,6 +66,7 @@ COPIES = (1, 2, 4)
 #: documents-driven queries probed on the amplified corpora.
 DOC_QUERIES = (
     # --- round-13 additions ---
+    "newcrawl_near_dup_gate",  # memoized pair frame + source projections
     "newcrawl_oov_rate",  # vocab-scale join over the written tf layout
     "dedup_near_dup_gc",  # fp-vocab groupBy + doc-keyed size join, no pairs
     "bloom_pruned_decon_docs",  # broadcast-bit prune + pruned exact join

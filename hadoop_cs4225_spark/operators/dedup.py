@@ -126,6 +126,16 @@ LSH_BUCKET_CAP = 32
 #: for the decon/OOV family.
 NEWCRAWL_MIN_SRC = 16
 
+#: The "source is literally srcN" suffix parse, defined ONCE next to
+#: the threshold it feeds (every new-crawl operator uses these; a
+#: naming-convention change moves one SQL fragment and one Column).
+SRC_NO_SQL = "CAST(substr(source, 4) AS INT)"
+
+
+def src_no_col() -> Column:
+    """Spark twin of :data:`SRC_NO_SQL`."""
+    return F.expr("CAST(substring(source, 4) AS INT)")
+
 
 def _toks() -> Column:
     from hadoop_cs4225_spark.operators.wordcount import TOKEN_DELIM_RE
@@ -380,6 +390,14 @@ def ensure_minhash_sig_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _postings_config() -> str:
+    """Definition fingerprint of the stats-bearing postings layout —
+    shared by the postings ensure AND every layout derived from it
+    (the prefix slice), so a rank/stats definition change cascades
+    structurally instead of by hand-synchronized literals."""
+    return _shingle_sets_config() + ";stats=df,len,rn;rank=df,s"
+
+
 def _sig_index_config() -> str:
     """Definition fingerprint of the on-disk MinHash signature index:
     every constant that changes what ``signature_frame`` computes.
@@ -477,7 +495,7 @@ def ensure_shingle_postings(spark: SparkSession, sf_dir: str) -> str:
         write_derived_config,
     )
 
-    cfg = _shingle_sets_config() + ";stats=df,len,rn;rank=df,s"
+    cfg = _postings_config()
     path = derived_path(sf_dir, "documents_shingle_postings")
     if derived_stale(path, sf_dir, table="documents", config=cfg):
         sh = shingle_sets_frame(spark, sf_dir).select(
@@ -533,8 +551,7 @@ def ensure_shingle_prefix(spark: SparkSession, sf_dir: str) -> str:
     )
 
     cfg = (
-        _shingle_sets_config()
-        + ";stats=df,len,rn;rank=df,s"
+        _postings_config()
         + f";prefix=t{_PPJ_T_NUM}/{_PPJ_T_DEN};dfcap={_PPJ_DF_CAP}"
         + ";cols=+rn"  # r13: rn rides along for the positional filter
     )
@@ -818,10 +835,23 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_pairs_cte() -> str:
+_GATE_JAC_SQL = (
+    "CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) / "
+    "(len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))"
+)
+
+
+def _lsh_pairs_cte(with_jaccard: bool = False) -> str:
     """Shared CTE body producing verified near-dup pairs (d1 < d2) —
     the same pipeline as ``minhash_lsh_dup_pairs`` without the final
-    projection, reused by the clustering oracle."""
+    projection, reused by the clustering oracle and (with the
+    quantized jaccard carried, ``with_jaccard=True``) the ingest
+    gate — ONE hand-written copy of the LSH definition."""
+    jac_col = (
+        ",\n         " + quant_sql(_GATE_JAC_SQL, 6) + " AS jac"
+        if with_jaccard
+        else ""
+    )
     return f"""sigs AS ({_minhash_sigs_sql()}
 ), shingle_sets AS (
   SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM
@@ -841,12 +871,11 @@ def _lsh_pairs_cte() -> str:
   FROM kept a JOIN kept c ON a.band = c.band AND a.bh = c.bh
   WHERE a.doc_id < c.doc_id
 ), verified AS (
-  SELECT d1, d2
+  SELECT d1, d2{jac_col}
   FROM cand
   JOIN shingle_sets s1 ON s1.doc_id = d1
   JOIN shingle_sets s2 ON s2.doc_id = d2
-  WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
-        (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) >= 0.05
+  WHERE {_GATE_JAC_SQL} >= 0.05
 )"""
 
 
@@ -2587,42 +2616,12 @@ def dedup_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GATE_JAC_SQL = (
-    "CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) / "
-    "(len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))"
-)
-
-
 @register(
     "newcrawl_near_dup_gate",
     oracle=f"""
-WITH sigs AS ({_minhash_sigs_sql()}
-), shingle_sets AS (
-  SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM
-    (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) q
-  WHERE len(toks) >= 3
-), src AS (
-  SELECT doc_id, source, CAST(substr(source, 4) AS INT) AS src_no
+WITH {_lsh_pairs_cte(with_jaccard=True)}, src AS (
+  SELECT doc_id, source, {SRC_NO_SQL} AS src_no
   FROM documents
-), bands AS (
-  SELECT doc_id, b.band, CASE b.band
-           WHEN 0 THEN mh0 WHEN 1 THEN mh1 WHEN 2 THEN mh2 ELSE mh3 END AS bh
-  FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
-), kept AS (
-  SELECT doc_id, band, bh FROM (
-    SELECT doc_id, band, bh, COUNT(*) OVER (PARTITION BY band, bh) AS bn
-    FROM bands
-  ) z WHERE bn <= {LSH_BUCKET_CAP}
-), cand AS (
-  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
-  FROM kept a JOIN kept c ON a.band = c.band AND a.bh = c.bh
-  WHERE a.doc_id < c.doc_id
-), verified AS (
-  SELECT d1, d2, {quant_sql(_GATE_JAC_SQL, 6)} AS jac
-  FROM cand
-  JOIN shingle_sets s1 ON s1.doc_id = d1
-  JOIN shingle_sets s2 ON s2.doc_id = d2
-  WHERE {_GATE_JAC_SQL} >= 0.05
 ), matches AS (
   SELECT v.d2 AS nd, v.d1 AS td, v.jac
   FROM verified v
@@ -2678,9 +2677,7 @@ def newcrawl_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "lsh_pairs", lambda: _verified_pairs(spark, sf_dir)
     )
     src = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.expr("CAST(substring(source, 4) AS INT)").alias("src_no"),
+        "doc_id", "source", src_no_col().alias("src_no")
     )
     s1 = src.select(
         F.col("doc_id").alias("d1"), F.col("src_no").alias("n1")

@@ -32,12 +32,14 @@ from hadoop_cs4225_spark.functions.hashing import hash60, hash60_sql
 from hadoop_cs4225_spark.functions.numeric import quant, quant_sql, rsum
 from hadoop_cs4225_spark.operators.dedup import (
     NEWCRAWL_MIN_SRC,
+    SRC_NO_SQL,
     _SHINGLES_SQL,
     _TOKS_SQL,
     _shingles,
     _toks,
     shingle_postings_frame,
     shingle_postings_stats_frame,
+    src_no_col,
 )
 from hadoop_cs4225_spark.operators.sampling import TRAIN_PCT
 from hadoop_cs4225_spark.registry import register
@@ -132,7 +134,7 @@ WITH sh AS (
   WHERE len(toks) >= 3
 ),
 src AS (
-  SELECT doc_id, source, CAST(substr(source, 4) AS INT) AS src_no
+  SELECT doc_id, source, {SRC_NO_SQL} AS src_no
   FROM documents
 ),
 train AS (
@@ -198,9 +200,7 @@ def cross_corpus_decon_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = shingle_postings_frame(spark, sf_dir)
     src = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.expr("CAST(substring(source, 4) AS INT)").alias("src_no"),
+        "doc_id", "source", src_no_col().alias("src_no")
     )
     tagged = sh.join(src, "doc_id")
     train = (

@@ -381,21 +381,49 @@ _BLOOM_M = 65_536
 _BLOOM_K = 4
 
 
+def _bloom_bucket_sql(expr: str, seed: int) -> str:
+    """One seeded bit position (SQL side) — the single definition of
+    the k/m/seed-range convention both Bloom queries share."""
+    from hadoop_cs4225_spark.functions.hashing import hash60_seeded_sql
+
+    return f"({hash60_seeded_sql(expr, seed)} % {_BLOOM_M})"
+
+
+def _bloom_fan_sql(table: str, with_s: bool) -> str:
+    """UNION ALL fanout of a CTE's ``s`` column over the k seeds."""
+    cols = "s, " if with_s else ""
+    return "\nUNION ALL\n".join(
+        f"SELECT {cols}{_bloom_bucket_sql('s', d)} AS bucket FROM {table}"
+        for d in range(1, _BLOOM_K + 1)
+    )
+
+
+def _bloom_fan(df: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_bloom_fan_sql`: ``(s, bucket)`` rows, one
+    per seed."""
+    from hadoop_cs4225_spark.functions.hashing import hash60_seeded
+
+    return df.select(
+        "s",
+        F.explode(
+            F.array(
+                *[
+                    (hash60_seeded(F.col("s"), d) % _BLOOM_M).alias("bucket")
+                    for d in range(1, _BLOOM_K + 1)
+                ]
+            )
+        ).alias("bucket"),
+    )
+
+
 def _bloom_audit_oracle() -> str:
     from hadoop_cs4225_spark.functions.hashing import hash60_seeded_sql
     from hadoop_cs4225_spark.functions.numeric import quant_sql
     from hadoop_cs4225_spark.operators.dedup import _SHINGLES_SQL, _TOKS_SQL
     from hadoop_cs4225_spark.operators.pipeline_ops import _PROBE_MOD
 
-    def b(seed: int) -> str:
-        return f"({hash60_seeded_sql('s', seed)} % {_BLOOM_M})"
-
-    probe_fan = "\nUNION ALL\n".join(
-        f"SELECT {b(d)} AS bucket FROM probe" for d in range(1, _BLOOM_K + 1)
-    )
-    cand_fan = "\nUNION ALL\n".join(
-        f"SELECT s, {b(d)} AS bucket FROM cand" for d in range(1, _BLOOM_K + 1)
-    )
+    probe_fan = _bloom_fan_sql("probe", with_s=False)
+    cand_fan = _bloom_fan_sql("cand", with_s=True)
     # saturation t = 1 - exp(-k*n/m); fpr_theory = t^k via explicit
     # multiplication (cross-engine pow is not trusted; exp is the same
     # single libm call both engines already share in the perplexity
@@ -471,7 +499,6 @@ def eval_bloom_decon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, and fold back to per-shingle verdicts in one partial-agg
     shuffle; the report is a 1-row aggregate.
     """
-    from hadoop_cs4225_spark.functions.hashing import hash60_seeded
     from hadoop_cs4225_spark.functions.numeric import quant
     from hadoop_cs4225_spark.operators.dedup import shingle_postings_frame
     from hadoop_cs4225_spark.operators.pipeline_ops import _PROBE_MOD
@@ -484,20 +511,9 @@ def eval_bloom_decon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)  # bits fanout + exact join + count
     cand = sh.where(F.col("doc_id") % _PROBE_MOD != 0).select("s").distinct()
 
-    def bucket(d: int) -> F.Column:
-        return (hash60_seeded(F.col("s"), d) % _BLOOM_M).alias("bucket")
-
-    def fan(df: DataFrame) -> DataFrame:
-        return df.select(
-            "s",
-            F.explode(
-                F.array(*[bucket(d) for d in range(1, _BLOOM_K + 1)])
-            ).alias("bucket"),
-        )
-
-    bits = F.broadcast(fan(probe).select("bucket").distinct())
+    bits = F.broadcast(_bloom_fan(probe).select("bucket").distinct())
     hits = (
-        fan(cand)
+        _bloom_fan(cand)
         .join(bits.withColumn("hit", F.lit(1)), "bucket", "left")
         .groupBy("s")
         .agg(F.count("hit").cast("long").alias("k_hit"))
@@ -546,15 +562,8 @@ def _bloom_pruned_decon_oracle() -> str:
     from hadoop_cs4225_spark.operators.dedup import _SHINGLES_SQL, _TOKS_SQL
     from hadoop_cs4225_spark.operators.pipeline_ops import _PROBE_MOD
 
-    def b(seed: int) -> str:
-        return f"({hash60_seeded_sql('s', seed)} % {_BLOOM_M})"
-
-    probe_fan = "\nUNION ALL\n".join(
-        f"SELECT {b(d)} AS bucket FROM probe" for d in range(1, _BLOOM_K + 1)
-    )
-    cs_fan = "\nUNION ALL\n".join(
-        f"SELECT s, {b(d)} AS bucket FROM cs" for d in range(1, _BLOOM_K + 1)
-    )
+    probe_fan = _bloom_fan_sql("probe", with_s=False)
+    cs_fan = _bloom_fan_sql("cs", with_s=True)
     return f"""
 WITH sh AS (
   SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS s
@@ -620,7 +629,6 @@ def bloom_pruned_decon_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No reference analogue; extends the SURVEY §2 decon family (r13).
     """
-    from hadoop_cs4225_spark.functions.hashing import hash60_seeded
     from hadoop_cs4225_spark.operators.dedup import shingle_postings_frame
     from hadoop_cs4225_spark.operators.pipeline_ops import _PROBE_MOD
 
@@ -631,20 +639,9 @@ def bloom_pruned_decon_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = sh.where(F.col("doc_id") % _PROBE_MOD != 0)
     cs = corpus.select("s").distinct()
 
-    def bucket(d: int) -> F.Column:
-        return (hash60_seeded(F.col("s"), d) % _BLOOM_M).alias("bucket")
-
-    def fan(df: DataFrame) -> DataFrame:
-        return df.select(
-            "s",
-            F.explode(
-                F.array(*[bucket(d) for d in range(1, _BLOOM_K + 1)])
-            ).alias("bucket"),
-        )
-
-    bits = F.broadcast(fan(probe).select("bucket").distinct())
+    bits = F.broadcast(_bloom_fan(probe).select("bucket").distinct())
     blooms = (
-        fan(cs)
+        _bloom_fan(cs)
         .join(bits.withColumn("hit", F.lit(1)), "bucket", "left")
         .groupBy("s")
         .agg(F.count("hit").alias("k_hit"))

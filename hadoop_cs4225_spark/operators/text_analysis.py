@@ -20,6 +20,11 @@ from pyspark.sql import functions as F
 
 from hadoop_cs4225_spark.functions.hashing import hash60, hash60_sql
 from hadoop_cs4225_spark.functions.numeric import quant, quant_sql
+from hadoop_cs4225_spark.operators.dedup import (
+    NEWCRAWL_MIN_SRC,
+    SRC_NO_SQL,
+    src_no_col,
+)
 from hadoop_cs4225_spark.registry import register
 from hadoop_cs4225_spark.sources.tables import load_table
 
@@ -5209,14 +5214,14 @@ def doc_keyword_tag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "newcrawl_oov_rate",
     oracle=f"""
 WITH tok AS (
-  SELECT source, CAST(substr(source, 4) AS INT) AS src_no,
+  SELECT source, {SRC_NO_SQL} AS src_no,
          unnest({_TOKS_SQL}) AS word
   FROM documents
 ),
-train AS (SELECT DISTINCT word FROM tok WHERE src_no < 16),
+train AS (SELECT DISTINCT word FROM tok WHERE src_no < {NEWCRAWL_MIN_SRC}),
 new_side AS (
   SELECT source, word, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM tok WHERE src_no >= 16
+  FROM tok WHERE src_no >= {NEWCRAWL_MIN_SRC}
   GROUP BY source, word
 )
 SELECT n.source,
@@ -5245,7 +5250,7 @@ def newcrawl_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained tokenizer/vocab: new language, markup, or encoding junk).
 
     Companion to ``cross_corpus_decon_report`` (same src16..19 = new
-    crawl convention, via ``pipeline_ops._NEWCRAWL_MIN_SRC``): decon
+    crawl convention, via the shared ``dedup.NEWCRAWL_MIN_SRC``): decon
     asks "is the new batch ALREADY IN the corpus?"; this asks the
     opposite-direction question "does the corpus's vocabulary COVER the
     new batch?".
@@ -5265,13 +5270,11 @@ def newcrawl_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     No reference analogue; extends the SURVEY §2 text-analysis family
     (r13).
     """
-    from hadoop_cs4225_spark.operators.pipeline_ops import _NEWCRAWL_MIN_SRC
-
     tc = token_counts_frame(spark, sf_dir, ("source", "word", "tf"))
-    src_no = F.expr("CAST(substring(source, 4) AS INT)")
-    train = tc.where(src_no < _NEWCRAWL_MIN_SRC).select("word").distinct()
+    src_no = src_no_col()
+    train = tc.where(src_no < NEWCRAWL_MIN_SRC).select("word").distinct()
     new_side = (
-        tc.where(src_no >= _NEWCRAWL_MIN_SRC)
+        tc.where(src_no >= NEWCRAWL_MIN_SRC)
         .groupBy("source", "word")
         .agg(F.sum("tf").cast("long").alias("tf"))
     )

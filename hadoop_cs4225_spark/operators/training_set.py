@@ -217,7 +217,25 @@ ORDER BY f.source
 def _stage_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, n_toks, keep1, keep2, keep3) — the cumulative
     stage-survival flags shared by the report query and the shard
-    materializer (see module docstring for stage semantics)."""
+    materializer (see module docstring for stage semantics).
+
+    Session-memoized + localCheckpointed (r13, the ``_order_ship_durs``
+    discipline): the report query, the shard materializer, and the
+    health scorecard's composition each re-ran the full tokenize +
+    cluster-keeper + decon-overlap chain on identical input; one
+    doc-bounded checkpoint now feeds them all. Oracles keep the inline
+    CTE chain (build and probe are one logical definition)."""
+    from hadoop_cs4225_spark.operators.dedup import _memo
+
+    def build() -> DataFrame:
+        return _stage_flags_build(spark, sf_dir).localCheckpoint(
+            eager=False
+        )
+
+    return _memo(spark, sf_dir, "train_stage_flags", build)
+
+
+def _stage_flags_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     feat = docs.select(
         "doc_id", "source", "n_chars", _toks().alias("toks")

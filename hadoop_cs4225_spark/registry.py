@@ -222,6 +222,7 @@ def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:
         _brute_topk_frame,
         _bucketed_frame,
     )
+    from hadoop_cs4225_spark.operators.training_set import _stage_flags
 
     builders = (
         lambda: _memo(
@@ -238,6 +239,7 @@ def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:
         lambda: _order_ship_durs(spark, sf_dir),
         lambda: _orders_daily_counts(spark, sf_dir),
         lambda: _transition_counts(spark, sf_dir),
+        lambda: _stage_flags(spark, sf_dir),
     )
     for build in builders:
         # count() forces the lazy localCheckpoint to actually run; the

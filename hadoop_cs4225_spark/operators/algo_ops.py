@@ -9199,3 +9199,143 @@ def orders_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13: weight-of-evidence / information-value feature binning
+# ---------------------------------------------------------------------------
+
+@register(
+    "lineitem_woe_iv",
+    oracle=f"""
+WITH hist AS (
+  SELECT CAST(floor(l_extendedprice) AS BIGINT) AS usd,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ev
+  FROM lineitem GROUP BY usd
+), cum AS (
+  SELECT usd, n, n_ev,
+         COALESCE(SUM(n) OVER (ORDER BY usd
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before,
+         SUM(n) OVER () AS tot
+  FROM hist
+), bins AS (
+  SELECT CAST(1 + (cum_before * 10) // tot AS INT) AS bin,
+         SUM(n) AS n_rows, SUM(n_ev) AS n_event,
+         SUM(n) - SUM(n_ev) AS n_nonevent
+  FROM cum GROUP BY bin
+), wt AS (
+  SELECT bin, n_rows, n_event, n_nonevent,
+         SUM(n_event) OVER () AS te, SUM(n_nonevent) OVER () AS tn
+  FROM bins
+)
+SELECT bin,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_event AS BIGINT) AS n_event,
+       CAST(n_nonevent AS BIGINT) AS n_nonevent,
+       {quant_sql("CAST(n_event AS DOUBLE) / n_rows", 6)} AS event_rate,
+       CASE WHEN n_event > 0 AND n_nonevent > 0 THEN
+         {quant_sql("ln((CAST(n_event AS DOUBLE) * tn)"
+                    " / (CAST(n_nonevent AS DOUBLE) * te))", 6)} END AS woe,
+       CASE WHEN n_event > 0 AND n_nonevent > 0 THEN
+         {quant_sql("(CAST(n_event AS DOUBLE) / te"
+                    " - CAST(n_nonevent AS DOUBLE) / tn)"
+                    " * ln((CAST(n_event AS DOUBLE) * tn)"
+                    " / (CAST(n_nonevent AS DOUBLE) * te))", 6)} END AS iv_term
+FROM wt
+ORDER BY bin
+""",
+)
+def lineitem_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value decile binning of
+    ``l_extendedprice`` against the return event (``l_returnflag =
+    'R'``) — the classic credit-scoring / feature-selection transform
+    (WOE_i = ln((ev_i/EV)/(ne_i/NE)); IV = sum of (ev_i/EV - ne_i/NE)
+    * WOE_i).
+
+    Decile bins come from the VALUE-DOMAIN-bounded dollar histogram
+    (the ``lineitem_weighted_quantiles`` exact-quantile discipline):
+    one map-side-combined groupBy on floor(price) carrying both the
+    count and the event count, a cumulative over that <=131k-row frame
+    (price dictionary range, never corpus rows), and pure-integer bin
+    assignment ``1 + (cum_before * 10) div tot`` so ties land in one
+    bin identically in both engines. Everything after the first
+    shuffle is histogram-scale; the fact table is scanned once. Zero
+    event/nonevent bins yield NULL woe/iv in BOTH engines (the
+    guarded-division discipline).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = (
+        li.select(
+            F.floor("l_extendedprice").cast("long").alias("usd"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ev"),
+        )
+        .groupBy("usd")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ev").cast("long").alias("n_ev"),
+        )
+    )
+    w_before = Window.orderBy("usd").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("usd").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "n",
+        "n_ev",
+        F.coalesce(F.sum("n").over(w_before), F.lit(0)).alias("cum_before"),
+        F.sum("n").over(w_all).alias("tot"),
+    )
+    bins = (
+        cum.select(
+            (F.lit(1) + F.expr("(cum_before * 10) div tot"))
+            .cast("int")
+            .alias("bin"),
+            "n",
+            "n_ev",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.sum("n_ev").alias("n_event"),
+            (F.sum("n") - F.sum("n_ev")).alias("n_nonevent"),
+        )
+    )
+    w_bins = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wt = bins.select(
+        "bin",
+        "n_rows",
+        "n_event",
+        "n_nonevent",
+        F.sum("n_event").over(w_bins).alias("te"),
+        F.sum("n_nonevent").over(w_bins).alias("tn"),
+    )
+    ok = (F.col("n_event") > 0) & (F.col("n_nonevent") > 0)
+    woe_raw = F.log(
+        (F.col("n_event").cast("double") * F.col("tn"))
+        / (F.col("n_nonevent").cast("double") * F.col("te"))
+    )
+    iv_raw = (
+        F.col("n_event").cast("double") / F.col("te")
+        - F.col("n_nonevent").cast("double") / F.col("tn")
+    ) * woe_raw
+    return (
+        wt.select(
+            "bin",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_event").cast("long").alias("n_event"),
+            F.col("n_nonevent").cast("long").alias("n_nonevent"),
+            quant(F.col("n_event").cast("double") / F.col("n_rows"), 6).alias(
+                "event_rate"
+            ),
+            F.when(ok, quant(woe_raw, 6)).alias("woe"),
+            F.when(ok, quant(iv_raw, 6)).alias("iv_term"),
+        )
+        .orderBy("bin")
+    )

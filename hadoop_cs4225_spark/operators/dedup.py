@@ -2719,3 +2719,114 @@ def newcrawl_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("best_jaccard"), "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13: MinHash estimator-quality audit
+# ---------------------------------------------------------------------------
+
+_EST_GRID_STEP = 1_000_000 // N_PERMS
+
+_NB_SQL = " + ".join(
+    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(N_PERMS)
+)
+
+
+@register(
+    "minhash_estimate_error_audit",
+    oracle=f"""
+WITH {_lsh_pairs_cte(with_jaccard=True)},
+m AS (
+  SELECT CAST(floor(v.jac * 1000000 + 0.5) AS BIGINT) AS jac_grid,
+         ({_NB_SQL}) AS nb
+  FROM verified v
+  JOIN sigs a ON a.doc_id = v.d1
+  JOIN sigs b ON b.doc_id = v.d2
+)
+SELECT CAST(nb AS INT) AS n_matching_bands,
+       CAST(nb AS DOUBLE) / {N_PERMS} AS est_jaccard,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       {quant_sql("CAST(SUM(jac_grid) AS DOUBLE) / 1000000.0 / COUNT(*)", 6)}
+         AS mean_exact_jaccard,
+       {quant_sql(f"CAST(SUM(ABS(nb * {_EST_GRID_STEP} - jac_grid)) AS DOUBLE)"
+                  " / 1000000.0 / COUNT(*)", 6)} AS mae,
+       {quant_sql(f"CAST(SUM(nb * {_EST_GRID_STEP} - jac_grid) AS DOUBLE)"
+                  " / 1000000.0 / COUNT(*)", 6)} AS bias
+FROM m
+GROUP BY nb
+ORDER BY n_matching_bands
+""",
+)
+def minhash_estimate_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality of the MinHash Jaccard ESTIMATOR itself: on every
+    verified near-dup pair, compare the signature-level estimate
+    (matching components / {N_PERMS}) against the exact shingle-set
+    Jaccard the verify stage computed anyway — per estimate level:
+    pair count, mean exact Jaccard, MAE, and signed bias.
+
+    This is the audit that tells you whether {N_PERMS} permutations are
+    ENOUGH before trusting the band planner's collision model
+    (``lsh_band_planner`` prices recall assuming the estimator is
+    unbiased; this measures the estimator against ground truth the
+    pipeline already paid for). Reads the WRITTEN signature index and
+    the memoized verified-pair frame — zero additional tokenization or
+    pair generation; the error rollup is a ≤{N_PERMS + 1}-row aggregate
+    over the pair-set-sized join. Error terms accumulate on the 1e6
+    integer grid (exact-sum discipline: both engines sum identical
+    BIGINTs, one final division), so cross-engine parity is exact.
+    """
+    pairs = _memo(
+        spark, sf_dir, "lsh_pairs", lambda: _verified_pairs(spark, sf_dir)
+    )
+    sigs = _sig_index_frame(spark, sf_dir)
+    s1 = sigs.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_PERMS)],
+    )
+    s2 = sigs.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_PERMS)],
+    )
+    nb = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_PERMS)
+    )
+    m = (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            F.floor(F.col("jaccard") * 1000000 + 0.5)
+            .cast("long")
+            .alias("jac_grid"),
+            nb.alias("nb"),
+        )
+    )
+    err_grid = F.col("nb").cast("long") * _EST_GRID_STEP - F.col("jac_grid")
+    return (
+        m.groupBy("nb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            quant(
+                F.sum("jac_grid").cast("double") / 1000000.0 / F.count(F.lit(1)),
+                6,
+            ).alias("mean_exact_jaccard"),
+            quant(
+                F.sum(F.abs(err_grid)).cast("double")
+                / 1000000.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mae"),
+            quant(
+                F.sum(err_grid).cast("double") / 1000000.0 / F.count(F.lit(1)),
+                6,
+            ).alias("bias"),
+        )
+        .select(
+            F.col("nb").cast("int").alias("n_matching_bands"),
+            (F.col("nb").cast("double") / N_PERMS).alias("est_jaccard"),
+            "n_pairs",
+            "mean_exact_jaccard",
+            "mae",
+            "bias",
+        )
+        .orderBy("n_matching_bands")
+    )

@@ -571,6 +571,73 @@ def events_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_daily_ohlc",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc, ts, event_id
+  FROM events
+), r AS (
+  SELECT event_type, day, vc,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM e
+)
+SELECT event_type, day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(CASE WHEN rn_a = 1 THEN vc END) AS open_cents,
+       MAX(vc) AS high_cents,
+       MIN(vc) AS low_cents,
+       MAX(CASE WHEN rn_d = 1 THEN vc END) AS close_cents
+FROM r
+GROUP BY event_type, day
+ORDER BY event_type, day
+""",
+)
+def events_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC (open/high/low/close) bars per event type — the
+    classic financial candlestick rollup, and the general "first/last
+    value per key by event time" shape every CDC/telemetry summary
+    needs.
+
+    Spark strategy: ONE map-side-combined ``groupBy`` using
+    ``min_by``/``max_by`` with a ``struct(ts, event_id)`` ordering key
+    (struct comparison is lexicographic, so the event_id tiebreak rides
+    in the same aggregate) — no window pass, no second shuffle; at
+    100 TB this is a single partial-aggregated exchange keyed on
+    (type, day), state = 4 scalars per group. The oracle states the
+    same first/last semantics with row-number windows. Values on the
+    exact-cents integer grid in both engines.
+    """
+    ev = load_events(spark, sf_dir)
+    vc = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    ordk = F.struct("ts", "event_id")
+    return (
+        ev.select(
+            "event_type",
+            F.date_format(F.window("ts", "1 day").start, "yyyy-MM-dd").alias(
+                "day"
+            ),
+            vc.alias("vc"),
+            "ts",
+            "event_id",
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min_by("vc", ordk).alias("open_cents"),
+            F.max("vc").alias("high_cents"),
+            F.min("vc").alias("low_cents"),
+            F.max_by("vc", ordk).alias("close_cents"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
     "event_transition_matrix",
     oracle=f"""
 WITH seq AS (

@@ -239,3 +239,203 @@ def media_chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13: byte-level near-dup over binary payloads (fuzzy-hash family)
+# ---------------------------------------------------------------------------
+
+#: Byte-shingle geometry: 8-byte windows at stride 4. Shingles are
+#: hex-rendered (2 chars/byte) so the DuckDB oracle can slice the SAME
+#: byte windows out of ``hex(encode(text))`` — byte-exact for
+#: arbitrary payloads (the media_frame_chunks discipline).
+_BSH_LEN = 8
+_BSH_STRIDE = 4
+
+#: Verified byte-Jaccard admission threshold.
+_BSH_MIN_JAC = 0.05
+
+
+def _bsh_minhash_sql() -> str:
+    from hadoop_cs4225_spark.operators.dedup import N_PERMS, _PERM_MOD
+
+    mins = ", ".join(
+        f"MIN((h1 + {i} * h2) % {_PERM_MOD}) AS bmh{i}" for i in range(N_PERMS)
+    )
+    return f"""m AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS len
+  FROM documents
+), bsh AS (
+  SELECT DISTINCT doc_id,
+         substr(hx, CAST(1 + {2 * _BSH_STRIDE} * g.k AS BIGINT),
+                {2 * _BSH_LEN}) AS s
+  FROM m, LATERAL (
+    SELECT unnest(range(0, ((len - {_BSH_LEN}) // {_BSH_STRIDE}) + 1)) AS k
+  ) g
+  WHERE len >= {_BSH_LEN}
+), bsets AS (
+  SELECT doc_id, list(s) AS sh FROM bsh GROUP BY doc_id
+), bhs AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+         ('0x' || substr(md5(s), 17, 15))::BIGINT AS h2
+  FROM bsh
+), bsigs AS (
+  SELECT doc_id, {mins} FROM bhs GROUP BY doc_id
+)"""
+
+
+def _media_pairs_oracle() -> str:
+    from hadoop_cs4225_spark.operators.dedup import LSH_BUCKET_CAP, N_PERMS
+    from hadoop_cs4225_spark.functions.numeric import quant_sql
+
+    band_case = " ".join(
+        f"WHEN {i} THEN bmh{i}" for i in range(N_PERMS)
+    )
+    jac = (
+        "CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) / "
+        "(len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))"
+    )
+    return f"""
+WITH {_bsh_minhash_sql()},
+bands AS (
+  SELECT doc_id, b.band, CASE b.band {band_case} END AS bh
+  FROM bsigs, (SELECT unnest(range(0, {N_PERMS})) AS band) b
+), kept AS (
+  SELECT doc_id, band, bh FROM (
+    SELECT doc_id, band, bh, COUNT(*) OVER (PARTITION BY band, bh) AS bn
+    FROM bands
+  ) z WHERE bn <= {LSH_BUCKET_CAP}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+  FROM kept a JOIN kept c ON a.band = c.band AND a.bh = c.bh
+  WHERE a.doc_id < c.doc_id
+)
+SELECT d1, d2,
+       CAST(len(list_intersect(s1.sh, s2.sh)) AS BIGINT) AS n_common,
+       {quant_sql(jac, 6)} AS byte_jaccard
+FROM cand
+JOIN bsets s1 ON s1.doc_id = d1
+JOIN bsets s2 ON s2.doc_id = d2
+WHERE {jac} >= {_BSH_MIN_JAC}
+ORDER BY d1, d2
+"""
+
+
+@register("media_byte_minhash_pairs", oracle=_media_pairs_oracle())
+def media_byte_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection over OPAQUE BINARY payloads — the
+    fuzzy-hash (ssdeep/CTPH) family re-expressed as byte-shingle
+    MinHash + LSH: {_BSH_LEN}-byte windows at stride {_BSH_STRIDE},
+    4-permutation signatures, banded candidate generation under the
+    shared ``LSH_BUCKET_CAP``, and an exact byte-shingle Jaccard
+    verify. This is how a 100 TB multimodal lake finds re-encoded or
+    lightly-edited copies of images/audio WITHOUT decoding them (no
+    codec in the loop — pure byte structure), complementing
+    ``media_chunk_dedup_ratio``'s exact-chunk story.
+
+    Plan shape mirrors the text LSH pipeline (one shingle explode →
+    distinct → two map-side-combined shuffles for signatures, capped
+    band self-join, set-keyed verify) but at BYTE grain over the
+    ``content`` binary column; shingles hex-render so the oracle can
+    slice identical windows from ``hex(encode(text))``. All hashes are
+    the cross-engine md5/hash60 split — bit-identical in DuckDB.
+    """
+    from pyspark.sql import Window
+
+    from hadoop_cs4225_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+        N_PERMS,
+        _PERM_MOD,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    sh = (
+        media.where(F.col("content_len") >= _BSH_LEN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("content_len") - _BSH_LEN) / _BSH_STRIDE
+                    ).cast("long"),
+                )
+            ).alias("k"),
+            "content",
+        )
+        .select(
+            "doc_id",
+            F.hex(
+                F.expr(
+                    f"substring(content, CAST(1 + {_BSH_STRIDE} * k AS INT),"
+                    f" {_BSH_LEN})"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    x = F.md5("s")
+    hs = sh.select(
+        "doc_id",
+        F.conv(F.substring(x, 1, 15), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(x, 17, 15), 16, 10).cast("long").alias("h2"),
+    )
+    sigs = hs.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(_PERM_MOD))
+            .alias(f"bmh{i}")
+            for i in range(N_PERMS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), F.col(f"bmh{i}").alias("bh")
+                    )
+                    for i in range(N_PERMS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+    kept = (
+        bands.withColumn(
+            "bn", F.count(F.lit(1)).over(Window.partitionBy("band", "bh"))
+        )
+        .where(F.col("bn") <= LSH_BUCKET_CAP)
+        .drop("bn")
+    )
+    a, c = kept.alias("a"), kept.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.bh") == F.col("c.bh"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("c.doc_id").alias("d2"))
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
+    s1 = sets.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    s2 = sets.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .where(jac >= _BSH_MIN_JAC)
+        .select(
+            "d1",
+            "d2",
+            inter.cast("bigint").alias("n_common"),
+            quant(jac, 6).alias("byte_jaccard"),
+        )
+        .orderBy("d1", "d2")
+    )

@@ -2084,3 +2084,118 @@ def embedding_residual_quant_audit(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13: kNN label-noise audit (mislabel detection)
+# ---------------------------------------------------------------------------
+
+#: Fixed audit-query set (vec_id < _NOISE_NQ), neighbor count, and the
+#: match count at or below which a query is a mislabel suspect. The
+#: query set is ID-BOUNDED (constant size at any corpus scale) — the
+#: ann_recall_audit discipline: the scan side grows, the probe side
+#: doesn't, so the brute arm stays corpus-linear.
+_NOISE_NQ = 40
+_NOISE_K = 10
+_NOISE_SUSPECT_MAX = 3
+
+
+@register(
+    "embedding_knn_label_noise",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+  FROM embeddings WHERE vec_id < {_NOISE_NQ}
+), p AS (
+  SELECT q.qid, q.qlabel, e.label, e.vec_id,
+         {quant_sql(_cos_sql("e.embedding", "q.qv"), 6)} AS cs
+  FROM embeddings e JOIN q ON e.vec_id <> q.qid
+), r AS (
+  SELECT qid, qlabel, label,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS rn
+  FROM p
+), per_q AS (
+  SELECT qid, qlabel,
+         SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS matches
+  FROM r WHERE rn <= {_NOISE_K} GROUP BY qid, qlabel
+)
+SELECT qlabel AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(matches) AS BIGINT) AS n_label_hits,
+       {quant_sql(f"CAST(SUM(matches) AS DOUBLE) / ({_NOISE_K} * COUNT(*))",
+                  6)} AS mean_agreement,
+       CAST(SUM(CASE WHEN matches <= {_NOISE_SUSPECT_MAX} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_suspect
+FROM per_q
+GROUP BY qlabel
+ORDER BY label
+""",
+)
+def embedding_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-agreement audit — the standard mislabel detector
+    (Confident Learning's nearest-neighbor baseline): for each of the
+    {_NOISE_NQ} audit vectors, find its {_NOISE_K} exact cosine
+    nearest neighbors and count how many share its label; per label,
+    report query count, total label hits, mean agreement, and how many
+    queries look mislabeled (<= {_NOISE_SUSPECT_MAX} agreeing
+    neighbors).
+
+    Plan: the ID-bounded query set broadcasts against one corpus scan
+    (fanout = |corpus| x constant), the per-query top-k is a window
+    PARTITIONED by query id (never partition-less), and the label
+    rollup is two map-side-combined aggregates. Agreement is an
+    integer-count ratio (one final division) — exact cross-engine. At
+    100 TB you swap the brute neighbor arm for the written IVF index
+    probe (``ivf_pq_query_topk``'s layout) and keep every stage above
+    the candidate join unchanged.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = F.broadcast(
+        emb.where(F.col("vec_id") < _NOISE_NQ).select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("qv"),
+        )
+    )
+    pairs = (
+        emb.crossJoin(qs)
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "label",
+            "vec_id",
+            quant(_cos("embedding", "qv"), 6).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cs"), "vec_id")
+    per_q = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _NOISE_K)
+        .groupBy("qid", "qlabel")
+        .agg(
+            F.sum((F.col("label") == F.col("qlabel")).cast("long")).alias(
+                "matches"
+            )
+        )
+    )
+    return (
+        per_q.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum("matches").cast("bigint").alias("n_label_hits"),
+            quant(
+                F.sum("matches").cast("double")
+                / (_NOISE_K * F.count(F.lit(1))),
+                6,
+            ).alias("mean_agreement"),
+            F.sum(
+                (F.col("matches") <= _NOISE_SUSPECT_MAX).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_suspect"),
+        )
+        .orderBy("label")
+    )

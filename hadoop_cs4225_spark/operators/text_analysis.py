@@ -23,6 +23,7 @@ from hadoop_cs4225_spark.functions.numeric import quant, quant_sql
 from hadoop_cs4225_spark.operators.dedup import (
     NEWCRAWL_MIN_SRC,
     SRC_NO_SQL,
+    _lsh_pairs_cte,
     src_no_col,
 )
 from hadoop_cs4225_spark.registry import register
@@ -5295,4 +5296,129 @@ def newcrawl_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_token_frac"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-13: does near-duplication concentrate in low-quality docs?
+# ---------------------------------------------------------------------------
+
+#: Quality-band width on the 1e6 score grid (0.05 score units). The
+#: composite score lives in [0, 1], so the band axis is bounded at 21
+#: values whatever the corpus size.
+_QBAND_GRID = 50_000
+
+_QUALITY_SQL = (
+    f"0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))"
+    f" + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> x IN ({_SW_ARR})))"
+    f" AS DOUBLE) / len(toks))"
+    f" + 0.3 * least(n_chars / 1000.0, 1.0)"
+)
+
+
+@register(
+    "dup_quality_interaction",
+    oracle=f"""
+WITH {_lsh_pairs_cte()},
+dup AS (
+  SELECT DISTINCT d FROM (
+    SELECT d1 AS d FROM verified UNION ALL SELECT d2 AS d FROM verified
+  ) u
+),
+q AS (
+  SELECT doc_id,
+         CAST(floor(({_QUALITY_SQL}) * 1000000 + 0.5) AS BIGINT) AS qgrid
+  FROM (SELECT doc_id, n_chars, {_TOKS_SQL} AS toks FROM documents) t
+)
+SELECT CAST(qgrid // {_QBAND_GRID} AS INT) AS quality_band,
+       CAST(qgrid // {_QBAND_GRID} AS DOUBLE) / 20.0 AS band_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN dup.d IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       {quant_sql("CAST(SUM(CASE WHEN dup.d IS NOT NULL THEN 1 ELSE 0 END)"
+                  " AS DOUBLE) / COUNT(*)", 6)} AS dup_frac,
+       {quant_sql("CAST(SUM(qgrid) AS DOUBLE) / 1000000.0 / COUNT(*)", 6)}
+         AS mean_quality
+FROM q LEFT JOIN dup ON dup.d = q.doc_id
+GROUP BY qgrid // {_QBAND_GRID}
+ORDER BY quality_band
+""",
+)
+def dup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation cross-check every pipeline runs before ordering its
+    filter stages: near-duplicate membership rate BY quality band.
+    If duplicates concentrate in low-quality bands, dedup-first starves
+    the quality filter (and vice versa) — the stage-ordering evidence,
+    per 0.05-wide band of the composite quality score: doc count,
+    verified-near-dup member count, dup fraction, and mean quality.
+
+    Composes the two families WITHOUT recomputation: near-dup
+    membership projects the session-memoized verified-pair frame
+    (``dedup._MATERIALIZED``), and the quality score is the exact
+    ``doc_quality_scores`` composite on the 1e6 integer grid (band
+    assignment is pure integer division, so band edges cannot disagree
+    cross-engine). The rollup is one map-side-combined aggregate over
+    a <=21-value band axis; the LEFT JOIN against the dup-doc set is
+    doc-keyed and the dup side is pair-set-sized (broadcastable).
+    """
+    from hadoop_cs4225_spark.operators.dedup import _memo, _verified_pairs
+
+    pairs = _memo(
+        spark, sf_dir, "lsh_pairs", lambda: _verified_pairs(spark, sf_dir)
+    )
+    dup = (
+        pairs.select(F.col("d1").alias("d"))
+        .unionAll(pairs.select(F.col("d2").alias("d")))
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tokens = F.size(toks).cast("double")
+    sw_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*QUALITY_STOPWORDS))).cast(
+            "double"
+        )
+        / n_tokens
+    )
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    length_norm = F.least(F.col("n_chars") / 1000.0, F.lit(1.0))
+    quality = 0.4 * diversity + 0.3 * (1.0 - sw_ratio) + 0.3 * length_norm
+    q = docs.select(
+        "doc_id",
+        F.floor(quality * 1000000 + 0.5).cast("long").alias("qgrid"),
+    )
+    joined = q.join(
+        F.broadcast(dup.withColumnRenamed("d", "doc_id").withColumn(
+            "is_dup", F.lit(1)
+        )),
+        "doc_id",
+        "left",
+    )
+    band = F.expr(f"qgrid div {_QBAND_GRID}")
+    return (
+        joined.groupBy(band.cast("int").alias("quality_band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce("is_dup", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            quant(
+                F.sum(F.coalesce("is_dup", F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+            quant(
+                F.sum("qgrid").cast("double") / 1000000.0 / F.count(F.lit(1)),
+                6,
+            ).alias("mean_quality"),
+        )
+        .select(
+            "quality_band",
+            (F.col("quality_band").cast("double") / 20.0).alias("band_lo"),
+            "n_docs",
+            "n_dup_docs",
+            "dup_frac",
+            "mean_quality",
+        )
+        .orderBy("quality_band")
     )

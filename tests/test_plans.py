@@ -126,6 +126,8 @@ _BOUNDED_ALLPAIRS = {
     "customer_t_closeness_audit",  # 5-row segment dict x group dict + 1-row N
     # --- round-12 (1-row side) ---
     "orders_seasonal_naive_mase",  # broadcast 1-row max-month cross join
+    # --- round-13 (ID-bounded query side, the cosine_topk_brute class) ---
+    "embedding_knn_label_noise",  # broadcast 40-row audit-query cross join
     # --- round-11 backlog (1-row / histogram-bounded sides) ---
     "orders_weibull_delay_fit",  # broadcast 1-row cohort-total cross join
     "lineitem_boosted_stumps",  # 1-row total/argmax joins on the 50-row hist
@@ -356,6 +358,9 @@ _BOUNDED_GLOBAL_WINDOW = {
     "token_coverage_curve": 10_000,
     # cumulative over the VALUE-DOMAIN-bounded unit-price cents histogram
     "lineitem_weighted_quantiles": 1_048_576,
+    # decile cumulatives over the VALUE-DOMAIN-bounded dollar histogram
+    # (extendedprice dictionary range), then totals over the 10-bin frame
+    "lineitem_woe_iv": 1 << 17,
     # day-index row_number over the CALENDAR-bounded daily frame
     "orders_hurst_rs": 4096,
     # 7/28-day ROWS frames + lag over the CALENDAR-bounded daily frame

@@ -229,3 +229,185 @@ def test_newcrawl_near_dup_gate_reconciles_with_lsh_pairs(spark):
         best_jac = max(j for j, _ in ms)
         assert r.best_jaccard == best_jac, nd
         assert r.best_train_doc == min(t for j, t in ms if j == best_jac), nd
+
+
+# ---------------------------------------------------------------------------
+# Batch 2 (same round): OHLC, WOE/IV, estimator audit, dup x quality,
+# kNN label noise, byte-shingle media near-dup
+# ---------------------------------------------------------------------------
+
+
+def test_events_daily_ohlc_bar_invariants(spark):
+    """high >= max(open, close), low <= min(open, close); the bars
+    partition the event stream (row counts reconcile); single-event
+    days have open = high = low = close."""
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    rows = _rows(spark, "events_daily_ohlc")
+    assert rows
+    for r in rows:
+        assert r.high_cents >= max(r.open_cents, r.close_cents), r
+        assert r.low_cents <= min(r.open_cents, r.close_cents), r
+        if r.n_events == 1:
+            assert r.open_cents == r.high_cents == r.low_cents == r.close_cents
+    total = load_table(spark, SF_ORACLE, "events").count()
+    assert sum(r.n_events for r in rows) == total
+
+
+def test_events_daily_ohlc_matches_python_recompute(spark):
+    """Open/close really are the first/last event (ts, event_id order)
+    of each (type, day) — recomputed row-by-row in Python."""
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events").collect()
+    groups: dict[tuple, list] = {}
+    for e in ev:
+        key = (e.event_type, e.ts.strftime("%Y-%m-%d"))
+        groups.setdefault(key, []).append(e)
+    rows = {(r.event_type, r.day): r for r in _rows(spark, "events_daily_ohlc")}
+    assert set(rows) == set(groups)
+    for key, es in groups.items():
+        es.sort(key=lambda e: (e.ts, e.event_id))
+        cents = [int(e.value * 100 + 0.5) for e in es]
+        r = rows[key]
+        assert r.open_cents == cents[0] and r.close_cents == cents[-1], key
+        assert r.high_cents == max(cents) and r.low_cents == min(cents), key
+
+
+def test_lineitem_woe_iv_contract(spark):
+    """Bins cover the fact table exactly once, every IV term is
+    non-negative ((a-b)*ln(a/b) >= 0), events + nonevents = rows, and
+    the dollar-histogram binning yields near-equal bin populations."""
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    rows = _rows(spark, "lineitem_woe_iv")
+    assert [r.bin for r in rows] == sorted(r.bin for r in rows)
+    assert {r.bin for r in rows} <= set(range(1, 11))
+    li = load_table(spark, SF_ORACLE, "lineitem").count()
+    assert sum(r.n_rows for r in rows) == li
+    for r in rows:
+        assert r.n_event + r.n_nonevent == r.n_rows, r
+        if r.iv_term is not None:
+            assert r.iv_term >= 0, r
+    # dollar-grain deciles: no bin more than 2x the ideal tenth
+    assert max(r.n_rows for r in rows) <= 2 * (li // 10 + 1)
+
+
+def test_minhash_estimate_error_audit_reconciles_with_pairs(spark):
+    """The audit's pair mass equals the verified-pair frame's; the
+    estimate grid is matches/N_PERMS; |bias| <= mae <= 1."""
+    from hadoop_cs4225_spark.operators.dedup import (
+        N_PERMS,
+        _memo,
+        _verified_pairs,
+    )
+
+    rows = _rows(spark, "minhash_estimate_error_audit")
+    assert rows
+    pairs = _memo(
+        spark, SF_ORACLE, "lsh_pairs", lambda: _verified_pairs(spark, SF_ORACLE)
+    ).count()
+    assert sum(r.n_pairs for r in rows) == pairs
+    for r in rows:
+        assert 1 <= r.n_matching_bands <= N_PERMS, r
+        assert r.est_jaccard == r.n_matching_bands / N_PERMS, r
+        assert abs(r.bias) <= r.mae + 1e-9, r
+        assert 0 <= r.mae <= 1, r
+
+
+def test_dup_quality_interaction_reconciles(spark):
+    """Band doc counts partition the corpus; the dup-doc mass equals
+    the distinct membership of the verified-pair frame; band means sit
+    inside their band's score interval."""
+    from hadoop_cs4225_spark.operators.dedup import _memo, _verified_pairs
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    rows = _rows(spark, "dup_quality_interaction")
+    assert rows
+    docs = load_table(spark, SF_ORACLE, "documents").count()
+    assert sum(r.n_docs for r in rows) == docs
+    pairs = _memo(
+        spark, SF_ORACLE, "lsh_pairs", lambda: _verified_pairs(spark, SF_ORACLE)
+    )
+    dup_docs = (
+        pairs.select("d1").union(pairs.select("d2")).distinct().count()
+    )
+    assert sum(r.n_dup_docs for r in rows) == dup_docs
+    for r in rows:
+        assert r.band_lo == r.quality_band / 20.0, r
+        assert r.band_lo - 1e-9 <= r.mean_quality <= r.band_lo + 0.05 + 1e-9, r
+
+
+def test_embedding_knn_label_noise_matches_numpy(spark):
+    """Full numpy recompute of the audit at test scale: per-query
+    exact-cosine top-k with the (quantized cos desc, vec_id) tie rule,
+    aggregated per label."""
+    import numpy as np
+
+    from hadoop_cs4225_spark.operators.similarity import (
+        _NOISE_K,
+        _NOISE_NQ,
+        _NOISE_SUSPECT_MAX,
+    )
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb}
+    labels = {r.vec_id: r.label for r in emb}
+    per_label: dict[int, list[int]] = {}
+    for qid in sorted(vecs):
+        if qid >= _NOISE_NQ:
+            continue
+        qv = vecs[qid]
+        qn = np.sqrt(qv @ qv)
+        scored = []
+        for vid, v in vecs.items():
+            if vid == qid:
+                continue
+            c = (v @ qv) / (np.sqrt(v @ v) * qn)
+            scored.append((-np.floor(c * 1e6 + 0.5) / 1e6, vid))
+        scored.sort()
+        top = scored[:_NOISE_K]
+        matches = sum(1 for _, vid in top if labels[vid] == labels[qid])
+        per_label.setdefault(labels[qid], []).append(matches)
+    rows = {r.label: r for r in _rows(spark, "embedding_knn_label_noise")}
+    assert set(rows) == set(per_label)
+    for lab, ms in per_label.items():
+        r = rows[lab]
+        assert r.n_queries == len(ms), lab
+        assert r.n_label_hits == sum(ms), lab
+        assert r.n_suspect == sum(1 for m in ms if m <= _NOISE_SUSPECT_MAX), lab
+
+
+def test_media_byte_minhash_pairs_exact_jaccard(spark):
+    """Every reported pair's byte-shingle Jaccard recomputes exactly
+    from the raw payload bytes (windows of _BSH_LEN at _BSH_STRIDE),
+    and every pair clears the admission threshold with d1 < d2."""
+    from hadoop_cs4225_spark.operators.multimodal_ops import (
+        _BSH_LEN,
+        _BSH_MIN_JAC,
+        _BSH_STRIDE,
+    )
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    docs = {
+        r.doc_id: r.text.encode("utf-8")
+        for r in load_table(spark, SF_ORACLE, "documents").collect()
+    }
+
+    def shingles(b: bytes) -> set:
+        return {
+            b[i : i + _BSH_LEN]
+            for i in range(0, len(b) - _BSH_LEN + 1, _BSH_STRIDE)
+        }
+
+    rows = _rows(spark, "media_byte_minhash_pairs")
+    assert rows
+    for r in rows:
+        assert r.d1 < r.d2, r
+        s1, s2 = shingles(docs[r.d1]), shingles(docs[r.d2])
+        inter = len(s1 & s2)
+        jac = inter / (len(s1) + len(s2) - inter)
+        assert r.n_common == inter, r
+        assert abs(r.byte_jaccard - jac) < 1e-6, r
+        assert jac >= _BSH_MIN_JAC, r

@@ -66,6 +66,9 @@ COPIES = (1, 2, 4)
 #: documents-driven queries probed on the amplified corpora.
 DOC_QUERIES = (
     # --- round-13 additions ---
+    "media_byte_minhash_pairs",  # byte-shingle LSH: capped band fanout
+    "dup_quality_interaction",  # pair-frame projection + band rollup
+    "minhash_estimate_error_audit",  # pair-set-sized sig join
     "newcrawl_near_dup_gate",  # memoized pair frame + source projections
     "newcrawl_oov_rate",  # vocab-scale join over the written tf layout
     "dedup_near_dup_gc",  # fp-vocab groupBy + doc-keyed size join, no pairs
@@ -204,6 +207,7 @@ DOC_QUERIES = (
 #: stays constant.
 EMB_QUERIES = (
     # --- round-13 additions ---
+    "embedding_knn_label_noise",  # ID-bounded probe side, corpus-linear scan
     "embedding_half_drift",  # (label x 2 x dim) centroid agg, corpus-linear
     # --- round-12 additions ---
     "embedding_residual_quant_audit",
@@ -249,6 +253,8 @@ EMB_QUERIES = (
 
 #: queries probed across the real sf dirs (10x data per step).
 SF_QUERIES = (
+    "events_daily_ohlc",  # one min_by/max_by partial-agg shuffle
+    "lineitem_woe_iv",  # dollar-domain histogram cumulatives
     "orders_seasonal_naive_mase",
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -2199,3 +2199,233 @@ def embedding_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13: IVF index-staleness audit (one-Lloyd-step reassignment churn)
+# ---------------------------------------------------------------------------
+
+#: Old coarse centroids snapped to the SAME 1e-4 component grid the
+#: corpus scan uses, so the old-vs-new centroid shift is an exact
+#: integer sum of squares in both engines.
+_OLD_CENT_GRID: list[list[int]] = [
+    [int(round(v * _CENT_GRID)) for v in CENTROIDS[k]]
+    for k in range(N_CENTROIDS)
+]
+
+
+def _churn_oldc_sql() -> str:
+    rows = ",\n    ".join(
+        "({}, [{}]::BIGINT[])".format(k, ", ".join(str(v) for v in _OLD_CENT_GRID[k]))
+        for k in range(N_CENTROIDS)
+    )
+    return (
+        "SELECT k.cid, g.dim, k.co[g.dim] AS co\n"
+        f"  FROM (VALUES {rows}) k(cid, co),\n"
+        "  LATERAL (SELECT unnest(range(1, len(k.co) + 1)) AS dim) g"
+    )
+
+
+@register(
+    "ivf_reassignment_churn",
+    oracle=f"""
+WITH a AS (
+  SELECT vec_id, embedding, {_ivf_assign_sql("embedding")} AS cid
+  FROM embeddings
+), comp AS (
+  SELECT vec_id, cid, g.dim AS dim,
+         CAST(floor(CAST(embedding[g.dim] AS DOUBLE) * {_CENT_GRID} + 0.5)
+              AS BIGINT) AS q
+  FROM a, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS dim) g
+), cellsums AS (
+  SELECT cid, dim, CAST(SUM(q) AS BIGINT) AS s FROM comp GROUP BY cid, dim
+), ncell AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM a GROUP BY cid
+), newcent AS (
+  SELECT c.cid, c.dim,
+         CAST(floor(CAST(c.s AS DOUBLE) / t.n + 0.5) AS BIGINT) AS cp
+  FROM cellsums c JOIN ncell t ON t.cid = c.cid
+), enorm AS (
+  SELECT cid, CAST(SUM(cp * cp) AS BIGINT) AS e FROM newcent GROUP BY cid
+), dots AS (
+  SELECT comp.vec_id, n.cid AS ncid, CAST(SUM(comp.q * n.cp) AS BIGINT) AS d
+  FROM comp JOIN newcent n ON n.dim = comp.dim
+  GROUP BY comp.vec_id, n.cid
+), sc AS (
+  SELECT d.vec_id, d.ncid, 2 * d.d - e.e AS m
+  FROM dots d JOIN enorm e ON e.cid = d.ncid
+), best AS (
+  SELECT vec_id, ncid AS new_cid FROM (
+    SELECT vec_id, ncid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY m DESC, ncid) AS rn
+    FROM sc
+  ) z WHERE rn = 1
+), mv AS (
+  SELECT a.cid, b.new_cid FROM a JOIN best b ON b.vec_id = a.vec_id
+), lv AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(CASE WHEN cid <> new_cid THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_leave
+  FROM mv GROUP BY cid
+), ar AS (
+  SELECT new_cid AS cid, CAST(COUNT(*) AS BIGINT) AS n_arrive
+  FROM mv WHERE cid <> new_cid GROUP BY new_cid
+), oldc AS (
+  {_churn_oldc_sql()}
+), sh AS (
+  SELECT n.cid,
+         CAST(SUM((n.cp - o.co) * (n.cp - o.co)) AS BIGINT) AS ss
+  FROM newcent n JOIN oldc o ON o.cid = n.cid AND o.dim = n.dim
+  GROUP BY n.cid
+)
+SELECT CAST(lv.cid AS INT) AS centroid_id, lv.n_vecs, lv.n_leave,
+       CAST(COALESCE(ar.n_arrive, 0) AS BIGINT) AS n_arrive,
+       {quant_sql("CAST(lv.n_leave AS DOUBLE) / lv.n_vecs", 6)} AS churn_frac,
+       {quant_sql(f"sqrt(CAST(sh.ss AS DOUBLE)) / {_CENT_GRID}", 6)}
+         AS centroid_shift
+FROM lv LEFT JOIN ar ON ar.cid = lv.cid JOIN sh ON sh.cid = lv.cid
+ORDER BY centroid_id
+""",
+)
+def ivf_reassignment_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index STALENESS audit — the "when do I rebuild" decision:
+    run one Lloyd step (per-cell mean of the current members, snapped
+    back to the 1e-4 component grid) and report, per cell, how far the
+    centroid moved (``centroid_shift``, L2 in original units) and how
+    many members would re-assign to a different cell under the updated
+    centroids (``n_leave`` / ``n_arrive`` / ``churn_frac``). High churn
+    means the written IVF layout (``ivf_pq_index_probe``) no longer
+    reflects the corpus and recall audits are measuring a stale
+    partition; near-zero churn means re-centering can wait. Complements
+    ``ann_index_balance_audit`` (occupancy only, no drift signal) and
+    the streaming assignment twin (which only ever APPENDS under the
+    frozen centroids).
+
+    Exactness: snapping the NEW centroid to the same 1e-4 grid as the
+    scan makes every downstream quantity an exact BIGINT whose
+    magnitude is CORPUS-SIZE-INVARIANT — |cp| <= 1e4, so the argmax
+    margin m = 2*(v.c') - ||c'||^2 is bounded by ~1.3e10 regardless of
+    cell population (no n-scaled cross-multiplication, no overflow at
+    any scale). The one double division per cell mean is identically
+    rounded in both engines; ties in the argmax resolve to the lowest
+    cell id. Cells with zero members drop out of the Lloyd step in both
+    engines (inner joins).
+
+    Plan: assignment comes from the memoized ``_assigned_frame`` (zero
+    extra scans); the Lloyd sums are ONE map-side-combined (cell, dim)
+    aggregate; re-scoring is an equi-join on ``dim`` with constant
+    64 x 16 fanout, then a per-vector window PARTITIONED by vec_id; the
+    report joins are 16-row frames. Linear in the corpus at 100 TB.
+
+    No reference analogue; extends the SURVEY §2 similarity/ANN
+    family (r13).
+    """
+    from pyspark.sql import Window
+
+    assigned = _assigned_frame(spark, sf_dir).select(
+        "vec_id", "embedding", F.col("centroid_id").alias("cid")
+    )
+    comp = assigned.select(
+        "vec_id", "cid", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "vec_id",
+        "cid",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * _CENT_GRID + 0.5)
+        .cast("long")
+        .alias("q"),
+    )
+    cellsums = comp.groupBy("cid", "dim").agg(F.sum("q").cast("long").alias("s"))
+    ncell = assigned.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    newcent = cellsums.join(F.broadcast(ncell), "cid").select(
+        "cid",
+        "dim",
+        F.floor(F.col("s").cast("double") / F.col("n") + 0.5)
+        .cast("long")
+        .alias("cp"),
+    )
+    enorm = newcent.groupBy("cid").agg(
+        F.sum(F.col("cp") * F.col("cp")).cast("long").alias("e")
+    )
+    dots = (
+        comp.join(
+            F.broadcast(
+                newcent.select(
+                    F.col("cid").alias("ncid"), "dim", "cp"
+                )
+            ),
+            "dim",
+        )
+        .groupBy("vec_id", "ncid")
+        .agg(F.sum(F.col("q") * F.col("cp")).cast("long").alias("d"))
+    )
+    sc = dots.join(
+        F.broadcast(enorm.select(F.col("cid").alias("ncid"), "e")), "ncid"
+    ).select("vec_id", "ncid", (2 * F.col("d") - F.col("e")).alias("m"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("m"), "ncid")
+    best = (
+        sc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("ncid").alias("new_cid"))
+    )
+    mv = assigned.select("vec_id", "cid").join(best, "vec_id")
+    lv = mv.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum((F.col("cid") != F.col("new_cid")).cast("long"))
+        .cast("long")
+        .alias("n_leave"),
+    )
+    ar = (
+        mv.where(F.col("cid") != F.col("new_cid"))
+        .groupBy(F.col("new_cid").alias("cid"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_arrive"))
+    )
+    oldc = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.expr(
+                    "array("
+                    + ", ".join(
+                        "named_struct('cid', {}, 'co', array({}))".format(
+                            k,
+                            ", ".join(f"{v}L" for v in _OLD_CENT_GRID[k]),
+                        )
+                        for k in range(N_CENTROIDS)
+                    )
+                    + ")"
+                )
+            ).alias("oc")
+        )
+        .select(
+            F.col("oc.cid").alias("cid"),
+            F.posexplode("oc.co").alias("dim0", "co"),
+        )
+        .select("cid", (F.col("dim0") + 1).alias("dim"), "co")
+    )
+    sh = (
+        newcent.join(F.broadcast(oldc), ["cid", "dim"])
+        .groupBy("cid")
+        .agg(
+            F.sum((F.col("cp") - F.col("co")) * (F.col("cp") - F.col("co")))
+            .cast("long")
+            .alias("ss")
+        )
+    )
+    return (
+        lv.join(ar, "cid", "left")
+        .join(sh, "cid")
+        .select(
+            F.col("cid").cast("int").alias("centroid_id"),
+            "n_vecs",
+            "n_leave",
+            F.coalesce(F.col("n_arrive"), F.lit(0)).cast("long").alias("n_arrive"),
+            quant(
+                F.col("n_leave").cast("double") / F.col("n_vecs"), 6
+            ).alias("churn_frac"),
+            quant(
+                F.sqrt(F.col("ss").cast("double")) / _CENT_GRID, 6
+            ).alias("centroid_shift"),
+        )
+        .orderBy("centroid_id")
+    )

@@ -1,8 +1,8 @@
-"""Round-13 operator invariants (the 6 net-new registrations, within
+"""Round-13 operator invariants (the batch-2 net-new registrations, within
 the <=15/round rotation pace — driver rows come with the r14 window;
 each was replica-checked green vs its DuckDB oracle at sf0.01 at
 registration time). Each is oracled, so test_oracle_parity.py
-hash-checks all six on every pytest run; these tests pin the
+hash-checks each of them on every pytest run; these tests pin the
 algorithmic contracts the oracle alone can't state."""
 
 from __future__ import annotations
@@ -411,3 +411,65 @@ def test_media_byte_minhash_pairs_exact_jaccard(spark):
         assert r.n_common == inter, r
         assert abs(r.byte_jaccard - jac) < 1e-6, r
         assert jac >= _BSH_MIN_JAC, r
+def test_ivf_reassignment_churn_matches_numpy(spark):
+    """Exact-integer recompute of the Lloyd step + reassignment from
+    the SAME memoized assignment frame the query starts from: grid
+    sums, snapped cell means, m = 2*(v.c') - ||c'||^2 argmax with the
+    (m desc, cid asc) tie rule, and the leave/arrive/shift bookkeeping
+    — every intermediate an exact int64, so the pin is bit-strict."""
+    import numpy as np
+
+    from hadoop_cs4225_spark.operators.similarity import (
+        _CENT_GRID,
+        _OLD_CENT_GRID,
+        _assigned_frame,
+    )
+
+    rows = {r.centroid_id: r for r in _rows(spark, "ivf_reassignment_churn")}
+    arows = _assigned_frame(spark, SF_ORACLE).collect()
+    q = {
+        r.vec_id: np.floor(
+            np.array(r.embedding, dtype=np.float64) * _CENT_GRID + 0.5
+        ).astype(np.int64)
+        for r in arows
+    }
+    cid = {r.vec_id: r.centroid_id for r in arows}
+    members: dict[int, list[int]] = {}
+    for v, c in cid.items():
+        members.setdefault(c, []).append(v)
+    newcent = {
+        c: np.floor(
+            np.sum(np.stack([q[v] for v in vs]), axis=0) / len(vs) + 0.5
+        ).astype(np.int64)
+        for c, vs in members.items()
+    }
+    enorm = {c: int(cp @ cp) for c, cp in newcent.items()}
+
+    def best_cell(vq: np.ndarray) -> int:
+        return min(
+            newcent, key=lambda c: (-(2 * int(vq @ newcent[c]) - enorm[c]), c)
+        )
+
+    n_leave = {c: 0 for c in members}
+    n_arrive = {c: 0 for c in members}
+    for v, c in cid.items():
+        b = best_cell(q[v])
+        if b != c:
+            n_leave[c] += 1
+            n_arrive[b] += 1
+
+    def q6(x: float) -> float:
+        return float(np.floor(x * 1e6 + 0.5) / 1e6)
+
+    assert set(rows) == set(members)
+    for c, vs in members.items():
+        r = rows[c]
+        assert r.n_vecs == len(vs), c
+        assert r.n_leave == n_leave[c], c
+        assert r.n_arrive == n_arrive[c], c
+        assert r.churn_frac == q6(n_leave[c] / len(vs)), c
+        diff = newcent[c] - np.array(_OLD_CENT_GRID[c], dtype=np.int64)
+        assert r.centroid_shift == q6(
+            float(np.sqrt(float(diff @ diff))) / _CENT_GRID
+        ), c
+    assert sum(n_leave.values()) == sum(r.n_arrive for r in rows.values())

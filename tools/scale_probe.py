@@ -207,6 +207,7 @@ DOC_QUERIES = (
 #: stays constant.
 EMB_QUERIES = (
     # --- round-13 additions ---
+    "ivf_reassignment_churn",  # constant 64x16 re-score fanout, linear
     "embedding_knn_label_noise",  # ID-bounded probe side, corpus-linear scan
     "embedding_half_drift",  # (label x 2 x dim) centroid agg, corpus-linear
     # --- round-12 additions ---

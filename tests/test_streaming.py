@@ -975,3 +975,98 @@ def test_incremental_ivf_assign_growth_is_o_batch(spark, tmp_path):
         for r in idx2.select("centroid_id", "n_list").distinct().collect()
     )
     assert total == n2
+
+
+def test_incremental_token_counts_matches_batch(spark, tmp_path):
+    """r13 follow-through: streaming token-index maintenance must
+    converge to exactly the batch layouts' state — the tf projection
+    equals ``token_counts_frame`` and the vocab projection equals
+    ``token_df_frame``; a drained-source rerun must not change the
+    index."""
+    from pyspark.sql import functions as F
+
+    from hadoop_cs4225_spark.operators.text_analysis import (
+        token_counts_frame,
+        token_df_frame,
+    )
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    )
+    chunks = str(tmp_path / "chunks")
+    docs.repartition(3).write.parquet(chunks)
+    index_root, ckpt = str(tmp_path / "index"), str(tmp_path / "ckpt")
+    got = streams.run_incremental_token_counts(
+        spark, chunks, index_root, ckpt
+    )
+    want_tf = token_counts_frame(spark, SF_SMOKE)
+    assert _rows(got.select("doc_id", "source", "word", "tf")) == _rows(
+        want_tf
+    )
+    want_vocab = token_df_frame(spark, SF_SMOKE)
+    assert _rows(got.select("word", "df", "cf").distinct()) == _rows(
+        want_vocab
+    )
+    got2 = streams.run_incremental_token_counts(
+        spark, chunks, index_root, ckpt
+    )
+    assert _rows(got2) == _rows(got)
+
+
+def test_incremental_token_counts_growth_is_o_batch(spark, tmp_path):
+    """Footprint + touched-word contract: a new batch appends exactly
+    its own (doc, word) rows to the tf part (prior rows never rewritten
+    in content), and the vocab recount touches ONLY the batch's words —
+    df/cf for untouched words pass through unchanged (per-batch cost
+    ∝ batch)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_cs4225_spark.operators.text_analysis import _toks
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    )
+    first = docs.where(F.col("doc_id") < 200)
+    second = docs.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 300))
+    chunks = str(tmp_path / "chunks")
+    index_root, ckpt = str(tmp_path / "index"), str(tmp_path / "ckpt")
+
+    first.repartition(1).write.parquet(chunks)
+    idx1 = streams.run_incremental_token_counts(
+        spark, chunks, index_root, ckpt
+    )
+    n1 = idx1.count()
+    vocab1 = {
+        r["word"]: (r["df"], r["cf"])
+        for r in idx1.select("word", "df", "cf").distinct().collect()
+    }
+
+    second.repartition(1).write.mode("append").parquet(chunks)
+    idx2 = streams.run_incremental_token_counts(
+        spark, chunks, index_root, ckpt
+    )
+    n2 = idx2.count()
+    batch_rows = (
+        second.select("doc_id", F.explode(_toks()).alias("word"))
+        .select("doc_id", "word")
+        .distinct()
+        .count()
+    )
+    assert n2 == n1 + batch_rows, "tf part must grow by the batch's rows"
+    touched = {
+        r["word"]
+        for r in second.select(F.explode(_toks()).alias("word"))
+        .distinct()
+        .collect()
+    }
+    vocab2 = {
+        r["word"]: (r["df"], r["cf"])
+        for r in idx2.select("word", "df", "cf").distinct().collect()
+    }
+    for w, (df, cf) in vocab1.items():
+        if w not in touched:
+            assert vocab2[w] == (df, cf), (w, vocab1[w], vocab2[w])
+        else:
+            assert vocab2[w][0] > df and vocab2[w][1] > cf, (w,)

@@ -2240,40 +2240,51 @@ def ensure_winnow_fp_index(spark: SparkSession, sf_dir: str) -> str:
         # The winnowing map is ~100x the scan cost and the corpus
         # arrives as one row group: repartition so the build uses
         # every core (explicit width survives AQE coalescing).
-        d = (
-            docs.select("doc_id", _toks().alias("toks"))
-            .where(F.size("toks") >= w + 2)
-            .repartition(spark.sparkContext.defaultParallelism)
-        )
-        hashes = F.transform(
-            F.sequence(F.lit(0), F.size("toks") - 3),
-            lambda i: hash60(
-                F.concat_ws(
-                    " ",
-                    F.element_at("toks", i + 1),
-                    F.element_at("toks", i + 2),
-                    F.element_at("toks", i + 3),
-                )
-            ),
-        )
-        sels = F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("hs") - w + 1),
-                lambda i: F.array_min(F.slice("hs", i, w)),
-            )
-        )
         (
-            d.select("doc_id", hashes.alias("hs"))
-            .select(
-                "doc_id",
-                F.size(sels).cast("long").alias("n_sel"),
-                F.explode(sels).alias("fp"),
-            )
+            _winnow_fp_rows(docs, spark.sparkContext.defaultParallelism)
             .write.mode("overwrite")
             .parquet(path)
         )
         write_derived_config(path, cfg)
     return path
+
+
+def _winnow_fp_rows(docs: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Per-doc winnowing fingerprint rows ``(doc_id, n_sel, fp)`` —
+    the ONE definition of the O(n*w) winnowing map (hash every
+    3-shingle, min over every ``_WDP_W``-window, distinct), shared by
+    the batch index builder and the streaming maintainer so the two can
+    never drift (the ``_shingle_sets`` discipline). Document-local by
+    construction: a doc's rows depend on nothing but its own text,
+    which is what makes the streaming merge a pure append."""
+    w = _WDP_W
+    d = docs.select("doc_id", _toks().alias("toks")).where(
+        F.size("toks") >= w + 2
+    )
+    if parallelism:
+        d = d.repartition(parallelism)
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 3),
+        lambda i: hash60(
+            F.concat_ws(
+                " ",
+                F.element_at("toks", i + 1),
+                F.element_at("toks", i + 2),
+                F.element_at("toks", i + 3),
+            )
+        ),
+    )
+    sels = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - w + 1),
+            lambda i: F.array_min(F.slice("hs", i, w)),
+        )
+    )
+    return d.select("doc_id", hashes.alias("hs")).select(
+        "doc_id",
+        F.size(sels).cast("long").alias("n_sel"),
+        F.explode(sels).alias("fp"),
+    )
 
 
 def winnow_fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -859,6 +859,63 @@ def run_incremental_token_counts(
     )
 
 
+def run_incremental_winnow_fps(
+    spark: SparkSession, docs_chunks: str, index_root: str, checkpoint: str
+) -> DataFrame:
+    """Incremental maintenance of the WINNOWING fingerprint postings —
+    the streaming twin of :func:`operators.dedup.ensure_winnow_fp_index`,
+    completing the dedup-index twin family (MinHash, SimHash, shingle
+    postings, winnow: every written dedup layout now has one). The
+    winnowing map is DOCUMENT-LOCAL (window minima over the doc's own
+    shingle hashes), so the merge algebra is the simplest of the twins:
+    each micro-batch's ``(doc_id, n_sel, fp)`` rows — computed with the
+    shared :func:`operators.dedup._winnow_fp_rows`, identical
+    definition to the batch build — are appended; no cross-document
+    recount exists to maintain. Commit-then-swap as ``v{batch_id}``
+    (restart-safe, crash-idempotent); at 100 TB the snapshot rewrite
+    becomes a bucketed-by-``fp`` MERGE so the pair join keeps reading a
+    co-partitioned table.
+    """
+    import os
+
+    from hadoop_cs4225_spark.operators.dedup import _winnow_fp_rows
+
+    schema = spark.read.parquet(docs_chunks).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_chunks)
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _guard_incarnation(index_root, batch_id)
+        sess = batch_df.sparkSession
+        batch_fps = _winnow_fp_rows(batch_df)
+        prior = _snapshot_versions(index_root, below=batch_id)
+        if prior:
+            vdir = os.path.join(index_root, f"v{max(prior)}")
+            fps_prev = sess.read.parquet(os.path.join(vdir, "fps"))
+            fps_new = fps_prev.unionByName(batch_fps)
+        else:
+            fps_new = batch_fps
+        out = os.path.join(index_root, f"v{batch_id}")
+        fps_new.write.mode("overwrite").parquet(os.path.join(out, "fps"))
+        _prune_snapshots(index_root, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_bounded(q, "incremental_winnow_fps")
+    versions = _snapshot_versions(index_root)
+    if not versions:
+        return spark.createDataFrame([], "doc_id long, n_sel long, fp long")
+    vdir = os.path.join(index_root, f"v{max(versions)}")
+    return spark.read.parquet(os.path.join(vdir, "fps"))
+
+
 def run_incremental_ivf_assign(
     spark: SparkSession, emb_chunks: str, index_root: str, checkpoint: str
 ) -> DataFrame:

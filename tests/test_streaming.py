@@ -1070,3 +1070,49 @@ def test_incremental_token_counts_growth_is_o_batch(spark, tmp_path):
             assert vocab2[w] == (df, cf), (w, vocab1[w], vocab2[w])
         else:
             assert vocab2[w][0] > df and vocab2[w][1] > cf, (w,)
+
+
+def test_incremental_winnow_fps_matches_batch(spark, tmp_path):
+    """The winnow twin must converge to exactly the batch index's rows
+    (same (doc_id, n_sel, fp) set — document-local state, so chunking
+    order cannot matter), and a drained-source rerun must not change
+    the index."""
+    from hadoop_cs4225_spark.operators.dedup import winnow_fp_frame
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    chunks = str(tmp_path / "chunks")
+    docs.repartition(3).write.parquet(chunks)
+    index_root, ckpt = str(tmp_path / "index"), str(tmp_path / "ckpt")
+    got = streams.run_incremental_winnow_fps(spark, chunks, index_root, ckpt)
+    want = winnow_fp_frame(spark, SF_SMOKE)
+    assert _rows(got) == _rows(want)
+    got2 = streams.run_incremental_winnow_fps(spark, chunks, index_root, ckpt)
+    assert _rows(got2) == _rows(got)
+
+
+def test_incremental_winnow_fps_growth_is_o_batch(spark, tmp_path):
+    """Append contract: a new batch adds exactly its own docs' rows
+    (document-local algebra — prior docs' rows pass through
+    unchanged)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_cs4225_spark.operators.dedup import _winnow_fp_rows
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    first = docs.where(F.col("doc_id") < 200)
+    second = docs.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 300))
+    chunks = str(tmp_path / "chunks")
+    index_root, ckpt = str(tmp_path / "index"), str(tmp_path / "ckpt")
+
+    first.repartition(1).write.parquet(chunks)
+    idx1 = streams.run_incremental_winnow_fps(spark, chunks, index_root, ckpt)
+    rows1 = _rows(idx1)
+
+    second.repartition(1).write.mode("append").parquet(chunks)
+    idx2 = streams.run_incremental_winnow_fps(spark, chunks, index_root, ckpt)
+    rows2 = _rows(idx2)
+    batch_rows = _rows(_winnow_fp_rows(second))
+    assert len(rows2) == len(rows1) + len(batch_rows)
+    assert sorted(rows2) == sorted(rows1 + batch_rows)

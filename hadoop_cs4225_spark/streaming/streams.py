@@ -1016,6 +1016,85 @@ def run_incremental_ivf_assign(
     )
 
 
+def run_incremental_pq_codes(
+    spark: SparkSession, emb_chunks: str, index_root: str, checkpoint: str
+) -> DataFrame:
+    """Incremental maintenance of the PHYSICAL IVF-PQ index — the
+    streaming twin of :func:`operators.pq.ensure_ivf_pq_index`,
+    completing the ANN written-layout twins (``run_incremental_
+    ivf_assign`` maintains the logical postings + list sizes; this
+    maintains the materialized table probes actually scan). Each
+    micro-batch of NEW vectors gets its coarse assignment
+    (``similarity._ivf_assign_col``) and its ``N_SUB`` PQ codes
+    (``pq._code_col``) — the SAME frozen-codebook expressions as the
+    batch build and the DuckDB oracles — and is appended; rows are
+    vector-local (immutable vectors, frozen quantizers), so no
+    cross-row state exists to recount. Each snapshot is written
+    ``partitionBy(centroid_id)`` exactly like the batch layout, so a
+    probe against the maintained index keeps its dynamic-partition-
+    pruned one-directory scan. Commit-then-swap as ``v{batch_id}``
+    (restart-safe, crash-idempotent); at 100 TB the rewrite becomes
+    per-touched-centroid directory appends — the partition layout
+    below is precisely what makes that incremental path possible.
+    """
+    import os
+
+    from hadoop_cs4225_spark.operators.pq import N_SUB, _code_col
+    from hadoop_cs4225_spark.operators.similarity import _ivf_assign_col
+
+    schema = spark.read.parquet(emb_chunks).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(emb_chunks)
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _guard_incarnation(index_root, batch_id)
+        sess = batch_df.sparkSession
+        batch_rows = batch_df.select(
+            "vec_id",
+            "label",
+            "embedding",
+            _ivf_assign_col("embedding").alias("centroid_id"),
+            *[_code_col("embedding", m).alias(f"c{m}") for m in range(N_SUB)],
+        )
+        prior = _snapshot_versions(index_root, below=batch_id)
+        if prior:
+            vdir = os.path.join(index_root, f"v{max(prior)}")
+            rows_new = sess.read.parquet(
+                os.path.join(vdir, "codes")
+            ).unionByName(batch_rows)
+        else:
+            rows_new = batch_rows
+        out = os.path.join(index_root, f"v{batch_id}")
+        (
+            rows_new.repartition("centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(os.path.join(out, "codes"))
+        )
+        _prune_snapshots(index_root, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_bounded(q, "incremental_pq_codes")
+    versions = _snapshot_versions(index_root)
+    if not versions:
+        return spark.createDataFrame(
+            [],
+            "vec_id long, label int, embedding array<double>, "
+            "centroid_id int, "
+            + ", ".join(f"c{m} int" for m in range(N_SUB)),
+        )
+    vdir = os.path.join(index_root, f"v{max(versions)}")
+    return spark.read.parquet(os.path.join(vdir, "codes"))
+
+
 def run_incremental_daily_rollup(
     spark: SparkSession, chunks_path: str, out_root: str, checkpoint: str
 ) -> DataFrame:

@@ -1116,3 +1116,70 @@ def test_incremental_winnow_fps_growth_is_o_batch(spark, tmp_path):
     batch_rows = _rows(_winnow_fp_rows(second))
     assert len(rows2) == len(rows1) + len(batch_rows)
     assert sorted(rows2) == sorted(rows1 + batch_rows)
+
+
+def test_incremental_pq_codes_matches_batch(spark, tmp_path):
+    """The PQ-codes twin must converge to exactly the batch IVF-PQ
+    layout's rows — same (vec_id, label, centroid_id, c0..cN, embedding)
+    set — and a drained-source rerun must not change the index."""
+    from hadoop_cs4225_spark.operators.pq import N_SUB, ensure_ivf_pq_index
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    chunks = str(tmp_path / "chunks")
+    emb.repartition(3).write.parquet(chunks)
+    index_root, ckpt = str(tmp_path / "index"), str(tmp_path / "ckpt")
+    got = streams.run_incremental_pq_codes(spark, chunks, index_root, ckpt)
+    want = spark.read.parquet(ensure_ivf_pq_index(spark, SF_SMOKE))
+    cols = ["vec_id", "label", "centroid_id"] + [
+        f"c{m}" for m in range(N_SUB)
+    ]
+
+    def key_rows(df):
+        return sorted(
+            (tuple(r[c] for c in cols), tuple(r["embedding"]))
+            for r in df.collect()
+        )
+
+    assert key_rows(got) == key_rows(want)
+    got2 = streams.run_incremental_pq_codes(spark, chunks, index_root, ckpt)
+    assert key_rows(got2) == key_rows(got)
+
+
+def test_incremental_pq_codes_growth_and_partition_layout(spark, tmp_path):
+    """Append contract + physical layout: a new batch adds exactly its
+    own vectors' rows (vector-local algebra), and every snapshot is
+    written partitionBy(centroid_id) — the probe-prunable directory
+    layout of the batch index."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hadoop_cs4225_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    first = emb.where(F.col("vec_id") < 100)
+    second = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+    chunks = str(tmp_path / "chunks")
+    index_root, ckpt = str(tmp_path / "index"), str(tmp_path / "ckpt")
+
+    first.repartition(1).write.parquet(chunks)
+    idx1 = streams.run_incremental_pq_codes(spark, chunks, index_root, ckpt)
+    n1 = idx1.count()
+
+    second.repartition(1).write.mode("append").parquet(chunks)
+    idx2 = streams.run_incremental_pq_codes(spark, chunks, index_root, ckpt)
+    assert idx2.count() == n1 + second.count()
+    ids1 = {r.vec_id for r in idx1.select("vec_id").collect()}
+    ids2 = {r.vec_id for r in idx2.select("vec_id").collect()}
+    assert ids2 - ids1 == {r.vec_id for r in second.select("vec_id").collect()}
+    latest = max(
+        int(v[1:])
+        for v in os.listdir(index_root)
+        if v.startswith("v")
+    )
+    codes_dir = os.path.join(index_root, f"v{latest}", "codes")
+    part_dirs = [
+        d for d in os.listdir(codes_dir) if d.startswith("centroid_id=")
+    ]
+    assert part_dirs, "snapshot must be partitioned by centroid_id"

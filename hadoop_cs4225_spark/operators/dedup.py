@@ -28,6 +28,7 @@ from hadoop_cs4225_spark.functions.hashing import (
 )
 from hadoop_cs4225_spark.functions.numeric import quant, quant_sql
 from hadoop_cs4225_spark.registry import register
+from hadoop_cs4225_spark.sources.sinks import read_derived
 from hadoop_cs4225_spark.sources.tables import load_table
 
 _TOKS_SQL = "list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> x <> '')"
@@ -295,9 +296,18 @@ ORDER BY doc_id
 """,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signature (4 permutations over 3-token shingles)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return signature_frame(docs).orderBy("doc_id")
+    """Per-doc MinHash signature (4 permutations over 3-token shingles).
+
+    r13: reads the WRITTEN signature index (``ensure_minhash_sig_index``
+    — built from the same single definition,
+    ``_minhash_sigs_from_exploded`` over the shingle-set layout, and
+    definition-fingerprint-guarded), so the md5-per-shingle map is paid
+    once per corpus snapshot instead of per run — the
+    ``doc_winnowing_fingerprints`` / ``simhash_band_dup_pairs``
+    precedent. The DuckDB oracle still recomputes inline from
+    ``documents.text``, so the parity check now VERIFIES the index
+    content against the from-scratch definition every round."""
+    return _sig_index_frame(spark, sf_dir).orderBy("doc_id")
 
 
 @register(
@@ -464,7 +474,7 @@ def _shingle_sets_config() -> str:
 def shingle_sets_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized shingle-set layout as a DataFrame (ensure +
     read): ``(doc_id, sh array<string>)``, one row per eligible doc."""
-    return spark.read.parquet(ensure_shingle_sets(spark, sf_dir))
+    return read_derived(spark, ensure_shingle_sets(spark, sf_dir))
 
 
 def ensure_shingle_postings(spark: SparkSession, sf_dir: str) -> str:
@@ -520,7 +530,7 @@ def ensure_shingle_postings(spark: SparkSession, sf_dir: str) -> str:
 def shingle_postings_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``(doc_id, s)`` postings rows from the written inverted index —
     column-pruned scan, no re-tokenization, no stats read."""
-    return spark.read.parquet(ensure_shingle_postings(spark, sf_dir)).select(
+    return read_derived(spark, ensure_shingle_postings(spark, sf_dir)).select(
         "doc_id", "s"
     )
 
@@ -528,7 +538,7 @@ def shingle_postings_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def shingle_postings_stats_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full ``(doc_id, s, df, len, rn)`` rows from the written inverted
     index (see :func:`ensure_shingle_postings`)."""
-    return spark.read.parquet(ensure_shingle_postings(spark, sf_dir))
+    return read_derived(spark, ensure_shingle_postings(spark, sf_dir))
 
 
 def ensure_shingle_prefix(spark: SparkSession, sf_dir: str) -> str:
@@ -578,7 +588,7 @@ def ensure_shingle_prefix(spark: SparkSession, sf_dir: str) -> str:
 def shingle_prefix_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The written PPJoin prefix slice (ensure + read):
     ``(doc_id, tok, len, rn)``."""
-    return spark.read.parquet(ensure_shingle_prefix(spark, sf_dir))
+    return read_derived(spark, ensure_shingle_prefix(spark, sf_dir))
 
 
 def _sig_index_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,7 +597,7 @@ def _sig_index_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     the written-index story; the oracle side stays the inline
     ``_minhash_sigs_sql()`` because index build and probe are one
     logical definition."""
-    return spark.read.parquet(ensure_minhash_sig_index(spark, sf_dir))
+    return read_derived(spark, ensure_minhash_sig_index(spark, sf_dir))
 
 
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1954,8 +1964,11 @@ def lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No reference analogue; extends the SURVEY §2 dedup family.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = signature_frame(docs).localCheckpoint(eager=False)  # 7 readers
+    # r13: read the WRITTEN signature index (same single definition,
+    # definition-fingerprint-guarded) instead of re-hashing every
+    # shingle per run — the minhash_signatures precedent; 7 readers of
+    # 2-long rows per doc.
+    sigs = _sig_index_frame(spark, sf_dir)
     keyed = []
     for b, r in _PLAN_CONFIGS:
         for band in range(b):
@@ -2212,7 +2225,7 @@ def ensure_simhash_fp_index(spark: SparkSession, sf_dir: str) -> str:
 def simhash_fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized fingerprint index as a DataFrame (ensure +
     read): ``(doc_id, f)``, one row per eligible doc."""
-    return spark.read.parquet(ensure_simhash_fp_index(spark, sf_dir))
+    return read_derived(spark, ensure_simhash_fp_index(spark, sf_dir))
 
 
 def ensure_winnow_fp_index(spark: SparkSession, sf_dir: str) -> str:
@@ -2290,7 +2303,7 @@ def _winnow_fp_rows(docs: DataFrame, parallelism: int | None = None) -> DataFram
 def winnow_fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized winnowing postings as a DataFrame (ensure +
     read): ``(doc_id, n_sel, fp)`` rows."""
-    return spark.read.parquet(ensure_winnow_fp_index(spark, sf_dir))
+    return read_derived(spark, ensure_winnow_fp_index(spark, sf_dir))
 
 
 def _simb_fp_votes_sql() -> str:

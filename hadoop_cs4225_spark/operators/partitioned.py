@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_cs4225_spark.registry import register
-from hadoop_cs4225_spark.sources.sinks import derived_is_fresh, write_partitioned
+from hadoop_cs4225_spark.sources.sinks import (
+    derived_is_fresh,
+    read_derived,
+    write_partitioned,
+)
 from hadoop_cs4225_spark.sources.tables import load_events
 
 #: Compat alias — the single source of truth lives in sources/sinks.py.
@@ -70,7 +74,7 @@ def events_partition_pruned_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned table (layout is transparent to semantics).
     """
     path = ensure_events_by_day(spark, sf_dir)
-    ev = spark.read.parquet(path)
+    ev = read_derived(spark, path)
     return (
         ev.where(F.col("event_date") == F.lit("2024-01-15").cast("date"))
         .groupBy("event_type")
@@ -130,7 +134,7 @@ def nested_struct_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics, like the date-partitioned twin above.
     """
     path = ensure_events_nested(spark, sf_dir)
-    ev = spark.read.parquet(path)
+    ev = read_derived(spark, path)
     return (
         ev.groupBy(F.col("meta.etype").alias("etype"))
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -217,7 +221,7 @@ def events_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bit-interleave expression + ``repartitionByRange`` + sorted write.
     """
     path = ensure_events_zorder(spark, sf_dir)
-    ev = spark.read.parquet(path)
+    ev = read_derived(spark, path)
     return (
         # The day predicate is stated as a raw ts half-open range, NOT
         # to_date(ts) BETWEEN: wrapping the column in a function would
@@ -289,7 +293,7 @@ def events_clustered_user_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     unclustered original: layout is transparent to semantics.
     """
     path = ensure_events_by_user(spark, sf_dir)
-    ev = spark.read.parquet(path)
+    ev = read_derived(spark, path)
     return (
         ev.where(F.col("user_id").between(100, 120))
         .groupBy("event_type")

@@ -48,6 +48,7 @@ from hadoop_cs4225_spark.operators.similarity import (
     scores_fold,
 )
 from hadoop_cs4225_spark.registry import register
+from hadoop_cs4225_spark.sources.sinks import read_derived
 from hadoop_cs4225_spark.sources.tables import load_table
 
 #: Subspace geometry: 4 subspaces x 16 dims; 8 codes per subspace.
@@ -433,7 +434,7 @@ def ivf_pq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the same as the inline twin's).
     """
     path = ensure_ivf_pq_index(spark, sf_dir)
-    idx = spark.read.parquet(path)
+    idx = read_derived(spark, path)
     q = F.broadcast(
         idx.where(F.col("vec_id") == 0).select(
             F.col("embedding").alias("qv"),

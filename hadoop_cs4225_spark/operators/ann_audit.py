@@ -93,13 +93,9 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment alerts on (rising regret means the index layout no
     longer matches the data distribution: retrain centroids, add
     planes, probe more buckets)."""
-    from hadoop_cs4225_spark.operators.pq import pq_adc_query_topk
     from hadoop_cs4225_spark.operators.similarity import (
         _brute_topk_frame,
-        ann_lsh_multiprobe_topk,
-        ann_lsh_query_topk,
-        ann_rerank_topk,
-        ivf_ann_query_topk,
+        audit_method_frames,
     )
 
     brute = F.broadcast(
@@ -112,16 +108,11 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("bv"), F.col("cos_sim").alias("bcos"))
     )
     bbest = F.broadcast(brute.agg(F.max("bcos").alias("bc")))
-    fns = {
-        "lsh": ann_lsh_query_topk,
-        "lsh_multi": ann_lsh_multiprobe_topk,
-        "ivf": ivf_ann_query_topk,
-        "pq": pq_adc_query_topk,
-        "rerank": ann_rerank_topk,
-    }
+    # memoized 5-row method results, shared with ann_ndcg_audit (the
+    # _brute_topk_frame discipline — see similarity.method_topk_frame)
     cand: DataFrame | None = None
-    for label, fn in sorted(fns.items()):
-        part = fn(spark, sf_dir).select(
+    for label, frame in sorted(audit_method_frames(spark, sf_dir).items()):
+        part = frame.select(
             F.lit(label).alias("method"), "vec_id", "cos_sim"
         )
         cand = part if cand is None else cand.unionByName(part)

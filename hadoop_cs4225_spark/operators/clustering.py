@@ -108,71 +108,127 @@ ORDER BY a.cid
 """
 
 
-def _kmeans_frames(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
-    """The DataFrame twin of :func:`_kmeans_prefix`: returns
-    ``(emb, ql, cent_final, assign_final)`` — the same fixpoint both
-    registered queries consume."""
+def _ql_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form quantized vectors ``(vec_id, i, v)`` — one row per
+    (vec, dim), the shape every Lloyd step joins on. Cheap plan (one
+    map-side explode); rebuilt inline by each consumer."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.select(
         "vec_id",
-        "label",
         F.transform(
             "embedding",
             lambda x: F.floor(x.cast("double") * _GRID + 0.5).cast("long"),
         ).alias("q"),
     )
-    # long form: one row per (vec, dim) — the shape every step joins on
-    ql = qv.select(
+    return qv.select(
         "vec_id", F.posexplode("q").alias("i0", "v")
     ).select("vec_id", (F.col("i0") + 1).alias("i"), "v")
 
-    # deterministic seeds: the k smallest vec_ids, cid by that order.
-    # The row_number window runs over the ALREADY-LIMITed k-row frame
-    # (bounded; allowlisted in test_plans.py).
-    seeds = (
-        qv.orderBy("vec_id")
-        .limit(_K)
-        .withColumn(
-            "cid", (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("int")
+
+def _assign(ql: DataFrame, cent: DataFrame) -> DataFrame:
+    """One Lloyd assignment: argmin over the broadcast centroid table,
+    ties to the smaller cid via the ``dist*8 + cid`` composite key."""
+    d = (
+        ql.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("m")) * (F.col("v") - F.col("m"))
+            ).alias("dist")
         )
     )
-    cent = seeds.select(
-        "cid", F.posexplode("q").alias("i0", "m")
-    ).select("cid", (F.col("i0") + 1).alias("i"), "m")
+    return d.groupBy("vec_id").agg(
+        F.min(F.col("dist") * 8 + F.col("cid")).alias("mk")
+    ).select("vec_id", (F.col("mk") % 8).cast("int").alias("cid"))
 
-    def assign(cent: DataFrame) -> DataFrame:
-        d = (
-            ql.join(F.broadcast(cent), "i")
-            .groupBy("vec_id", "cid")
-            .agg(
-                F.sum(
-                    (F.col("v") - F.col("m")) * (F.col("v") - F.col("m"))
-                ).alias("dist")
+
+def _kmeans_cent_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FINAL centroids ``(cid, i, m)`` after the two Lloyd updates —
+    session-memoized + localCheckpointed (the dedup ``_memo``
+    discipline) because BOTH registered k-means queries consume the
+    identical fixpoint and each previously re-ran the whole 5-step
+    iteration (guide §2.4). Bounded: k·d = 256 short rows at any corpus
+    size. Warmed by ``registry.warm_shared_frames``."""
+    from hadoop_cs4225_spark.operators.dedup import _memo
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        qv = emb.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * _GRID + 0.5).cast(
+                    "long"
+                ),
+            ).alias("q"),
+        )
+        ql = _ql_frame(spark, sf_dir)
+        # deterministic seeds: the k smallest vec_ids, cid by that
+        # order. The row_number window runs over the ALREADY-LIMITed
+        # k-row frame (bounded; allowlisted in test_plans.py).
+        seeds = (
+            qv.orderBy("vec_id")
+            .limit(_K)
+            .withColumn(
+                "cid",
+                (F.row_number().over(Window.orderBy("vec_id")) - 1).cast(
+                    "int"
+                ),
             )
         )
-        return d.groupBy("vec_id").agg(
-            F.min(F.col("dist") * 8 + F.col("cid")).alias("mk")
-        ).select("vec_id", (F.col("mk") % 8).cast("int").alias("cid"))
+        cent = seeds.select(
+            "cid", F.posexplode("q").alias("i0", "m")
+        ).select("cid", (F.col("i0") + 1).alias("i"), "m")
 
-    def update(asg: DataFrame) -> DataFrame:
-        return (
-            ql.join(asg, "vec_id")
-            .groupBy("cid", "i")
-            .agg(
-                F.floor(
-                    F.sum("v").cast("double") / F.count(F.lit(1)) + 0.5
+        def update(asg: DataFrame) -> DataFrame:
+            return (
+                ql.join(asg, "vec_id")
+                .groupBy("cid", "i")
+                .agg(
+                    F.floor(
+                        F.sum("v").cast("double") / F.count(F.lit(1)) + 0.5
+                    )
+                    .cast("long")
+                    .alias("m")
                 )
-                .cast("long")
-                .alias("m")
             )
-        )
 
-    for _ in range(2):
-        cent = update(assign(cent))
-    final = assign(cent)
-    return emb, ql, cent, final
+        for _ in range(2):
+            cent = update(_assign(ql, cent))
+        return cent.localCheckpoint(eager=False)
+
+    return _memo(spark, sf_dir, "kmeans_cent", build, src_table="embeddings")
+
+
+def _kmeans_assign_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FINAL assignment ``(vec_id, cid)`` against the memoized final
+    centroids — the other half of the shared fixpoint (one short row
+    per vector, the ``_assigned_frame`` bound)."""
+    from hadoop_cs4225_spark.operators.dedup import _memo
+
+    return _memo(
+        spark,
+        sf_dir,
+        "kmeans_assign",
+        lambda: _assign(
+            _ql_frame(spark, sf_dir), _kmeans_cent_frame(spark, sf_dir)
+        ).localCheckpoint(eager=False),
+        src_table="embeddings",
+    )
+
+
+def _kmeans_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The DataFrame twin of :func:`_kmeans_prefix`: returns
+    ``(emb, ql, cent_final, assign_final)`` — the same fixpoint both
+    registered queries consume (cent/assign session-memoized)."""
+    return (
+        load_table(spark, sf_dir, "embeddings"),
+        _ql_frame(spark, sf_dir),
+        _kmeans_cent_frame(spark, sf_dir),
+        _kmeans_assign_frame(spark, sf_dir),
+    )
 
 
 @register("kmeans_embedding_clusters", oracle=_oracle())

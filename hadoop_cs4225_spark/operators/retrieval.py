@@ -184,13 +184,9 @@ def ann_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the broadcast 5-row ground truth and one 5-group
     aggregate — constant overhead at any corpus size.
     """
-    from hadoop_cs4225_spark.operators.pq import pq_adc_query_topk
     from hadoop_cs4225_spark.operators.similarity import (
         _brute_topk_frame,
-        ann_lsh_multiprobe_topk,
-        ann_lsh_query_topk,
-        ann_rerank_topk,
-        ivf_ann_query_topk,
+        audit_method_frames,
     )
 
     ln2 = F.log(F.lit(2.0))
@@ -218,16 +214,11 @@ def ann_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("idcg")
         )
     )
-    fns = {
-        "lsh": ann_lsh_query_topk,
-        "lsh_multi": ann_lsh_multiprobe_topk,
-        "ivf": ivf_ann_query_topk,
-        "pq": pq_adc_query_topk,
-        "rerank": ann_rerank_topk,
-    }
+    # memoized 5-row method results, shared with ann_recall_audit (the
+    # _brute_topk_frame discipline — see similarity.method_topk_frame)
     cand: DataFrame | None = None
-    for label, fn in sorted(fns.items()):
-        part = fn(spark, sf_dir).select(
+    for label, frame in sorted(audit_method_frames(spark, sf_dir).items()):
+        part = frame.select(
             F.lit(label).alias("method"), "vec_id", "cos_sim"
         )
         cand = part if cand is None else cand.unionByName(part)

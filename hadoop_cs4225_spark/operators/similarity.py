@@ -205,6 +205,47 @@ def _brute_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Composer-shared ANN method results (the ``_brute_topk_frame``
+#: discipline extended to the five method arms — guide §2.4): BOTH
+#: audit composers (``ann_recall_audit``, ``ann_ndcg_audit``) union the
+#: same five 5-row method outputs, so without a memo every method's
+#: full pipeline (bucket scan / multiprobe / IVF probe / ADC ranking /
+#: two-stage rerank) ran once standalone + twice inside audits per
+#: suite. Each frame is a <= 5-row localCheckpointed result; the
+#: registered method queries keep their own live plans so their bench
+#: rows still measure the real scans. Warmed by
+#: ``registry.warm_shared_frames`` so neither audit is charged the
+#: family build for running first.
+def method_topk_frame(spark: SparkSession, sf_dir: str, label: str, fn) -> DataFrame:
+    from hadoop_cs4225_spark.operators.dedup import _memo
+
+    return _memo(
+        spark,
+        sf_dir,
+        f"sim:method_topk:{label}",
+        lambda: fn(spark, sf_dir).localCheckpoint(eager=False),
+        src_table="embeddings",
+    )
+
+
+def audit_method_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """label -> memoized 5-row top-k frame for the five audited ANN
+    methods (single definition shared by both audit composers)."""
+    from hadoop_cs4225_spark.operators.pq import pq_adc_query_topk
+
+    fns = {
+        "lsh": ann_lsh_query_topk,
+        "lsh_multi": ann_lsh_multiprobe_topk,
+        "ivf": ivf_ann_query_topk,
+        "pq": pq_adc_query_topk,
+        "rerank": ann_rerank_topk,
+    }
+    return {
+        label: method_topk_frame(spark, sf_dir, label, fn)
+        for label, fn in fns.items()
+    }
+
+
 @register(
     "embedding_near_dup_pairs",
     oracle=f"""

@@ -215,16 +215,39 @@ def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:
     from hadoop_cs4225_spark.operators.graph import (
         _hits_pairs,
         _mutual_topk_edges,
+        _trade_deg,
         _trade_edges,
+        _trade_edges_deg,
     )
+    from hadoop_cs4225_spark.operators.clustering import (
+        _kmeans_assign_frame,
+        _kmeans_cent_frame,
+    )
+    from hadoop_cs4225_spark.operators.linalg import _gram_frame
     from hadoop_cs4225_spark.operators.similarity import (
         _assigned_frame,
         _brute_topk_frame,
         _bucketed_frame,
+        audit_method_frames,
+    )
+    from hadoop_cs4225_spark.operators.text_analysis import (
+        _bigram_doc_scores,
     )
     from hadoop_cs4225_spark.operators.training_set import _stage_flags
 
     builders = (
+        # r13 optimization round: the shared fixpoints/results each
+        # consumed by >= 2 registered queries (Gram matrix, k-means
+        # centroids + assignment, the five audit-composed ANN method
+        # results) — same discipline, same bounded-rows argument.
+        lambda: _gram_frame(spark, sf_dir),
+        lambda: _kmeans_cent_frame(spark, sf_dir),
+        lambda: _kmeans_assign_frame(spark, sf_dir),
+        lambda: _bigram_doc_scores(spark, sf_dir),
+        *[
+            lambda f=f: f
+            for f in audit_method_frames(spark, sf_dir).values()
+        ],
         lambda: _memo(
             spark, sf_dir, "lsh_pairs", lambda: _verified_pairs(spark, sf_dir)
         ),
@@ -234,6 +257,8 @@ def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:
         lambda: _brute_topk_frame(spark, sf_dir),
         lambda: _mutual_topk_edges(spark, sf_dir),
         lambda: _trade_edges(spark, sf_dir),
+        lambda: _trade_deg(spark, sf_dir),
+        lambda: _trade_edges_deg(spark, sf_dir),
         lambda: _hits_pairs(spark, sf_dir),
         lambda: _daily_counts(spark, sf_dir),
         lambda: _order_ship_durs(spark, sf_dir),

@@ -195,30 +195,36 @@ def part_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
+    # r13 plan surgery — same rewrite as basket_name_rules: per-order
+    # brand sets via ONE collect_set shuffle; sorted in-array position
+    # pairs replace the order-keyed self-join (two exchanges removed);
+    # fanout still C(#brands, 2) per order.
+    baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("items"))
         .localCheckpoint(eager=False)  # 3 consumers: count, marginals, pairs
     )
-    n_orders = F.broadcast(
-        ob.select("l_orderkey").distinct().agg(F.count(F.lit(1)).alias("n"))
-    )
+    n_orders = F.broadcast(baskets.agg(F.count(F.lit(1)).alias("n")))
     brand_n = F.broadcast(
-        ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
+        baskets.select(F.explode("items").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_b"))
     )
-    a = ob.alias("a")
-    b = ob.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(items, (x, i) -> transform("
+                        "slice(items, i + 2, size(items)), "
+                        "y -> struct(x AS brand_a, y AS brand_b)))"
+                    )
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.p_brand").alias("brand_a"),
-            F.col("b.p_brand").alias("brand_b"),
-        )
+        .select("p.brand_a", "p.brand_b")
+        .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("n_co"))
     )
     na = brand_n.select(
@@ -509,24 +515,38 @@ def basket_name_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    basket = (
+    # r13 plan surgery (guide §2.4): the per-order pair generation now
+    # rides ONE groupBy(order) collect_set — the basket array is sorted
+    # so in-array (i < j) position pairs ARE the lhs < rhs pairs — and
+    # the old distinct + checkpoint + order-keyed self-join (two more
+    # exchanges of every basket row) are gone. Per-order fanout is
+    # unchanged (C(#items, 2), bounded by lines-per-order); marginals
+    # and the order count fold off the same basket frame.
+    baskets = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_name").alias("item"))
-        .distinct()
-        .localCheckpoint(eager=False)  # feeds pair join + marginals + total
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.sort_array(F.collect_set("p_name")).alias("items"))
+        .localCheckpoint(eager=False)  # feeds pairs + marginals + total
     )
     n_orders = F.broadcast(
-        basket.select("ok").distinct().agg(
-            F.count(F.lit(1)).cast("long").alias("n")
-        )
+        baskets.agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    item_sup = basket.groupBy("item").agg(
-        F.count(F.lit(1)).cast("long").alias("sup")
-    )
-    a = basket.select("ok", F.col("item").alias("lhs"))
-    b = basket.select(F.col("ok").alias("ok2"), F.col("item").alias("rhs"))
+    item_sup = baskets.select(F.explode("items").alias("item")).groupBy(
+        "item"
+    ).agg(F.count(F.lit(1)).cast("long").alias("sup"))
     pair_sup = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("lhs") < F.col("rhs")))
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(items, (x, i) -> transform("
+                        "slice(items, i + 2, size(items)), "
+                        "y -> struct(x AS lhs, y AS rhs)))"
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.lhs", "p.rhs")
         .groupBy("lhs", "rhs")
         .agg(F.count(F.lit(1)).cast("long").alias("sup"))
         .where(F.col("sup") >= _AR_MIN_SUP)

@@ -375,10 +375,24 @@ def media_byte_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("s"),
         )
-        .distinct()
     )
+    # r13 plan surgery (guide §2.4): the old plan ran DISTINCT over
+    # every raw window row (a full shuffle) and then re-ran the whole
+    # explode chain for each consumer. Instead, the per-doc dedup rides
+    # the ONE collect_set shuffle (map-side partial sets = map-side
+    # dedup), the materialized set frame feeds both verify-join sides,
+    # and the distinct (doc_id, s) rows for the md5/signature path are
+    # re-exploded from it for free — one shuffle where there were two,
+    # md5 over distinct windows only, zero repeated scans. Signatures
+    # are unchanged (MIN is duplicate-insensitive; sets are sets).
+    sets = (
+        sh.groupBy("doc_id")
+        .agg(F.collect_set("s").alias("sh"))
+        .localCheckpoint(eager=False)
+    )
+    shd = sets.select("doc_id", F.explode("sh").alias("s"))
     x = F.md5("s")
-    hs = sh.select(
+    hs = shd.select(
         "doc_id",
         F.conv(F.substring(x, 1, 15), 16, 10).cast("long").alias("h1"),
         F.conv(F.substring(x, 17, 15), 16, 10).cast("long").alias("h2"),
@@ -421,7 +435,6 @@ def media_byte_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("c.doc_id").alias("d2"))
         .distinct()
     )
-    sets = sh.groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
     s1 = sets.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
     s2 = sets.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2"))

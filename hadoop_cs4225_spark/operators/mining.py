@@ -183,15 +183,16 @@ def part_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand pairs with their lift (co-occurrence odds vs independence) —
     the association-rule primitive behind "bought together".
 
-    Plan: dedup to (order, brand) — the per-order basket, at most a
-    handful of brands per order — then a SELF-EQUI-JOIN on the order
-    key with `brand_a < brand_b`: per-order fanout is C(#brands, 2) of
-    a ~7-item order, BOUNDED per key, never an all-pairs over brands
-    or orders. Brand marginals are a 25-row broadcast; the order count
-    a 1-row broadcast. Lift is integers until one final quantized
-    division. At 100 TB the only big shuffles are the basket dedup and
-    the pair count — both map-side combined, both keyed on (order) or
-    (brand, brand) with 625 possible keys.
+    Plan (r13): ONE groupBy(order) collect_set builds the per-order
+    basket (map-side partial sets = map-side dedup), and pairs are the
+    sorted in-array position pairs (i < j is brand_a < brand_b) — the
+    old order-keyed self-join and its extra exchanges are gone.
+    Per-order fanout is C(#brands, 2) of a ~7-item order, BOUNDED per
+    key, never an all-pairs over brands or orders. Brand marginals are
+    a 25-row broadcast; the order count a 1-row broadcast. Lift is
+    integers until one final quantized division. At 100 TB the only big
+    shuffles are the basket aggregate and the pair count — both
+    map-side combined.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
@@ -203,7 +204,8 @@ def part_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("items"))
-        .localCheckpoint(eager=False)  # 3 consumers: count, marginals, pairs
+        # persist (freed by per-query clearCache); 3 consumers
+        .persist()
     )
     n_orders = F.broadcast(baskets.agg(F.count(F.lit(1)).alias("n")))
     brand_n = F.broadcast(
@@ -506,10 +508,11 @@ def basket_name_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines-per-order^2, a small constant, never |orders|^2).
 
     Exactness: supports are exact BIGINT counts; confidence and lift
-    are single quantized divisions of exact integers. Plan: one
-    broadcast part-dim join, per-order distinct, the order-keyed
-    self-join (bounded fanout), two dictionary-keyed marginal joins,
-    one 1-row total, distributed top-k.
+    are single quantized divisions of exact integers. Plan (r13): one
+    broadcast part-dim join, ONE per-order collect_set aggregate (the
+    basket), sorted in-array position pairs (bounded fanout, i < j is
+    lhs < rhs), two dictionary-keyed marginal joins, one 1-row total,
+    distributed top-k.
 
     No reference analogue; extends the SURVEY §2 mining family.
     """
@@ -526,7 +529,9 @@ def basket_name_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .groupBy(F.col("l_orderkey").alias("ok"))
         .agg(F.sort_array(F.collect_set("p_name")).alias("items"))
-        .localCheckpoint(eager=False)  # feeds pairs + marginals + total
+        # persist (freed by per-query clearCache), feeds pairs +
+        # marginals + total
+        .persist()
     )
     n_orders = F.broadcast(
         baskets.agg(F.count(F.lit(1)).cast("long").alias("n"))

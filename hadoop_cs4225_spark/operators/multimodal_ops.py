@@ -388,7 +388,10 @@ def media_byte_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = (
         sh.groupBy("doc_id")
         .agg(F.collect_set("s").alias("sh"))
-        .localCheckpoint(eager=False)
+        # persist(), not localCheckpoint: per-invocation corpus-sized
+        # frame — freed by the bench's per-query clearCache instead of
+        # accumulating checkpoint RDDs across the suite run
+        .persist()
     )
     shd = sets.select("doc_id", F.explode("sh").alias("s"))
     x = F.md5("s")

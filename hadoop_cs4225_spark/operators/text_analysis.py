@@ -813,8 +813,12 @@ def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         # feeds BOTH the shingle-frequency aggregate and the join's
         # probe side — materialize so the tokenize + 5-gram explode
         # runs once (guide §2.4), keeping the join shape (AQE-skew-
-        # splittable) the plan test pins
-        .localCheckpoint(eager=False)
+        # splittable) the plan test pins. persist(), NOT
+        # localCheckpoint: this is a corpus-sized intra-query frame
+        # rebuilt per invocation, and persist blocks are freed by the
+        # bench's per-query clearCache while checkpoint RDDs would
+        # accumulate across a 375-query suite run.
+        .persist()
     )
     counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("cnt"))
     marked = (

@@ -4,7 +4,15 @@ compact JSON line:
 
     {"metric": "suite_total_sec", "value": total_sec, "unit": "sec",
      "queries": {name: sec, ...}, "sf": sf, "n_queries": N,
-     "other_sec": S, "raw_total_sec": R, "n_reruns": E}
+     "other_sec": S, "raw_total_sec": R, "n_reruns": E,
+     "warmup_sec": W}
+
+``warmup_sec`` (r14, VERDICT r13 task 1) is the cost of the untimed
+warmup — cold derived-layout builds (the sf's ``.derived`` tree is
+deleted at the start of every bench run) plus the session-memoized
+shared frames — reported so the work the warmup performs is visible
+in every artifact; per-item detail lands in BENCH_DETAIL.json under
+``warmup_layouts`` / ``warmup_frames``.
 
 Adjudicated timing (VERDICT r11 task 1): sub-second timings jitter 2-4x
 run-to-run on a busy local[32], and whole host windows drift together —
@@ -102,17 +110,33 @@ def main() -> None:
     headline = set(list(queries)[: registry.PRIORITY_WINDOW])
 
     # Warmup: touch the session + parquet footers once, then build the
-    # session-memoized shared frames (LSH pairs, cluster labels, ANN
-    # bucket/IVF assignments, co-supply edges, daily event rollups) so
-    # no timed query is charged a whole family's pipeline build just
-    # for running first (VERDICT r8 task 4).
+    # derived layouts and session-memoized shared frames. The warmup
+    # stays OUTSIDE the timed region (VERDICT r8 task 4 / r9 task 6:
+    # first-query misattribution), but r13's judge flagged that it had
+    # become an INVISIBLE slice of real work — so it is now (a) timed
+    # and reported as ``warmup_sec`` in the JSON line with per-item
+    # detail in BENCH_DETAIL.json, and (b) COLD for the layout half:
+    # the sf's ``.derived`` tree is deleted first, so every bench run
+    # pays and reports the full index-build cost instead of inheriting
+    # mtime-fresh layouts from a previous run (VERDICT r13 task 1).
     queries["word_count"](spark, sf_dir).limit(1).collect()
-    registry.warm_shared_frames(spark, sf_dir)
-    # ... and the mtime-guarded derived layouts (bucketed tables,
-    # IVF-PQ index, partitioned/z-ordered events, dirty JSONL feed), so
-    # probe-side queries measure reads, not one-off layout builds
-    # (VERDICT r9 task 6).
-    registry.warm_derived_layouts(spark, sf_dir)
+    from hadoop_cs4225_spark.sources.sinks import derived_path
+
+    sf_derived = os.path.dirname(derived_path(sf_dir, "x"))
+    if os.path.isdir(sf_derived):
+        import shutil
+
+        shutil.rmtree(sf_derived)
+    t0 = time.perf_counter()
+    # Layouts first: several shared-frame memos (LSH pairs, ANN audit
+    # ground truth) read the written indexes, so this order attributes
+    # index builds to the layout pass, not to whichever memo runs first.
+    warm_layouts = registry.warm_derived_layouts(spark, sf_dir)
+    warmup_layouts_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    warm_frames = registry.warm_shared_frames(spark, sf_dir)
+    warmup_frames_sec = round(time.perf_counter() - t0, 3)
+    warmup_sec = round(warmup_layouts_sec + warmup_frames_sec, 3)
 
     runs: dict[str, list[float]] = {name: [] for name in queries}
 
@@ -173,6 +197,11 @@ def main() -> None:
                 f"{_GATE}x",
                 "queries": timings,
                 "runs": runs,
+                "warmup_sec": warmup_sec,
+                "warmup_layouts_sec": warmup_layouts_sec,
+                "warmup_frames_sec": warmup_frames_sec,
+                "warmup_layouts": warm_layouts,
+                "warmup_frames": warm_frames,
             },
             f,
             indent=1,
@@ -202,6 +231,12 @@ def main() -> None:
             "other_sec": other,
             "raw_total_sec": raw_total,
             "n_reruns": n_reruns,
+            # Untimed-warmup cost, visible (VERDICT r13 task 1): cold
+            # derived-layout builds + shared-frame memos. NOT part of
+            # ``value`` (it is one-off physical-design build work, kept
+            # out of per-query timings since r8/r9), but no longer
+            # invisible either.
+            "warmup_sec": warmup_sec,
         }
         if len(shown) < len(headline):
             payload["queries_omitted"] = len(headline) - len(shown)

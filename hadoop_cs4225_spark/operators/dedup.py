@@ -54,6 +54,7 @@ def _memo(
     kind: str,
     build,
     src_table: str | tuple[str, ...] = "documents",
+    extra_paths: tuple[str, ...] = (),
 ) -> DataFrame:
     """``build`` must return an already-MATERIALIZED frame (its last op
     a ``localCheckpoint``, or a projection over one) — the memo stores
@@ -65,7 +66,26 @@ def _memo(
     several tables (staleness = max mtime over all of them, so
     regenerating ANY source invalidates the memo; the similarity
     family shares this memo with ``src_table="embeddings"``; ``kind``
-    strings are namespaced per family)."""
+    strings are namespaced per family). ``extra_paths`` (ADVICE r13):
+    absolute file paths — e.g. a derived layout's ``_DERIVED_CONFIG``
+    — whose mtimes also fold into the staleness key, for frames built
+    FROM written indexes that can be rebuilt in-session without the
+    source parquet moving (a definition/config change).
+
+    Storage budget (VERDICT r13 task 8): most memo frames are bounded
+    (k·d centroids, pair caps, domain grids), but three are LINEAR in
+    the corpus — ``kmeans_assign`` (one short row per vector),
+    ``trade_edges``/``trade_edges_deg`` (one row per graph edge, edge
+    count bounded by lineitem rows) and ``blm_doc_scores`` (one 3-long
+    row per document) — each ~1e-3..1e-4 of corpus bytes. They are
+    localCheckpointed, which stores blocks MEMORY_AND_DISK (Spark's
+    local-checkpoint default level): under executor memory pressure
+    the blocks spill to local disk rather than evict, so the commitment
+    is disk-bounded, not heap-bounded. They survive ``clearCache()`` by
+    design (shared across queries for the session lifetime); a consumer
+    that needs to free one explicitly evicts it with
+    :func:`evict_memo`, after which the next call rebuilds it — the
+    recompute path is pinned in tests/test_r14_opt.py."""
     import os
 
     app = spark.sparkContext.applicationId
@@ -74,7 +94,8 @@ def _memo(
         (
             os.path.getmtime(p)
             for p in (
-                os.path.join(sf_dir, f"{t}.parquet") for t in tables
+                *(os.path.join(sf_dir, f"{t}.parquet") for t in tables),
+                *extra_paths,
             )
             if os.path.exists(p)
         ),
@@ -96,6 +117,28 @@ def _memo(
         df = build()
         _MATERIALIZED[key] = df
     return df
+
+
+def evict_memo(spark: SparkSession, sf_dir: str, kind: str) -> bool:
+    """Drop a session memo so the next consumer rebuilds it — the
+    eviction half of the memo storage policy (VERDICT r13 task 8: the
+    linear-in-corpus memos are a real storage commitment at 100 TB and
+    need an eviction path beyond source-mtime change). Returns True if
+    an entry was dropped. The checkpointed blocks themselves are freed
+    when the frame's RDD is garbage-collected after the dict reference
+    goes away (ContextCleaner), the same lifecycle as a stale-mtime
+    eviction."""
+    app = spark.sparkContext.applicationId
+    import os as _os
+
+    norm = _os.path.normpath(sf_dir)
+    doomed = [
+        k for k in _MATERIALIZED if k[0] == app and k[1] == norm and k[2] == kind
+    ]
+    for k in doomed:
+        del _MATERIALIZED[k]
+    return bool(doomed)
+
 
 #: Number of MinHash permutations (1-row bands → 4 LSH bands).
 N_PERMS = 4
@@ -1110,22 +1153,43 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH path verifies with, so every LSH pair is a true pair by
     construction (precision ≡ 1) and the audit reduces to recall:
     ``n_lsh / n_true``. Misses come from (a) no band agreeing and
-    (b) capped buckets. Plan: the bounded all-pairs join runs on the
-    AUDIT_SLICE-doc slice only; the LSH side reuses the session's
-    materialized verified-pair frame (``_MATERIALIZED``) — at 100 TB
-    this audit is a sampled side-channel, never a full-corpus job.
+    (b) capped buckets. Plan: the exact pair intersections come from a
+    shingle-keyed equi-join over the SLICED written postings index
+    (only co-occurring pairs are ever materialized — r14); the LSH
+    side reuses the session's materialized verified-pair frame
+    (``_MATERIALIZED``) — at 100 TB this audit is a sampled
+    side-channel, never a full-corpus job.
     """
-    # Slice predicate pushes down into the written shingle-set layout
-    # (VERDICT r11 task 4) — the audit reads only its bounded slice.
-    sets = shingle_sets_frame(spark, sf_dir).where(
+    # Ground truth via the written POSTINGS index, sliced (VERDICT r13
+    # task 3): the former all-pairs join over the AUDIT_SLICE sets
+    # verified every (d1, d2) pair with an in-row array_intersect —
+    # ~45k candidate pairs, ~98% of which share NO shingle and can
+    # never reach jaccard >= 0.05. The shingle-keyed equi-join below
+    # generates exactly the pairs with i = |A∩B| >= 1 (a map-side
+    # partial agg counts the intersection per pair), so the verify
+    # touches only co-occurring pairs and the pair predicate is pure
+    # arithmetic on (i, len1, len2) — no arrays shuffled, no cartesian.
+    # Exactness unchanged: i from the equi-join IS |A∩B| (postings are
+    # (doc, shingle)-distinct), zero-intersection pairs fail the 0.05
+    # threshold by definition, and the double-division threshold test
+    # is identical (nearest rationals i/u sit >= 1/(20u) away from
+    # 0.05, ~12 orders of magnitude beyond double rounding).
+    post = shingle_postings_stats_frame(spark, sf_dir).where(
         F.col("doc_id") <= AUDIT_SLICE
     )
-    a = sets.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
-    b = sets.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
-    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
-    union = F.size("sh1") + F.size("sh2") - F.size(F.array_intersect("sh1", "sh2"))
+    a = post.select(
+        F.col("doc_id").alias("d1"), "s", F.col("len").alias("l1")
+    )
+    b = post.select(
+        F.col("doc_id").alias("d2"), "s", F.col("len").alias("l2")
+    )
+    inter = F.col("i").cast("double")
+    union = F.col("l1") + F.col("l2") - F.col("i")
     t = (
-        a.join(b, F.col("d1") < F.col("d2"))
+        a.join(b, "s")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2", "l1", "l2")
+        .agg(F.count(F.lit(1)).alias("i"))
         .where(inter / union >= 0.05)
         .agg(F.count(F.lit(1)).alias("n_true"))
     )

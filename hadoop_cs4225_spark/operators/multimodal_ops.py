@@ -256,6 +256,153 @@ _BSH_STRIDE = 4
 _BSH_MIN_JAC = 0.05
 
 
+def _byte_shingle_sets(docs: DataFrame) -> DataFrame:
+    """``(doc_id, sh array<string>)`` — the DISTINCT byte-shingle set
+    per eligible doc (hex-rendered {_BSH_LEN}-byte windows at stride
+    {_BSH_STRIDE}), the single definition shared by the written layout
+    (:func:`ensure_byte_shingle_sets`), its streaming maintainer
+    (``streaming.run_incremental_byte_shingles``) and the inline
+    DuckDB oracle of ``media_byte_minhash_pairs``."""
+    media = media_from_documents(docs)
+    sh = (
+        media.where(F.col("content_len") >= _BSH_LEN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("content_len") - _BSH_LEN) / _BSH_STRIDE
+                    ).cast("long"),
+                )
+            ).alias("k"),
+            "content",
+        )
+        .select(
+            "doc_id",
+            F.hex(
+                F.expr(
+                    f"substring(content, CAST(1 + {_BSH_STRIDE} * k AS INT),"
+                    f" {_BSH_LEN})"
+                )
+            ).alias("s"),
+        )
+    )
+    # map-side partial collect_set = map-side dedup; ONE shuffle.
+    return sh.groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
+
+
+def _byte_sigs_from_sets(sets: DataFrame) -> DataFrame:
+    """4-permutation MinHash signatures ``(doc_id, bmh0..bmh3)`` over
+    the distinct byte-shingle sets (MIN is duplicate-insensitive, so
+    signatures over the set equal signatures over raw windows)."""
+    from hadoop_cs4225_spark.operators.dedup import N_PERMS, _PERM_MOD
+
+    shd = sets.select("doc_id", F.explode("sh").alias("s"))
+    x = F.md5("s")
+    hs = shd.select(
+        "doc_id",
+        F.conv(F.substring(x, 1, 15), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(x, 17, 15), 16, 10).cast("long").alias("h2"),
+    )
+    return hs.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(_PERM_MOD))
+            .alias(f"bmh{i}")
+            for i in range(N_PERMS)
+        ]
+    )
+
+
+def _byte_sets_config() -> str:
+    """Definition fingerprint of the byte-shingle set layout."""
+    return (
+        f"bsh_len={_BSH_LEN};stride={_BSH_STRIDE};hex=1;"
+        f"min_len={_BSH_LEN};content=encode(text);distinct=1"
+    )
+
+
+def _byte_sigs_config() -> str:
+    """Fingerprint of the byte MinHash signature layout — cascades the
+    upstream set layout's full fingerprint (the ``_sig_index_config``
+    discipline: signatures are built FROM that layout, so a definition
+    change there must rebuild these too)."""
+    from hadoop_cs4225_spark.operators.dedup import N_PERMS, _PERM_MOD
+
+    return (
+        f"n_perms={N_PERMS};perm_mod={_PERM_MOD};"
+        f"sets=[{_byte_sets_config()}]"
+    )
+
+
+def ensure_byte_shingle_sets(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the BYTE-SHINGLE SET layout
+    (``.derived/<sf>/documents_byte_shingles``: one row per eligible
+    doc, ``doc_id, sh array<string>``) — the multimodal twin of
+    ``dedup.ensure_shingle_sets`` (VERDICT r13 task 2).
+    ``media_byte_minhash_pairs``'s dominant cost was the raw byte-window
+    explode (substring+hex over every payload) re-run per invocation;
+    the windows are pure corpus state at byte grain, so they are
+    written once per corpus snapshot and every probe reads them.
+    mtime-guarded on documents.parquet AND the definition fingerprint;
+    the DuckDB oracle recomputes the windows inline, so parity verifies
+    the index CONTENT every round. Incrementally maintained by
+    ``streaming.run_incremental_byte_shingles`` (documents are
+    immutable, so per-doc set rows are append-only)."""
+    from hadoop_cs4225_spark.sources.sinks import (
+        derived_path,
+        derived_stale,
+        write_derived_config,
+    )
+
+    cfg = _byte_sets_config()
+    path = derived_path(sf_dir, "documents_byte_shingles")
+    if derived_stale(path, sf_dir, table="documents", config=cfg):
+        docs = load_table(spark, sf_dir, "documents")
+        _byte_shingle_sets(docs).write.mode("overwrite").parquet(path)
+        write_derived_config(path, cfg)
+    return path
+
+
+def byte_shingle_sets_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The written byte-shingle set layout (ensure + read)."""
+    from hadoop_cs4225_spark.sources.sinks import read_derived
+
+    return read_derived(spark, ensure_byte_shingle_sets(spark, sf_dir))
+
+
+def ensure_byte_minhash_sigs(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the byte-grain MinHash SIGNATURE index
+    (``.derived/<sf>/documents_byte_minhash_sigs``: ``doc_id,
+    bmh0..bmh3``) — built FROM the byte-shingle set layout (one window
+    explode per corpus snapshot serves both layouts), the byte twin of
+    ``dedup.ensure_minhash_sig_index``. The md5 + 4-permutation fold
+    over ~all distinct windows was the query's second irreducible
+    per-run cost; signatures are corpus state, so the banded candidate
+    generation reads N_PERMS longs per doc instead."""
+    from hadoop_cs4225_spark.sources.sinks import (
+        derived_path,
+        derived_stale,
+        write_derived_config,
+    )
+
+    cfg = _byte_sigs_config()
+    path = derived_path(sf_dir, "documents_byte_minhash_sigs")
+    if derived_stale(path, sf_dir, table="documents", config=cfg):
+        _byte_sigs_from_sets(
+            byte_shingle_sets_frame(spark, sf_dir)
+        ).write.mode("overwrite").parquet(path)
+        write_derived_config(path, cfg)
+    return path
+
+
+def byte_minhash_sigs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The written byte MinHash signature index (ensure + read)."""
+    from hadoop_cs4225_spark.sources.sinks import read_derived
+
+    return read_derived(spark, ensure_byte_minhash_sigs(spark, sf_dir))
+
+
 def _bsh_minhash_sql() -> str:
     from hadoop_cs4225_spark.operators.dedup import N_PERMS, _PERM_MOD
 
@@ -335,78 +482,30 @@ def media_byte_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec in the loop — pure byte structure), complementing
     ``media_chunk_dedup_ratio``'s exact-chunk story.
 
-    Plan shape mirrors the text LSH pipeline (one shingle explode →
-    distinct → two map-side-combined shuffles for signatures, capped
-    band self-join, set-keyed verify) but at BYTE grain over the
-    ``content`` binary column; shingles hex-render so the oracle can
-    slice identical windows from ``hex(encode(text))``. All hashes are
-    the cross-engine md5/hash60 split — bit-identical in DuckDB.
+    Plan shape (r14, VERDICT r13 task 2): the raw byte-window explode
+    (substring+hex over every payload) and the md5 + 4-permutation
+    signature fold moved into WRITTEN layouts
+    (:func:`ensure_byte_shingle_sets` / :func:`ensure_byte_minhash_sigs`
+    — the r12 written-index discipline at byte grain); the query is a
+    banded self-join over the signature index scan plus a set-keyed
+    verify over the set-layout scan. Shingles hex-render so the oracle
+    can slice identical windows from ``hex(encode(text))``. All hashes
+    are the cross-engine md5/hash60 split — bit-identical in DuckDB.
     """
     from pyspark.sql import Window
 
     from hadoop_cs4225_spark.operators.dedup import (
         LSH_BUCKET_CAP,
         N_PERMS,
-        _PERM_MOD,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    media = media_from_documents(docs)
-    sh = (
-        media.where(F.col("content_len") >= _BSH_LEN)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(
-                    F.lit(0),
-                    F.floor(
-                        (F.col("content_len") - _BSH_LEN) / _BSH_STRIDE
-                    ).cast("long"),
-                )
-            ).alias("k"),
-            "content",
-        )
-        .select(
-            "doc_id",
-            F.hex(
-                F.expr(
-                    f"substring(content, CAST(1 + {_BSH_STRIDE} * k AS INT),"
-                    f" {_BSH_LEN})"
-                )
-            ).alias("s"),
-        )
-    )
-    # r13 plan surgery (guide §2.4): the old plan ran DISTINCT over
-    # every raw window row (a full shuffle) and then re-ran the whole
-    # explode chain for each consumer. Instead, the per-doc dedup rides
-    # the ONE collect_set shuffle (map-side partial sets = map-side
-    # dedup), the materialized set frame feeds both verify-join sides,
-    # and the distinct (doc_id, s) rows for the md5/signature path are
-    # re-exploded from it for free — one shuffle where there were two,
-    # md5 over distinct windows only, zero repeated scans. Signatures
-    # are unchanged (MIN is duplicate-insensitive; sets are sets).
-    sets = (
-        sh.groupBy("doc_id")
-        .agg(F.collect_set("s").alias("sh"))
-        # persist(), not localCheckpoint: per-invocation corpus-sized
-        # frame — freed by the bench's per-query clearCache instead of
-        # accumulating checkpoint RDDs across the suite run
-        .persist()
-    )
-    shd = sets.select("doc_id", F.explode("sh").alias("s"))
-    x = F.md5("s")
-    hs = shd.select(
-        "doc_id",
-        F.conv(F.substring(x, 1, 15), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(x, 17, 15), 16, 10).cast("long").alias("h2"),
-    )
-    sigs = hs.groupBy("doc_id").agg(
-        *[
-            F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(_PERM_MOD))
-            .alias(f"bmh{i}")
-            for i in range(N_PERMS)
-        ]
-    )
+    # hint("merge"): the set layout's COMPRESSED size sits under the
+    # broadcast threshold, so Catalyst would otherwise broadcast the
+    # full shingle-array table for BOTH verify joins — hundreds of MB
+    # decompressed, built twice (the jaccard_prefix_filter_pairs
+    # precedent). Sort-merge streams the arrays once per side.
+    sets = byte_shingle_sets_frame(spark, sf_dir).hint("merge")
+    sigs = byte_minhash_sigs_frame(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -426,6 +525,10 @@ def media_byte_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("bn") <= LSH_BUCKET_CAP)
         .drop("bn")
+        # both self-join sides read this N_PERMS·|docs|-row frame; one
+        # window computation instead of two (persist, not checkpoint:
+        # per-invocation frame, freed by the bench's clearCache)
+        .persist()
     )
     a, c = kept.alias("a"), kept.alias("c")
     cand = (

@@ -217,14 +217,27 @@ def _brute_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ``registry.warm_shared_frames`` so neither audit is charged the
 #: family build for running first.
 def method_topk_frame(spark: SparkSession, sf_dir: str, label: str, fn) -> DataFrame:
-    from hadoop_cs4225_spark.operators.dedup import _memo
+    import os
 
+    from hadoop_cs4225_spark.operators.dedup import _memo
+    from hadoop_cs4225_spark.sources.sinks import derived_path
+
+    # ADVICE r13: the ivf/pq/rerank arms read the written IVF-PQ index,
+    # which can be rebuilt IN-SESSION by a definition/config change with
+    # embeddings.parquet untouched — fold the layout's config mtime
+    # (written last by write_derived_config) into the memo key so the
+    # memoized 5-row result can never outlive the index it was read
+    # from.
+    ivf_cfg = os.path.join(
+        derived_path(sf_dir, "embeddings_ivf_pq"), "_DERIVED_CONFIG"
+    )
     return _memo(
         spark,
         sf_dir,
         f"sim:method_topk:{label}",
         lambda: fn(spark, sf_dir).localCheckpoint(eager=False),
         src_table="embeddings",
+        extra_paths=(ivf_cfg,),
     )
 
 

@@ -80,7 +80,18 @@ PRIORITY_WINDOW = 50
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: add ``fn`` to the registry under ``name``."""
+    """Decorator: add ``fn`` to the registry under ``name``.
+
+    Caller contract (ADVICE r13): a few queries ``persist()`` a
+    per-invocation intra-query frame (basket pair generation, the
+    byte-shingle set frame, the 5-gram explode) and cannot unpersist it
+    before their terminal action runs. ``bench.py`` frees those blocks
+    with ``spark.catalog.clearCache()`` after every timed query; any
+    other long-lived session that invokes registered queries repeatedly
+    should do the same (or accept evictable MEMORY_AND_DISK blocks
+    accumulating for the session's lifetime). Session-memoized SHARED
+    frames (``dedup._memo``) deliberately use ``localCheckpoint`` so
+    they survive that ``clearCache``."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
@@ -190,7 +201,7 @@ _PRIORITY = PERMANENT_PRIORITY + (
     "user_event_map_algebra",        # map-column algebra
 )
 
-def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:
+def warm_shared_frames(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     """Materialize every session-memoized shared frame (the dedup
     ``_memo`` family) ahead of timing. bench.py calls this from its
     warmup so the first query of a memo-sharing family is not charged
@@ -198,8 +209,21 @@ def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:
     12.7 s to the window's first query purely for running first, and
     the comparator then had to adjudicate a fake 12x flag (VERDICT r8
     task 4). Each frame is bounded (short rows, capped fan-out), so
-    warming is a constant-cost preamble at any SF. Returns the number
-    of frames materialized."""
+    warming is a constant-cost preamble at any SF.
+
+    Returns per-frame build seconds keyed by frame name so bench.py can
+    report what the untimed warmup actually costs (VERDICT r13 task 1:
+    the warmup had become an invisible slice of real work).
+
+    r14 (VERDICT r13 task 1): the five ANN method-RESULT memos
+    (``similarity.method_topk_frame``) are deliberately NOT warmed any
+    more — they are 5-row results of registered queries, and warming
+    them moved entire method pipelines out of the timed region. The
+    memo itself stays (two audit composers share it), but the FIRST
+    timed audit composer now pays the family build, inside the timed
+    region where it belongs."""
+    import time as _time
+
     load_all()
     from hadoop_cs4225_spark.operators.algo_ops import (
         _daily_counts,
@@ -228,7 +252,6 @@ def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:
         _assigned_frame,
         _brute_topk_frame,
         _bucketed_frame,
-        audit_method_frames,
     )
     from hadoop_cs4225_spark.operators.text_analysis import (
         _bigram_doc_scores,
@@ -236,44 +259,49 @@ def warm_shared_frames(spark: SparkSession, sf_dir: str) -> int:
     from hadoop_cs4225_spark.operators.training_set import _stage_flags
 
     builders = (
-        # r13 optimization round: the shared fixpoints/results each
-        # consumed by >= 2 registered queries (Gram matrix, k-means
-        # centroids + assignment, the five audit-composed ANN method
-        # results) — same discipline, same bounded-rows argument.
-        lambda: _gram_frame(spark, sf_dir),
-        lambda: _kmeans_cent_frame(spark, sf_dir),
-        lambda: _kmeans_assign_frame(spark, sf_dir),
-        lambda: _bigram_doc_scores(spark, sf_dir),
-        *[
-            lambda f=f: f
-            for f in audit_method_frames(spark, sf_dir).values()
-        ],
-        lambda: _memo(
-            spark, sf_dir, "lsh_pairs", lambda: _verified_pairs(spark, sf_dir)
+        # r13 optimization round: the shared fixpoints each consumed by
+        # >= 2 registered queries (Gram matrix, k-means centroids +
+        # assignment, per-doc bigram sums) — same discipline, same
+        # bounded-rows argument.
+        ("gram64", lambda: _gram_frame(spark, sf_dir)),
+        ("kmeans_cent", lambda: _kmeans_cent_frame(spark, sf_dir)),
+        ("kmeans_assign", lambda: _kmeans_assign_frame(spark, sf_dir)),
+        ("blm_doc_scores", lambda: _bigram_doc_scores(spark, sf_dir)),
+        (
+            "lsh_pairs",
+            lambda: _memo(
+                spark,
+                sf_dir,
+                "lsh_pairs",
+                lambda: _verified_pairs(spark, sf_dir),
+            ),
         ),
-        lambda: _cluster_labels(spark, sf_dir),
-        lambda: _bucketed_frame(spark, sf_dir),
-        lambda: _assigned_frame(spark, sf_dir),
-        lambda: _brute_topk_frame(spark, sf_dir),
-        lambda: _mutual_topk_edges(spark, sf_dir),
-        lambda: _trade_edges(spark, sf_dir),
-        lambda: _trade_deg(spark, sf_dir),
-        lambda: _trade_edges_deg(spark, sf_dir),
-        lambda: _hits_pairs(spark, sf_dir),
-        lambda: _daily_counts(spark, sf_dir),
-        lambda: _order_ship_durs(spark, sf_dir),
-        lambda: _orders_daily_counts(spark, sf_dir),
-        lambda: _transition_counts(spark, sf_dir),
-        lambda: _stage_flags(spark, sf_dir),
+        ("cluster_labels", lambda: _cluster_labels(spark, sf_dir)),
+        ("sim_bucketed", lambda: _bucketed_frame(spark, sf_dir)),
+        ("sim_assigned", lambda: _assigned_frame(spark, sf_dir)),
+        ("sim_brute_topk", lambda: _brute_topk_frame(spark, sf_dir)),
+        ("mutual_topk_edges", lambda: _mutual_topk_edges(spark, sf_dir)),
+        ("trade_edges", lambda: _trade_edges(spark, sf_dir)),
+        ("trade_deg", lambda: _trade_deg(spark, sf_dir)),
+        ("trade_edges_deg", lambda: _trade_edges_deg(spark, sf_dir)),
+        ("hits_pairs", lambda: _hits_pairs(spark, sf_dir)),
+        ("daily_counts", lambda: _daily_counts(spark, sf_dir)),
+        ("order_ship_durs", lambda: _order_ship_durs(spark, sf_dir)),
+        ("orders_daily_counts", lambda: _orders_daily_counts(spark, sf_dir)),
+        ("transition_counts", lambda: _transition_counts(spark, sf_dir)),
+        ("stage_flags", lambda: _stage_flags(spark, sf_dir)),
     )
-    for build in builders:
+    timings: dict[str, float] = {}
+    for name, build in builders:
+        t0 = _time.perf_counter()
         # count() forces the lazy localCheckpoint to actually run; the
         # memo then hands the materialized frame to every consumer.
         build().count()
-    return len(builders)
+        timings[name] = round(_time.perf_counter() - t0, 3)
+    return timings
 
 
-def warm_derived_layouts(spark: SparkSession, sf_dir: str) -> int:
+def warm_derived_layouts(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     """Materialize every mtime-guarded DERIVED LAYOUT (partitioned /
     bucketed / z-ordered tables, the IVF-PQ index, the dirty JSONL
     feed) ahead of timing (VERDICT r9 task 6): these are write-once
@@ -282,8 +310,13 @@ def warm_derived_layouts(spark: SparkSession, sf_dir: str) -> int:
     ``ivf_pq_index_probe`` / ``bucketed_segment_revenue`` /
     the partition-pruning family — not charge whichever query runs
     first with the one-off layout build. Idempotent (each ensure_* is
-    freshness-guarded on the source parquet mtime). Returns the number
-    of layouts ensured."""
+    freshness-guarded on the source parquet mtime). Returns per-layout
+    ensure seconds keyed by layout name, so bench.py can report what
+    the untimed warmup costs (VERDICT r13 task 1; bench.py deletes the
+    sf's ``.derived`` tree first so these are COLD build costs, not
+    freshness checks)."""
+    import time as _time
+
     load_all()
     from hadoop_cs4225_spark.operators.bucketed import (
         _BUCKETED,
@@ -306,13 +339,18 @@ def warm_derived_layouts(spark: SparkSession, sf_dir: str) -> int:
         ensure_events_nested,
         ensure_events_zorder,
     )
+    from hadoop_cs4225_spark.operators.multimodal_ops import (
+        ensure_byte_minhash_sigs,
+        ensure_byte_shingle_sets,
+    )
     from hadoop_cs4225_spark.operators.pq import ensure_ivf_pq_index
     from hadoop_cs4225_spark.operators.text_analysis import (
+        ensure_ngram5_postings,
         ensure_token_counts,
         ensure_token_df,
     )
 
-    n = 0
+    timings: dict[str, float] = {}
     for ensure in (
         ensure_events_by_day,
         ensure_events_nested,
@@ -327,14 +365,19 @@ def warm_derived_layouts(spark: SparkSession, sf_dir: str) -> int:
         ensure_winnow_fp_index,
         ensure_token_counts,  # before the df side table, which reads it
         ensure_token_df,
+        ensure_ngram5_postings,
+        ensure_byte_shingle_sets,  # before the byte sig index (built FROM it)
+        ensure_byte_minhash_sigs,
         ensure_orders_jsonl_dirty,
     ):
+        t0 = _time.perf_counter()
         ensure(spark, sf_dir)
-        n += 1
+        timings[ensure.__name__] = round(_time.perf_counter() - t0, 3)
     for t, k in _BUCKETED:
+        t0 = _time.perf_counter()
         ensure_bucketed(spark, sf_dir, t, k)
-        n += 1
-    return n
+        timings[f"bucketed_{t}"] = round(_time.perf_counter() - t0, 3)
+    return timings
 
 
 def _prioritized(d: dict) -> dict:

@@ -92,11 +92,23 @@ _READ_CACHE: dict[tuple[str, str, float], DataFrame] = {}
 def read_derived(spark: SparkSession, path: str) -> DataFrame:
     """Read a built ``.derived`` layout with plan memoization (callers
     must have run their ``ensure_*`` first — that is what guarantees
-    ``_SUCCESS`` exists and is fresh)."""
+    ``_SUCCESS`` exists and is fresh).
+
+    ADVICE r13: never cache under a missing ``_SUCCESS`` (every rebuild
+    of a marker-less layout would map to the same -1.0 key and serve a
+    stale file-listing plan forever), and fold the ``_DERIVED_CONFIG``
+    mtime into the key — it is written LAST by ``write_derived_config``,
+    so a same-second in-session rebuild that the marker's
+    second-granularity mtime could miss still moves the key."""
     app = spark.sparkContext.applicationId
     norm = os.path.normpath(path)
     marker = os.path.join(path, "_SUCCESS")
-    mtime = os.path.getmtime(marker) if os.path.exists(marker) else -1.0
+    if not os.path.exists(marker):
+        return spark.read.parquet(path)
+    cfg = os.path.join(path, "_DERIVED_CONFIG")
+    mtime = os.path.getmtime(marker) + (
+        os.path.getmtime(cfg) if os.path.exists(cfg) else 0.0
+    )
     key = (app, norm, mtime)
     df = _READ_CACHE.get(key)
     if df is None:

@@ -1095,6 +1095,149 @@ def run_incremental_pq_codes(
     return spark.read.parquet(os.path.join(vdir, "codes"))
 
 
+def run_incremental_byte_shingles(
+    spark: SparkSession, docs_chunks: str, index_root: str, checkpoint: str
+) -> DataFrame:
+    """Incremental maintenance of the BYTE-SHINGLE layouts — the
+    streaming twin of :func:`operators.multimodal_ops.
+    ensure_byte_shingle_sets` / ``ensure_byte_minhash_sigs`` (r14,
+    VERDICT r13 task 2: every written layout the optimizer leans on
+    must have an incremental maintainer). Both parts are
+    DOCUMENT-LOCAL (the set is the doc's own distinct windows; the
+    signature is a fold over that set), so the merge algebra is pure
+    append: each micro-batch of NEW documents is windowed with the
+    shared :func:`_byte_shingle_sets` and signed with the shared
+    :func:`_byte_sigs_from_sets` — identical definitions to the batch
+    build — and appended to ``sets/`` and ``sigs/``. Commit-then-swap
+    as ``v{batch_id}`` (restart-safe, crash-idempotent); at 100 TB the
+    snapshot rewrite becomes per-batch file appends (immutable docs,
+    no cross-document state). Returns the latest ``sets`` part;
+    ``sigs`` sits next to it and is pinned equal to
+    ``_byte_sigs_from_sets(sets)`` in tests."""
+    import os
+
+    from hadoop_cs4225_spark.operators.multimodal_ops import (
+        _byte_shingle_sets,
+        _byte_sigs_from_sets,
+    )
+
+    schema = spark.read.parquet(docs_chunks).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_chunks)
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _guard_incarnation(index_root, batch_id)
+        sess = batch_df.sparkSession
+        batch_sets = _byte_shingle_sets(batch_df)
+        batch_sigs = _byte_sigs_from_sets(batch_sets)
+        prior = _snapshot_versions(index_root, below=batch_id)
+        if prior:
+            vdir = os.path.join(index_root, f"v{max(prior)}")
+            sets_new = sess.read.parquet(
+                os.path.join(vdir, "sets")
+            ).unionByName(batch_sets)
+            sigs_new = sess.read.parquet(
+                os.path.join(vdir, "sigs")
+            ).unionByName(batch_sigs)
+        else:
+            sets_new, sigs_new = batch_sets, batch_sigs
+        out = os.path.join(index_root, f"v{batch_id}")
+        sets_new.write.mode("overwrite").parquet(os.path.join(out, "sets"))
+        sigs_new.write.mode("overwrite").parquet(os.path.join(out, "sigs"))
+        _prune_snapshots(index_root, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_bounded(q, "incremental_byte_shingles")
+    versions = _snapshot_versions(index_root)
+    if not versions:
+        return spark.createDataFrame([], "doc_id long, sh array<string>")
+    vdir = os.path.join(index_root, f"v{max(versions)}")
+    return spark.read.parquet(os.path.join(vdir, "sets"))
+
+
+def run_incremental_ngram5_postings(
+    spark: SparkSession, docs_chunks: str, index_root: str, checkpoint: str
+) -> DataFrame:
+    """Incremental maintenance of the 5-GRAM POSTINGS index — the
+    streaming twin of :func:`operators.text_analysis.
+    ensure_ngram5_postings` (r14, VERDICT r13 task 5). Same two-part
+    merge algebra as :func:`run_incremental_shingle_postings` (the
+    3-gram twin): ``posts/`` rows ``(doc_id, source, sh)`` are
+    document-local and append-only; the ``df/`` side table recounts
+    only the batch's shingles (full-outer merge; untouched shingles
+    pass through). The shared :func:`operators.text_analysis.
+    _ngram5_rows` keeps batch and twin on one definition.
+    Commit-then-swap as ``v{batch_id}``; returns the joined
+    ``(doc_id, source, sh, df)`` frame matching the batch layout."""
+    import os
+
+    from hadoop_cs4225_spark.operators.text_analysis import _ngram5_rows
+
+    schema = spark.read.parquet(docs_chunks).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_chunks)
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _guard_incarnation(index_root, batch_id)
+        sess = batch_df.sparkSession
+        batch_posts = _ngram5_rows(batch_df)
+        batch_dfc = batch_posts.groupBy("sh").agg(
+            F.count(F.lit(1)).cast("long").alias("d_df")
+        )
+        prior = _snapshot_versions(index_root, below=batch_id)
+        if prior:
+            vdir = os.path.join(index_root, f"v{max(prior)}")
+            posts_new = sess.read.parquet(
+                os.path.join(vdir, "posts")
+            ).unionByName(batch_posts)
+            df_new = (
+                sess.read.parquet(os.path.join(vdir, "df"))
+                .join(batch_dfc, ["sh"], "full")
+                .select(
+                    "sh",
+                    (
+                        F.coalesce("df", F.lit(0))
+                        + F.coalesce("d_df", F.lit(0))
+                    ).cast("long").alias("df"),
+                )
+            )
+        else:
+            posts_new = batch_posts
+            df_new = batch_dfc.select("sh", F.col("d_df").alias("df"))
+        out = os.path.join(index_root, f"v{batch_id}")
+        posts_new.write.mode("overwrite").parquet(os.path.join(out, "posts"))
+        df_new.write.mode("overwrite").parquet(os.path.join(out, "df"))
+        _prune_snapshots(index_root, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_bounded(q, "incremental_ngram5_postings")
+    versions = _snapshot_versions(index_root)
+    if not versions:
+        return spark.createDataFrame(
+            [], "doc_id long, source string, sh string, df long"
+        )
+    vdir = os.path.join(index_root, f"v{max(versions)}")
+    posts = spark.read.parquet(os.path.join(vdir, "posts"))
+    dfs = spark.read.parquet(os.path.join(vdir, "df"))
+    return posts.join(dfs, "sh").select("doc_id", "source", "sh", "df")
+
+
 def run_incremental_daily_rollup(
     spark: SparkSession, chunks_path: str, out_root: str, checkpoint: str
 ) -> DataFrame:

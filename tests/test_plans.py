@@ -302,6 +302,11 @@ _BOUNDED_GLOBAL_WINDOW = {
     # = price domain / 1024 (dictionary range, not corpus rows); the
     # per-price windows are partitioned by bucket
     "skyline_orders_pareto": 65_536,
+    # power-iteration norm windows over the d-row vector frame (d=64
+    # dimensions, constant at any corpus size — r14: replaced the
+    # per-step 1-row broadcast crossJoins, which each cost a job)
+    "embedding_gram_topeig": 64,
+    "embedding_pca_two": 64,
     # row_number over the ALREADY-LIMITed k-row seed frame (k=4)
     "kmeans_embedding_clusters": 4,
     # same LIMIT-k seed window via the shared _kmeans_frames fixpoint

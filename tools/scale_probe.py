@@ -754,12 +754,26 @@ def main() -> int:
             ensure_winnow_fp_index,
         )
 
+        from hadoop_cs4225_spark.operators.multimodal_ops import (
+            ensure_byte_minhash_sigs,
+            ensure_byte_shingle_sets,
+        )
+        from hadoop_cs4225_spark.operators.text_analysis import (
+            ensure_ngram5_postings,
+        )
+
         for k in copies:
             ensure_shingle_sets(spark, dirs[k])
             ensure_shingle_postings(spark, dirs[k])
             ensure_minhash_sig_index(spark, dirs[k])
             ensure_simhash_fp_index(spark, dirs[k])
             ensure_winnow_fp_index(spark, dirs[k])
+            # r14 written layouts (byte-shingle sets/sigs, 5-gram
+            # postings): built once per size so their consumers'
+            # exponents measure steady-state reads, not one-off builds
+            ensure_byte_shingle_sets(spark, dirs[k])
+            ensure_byte_minhash_sigs(spark, dirs[k])
+            ensure_ngram5_postings(spark, dirs[k])
     for name in doc_names:
         fn = registry.QUERIES[name]
         timed(fn, spark, dirs[copies[0]])  # warm: session + codegen
